@@ -1,0 +1,339 @@
+package graft.core
+
+import scala.jdk.CollectionConverters._
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The adaptive-apply accessor — Spark-native re-expression of
+  * `df.swifter` (reference accessors swifter/swifter.py:223-224,332-333).
+  *
+  * For a user function the engine picks, per call, the fastest of three
+  * physical strategies (SURVEY.md §2.2):
+  *   1. Vectorized — a whole-column Catalyst expression (whole-stage
+  *      codegen); chosen when the caller supplies a columnar candidate and
+  *      the K2 probe validates it against the row function on a sample.
+  *   2. Parallel — distributed row-at-a-time UDF / typed map.
+  *   3. Local — driver-local execution over a LocalRelation for inputs
+  *      too small to be worth a cluster job (K3 cost model).
+  *
+  * The selection must be observationally invisible (SURVEY.md §1.4): every
+  * strategy returns the same rows. Row order is NOT part of the contract —
+  * Spark DataFrames are unordered; callers that need the pandas index
+  * semantics thread an explicit index column and `orderBy` it at
+  * materialization (SURVEY.md §7.4.2).
+  */
+object Swift {
+  def apply(df: DataFrame): Swift = new Swift(df, SwiftConfig())
+  def apply(df: DataFrame, cfg: SwiftConfig): Swift = new Swift(df, cfg)
+
+  /** Exact probe-equality: reference uses np.array_equal
+    * (swifter/swifter.py:313-316). Numeric values compare by exact double
+    * bits after widening, everything else by equals. */
+  private[core] def sameValue(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (x: Number, y: Number) =>
+      java.lang.Double.doubleToLongBits(x.doubleValue()) ==
+        java.lang.Double.doubleToLongBits(y.doubleValue())
+    case (x: Seq[_], y: Seq[_]) =>
+      x.size == y.size && x.zip(y).forall { case (u, v) => sameValue(u, v) }
+    case (x, y) => x == y
+  }
+
+  private[core] def sameValues(a: Seq[Any], b: Seq[Any]): Boolean =
+    a.size == b.size && a.zip(b).forall { case (x, y) => sameValue(x, y) }
+
+  private[core] def normalizeForRow(v: Any): Any = v match {
+    case a: Array[_] => a.toSeq
+    case other => other
+  }
+}
+
+final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
+  private def spark: SparkSession = df.sparkSession
+  private def withCfg(c: SwiftConfig): Swift = new Swift(df, c)
+
+  // ---- K9 fluent configuration (swifter/swifter.py:99-138) ----
+  def npartitions(n: Int): Swift = withCfg(cfg.copy(npartitions = Some(n)))
+  def threshold(sec: Double): Swift = withCfg(cfg.copy(thresholdSec = sec))
+  def progressBar(enable: Boolean, desc: String = "swift"): Swift =
+    withCfg(cfg.copy(progressBar = enable, progressDesc = desc))
+  def allowParallelOnStrings(b: Boolean): Swift =
+    withCfg(cfg.copy(allowParallelOnStrings = b))
+  def forceParallel(b: Boolean = true): Swift = withCfg(cfg.copy(forceParallel = b))
+  def sampleSize(n: Int): Swift = withCfg(cfg.copy(sampleSize = n))
+
+  /** Row count, needed by the K3 cost model. For file sources Spark
+    * answers count() from footer metadata + columnar batch counts — no
+    * full materialization — so this stays cheap at scale. */
+  lazy val nrows: Long = df.count()
+
+  // ---- K1 sample extraction (base.py:21,46-47) ----
+  /** min(sampleSize, ceil(n/25)) rows — the reference's shrink rule for
+    * small inputs. `limit` only touches leading partitions; cheap. */
+  private[core] def sampleRows(): Array[Row] = {
+    val k =
+      if (nrows == 0) 0
+      else if (nrows <= 25000) math.max(1, math.ceil(nrows / 25.0).toInt)
+      else cfg.sampleSize
+    df.limit(k).collect()
+  }
+
+  private def localDf(rows: Seq[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(rows.asJava, schema)
+
+  /** Strategy of the last apply-family call, for tests/introspection. */
+  @volatile var lastStrategy: SwiftStrategy = SwiftStrategy.Parallel
+
+  private def finish(out: DataFrame, s: SwiftStrategy): DataFrame = {
+    lastStrategy = s
+    cfg.npartitions.fold(out)(out.repartition)
+  }
+
+  // =====================================================================
+  // O1 — Series.swifter.apply (swifter/swifter.py:287-329)
+  // =====================================================================
+
+  /** Element-wise apply of `rowFn` to column `colName`, result in `out`.
+    * `vectorized` is the optional columnar candidate — the Scala analog of
+    * numpy duck-broadcasting (SURVEY.md §7.4.1): a `T => U` cannot be
+    * re-typed to `Column => Column`, so the columnar form is supplied and
+    * *validated* on a sample instead.
+    */
+  def applyScalar[T: TypeTag, U: TypeTag](colName: String, out: String)(
+      rowFn: T => U,
+      vectorized: Option[Column] = None): DataFrame = {
+    val theUdf = udf(rowFn)
+    def parallelPlan: DataFrame = df.withColumn(out, theUdf(col(colName)))
+
+    // empty input short-circuits to the naive path (swifter/swifter.py:292-294)
+    if (nrows == 0) return finish(parallelPlan, SwiftStrategy.Parallel)
+    if (cfg.forceParallel) return finish(parallelPlan, SwiftStrategy.Parallel)
+
+    val sample = sampleRows()
+    val idx = df.schema.fieldIndex(colName)
+    val sampleIn: Seq[T] = sample.toSeq.map(r => r.getAs[T](idx))
+    // driver oracle = row-at-a-time result on the sample (K7: suppressed)
+    val oracle: Seq[Any] = Progress.suppressed { sampleIn.map(v => rowFn(v)) }
+
+    // ---- K2 vectorization probe (swifter/swifter.py:309-317) ----
+    vectorized.foreach { vec =>
+      try {
+        val got = Progress.suppressed {
+          localDf(sample.toSeq, df.schema).select(vec.as(out)).collect().toSeq.map(_.get(0))
+        }
+        if (Swift.sameValues(got, oracle))
+          return finish(df.withColumn(out, vec), SwiftStrategy.Vectorized)
+      } catch { case _: Exception => () } // K5 fallback chain: expression -> UDF
+    }
+
+    // ---- K3 cost model (swifter/swifter.py:319-326) ----
+    val estSec = estimateFullRunSec(sampleIn.size) {
+      Progress.suppressed { var i = 0; while (i < sampleIn.size) { rowFn(sampleIn(i)); i += 1 } }
+    }
+    if (estSec <= cfg.thresholdSec && nrows <= cfg.localMaxRows) {
+      // driver-local route: run the same plan over a LocalRelation —
+      // single in-memory partition, no scan/shuffle/job-per-stage overhead.
+      val all = df.collect()
+      val res = localDf(all.toSeq, df.schema).withColumn(out, theUdf(col(colName)))
+      return finish(res, SwiftStrategy.Local)
+    }
+
+    // ---- K5 parallel-correctness validation (swifter/swifter.py:262-268) ----
+    val validated =
+      try {
+        val got = Progress.suppressed {
+          localDf(sample.toSeq, df.schema)
+            .withColumn(out, theUdf(col(colName))).collect().toSeq.map(_.getAs[Any](out))
+        }
+        Swift.sameValues(got, oracle)
+      } catch { case _: Exception => false }
+    if (validated) finish(parallelPlan, SwiftStrategy.Parallel)
+    else { // final fallback: local naive loop (reference :283-285)
+      val all = df.collect()
+      finish(localDf(all.toSeq, df.schema).withColumn(out, theUdf(col(colName))),
+        SwiftStrategy.Local)
+    }
+  }
+
+  /** K3 — time `body` nRepeats times, extrapolate sample→full duration:
+    * est = mean_sample_time / sample_n * nrows (swifter/swifter.py:319-322). */
+  private def estimateFullRunSec(sampleN: Int)(body: => Unit): Double = {
+    if (sampleN == 0) return 0.0
+    var total = 0L
+    var i = 0
+    while (i < cfg.nRepeats) {
+      val t0 = System.nanoTime(); body; total += System.nanoTime() - t0; i += 1
+    }
+    (total.toDouble / cfg.nRepeats / 1e9) / sampleN * nrows
+  }
+
+  // =====================================================================
+  // O2 — DataFrame.swifter.apply(axis=1) (swifter/swifter.py:400-437)
+  // =====================================================================
+
+  /** Row-wise apply: `rowFn` sees the whole row; result column `out`.
+    * Output type comes from K6 sample inference unless `outType` is given
+    * (the Dask-`meta` analog). `vectorized` is the columnar candidate.
+    * `resultType` shapes list-like results per pandas `result_type`
+    * (docs/documentation.md:103-108): Expand → one column per element,
+    * Reduce → ArrayType column, Broadcast → elements written back over the
+    * original columns.
+    */
+  def applyRows(out: String)(
+      rowFn: Row => Any,
+      vectorized: Option[Column] = None,
+      outType: Option[DataType] = None,
+      resultType: ResultType = ResultType.NoShape): DataFrame = {
+    val base = applyRowsRaw(out, rowFn, vectorized, outType)
+    shapeResult(base, out, resultType)
+  }
+
+  private def applyRowsRaw(out: String, rowFn: Row => Any,
+      vectorized: Option[Column], outType: Option[DataType]): DataFrame = {
+    if (nrows == 0) {
+      val dt = outType.getOrElse(NullType)
+      return finish(mapRowsDistributed(df, out, rowFn, dt), SwiftStrategy.Parallel)
+    }
+    val sample = sampleRows()
+    val oracle: Seq[Any] = Progress.suppressed { sample.toSeq.map(rowFn) }
+    val dt = outType.getOrElse(TypeInfer.of(oracle))
+
+    if (cfg.forceParallel)
+      return finish(mapRowsDistributed(df, out, rowFn, dt), SwiftStrategy.Parallel)
+
+    vectorized.foreach { vec =>
+      try {
+        val got = Progress.suppressed {
+          localDf(sample.toSeq, df.schema).select(vec.as(out)).collect().toSeq.map(_.get(0))
+        }
+        if (Swift.sameValues(got, oracle))
+          return finish(df.withColumn(out, vec), SwiftStrategy.Vectorized)
+      } catch { case _: Exception => () }
+    }
+
+    val estSec = estimateFullRunSec(sample.length) {
+      Progress.suppressed { var i = 0; while (i < sample.length) { rowFn(sample(i)); i += 1 } }
+    }
+    if (estSec <= cfg.thresholdSec && nrows <= cfg.localMaxRows) {
+      val all = df.collect()
+      val res = mapRowsDistributed(localDf(all.toSeq, df.schema), out, rowFn, dt)
+      finish(res, SwiftStrategy.Local)
+    } else finish(mapRowsDistributed(df, out, rowFn, dt), SwiftStrategy.Parallel)
+  }
+
+  /** Distributed row map with a dynamic output schema: typed Dataset map
+    * under `Encoders.row` — the Spark-idiomatic equivalent of a row UDF
+    * without TypeTag gymnastics. */
+  private def mapRowsDistributed(in: DataFrame, out: String, rowFn: Row => Any,
+      dt: DataType): DataFrame = {
+    val outSchema = in.schema.add(StructField(out, dt, nullable = true))
+    val enc = Encoders.row(outSchema)
+    // NB: the lambda must only capture `rowFn` and `out` — not `this`
+    // (Swift holds the non-serializable DataFrame).
+    val fn = rowFn
+    in.map { r => Row.fromSeq(r.toSeq :+ Swift.normalizeForRow(fn(r))) }(enc)
+  }
+
+  /** pandas result_type shaping on top of an array-typed result column. */
+  private def shapeResult(base: DataFrame, out: String, rt: ResultType): DataFrame = rt match {
+    case ResultType.NoShape | ResultType.Reduce => base
+    case ResultType.Expand(names) =>
+      val arr = col(out)
+      val cols = base.columns.filterNot(_ == out).map(col) ++
+        names.zipWithIndex.map { case (n, i) => element_at(arr, i + 1).as(n) }
+      base.select(cols.toIndexedSeq: _*)
+    case ResultType.Broadcast =>
+      // result elements replace the original columns positionally
+      val orig = base.columns.filterNot(_ == out)
+      val cols = orig.zipWithIndex.map { case (n, i) =>
+        element_at(col(out), i + 1).as(n)
+      }
+      base.select(cols.toIndexedSeq: _*)
+  }
+
+  // =====================================================================
+  // O2 axis=0 — column-wise apply: per-column aggregate
+  // (parallel path intentionally absent, mirroring swifter/swifter.py:434)
+  // =====================================================================
+
+  /** Apply the same aggregate to every listed column; single-row result
+    * with one output column per input column. */
+  def applyColumns(cols: Seq[String])(aggFn: Column => Column,
+      suffix: String = ""): DataFrame = {
+    lastStrategy = SwiftStrategy.Vectorized
+    df.agg(
+      aggFn(col(cols.head)).as(cols.head + suffix),
+      cols.tail.map(c => aggFn(col(c)).as(c + suffix)): _*)
+  }
+
+  // =====================================================================
+  // O3 — DataFrame.swifter.applymap (swifter/swifter.py:483-521)
+  // =====================================================================
+
+  /** Same scalar function applied to every element of every listed column
+    * (default: all columns). The selector probes the vectorized candidate
+    * once on the first column (columns share the dtype contract, as in
+    * pandas applymap) and fans the winner out per column — one codegen'd
+    * expression per column, a single projection, no shuffle. */
+  def applymap[T: TypeTag, U: TypeTag](rowFn: T => U,
+      vectorized: Option[Column => Column] = None,
+      columns: Seq[String] = Nil): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val theUdf = udf(rowFn)
+    def project(mk: Column => Column): DataFrame =
+      df.select(df.columns.toIndexedSeq.map { c =>
+        if (cols.contains(c)) mk(col(c)).as(c) else col(c)
+      }: _*)
+
+    if (nrows == 0 || cfg.forceParallel) return finish(project(theUdf(_)), SwiftStrategy.Parallel)
+
+    vectorized.foreach { vec =>
+      val sample = sampleRows()
+      val probeCol = cols.head
+      val idx = df.schema.fieldIndex(probeCol)
+      val oracle = Progress.suppressed { sample.toSeq.map(r => rowFn(r.getAs[T](idx))) }
+      try {
+        val got = Progress.suppressed {
+          localDf(sample.toSeq, df.schema).select(vec(col(probeCol)).as("p"))
+            .collect().toSeq.map(_.get(0))
+        }
+        if (Swift.sameValues(got, oracle))
+          return finish(project(vec), SwiftStrategy.Vectorized)
+      } catch { case _: Exception => () }
+    }
+    finish(project(theUdf(_)), SwiftStrategy.Parallel)
+  }
+
+  // =====================================================================
+  // O4 / O5 / O6 entry points (implementations in SwiftGroupBy/Windows)
+  // =====================================================================
+
+  /** O4 — groupBy(...).apply(func) (swifter/swifter.py:523-639). */
+  def groupBy(by: String*): SwiftGroupBy = new SwiftGroupBy(this, by.toSeq, None)
+
+  /** O5 — rolling count-window (swifter/swifter.py:140-172,710-763). */
+  def rolling(window: Int, orderBy: Seq[String], partitionBy: Seq[String] = Nil): SwiftRolling =
+    SwiftRolling.counted(this, window, orderBy, partitionBy)
+
+  /** O5 — rolling time-offset window, e.g. "1 hour" over a timestamp. */
+  def rollingTime(duration: String, tsCol: String, partitionBy: Seq[String] = Nil): SwiftRolling =
+    SwiftRolling.timed(this, duration, tsCol, partitionBy)
+
+  /** O6 — resample(rule).apply (swifter/swifter.py:174-220,766-824).
+    * `rule` is a Spark interval string, e.g. "1 day", "3 minutes". */
+  def resample(rule: String, tsCol: String): SwiftResample =
+    new SwiftResample(this, rule, tsCol)
+}
+
+/** pandas `result_type` for O2 (docs/documentation.md:103-108). */
+sealed trait ResultType
+object ResultType {
+  case object NoShape extends ResultType
+  case object Reduce extends ResultType
+  final case class Expand(names: Seq[String]) extends ResultType
+  case object Broadcast extends ResultType
+}

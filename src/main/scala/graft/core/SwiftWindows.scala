@@ -1,0 +1,121 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** O5 — `swifter.rolling(...).apply` (swifter/swifter.py:140-172,710-763).
+  *
+  * Count windows map to `rowsBetween(-(n-1), 0)`, time-offset windows to
+  * `rangeBetween(-micros, 0)` over the microsecond epoch — both are native
+  * Spark window frames: no custom shuffle, one sort per partition key,
+  * codegen'd for built-in reducers.
+  *
+  * Built-in reducers (`agg`) run as native window aggregates; an arbitrary
+  * Scala function (`apply`) runs over `collect_list` of the frame — the
+  * documented fallback of SURVEY.md §7.3, bounded by the window size.
+  */
+final class SwiftRolling(sw: Swift, spec: WindowSpec, minPeriods: Int,
+    frameLen: Column => Column) {
+
+  /** Native window aggregate: `aggExpr` is the aggregate (e.g.
+    * `sum(col("value"))`), `post` an optional scalar transform applied
+    * AFTER the OVER clause (e.g. a cast). */
+  def agg(aggExpr: Column, out: String, post: Column => Column = identity): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    withMinPeriods(sw.df, out, post(aggExpr.over(spec)))
+  }
+
+  /** Arbitrary function over the window's values (oldest→newest). */
+  def apply(valueCol: String, out: String, outType: DataType)(
+      fn: Seq[Double] => Any): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Parallel
+    val theUdf = udf((xs: Seq[Double]) => fn(xs)).asNondeterministic() // opaque fn
+    val frame = collect_list(col(valueCol)).over(spec)
+    val res = theUdf(frame).cast(outType)
+    withMinPeriods(sw.df, out, res)
+  }
+
+  /** pandas `min_periods`: frames with fewer observations yield null. */
+  private def withMinPeriods(df: DataFrame, out: String, res: Column): DataFrame = {
+    if (minPeriods <= 1) df.withColumn(out, res)
+    else {
+      val n = count(lit(1)).over(spec)
+      df.withColumn(out, when(n >= minPeriods, res))
+    }
+  }
+}
+
+object SwiftRolling {
+  /** Count window `rolling(n)`: n-1 preceding rows through current. */
+  def counted(sw: Swift, window: Int, orderBy: Seq[String],
+      partitionBy: Seq[String]): SwiftRolling = {
+    val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
+               else Window.partitionBy()
+    val spec = base.orderBy(orderBy.map(col): _*)
+      .rowsBetween(-(window.toLong - 1), Window.currentRow)
+    new SwiftRolling(sw, spec, 1, identity)
+  }
+
+  /** Time window `rolling("1 hour")`: rows within the trailing duration,
+    * inclusive — `rangeBetween` over unix microseconds, the exact analog
+    * of a pandas offset window on a DatetimeIndex. */
+  def timed(sw: Swift, duration: String, tsCol: String,
+      partitionBy: Seq[String]): SwiftRolling = {
+    val micros = parseDurationMicros(duration)
+    val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
+               else Window.partitionBy()
+    val spec = base.orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-micros, Window.currentRow)
+    new SwiftRolling(sw, spec, 1, identity)
+  }
+
+  private[core] def parseDurationMicros(s: String): Long = {
+    val parts = s.trim.toLowerCase.split("\\s+")
+    require(parts.length == 2, s"duration must be '<n> <unit>', got '$s'")
+    val n = parts(0).toLong
+    val unit = parts(1).stripSuffix("s")
+    val m = unit match {
+      case "microsecond" => 1L
+      case "millisecond" => 1000L
+      case "second" => 1000000L
+      case "minute" => 60L * 1000000L
+      case "hour" => 3600L * 1000000L
+      case "day" => 86400L * 1000000L
+      case "week" => 7L * 86400L * 1000000L
+      case other => throw new IllegalArgumentException(s"unknown unit '$other'")
+    }
+    n * m
+  }
+}
+
+/** O6 — `swifter.resample(rule).apply` (swifter/swifter.py:174-220,
+  * 766-824): time-bucket downsampling. Buckets are Spark `window(ts,
+  * rule)` tumbling windows (= pandas fixed-frequency bins, label=left);
+  * built-in reducers stay native aggregates with map-side partials, and
+  * arbitrary functions go through `flatMapGroups` on the bucket.
+  */
+final class SwiftResample(sw: Swift, rule: String, tsCol: String) {
+
+  private def bucketed: DataFrame =
+    sw.df.withColumn("__bucket", window(col(tsCol), rule).getField("start"))
+
+  /** Built-in aggregates per bucket; output column `bucket` = bin start. */
+  def agg(exprs: Column*): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    bucketed.groupBy(col("__bucket").as("bucket"))
+      .agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Arbitrary per-bucket function over the bucket's values. */
+  def apply(valueCol: String, out: String, outType: DataType)(
+      fn: Seq[Double] => Any): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Parallel
+    val theUdf = udf((xs: Seq[Double]) => fn(xs)).asNondeterministic()
+    bucketed.groupBy(col("__bucket").as("bucket"))
+      .agg(collect_list(col(valueCol)).as("__vals"))
+      .withColumn(out, theUdf(col("__vals")).cast(outType))
+      .drop("__vals")
+  }
+}

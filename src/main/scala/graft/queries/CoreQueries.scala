@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{ResultType, Swift}
+import Tables._
+
+/** Declared queries for the reference's accelerated surface — O1..O6 and
+  * the decision-kernel routes (SURVEY.md §2.1/§2.2) — each with a DuckDB
+  * oracle in [[CoreQueries.oracleSql]].
+  */
+object CoreQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1 — Series apply, vectorizable (K2 probe accepts the Column form)
+    "o1_apply_vec" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Swift(li)
+        .applyScalar[Double, Double]("l_quantity", "sq")(
+          x => x * x,
+          vectorized = Some(col("l_quantity") * col("l_quantity")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("sq"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // O1 — branchy (non-vectorized candidate): UDF / local route via K3
+    "o1_apply_branchy" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Swift(li)
+        .applyScalar[Double, Double]("l_quantity", "y")(
+          x => if (x < 12) x * x else math.sqrt(x))
+        .select(col("l_orderkey"), col("l_linenumber"), col("y"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // O2 — row-wise apply (axis=1) with a validated vectorized candidate
+    "o2_row_apply" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Swift(li)
+        .applyRows("revenue")(
+          r => r.getAs[Double]("l_extendedprice") * (1.0 - r.getAs[Double]("l_discount")),
+          vectorized = Some(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .select(col("l_orderkey"), col("l_linenumber"), col("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // O2 — result_type="expand": list result → one column per element
+    "o2_row_expand" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Swift(li)
+        .applyRows("r")(
+          r => Seq(r.getAs[Double]("l_quantity") + r.getAs[Double]("l_tax"),
+                   r.getAs[Double]("l_quantity") - r.getAs[Double]("l_tax")),
+          resultType = ResultType.Expand(Seq("s_val", "d_val")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("s_val"), col("d_val"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // O2 axis=0 — column-wise aggregate (parallel gate requires axis=1 in
+    // the reference, swifter/swifter.py:434; here one codegen'd agg)
+    "o2_axis0_sums" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Swift(li).applyColumns(Seq("l_quantity", "l_extendedprice", "l_discount"))(
+        dsum, suffix = "_sum")
+    }),
+
+    // O3 — applymap: same scalar fn over every element of listed columns
+    "o3_applymap" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_tax"))
+      Swift(li)
+        .applymap[Double, Double](x => x * 2.0 + 1.0,
+          vectorized = Some(c => c * 2.0 + 1.0),
+          columns = Seq("l_quantity", "l_tax"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // O4 — groupBy.apply with an arbitrary per-group numeric function
+    // (mirrors numeric_func = mean/var, swifter_tests.py:60-61); exact
+    // decimal accumulation keeps the Scala and SQL sides bit-identical.
+    "o4_groupby_apply_num" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val out = StructType(Seq(
+        StructField("l_suppkey", LongType),
+        StructField("mean_q", DoubleType),
+        StructField("var_d", DoubleType),
+        StructField("n", LongType)))
+      Swift(li).groupBy("l_suppkey").select("l_quantity", "l_discount")
+        .apply(out) { (key, rows) =>
+          var n = 0L
+          var sq = BigDecimal(0); var sd = BigDecimal(0); var sd2 = BigDecimal(0)
+          rows.foreach { r =>
+            val q = r.getAs[Double]("l_quantity")
+            val d = r.getAs[Double]("l_discount")
+            sq += BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            sd += BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            sd2 += BigDecimal(d * d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            n += 1
+          }
+          val meanQ = sq.toDouble / n
+          val varD = (sd2.toDouble - sd.toDouble * sd.toDouble / n) / (n - 1)
+          Iterator.single(Row(key.getAs[Long](0), meanQ, varD, n))
+        }
+        .orderBy("l_suppkey")
+    }),
+
+    // O4 — groupBy.apply with a per-group text function (mirrors
+    // clean_text_foo join/replace, swifter_tests.py:66-69)
+    "o4_groupby_apply_text" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val out = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("joined", StringType),
+        StructField("n", LongType)))
+      Swift(ev).groupBy("user_id").select("event_type")
+        .apply(out) { (key, rows) =>
+          val types = rows.map(_.getAs[String]("event_type")).toSeq.sorted
+          Iterator.single(Row(key.getAs[Long](0), types.mkString("_"), types.size.toLong))
+        }
+        .orderBy("user_id")
+    }),
+
+    // O4 — scalar-result specialization: stays native Catalyst aggregate
+    "o4_groupby_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Swift(li).groupBy("l_returnflag").agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // O5 — rolling count window (rolling(5)) per user, native window agg
+    "o5_rolling_count" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rolling(5, orderBy = Seq("ts", "event_id"), partitionBy = Seq("user_id"))
+        .agg(sum(col("value").cast(DecimalType(20, 6))), "roll_sum", _.cast("double"))
+        .select(col("event_id"), col("roll_sum"))
+        .orderBy("event_id")
+    }),
+
+    // O5 — rolling time-offset window ("1 hour") per user
+    "o5_rolling_time" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rollingTime("1 hour", "ts", partitionBy = Seq("user_id"))
+        .agg(sum(col("value").cast(DecimalType(20, 6))), "roll_sum", _.cast("double"))
+        .select(col("event_id"), col("roll_sum"))
+        .orderBy("event_id")
+    }),
+
+    // O6 — resample("1 day"): tumbling time buckets, native aggregates
+    "o6_resample_day" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).resample("1 day", "ts")
+        .agg(dsum(col("value")).as("day_sum"), count(lit(1)).as("n"))
+        .select(epochUs(col("bucket")).as("bucket_us"), col("day_sum"), col("n"))
+        .orderBy("bucket_us")
+    }),
+
+    // K3 — tiny input routes to the driver-local LocalRelation plan
+    "k3_small_local" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+      Swift(r).applyScalar[String, String]("r_name", "upper_name")(_.toUpperCase)
+        .select(col("r_regionkey"), col("upper_name"))
+        .orderBy("r_regionkey")
+    }),
+
+    // K9 — force_parallel bypasses the selector (swifter/swifter.py:131-138)
+    "k9_force_parallel" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      Swift(n).forceParallel()
+        .applyScalar[Int, Int]("n_nationkey", "nk2")(x => x * 2)
+        .select(col("n_nationkey"), col("nk2"))
+        .orderBy("n_nationkey")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "o1_apply_vec" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity*l_quantity AS sq
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "o1_apply_branchy" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity < 12 THEN l_quantity*l_quantity ELSE sqrt(l_quantity) END AS y
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "o2_row_apply" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice*(1.0-l_discount) AS revenue
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "o2_row_expand" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity+l_tax AS s_val, l_quantity-l_tax AS d_val
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "o2_axis0_sums" ->
+      s"""SELECT ${dsumSql("l_quantity")} AS l_quantity_sum,
+         |  ${dsumSql("l_extendedprice")} AS l_extendedprice_sum,
+         |  ${dsumSql("l_discount")} AS l_discount_sum
+         |FROM lineitem""".stripMargin,
+    "o3_applymap" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity*2.0+1.0 AS l_quantity, l_tax*2.0+1.0 AS l_tax
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "o4_groupby_apply_num" ->
+      """WITH g AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sq,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) AS sd,
+        |    CAST(sum(CAST(l_discount*l_discount AS DECIMAL(20,6))) AS DOUBLE) AS sd2,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey, sq/n AS mean_q, (sd2 - sd*sd/n)/(n-1) AS var_d, CAST(n AS BIGINT) AS n
+        |FROM g ORDER BY l_suppkey""".stripMargin,
+    "o4_groupby_apply_text" ->
+      """SELECT user_id, string_agg(event_type, '_' ORDER BY event_type) AS joined,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "o4_groupby_agg" ->
+      s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty,
+         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "o5_rolling_count" ->
+      """SELECT event_id, CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+    "o5_rolling_time" ->
+      """SELECT event_id, CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (
+        |  PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+    "o6_resample_day" ->
+      s"""SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
+         |  ${dsumSql("value")} AS day_sum, count(*) AS n
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k3_small_local" ->
+      "SELECT r_regionkey, upper(r_name) AS upper_name FROM region ORDER BY r_regionkey",
+    "k9_force_parallel" ->
+      "SELECT n_nationkey, n_nationkey*2 AS nk2 FROM nation ORDER BY n_nationkey"
+  )
+}

@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the declared query set (SparkEntry.queries).
+  *
+  * Determinism discipline for the DuckDB-oracle hash compare:
+  *  - Floating aggregates accumulate in exact DECIMAL (order-independent)
+  *    and cast back to DOUBLE at the end, so Spark and DuckDB agree
+  *    bit-for-bit no matter how the partial aggregates are ordered.
+  *  - Timestamps are emitted as epoch microseconds (BIGINT) — avoids
+  *    tz-annotation mismatches between Spark parquet and DuckDB results.
+  *  - Every result carries an ORDER BY on a unique key.
+  */
+object Tables {
+  /** Load a testdata table. `events.ts` is parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader refuses; read it as raw nanos and floor to
+    * microseconds — exactly what DuckDB does when it narrows ns→µs, so
+    * both engines see identical values. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      .fold(df)(_ => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+  }
+
+  /** Exact decimal-accumulated sum of a double column, returned as DOUBLE.
+    * SQL mirror: CAST(sum(CAST(x AS DECIMAL(20,6))) AS DOUBLE). */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(20, 6))).cast("double")
+
+  /** SQL-side mirror of [[dsum]]. */
+  def dsumSql(expr: String): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(20,6))) AS DOUBLE)"
+
+  /** Timestamp → epoch microseconds (BIGINT). SQL mirror: epoch_us(ts). */
+  def epochUs(c: Column): Column = unix_micros(c)
+}
