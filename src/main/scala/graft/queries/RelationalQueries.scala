@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Tables._
+
+/** The relational surface (SURVEY.md §2.3): categories the reference
+  * delegates to pandas, inherited here from Spark SQL. Declared as
+  * first-class queries so the DuckDB gate covers them.
+  *
+  * Scale notes (100 TB discipline):
+  *  - dimension joins (`region`, `nation`, `customer`) are explicit
+  *    `broadcast()`s — no shuffle of the fact table;
+  *  - fact-fact joins shuffle on the join key only after filters are
+  *    pushed to the parquet scan (verified via .explain in the specs);
+  *  - top-k uses orderBy+limit → TakeOrderedAndProject (no global sort);
+  *  - rollup/distinct aggregates use partial aggregation map-side.
+  */
+object RelationalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: the flagship aggregate
+    "rel_q1_pricing" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Broadcast dimension join: revenue per market segment
+    "rel_join_broadcast" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // 5-way join: revenue per region (TPC-H Q5 shape); dims broadcast
+    "rel_join_multi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(dsum(li("l_extendedprice") * (lit(1.0) - li("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name")
+    }),
+
+    // Semi join: orders with at least one very-high-quantity line
+    "rel_join_semi" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      o.join(li.filter(col("l_quantity") >= 45).select(col("l_orderkey")),
+          o("o_orderkey") === col("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // Anti join: customers with no orders
+    "rel_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o.select(col("o_custkey")), c("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy("c_custkey")
+    }),
+
+    // Window rank: top-3 orders per priority by total price
+    "rel_window_rank" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // Window lag: per-user delta of consecutive event values
+    "rel_window_lag" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+        .select(col("event_id"), col("delta")).orderBy("event_id")
+    }),
+
+    // Top-k: TakeOrderedAndProject, no global sort
+    "rel_topk" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+    }),
+
+    // Set ops: users who clicked but never errored
+    "rel_setops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .except(ev.filter(col("event_type") === "error").select(col("user_id")))
+        .orderBy("user_id")
+    }),
+
+    // Rollup: hierarchical aggregates (grouping-set NULLs → 'ALL')
+    "rel_rollup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")
+    }),
+
+    // Exact distinct aggregate
+    "rel_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Scalar function catalog: string/date/math built-ins
+    "rel_scalar_funcs" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_u"),
+        substring(col("o_orderpriority"), 1, 3).as("pri_3"),
+        concat(lit("P-"), col("o_orderstatus")).as("tag"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        abs(col("o_totalprice") - lit(1000.0)).as("adiff"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Predicate + projection pushdown to the parquet scan
+    "rel_filter_pushdown" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+          && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "rel_q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base,
+         |  ${dsumSql("l_extendedprice*(1.0-l_discount)")} AS sum_disc,
+         |  ${dsumSql("l_quantity")}/count(*) AS avg_qty,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "rel_join_broadcast" ->
+      s"""SELECT c_mktsegment, ${dsumSql("o_totalprice")} AS revenue, count(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_join_multi" ->
+      s"""SELECT r_name, ${dsumSql("l_extendedprice*(1.0-l_discount)")} AS revenue,
+         |  count(*) AS n
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_join_semi" ->
+      """SELECT count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)""".stripMargin,
+    "rel_join_anti" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_window_rank" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "rel_window_lag" ->
+      """SELECT event_id, value - lag(value, 1) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |FROM events ORDER BY event_id""".stripMargin,
+    "rel_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "rel_setops" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+    "rel_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         |  ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin,
+    "rel_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+        |  count(DISTINCT l_suppkey) AS nd_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_scalar_funcs" ->
+      """SELECT o_orderkey, upper(o_orderpriority) AS pri_u,
+        |  substring(o_orderpriority, 1, 3) AS pri_3,
+        |  'P-' || o_orderstatus AS tag,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  abs(o_totalprice - 1000.0) AS adiff
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "rel_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}
