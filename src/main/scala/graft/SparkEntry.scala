@@ -11,10 +11,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ RelationalQueries.queries
+    CoreQueries.queries ++ RelationalQueries.queries ++ ExtQueries.queries ++
+      StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ RelationalQueries.oracleSql
+    CoreQueries.oracleSql ++ RelationalQueries.oracleSql ++ ExtQueries.oracleSql ++
+      StreamQueries.oracleSql
 }

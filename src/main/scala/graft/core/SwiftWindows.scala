@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.DataType
   * Scala function (`apply`) runs over `collect_list` of the frame — the
   * documented fallback of SURVEY.md §7.3, bounded by the window size.
   */
-final class SwiftRolling(sw: Swift, spec: WindowSpec, minPeriods: Int,
-    frameLen: Column => Column) {
+final class SwiftRolling(sw: Swift, spec: WindowSpec, minPeriods: Int) {
+
+  /** pandas `min_periods(n)`: frames with fewer rows yield null. */
+  def withMin(n: Int): SwiftRolling = new SwiftRolling(sw, spec, n)
 
   /** Native window aggregate: `aggExpr` is the aggregate (e.g.
     * `sum(col("value"))`), `post` an optional scalar transform applied
@@ -27,14 +29,16 @@ final class SwiftRolling(sw: Swift, spec: WindowSpec, minPeriods: Int,
     withMinPeriods(sw.df, out, post(aggExpr.over(spec)))
   }
 
-  /** Arbitrary function over the window's values (oldest→newest). */
+  /** Arbitrary function over the window's values (oldest→newest). The
+    * output type is declared explicitly (the Dask-`meta` analog), which
+    * lets `fn` stay dynamically typed like the reference's black-box
+    * functions. */
   def apply(valueCol: String, out: String, outType: DataType)(
       fn: Seq[Double] => Any): DataFrame = {
     sw.lastStrategy = SwiftStrategy.Parallel
-    val theUdf = udf((xs: Seq[Double]) => fn(xs)).asNondeterministic() // opaque fn
+    val theUdf = SwiftRolling.dynamicUdf(fn, outType)
     val frame = collect_list(col(valueCol)).over(spec)
-    val res = theUdf(frame).cast(outType)
-    withMinPeriods(sw.df, out, res)
+    withMinPeriods(sw.df, out, theUdf(frame))
   }
 
   /** pandas `min_periods`: frames with fewer observations yield null. */
@@ -48,6 +52,13 @@ final class SwiftRolling(sw: Swift, spec: WindowSpec, minPeriods: Int,
 }
 
 object SwiftRolling {
+  /** A UDF over a collected window frame with an explicitly declared
+    * result type (no TypeTag — the function may return Any). */
+  private[core] def dynamicUdf(fn: Seq[Double] => Any, outType: DataType) =
+    udf(new org.apache.spark.sql.api.java.UDF1[scala.collection.Seq[Double], Any] {
+      override def call(xs: scala.collection.Seq[Double]): Any = fn(xs.toSeq)
+    }, outType).asNondeterministic()
+
   /** Count window `rolling(n)`: n-1 preceding rows through current. */
   def counted(sw: Swift, window: Int, orderBy: Seq[String],
       partitionBy: Seq[String]): SwiftRolling = {
@@ -55,7 +66,7 @@ object SwiftRolling {
                else Window.partitionBy()
     val spec = base.orderBy(orderBy.map(col): _*)
       .rowsBetween(-(window.toLong - 1), Window.currentRow)
-    new SwiftRolling(sw, spec, 1, identity)
+    new SwiftRolling(sw, spec, 1)
   }
 
   /** Time window `rolling("1 hour")`: rows within the trailing duration,
@@ -68,7 +79,7 @@ object SwiftRolling {
                else Window.partitionBy()
     val spec = base.orderBy(unix_micros(col(tsCol)))
       .rangeBetween(-micros, Window.currentRow)
-    new SwiftRolling(sw, spec, 1, identity)
+    new SwiftRolling(sw, spec, 1)
   }
 
   private[core] def parseDurationMicros(s: String): Long = {
@@ -112,10 +123,10 @@ final class SwiftResample(sw: Swift, rule: String, tsCol: String) {
   def apply(valueCol: String, out: String, outType: DataType)(
       fn: Seq[Double] => Any): DataFrame = {
     sw.lastStrategy = SwiftStrategy.Parallel
-    val theUdf = udf((xs: Seq[Double]) => fn(xs)).asNondeterministic()
+    val theUdf = SwiftRolling.dynamicUdf(fn, outType)
     bucketed.groupBy(col("__bucket").as("bucket"))
       .agg(collect_list(col(valueCol)).as("__vals"))
-      .withColumn(out, theUdf(col("__vals")).cast(outType))
+      .withColumn(out, theUdf(col("__vals")))
       .drop("__vals")
   }
 }

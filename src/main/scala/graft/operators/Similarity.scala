@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the baseline/oracle.
+  *    The query side is small (a handful of probe vectors) and is
+  *    broadcast, so the big side streams once with no shuffle.
+  *  - [[hyperplaneBuckets]] + [[bucketedTopK]]: random-hyperplane LSH.
+  *    Each vector maps to a small bucket id in one projection pass; the
+  *    search join is an equi-join on the bucket — this is the 100 TB
+  *    path (shuffle ∝ bucket collisions, not |corpus|²).
+  *
+  * All dot products run in fixed-point (1e6) BIGINT so results are
+  * exact, order-independent, and mirror-able in the DuckDB oracle.
+  */
+object Similarity {
+  val NUM_PLANES = 8
+  val FIX = 1e6
+
+  /** id + fixed-point vector + its squared norm. */
+  def fixedPoint(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        transform(col(vecCol).cast("array<double>"),
+          x => round(x * FIX).cast("long")).as("fx"))
+      .withColumn("nrm", aggregate(transform(col("fx"), x => x * x),
+        lit(0L), (a, x) => a + x))
+
+  private def cosine(fa: Column, fb: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(fa, fb, (x, y) => x * y), lit(0L), (acc, x) => acc + x) /
+      sqrt(na.cast("double") * nb.cast("double"))
+
+  /** Exact top-k neighbors for each query vector (queries = rows of `df`
+    * whose id satisfies `isQuery`). Query side is broadcast. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int): DataFrame = {
+    val fx = fixedPoint(df, idCol, vecCol)
+    val q = fx.filter(isQuery(col("id")))
+      .select(col("id").as("qid"), col("fx").as("fq"), col("nrm").as("nq"))
+    val joined = broadcast(q).crossJoin(fx).filter(col("qid") =!= col("id"))
+      .withColumn("cos", cosine(col("fq"), col("fx"), col("nq"), col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    joined.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("id").as("vec_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane j, dim d):
+    * integer in [-48, 48], identical in the SQL mirror. */
+  private def planeWeight(j: Column, d: Column): Column =
+    (j * 64L + d) * 2654435761L % 97L - 48L
+
+  /** LSH bucket id per vector: sign pattern of NUM_PLANES hyperplane
+    * dot products, packed into a BIGINT. One projection pass, no shuffle. */
+  def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val fx = fixedPoint(df, idCol, vecCol)
+    val bucket = aggregate(
+      transform(sequence(lit(0), lit(NUM_PLANES - 1)), j =>
+        when(aggregate(
+          transform(col("fx"), (x, d) => x * planeWeight(j.cast("long"), d.cast("long"))),
+          lit(0L), (a, x) => a + x) >= 0,
+          pow2(j)).otherwise(0L)),
+      lit(0L), (a, x) => a + x)
+    fx.withColumn("bucket", bucket)
+  }
+
+  private def pow2(j: Column): Column = {
+    // 2^j for j in [0, NUM_PLANES) via an exact lookup (no FP pow)
+    val arr = array((0 until NUM_PLANES).map(b => lit(1L << b)): _*)
+    element_at(arr, j.cast("int") + 1)
+  }
+
+  /** ANN top-k: candidates restricted to the query's bucket, ranked by
+    * exact cosine. Equi-join on bucket — the scale path. */
+  def bucketedTopK(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int): DataFrame = {
+    val b = hyperplaneBuckets(df, idCol, vecCol).cache()
+    val q = b.filter(isQuery(col("id")))
+      .select(col("id").as("qid"), col("fx").as("fq"), col("nrm").as("nq"), col("bucket"))
+    val joined = broadcast(q).join(b, Seq("bucket")).filter(col("qid") =!= col("id"))
+      .withColumn("cos", cosine(col("fq"), col("fx"), col("nq"), col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    joined.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("id").as("vec_id"), col("cos"))
+  }
+
+  // ---- DuckDB SQL mirrors ----
+
+  /** SQL: fixed-point vector + norm from an embedding list column. */
+  def fixedPointSql(vec: String): String =
+    s"list_transform($vec::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT))"
+
+  val nrmSql: String = "CAST(list_sum(list_transform(fx, x -> x*x)) AS BIGINT)"
+
+  def cosineSql(fa: String, fb: String, na: String, nb: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1,64), i -> $fa[i]*$fb[i])) AS BIGINT)" +
+      s" / sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
+
+  /** SQL: hyperplane bucket from fixed-point list `fx` (DuckDB 1-based
+    * lambda index compensated: dim d = i-1). */
+  def bucketSql(fx: String = "fx"): String = {
+    val pow2 = (0 until NUM_PLANES).map(b => 1L << b).mkString("[", ",", "]")
+    s"""CAST(list_sum(list_transform(generate_series(0,${NUM_PLANES - 1}), j ->
+       | CASE WHEN list_sum(list_transform($fx, (x,i) -> x * ((j*64 + (i-1)) * 2654435761 % 97 - 48))) >= 0
+       | THEN ($pow2)[j+1] ELSE 0 END)) AS BIGINT)""".stripMargin
+  }
+}

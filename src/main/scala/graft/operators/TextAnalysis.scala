@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MirrorHash
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * All pure Catalyst expressions (no UDFs) — codegen-friendly, one
+  * projection pass per document, trivially parallel at any scale.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic
+    * language ID. Alphabetical language order = deterministic tie-break. */
+  val langWords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "y", "de", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  private def words(text: Column): Column = split(text, " ")
+
+  private def countIn(ws: Column, list: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(list))).cast("long")
+
+  /** Token counts: whitespace tokens and regex ("BPE-ish") tokens. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      size(words(col(textCol))).cast("long").as("n_ws"),
+      regexp_count(col(textCol), lit("[a-z]+|[0-9]+")).cast("long").as("n_re"))
+
+  /** Quality features: word count, distinct ratio, mean word length,
+    * stopword ratio. Ratios are BIGINT/BIGINT divisions → identical
+    * doubles in any engine. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val n = size(ws).cast("long")
+    val totalLen = aggregate(transform(ws, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    df.select(col(idCol).as("id"),
+      n.as("n_words"),
+      (size(array_distinct(ws)).cast("long") / n).as("distinct_ratio"),
+      (totalLen / n).as("avg_wlen"),
+      (countIn(ws, stopwords) / n).as("stop_ratio"))
+  }
+
+  /** Stopword-scored language ID with deterministic alphabetical
+    * tie-break (the CASE chain tries languages in order, `>=` keeps the
+    * earliest on ties). */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val scores = langWords.map { case (l, list) => l -> countIn(ws, list) }
+    val pred = scores.foldRight(lit("und")) { case ((l, s), rest) =>
+      val isMax = scores.filter(_._1 != l)
+        .map { case (_, s2) => s >= s2 }.reduce(_ && _)
+      when(s > 0 && isMax, lit(l)).otherwise(rest)
+    }
+    df.select(col(idCol).as("id"), pred.as("pred_lang"))
+  }
+
+  /** Position-weighted rolling-hash document fingerprint. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      MirrorHash.fingerprint(MirrorHash.wordHashes(col(textCol))).as("fp"))
+}

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MirrorHash
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import Tables._
+
+/** Training-data-pipeline extension queries (north star in BASELINE.json):
+  * text analysis, dedup (exact / Jaccard / MinHash-LSH / SimHash /
+  * embedding), similarity search (brute-force + LSH ANN), multimodal
+  * decode plumbing — each with a DuckDB oracle built from the same
+  * MirrorHash arithmetic, so both engines compute bit-identical results.
+  */
+object ExtQueries {
+  import MirrorHash.{P, wordHashesSql, shingleHashesSql, minhashSql, simhashSql, simhashBandsSql, bandsSql, minhashSigSql, fingerprintSql}
+
+  private val JACCARD_TAU = 0.6
+  private val SIMHASH_HD = 4
+  private val COS_TAU = 0.45
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis ----
+    "text_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
+    "text_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
+
+    // ---- dedup ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("h")),
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", JACCARD_TAU)
+        .orderBy("da", "db")),
+    "dedup_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", JACCARD_TAU)
+        .orderBy("da", "db")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashDocs(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", SIMHASH_HD)
+        .orderBy("da", "db")),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", COS_TAU)
+        .orderBy("va", "vb")),
+
+    // ---- similarity search ----
+    "sim_topk_brute" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        id => id < 5, k = 10).orderBy("qid", "rn")),
+    "sim_ann_buckets" -> ((s, dir) =>
+      Similarity.hyperplaneBuckets(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id"), col("bucket")).orderBy("id")),
+    "sim_ann_topk" -> ((s, dir) =>
+      Similarity.bucketedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        id => id < 5, k = 3).orderBy("qid", "rn"))
+  )
+
+  // shared SQL prefixes
+  private def whsCte =
+    s"w AS (SELECT doc_id AS id, ${wordHashesSql()} AS whs FROM documents)"
+  private def shsCte =
+    s"$whsCte, s AS (SELECT id, ${shingleHashesSql()} AS shs FROM w)"
+  private def distinctShingleCte =
+    s"$shsCte, d AS (SELECT id, list_distinct(shs) AS ds, CAST(len(list_distinct(shs)) AS BIGINT) AS nd FROM s)"
+  private def fxCte =
+    s"""f AS (SELECT vec_id AS id, ${Similarity.fixedPointSql("embedding")} AS fx FROM embeddings),
+       |n AS (SELECT id, fx, ${Similarity.nrmSql} AS nrm FROM f)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "text_token_count" ->
+      """SELECT doc_id AS id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re
+        |FROM documents ORDER BY id""".stripMargin,
+    "text_quality" ->
+      """WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents)
+        |SELECT id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) / CAST(len(ws) AS BIGINT) AS distinct_ratio,
+        |  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) / CAST(len(ws) AS BIGINT) AS avg_wlen,
+        |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in'))) AS BIGINT) / CAST(len(ws) AS BIGINT) AS stop_ratio
+        |FROM w ORDER BY id""".stripMargin,
+    "text_lang_id" -> {
+      val scoreSql = TextAnalysis.langWords.map { case (l, list) =>
+        s"CAST(len(list_filter(ws, w -> w IN (${list.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS s_$l"
+      }.mkString(", ")
+      val langs = TextAnalysis.langWords.map(_._1)
+      val caseChain = langs.map { l =>
+        val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN s_$l > 0 AND $geAll THEN '$l'"
+      }.mkString(" ")
+      s"""WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
+         |sc AS (SELECT id, $scoreSql FROM w)
+         |SELECT id, CASE $caseChain ELSE 'und' END AS pred_lang
+         |FROM sc ORDER BY id""".stripMargin
+    },
+    "text_fingerprint" ->
+      s"""WITH $whsCte
+         |SELECT id, ${fingerprintSql()} AS fp FROM w ORDER BY id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH $distinctShingleCte,
+         |e AS (SELECT id, nd, unnest(ds) AS h FROM d),
+         |pairs AS (
+         |  SELECT a.id AS da, b.id AS db, count(*) AS common,
+         |    any_value(a.nd) AS na, any_value(b.nd) AS nb
+         |  FROM e a JOIN e b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2)
+         |SELECT da, db, common, na, nb, common/(na+nb-common) AS j
+         |FROM pairs WHERE common/(na+nb-common) >= $JACCARD_TAU
+         |ORDER BY da, db""".stripMargin,
+    "dedup_minhash_sig" -> {
+      val cols = (0 until MirrorHash.NUM_PERMS)
+        .map(j => s"${minhashSql("ds", j)} AS mh$j").mkString(", ")
+      s"""WITH $distinctShingleCte
+         |SELECT id, $cols FROM d ORDER BY id""".stripMargin
+    },
+    "dedup_minhash_pairs" ->
+      s"""WITH $distinctShingleCte,
+         |g AS (SELECT id, ds, nd, ${minhashSigSql("ds")} AS sig FROM d),
+         |bd AS (SELECT id, ds, nd, ${bandsSql("sig")} AS bands FROM g),
+         |ex AS (SELECT id, i AS bi, bands[i] AS bv FROM bd, UNNEST(generate_series(1, ${MirrorHash.NUM_BANDS})) AS u(i)),
+         |cand AS (SELECT DISTINCT x.id AS da, y.id AS db
+         |  FROM ex x JOIN ex y ON x.bi = y.bi AND x.bv = y.bv AND x.id < y.id),
+         |v AS (SELECT da, db,
+         |    CAST(len(list_intersect(a.ds, b.ds)) AS BIGINT) AS common, a.nd AS na, b.nd AS nb
+         |  FROM cand JOIN bd a ON a.id = da JOIN bd b ON b.id = db)
+         |SELECT da, db, common/(na+nb-common) AS j FROM v
+         |WHERE common/(na+nb-common) >= $JACCARD_TAU ORDER BY da, db""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $shsCte
+         |SELECT id, ${simhashSql()} AS sh FROM s ORDER BY id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $shsCte,
+         |m AS (SELECT id, ${simhashSql()} AS sh FROM s),
+         |b AS (SELECT id, sh, ${simhashBandsSql("sh", 5)} AS bands FROM m),
+         |ex AS (SELECT id, sh, i AS bi, bands[i] AS bv FROM b, UNNEST(generate_series(1, 5)) AS u(i)),
+         |p AS (SELECT DISTINCT x.id AS da, y.id AS db,
+         |    CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hd
+         |  FROM ex x JOIN ex y ON x.bi = y.bi AND x.bv = y.bv AND x.id < y.id)
+         |SELECT da, db, hd FROM p WHERE hd <= $SIMHASH_HD ORDER BY da, db""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH $fxCte
+         |SELECT a.id AS va, b.id AS vb,
+         |  ${Similarity.cosineSql("a.fx", "b.fx", "a.nrm", "b.nrm")} AS cos
+         |FROM n a JOIN n b ON a.id < b.id
+         |WHERE ${Similarity.cosineSql("a.fx", "b.fx", "a.nrm", "b.nrm")} >= $COS_TAU
+         |ORDER BY va, vb""".stripMargin,
+
+    "sim_topk_brute" ->
+      s"""WITH $fxCte,
+         |j AS (SELECT q.id AS qid, v.id AS vid,
+         |    ${Similarity.cosineSql("q.fx", "v.fx", "q.nrm", "v.nrm")} AS cos
+         |  FROM n q JOIN n v ON q.id < 5 AND v.id <> q.id),
+         |r AS (SELECT qid, vid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rn
+         |  FROM j)
+         |SELECT qid, rn, vid AS vec_id, cos FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "sim_ann_buckets" ->
+      s"""WITH $fxCte
+         |SELECT id, ${Similarity.bucketSql()} AS bucket FROM n ORDER BY id""".stripMargin,
+    "sim_ann_topk" ->
+      s"""WITH $fxCte,
+         |b AS (SELECT id, fx, nrm, ${Similarity.bucketSql()} AS bucket FROM n),
+         |j AS (SELECT q.id AS qid, v.id AS vid,
+         |    ${Similarity.cosineSql("q.fx", "v.fx", "q.nrm", "v.nrm")} AS cos
+         |  FROM b q JOIN b v ON q.bucket = v.bucket AND q.id < 5 AND v.id <> q.id),
+         |r AS (SELECT qid, vid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rn
+         |  FROM j)
+         |SELECT qid, rn, vid AS vec_id, cos FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  )
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Sessionize}
+import graft.streaming.StreamOps
+import Tables._
+
+/** Multimodal plumbing, sessionization, and Structured-Streaming queries
+  * with DuckDB oracles (the streaming resample's oracle is the batch
+  * semantics — streaming and batch must agree on a bounded source).
+  */
+object StreamQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // multimodal: binary payload → batch decode via mapPartitions
+    "mm_decode_stub" -> ((s, dir) => {
+      val docs = Multimodal.withBlob(t(s, dir, "documents"), "text")
+      Multimodal.decodeStub(docs, "doc_id", "blob").orderBy("id")
+    }),
+
+    // multimodal: batch featurizer (fixed-size vector), exact milli units
+    "mm_featurize" -> ((s, dir) => {
+      val docs = Multimodal.withBlob(t(s, dir, "documents"), "text")
+      Multimodal.featurizeStub(docs, "doc_id", "blob", dim = 8)
+        .select(col("id"), posexplode(col("feat")).as(Seq("k", "v")))
+        .select(col("id"), col("k").cast("long").as("k"),
+          round(col("v") * 1000).cast("long").as("v_milli"))
+        .orderBy("id", "k")
+    }),
+
+    // structured streaming: tumbling-window resample over a bounded source
+    "stream_resample" -> ((s, dir) => {
+      StreamOps.resampleOnce(s, dir, "1 day")
+        .select(epochUs(col("bucket")).as("bucket_us"), col("day_sum"), col("n"))
+        .orderBy("bucket_us")
+    }),
+
+    // gap-based sessionization (batch flatMapGroups; streaming twin in specs)
+    "sessionize" -> ((s, dir) =>
+      Sessionize.sessions(t(s, dir, "events"), gapMinutes = 30)
+        .orderBy("user_id", "session_idx"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "mm_decode_stub" ->
+      """SELECT doc_id AS id, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(text::BLOB)%640 AS BIGINT) AS width,
+        |  CAST(octet_length(text::BLOB)%480 AS BIGINT) AS height,
+        |  CASE octet_length(text::BLOB)%3 WHEN 0 THEN 'rgb' WHEN 1 THEN 'rgba' ELSE 'gray' END AS format
+        |FROM documents ORDER BY id""".stripMargin,
+    "mm_featurize" ->
+      """WITH ks AS (SELECT unnest(generate_series(0, 7)) AS k),
+        |v AS (SELECT doc_id AS id, k,
+        |  CAST(list_sum(list_transform(string_split(text,''), (c,i) ->
+        |    CASE WHEN (i-1)%8 = k THEN ascii(c) ELSE 0 END)) AS BIGINT) % 1000 AS v_milli
+        |  FROM documents CROSS JOIN ks)
+        |SELECT id, CAST(k AS BIGINT) AS k, v_milli FROM v ORDER BY id, k""".stripMargin,
+    "stream_resample" ->
+      s"""SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
+         |  ${dsumSql("value")} AS day_sum, count(*) AS n
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sessionize" ->
+      s"""WITH x AS (
+         |  SELECT user_id, ts, value, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |    THEN 1 ELSE 0 END AS new_s
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |y AS (SELECT user_id, ts, value,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+         |  FROM x)
+         |SELECT user_id, CAST(sid AS BIGINT) AS session_idx, count(*) AS n_events,
+         |  ${dsumSql("value")} AS sess_sum,
+         |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+         |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch time-series operators
+  * (SURVEY.md §2.3 marks streaming absent in the reference; resample O6
+  * and sessionization extend naturally to `readStream`).
+  *
+  * Design: the *same* logical transform as the batch path —
+  * `window(ts, rule)` aggregation — run under a streaming source with a
+  * watermark. Complete/update modes and state cleanup come from Spark's
+  * streaming aggregation machinery; at scale, state is partitioned by
+  * the window key exactly like the batch shuffle.
+  */
+object StreamOps {
+
+  /** Streaming resample: tumbling `rule` buckets of `value` sums/counts.
+    * Runs the stream to completion over a bounded file source (the test
+    * harness pattern) and returns the final result table. */
+  def resampleOnce(spark: SparkSession, dir: String, rule: String,
+      sinkName: String = "stream_resample_sink"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource wants a directory; expose the single parquet file
+    // through a temp dir symlink (testdata is read-only).
+    val tmp = java.nio.file.Files.createTempDirectory("stream_events")
+    java.nio.file.Files.createSymbolicLink(
+      tmp.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val agg = src
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), rule))
+      .agg(sum(col("value").cast(DecimalType(20, 6))).cast("double").as("day_sum"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("day_sum"), col("n"))
+    val q = agg.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Complete())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
+  private val sessOut: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("session_idx", LongType),
+    StructField("n_events", LongType),
+    StructField("sess_sum", DoubleType),
+    StructField("start_us", LongType),
+    StructField("end_us", LongType)))
+
+  /** Streaming sessionization via flatMapGroupsWithState: emits a session
+    * row whenever a gap closes it; state carries the open session.
+    * (Used with processing-time semantics over a bounded replay in tests;
+    * production would pair it with an event-time watermark timeout.) */
+  def sessionizeStream(events: DataFrame, gapMinutes: Long): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val in = events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("value"), col("event_id"))
+
+    in.groupByKey(_.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessState, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (uid: Long, it: Iterator[Row], state: GroupState[SessState]) => {
+          val rows = it.toArray.sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var st = state.getOption.getOrElse(SessState(0L, 0L, 0L, 0L, Long.MinValue))
+          rows.foreach { r =>
+            val ts = r.getAs[Long]("ts_us")
+            val vMicro = math.round(r.getAs[Double]("value") * 1e6)
+            if (st.n == 0) st = SessState(st.sessIdx + 1, 1L, vMicro, ts, ts)
+            else if (ts - st.lastUs > gapUs) {
+              out += Row(uid, st.sessIdx, st.n, st.sumMicro / 1e6, st.startUs, st.lastUs)
+              st = SessState(st.sessIdx + 1, 1L, vMicro, ts, ts)
+            } else st = st.copy(n = st.n + 1, sumMicro = st.sumMicro + vMicro, lastUs = ts)
+          }
+          state.update(st)
+          out.iterator
+        })(Encoders.product[SessState], Encoders.row(sessOut))
+  }
+
+}
+
+/** Per-user running state for streaming sessionization (top-level and
+  * public: Catalyst's encoder codegen needs plain accessor access). */
+case class SessState(sessIdx: Long, n: Long, sumMicro: Long,
+    startUs: Long, lastUs: Long)

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup / similarity operator properties on sf0.001 documents. */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf001/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+
+  test("exact dedup: one group per distinct text, counts sum to row count") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    assert(d.agg(sum("n")).head.getLong(0) == docs.count())
+    assert(d.count() == docs.select("text").distinct().count())
+  }
+
+  test("jaccard pairs: symmetric bounds 0<j<=1 and da<db") {
+    val p = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5).cache()
+    assert(p.filter(col("j") < 0.5 || col("j") > 1.0).count() == 0)
+    assert(p.filter(col("da") >= col("db")).count() == 0)
+  }
+
+  test("minhash-LSH pairs are a subset of exact jaccard pairs") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.6)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    // LSH with 4 bands at J>=0.6 should recall nearly everything here
+    assert(exact.isEmpty || lsh.size >= exact.size / 2)
+  }
+
+  test("simhash band pairs: exact recall vs brute force for hd<=4") {
+    val sh = Dedup.simhashDocs(docs, "doc_id", "text").cache()
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("hd", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long"))
+      .filter(col("hd") <= 4)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", 4)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute) // pigeonhole: 5 bands guarantee hd<=4 recall
+  }
+
+  test("brute-force topk: k rows per query, descending cosine") {
+    val t = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 3, 5).cache()
+    assert(t.groupBy("qid").count().filter(col("count") =!= 5).count() == 0)
+    val perQ = t.orderBy("qid", "rn").collect().grouped(5)
+    perQ.foreach { g =>
+      val cosines = g.map(_.getAs[Double]("cos")).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+  }
+
+  test("bucketed ANN topk: results come from the query's bucket") {
+    val b = Similarity.hyperplaneBuckets(emb, "vec_id", "embedding")
+      .select(col("id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t = Similarity.bucketedTopK(emb, "vec_id", "embedding", _ < 3, 3).collect()
+    t.foreach { r =>
+      assert(b(r.getAs[Long]("qid")) == b(r.getAs[Long]("vec_id")))
+    }
+  }
+}

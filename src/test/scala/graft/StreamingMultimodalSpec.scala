@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.{Multimodal, Sessionize}
+import graft.queries.Tables
+import graft.streaming.StreamOps
+
+class StreamingMultimodalSpec extends SparkSpec {
+
+  test("streaming resample equals batch resample on a bounded source") {
+    val batch = Tables.t(spark, sf001, "events")
+      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .agg(sum(col("value").cast("decimal(20,6)")).cast("double").as("day_sum"),
+        count(lit(1)).as("n"))
+      .orderBy("bucket").collect()
+    val streamed = StreamOps.resampleOnce(spark, sf001, "1 day", "spec_sink")
+      .orderBy("bucket").collect()
+    assert(streamed.sameElements(batch))
+  }
+
+  test("streaming sessionize emits the batch sessions (closed ones)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.t(spark, sf001, "events")
+      .select("user_id", "ts", "value", "event_id")
+    val batchSessions = Sessionize.sessions(
+      Tables.t(spark, sf001, "events"), 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double, Long)]
+    val streamDf = mem.toDF().toDF("user_id", "ts", "value", "event_id")
+    val out = StreamOps.sessionizeStream(streamDf, 30)
+    val q = out.writeStream.format("memory").queryName("sess_sink")
+      .outputMode(OutputMode.Append()).start()
+    // feed all events in ts order in one batch (bounded replay)
+    val rows = events.orderBy("ts", "event_id").collect().map { r =>
+      (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Double]("value"), r.getAs[Long]("event_id"))
+    }
+    mem.addData(rows.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("sess_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // emitted = all closed sessions; open (last-per-user) ones stay in state
+    assert(emitted.subsetOf(batchSessions))
+    val lastPerUser = batchSessions.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expectedClosed = batchSessions.filter { case (u, s, _) => s != lastPerUser(u) }
+    assert(emitted == expectedClosed)
+  }
+
+  test("multimodal decode stub: schema and deterministic metadata") {
+    val docs = Multimodal.withBlob(Tables.t(spark, sf001, "documents"), "text")
+    val meta = Multimodal.decodeStub(docs, "doc_id", "blob")
+    assert(meta.columns.toSeq == Seq("id", "n_bytes", "width", "height", "format"))
+    val joined = meta.join(Tables.t(spark, sf001, "documents"),
+      meta("id") === col("doc_id"))
+    assert(joined.filter(col("n_bytes") =!= length(col("text"))).count() == 0)
+    assert(meta.filter(!col("format").isin("rgb", "rgba", "gray")).count() == 0)
+  }
+
+  test("multimodal frame sampling and featurizer shapes") {
+    val docs = Multimodal.withBlob(Tables.t(spark, sf001, "documents"), "text")
+    val frames = Multimodal.frameSample(docs, "blob", n = 4)
+    assert(frames.select(size(col("frames"))).head.getInt(0) == 4)
+    val feats = Multimodal.featurizeStub(docs, "doc_id", "blob", dim = 8)
+    assert(feats.select(size(col("feat"))).head.getInt(0) == 8)
+    assert(feats.count() == docs.count())
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{ResultType, Swift, SwiftConfig, SwiftStrategy}
+
+/** Decision-kernel behavior (SURVEY.md §2.2): strategy routing must be
+  * observationally invisible, mirroring the reference's differential
+  * tests (swifter_tests.py:95-105). */
+class SwiftSelectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = (1 to 5000).map(i => (i.toLong, i * 0.5)).toDF("id", "x")
+
+  test("K2: valid vectorized candidate wins and matches the UDF oracle") {
+    val sw = Swift(df)
+    val out = sw.applyScalar[Double, Double]("x", "y")(
+      v => v * v, vectorized = Some(col("x") * col("x")))
+    assert(sw.lastStrategy == SwiftStrategy.Vectorized)
+    val sq: Double => Double = v => v * v
+    val expect = df.withColumn("y", udf(sq).apply(col("x")))
+    assert(out.orderBy("id").collect().sameElements(expect.orderBy("id").collect()))
+  }
+
+  test("K2/K5: wrong vectorized candidate is rejected, result still correct") {
+    val sw = Swift(df)
+    val out = sw.applyScalar[Double, Double]("x", "y")(
+      v => v * 2, vectorized = Some(col("x") * 3)) // lies!
+    assert(sw.lastStrategy != SwiftStrategy.Vectorized)
+    assert(out.select(sum(col("y"))).head.getDouble(0)
+      == df.select(sum(col("x") * 2)).head.getDouble(0))
+  }
+
+  test("K3: tiny input routes to the driver-local plan") {
+    val tiny = (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "x")
+    val sw = Swift(tiny)
+    val out = sw.applyScalar[Double, Double]("x", "y")(v => v + 1)
+    assert(sw.lastStrategy == SwiftStrategy.Local)
+    assert(out.count() == 10)
+  }
+
+  test("K9: forceParallel bypasses probing") {
+    val sw = Swift(df).forceParallel()
+    sw.applyScalar[Double, Double]("x", "y")(v => v + 1)
+    assert(sw.lastStrategy == SwiftStrategy.Parallel)
+  }
+
+  test("empty input short-circuits (reference swifter.py:292-294)") {
+    val empty = Seq.empty[(Long, Double)].toDF("id", "x")
+    val out = Swift(empty).applyScalar[Double, Double]("x", "y")(v => v + 1)
+    assert(out.count() == 0)
+    assert(out.columns.contains("y"))
+  }
+
+  test("O2: row apply with expand/reduce/broadcast shaping") {
+    val d = (1 to 100).map(i => (i.toDouble, i * 2.0)).toDF("a", "b")
+    val expand = Swift(d).applyRows("r")(
+      r => Seq(r.getDouble(0) + r.getDouble(1), r.getDouble(0) - r.getDouble(1)),
+      resultType = ResultType.Expand(Seq("s", "dd")))
+    assert(expand.columns.toSet == Set("a", "b", "s", "dd"))
+    assert(expand.filter(col("s") =!= col("a") + col("b")).count() == 0)
+
+    val reduce = Swift(d).applyRows("r")(
+      r => Seq(r.getDouble(0), r.getDouble(1)), resultType = ResultType.Reduce)
+    assert(reduce.schema("r").dataType.isInstanceOf[ArrayType])
+
+    val bcast = Swift(d).applyRows("r")(
+      r => Seq(r.getDouble(0) * 10, r.getDouble(1) * 10),
+      resultType = ResultType.Broadcast)
+    assert(bcast.columns.toSet == Set("a", "b"))
+    assert(bcast.select(sum("a")).head.getDouble(0)
+      == d.select(sum(col("a") * 10)).head.getDouble(0))
+  }
+
+  test("O3: applymap applies one function across listed columns") {
+    val d = (1 to 50).map(i => (i.toDouble, i * 2.0, s"s$i")).toDF("a", "b", "c")
+    val out = Swift(d).applymap[Double, Double](_ * 2,
+      vectorized = Some(c => c * 2), columns = Seq("a", "b"))
+    assert(out.columns.toSeq == Seq("a", "b", "c"))
+    assert(out.select(sum("b")).head.getDouble(0)
+      == d.select(sum(col("b") * 2)).head.getDouble(0))
+  }
+
+  test("O4: groupBy.apply arbitrary per-group function (group-complete)") {
+    val d = (1 to 1000).map(i => (i % 7L, i.toDouble)).toDF("g", "x")
+    val out = Swift(d).groupBy("g").apply(
+      StructType(Seq(StructField("g", LongType), StructField("mx", DoubleType)))) {
+      (k, rows) => Iterator.single(Row(k.getLong(0), rows.map(_.getDouble(1)).max))
+    }
+    val expect = d.groupBy("g").agg(max("x").as("mx"))
+    assert(out.orderBy("g").collect().sameElements(expect.orderBy("g").collect()))
+  }
+
+  test("K6: output type inferred from sample (string result)") {
+    val d = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val out = Swift(d).applyRows("s")(r => "v" + r.getLong(0))
+    assert(out.schema("s").dataType == StringType)
+    assert(out.filter(col("s") === "v7").count() == 1)
+  }
+}
