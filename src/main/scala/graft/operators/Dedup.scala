@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.MirrorHash._
+import graft.functions.HashExpressions.{word_hashes, shingle_hashes, minhash_sig, simhash30, fixed_dot}
 
 /** Deduplication operators for large-scale text corpora: exact,
   * n-gram-Jaccard, MinHash-LSH, SimHash-band. Everything is expressed as
@@ -31,7 +32,7 @@ object Dedup {
   /** Per-doc distinct 3-gram shingle hashes: id, ds (array), nd (count). */
   def shingleDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-        array_distinct(shingleHashes(wordHashes(col(textCol)))).as("ds"))
+        array_distinct(shingle_hashes(word_hashes(col(textCol)))).as("ds"))
       .withColumn("nd", size(col("ds")).cast("long"))
 
   /** Exact n-gram Jaccard pairs with J ≥ tau via an inverted shingle
@@ -61,7 +62,7 @@ object Dedup {
     * separate projection so CollapseProject cannot duplicate it. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-        minhashSig(array_distinct(shingleHashes(wordHashes(col(textCol))))).as("sig"))
+        minhash_sig(array_distinct(shingle_hashes(word_hashes(col(textCol))))).as("sig"))
       .select(
         (col("id") +: (0 until NUM_PERMS).map(j =>
           element_at(col("sig"), j + 1).as(s"mh$j"))): _*)
@@ -72,9 +73,9 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       tau: Double): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
-        array_distinct(shingleHashes(wordHashes(col(textCol)))).as("ds"))
+        array_distinct(shingle_hashes(word_hashes(col(textCol)))).as("ds"))
       .withColumn("nd", size(col("ds")).cast("long"))
-      .withColumn("sig", minhashSig(col("ds")))
+      .withColumn("sig", minhash_sig(col("ds")))
       .withColumn("bands", bands(col("sig")))
       .drop("sig")
       .cache()
@@ -95,7 +96,7 @@ object Dedup {
   /** Per-doc SimHash: id, sh (30-bit). */
   def simhashDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-      simhash(shingleHashes(wordHashes(col(textCol)))).as("sh"))
+      simhash30(shingle_hashes(word_hashes(col(textCol)))).as("sh"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHd via band
     * bucketing: nb bands of SIM_BITS/nb bits — any pair with hd < nb
@@ -129,8 +130,7 @@ object Dedup {
     val a = fx.select(col("id").as("va"), col("fx").as("fa"), col("nrm").as("na"))
     val b = fx.select(col("id").as("vb"), col("fx").as("fb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("va") < col("vb"))
-      .withColumn("dot", aggregate(
-        zip_with(col("fa"), col("fb"), (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .withColumn("dot", fixed_dot(col("fa"), col("fb")))
       .withColumn("cos", col("dot") / sqrt(col("na").cast("double") * col("nb").cast("double")))
       .filter(col("cos") >= tau)
       .select("va", "vb", "cos")

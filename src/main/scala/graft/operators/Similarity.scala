@@ -32,7 +32,7 @@ object Similarity {
         lit(0L), (a, x) => a + x))
 
   private def cosine(fa: Column, fb: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(fa, fb, (x, y) => x * y), lit(0L), (acc, x) => acc + x) /
+    graft.functions.HashExpressions.fixed_dot(fa, fb) /
       sqrt(na.cast("double") * nb.cast("double"))
 
   /** Exact top-k neighbors for each query vector (queries = rows of `df`

@@ -66,5 +66,5 @@ object TextAnalysis {
   /** Position-weighted rolling-hash document fingerprint. */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-      MirrorHash.fingerprint(MirrorHash.wordHashes(col(textCol))).as("fp"))
+      MirrorHash.fingerprint(graft.functions.HashExpressions.word_hashes(col(textCol))).as("fp"))
 }
