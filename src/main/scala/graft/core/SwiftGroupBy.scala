@@ -54,6 +54,30 @@ final class SwiftGroupBy(sw: Swift, by: Seq[String], subset: Option[Seq[String]]
       .flatMapGroups((k: Row, it: Iterator[Row]) => fn(k, it))(outEnc)
   }
 
+  /** K6 variant of [[apply]]: the result schema is inferred by running
+    * `fn` on ONE sampled group on the driver — the Dask-`meta` analog for
+    * per-group functions (reference swifter/swifter.py:260; SURVEY.md
+    * §7.4.5: shape must be fixed per query). Column names default to
+    * c0..cN unless `names` is given. */
+  def applyAuto(names: Seq[String] = Nil)(
+      fn: (Row, Iterator[Row]) => Iterator[Row]): DataFrame = {
+    val in = inputDf
+    val keyRow = in.select(by.map(col).toIndexedSeq: _*).limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "applyAuto on an empty input: declare the schema via apply(outSchema)"))
+    val cond = by.zipWithIndex.map { case (c, i) => col(c) <=> lit(keyRow.get(i)) }
+      .reduce(_ && _)
+    val sampleRows = in.filter(cond).limit(1000).collect()
+    val sampleOut = Progress.suppressed { fn(keyRow, sampleRows.iterator).toSeq }
+    require(sampleOut.nonEmpty, "applyAuto: the sampled group produced no rows")
+    val width = sampleOut.head.size
+    val fieldNames = if (names.nonEmpty) names else (0 until width).map(i => s"c$i")
+    val schema = StructType(fieldNames.zipWithIndex.map { case (nm, i) =>
+      StructField(nm, TypeInfer.of(sampleOut.map(_.get(i))), nullable = true)
+    }.toIndexedSeq)
+    apply(schema)(fn)
+  }
+
   /** Scalar-result specialization: one value per group via a built-in
     * aggregate — the `Aggregator` fast path of SURVEY.md §2.1/O4. Stays
     * fully in Catalyst (partial aggregation map-side, codegen). */

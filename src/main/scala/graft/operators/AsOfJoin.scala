@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-ins, implemented with scale-safe
+  * plans (SURVEY.md §2.3 lists range/as-of joins in the reference's
+  * absent-category table; these are the canonical time-series pipeline
+  * ops, so they're first-class here).
+  */
+object AsOfJoin {
+
+  /** Backward as-of join: for every left row, the latest right row with
+    * `rightTs` ≤ `leftTs` on equal `keys` (DuckDB/kdb ASOF JOIN
+    * semantics, left-outer flavor).
+    *
+    * Implementation: tag + union + running `last(...ignoreNulls)` window,
+    * NOT a range-condition join — one shuffle on the key, one
+    * per-partition sort, linear in |left|+|right|. A naive inequality
+    * join is a broadcast-nested-loop at Spark's mercy; this plan is the
+    * 100 TB-safe shape.
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTs)
+    // union schema: keys ++ __ts ++ __tag ++ leftCols(null on right) ++ rightVals(null on left)
+    val l = left.select(
+      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__tag")) ++
+        leftCols.map(col) ++
+        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(s"$prefix$v")) :+
+        lit(null).cast(right.schema(rightTs).dataType).as(s"$prefix$rightTs"): _*)
+    val r = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__tag")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(v => col(v).as(s"$prefix$v")) :+
+        col(rightTs).as(s"$prefix$rightTs"): _*)
+    // right rows (__tag 0) sort before left rows at equal ts → "≤" semantics
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (rightVals.map(v => s"$prefix$v") :+ s"$prefix$rightTs").foldLeft(l.unionByName(r)) {
+      (d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 1)
+      .drop("__tag")
+      .withColumnRenamed("__ts", leftTs)
+  }
+}
+
+/** Bounded time-range self/equi join via bucket replication: right rows
+  * land in their own bucket and the next, the join is an equi-join on
+  * (key, bucket), and the exact range predicate filters after. Shuffle
+  * volume is 2×|right| instead of a nested-loop range scan.
+  */
+object RangeJoin {
+
+  /** Pairs (a, b) with equal `keys`, `0 < ts_b − ts_a ≤ rangeUs`. Output:
+    * left/right id columns and the gap in µs. */
+  def pairsWithin(df: DataFrame, keys: Seq[String], tsCol: String,
+      idCol: String, rangeUs: Long): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val a0 = df.select(keys.map(col) :+ col(idCol).as("ea") :+ us.as("ta"): _*)
+    val b0 = df.select(keys.map(col) :+ col(idCol).as("eb") :+ us.as("tb"): _*)
+    // a replicated to its bucket and the next; b joins on its own bucket:
+    // any pair with tb-ta in (0, range] shares one of the two.
+    val a = a0.withColumn("__bk", explode(array(
+      floor(col("ta") / rangeUs), floor(col("ta") / rangeUs) + 1)))
+    val b = b0.withColumn("__bk", floor(col("tb") / rangeUs))
+    a.join(b, keys :+ "__bk")
+      .filter(col("tb") > col("ta") && col("tb") <= col("ta") + rangeUs)
+      .select((keys.map(col) :+ col("ea") :+ col("eb") :+
+        (col("tb") - col("ta")).as("gap_us")): _*)
+  }
+}

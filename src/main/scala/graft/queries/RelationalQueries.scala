@@ -143,6 +143,50 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Cube: all grouping-set combinations
+    "rel_cube" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")
+    }),
+
+    // JSON extraction from the events props column
+    "rel_json" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy("event_id")
+    }),
+
+    // As-of join (backward): latest prior error per click, per user —
+    // an operator Spark lacks; union+window plan, oracle is DuckDB's
+    // native ASOF JOIN (semantics must agree exactly)
+    "asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value")
+      graft.operators.AsOfJoin.backward(clicks, errors,
+          Seq("user_id"), "ts", "ts", Seq("value"), prefix = "err_")
+        .select(col("event_id"), epochUs(col("err_ts")).as("err_ts_us"),
+          col("err_value"))
+        .orderBy("event_id")
+    }),
+
+    // Bounded range self-join via bucket replication (no BNL join)
+    "range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.RangeJoin.pairsWithin(ev, Seq("user_id"), "ts",
+          "event_id", rangeUs = 120000000L)
+        .select(col("ea"), col("eb"), col("gap_us"))
+        .orderBy("ea", "eb")
+    }),
+
     // Predicate + projection pushdown to the parquet scan
     "rel_filter_pushdown" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -218,6 +262,27 @@ object RelationalQueries {
         |  CAST(month(o_orderdate) AS BIGINT) AS mo,
         |  abs(o_totalprice - 1000.0) AS adiff
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "rel_cube" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         |  ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin,
+    "rel_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "asof_join" ->
+      """SELECT c.event_id, epoch_us(e.ts) AS err_ts_us, e.value AS err_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND e.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "range_join" ->
+      """SELECT a.event_id AS ea, b.event_id AS eb,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts
+        |  AND b.ts <= a.ts + INTERVAL 2 MINUTE
+        |ORDER BY ea, eb""".stripMargin,
     "rel_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_quantity < 10

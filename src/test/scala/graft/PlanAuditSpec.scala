@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Swift
+import graft.queries.{RelationalQueries, Tables}
+
+/** Physical-plan audits: assert the plans are the ones we'd want at
+  * 100 TB — pushdown reaches the scan, dims broadcast, top-k avoids a
+  * global sort, aggregates run partial+final, and the apply fast path
+  * adds no shuffle. (The builder prompt's ".explain and iterate" step,
+  * frozen into tests so regressions fail loudly.)
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def fmt(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  private def plan(name: String): String =
+    fmt(RelationalQueries.queries(name)(spark, sf001))
+
+  test("filter + projection push down to the parquet scan") {
+    val p = plan("rel_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+    // only the 4 needed columns are read (3 output + filter column)
+    assert(!p.contains("l_extendedprice"), p)
+  }
+
+  test("dimension joins broadcast (no fact-table shuffle)") {
+    val p = plan("rel_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("5-way join keeps all dimensions broadcast") {
+    val p = plan("rel_join_multi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("rel_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("aggregation runs partial (map-side) + final") {
+    val p = plan("rel_q1_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("vectorized apply path adds no shuffle") {
+    val li = Tables.t(spark, sf001, "lineitem")
+    val out = Swift(li).applyScalar[Double, Double]("l_quantity", "sq")(
+      x => x * x, vectorized = Some(col("l_quantity") * col("l_quantity")))
+    val p = fmt(out)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("codegen id"), p) // whole-stage codegen spans the projection
+  }
+
+  test("as-of join shuffles exactly once (union+window, no BNL)") {
+    val p = plan("asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one hash shuffle (the window partitioning); the second
+    // Exchange is the final ORDER BY's range partitioning
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("range join is an equi-join on buckets, not a nested loop") {
+    val p = plan("range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
