@@ -26,7 +26,8 @@ import org.apache.spark.sql.types._
   * materialization (SURVEY.md §7.4.2).
   */
 object Swift {
-  def apply(df: DataFrame): Swift = new Swift(df, SwiftConfig())
+  /** Handle with the process-wide defaults (K9 set_defaults analog). */
+  def apply(df: DataFrame): Swift = new Swift(df, SwiftDefaults.get)
   def apply(df: DataFrame, cfg: SwiftConfig): Swift = new Swift(df, cfg)
 
   /** Exact probe-equality: reference uses np.array_equal
