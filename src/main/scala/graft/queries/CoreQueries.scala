@@ -13,6 +13,16 @@ import Tables._
   */
 object CoreQueries {
 
+  /** Interpolating median matching DuckDB's `median`/`quantile_cont` on
+    * DOUBLE inputs: (lo + hi)/2 for even counts — one rounding step,
+    * bit-identical to DuckDB's lo·0.5 + hi·0.5 (halving is exact). */
+  private[queries] val interpMedian: Seq[Double] => Any = { xs =>
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O1 — Series apply, vectorizable (K2 probe accepts the Column form)
     "o1_apply_vec" -> ((s, dir) => {
@@ -160,6 +170,54 @@ object CoreQueries {
         .orderBy("bucket_us")
     }),
 
+    // O5 — rolling.apply with an arbitrary function (frame median),
+    // mirroring the interpolating median DuckDB computes over the frame
+    "o5_rolling_apply" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rolling(5, orderBy = Seq("ts", "event_id"), partitionBy = Seq("user_id"))
+        .apply("value", "med", DoubleType)(CoreQueries.interpMedian)
+        .select(col("event_id"), col("med"))
+        .orderBy("event_id")
+    }),
+
+    // O6 — resample.apply with an arbitrary per-bucket function (median)
+    "o6_resample_apply" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).resample("1 day", "ts")
+        .apply("value", "med", DoubleType)(CoreQueries.interpMedian)
+        .select(epochUs(col("bucket")).as("bucket_us"), col("med"))
+        .orderBy("bucket_us")
+    }),
+
+    // O4/K6 — applyAuto: per-group function with sample-inferred schema
+    "o4_groupby_apply_auto" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Swift(li).groupBy("l_returnflag").select("l_quantity")
+        .applyAuto(names = Seq("rf", "n", "sq")) { (key, rows) =>
+          var n = 0L
+          var sq = BigDecimal(0)
+          rows.foreach { r =>
+            sq += BigDecimal(r.getAs[Double]("l_quantity"))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            n += 1
+          }
+          Iterator.single(Row(key.getAs[String](0), n, sq.toDouble))
+        }
+        .orderBy("rf")
+    }),
+
+    // O1 — string→date parsing apply (the pd.to_datetime parity case,
+    // examples/swifter_speed_comparison.ipynb cell 17)
+    "o1_apply_dates" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("day_str", date_format(col("ts"), "yyyy-MM-dd"))
+      Swift(ev).applyRows("day_off")(
+        r => java.time.LocalDate.parse(r.getAs[String]("day_str")).toEpochDay - 19723L,
+        vectorized = Some(datediff(to_date(col("day_str")), lit("2024-01-01")).cast("long")))
+        .select(col("event_id"), col("day_off"))
+        .orderBy("event_id")
+    }),
+
     // K3 — tiny input routes to the driver-local LocalRelation plan
     "k3_small_local" -> ((s, dir) => {
       val r = t(s, dir, "region")
@@ -233,6 +291,20 @@ object CoreQueries {
       s"""SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
          |  ${dsumSql("value")} AS day_sum, count(*) AS n
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "o5_rolling_apply" ->
+      """SELECT event_id, median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med
+        |FROM events ORDER BY event_id""".stripMargin,
+    "o6_resample_apply" ->
+      """SELECT epoch_us(date_trunc('day', ts)) AS bucket_us, median(value) AS med
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "o4_groupby_apply_auto" ->
+      s"""SELECT l_returnflag AS rf, count(*) AS n, ${dsumSql("l_quantity")} AS sq
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "o1_apply_dates" ->
+      """SELECT event_id,
+        |  CAST(CAST(strftime(ts, '%Y-%m-%d') AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_off
+        |FROM events ORDER BY event_id""".stripMargin,
     "k3_small_local" ->
       "SELECT r_regionkey, upper(r_name) AS upper_name FROM region ORDER BY r_regionkey",
     "k9_force_parallel" ->
