@@ -187,6 +187,19 @@ object RelationalQueries {
         .orderBy("ea", "eb")
     }),
 
+    // Plain-SQL frontend: the engine's surface is also reachable via
+    // spark.sql over registered views
+    "rel_sql_api" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c_mktsegment,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS rev,
+          |  count(*) AS n
+          |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // Predicate + projection pushdown to the parquet scan
     "rel_filter_pushdown" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -283,6 +296,10 @@ object RelationalQueries {
         |  ON a.user_id = b.user_id AND b.ts > a.ts
         |  AND b.ts <= a.ts + INTERVAL 2 MINUTE
         |ORDER BY ea, eb""".stripMargin,
+    "rel_sql_api" ->
+      s"""SELECT c_mktsegment, ${dsumSql("o_totalprice")} AS rev, count(*) AS n
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_quantity < 10

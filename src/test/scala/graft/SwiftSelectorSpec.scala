@@ -33,6 +33,25 @@ class SwiftSelectorSpec extends SparkSpec {
       == df.select(sum(col("x") * 2)).head.getDouble(0))
   }
 
+  test("K5: vectorized candidate that THROWS at probe time falls back cleanly") {
+    val sw = Swift(df)
+    val out = sw.applyScalar[Double, Double]("x", "y")(
+      v => v + 1, vectorized = Some(col("no_such_column") + 1)) // AnalysisException at probe
+    assert(sw.lastStrategy != graft.core.SwiftStrategy.Vectorized)
+    assert(out.filter(col("y") =!= col("x") + 1).count() == 0)
+  }
+
+  test("typed facade: Dataset[T] apply routes and stays correct") {
+    val ds = (1 to 4000).map(i => P(i.toLong, i * 0.5)).toDS()
+    val sw = graft.core.SwiftTyped(ds)
+    val out = sw.apply((p: P) => p.x * 2)
+    assert(out.as[Double].collect().sum == ds.collect().map(_.x * 2).sum)
+    val tiny = (1 to 5).map(i => P(i.toLong, 1.0)).toDS()
+    val sw2 = graft.core.SwiftTyped(tiny)
+    sw2.apply((p: P) => p.x + 1)
+    assert(sw2.lastStrategy == graft.core.SwiftStrategy.Local)
+  }
+
   test("K3: tiny input routes to the driver-local plan") {
     val tiny = (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "x")
     val sw = Swift(tiny)
@@ -100,3 +119,6 @@ class SwiftSelectorSpec extends SparkSpec {
     assert(out.filter(col("s") === "v7").count() == 1)
   }
 }
+
+/** Top-level for Encoder derivation in the typed-facade test. */
+case class P(id: Long, x: Double)
