@@ -47,6 +47,27 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming exact dedup: `dropDuplicates` on the content column under
+    * a watermark horizon (state = one entry per distinct key) — the
+    * streaming twin of Dedup.exact. Runs the bounded source to
+    * completion and returns the deduped table. */
+  def dedupOnce(spark: SparkSession, dir: String, keyCols: Seq[String],
+      sinkName: String = "stream_dedup_sink"): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("stream_docs")
+    java.nio.file.Files.createSymbolicLink(
+      tmp.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(schema).parquet(tmp.toString)
+    val q = src.dropDuplicates(keyCols)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
   private val sessOut: StructType = StructType(Seq(
     StructField("user_id", LongType),
     StructField("session_idx", LongType),

@@ -53,6 +53,13 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(emitted == expectedClosed)
   }
 
+  test("streaming dedup matches batch distinct") {
+    val deduped = StreamOps.dedupOnce(spark, sf001, Seq("text"), "dedup_spec_sink")
+    val batchDistinct = Tables.t(spark, sf001, "documents")
+      .dropDuplicates("text").count()
+    assert(deduped.count() == batchDistinct)
+  }
+
   test("multimodal decode stub: schema and deterministic metadata") {
     val docs = Multimodal.withBlob(Tables.t(spark, sf001, "documents"), "text")
     val meta = Multimodal.decodeStub(docs, "doc_id", "blob")

@@ -118,6 +118,20 @@ class SwiftSelectorSpec extends SparkSpec {
     assert(out.schema("s").dataType == StringType)
     assert(out.filter(col("s") === "v7").count() == 1)
   }
+
+  test("K6: map-valued results infer MapType (nested-dict edge case)") {
+    val d = (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val out = Swift(d).applyRows("m")(r => Map("v" -> r.getDouble(1)))
+    assert(out.schema("m").dataType.isInstanceOf[MapType])
+    assert(out.selectExpr("m['v']").as[Double].collect().sum
+      == d.select(sum("x")).head.getDouble(0))
+  }
+
+  test("K8: progress listener attach/detach leaves results intact") {
+    val out = Swift(df).progressBar(enable = true, "spec-progress")
+      .applyScalar[Double, Double]("x", "y")(v => v + 1)
+    assert(out.filter(col("y") =!= col("x") + 1).count() == 0)
+  }
 }
 
 /** Top-level for Encoder derivation in the typed-facade test. */
