@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scale-up smoke: replicate the provided sf0.1 lineitem 16× (~9.6M rows)
+  * and measure the flagship plans at growing multiples, to observe the
+  * scaling *curve* (linear for scans/aggs, n·log n for sort-based joins)
+  * rather than a single point. Results recorded in SCALING.md.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val o = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+
+    def time(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    def rep(n: Int) = (1 to n).map(_ => li).reduce(_ union _)
+
+    // warmup
+    li.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+
+    Seq(1, 4, 16).foreach { m =>
+      val d = rep(m)
+      time(s"q1_agg x$m (${600000L * m} rows)") {
+        d.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity").cast(DecimalType(20, 6))).cast("double"),
+            count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"vec_apply x$m") {
+        d.withColumn("sq", col("l_quantity") * col("l_quantity"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"join_orders x$m") {
+        d.join(o, d("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -68,6 +68,27 @@ class PlanAuditSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("dedup candidate generation never degenerates to a cross join") {
+    val docs = Tables.t(spark, sf001, "documents")
+    Seq(
+      graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.6),
+      graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 0.6),
+      graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", 4)
+    ).foreach { d =>
+      val p = fmt(d)
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    }
+  }
+
+  test("bucketed ANN: search join is an equi-join with broadcast queries") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val p = fmt(graft.operators.Similarity.bucketedTopK(
+      emb, "vec_id", "embedding", _ < 3, 3))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("range join is an equi-join on buckets, not a nested loop") {
     val p = plan("range_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
