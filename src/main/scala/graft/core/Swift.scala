@@ -316,9 +316,12 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
   /** O4 — groupBy(...).apply(func) (swifter/swifter.py:523-639). */
   def groupBy(by: String*): SwiftGroupBy = new SwiftGroupBy(this, by.toSeq, None)
 
-  /** O5 — rolling count-window (swifter/swifter.py:140-172,710-763). */
-  def rolling(window: Int, orderBy: Seq[String], partitionBy: Seq[String] = Nil): SwiftRolling =
-    SwiftRolling.counted(this, window, orderBy, partitionBy)
+  /** O5 — rolling count-window (swifter/swifter.py:140-172,710-763);
+    * `center=true` uses the pandas centering convention. */
+  def rolling(window: Int, orderBy: Seq[String], partitionBy: Seq[String] = Nil,
+      center: Boolean = false): SwiftRolling =
+    if (center) SwiftRolling.centered(this, window, orderBy, partitionBy)
+    else SwiftRolling.counted(this, window, orderBy, partitionBy)
 
   /** O5 — rolling time-offset window, e.g. "1 hour" over a timestamp. */
   def rollingTime(duration: String, tsCol: String, partitionBy: Seq[String] = Nil): SwiftRolling =

@@ -52,6 +52,17 @@ final class SwiftRolling(sw: Swift, spec: WindowSpec, minPeriods: Int) {
 }
 
 object SwiftRolling {
+  /** Centered count window `rolling(n, center=True)`: ⌊(n-1)/2⌋ rows
+    * before through ⌊n/2⌋ rows after (pandas centering convention). */
+  def centered(sw: Swift, window: Int, orderBy: Seq[String],
+      partitionBy: Seq[String]): SwiftRolling = {
+    val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
+               else Window.partitionBy()
+    val spec = base.orderBy(orderBy.map(col): _*)
+      .rowsBetween(-((window - 1) / 2).toLong, (window / 2).toLong)
+    new SwiftRolling(sw, spec, 1)
+  }
+
   /** A UDF over a collected window frame with an explicitly declared
     * result type (no TypeTag — the function may return Any). */
   private[core] def dynamicUdf(fn: Seq[Double] => Any, outType: DataType) =
@@ -107,10 +118,20 @@ object SwiftRolling {
   * built-in reducers stay native aggregates with map-side partials, and
   * arbitrary functions go through `flatMapGroups` on the bucket.
   */
-final class SwiftResample(sw: Swift, rule: String, tsCol: String) {
+final class SwiftResample(sw: Swift, rule: String, tsCol: String,
+    label: String = "left") {
 
-  private def bucketed: DataFrame =
-    sw.df.withColumn("__bucket", window(col(tsCol), rule).getField("start"))
+  /** pandas `label='left'|'right'`: bucket labeled by bin start or end. */
+  def withLabel(l: String): SwiftResample = {
+    require(l == "left" || l == "right", s"label must be left|right, got $l")
+    new SwiftResample(sw, rule, tsCol, l)
+  }
+
+  private def bucketed: DataFrame = {
+    val w = window(col(tsCol), rule)
+    val lbl = if (label == "right") w.getField("end") else w.getField("start")
+    sw.df.withColumn("__bucket", lbl)
+  }
 
   /** Built-in aggregates per bucket; output column `bucket` = bin start. */
   def agg(exprs: Column*): DataFrame = {

@@ -29,6 +29,16 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("h"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
 
+  /** Keep-first dedup returning the surviving ROWS (pandas
+    * drop_duplicates(keep='first') analog with the minimum id as
+    * "first"): row_number over the content key, keep rank 1. */
+  def dropDuplicatesKeepMin(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Per-doc distinct 3-gram shingle hashes: id, ds (array), nd (count). */
   def shingleDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),

@@ -161,6 +161,25 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // O5 — centered rolling window with min_periods (pandas center=True)
+    "o5_rolling_center" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rolling(5, orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"), center = true).withMin(3)
+        .agg(sum(col("value").cast(DecimalType(20, 6))), "roll_sum", _.cast("double"))
+        .select(col("event_id"), col("roll_sum"))
+        .orderBy("event_id")
+    }),
+
+    // O6 — resample with label='right' (bucket labeled by bin end)
+    "o6_resample_label_right" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).resample("1 hour", "ts").withLabel("right")
+        .agg(dsum(col("value")).as("hr_sum"), count(lit(1)).as("n"))
+        .select(epochUs(col("bucket")).as("bucket_us"), col("hr_sum"), col("n"))
+        .orderBy("bucket_us")
+    }),
+
     // O6 — resample("1 day"): tumbling time buckets, native aggregates
     "o6_resample_day" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -287,6 +306,18 @@ object CoreQueries {
         |  PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum
         |FROM events ORDER BY event_id""".stripMargin,
+    "o5_rolling_center" ->
+      """SELECT event_id,
+        |  CASE WHEN count(*) OVER w >= 3
+        |    THEN CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) END AS roll_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+    "o6_resample_label_right" ->
+      s"""SELECT epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS bucket_us,
+         |  ${dsumSql("value")} AS hr_sum, count(*) AS n
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "o6_resample_day" ->
       s"""SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
          |  ${dsumSql("value")} AS day_sum, count(*) AS n

@@ -34,6 +34,9 @@ object ExtQueries {
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("h")),
+    "dedup_keep_rows" -> ((s, dir) =>
+      Dedup.dropDuplicatesKeepMin(t(s, dir, "documents"), "doc_id", Seq("text"))
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", JACCARD_TAU)
         .orderBy("da", "db")),
@@ -107,6 +110,11 @@ object ExtQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "dedup_keep_rows" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH $distinctShingleCte,
          |e AS (SELECT id, nd, unnest(ds) AS h FROM d),
