@@ -187,6 +187,20 @@ object RelationalQueries {
         .orderBy("ea", "eb")
     }),
 
+    // Array/map scalar functions over the documents table
+    "rel_array_funcs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ws = split(col("text"), " ")
+      d.select(
+        col("doc_id"),
+        size(ws).cast("long").as("n"),
+        array_contains(ws, "spark").as("has_spark"),
+        concat_ws("|", slice(ws, 1, 3)).as("first3"),
+        element_at(ws, -1).as("last_w"),
+        size(array_distinct(ws)).cast("long").as("nd"))
+        .orderBy("doc_id")
+    }),
+
     // Plain-SQL frontend: the engine's surface is also reachable via
     // spark.sql over registered views
     "rel_sql_api" -> ((s, dir) => {
@@ -296,6 +310,14 @@ object RelationalQueries {
         |  ON a.user_id = b.user_id AND b.ts > a.ts
         |  AND b.ts <= a.ts + INTERVAL 2 MINUTE
         |ORDER BY ea, eb""".stripMargin,
+    "rel_array_funcs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+        |  list_contains(ws, 'spark') AS has_spark,
+        |  array_to_string(list_slice(ws, 1, 3), '|') AS first3,
+        |  ws[-1] AS last_w,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS nd
+        |FROM w ORDER BY doc_id""".stripMargin,
     "rel_sql_api" ->
       s"""SELECT c_mktsegment, ${dsumSql("o_totalprice")} AS rev, count(*) AS n
          |FROM orders JOIN customer ON o_custkey = c_custkey
