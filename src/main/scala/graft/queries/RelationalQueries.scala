@@ -109,6 +109,15 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // Set ops: INTERSECT and UNION (DISTINCT) composed
+    "rel_union_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def users(t0: String) = ev.filter(col("event_type") === t0).select("user_id")
+      users("click").intersect(users("purchase"))
+        .union(users("signup")).distinct()
+        .orderBy("user_id")
+    }),
+
     // Rollup: hierarchical aggregates (grouping-set NULLs → 'ALL')
     "rel_rollup" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -271,6 +280,14 @@ object RelationalQueries {
       """SELECT user_id FROM events WHERE event_type = 'click'
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+    "rel_union_intersect" ->
+      """SELECT user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  UNION
+        |  SELECT user_id FROM events WHERE event_type = 'signup')
         |ORDER BY user_id""".stripMargin,
     "rel_rollup" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
