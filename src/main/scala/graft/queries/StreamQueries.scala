@@ -40,7 +40,20 @@ object StreamQueries {
     // gap-based sessionization (batch flatMapGroups; streaming twin in specs)
     "sessionize" -> ((s, dir) =>
       Sessionize.sessions(t(s, dir, "events"), gapMinutes = 30)
-        .orderBy("user_id", "session_idx"))
+        .orderBy("user_id", "session_idx")),
+
+    // native session_window sessionization — Spark's built-in session
+    // operator (split when gap ≥ 30min; window end = last event + gap)
+    "sessionize_native" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sess_sum"))
+        .select(col("user_id"),
+          epochUs(col("session_window.start")).as("start_us"),
+          epochUs(col("session_window.end")).as("end_us"),
+          col("n_events"), col("sess_sum"))
+        .orderBy("user_id", "start_us")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -61,6 +74,20 @@ object StreamQueries {
       s"""SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
          |  ${dsumSql("value")} AS day_sum, count(*) AS n
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sessionize_native" ->
+      s"""WITH x AS (
+         |  SELECT user_id, ts, value, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+         |    THEN 1 ELSE 0 END AS new_s
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |y AS (SELECT user_id, ts, value,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+         |  FROM x)
+         |SELECT user_id, epoch_us(min(ts)) AS start_us,
+         |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us,
+         |  count(*) AS n_events, ${dsumSql("value")} AS sess_sum
+         |FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     "sessionize" ->
       s"""WITH x AS (
          |  SELECT user_id, ts, value, event_id,

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** Co-located joins via bucketing (SCALING.md: "bucketing would remove
+  * the fact-fact shuffle for repeated joins") — proven here: bucketed +
+  * sorted tables join with NO Exchange in the plan. */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed sorted tables join without a shuffle") {
+    val li = Tables.t(spark, sf001, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val o = Tables.t(spark, sf001, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("o_bucketed")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("Exchange"), p.take(3000))
+      // results still correct
+      val n = joined.count()
+      val expect = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+      assert(n == expect)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}
