@@ -127,9 +127,12 @@ object HashExpressions {
   }
 
   /** Fixed-point dot product of two BIGINT arrays (Similarity cosine
-    * numerator) — one fused loop instead of zip_with+aggregate. */
+    * numerator) — one fused loop instead of zip_with+aggregate. Fully
+    * codegen'd (`doGenCode`): the loop inlines into the surrounding
+    * whole-stage-codegen pipeline, the hot path of the all-pairs
+    * embedding join. */
   case class FixedDot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = LongType
     override protected def withNewChildrenInternal(l: Expression, r: Expression): FixedDot =
       copy(l, r)
@@ -142,6 +145,25 @@ object HashExpressions {
       val n = math.min(x.length, y.length)
       while (i < n) { s += x(i) * y(i); i += 1 }
       java.lang.Long.valueOf(s)
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $a.getLong($i) * $b.getLong($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
     }
   }
 
