@@ -31,14 +31,34 @@ object Swift {
   def apply(df: DataFrame, cfg: SwiftConfig): Swift = new Swift(df, cfg)
 
   /** Exact probe-equality: reference uses np.array_equal
-    * (swifter/swifter.py:313-316). Numeric values compare by exact double
-    * bits after widening, everything else by equals. */
+    * (swifter/swifter.py:313-316). Integral values compare by exact long
+    * equality and decimals by compareTo — widening everything to double
+    * would make distinct Long/Decimal values beyond 2^53 compare equal,
+    * letting the K2/K5 probes certify a candidate that differs from the
+    * row function. Only true floating types compare by double bits. */
   private[core] def sameValue(a: Any, b: Any): Boolean = (a, b) match {
     case (null, null) => true
     case (null, _) | (_, null) => false
     case (x: Number, y: Number) =>
-      java.lang.Double.doubleToLongBits(x.doubleValue()) ==
-        java.lang.Double.doubleToLongBits(y.doubleValue())
+      def isIntegral(n: Number): Boolean = n match {
+        case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+             _: java.lang.Long => true
+        case _ => false
+      }
+      def asBig(n: Number): Option[java.math.BigDecimal] = n match {
+        case d: java.math.BigDecimal => Some(d)
+        case d: scala.math.BigDecimal => Some(d.bigDecimal)
+        case i: java.math.BigInteger => Some(new java.math.BigDecimal(i))
+        case i: scala.math.BigInt => Some(new java.math.BigDecimal(i.bigInteger))
+        case n if isIntegral(n) => Some(java.math.BigDecimal.valueOf(n.longValue()))
+        case _ => None // true floating type
+      }
+      (asBig(x), asBig(y)) match {
+        case (Some(u), Some(v)) => u.compareTo(v) == 0
+        case _ =>
+          java.lang.Double.doubleToLongBits(x.doubleValue()) ==
+            java.lang.Double.doubleToLongBits(y.doubleValue())
+      }
     case (x: Seq[_], y: Seq[_]) =>
       x.size == y.size && x.zip(y).forall { case (u, v) => sameValue(u, v) }
     case (x, y) => x == y
@@ -66,6 +86,7 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
     withCfg(cfg.copy(allowParallelOnStrings = b))
   def forceParallel(b: Boolean = true): Swift = withCfg(cfg.copy(forceParallel = b))
   def sampleSize(n: Int): Swift = withCfg(cfg.copy(sampleSize = n))
+  def sampleSeed(n: Long): Swift = withCfg(cfg.copy(sampleSeed = n))
 
   /** Row count, needed by the K3 cost model. For file sources Spark
     * answers count() from footer metadata + columnar batch counts — no
@@ -74,13 +95,25 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
 
   // ---- K1 sample extraction (base.py:21,46-47) ----
   /** min(sampleSize, ceil(n/25)) rows — the reference's shrink rule for
-    * small inputs. `limit` only touches leading partitions; cheap. */
+    * small inputs. The draw is a seeded RANDOM Bernoulli sample at
+    * fraction k/n (the reference draws random sorted positions,
+    * base.py:46-47): a prefix `limit(k)` only sees leading-partition rows,
+    * so a vectorized candidate that is wrong only on data appearing later
+    * (a null pattern, a dtype quirk in a later file) would be accepted —
+    * exactly what the probe must prevent. No `limit` on the sampled plan
+    * either: limit-after-sample would again prefer leading partitions.
+    * The drawn size concentrates at k (±O(√k)); the prefix path remains
+    * only as a fallback for degenerate (empty) draws and tiny inputs. */
   private[core] def sampleRows(): Array[Row] = {
     val k =
       if (nrows == 0) 0
       else if (nrows <= 25000) math.max(1, math.ceil(nrows / 25.0).toInt)
       else cfg.sampleSize
-    df.limit(k).collect()
+    if (k == 0) return Array.empty
+    if (k >= nrows) return df.limit(k).collect()
+    val frac = math.min(1.0, k.toDouble / nrows)
+    val drawn = df.sample(withReplacement = false, frac, cfg.sampleSeed).collect()
+    if (drawn.nonEmpty) drawn else df.limit(k).collect()
   }
 
   private def localDf(rows: Seq[Row], schema: StructType): DataFrame =
@@ -323,9 +356,12 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
     if (center) SwiftRolling.centered(this, window, orderBy, partitionBy)
     else SwiftRolling.counted(this, window, orderBy, partitionBy)
 
-  /** O5 — rolling time-offset window, e.g. "1 hour" over a timestamp. */
-  def rollingTime(duration: String, tsCol: String, partitionBy: Seq[String] = Nil): SwiftRolling =
-    SwiftRolling.timed(this, duration, tsCol, partitionBy)
+  /** O5 — rolling time-offset window, e.g. "1 hour" over a timestamp.
+    * `closed` = both|right|left|neither picks the pandas endpoint
+    * convention (see SwiftRolling.timed for the frame mapping). */
+  def rollingTime(duration: String, tsCol: String, partitionBy: Seq[String] = Nil,
+      closed: String = "both"): SwiftRolling =
+    SwiftRolling.timed(this, duration, tsCol, partitionBy, closed)
 
   /** O6 — resample(rule).apply (swifter/swifter.py:174-220,766-824).
     * `rule` is a Spark interval string, e.g. "1 day", "3 minutes". */

@@ -24,6 +24,9 @@ final case class SwiftConfig(
     thresholdSec: Double = 1.0,
     /** K1 — probe sample size (reference SAMPLE_SIZE=1000, base.py:21). */
     sampleSize: Int = 1000,
+    /** K1 — seed for the random probe draw (reference draws random sorted
+      * positions, base.py:46-47); fixed so selector decisions reproduce. */
+    sampleSeed: Long = 42L,
     /** K3 — timing repeats (reference N_REPEATS=3, base.py:22). */
     nRepeats: Int = 3,
     /** K8 — console progress via SparkListener. */

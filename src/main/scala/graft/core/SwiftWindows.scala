@@ -41,6 +41,19 @@ final class SwiftRolling(sw: Swift, spec: WindowSpec, minPeriods: Int) {
     withMinPeriods(sw.df, out, theUdf(frame))
   }
 
+  /** Scalar-numeric rolling.apply — the pandas contract (rolling.apply
+    * requires a numeric scalar return) — via a custom [[Aggregator]]
+    * window function instead of `collect_list`+UDF: the frame streams
+    * into the aggregation buffer directly, with no intermediate ArrayData
+    * column materialized per row between the window operator and the UDF.
+    * Prefer this path; the `outType` overload remains for non-numeric
+    * experiments. */
+  def apply(valueCol: String, out: String)(fn: Seq[Double] => Double): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Parallel
+    val fnUdaf = udaf(new RollingApplyAgg(fn), org.apache.spark.sql.Encoders.scalaDouble)
+    withMinPeriods(sw.df, out, fnUdaf(col(valueCol)).over(spec))
+  }
+
   /** pandas `min_periods`: frames with fewer observations yield null. */
   private def withMinPeriods(df: DataFrame, out: String, res: Column): DataFrame = {
     if (minPeriods <= 1) df.withColumn(out, res)
@@ -51,16 +64,36 @@ final class SwiftRolling(sw: Swift, spec: WindowSpec, minPeriods: Int) {
   }
 }
 
+/** rolling.apply as a typed [[org.apache.spark.sql.expressions.Aggregator]]
+  * window function: the frame's values accumulate into the buffer
+  * (prepend, O(1)), `finish` reverses to oldest→newest and applies the
+  * user function. Registered via `functions.udaf` and evaluated with
+  * `.over(spec)` — no collect_list ArrayData column between the window
+  * operator and the function. */
+private[core] final class RollingApplyAgg(fn: Seq[Double] => Double)
+    extends org.apache.spark.sql.expressions.Aggregator[Double, List[Double], Double] {
+  override def zero: List[Double] = Nil
+  override def reduce(b: List[Double], a: Double): List[Double] = a :: b
+  override def merge(x: List[Double], y: List[Double]): List[Double] = y ::: x
+  override def finish(b: List[Double]): Double = fn(b.reverse)
+  override def bufferEncoder: org.apache.spark.sql.Encoder[List[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Double]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+    org.apache.spark.sql.Encoders.scalaDouble
+}
+
 object SwiftRolling {
   /** Centered count window `rolling(n, center=True)`: ⌊(n-1)/2⌋ rows
-    * before through ⌊n/2⌋ rows after (pandas centering convention). */
+    * before through ⌊n/2⌋ rows after (pandas centering convention).
+    * min_periods defaults to the window size, as pandas does for integer
+    * windows (use `withMin(1)` for partial leading/trailing frames). */
   def centered(sw: Swift, window: Int, orderBy: Seq[String],
       partitionBy: Seq[String]): SwiftRolling = {
     val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
                else Window.partitionBy()
     val spec = base.orderBy(orderBy.map(col): _*)
       .rowsBetween(-((window - 1) / 2).toLong, (window / 2).toLong)
-    new SwiftRolling(sw, spec, 1)
+    new SwiftRolling(sw, spec, window)
   }
 
   /** A UDF over a collected window frame with an explicitly declared
@@ -70,26 +103,50 @@ object SwiftRolling {
       override def call(xs: scala.collection.Seq[Double]): Any = fn(xs.toSeq)
     }, outType).asNondeterministic()
 
-  /** Count window `rolling(n)`: n-1 preceding rows through current. */
+  /** Count window `rolling(n)`: n-1 preceding rows through current.
+    * min_periods defaults to n (pandas default for integer windows —
+    * leading partial frames yield null); `withMin(1)` restores partial
+    * aggregates. */
   def counted(sw: Swift, window: Int, orderBy: Seq[String],
       partitionBy: Seq[String]): SwiftRolling = {
     val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
                else Window.partitionBy()
     val spec = base.orderBy(orderBy.map(col): _*)
       .rowsBetween(-(window.toLong - 1), Window.currentRow)
-    new SwiftRolling(sw, spec, 1)
+    new SwiftRolling(sw, spec, window)
   }
 
-  /** Time window `rolling("1 hour")`: rows within the trailing duration,
-    * inclusive — `rangeBetween` over unix microseconds, the exact analog
-    * of a pandas offset window on a DatetimeIndex. */
+  /** Time window `rolling("1 hour")`: rows within the trailing duration —
+    * `rangeBetween` over unix microseconds, the exact analog of a pandas
+    * offset window on a DatetimeIndex. min_periods defaults to 1 (pandas
+    * default for offset windows).
+    *
+    * `closed` picks the pandas endpoint convention, realized as ±1µs
+    * nudges on the microsecond range frame:
+    *   - "both"  (default): [t−d, t]
+    *   - "right":           (t−d, t]
+    *   - "left":            [t−d, t)  — excludes the current row's own
+    *     timestamp (and any tie at exactly t)
+    *   - "neither":         (t−d, t)
+    * Divergence note: pandas defaults offset windows to closed="right";
+    * this engine keeps "both" as the default (the inclusive frame is what
+    * Spark's own rangeBetween produces and what the round-1 oracle
+    * queries froze). Pass closed="right" for strict pandas parity. */
   def timed(sw: Swift, duration: String, tsCol: String,
-      partitionBy: Seq[String]): SwiftRolling = {
+      partitionBy: Seq[String], closed: String = "both"): SwiftRolling = {
     val micros = parseDurationMicros(duration)
+    val (lo, hi) = closed match {
+      case "both" => (-micros, 0L)
+      case "right" => (-micros + 1, 0L)
+      case "left" => (-micros, -1L)
+      case "neither" => (-micros + 1, -1L)
+      case other =>
+        throw new IllegalArgumentException(
+          s"closed must be both|right|left|neither, got '$other'")
+    }
     val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
                else Window.partitionBy()
-    val spec = base.orderBy(unix_micros(col(tsCol)))
-      .rangeBetween(-micros, Window.currentRow)
+    val spec = base.orderBy(unix_micros(col(tsCol))).rangeBetween(lo, hi)
     new SwiftRolling(sw, spec, 1)
   }
 
@@ -119,16 +176,38 @@ object SwiftRolling {
   * arbitrary functions go through `flatMapGroups` on the bucket.
   */
 final class SwiftResample(sw: Swift, rule: String, tsCol: String,
-    label: String = "left") {
+    label: String = "left", offsetMicros: Long = 0L) {
 
   /** pandas `label='left'|'right'`: bucket labeled by bin start or end. */
   def withLabel(l: String): SwiftResample = {
     require(l == "left" || l == "right", s"label must be left|right, got $l")
-    new SwiftResample(sw, rule, tsCol, l)
+    new SwiftResample(sw, rule, tsCol, l, offsetMicros)
+  }
+
+  /** pandas `offset=`: shift bucket boundaries by a duration (e.g.
+    * resample("1 day").withOffset("6 hours") buckets [06:00, 06:00+1d)).
+    * Maps to Spark `window(ts, rule, rule, startTime)` — the native
+    * boundary-origin parameter; no extra shuffle or projection. */
+  def withOffset(dur: String): SwiftResample =
+    new SwiftResample(sw, rule, tsCol, label,
+      SwiftRolling.parseDurationMicros(dur))
+
+  /** pandas `origin=`: align buckets so `ts` (an ISO timestamp string,
+    * e.g. "1970-01-03 06:00:00") is a bucket boundary. Reduces to the
+    * offset form: origin mod rule. */
+  def withOrigin(ts: String): SwiftResample = {
+    val originUs = java.time.LocalDateTime
+      .parse(ts.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val ruleUs = SwiftRolling.parseDurationMicros(rule)
+    val off = ((originUs % ruleUs) + ruleUs) % ruleUs
+    new SwiftResample(sw, rule, tsCol, label, off)
   }
 
   private def bucketed: DataFrame = {
-    val w = window(col(tsCol), rule)
+    val w =
+      if (offsetMicros == 0L) window(col(tsCol), rule)
+      else window(col(tsCol), rule, rule, s"$offsetMicros microseconds")
     val lbl = if (label == "right") w.getField("end") else w.getField("start")
     sw.df.withColumn("__bucket", lbl)
   }

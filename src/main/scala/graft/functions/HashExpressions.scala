@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,9 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * bench bottleneck). A differential spec asserts expression == HOF
   * mirror on real data.
   *
-  * CodegenFallback is deliberate: the win is loop fusion inside one
-  * eval call, not codegen of the surrounding plan; these feed shuffles,
-  * not tight codegen pipelines.
+  * All expressions implement `doGenCode`, so they inline into the
+  * surrounding whole-stage-codegen pipeline (no per-row boxing or
+  * virtual eval dispatch); the interpreted `nullSafeEval` twins remain
+  * for non-codegen contexts and as the reference semantics.
   */
 object HashExpressions {
   import MirrorHash.{P, NUM_PERMS, SIM_BITS}
@@ -35,8 +36,7 @@ object HashExpressions {
   /** Word-hash array of a space-separated text (MirrorHash.wordHashes):
     * h(word) = Σ ascii(c_i)·131^(i mod 8). One pass over the UTF-8
     * bytes; ASCII inputs only need byte values (matches ascii()). */
-  case class WordHashArray(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class WordHashArray(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def withNewChildInternal(c: Expression): WordHashArray = copy(c)
 
@@ -55,11 +55,37 @@ object HashExpressions {
       out += h // final word (split(text," ") always yields ≥1 token)
       new GenericArrayData(out.toArray)
     }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val powRef = ctx.addReferenceObj("pow131", POW131, "long[]")
+      val gad = classOf[GenericArrayData].getName
+      nullSafeCodeGen(ctx, ev, in => {
+        val s = ctx.freshName("s"); val len = ctx.freshName("len")
+        val cnt = ctx.freshName("cnt"); val out = ctx.freshName("out")
+        val h = ctx.freshName("h"); val ci = ctx.freshName("ci")
+        val wi = ctx.freshName("wi"); val k = ctx.freshName("k")
+        val c = ctx.freshName("c")
+        s"""
+           |String $s = $in.toString();
+           |int $len = $s.length();
+           |int $cnt = 1;
+           |for (int $k = 0; $k < $len; $k++) if ($s.charAt($k) == ' ') $cnt++;
+           |long[] $out = new long[$cnt];
+           |long $h = 0L; int $ci = 0; int $wi = 0;
+           |for (int $k = 0; $k < $len; $k++) {
+           |  char $c = $s.charAt($k);
+           |  if ($c == ' ') { $out[$wi++] = $h; $h = 0L; $ci = 0; }
+           |  else { $h += (long) $c * $powRef[$ci % 8]; $ci++; }
+           |}
+           |$out[$wi] = $h;
+           |${ev.value} = new $gad($out);
+         """.stripMargin
+      })
+    }
   }
 
   /** 3-gram shingle hashes over a word-hash array (MirrorHash.shingleHashes). */
-  case class ShingleHashArray(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class ShingleHashArray(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def withNewChildInternal(c: Expression): ShingleHashArray = copy(c)
 
@@ -74,11 +100,28 @@ object HashExpressions {
       }
       new GenericArrayData(out)
     }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val gad = classOf[GenericArrayData].getName
+      nullSafeCodeGen(ctx, ev, in => {
+        val n = ctx.freshName("n"); val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        s"""
+           |int $n = $in.numElements();
+           |long[] $out = ($n < 3) ? new long[0] : new long[$n - 2];
+           |for (int $i = 0; $i + 2 < $n; $i++) {
+           |  $out[$i] = (($in.getLong($i) % ${P}L) * 31L
+           |    + ($in.getLong($i + 1) % ${P}L) * 131L
+           |    + ($in.getLong($i + 2) % ${P}L) * 1313L) % ${P}L;
+           |}
+           |${ev.value} = new $gad($out);
+         """.stripMargin
+      })
+    }
   }
 
   /** MinHash signature (MirrorHash.minhashSig): NUM_PERMS mins in one pass. */
-  case class MinHashSig(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashSig(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def withNewChildInternal(c: Expression): MinHashSig = copy(c)
 
@@ -98,11 +141,34 @@ object HashExpressions {
       }
       new GenericArrayData(sig)
     }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val aRef = ctx.addReferenceObj("permAs", Array.tabulate(NUM_PERMS)(permA), "long[]")
+      val bRef = ctx.addReferenceObj("permBs", Array.tabulate(NUM_PERMS)(permB), "long[]")
+      val gad = classOf[GenericArrayData].getName
+      nullSafeCodeGen(ctx, ev, in => {
+        val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val h = ctx.freshName("h"); val v = ctx.freshName("v")
+        s"""
+           |int $n = $in.numElements();
+           |long[] $sig = new long[$NUM_PERMS];
+           |java.util.Arrays.fill($sig, ${P}L);
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $h = $in.getLong($i);
+           |  for (int $j = 0; $j < $NUM_PERMS; $j++) {
+           |    long $v = ($h * $aRef[$j] + $bRef[$j]) % ${P}L;
+           |    if ($v < $sig[$j]) $sig[$j] = $v;
+           |  }
+           |}
+           |${ev.value} = new $gad($sig);
+         """.stripMargin
+      })
+    }
   }
 
   /** 30-bit SimHash (MirrorHash.simhash) in one pass. */
-  case class SimHash30(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash30(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override protected def withNewChildInternal(c: Expression): SimHash30 = copy(c)
 
@@ -123,6 +189,99 @@ object HashExpressions {
       var b = 0
       while (b < SIM_BITS) { if (counts(b) >= 0) sh |= (1L << b); b += 1 }
       java.lang.Long.valueOf(sh)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      nullSafeCodeGen(ctx, ev, in => {
+        val n = ctx.freshName("n"); val counts = ctx.freshName("counts")
+        val i = ctx.freshName("i"); val b = ctx.freshName("b")
+        val h = ctx.freshName("h"); val sh = ctx.freshName("sh")
+        s"""
+           |int $n = $in.numElements();
+           |long[] $counts = new long[$SIM_BITS];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $h = $in.getLong($i);
+           |  for (int $b = 0; $b < $SIM_BITS; $b++) {
+           |    $counts[$b] += ((($h >>> $b) & 1L) == 1L) ? 1L : -1L;
+           |  }
+           |}
+           |long $sh = 0L;
+           |for (int $b = 0; $b < $SIM_BITS; $b++) {
+           |  if ($counts[$b] >= 0) $sh |= (1L << $b);
+           |}
+           |${ev.value} = $sh;
+         """.stripMargin
+      })
+    }
+  }
+
+  /** Multi-table hyperplane-LSH band signature of a fixed-point vector:
+    * `tables` band values, each packing `planes` sign bits (bit p of band
+    * t is 1 iff the dot product with deterministic hyperplane j = t·P+p
+    * is ≥ 0). The weight matrix comes from [[PlaneHash]] and is computed
+    * once per (tables, planes, dims) config, NOT per row — the per-row
+    * work is one fused multiply-add loop over tables·planes·dims terms,
+    * fully codegen'd. Feeds Dedup.embeddingPairs candidate generation. */
+  case class HyperplaneSig(child: Expression, tables: Int, planes: Int, dims: Int)
+      extends UnaryExpression {
+    require(planes <= 63, "band packs bits into one long")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(c: Expression): HyperplaneSig =
+      copy(child = c)
+
+    @transient private lazy val w: Array[Long] = PlaneHash.table(tables * planes, dims)
+
+    override def nullSafeEval(input: Any): Any = {
+      val fx = input.asInstanceOf[ArrayData].toLongArray()
+      val n = math.min(fx.length, dims)
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var p = 0
+        var bv = 0L
+        while (p < planes) {
+          val base = (t * planes + p) * dims
+          var dot = 0L
+          var d = 0
+          while (d < n) { dot += fx(d) * w(base + d); d += 1 }
+          if (dot >= 0) bv |= (1L << p)
+          p += 1
+        }
+        out(t) = bv
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val wRef = ctx.addReferenceObj("planeWeights", w, "long[]")
+      val gad = classOf[GenericArrayData].getName
+      nullSafeCodeGen(ctx, ev, fx => {
+        val n = ctx.freshName("n"); val out = ctx.freshName("out")
+        val t = ctx.freshName("t"); val p = ctx.freshName("p")
+        val bv = ctx.freshName("bv"); val dot = ctx.freshName("dot")
+        val base = ctx.freshName("base"); val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($fx.numElements(), $dims);
+           |long[] $out = new long[$tables];
+           |for (int $t = 0; $t < $tables; $t++) {
+           |  long $bv = 0L;
+           |  for (int $p = 0; $p < $planes; $p++) {
+           |    int $base = ($t * $planes + $p) * $dims;
+           |    long $dot = 0L;
+           |    for (int $d = 0; $d < $n; $d++) {
+           |      $dot += $fx.getLong($d) * $wRef[$base + $d];
+           |    }
+           |    if ($dot >= 0) $bv |= (1L << $p);
+           |  }
+           |  $out[$t] = $bv;
+           |}
+           |${ev.value} = new $gad($out);
+         """.stripMargin
+      })
     }
   }
 
@@ -174,4 +333,68 @@ object HashExpressions {
   def minhash_sig(shs: Column): Column = column(MinHashSig(expression(shs)))
   def simhash30(shs: Column): Column = column(SimHash30(expression(shs)))
   def fixed_dot(a: Column, b: Column): Column = column(FixedDot(expression(a), expression(b)))
+  def hyperplane_sig(fx: Column, tables: Int, planes: Int, dims: Int): Column =
+    column(HyperplaneSig(expression(fx), tables, planes, dims))
+}
+
+/** Deterministic pseudo-random hyperplane weights, shared by the Scala
+  * side ([[HashExpressions.HyperplaneSig]], Similarity's bucket columns)
+  * and the DuckDB oracle mirror.
+  *
+  * `weight(j, d)` for plane j, dimension d is a TWO-round multiplicative
+  * hash with a nonlinear (modular-squaring) middle step:
+  *   k  = j·64 + d
+  *   h1 = (k · 2654435761) mod 2147483647
+  *   w  = (h1² mod 2147483647 · 2246822519) mod 97 − 48        ∈ [−48, 48]
+  *
+  * The squaring is load-bearing: a single multiply-mod chain is LINEAR in
+  * k, which makes every plane a cyclic shift of the same 97-long weight
+  * sequence — only ~97 effectively distinct hyperplanes exist and LSH
+  * recall saturates no matter how many tables are added (measured: band
+  * buckets collapsed to 128 values with a 19% hot bucket). With the
+  * squaring step the planes decorrelate (256/256 buckets, max 1% skew).
+  *
+  * Every intermediate fits in a signed 64-bit integer (h1 < 2^31 so
+  * h1² < 2^62; (h1² mod M)·2246822519 < 2^62), so Spark `Long`, DuckDB
+  * `BIGINT`, and the spec's numpy int64 all compute identical values —
+  * no overflow wraparound anywhere.
+  */
+object PlaneHash {
+  val M = 2147483647L
+
+  def weight(j: Long, d: Long): Long = {
+    val h1 = ((j * 64L + d) * 2654435761L) % M
+    (h1 * h1 % M * 2246822519L) % 97L - 48L
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Long]]()
+
+  /** Flattened (plane-major) weight matrix for `planes` hyperplanes over
+    * `dims` dimensions, computed once per config per JVM. */
+  def table(planes: Int, dims: Int): Array[Long] =
+    cache.computeIfAbsent((planes, dims), { case (np, nd) =>
+      val w = new Array[Long](np * nd)
+      var j = 0
+      while (j < np) {
+        var d = 0
+        while (d < nd) { w(j * nd + d) = weight(j.toLong, d.toLong); d += 1 }
+        j += 1
+      }
+      w
+    })
+
+  /** DuckDB CTE producing (j, d, w) for planes [0, planes) × dims [0, dims):
+    * the oracle-side mirror of [[table]]. */
+  def weightsCteSql(planes: Int, dims: Int): String =
+    s"""wts AS (SELECT j, d, ((h1*h1)%$M*2246822519)%97-48 AS w
+       | FROM (SELECT j, d, ((j*64+d)*2654435761)%$M AS h1
+       |       FROM generate_series(0,${planes - 1}) t1(j), generate_series(0,${dims - 1}) t2(d)))""".stripMargin
+
+  /** DuckDB scalar expression for weight(j, d) usable inside a lambda
+    * (j, d are SQL expressions; the h1 subexpression is inlined twice). */
+  def weightSql(j: String, d: String): String = {
+    val h1 = s"((($j)*64+($d))*2654435761)%$M"
+    s"((($h1)*($h1))%$M*2246822519)%97-48"
+  }
 }

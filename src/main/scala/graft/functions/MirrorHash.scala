@@ -143,8 +143,11 @@ object MirrorHash {
        |  i -> (($whs[i]%$P)*31 + ($whs[i+1]%$P)*131 + ($whs[i+2]%$P)*1313) % $P)
        | ELSE [] END""".stripMargin
 
+  /** COALESCE to the sentinel P for docs with <3 words (empty shingle
+    * list): DuckDB's list_min([]) is NULL, while the Spark side
+    * (minhashSig / MinHashSig) initializes the signature to P. */
   def minhashSql(shs: String, j: Int): String =
-    s"list_min(list_transform($shs, h -> (h*${permA(j)} + ${permB(j)}) % $P))"
+    s"COALESCE(list_min(list_transform($shs, h -> (h*${permA(j)} + ${permB(j)}) % $P)), $P)"
 
   def minhashSigSql(shs: String = "shs"): String =
     (0 until NUM_PERMS).map(j => minhashSql(shs, j)).mkString("[", ", ", "]")

@@ -51,9 +51,14 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane j, dim d):
-    * integer in [-48, 48], identical in the SQL mirror. */
-  private def planeWeight(j: Column, d: Column): Column =
-    (j * 64L + d) * 2654435761L % 97L - 48L
+    * integer in [-48, 48], identical in the SQL mirror — the Column form
+    * of [[graft.functions.PlaneHash.weight]] (see there for why the
+    * nonlinear squaring step matters). */
+  private def planeWeight(j: Column, d: Column): Column = {
+    val m = graft.functions.PlaneHash.M
+    val h1 = (j * 64L + d) * 2654435761L % m
+    h1 * h1 % m * 2246822519L % 97L - 48L
+  }
 
   /** LSH bucket id per vector: sign pattern of NUM_PLANES hyperplane
     * dot products, packed into a BIGINT. One projection pass, no shuffle. */
@@ -106,8 +111,9 @@ object Similarity {
     * lambda index compensated: dim d = i-1). */
   def bucketSql(fx: String = "fx"): String = {
     val pow2 = (0 until NUM_PLANES).map(b => 1L << b).mkString("[", ",", "]")
+    val w = graft.functions.PlaneHash.weightSql("j", "i-1")
     s"""CAST(list_sum(list_transform(generate_series(0,${NUM_PLANES - 1}), j ->
-       | CASE WHEN list_sum(list_transform($fx, (x,i) -> x * ((j*64 + (i-1)) * 2654435761 % 97 - 48))) >= 0
+       | CASE WHEN list_sum(list_transform($fx, (x,i) -> x * ($w))) >= 0
        | THEN ($pow2)[j+1] ELSE 0 END)) AS BIGINT)""".stripMargin
   }
 }

@@ -23,6 +23,10 @@ object CoreQueries {
     else (s(n / 2 - 1) + s(n / 2)) / 2
   }
 
+  /** Scalar-typed twin for the Aggregator-based rolling.apply path. */
+  private[queries] val interpMedianD: Seq[Double] => Double =
+    xs => interpMedian(xs).asInstanceOf[Double]
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O1 — Series apply, vectorizable (K2 probe accepts the Column form)
     "o1_apply_vec" -> ((s, dir) => {
@@ -66,6 +70,18 @@ object CoreQueries {
           resultType = ResultType.Expand(Seq("s_val", "d_val")))
         .select(col("l_orderkey"), col("l_linenumber"), col("s_val"), col("d_val"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // O2 — result_type='broadcast': the row function's list result is
+    // written back over the original columns positionally
+    // (docs/documentation.md:103-108)
+    "o2_row_broadcast" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Swift(li.select(col("l_quantity"), col("l_extendedprice")))
+        .applyRows("r")(
+          r => Seq(r.getAs[Double]("l_quantity") * 2 + 1,
+                   r.getAs[Double]("l_extendedprice") / 2),
+          resultType = ResultType.Broadcast)
     }),
 
     // O2 axis=0 — column-wise aggregate (parallel gate requires axis=1 in
@@ -143,7 +159,9 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
-    // O5 — rolling count window (rolling(5)) per user, native window agg
+    // O5 — rolling count window (rolling(5)) per user, native window agg;
+    // min_periods defaults to the window size (pandas integer-window
+    // convention), so the first 4 frames per user are null
     "o5_rolling_count" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       Swift(ev).rolling(5, orderBy = Seq("ts", "event_id"), partitionBy = Seq("user_id"))
@@ -156,6 +174,17 @@ object CoreQueries {
     "o5_rolling_time" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       Swift(ev).rollingTime("1 hour", "ts", partitionBy = Seq("user_id"))
+        .agg(sum(col("value").cast(DecimalType(20, 6))), "roll_sum", _.cast("double"))
+        .select(col("event_id"), col("roll_sum"))
+        .orderBy("event_id")
+    }),
+
+    // O5 — time window with closed='left': [t-1h, t), current row's own
+    // timestamp excluded (pandas closed= endpoint convention)
+    "o5_rolling_closed" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rollingTime("1 hour", "ts", partitionBy = Seq("user_id"),
+          closed = "left")
         .agg(sum(col("value").cast(DecimalType(20, 6))), "roll_sum", _.cast("double"))
         .select(col("event_id"), col("roll_sum"))
         .orderBy("event_id")
@@ -189,12 +218,25 @@ object CoreQueries {
         .orderBy("bucket_us")
     }),
 
-    // O5 — rolling.apply with an arbitrary function (frame median),
-    // mirroring the interpolating median DuckDB computes over the frame
+    // O6 — resample with a boundary offset (pandas origin/offset kwarg):
+    // daily buckets starting at 06:00 instead of midnight
+    "o6_resample_origin" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).resample("1 day", "ts").withOffset("6 hours")
+        .agg(dsum(col("value")).as("day_sum"), count(lit(1)).as("n"))
+        .select(epochUs(col("bucket")).as("bucket_us"), col("day_sum"), col("n"))
+        .orderBy("bucket_us")
+    }),
+
+    // O5 — rolling.apply with an arbitrary function (frame median) via
+    // the custom Aggregator window function (no collect_list column),
+    // mirroring the interpolating median DuckDB computes over the frame;
+    // min_periods=1 keeps the partial leading frames of the round-1 oracle
     "o5_rolling_apply" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       Swift(ev).rolling(5, orderBy = Seq("ts", "event_id"), partitionBy = Seq("user_id"))
-        .apply("value", "med", DoubleType)(CoreQueries.interpMedian)
+        .withMin(1)
+        .apply("value", "med")(CoreQueries.interpMedianD)
         .select(col("event_id"), col("med"))
         .orderBy("event_id")
     }),
@@ -269,6 +311,9 @@ object CoreQueries {
     "o2_row_expand" ->
       """SELECT l_orderkey, l_linenumber, l_quantity+l_tax AS s_val, l_quantity-l_tax AS d_val
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "o2_row_broadcast" ->
+      """SELECT l_quantity*2+1 AS l_quantity, l_extendedprice/2 AS l_extendedprice
+        |FROM lineitem""".stripMargin,
     "o2_axis0_sums" ->
       s"""SELECT ${dsumSql("l_quantity")} AS l_quantity_sum,
          |  ${dsumSql("l_extendedprice")} AS l_extendedprice_sum,
@@ -297,14 +342,22 @@ object CoreQueries {
          |  count(*) AS n
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "o5_rolling_count" ->
-      """SELECT event_id, CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (
-        |  PARTITION BY user_id ORDER BY ts, event_id
-        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum
-        |FROM events ORDER BY event_id""".stripMargin,
+      """SELECT event_id,
+        |  CASE WHEN count(*) OVER w >= 5
+        |    THEN CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) END AS roll_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "o5_rolling_time" ->
       """SELECT event_id, CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (
         |  PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+    "o5_rolling_closed" ->
+      """SELECT event_id, CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (
+        |  PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS roll_sum
         |FROM events ORDER BY event_id""".stripMargin,
     "o5_rolling_center" ->
       """SELECT event_id,
@@ -320,6 +373,13 @@ object CoreQueries {
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "o6_resample_day" ->
       s"""SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
+         |  ${dsumSql("value")} AS day_sum, count(*) AS n
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bucket start = floor((epoch - offset) / width) * width + offset,
+    // all in BIGINT microseconds (6h = 21600000000, 1d = 86400000000)
+    "o6_resample_origin" ->
+      s"""SELECT ((epoch_us(ts) - 21600000000) // 86400000000) * 86400000000
+         |    + 21600000000 AS bucket_us,
          |  ${dsumSql("value")} AS day_sum, count(*) AS n
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "o5_rolling_apply" ->

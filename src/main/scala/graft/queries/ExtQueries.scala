@@ -19,6 +19,9 @@ object ExtQueries {
   private val JACCARD_TAU = 0.6
   private val SIMHASH_HD = 4
   private val COS_TAU = 0.45
+  // embedding-LSH config; must match Dedup.embeddingPairs defaults
+  private val LSH_TABLES = 150
+  private val LSH_PLANES = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----
@@ -52,6 +55,9 @@ object ExtQueries {
         .orderBy("da", "db")),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", COS_TAU)
+        .orderBy("va", "vb")),
+    "dedup_embedding_exact" -> ((s, dir) =>
+      Dedup.embeddingPairsExact(t(s, dir, "embeddings"), "vec_id", "embedding", COS_TAU)
         .orderBy("va", "vb")),
 
     // ---- similarity search ----
@@ -155,7 +161,28 @@ object ExtQueries {
          |    CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hd
          |  FROM ex x JOIN ex y ON x.bi = y.bi AND x.bv = y.bv AND x.id < y.id)
          |SELECT da, db, hd FROM p WHERE hd <= $SIMHASH_HD ORDER BY da, db""".stripMargin,
-    "dedup_embedding" ->
+    // LSH mirror: same weights/bands as HyperplaneSig (PlaneHash), so the
+    // candidate set — and therefore the verified output — is identical.
+    "dedup_embedding" -> {
+      val planes = LSH_TABLES * LSH_PLANES
+      val pow2 = (0 until LSH_PLANES).map(1L << _).mkString("[", ",", "]")
+      s"""WITH $fxCte,
+         |${graft.functions.PlaneHash.weightsCteSql(planes, 64)},
+         |el AS (SELECT id, d, fx[d+1] AS x FROM n, generate_series(0,63) g(d)),
+         |dots AS (SELECT el.id, wts.j, CAST(sum(el.x*wts.w) AS BIGINT) AS dot
+         |  FROM el JOIN wts ON el.d = wts.d GROUP BY el.id, wts.j),
+         |sigs AS (SELECT id, j//$LSH_PLANES AS bi,
+         |    CAST(sum(CASE WHEN dot>=0 THEN ($pow2)[CAST(j%$LSH_PLANES AS INT)+1] ELSE 0 END) AS BIGINT) AS bv
+         |  FROM dots GROUP BY id, j//$LSH_PLANES),
+         |cand AS (SELECT DISTINCT x.id AS va, y.id AS vb
+         |  FROM sigs x JOIN sigs y ON x.bi=y.bi AND x.bv=y.bv AND x.id<y.id)
+         |SELECT cand.va, cand.vb,
+         |  ${Similarity.cosineSql("a.fx", "b.fx", "a.nrm", "b.nrm")} AS cos
+         |FROM cand JOIN n a ON a.id = cand.va JOIN n b ON b.id = cand.vb
+         |WHERE ${Similarity.cosineSql("a.fx", "b.fx", "a.nrm", "b.nrm")} >= $COS_TAU
+         |ORDER BY va, vb""".stripMargin
+    },
+    "dedup_embedding_exact" ->
       s"""WITH $fxCte
          |SELECT a.id AS va, b.id AS vb,
          |  ${Similarity.cosineSql("a.fx", "b.fx", "a.nrm", "b.nrm")} AS cos

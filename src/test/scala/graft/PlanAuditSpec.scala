@@ -70,10 +70,12 @@ class PlanAuditSpec extends SparkSpec {
 
   test("dedup candidate generation never degenerates to a cross join") {
     val docs = Tables.t(spark, sf001, "documents")
+    val emb = Tables.t(spark, sf001, "embeddings")
     Seq(
       graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.6),
       graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 0.6),
-      graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", 4)
+      graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", 4),
+      graft.operators.Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.45)
     ).foreach { d =>
       val p = fmt(d)
       assert(!p.contains("CartesianProduct"), p.take(2000))

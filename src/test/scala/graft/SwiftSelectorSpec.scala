@@ -33,6 +33,33 @@ class SwiftSelectorSpec extends SparkSpec {
       == df.select(sum(col("x") * 2)).head.getDouble(0))
   }
 
+  test("K1: random draw rejects a candidate that is only correct on the prefix") {
+    // first ~4/5 of the data (and ALL of the leading partitions) has x=0,
+    // where the lying candidate agrees with the row function; the tail
+    // partition has x=1 where it does not. A prefix limit(k) sample would
+    // certify the candidate; the seeded random draw must reject it.
+    val d = ((1 to 4000).map(i => (i.toLong, 0.0)) ++
+      (4001 to 5000).map(i => (i.toLong, 1.0))).toDF("id", "x")
+    val fn: Double => Double = v => if (v == 0.0) 5.0 else 6.0
+    val sw = Swift(d)
+    val out = sw.applyScalar[Double, Double]("x", "y")(fn, vectorized = Some(lit(5.0)))
+    assert(sw.lastStrategy != SwiftStrategy.Vectorized)
+    assert(out.filter(col("x") === 1.0 && col("y") =!= 6.0).count() == 0)
+  }
+
+  test("K2: probe equality is exact for Longs beyond 2^53 (no double widening)") {
+    // 2^53 and 2^53+1 are the same double; a widening comparison would
+    // certify the off-by-one candidate and silently corrupt the output.
+    val big = 1L << 53
+    val d = (1 to 5000).map(i => (i.toLong, big)).toDF("id", "x")
+    val sw = Swift(d)
+    sw.applyScalar[Long, Long]("x", "y")(v => v, vectorized = Some(col("x") + 1))
+    assert(sw.lastStrategy != SwiftStrategy.Vectorized)
+    val sw2 = Swift(d)
+    sw2.applyScalar[Long, Long]("x", "y")(v => v, vectorized = Some(col("x")))
+    assert(sw2.lastStrategy == SwiftStrategy.Vectorized)
+  }
+
   test("K5: vectorized candidate that THROWS at probe time falls back cleanly") {
     val sw = Swift(df)
     val out = sw.applyScalar[Double, Double]("x", "y")(

@@ -12,7 +12,13 @@ class WindowGroupSpec extends SparkSpec {
 
   test("O5 rolling count window matches a manual trailing sum") {
     val d = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
-    val out = Swift(d).rolling(3, orderBy = Seq("id"))
+    // pandas parity: integer windows default min_periods = window size,
+    // so the first window-1 frames are null unless withMin(1)
+    val dflt = Swift(d).rolling(3, orderBy = Seq("id"))
+      .agg(sum(col("x")), "s").orderBy("id").collect()
+    assert(dflt(0).isNullAt(dflt(0).fieldIndex("s")))
+    assert(dflt(1).isNullAt(dflt(1).fieldIndex("s")))
+    val out = Swift(d).rolling(3, orderBy = Seq("id")).withMin(1)
       .agg(sum(col("x")), "s")
       .orderBy("id").collect()
     val xs = (1 to 100).map(_.toDouble)
@@ -30,6 +36,50 @@ class WindowGroupSpec extends SparkSpec {
       }
       .orderBy("id").collect()
     assert(out.last.getAs[Double]("med") == 48.0) // frame 46..50 -> idx2=48
+  }
+
+  test("O5 rolling.apply Aggregator path == collect_list path") {
+    val d = (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val med: Seq[Double] => Double = xs => { val s = xs.sorted; s(s.size / 2) }
+    val viaAgg = Swift(d).rolling(5, orderBy = Seq("id")).withMin(1)
+      .apply("x", "med")(med).orderBy("id").collect()
+    val viaList = Swift(d).rolling(5, orderBy = Seq("id")).withMin(1)
+      .apply("x", "med", DoubleType)(xs => med(xs)).orderBy("id").collect()
+    assert(viaAgg.map(_.getAs[Double]("med")).toSeq
+      == viaList.map(_.getAs[Double]("med")).toSeq)
+  }
+
+  test("O5 closed= endpoint conventions for time windows") {
+    val d = Seq((1L, 0L, 1.0), (2L, 30L, 2.0), (3L, 60L, 3.0), (4L, 90L, 4.0))
+      .toDF("id", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    def sums(closed: String): Map[Long, Option[Double]] =
+      Swift(d).rollingTime("1 minute", "ts", closed = closed)
+        .agg(sum(col("v")), "s").collect()
+        .map(r => r.getAs[Long]("id") ->
+          (if (r.isNullAt(r.fieldIndex("s"))) None else Some(r.getAs[Double]("s"))))
+        .toMap
+    // row 3 is at t=60s with a 60s window: [0,60]=1+2+3, (0,60]=2+3,
+    // [0,60)=1+2, (0,60)=2
+    assert(sums("both")(3L) == Some(6.0))
+    assert(sums("right")(3L) == Some(5.0))
+    assert(sums("left")(3L) == Some(3.0))
+    assert(sums("neither")(3L) == Some(2.0))
+    // closed=left/neither exclude the current row: first row's frame is empty
+    assert(sums("left")(1L) == None)
+  }
+
+  test("O6 resample offset shifts bucket boundaries (origin kwarg)") {
+    val d = Seq((1L, "2024-01-02 05:00:00", 1.0), (2L, "2024-01-02 07:00:00", 2.0))
+      .toDF("id", "tss", "v")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val out = Swift(d).resample("1 day", "ts").withOffset("6 hours")
+      .agg(sum(col("v")).as("s"))
+      .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm").as("b"), col("s"))
+      .orderBy("b").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "2024-01-01 06:00" && out(0).getAs[Double]("s") == 1.0)
+    assert(out(1).getString(0) == "2024-01-02 06:00" && out(1).getAs[Double]("s") == 2.0)
   }
 
   test("O6 resample bucket sums cover all rows") {
