@@ -14,6 +14,10 @@ final class ProgressListener(desc: String) extends SparkListener {
   private val done = new AtomicLong(0)
   private val total = new AtomicLong(0)
 
+  /** Observability for tests/monitoring: completed and announced tasks. */
+  def tasksDone: Long = done.get
+  def tasksTotal: Long = total.get
+
   override def onJobStart(js: SparkListenerJobStart): Unit = {
     total.addAndGet(js.stageInfos.map(_.numTasks.toLong).sum)
     render()

@@ -289,6 +289,46 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
       base.select(cols.toIndexedSeq: _*)
   }
 
+  /** Automatic vectorization for row functions written in the restricted
+    * [[SwiftExpr]] AST (SURVEY §7.4.1's "small translator"): ONE term
+    * yields both the row-at-a-time function and the columnar candidate,
+    * which still flows through the K2 sample probe — a translator defect
+    * degrades to the UDF path, never to wrong results. */
+  def applyExpr(out: String)(term: SwiftExpr): DataFrame =
+    applyRows(out)(
+      r => term.eval(r),
+      vectorized = Some(term.column),
+      outType = Some(DoubleType))
+
+  /** O2 `raw=True` analog (swifter/swifter.py:400): the row function sees
+    * a plain Seq[Double] of the selected columns — the ndarray-row fast
+    * path, no per-element name lookup. Routed through the ordinary O1
+    * selector on a packed array column. */
+  def applyRawNumeric(cols: Seq[String], out: String)(
+      fn: Seq[Double] => Double,
+      vectorized: Option[Column] = None): DataFrame = {
+    val tmp = "__swift_raw"
+    val withArr = df.withColumn(tmp, array(cols.map(c => col(c).cast("double")): _*))
+    val inner = new Swift(withArr, cfg)
+    // collection.Seq: Spark materializes array columns as mutable.ArraySeq,
+    // which is not a scala.collection.immutable.Seq in 2.13
+    val res = inner.applyScalar[scala.collection.Seq[Double], Double](tmp, out)(
+      xs => fn(xs.toSeq), vectorized)
+    lastStrategy = inner.lastStrategy
+    res.drop(tmp)
+  }
+
+  /** Scheduler knob for API parity with `set_dask_scheduler`
+    * (swifter/swifter.py:107-113): Spark has no threads-vs-processes
+    * choice to make — the cluster manager owns placement — so this logs
+    * and returns the handle unchanged (documented no-op). */
+  def setScheduler(name: String): Swift = {
+    Console.err.println(
+      s"[swift] set_scheduler('$name') is a no-op on Spark: task placement " +
+        "is the cluster manager's job (kept for reference API parity)")
+    this
+  }
+
   // =====================================================================
   // O2 axis=0 — column-wise apply: per-column aggregate
   // (parallel path intentionally absent, mirroring swifter/swifter.py:434)

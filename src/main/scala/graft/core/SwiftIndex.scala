@@ -1,8 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Index/order parity helpers (SURVEY.md §1.1 row index, §7.4.2).
   *
@@ -13,15 +12,35 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object SwiftIndex {
 
-  /** Attach a stable 0-based row index reflecting the input's current
-    * order. Uses `zipWithIndex` (one extra job to count partitions, then
-    * a deterministic per-partition offset) rather than
-    * `monotonically_increasing_id`, whose values encode partition ids
-    * and are not dense. */
+  /** Attach a stable 0-based dense row index reflecting the input's
+    * current order — partition-offset arithmetic in the DataFrame API,
+    * never dropping to the RDD (an `rdd.zipWithIndex` deserializes out of
+    * Tungsten and kills codegen/columnar for everything downstream).
+    *
+    * Same structure as zipWithIndex, kept declarative: one tiny job
+    * counts rows per partition (`spark_partition_id` groupBy — collects
+    * #partitions rows, not data), offsets are a broadcast-sized map
+    * literal, and the index itself is `offset[pid] + position`, where
+    * position is the low 33 bits of `monotonically_increasing_id` (the
+    * documented per-partition record counter). Both jobs traverse the
+    * same deterministic lineage — the identical assumption zipWithIndex
+    * makes. */
   def withRowIndex(df: DataFrame, name: String = "index"): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField(name, LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    df.sparkSession.createDataFrame(rdd, schema)
+    val pid = "__swift_pid"
+    val mono = "__swift_mono"
+    val tagged = df
+      .withColumn(pid, spark_partition_id())
+      .withColumn(mono, monotonically_increasing_id())
+    val counts = tagged.groupBy(col(pid)).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offCol = typedlit(offsets)
+    tagged
+      .withColumn(name,
+        element_at(offCol, col(pid)) +
+          (col(mono) - shiftleft(col(pid).cast("long"), 33)))
+      .drop(pid, mono)
   }
 
   /** Duplicate-index check, the analog of the reference's warning path

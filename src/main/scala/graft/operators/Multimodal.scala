@@ -13,11 +13,16 @@ import org.apache.spark.sql.types._
   * iterator `mapPartitions`, so a 100 TB scan streams through without
   * materializing a partition).
   *
-  * STUB: this container has no image/audio codec libraries, so
-  * [[decodeStub]] derives deterministic pseudo-metadata from the raw
-  * bytes instead of a real decode. A production deployment swaps
-  * `decodeOne` for a JNI/codec call with the same signature; nothing
-  * else changes.
+  * Two decode paths:
+  *  - [[decodeImages]] — REAL: javax.imageio (pure JVM, PNG/BMP) parses
+  *    actual image bytes synthesized by [[encodePng]]; the oracle
+  *    predicts dimensions and a pixel checksum from the deterministic
+  *    generation rule, so the roundtrip through a genuine codec is
+  *    verified end-to-end.
+  *  - [[decodeStub]] — the disclosed stub seam for codecs this container
+  *    lacks (JPEG/video/audio): deterministic pseudo-metadata from raw
+  *    bytes. A production deployment swaps `decodeOne` for a JNI/codec
+  *    call with the same signature; nothing else changes.
   */
 object Multimodal {
 
@@ -52,6 +57,83 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { r => decodeOne(r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx)) }
     }(Encoders.row(metaSchema))
+  }
+
+  // ---------------------------------------------------------------------
+  // Real decode path: javax.imageio (pure JVM — no native codecs needed)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic grayscale test image for document `id`: dimensions and
+    * every pixel derive from integer arithmetic on (id, x, y), so an SQL
+    * oracle can predict the decoded metadata AND the pixel checksum
+    * without being able to parse PNG itself:
+    *   w = 1 + id % 48,  h = 1 + id % 32,  gray(x,y) = (id + 7x + 13y) % 256
+    * PNG is lossless, so the decode below recovers these values exactly. */
+  def encodePng(id: Long): Array[Byte] = {
+    val w = (1 + id % 48).toInt
+    val h = (1 + id % 32).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((id + 7L * x + 13L * y) % 256L).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize the PNG payload column (the stand-in for a real image
+    * ingest; a deterministic UDF so the bytes are reproducible). */
+  def withPngBlob(df: DataFrame, idCol: String, blobCol: String = "img"): DataFrame = {
+    val enc = udf((id: Long) => encodePng(id))
+    df.withColumn(blobCol, enc(col(idCol)))
+  }
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("format", StringType),
+    StructField("pix_sum", LongType)))
+
+  /** REAL image decode over partition iterators: javax.imageio parses the
+    * actual PNG bytes — dimensions and the full pixel raster come from
+    * the codec, not from the generation rule. `format` is sniffed from
+    * the container magic (PNG/BMP/other), `pix_sum` is the sum of the red
+    * channel over all pixels — the roundtrip proof the oracle checks. */
+  def decodeImages(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        val fmt =
+          if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'
+            && bytes(2) == 'N' && bytes(3) == 'G') "png"
+          else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+          else "unknown"
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += (img.getRGB(x, y) >> 16) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, img.getWidth.toLong, img.getHeight.toLong, fmt, sum)
+      }
+    }(Encoders.row(decodedSchema))
   }
 
   /** Frame sampling: n equal-stride byte slices of the payload (stands in

@@ -95,6 +95,50 @@ object Similarity {
       .select(col("qid"), col("rn"), col("id").as("vec_id"), col("cos"))
   }
 
+  /** IVF-flat ANN: coarse quantizer = the first `nCentroids` vectors by
+    * id (deterministic sampled seeding — the kmeans++-seed step without
+    * Lloyd iterations, which keeps every quantity integer-exact and
+    * oracle-mirrorable); every vector joins the inverted list of its
+    * nearest centroid (exact fixed-point L2), and a query probes the
+    * `nprobe` nearest centroid lists, ranked by exact cosine.
+    *
+    * Plans: centroid assignment is a broadcast of the tiny centroid set
+    * against the corpus (n×C rows, one pass); the search join is an
+    * equi-join on the centroid id — candidates ∝ probed-list sizes,
+    * never |corpus|². At 100 TB: C scales with √n (classic IVF sizing),
+    * lists stay balanced by construction of the quantizer. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    val fx = fixedPoint(df, idCol, vecCol).cache()
+    val cents = fx.filter(col("id") < nCentroids)
+      .select(col("id").as("cid"), col("fx").as("cfx"), col("nrm").as("cnrm"))
+    // exact fixed-point L2 to every centroid: ||x||² − 2·x·c + ||c||²
+    val scored = fx.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        col("nrm") - lit(2L) * graft.functions.HashExpressions.fixed_dot(col("fx"), col("cfx"))
+          + col("cnrm"))
+    val byDist = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
+    val ranked = scored
+      .withColumn("crn", row_number().over(byDist))
+      .select(col("id"), col("cid"), col("crn"), col("fx"), col("nrm"))
+      .cache()
+    val lists = ranked.filter(col("crn") === 1) // inverted lists
+      .select(col("cid"), col("id"), col("fx"), col("nrm"))
+    val probes = ranked.filter(isQuery(col("id")) && col("crn") <= nprobe)
+      .select(col("id").as("qid"), col("cid"), col("fx").as("fq"), col("nrm").as("nq"))
+    val joined = broadcast(probes).join(lists, Seq("cid"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("cos", cosine(col("fq"), col("fx"), col("nq"), col("nrm")))
+    // inverted lists are disjoint (each corpus vector lives in exactly one
+    // list), so probing distinct lists can't duplicate a (qid, id) pair
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    joined
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("id").as("vec_id"), col("cos"))
+  }
+
   // ---- DuckDB SQL mirrors ----
 
   /** SQL: fixed-point vector + norm from an embedding list column. */

@@ -49,6 +49,29 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // K2 — AUTOMATIC vectorization: the branchy function is written once
+    // in the restricted SwiftExpr AST; the engine derives both the row
+    // function and the Column candidate and probe-validates the pair
+    "o1_apply_ast" -> ((s, dir) => {
+      import graft.core.SwiftExpr._
+      val li = t(s, dir, "lineitem")
+      val q = fld("l_quantity")
+      Swift(li)
+        .applyExpr("y")(iff(q < num(12), q * q, sqrt_(q)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("y"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // O2 raw=True — ndarray-row fast path over selected numeric columns
+    "o2_row_raw" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Swift(li)
+        .applyRawNumeric(Seq("l_quantity", "l_tax"), "wsum")(
+          xs => xs(0) * 2 + xs(1) * 3)
+        .select(col("l_orderkey"), col("l_linenumber"), col("wsum"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // O2 — row-wise apply (axis=1) with a validated vectorized candidate
     "o2_row_apply" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -304,6 +327,13 @@ object CoreQueries {
     "o1_apply_branchy" ->
       """SELECT l_orderkey, l_linenumber,
         |  CASE WHEN l_quantity < 12 THEN l_quantity*l_quantity ELSE sqrt(l_quantity) END AS y
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "o1_apply_ast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity < 12 THEN l_quantity*l_quantity ELSE sqrt(l_quantity) END AS y
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "o2_row_raw" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity*2 + l_tax*3 AS wsum
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "o2_row_apply" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice*(1.0-l_discount) AS revenue

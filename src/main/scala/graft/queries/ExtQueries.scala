@@ -69,7 +69,10 @@ object ExtQueries {
         .select(col("id"), col("bucket")).orderBy("id")),
     "sim_ann_topk" -> ((s, dir) =>
       Similarity.bucketedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        id => id < 5, k = 3).orderBy("qid", "rn"))
+        id => id < 5, k = 3).orderBy("qid", "rn")),
+    "sim_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        id => id < 5, k = 3, nCentroids = 16, nprobe = 2).orderBy("qid", "rn"))
   )
 
   // shared SQL prefixes
@@ -202,6 +205,23 @@ object ExtQueries {
     "sim_ann_buckets" ->
       s"""WITH $fxCte
          |SELECT id, ${Similarity.bucketSql()} AS bucket FROM n ORDER BY id""".stripMargin,
+    "sim_ivf_topk" ->
+      s"""WITH $fxCte,
+         |c AS (SELECT id AS cid, fx AS cfx, nrm AS cnrm FROM n WHERE id < 16),
+         |sc AS (SELECT n.id, c.cid,
+         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c.cfx[i])) AS BIGINT) + c.cnrm AS d2
+         |  FROM n, c),
+         |rk AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS crn FROM sc),
+         |lists AS (SELECT rk.cid, rk.id, n.fx, n.nrm FROM rk JOIN n USING(id) WHERE crn = 1),
+         |probes AS (SELECT rk.id AS qid, rk.cid, n.fx AS fq, n.nrm AS nq
+         |  FROM rk JOIN n USING(id) WHERE rk.id < 5 AND crn <= 2),
+         |j AS (SELECT p.qid, l.id AS vid,
+         |    ${Similarity.cosineSql("p.fq", "l.fx", "p.nq", "l.nrm")} AS cos
+         |  FROM probes p JOIN lists l ON p.cid = l.cid AND l.id <> p.qid),
+         |r AS (SELECT qid, vid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rn
+         |  FROM j)
+         |SELECT qid, rn, vid AS vec_id, cos FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "sim_ann_topk" ->
       s"""WITH $fxCte,
          |b AS (SELECT id, fx, nrm, ${Similarity.bucketSql()} AS bucket FROM n),

@@ -20,6 +20,14 @@ object StreamQueries {
       Multimodal.decodeStub(docs, "doc_id", "blob").orderBy("id")
     }),
 
+    // multimodal: REAL decode — javax.imageio parses deterministic PNGs;
+    // the oracle predicts dims + red-channel checksum from the generation
+    // rule, proving the codec roundtrip end-to-end
+    "mm_decode_real" -> ((s, dir) => {
+      val docs = Multimodal.withPngBlob(t(s, dir, "documents"), "doc_id")
+      Multimodal.decodeImages(docs, "doc_id", "img").orderBy("id")
+    }),
+
     // multimodal: batch featurizer (fixed-size vector), exact milli units
     "mm_featurize" -> ((s, dir) => {
       val docs = Multimodal.withBlob(t(s, dir, "documents"), "text")
@@ -30,16 +38,19 @@ object StreamQueries {
         .orderBy("id", "k")
     }),
 
-    // structured streaming: tumbling-window resample over a bounded source
+    // structured streaming: tumbling-window resample; MemoryStream source
+    // (the file-source + temp-dir-symlink variant lives in StreamOps too —
+    // same plan, ~3s more harness overhead per run)
     "stream_resample" -> ((s, dir) => {
-      StreamOps.resampleOnce(s, dir, "1 day")
+      StreamOps.resampleOnceMem(s, dir, "1 day")
         .select(epochUs(col("bucket")).as("bucket_us"), col("day_sum"), col("n"))
         .orderBy("bucket_us")
     }),
 
-    // gap-based sessionization (batch flatMapGroups; streaming twin in specs)
+    // gap-based sessionization, skew-safe two-pass plan ((user, day)
+    // pre-split + boundary merge; differential spec proves == single-pass)
     "sessionize" -> ((s, dir) =>
-      Sessionize.sessions(t(s, dir, "events"), gapMinutes = 30)
+      Sessionize.sessionsSkewSafe(t(s, dir, "events"), gapMinutes = 30)
         .orderBy("user_id", "session_idx")),
 
     // native session_window sessionization — Spark's built-in session
@@ -62,6 +73,13 @@ object StreamQueries {
         |  CAST(octet_length(text::BLOB)%640 AS BIGINT) AS width,
         |  CAST(octet_length(text::BLOB)%480 AS BIGINT) AS height,
         |  CASE octet_length(text::BLOB)%3 WHEN 0 THEN 'rgb' WHEN 1 THEN 'rgba' ELSE 'gray' END AS format
+        |FROM documents ORDER BY id""".stripMargin,
+    "mm_decode_real" ->
+      """SELECT doc_id AS id, CAST(1 + doc_id % 48 AS BIGINT) AS width,
+        |  CAST(1 + doc_id % 32 AS BIGINT) AS height, 'png' AS format,
+        |  CAST(list_sum(flatten(list_transform(generate_series(0, CAST(doc_id%32 AS INT)), y ->
+        |    list_transform(generate_series(0, CAST(doc_id%48 AS INT)), x ->
+        |      (doc_id + 7*x + 13*y) % 256)))) AS BIGINT) AS pix_sum
         |FROM documents ORDER BY id""".stripMargin,
     "mm_featurize" ->
       """WITH ks AS (SELECT unnest(generate_series(0, 7)) AS k),

@@ -47,6 +47,38 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming resample over a [[MemoryStream]] source: identical
+    * watermark + tumbling-window-aggregation plan to [[resampleOnce]],
+    * without the file-source machinery (directory listing, symlinks,
+    * per-file schema checks) — the bench-path variant. MemoryStream is a
+    * harness source: feeding it requires the bounded input on the driver,
+    * which is exactly the bounded-replay test pattern; production uses a
+    * real source with the same downstream plan. */
+  def resampleOnceMem(spark: SparkSession, dir: String, rule: String,
+      sinkName: String = "stream_resample_mem_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = graft.queries.Tables.t(spark, dir, "events")
+      .select(unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[EventRec].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRec]
+    ms.addData(recs.toIndexedSeq)
+    val agg = ms.toDF()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), rule))
+      .agg(sum(col("value").cast(DecimalType(20, 6))).cast("double").as("day_sum"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("day_sum"), col("n"))
+    val q = agg.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Complete())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+  }
+
   /** Streaming exact dedup: `dropDuplicates` on the content column under
     * a watermark horizon (state = one entry per distinct key) — the
     * streaming twin of Dedup.exact. Runs the bounded source to
@@ -112,3 +144,6 @@ object StreamOps {
   * public: Catalyst's encoder codegen needs plain accessor access). */
 case class SessState(sessIdx: Long, n: Long, sumMicro: Long,
     startUs: Long, lastUs: Long)
+
+/** MemoryStream record for the bench-path streaming resample. */
+case class EventRec(ts_us: Long, value: Double)

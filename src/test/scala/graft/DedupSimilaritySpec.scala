@@ -65,6 +65,15 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF topk: k rows per query, descending cosine") {
+    val t3 = Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 3, 3).cache()
+    assert(t3.groupBy("qid").count().filter(col("count") =!= 3).count() == 0)
+    t3.orderBy("qid", "rn").collect().grouped(3).foreach { g =>
+      val cs = g.map(_.getAs[Double]("cos")).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+  }
+
   test("embedding LSH pairs: exact precision, full recall vs brute force") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

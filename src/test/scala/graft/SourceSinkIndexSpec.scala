@@ -48,4 +48,16 @@ class SourceSinkIndexSpec extends SparkSpec {
     assert(!SwiftIndex.checkUnique(
       Tables.t(spark, sf001, "lineitem"), Seq("l_orderkey"))) // dup per line
   }
+
+  test("withRowIndex: stays in the DataFrame API, dense on many partitions") {
+    val d = Tables.t(spark, sf001, "lineitem").repartition(7)
+    val idx = SwiftIndex.withRowIndex(d, "idx")
+    // no RDD round-trip: the plan must not re-enter via an ExistingRDD scan
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), plan.take(1500))
+    val n = d.count()
+    val ids = idx.select("idx").collect().map(_.getLong(0)).sorted
+    assert(ids.head == 0L && ids.last == n - 1 && ids.length == n)
+    assert(ids.distinct.length == n)
+  }
 }

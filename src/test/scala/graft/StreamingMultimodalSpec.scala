@@ -22,6 +22,45 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("MemoryStream resample equals file-source streaming resample") {
+    val viaFile = StreamOps.resampleOnce(spark, sf001, "1 day", "spec_file_sink")
+      .orderBy("bucket").collect()
+    val viaMem = StreamOps.resampleOnceMem(spark, sf001, "1 day", "spec_mem_sink")
+      .orderBy("bucket").collect()
+    assert(viaMem.sameElements(viaFile))
+  }
+
+  test("skew-safe sessionize == single-pass sessionize (incl. hot key)") {
+    val ev = Tables.t(spark, sf001, "events")
+    val one = Sessionize.sessions(ev, 30).orderBy("user_id", "session_idx").collect()
+    val two = Sessionize.sessionsSkewSafe(ev, 30).orderBy("user_id", "session_idx").collect()
+    assert(two.sameElements(one))
+    // pathological skew: every event belongs to ONE user — pass 1 still
+    // bounds group state to a user-day, and the merged output is identical
+    val hot = ev.withColumn("user_id", lit(7L))
+    val oneH = Sessionize.sessions(hot, 30).orderBy("session_idx").collect()
+    val twoH = Sessionize.sessionsSkewSafe(hot, 30).orderBy("session_idx").collect()
+    assert(twoH.sameElements(oneH))
+  }
+
+  test("real PNG decode roundtrip recovers generated dimensions and pixels") {
+    import spark.implicits._
+    val d = (0L to 60L).toDF("doc_id")
+    val out = Multimodal.decodeImages(
+      Multimodal.withPngBlob(d, "doc_id"), "doc_id", "img").collect()
+    assert(out.length == 61)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val w = (1 + id % 48).toInt
+      val h = (1 + id % 32).toInt
+      assert(r.getLong(1) == w && r.getLong(2) == h)
+      assert(r.getString(3) == "png")
+      var s = 0L
+      for (y <- 0 until h; x <- 0 until w) s += (id + 7L * x + 13L * y) % 256L
+      assert(r.getLong(4) == s)
+    }
+  }
+
   test("streaming sessionize emits the batch sessions (closed ones)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -68,6 +68,26 @@ class SwiftSelectorSpec extends SparkSpec {
     assert(out.filter(col("y") =!= col("x") + 1).count() == 0)
   }
 
+  test("SwiftExpr AST: one term auto-vectorizes through the K2 probe") {
+    import graft.core.SwiftExpr._
+    val sw = Swift(df)
+    val xf = fld("x")
+    val out = sw.applyExpr("y")(iff(xf < num(100), xf * xf, sqrt_(xf)))
+    assert(sw.lastStrategy == SwiftStrategy.Vectorized)
+    val bad = out.filter(
+      (col("x") < 100 && col("y") =!= col("x") * col("x")) ||
+        (col("x") >= 100 && col("y") =!= sqrt(col("x"))))
+    assert(bad.count() == 0)
+  }
+
+  test("O2 raw=True analog: Seq[Double] row fast path") {
+    val d = (1 to 5000).map(i => (i.toLong, i * 0.5, i * 0.25)).toDF("id", "a", "b")
+    val sw = Swift(d)
+    val out = sw.applyRawNumeric(Seq("a", "b"), "w")(xs => xs(0) * 2 + xs(1))
+    assert(out.filter(col("w") =!= col("a") * 2 + col("b")).count() == 0)
+    assert(!out.columns.contains("__swift_raw"))
+  }
+
   test("typed facade: Dataset[T] apply routes and stays correct") {
     val ds = (1 to 4000).map(i => P(i.toLong, i * 0.5)).toDS()
     val sw = graft.core.SwiftTyped(ds)
@@ -158,6 +178,20 @@ class SwiftSelectorSpec extends SparkSpec {
     val out = Swift(df).progressBar(enable = true, "spec-progress")
       .applyScalar[Double, Double]("x", "y")(v => v + 1)
     assert(out.filter(col("y") =!= col("x") + 1).count() == 0)
+  }
+
+  test("K8: progress listener counters observe real task completion") {
+    val l = new graft.core.ProgressListener("spec-count")
+    spark.sparkContext.addSparkListener(l)
+    try {
+      spark.range(0, 100000, 1, 8).selectExpr("sum(id)").collect()
+      // listener bus delivers asynchronously; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (l.tasksDone == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(l.tasksDone > 0, "no task-end events observed")
+      assert(l.tasksTotal > 0, "no job-start task announcement observed")
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 }
 
