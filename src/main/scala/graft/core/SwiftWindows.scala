@@ -176,12 +176,13 @@ object SwiftRolling {
   * arbitrary functions go through `flatMapGroups` on the bucket.
   */
 final class SwiftResample(sw: Swift, rule: String, tsCol: String,
-    label: String = "left", offsetMicros: Long = 0L) {
+    label: String = "left", offsetMicros: Long = 0L,
+    partitionBy: Seq[String] = Nil) {
 
   /** pandas `label='left'|'right'`: bucket labeled by bin start or end. */
   def withLabel(l: String): SwiftResample = {
     require(l == "left" || l == "right", s"label must be left|right, got $l")
-    new SwiftResample(sw, rule, tsCol, l, offsetMicros)
+    new SwiftResample(sw, rule, tsCol, l, offsetMicros, partitionBy)
   }
 
   /** pandas `offset=`: shift bucket boundaries by a duration (e.g.
@@ -190,7 +191,7 @@ final class SwiftResample(sw: Swift, rule: String, tsCol: String,
     * boundary-origin parameter; no extra shuffle or projection. */
   def withOffset(dur: String): SwiftResample =
     new SwiftResample(sw, rule, tsCol, label,
-      SwiftRolling.parseDurationMicros(dur))
+      SwiftRolling.parseDurationMicros(dur), partitionBy)
 
   /** pandas `origin=`: align buckets so `ts` (an ISO timestamp string,
     * e.g. "1970-01-03 06:00:00") is a bucket boundary. Reduces to the
@@ -201,8 +202,14 @@ final class SwiftResample(sw: Swift, rule: String, tsCol: String,
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
     val ruleUs = SwiftRolling.parseDurationMicros(rule)
     val off = ((originUs % ruleUs) + ruleUs) % ruleUs
-    new SwiftResample(sw, rule, tsCol, label, off)
+    new SwiftResample(sw, rule, tsCol, label, off, partitionBy)
   }
+
+  /** pandas `groupby(keys).resample(rule)`: additional grouping keys in
+    * front of the time bucket — still ONE shuffle on (keys, bucket) with
+    * map-side partial aggregation. */
+  def by(keys: String*): SwiftResample =
+    new SwiftResample(sw, rule, tsCol, label, offsetMicros, keys.toSeq)
 
   private def bucketed: DataFrame = {
     val w =
@@ -212,10 +219,13 @@ final class SwiftResample(sw: Swift, rule: String, tsCol: String,
     sw.df.withColumn("__bucket", lbl)
   }
 
+  private def groupCols: Seq[Column] =
+    partitionBy.map(col) :+ col("__bucket").as("bucket")
+
   /** Built-in aggregates per bucket; output column `bucket` = bin start. */
   def agg(exprs: Column*): DataFrame = {
     sw.lastStrategy = SwiftStrategy.Vectorized
-    bucketed.groupBy(col("__bucket").as("bucket"))
+    bucketed.groupBy(groupCols: _*)
       .agg(exprs.head, exprs.tail: _*)
   }
 
@@ -224,7 +234,7 @@ final class SwiftResample(sw: Swift, rule: String, tsCol: String,
       fn: Seq[Double] => Any): DataFrame = {
     sw.lastStrategy = SwiftStrategy.Parallel
     val theUdf = SwiftRolling.dynamicUdf(fn, outType)
-    bucketed.groupBy(col("__bucket").as("bucket"))
+    bucketed.groupBy(groupCols: _*)
       .agg(collect_list(col(valueCol)).as("__vals"))
       .withColumn(out, theUdf(col("__vals")))
       .drop("__vals")

@@ -13,7 +13,9 @@ object AsOfJoin {
 
   /** Backward as-of join: for every left row, the latest right row with
     * `rightTs` ≤ `leftTs` on equal `keys` (DuckDB/kdb ASOF JOIN
-    * semantics, left-outer flavor).
+    * semantics, left-outer flavor). `toleranceUs` mirrors pandas
+    * merge_asof(tolerance=...): matches farther than the tolerance are
+    * nulled out.
     *
     * Implementation: tag + union + running `last(...ignoreNulls)` window,
     * NOT a range-condition join — one shuffle on the key, one
@@ -23,7 +25,46 @@ object AsOfJoin {
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightVals: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_", toleranceUs: Option[Long] = None): DataFrame =
+    withTolerance(
+      carry(left, right, keys, leftTs, rightTs, rightVals, prefix, forward = false),
+      leftTs, rightTs, rightVals, prefix, toleranceUs, forward = false)
+
+  /** Forward as-of join (pandas merge_asof direction='forward'): the
+    * EARLIEST right row with `rightTs` ≥ `leftTs`. Same union+window
+    * plan with the sort reversed. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      prefix: String = "asof_", toleranceUs: Option[Long] = None): DataFrame =
+    withTolerance(
+      carry(left, right, keys, leftTs, rightTs, rightVals, prefix, forward = true),
+      leftTs, rightTs, rightVals, prefix, toleranceUs, forward = true)
+
+  /** Nearest as-of join (pandas merge_asof direction='nearest'): the
+    * right row minimizing |rightTs − leftTs|; equal distances resolve to
+    * the backward match. Two window passes over one key shuffle. */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      prefix: String = "asof_", toleranceUs: Option[Long] = None): DataFrame = {
+    val b = backward(left, right, keys, leftTs, rightTs, rightVals, "__b_", toleranceUs)
+    val f = forward(b, right, keys, leftTs, rightTs, rightVals, "__f_", toleranceUs)
+    val lt = unix_micros(col(leftTs))
+    val bts = unix_micros(col(s"__b_$rightTs"))
+    val fts = unix_micros(col(s"__f_$rightTs"))
+    val chooseB = col(s"__b_$rightTs").isNotNull &&
+      (col(s"__f_$rightTs").isNull || (lt - bts) <= (fts - lt))
+    val chosen = (rightVals :+ rightTs).foldLeft(f) { (d, v) =>
+      d.withColumn(s"$prefix$v",
+        when(chooseB, col(s"__b_$v")).otherwise(col(s"__f_$v")))
+    }
+    (rightVals :+ rightTs).foldLeft(chosen) { (d, v) =>
+      d.drop(s"__b_$v").drop(s"__f_$v")
+    }
+  }
+
+  private def carry(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      prefix: String, forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTs)
     // union schema: keys ++ __ts ++ __tag ++ leftCols(null on right) ++ rightVals(null on left)
     val l = left.select(
@@ -36,9 +77,14 @@ object AsOfJoin {
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightVals.map(v => col(v).as(s"$prefix$v")) :+
         col(rightTs).as(s"$prefix$rightTs"): _*)
-    // right rows (__tag 0) sort before left rows at equal ts → "≤" semantics
+    // right rows (__tag 0) sort before left rows at equal ts, so the
+    // carried match includes an exactly-equal timestamp in BOTH
+    // directions; descending order makes "preceding" mean ts ≥ t and the
+    // last preceding non-null the nearest following right row
+    val ord = if (forward) Seq(col("__ts").desc, col("__tag").asc)
+              else Seq(col("__ts").asc, col("__tag").asc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__tag"))
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = (rightVals.map(v => s"$prefix$v") :+ s"$prefix$rightTs").foldLeft(l.unionByName(r)) {
       (d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
@@ -46,6 +92,21 @@ object AsOfJoin {
     carried.filter(col("__tag") === 1)
       .drop("__tag")
       .withColumnRenamed("__ts", leftTs)
+  }
+
+  /** pandas merge_asof(tolerance=...): null the carried match where its
+    * distance exceeds the tolerance. Value columns are nulled before the
+    * carried timestamp so the distance predicate still sees it. */
+  private def withTolerance(df: DataFrame, leftTs: String, rightTs: String,
+      rightVals: Seq[String], prefix: String, toleranceUs: Option[Long],
+      forward: Boolean): DataFrame = toleranceUs.fold(df) { tol =>
+    val dist =
+      if (forward) unix_micros(col(s"$prefix$rightTs")) - unix_micros(col(leftTs))
+      else unix_micros(col(leftTs)) - unix_micros(col(s"$prefix$rightTs"))
+    val ok = col(s"$prefix$rightTs").isNotNull && dist <= tol
+    (rightVals :+ rightTs).foldLeft(df) { (d, v) =>
+      d.withColumn(s"$prefix$v", when(ok, col(s"$prefix$v")))
+    }
   }
 }
 

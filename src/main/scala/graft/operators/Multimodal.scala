@@ -26,6 +26,11 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache writes a TEMP FILE per encode/decode
+  // call through a synchronized registry — measured ~2× slower under 32
+  // threads. Heap-backed streams only.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Media metadata produced by decode. */
   val metaSchema: StructType = StructType(Seq(
     StructField("id", LongType),

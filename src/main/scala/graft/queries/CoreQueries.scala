@@ -241,6 +241,17 @@ object CoreQueries {
         .orderBy("bucket_us")
     }),
 
+    // O6 — grouped resample (pandas groupby(user).resample('1 day')):
+    // one shuffle on (user, bucket), map-side partials
+    "o6_resample_grouped" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).resample("1 day", "ts").by("user_id")
+        .agg(dsum(col("value")).as("day_sum"), count(lit(1)).as("n"))
+        .select(col("user_id"), epochUs(col("bucket")).as("bucket_us"),
+          col("day_sum"), col("n"))
+        .orderBy("user_id", "bucket_us")
+    }),
+
     // O6 — resample with a boundary offset (pandas origin/offset kwarg):
     // daily buckets starting at 06:00 instead of midnight
     "o6_resample_origin" -> ((s, dir) => {
@@ -405,6 +416,10 @@ object CoreQueries {
       s"""SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
          |  ${dsumSql("value")} AS day_sum, count(*) AS n
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "o6_resample_grouped" ->
+      s"""SELECT user_id, epoch_us(date_trunc('day', ts)) AS bucket_us,
+         |  ${dsumSql("value")} AS day_sum, count(*) AS n
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // bucket start = floor((epoch - offset) / width) * width + offset,
     // all in BIGINT microseconds (6h = 21600000000, 1d = 86400000000)
     "o6_resample_origin" ->

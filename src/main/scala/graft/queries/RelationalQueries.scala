@@ -187,6 +187,49 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // forward as-of (merge_asof direction='forward'): earliest error ≥ click
+    "asof_join_fwd" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value")
+      graft.operators.AsOfJoin.forward(clicks, errors,
+          Seq("user_id"), "ts", "ts", Seq("value"), prefix = "err_")
+        .select(col("event_id"), epochUs(col("err_ts")).as("err_ts_us"),
+          col("err_value"))
+        .orderBy("event_id")
+    }),
+
+    // as-of with tolerance (merge_asof tolerance=2min): distant matches null
+    "asof_join_tol" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value")
+      graft.operators.AsOfJoin.backward(clicks, errors,
+          Seq("user_id"), "ts", "ts", Seq("value"), prefix = "err_",
+          toleranceUs = Some(120000000L))
+        .select(col("event_id"), epochUs(col("err_ts")).as("err_ts_us"),
+          col("err_value"))
+        .orderBy("event_id")
+    }),
+
+    // nearest as-of (merge_asof direction='nearest'; ties → backward)
+    "asof_join_near" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value")
+      graft.operators.AsOfJoin.nearest(clicks, errors,
+          Seq("user_id"), "ts", "ts", Seq("value"), prefix = "err_")
+        .select(col("event_id"), epochUs(col("err_ts")).as("err_ts_us"),
+          col("err_value"))
+        .orderBy("event_id")
+    }),
+
     // Bounded range self-join via bucket replication (no BNL join)
     "range_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -320,6 +363,37 @@ object RelationalQueries {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
         |  ON c.user_id = e.user_id AND e.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,
+    "asof_join_fwd" ->
+      """SELECT c.event_id, epoch_us(e.ts) AS err_ts_us, e.value AS err_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND e.ts >= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "asof_join_tol" ->
+      """SELECT c.event_id,
+        |  CASE WHEN e.ts IS NOT NULL AND epoch_us(c.ts) - epoch_us(e.ts) <= 120000000
+        |    THEN epoch_us(e.ts) END AS err_ts_us,
+        |  CASE WHEN e.ts IS NOT NULL AND epoch_us(c.ts) - epoch_us(e.ts) <= 120000000
+        |    THEN e.value END AS err_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND e.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "asof_join_near" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error'),
+        |b AS (SELECT c.event_id, c.ts AS cts, e.ts AS bts, e.value AS bval
+        |  FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND e.ts <= c.ts),
+        |f AS (SELECT c.event_id, e.ts AS fts, e.value AS fval
+        |  FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND e.ts >= c.ts)
+        |SELECT b.event_id,
+        |  CASE WHEN bts IS NOT NULL AND (fts IS NULL
+        |      OR epoch_us(cts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(cts))
+        |    THEN epoch_us(bts) ELSE epoch_us(fts) END AS err_ts_us,
+        |  CASE WHEN bts IS NOT NULL AND (fts IS NULL
+        |      OR epoch_us(cts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(cts))
+        |    THEN bval ELSE fval END AS err_value
+        |FROM b JOIN f USING (event_id) ORDER BY b.event_id""".stripMargin,
     "range_join" ->
       """SELECT a.event_id AS ea, b.event_id AS eb,
         |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us

@@ -24,7 +24,13 @@ object StreamQueries {
     // the oracle predicts dims + red-channel checksum from the generation
     // rule, proving the codec roundtrip end-to-end
     "mm_decode_real" -> ((s, dir) => {
-      val docs = Multimodal.withPngBlob(t(s, dir, "documents"), "doc_id")
+      // documents is a single small parquet split, but the codec work is
+      // CPU-bound per row — repartition to all cores BEFORE the encode/
+      // decode stage (at 100 TB the many input splits parallelize
+      // naturally; for a tiny file the explicit repartition is the plan)
+      val ids = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val docs = Multimodal.withPngBlob(ids, "doc_id")
       Multimodal.decodeImages(docs, "doc_id", "img").orderBy("id")
     }),
 
@@ -43,6 +49,15 @@ object StreamQueries {
     // same plan, ~3s more harness overhead per run)
     "stream_resample" -> ((s, dir) => {
       StreamOps.resampleOnceMem(s, dir, "1 day")
+        .select(epochUs(col("bucket")).as("bucket_us"), col("day_sum"), col("n"))
+        .orderBy("bucket_us")
+    }),
+
+    // structured streaming: SLIDING windows (1 day wide, 6 h slide) —
+    // every event lands in 4 overlapping buckets; state ∝ open windows
+    "stream_sliding" -> ((s, dir) => {
+      StreamOps.resampleOnceMem(s, dir, "1 day", "stream_sliding_sink",
+          slide = Some("6 hours"))
         .select(epochUs(col("bucket")).as("bucket_us"), col("day_sum"), col("n"))
         .orderBy("bucket_us")
     }),
@@ -92,6 +107,14 @@ object StreamQueries {
       s"""SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
          |  ${dsumSql("value")} AS day_sum, count(*) AS n
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sliding windows in SQL: an event at t belongs to the 4 slide-aligned
+    // buckets starting at floor(t/6h)·6h − k·6h, k = 0..3 (width/slide = 4)
+    "stream_sliding" ->
+      s"""WITH ev AS (SELECT epoch_us(ts) AS tus, value FROM events),
+         |x AS (SELECT (tus // 21600000000) * 21600000000 - k * 21600000000 AS bucket_us, value
+         |  FROM ev, UNNEST(generate_series(0, 3)) AS u(k))
+         |SELECT bucket_us, ${dsumSql("value")} AS day_sum, count(*) AS n
+         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "sessionize_native" ->
       s"""WITH x AS (
          |  SELECT user_id, ts, value, event_id,

@@ -55,7 +55,8 @@ object StreamOps {
     * which is exactly the bounded-replay test pattern; production uses a
     * real source with the same downstream plan. */
   def resampleOnceMem(spark: SparkSession, dir: String, rule: String,
-      sinkName: String = "stream_resample_mem_sink"): DataFrame = {
+      sinkName: String = "stream_resample_mem_sink",
+      slide: Option[String] = None): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val recs = graft.queries.Tables.t(spark, dir, "events")
@@ -66,16 +67,25 @@ object StreamOps {
     val agg = ms.toDF()
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "1 day")
-      .groupBy(window(col("ts"), rule))
+      .groupBy(window(col("ts"), rule, slide.getOrElse(rule)))
       .agg(sum(col("value").cast(DecimalType(20, 6))).cast("double").as("day_sum"),
         count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col("day_sum"), col("n"))
-    val q = agg.writeStream
-      .format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Complete())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // Stateful ops pin one state-store instance (with per-batch checkpoint
+    // I/O) per shuffle partition at query start. The window-key space here
+    // is tiny (days), so 32 state partitions are pure overhead — size the
+    // state partitioning to the key cardinality, not the CPU count.
+    // (Production sizing: state partitions ∝ distinct keys × throughput.)
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = agg.writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
     spark.table(sinkName)
   }
 

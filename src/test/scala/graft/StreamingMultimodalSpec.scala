@@ -30,6 +30,30 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(viaMem.sameElements(viaFile))
   }
 
+  test("watermark drops late data in append-mode windowed aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val agg = mem.toDF().toDF("min", "v")
+      .withColumn("ts", timestamp_seconds(col("min") * 60))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("start_s"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late_sink")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((0L, 1.0), (1L, 1.0), (2L, 1.0), (30L, 1.0), (60L, 1.0))
+    q.processAllAvailable() // watermark advances to 60min − 10min = 50min
+    mem.addData((1L, 9.0), (70L, 1.0)) // t=1min is far past the watermark
+    q.processAllAvailable()
+    q.stop()
+    val w0 = spark.table("late_sink").filter(col("start_s") === 0).collect()
+    // the [0,10) window was finalized with 3 events; the late arrival is
+    // DROPPED by the watermark — never re-emitted, never counted
+    assert(w0.length == 1, w0.mkString(","))
+    assert(w0.head.getAs[Long]("n") == 3)
+  }
+
   test("skew-safe sessionize == single-pass sessionize (incl. hot key)") {
     val ev = Tables.t(spark, sf001, "events")
     val one = Sessionize.sessions(ev, 30).orderBy("user_id", "session_idx").collect()
