@@ -93,6 +93,53 @@ object RelationalQueries {
         .select(col("event_id"), col("delta")).orderBy("event_id")
     }),
 
+    // Pivot: long→wide per-user event-type sums (groupBy().pivot() with
+    // an explicit value list — one shuffle, map-side partials per cell)
+    "rel_pivot" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(dsum(col("value")))
+        .orderBy("user_id")
+    }),
+
+    // Distribution window functions: ntile / percent_rank / cume_dist
+    "rel_window_dist" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      ev.select(col("event_id"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("event_id")
+    }),
+
+    // TPC-H Q3-style composite: selective dim filter → fact join →
+    // grouped revenue → top-k (broadcast + partial agg + TakeOrdered)
+    "rel_q3_shipping" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      val li = t(s, dir, "lineitem")
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .select(col("l_orderkey"),
+          epochUs(col("o_orderdate").cast("timestamp")).as("odate_us"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Edit distance (levenshtein) between consecutive docs' prefixes —
+    // the classic fuzzy-similarity scalar, exact in both engines
+    "rel_edit_distance" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+      val a = d.select(col("doc_id").as("id"), col("p").as("pa"))
+      val b = d.select((col("doc_id") - 1).as("id"), col("p").as("pb"))
+      a.join(b, "id")
+        .select(col("id"), levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+        .orderBy("id")
+    }),
+
     // Top-k: TakeOrderedAndProject, no global sort
     "rel_topk" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -363,6 +410,32 @@ object RelationalQueries {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
         |  ON c.user_id = e.user_id AND e.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,
+    "rel_pivot" -> {
+      def cell(t: String) =
+        s"CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = '$t') AS DOUBLE) AS $t"
+      s"""SELECT user_id, ${Seq("click", "error", "purchase", "signup", "view").map(cell).mkString(", ")}
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "rel_window_dist" ->
+      """SELECT event_id,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "rel_q3_shipping" ->
+      s"""SELECT l_orderkey, epoch_us(o_orderdate) AS odate_us,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderstatus = 'O'
+         |GROUP BY 1, 2
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "rel_edit_distance" ->
+      """SELECT a.doc_id AS id,
+        |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id""".stripMargin,
     "asof_join_fwd" ->
       """SELECT c.event_id, epoch_us(e.ts) AS err_ts_us, e.value AS err_value
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c

@@ -45,6 +45,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("Q3-style composite: filter pushed, partial agg, top-k no global sort") {
+    val p = plan("rel_q3_shipping")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("aggregation runs partial (map-side) + final") {
     val p = plan("rel_q1_pricing")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
