@@ -53,6 +53,37 @@ object ScaleSmoke {
           .write.format("noop").mode("overwrite").save()
       }
     }
+
+    // Embedding LSH dedup: replicate embeddings with DISTINCT ids (id
+    // offset per copy, vectors unchanged) so candidate growth reflects a
+    // growing corpus, and count candidate pairs alongside runtime — the
+    // quantity that must stay sub-quadratic.
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    def repEmb(n: Int) = (0 until n).map(k =>
+      emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+        col("embedding"))).reduce(_ union _)
+    Seq(1, 2, 4).foreach { m =>
+      val d = repEmb(m).repartition(32).cache()
+      d.count()
+      time(s"dedup_embedding_lsh x$m (${2000 * m} vecs)") {
+        graft.operators.Dedup.embeddingPairs(d, "vec_id", "embedding", 0.45)
+          .write.format("noop").mode("overwrite").save()
+      }
+      d.unpersist()
+    }
+
+    // Skew-safe sessionize under a deliberately hot key: all events
+    // collapsed onto one user (the single-pass plan's worst case).
+    val ev = graft.queries.Tables.t(spark, "/root/testdata/sf0.1", "events")
+    val hot = ev.withColumn("user_id", lit(7L))
+    time("sessionize_single_pass hot-key 600k") {
+      graft.operators.Sessionize.sessions(hot, 30)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("sessionize_skew_safe hot-key 600k") {
+      graft.operators.Sessionize.sessionsSkewSafe(hot, 30)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
