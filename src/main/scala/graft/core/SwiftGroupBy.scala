@@ -29,6 +29,16 @@ final class SwiftGroupBy(sw: Swift, by: Seq[String], subset: Option[Seq[String]]
     * (`__getitem__`, swifter/swifter.py:584-586). */
   def select(cols: String*): SwiftGroupBy = new SwiftGroupBy(sw, by, Some(cols.toSeq))
 
+  /** pandas `groupby(by).rolling(n)`: a count window per group — sugar
+    * over the O5 machinery with the group keys as the window partition. */
+  def rolling(window: Int, orderBy: Seq[String], center: Boolean = false): SwiftRolling =
+    sw.rolling(window, orderBy, partitionBy = by, center = center)
+
+  /** pandas `groupby(by).resample(rule)`: per-group time buckets — sugar
+    * over the O6 machinery with the group keys ahead of the bucket. */
+  def resample(rule: String, tsCol: String): SwiftResample =
+    sw.resample(rule, tsCol).by(by: _*)
+
   private def inputDf: DataFrame =
     subset.fold(df)(cols => df.select((by ++ cols).distinct.map(col).toIndexedSeq: _*))
 

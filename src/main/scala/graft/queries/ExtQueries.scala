@@ -53,6 +53,12 @@ object ExtQueries {
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", SIMHASH_HD)
         .orderBy("da", "db")),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(
+          Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", JACCARD_TAU),
+          "da", "db")
+        .select(col("n").as("id"), col("l").as("cluster"))
+        .orderBy("id")),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", COS_TAU)
         .orderBy("va", "vb")),
@@ -134,6 +140,28 @@ object ExtQueries {
          |SELECT da, db, common, na, nb, common/(na+nb-common) AS j
          |FROM pairs WHERE common/(na+nb-common) >= $JACCARD_TAU
          |ORDER BY da, db""".stripMargin,
+    // unrolled min-label propagation (same fixed rounds as Dedup.clusters)
+    "dedup_clusters" -> {
+      val iters = 4
+      val levels = (1 to iters).map { i =>
+        s"""l$i AS (SELECT n, min(l) AS l FROM (
+           |  SELECT n, l FROM l${i - 1}
+           |  UNION ALL
+           |  SELECT ed.v AS n, l${i - 1}.l AS l FROM ed JOIN l${i - 1} ON ed.u = l${i - 1}.n
+           |) GROUP BY n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $distinctShingleCte,
+         |ex AS (SELECT id, nd, unnest(ds) AS h FROM d),
+         |pr AS (
+         |  SELECT a.id AS da, b.id AS db, count(*) AS common,
+         |    any_value(a.nd) AS na, any_value(b.nd) AS nb
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
+         |jp AS (SELECT da, db FROM pr WHERE common/(na+nb-common) >= $JACCARD_TAU),
+         |ed AS (SELECT da AS u, db AS v FROM jp UNION ALL SELECT db AS u, da AS v FROM jp),
+         |l0 AS (SELECT DISTINCT u AS n, u AS l FROM ed),
+         |$levels
+         |SELECT n AS id, l AS cluster FROM l$iters ORDER BY id""".stripMargin
+    },
     "dedup_minhash_sig" -> {
       val cols = (0 until MirrorHash.NUM_PERMS)
         .map(j => s"${minhashSql("ds", j)} AS mh$j").mkString(", ")

@@ -65,6 +65,17 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("clusters: min-label propagation finds transitive dup groups") {
+    import spark.implicits._
+    // chain 1-2-3, pair 5-6, chain 7-8-9-10 (diameter 3)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L), (9L, 10L))
+      .toDF("da", "db")
+    val got = Dedup.clusters(pairs, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L))
+  }
+
   test("IVF topk: k rows per query, descending cosine") {
     val t3 = Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 3, 3).cache()
     assert(t3.groupBy("qid").count().filter(col("count") =!= 3).count() == 0)

@@ -82,6 +82,22 @@ class WindowGroupSpec extends SparkSpec {
     assert(out(1).getString(0) == "2024-01-02 06:00" && out(1).getAs[Double]("s") == 2.0)
   }
 
+  test("O4+O5/O6 sugar: groupby().rolling and groupby().resample") {
+    val ev = queries.Tables.t(spark, sf001, "events")
+    val viaSugar = Swift(ev).groupBy("user_id").rolling(3, Seq("ts", "event_id"))
+      .withMin(1).agg(sum(col("value")), "s")
+      .select("event_id", "s").orderBy("event_id").collect()
+    val direct = Swift(ev).rolling(3, Seq("ts", "event_id"), partitionBy = Seq("user_id"))
+      .withMin(1).agg(sum(col("value")), "s")
+      .select("event_id", "s").orderBy("event_id").collect()
+    assert(viaSugar.sameElements(direct))
+
+    val rs = Swift(ev).groupBy("user_id").resample("1 day", "ts")
+      .agg(count(lit(1)).as("n"))
+    assert(rs.agg(sum("n")).head.getLong(0) == ev.count())
+    assert(rs.columns.contains("user_id") && rs.columns.contains("bucket"))
+  }
+
   test("O6 resample bucket sums cover all rows") {
     val ev = queries.Tables.t(spark, sf001, "events")
     val out = Swift(ev).resample("1 day", "ts").agg(count(lit(1)).as("n"))
