@@ -93,6 +93,16 @@ object RelationalQueries {
         .select(col("event_id"), col("delta")).orderBy("event_id")
     }),
 
+    // Salted join: the manual skew weapon — deterministic salt spreads a
+    // hot key over k reducers; result identical to the plain equi-join
+    "rel_join_salted" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy(col("user_id")).agg(dsum(col("value")).as("user_total"))
+      graft.operators.SaltedJoin.join(ev, dim, Seq("user_id"), k = 8)
+        .select(col("event_id"), col("user_total"))
+        .orderBy("event_id")
+    }),
+
     // Pivot: long→wide per-user event-type sums (groupBy().pivot() with
     // an explicit value list — one shuffle, map-side partials per cell)
     "rel_pivot" -> ((s, dir) => {
@@ -410,6 +420,12 @@ object RelationalQueries {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
         |  ON c.user_id = e.user_id AND e.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,
+    "rel_join_salted" ->
+      s"""WITH dim AS (SELECT user_id, ${dsumSql("value")} AS user_total
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_id, d.user_total
+         |FROM events e JOIN dim d USING (user_id)
+         |ORDER BY e.event_id""".stripMargin,
     "rel_pivot" -> {
       def cell(t: String) =
         s"CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = '$t') AS DOUBLE) AS $t"

@@ -98,6 +98,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("salted join == plain join on a pathologically hot key") {
+    val ev = Tables.t(spark, sf001, "events").withColumn("user_id", lit(7L))
+    val dim = ev.groupBy(col("user_id"))
+      .agg(sum(col("value")).as("user_total"))
+    val plain = ev.join(dim, "user_id")
+      .select(col("event_id"), col("user_total"))
+      .orderBy("event_id").collect()
+    val salted = graft.operators.SaltedJoin.join(ev, dim, Seq("user_id"), k = 8)
+      .select(col("event_id"), col("user_total"))
+      .orderBy("event_id").collect()
+    assert(salted.sameElements(plain))
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      // 100k rows, 95% on ONE key, wide payload so the hot partition
+      // crosses the (lowered) skew threshold
+      val left = spark.range(100000)
+        .select(when(col("id") % 20 =!= 0, 0L).otherwise(col("id") % 50).as("k"),
+          concat(lit("x" * 64), col("id")).as("payload"))
+      val right = spark.range(50).select(col("id").as("k"), col("id").as("rv"))
+      val joined = left.join(right, "k")
+      // action on THIS plan (count() builds a separate QueryExecution and
+      // would leave joined.queryExecution unexecuted / non-final)
+      assert(joined.collect().length == 100000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(500))
+      assert(finalPlan.contains("skew=true"), finalPlan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("range join is an equi-join on buckets, not a nested loop") {
     val p = plan("range_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
