@@ -191,7 +191,9 @@ object Dedup {
         .join(labels.select(col("n").as("u"), col("l")), "u")
         .select(col("v").as("n"), col("l"))
       labels = labels.union(viaNb).groupBy("n").agg(min(col("l")).as("l"))
-        .localCheckpoint(true)
+      // truncate every OTHER round: a depth-2 lineage costs one cheap
+      // recompute of tiny label frames, but halves the checkpoint jobs
+      if (i % 2 == 1 || i == iters - 1) labels = labels.localCheckpoint(true)
       i += 1
     }
     labels
