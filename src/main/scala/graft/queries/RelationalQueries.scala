@@ -323,6 +323,32 @@ object RelationalQueries {
           |GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
+    // Correlated scalar subquery through the SQL frontend — Catalyst
+    // decorrelates it into a join + aggregate (no per-row re-execution).
+    // The inner average uses the decimal-sum/count form so both engines
+    // compute the identical double.
+    "rel_correlated" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_corr_v")
+      s.sql(
+        """SELECT l_orderkey, l_linenumber FROM lineitem_corr_v l1
+          |WHERE l_extendedprice >
+          |  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / count(*)
+          |   FROM lineitem_corr_v l2 WHERE l2.l_orderkey = l1.l_orderkey)
+          |ORDER BY 1, 2""".stripMargin)
+    }),
+
+    // GROUPING SETS beyond rollup/cube: hand-picked aggregation levels
+    "rel_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS qty,
+          |  count(*) AS n
+          |FROM lineitem_gs_v
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY 1, 2""".stripMargin)
+    }),
+
     // Predicate + projection pushdown to the parquet scan
     "rel_filter_pushdown" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -498,6 +524,19 @@ object RelationalQueries {
         |  ws[-1] AS last_w,
         |  CAST(len(list_distinct(ws)) AS BIGINT) AS nd
         |FROM w ORDER BY doc_id""".stripMargin,
+    "rel_correlated" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem l1
+        |WHERE l_extendedprice >
+        |  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / count(*)
+        |   FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey)
+        |ORDER BY 1, 2""".stripMargin,
+    "rel_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY 1, 2""".stripMargin,
     "rel_sql_api" ->
       s"""SELECT c_mktsegment, ${dsumSql("o_totalprice")} AS rev, count(*) AS n
          |FROM orders JOIN customer ON o_custkey = c_custkey
