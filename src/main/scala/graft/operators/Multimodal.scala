@@ -141,6 +141,45 @@ object Multimodal {
     }(Encoders.row(decodedSchema))
   }
 
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("rw", LongType),
+    StructField("rh", LongType),
+    StructField("pix_sum", LongType)))
+
+  /** REAL decode + resize: javax.imageio parses the payload, then a
+    * nearest-neighbor downscale to (tw, th) — the resize arithmetic is
+    * explicit integer math (src pixel = (tx·w ÷ tw, ty·h ÷ th)) rather
+    * than Graphics2D filtering, so the oracle can predict the resized
+    * checksum from the generation rule while the pixels still come from
+    * a genuine codec roundtrip. */
+  def resizeImages(df: DataFrame, idCol: String, blobCol: String,
+      tw: Int, th: Int): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](blobIdx)))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var ty = 0
+        while (ty < th) {
+          var tx = 0
+          while (tx < tw) {
+            val sx = tx * w / tw
+            val sy = ty * h / th
+            sum += (img.getRGB(sx, sy) >> 16) & 0xff
+            tx += 1
+          }
+          ty += 1
+        }
+        Row(id, tw.toLong, th.toLong, sum)
+      }
+    }(Encoders.row(resizedSchema))
+  }
+
   /** Frame sampling: n equal-stride byte slices of the payload (stands in
     * for video frame extraction) as an array<binary> column. */
   def frameSample(df: DataFrame, blobCol: String, n: Int, frameLen: Int = 16): DataFrame = {

@@ -34,6 +34,15 @@ object StreamQueries {
       Multimodal.decodeImages(docs, "doc_id", "img").orderBy("id")
     }),
 
+    // multimodal: real decode + nearest-neighbor resize to 16x8; oracle
+    // predicts the resized red-channel checksum from the generation rule
+    "mm_resize" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val docs = Multimodal.withPngBlob(ids, "doc_id")
+      Multimodal.resizeImages(docs, "doc_id", "img", tw = 16, th = 8).orderBy("id")
+    }),
+
     // multimodal: batch featurizer (fixed-size vector), exact milli units
     "mm_featurize" -> ((s, dir) => {
       val docs = Multimodal.withBlob(t(s, dir, "documents"), "text")
@@ -95,6 +104,12 @@ object StreamQueries {
         |  CAST(list_sum(flatten(list_transform(generate_series(0, CAST(doc_id%32 AS INT)), y ->
         |    list_transform(generate_series(0, CAST(doc_id%48 AS INT)), x ->
         |      (doc_id + 7*x + 13*y) % 256)))) AS BIGINT) AS pix_sum
+        |FROM documents ORDER BY id""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id AS id, CAST(16 AS BIGINT) AS rw, CAST(8 AS BIGINT) AS rh,
+        |  CAST(list_sum(flatten(list_transform(generate_series(0, 7), ty ->
+        |    list_transform(generate_series(0, 15), tx ->
+        |      (doc_id + 7*((tx*(1+doc_id%48))//16) + 13*((ty*(1+doc_id%32))//8)) % 256)))) AS BIGINT) AS pix_sum
         |FROM documents ORDER BY id""".stripMargin,
     "mm_featurize" ->
       """WITH ks AS (SELECT unnest(generate_series(0, 7)) AS k),
