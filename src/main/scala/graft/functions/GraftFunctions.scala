@@ -25,5 +25,17 @@ object GraftFunctions {
       exprs => SimHash30(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_fixed_dot",
       exprs => FixedDot(exprs.head, exprs(1)), "scala_udf")
+    // graft_hyperplane_sig(fx, tables, planes, dims) — LSH band signature
+    reg.createOrReplaceTempFunction("graft_hyperplane_sig",
+      exprs => HyperplaneSig(exprs.head,
+        foldInt(exprs(1)), foldInt(exprs(2)), foldInt(exprs(3))), "scala_udf")
   }
+
+  /** Config args of graft_hyperplane_sig must be integer literals. */
+  private def foldInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_hyperplane_sig expects integer literals for (tables, planes, dims), got $other")
+    }
 }

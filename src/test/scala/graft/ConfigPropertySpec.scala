@@ -48,6 +48,13 @@ class ConfigPropertySpec extends SparkSpec {
       """SELECT doc_id, graft_simhash(graft_shingles(graft_word_hashes(text))) AS sh
         |FROM docs_v ORDER BY doc_id LIMIT 5""".stripMargin).collect()
     assert(r.length == 5 && r.forall(!_.isNullAt(1)))
+    spark.read.parquet(s"$sf001/embeddings.parquet").createOrReplaceTempView("emb_v")
+    val sig = spark.sql(
+      """SELECT vec_id, graft_hyperplane_sig(
+        |    transform(cast(embedding AS array<double>), x -> cast(round(x*1000000) AS bigint)),
+        |    4, 8, 64) AS sig
+        |FROM emb_v ORDER BY vec_id LIMIT 3""".stripMargin).collect()
+    assert(sig.length == 3 && sig.forall(_.getAs[Seq[Long]]("sig").length == 4))
   }
 
   test("property: selector strategies agree on arbitrary inputs (ScalaCheck gens, seeded)") {
