@@ -71,6 +71,22 @@ object StreamQueries {
         .orderBy("bucket_us")
     }),
 
+    // streaming exact dedup: dropDuplicates under the streaming engine;
+    // output projected to content-derived columns (which doc_id survives
+    // depends on arrival order — content identity does not)
+    "stream_dedup" -> ((s, dir) => {
+      StreamOps.dedupOnce(s, dir, Seq("text"), "stream_dedup_q_sink")
+        .select(md5(col("text").cast("binary")).as("h"), col("n_chars"))
+        .orderBy("h")
+    }),
+
+    // stateful streaming sessionize (flatMapGroupsWithState): emits the
+    // CLOSED sessions; each user's tail session remains in state
+    "stream_sessionize" -> ((s, dir) => {
+      StreamOps.sessionizeOnceMem(s, dir, gapMinutes = 30)
+        .orderBy("user_id", "session_idx")
+    }),
+
     // gap-based sessionization, skew-safe two-pass plan ((user, day)
     // pre-split + boundary merge; differential spec proves == single-pass)
     "sessionize" -> ((s, dir) =>
@@ -130,6 +146,28 @@ object StreamQueries {
          |  FROM ev, UNNEST(generate_series(0, 3)) AS u(k))
          |SELECT bucket_us, ${dsumSql("value")} AS day_sum, count(*) AS n
          |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS h, n_chars FROM documents ORDER BY h""",
+    // batch gap-sessions minus each user's LAST session (still open in
+    // the streaming state when the bounded replay ends)
+    "stream_sessionize" ->
+      s"""WITH x AS (
+         |  SELECT user_id, ts, value, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |    THEN 1 ELSE 0 END AS new_s
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |y AS (SELECT user_id, ts, value,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+         |  FROM x),
+         |s AS (SELECT user_id, CAST(sid AS BIGINT) AS session_idx, count(*) AS n_events,
+         |    ${dsumSql("value")} AS sess_sum,
+         |    epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+         |  FROM y GROUP BY 1, 2),
+         |m AS (SELECT user_id, max(session_idx) AS mx FROM s GROUP BY 1)
+         |SELECT s.user_id, s.session_idx, s.n_events, s.sess_sum, s.start_us, s.end_us
+         |FROM s JOIN m USING (user_id) WHERE s.session_idx < m.mx
+         |ORDER BY s.user_id, s.session_idx""".stripMargin,
     "sessionize_native" ->
       s"""WITH x AS (
          |  SELECT user_id, ts, value, event_id,

@@ -101,12 +101,50 @@ object StreamOps {
       java.nio.file.Paths.get(s"$dir/documents.parquet"))
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val src = spark.readStream.schema(schema).parquet(tmp.toString)
-    val q = src.dropDuplicates(keyCols)
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Append())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // see resampleOnceMem: size state partitions to the workload, not CPUs
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = src.dropDuplicates(keyCols)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+    spark.table(sinkName)
+  }
+
+  /** Bounded-replay harness for [[sessionizeStream]]: all events arrive
+    * as ONE MemoryStream batch (the per-batch sort makes the replay
+    * deterministic), the query runs to completion, and the emitted
+    * CLOSED sessions are returned — each user's open tail session stays
+    * in state, which the oracle mirrors with an anti-join on the max
+    * session index. */
+  def sessionizeOnceMem(spark: SparkSession, dir: String, gapMinutes: Long,
+      sinkName: String = "stream_sessionize_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), col("event_id"))
+      .as[(Long, Long, Double, Long)].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double, Long)]
+    ms.addData(recs.toIndexedSeq)
+    val src = ms.toDF().toDF("user_id", "ts_us", "value", "event_id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    // see resampleOnceMem: size state partitions to the workload, not CPUs
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = sessionizeStream(src, gapMinutes)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
     spark.table(sinkName)
   }
 
