@@ -40,6 +40,23 @@ class HashExprSpec extends SparkSpec {
       MH.simhash(MH.shingleHashes(MH.wordHashes(col("text")))))
   }
 
+  test("hyperplane_sig == Similarity's HOF bucket (shared plane indices)") {
+    // tables=1, planes=8 makes HyperplaneSig's single band use plane
+    // indices 0..7 — exactly hyperplaneBuckets' planes, independently
+    // formulated as interpreted HOF Columns over the same PlaneHash
+    // weights; the codegen'd expression must agree bit-for-bit
+    val viaExpr = graft.operators.Similarity
+      .fixedPoint(emb, "vec_id", "embedding")
+      .select(col("id"), element_at(
+        HE.hyperplane_sig(col("fx"), 1, 8, 64), 1).as("band"))
+    val viaHof = graft.operators.Similarity
+      .hyperplaneBuckets(emb, "vec_id", "embedding")
+      .select(col("id"), col("bucket"))
+    val joined = viaExpr.join(viaHof, "id")
+    assert(joined.filter(col("band") =!= col("bucket")).count() == 0)
+    assert(joined.count() == emb.count())
+  }
+
   test("fixed_dot == zip_with/aggregate dot") {
     val fx = emb.select(col("vec_id"),
       transform(col("embedding").cast("array<double>"),
