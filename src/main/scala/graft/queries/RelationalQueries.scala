@@ -337,6 +337,17 @@ object RelationalQueries {
           |ORDER BY 1, 2""".stripMargin)
     }),
 
+    // NOT EXISTS through the SQL frontend — Catalyst rewrites the
+    // correlated existence test into a left-anti hash join
+    "rel_not_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_ne_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_ne_v")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment FROM customer_ne_v c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders_ne_v o WHERE o.o_custkey = c.c_custkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // GROUPING SETS beyond rollup/cube: hand-picked aggregation levels
     "rel_grouping_sets" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs_v")
@@ -530,6 +541,10 @@ object RelationalQueries {
         |  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / count(*)
         |   FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey)
         |ORDER BY 1, 2""".stripMargin,
+    "rel_not_exists" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "rel_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS qty,
