@@ -16,13 +16,27 @@ import org.apache.spark.sql.functions._
   * `Swift.applyExpr` feeds both to the normal K2 probe, so the translation
   * is still VALIDATED on a sample before the vectorized plan is chosen —
   * a translator bug degrades to the UDF path instead of wrong results.
+  * The probe alone can't catch a divergence confined to rows outside the
+  * sample, so the two forms are built as TRUE TWINS on the full double
+  * domain: division and log evaluate raw JVM IEEE-754 (not Spark's
+  * NULL/ANSI-error behavior on zero denominators and non-positive logs),
+  * NULL fields read as NaN on both sides, and comparisons NaN-guard the
+  * Spark ordering (see the member scaladocs).
   *
   * Deliberately tiny: +,-,*,/, unary neg, abs/sqrt/exp/log/pow, and
   * comparisons/boolean logic feeding `If`. Anything outside the language
   * stays a black-box closure and goes through the ordinary probe path.
   */
 sealed trait SwiftExpr {
+  /** Row-at-a-time semantics — plain JVM IEEE-754 double arithmetic. */
   def eval(row: Row): Double
+  /** Columnar twin. MUST agree with [[eval]] on EVERY row, not just the
+    * probe sample: division and log use [[graft.functions.IeeeMath]]
+    * (Spark's built-ins diverge on zero denominators / non-positive log
+    * args — NULL or an ANSI error where the JVM gives ±Inf/NaN), NULL
+    * input fields become NaN in both forms, and comparisons are
+    * NaN-guarded (Spark orders NaN greater than everything; the JVM
+    * compares NaN as false) so `If` picks the same branch. */
   def column: Column
 
   def +(o: SwiftExpr): SwiftExpr = SwiftExpr.Bin(this, o, "+")
@@ -40,9 +54,14 @@ sealed trait SwiftExpr {
 
 object SwiftExpr {
   /** Named numeric input field (read as double, mirroring numpy's
-    * float64 upcast of numeric frames). */
+    * float64 upcast of numeric frames). A NULL value reads as NaN — the
+    * float64 representation pandas itself uses for missing numerics —
+    * identically in both forms, so a nullable column degrades to NaN
+    * arithmetic instead of throwing at probe time (eval) or silently
+    * diverging (column). */
   final case class Fld(name: String) extends SwiftExpr {
     def eval(row: Row): Double = row.getAs[Any](name) match {
+      case null => Double.NaN
       case d: Double => d
       case f: Float => f.toDouble
       case l: Long => l.toDouble
@@ -53,7 +72,10 @@ object SwiftExpr {
       case other => throw new IllegalArgumentException(
         s"non-numeric field $name: $other")
     }
-    def column: Column = col(name).cast("double")
+    def column: Column = {
+      val c = col(name).cast("double")
+      when(c.isNull, lit(Double.NaN)).otherwise(c)
+    }
   }
 
   final case class Num(v: Double) extends SwiftExpr {
@@ -75,7 +97,9 @@ object SwiftExpr {
       case "+" => a.column + b.column
       case "-" => a.column - b.column
       case "*" => a.column * b.column
-      case "/" => a.column / b.column
+      // NOT Spark's `/`: ANSI (Spark 4 default) throws on x/0 and
+      // non-ANSI returns NULL, where eval gives ±Inf/NaN
+      case "/" => graft.functions.IeeeMath.ieee_div(a.column, b.column)
     }
   }
 
@@ -91,9 +115,11 @@ object SwiftExpr {
     }
     def column: Column = f match {
       case "abs" => abs(a.column)
-      case "sqrt" => sqrt(a.column)
+      case "sqrt" => sqrt(a.column) // Spark sqrt(<0) = NaN, same as the JVM
       case "exp" => exp(a.column)
-      case "log" => log(a.column)
+      // NOT Spark's `log`: it returns NULL for x ≤ 0, where Math.log
+      // gives -Inf (x = 0) / NaN (x < 0)
+      case "log" => graft.functions.IeeeMath.ieee_log(a.column)
     }
   }
 
@@ -139,12 +165,20 @@ object SwiftPred {
         case "==" => x == y
       }
     }
-    def column: Column = op match {
-      case "<" => a.column < b.column
-      case "<=" => a.column <= b.column
-      case ">" => a.column > b.column
-      case ">=" => a.column >= b.column
-      case "==" => a.column === b.column
+    def column: Column = {
+      val (ac, bc) = (a.column, b.column)
+      val cmp = op match {
+        case "<" => ac < bc
+        case "<=" => ac <= bc
+        case ">" => ac > bc
+        case ">=" => ac >= bc
+        case "==" => ac === bc
+      }
+      // Spark totally orders NaN above every double (NaN > x, NaN === NaN
+      // are true); the JVM compares NaN as false for ALL of <,<=,>,>=,==.
+      // NaN reaches comparisons through 0/0, log(<0), or a NULL field, so
+      // an unguarded If would pick a different branch than eval.
+      when(isnan(ac) || isnan(bc), lit(false)).otherwise(cmp)
     }
   }
   final case class AndP(a: SwiftPred, b: SwiftPred) extends SwiftPred {
