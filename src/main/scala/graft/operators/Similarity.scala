@@ -95,23 +95,37 @@ object Similarity {
       .select(col("qid"), col("rn"), col("id").as("vec_id"), col("cos"))
   }
 
-  /** IVF-flat ANN: coarse quantizer = the first `nCentroids` vectors by
-    * id (deterministic sampled seeding — the kmeans++-seed step without
-    * Lloyd iterations, which keeps every quantity integer-exact and
-    * oracle-mirrorable); every vector joins the inverted list of its
-    * nearest centroid (exact fixed-point L2), and a query probes the
-    * `nprobe` nearest centroid lists, ranked by exact cosine.
-    *
-    * Plans: centroid assignment is a broadcast of the tiny centroid set
-    * against the corpus (n×C rows, one pass); the search join is an
-    * equi-join on the centroid id — candidates ∝ probed-list sizes,
-    * never |corpus|². At 100 TB: C scales with √n (classic IVF sizing),
-    * lists stay balanced by construction of the quantizer. */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-      isQuery: Column => Column, k: Int,
-      nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
-    val fx = fixedPoint(df, idCol, vecCol).cache()
-    val cents = fx.filter(col("id") < nCentroids)
+  /** Deterministic hash-spread seed rank: the same two-round
+    * multiplicative hash shape as [[graft.functions.PlaneHash]] (the
+    * modular-squaring middle step decorrelates consecutive ids), every
+    * intermediate BIGINT-safe so DuckDB mirrors it exactly. Seeding by
+    * the k LOWEST hash values instead of the k lowest ids matters when
+    * id correlates with content (an id-sorted corpus): first-N-by-id
+    * seeds would all land in one content region and the quantizer
+    * degenerates — hash-spread seeds are uniform over the corpus
+    * regardless of id assignment, equally deterministic/mirrorable. */
+  private def seedHash(id: Column): Column = {
+    val m = graft.functions.PlaneHash.M
+    val h1 = id * 2654435761L % m
+    h1 * h1 % m * 2246822519L % m
+  }
+
+  /** DuckDB mirror of [[seedHash]]. */
+  def seedHashSql(id: String): String = {
+    val m = graft.functions.PlaneHash.M
+    val h1 = s"(($id)*2654435761)%$m"
+    s"(($h1)*($h1))%$m*2246822519%$m"
+  }
+
+  /** Centroid assignment for [[ivfTopK]]: every corpus vector ranked by
+    * exact fixed-point L2 to each of the `nCentroids` hash-spread seed
+    * centroids. Returns (id, cid, crn, fx, nrm) with crn = 1 the owning
+    * list. Exposed for list-balance inspection/specs. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): DataFrame = {
+    val fx = fixedPoint(df, idCol, vecCol)
+    // k lowest (seedHash, id): TakeOrderedAndProject, no full sort
+    val cents = fx.orderBy(seedHash(col("id")), col("id")).limit(nCentroids)
       .select(col("id").as("cid"), col("fx").as("cfx"), col("nrm").as("cnrm"))
     // exact fixed-point L2 to every centroid: ||x||² − 2·x·c + ||c||²
     val scored = fx.crossJoin(broadcast(cents))
@@ -119,10 +133,29 @@ object Similarity {
         col("nrm") - lit(2L) * graft.functions.HashExpressions.fixed_dot(col("fx"), col("cfx"))
           + col("cnrm"))
     val byDist = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
-    val ranked = scored
+    scored
       .withColumn("crn", row_number().over(byDist))
       .select(col("id"), col("cid"), col("crn"), col("fx"), col("nrm"))
-      .cache()
+  }
+
+  /** IVF-flat ANN: coarse quantizer = `nCentroids` hash-spread seed
+    * vectors (see [[seedHash]] — deterministic sampled seeding, the
+    * kmeans++-seed step without Lloyd iterations, which keeps every
+    * quantity integer-exact and oracle-mirrorable); every vector joins
+    * the inverted list of its nearest centroid (exact fixed-point L2),
+    * and a query probes the `nprobe` nearest centroid lists, ranked by
+    * exact cosine.
+    *
+    * Plans: centroid assignment is a broadcast of the tiny centroid set
+    * against the corpus (n×C rows, one pass); the search join is an
+    * equi-join on the centroid id — candidates ∝ probed-list sizes,
+    * never |corpus|². At 100 TB: C scales with √n (classic IVF sizing),
+    * lists stay balanced because the seeds are a uniform draw over the
+    * corpus (see IvfBalanceSpec for the id-correlated adversarial case). */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    val ranked = ivfAssign(df, idCol, vecCol, nCentroids).cache()
     val lists = ranked.filter(col("crn") === 1) // inverted lists
       .select(col("cid"), col("id"), col("fx"), col("nrm"))
     val probes = ranked.filter(isQuery(col("id")) && col("crn") <= nprobe)

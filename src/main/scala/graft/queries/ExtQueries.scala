@@ -235,7 +235,8 @@ object ExtQueries {
          |SELECT id, ${Similarity.bucketSql()} AS bucket FROM n ORDER BY id""".stripMargin,
     "sim_ivf_topk" ->
       s"""WITH $fxCte,
-         |c AS (SELECT id AS cid, fx AS cfx, nrm AS cnrm FROM n WHERE id < 16),
+         |c AS (SELECT id AS cid, fx AS cfx, nrm AS cnrm FROM n
+         |  ORDER BY ${Similarity.seedHashSql("id")}, id LIMIT 16),
          |sc AS (SELECT n.id, c.cid,
          |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c.cfx[i])) AS BIGINT) + c.cnrm AS d2
          |  FROM n, c),
