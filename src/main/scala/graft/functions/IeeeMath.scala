@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -22,8 +22,15 @@ object IeeeMath {
 
   /** `a / b` with raw Java double division: 1/0 → Inf, -1/0 → -Inf,
     * 0/0 → NaN, 1/-0.0 → -Inf (signed zero respected). */
-  case class IeeeDiv(left: Expression, right: Expression) extends BinaryExpression {
+  case class IeeeDiv(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
     override def dataType: DataType = DoubleType
+    // without this, non-double children reach codegen's raw Java `/`
+    // (integer division / ArithmeticException) while interpreted eval
+    // casts to Double — enforce double inputs at analysis time instead
+    // Seq[DataType] (not AbstractDataType, which is private[sql]) — fine
+    // because Seq is covariant and DataType <: AbstractDataType
+    override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
     override protected def withNewChildrenInternal(l: Expression, r: Expression): IeeeDiv =
       copy(l, r)
     override def nullSafeEval(a: Any, b: Any): Any =
@@ -33,8 +40,9 @@ object IeeeMath {
   }
 
   /** `Math.log(x)`: log(0) → -Inf, log(<0) → NaN, log(NaN) → NaN. */
-  case class IeeeLog(child: Expression) extends UnaryExpression {
+  case class IeeeLog(child: Expression) extends UnaryExpression with ExpectsInputTypes {
     override def dataType: DataType = DoubleType
+    override def inputTypes: Seq[DataType] = Seq(DoubleType)
     override protected def withNewChildInternal(c: Expression): IeeeLog = copy(c)
     override def nullSafeEval(x: Any): Any = math.log(x.asInstanceOf[Double])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

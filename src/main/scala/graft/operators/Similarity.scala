@@ -106,24 +106,38 @@ object Similarity {
     * regardless of id assignment, equally deterministic/mirrorable. */
   private def seedHash(id: Column): Column = {
     val m = graft.functions.PlaneHash.M
-    val h1 = id * 2654435761L % m
+    // reduce id mod m BEFORE the multiply: (m-1)*2654435761 ≈ 5.7e18
+    // fits signed 64-bit, whereas raw id*2654435761 overflows for
+    // id ≳ 3.4e9 (ANSI throw / non-ANSI wrap vs DuckDB range error)
+    val h1 = id % m * 2654435761L % m
     h1 * h1 % m * 2246822519L % m
   }
 
   /** DuckDB mirror of [[seedHash]]. */
   def seedHashSql(id: String): String = {
     val m = graft.functions.PlaneHash.M
-    val h1 = s"(($id)*2654435761)%$m"
+    val h1 = s"((($id)%$m)*2654435761)%$m"
     s"(($h1)*($h1))%$m*2246822519%$m"
   }
 
   /** Centroid assignment for [[ivfTopK]]: every corpus vector ranked by
     * exact fixed-point L2 to each of the `nCentroids` hash-spread seed
     * centroids. Returns (id, cid, crn, fx, nrm) with crn = 1 the owning
-    * list. Exposed for list-balance inspection/specs. */
+    * list. Exposed for list-balance inspection/specs.
+    *
+    * If the seed draw lands on two IDENTICAL corpus vectors (duplicates
+    * exist in real corpora — that's what Dedup is for), every vector ties
+    * them on d2 and the lower cid wins, so the higher-cid twin owns an
+    * empty list. Harmless for recall (probes tie the same way); costs one
+    * wasted centroid slot, which √n-scaled nCentroids absorbs. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int): DataFrame = {
-    val fx = fixedPoint(df, idCol, vecCol)
+    // fx feeds two consumers (centroid pick + scoring join). localCheckpoint
+    // (not cache) so the corpus-wide fixed-point transform runs once AND the
+    // blocks are reclaimed by the ContextCleaner when fx goes out of scope —
+    // cache() entries live in the CacheManager until an explicit unpersist,
+    // which no caller here is positioned to issue.
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint()
     // k lowest (seedHash, id): TakeOrderedAndProject, no full sort
     val cents = fx.orderBy(seedHash(col("id")), col("id")).limit(nCentroids)
       .select(col("id").as("cid"), col("fx").as("cfx"), col("nrm").as("cnrm"))

@@ -87,6 +87,14 @@ object StreamQueries {
         .orderBy("user_id", "session_idx")
     }),
 
+    // stateful streaming sessionize with EVENT-TIME state expiry: tails
+    // close via watermark-driven timeout, so the oracle is the FULL batch
+    // sessionization — proving stream==batch AND that state is freed
+    "stream_sessionize_et" -> ((s, dir) => {
+      StreamOps.sessionizeOnceEventTime(s, dir, gapMinutes = 30)
+        .orderBy("user_id", "session_idx")
+    }),
+
     // gap-based sessionization, skew-safe two-pass plan ((user, day)
     // pre-split + boundary merge; differential spec proves == single-pass)
     "sessionize" -> ((s, dir) =>
@@ -168,6 +176,22 @@ object StreamQueries {
          |SELECT s.user_id, s.session_idx, s.n_events, s.sess_sum, s.start_us, s.end_us
          |FROM s JOIN m USING (user_id) WHERE s.session_idx < m.mx
          |ORDER BY s.user_id, s.session_idx""".stripMargin,
+    // every session (tails included — all closed by the sentinel-driven
+    // watermark): the plain batch gap-session result
+    "stream_sessionize_et" ->
+      s"""WITH x AS (
+         |  SELECT user_id, ts, value, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |    THEN 1 ELSE 0 END AS new_s
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |y AS (SELECT user_id, ts, value,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+         |  FROM x)
+         |SELECT user_id, CAST(sid AS BIGINT) AS session_idx, count(*) AS n_events,
+         |  ${dsumSql("value")} AS sess_sum,
+         |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+         |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sessionize_native" ->
       s"""WITH x AS (
          |  SELECT user_id, ts, value, event_id,

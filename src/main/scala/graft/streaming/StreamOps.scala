@@ -148,6 +148,51 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Bounded-replay harness for [[sessionizeStreamEventTime]]: real events
+    * arrive as one batch, then a far-future sentinel event (user_id = -1)
+    * advances the watermark past every open session's timeout, so EVERY
+    * real session is emitted — gap-closed ones by the data path,
+    * open tails by the event-time timeout path — and per-user state is
+    * freed as each timeout fires. The oracle is therefore the FULL batch
+    * sessionization (no open-tail anti-join), which is exactly the
+    * bounded-state claim: stream-with-expiry == batch on a bounded source. */
+  def sessionizeOnceEventTime(spark: SparkSession, dir: String, gapMinutes: Long,
+      sinkName: String = "stream_sessionize_et_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), col("event_id"))
+      .as[(Long, Long, Double, Long)].collect()
+    val maxUs = recs.iterator.map(_._2).max
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double, Long)]
+    ms.addData(recs.toIndexedSeq)
+    val src = ms.toDF().toDF("user_id", "ts_us", "value", "event_id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    // see resampleOnceMem: size state partitions to the workload, not CPUs
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = sessionizeStreamEventTime(src, gapMinutes)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      // two sentinel batches, each a year apart: timeout eviction in batch
+      // N uses the watermark committed by batch N-1, so after the SECOND
+      // sentinel batch every real session's (last event + gap) timeout is
+      // strictly below the eviction watermark (= sentinel 1's ts) and has
+      // deterministically fired — no reliance on the async no-data batch
+      ms.addData(Seq((-1L, maxUs + 365L * 86400L * 1000000L, 0.0, 0L)))
+      q.processAllAvailable()
+      ms.addData(Seq((-1L, maxUs + 2L * 365L * 86400L * 1000000L, 0.0, 1L)))
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+    spark.table(sinkName).filter(col("user_id") >= 0)
+  }
+
   private val sessOut: StructType = StructType(Seq(
     StructField("user_id", LongType),
     StructField("session_idx", LongType),
@@ -183,6 +228,65 @@ object StreamOps {
           }
           state.update(st)
           out.iterator
+        })(Encoders.product[SessState], Encoders.row(sessOut))
+  }
+
+  /** Streaming sessionization with EVENT-TIME state expiry — the
+    * production form of [[sessionizeStream]]. Each data batch updates the
+    * open session and (re)arms an event-time timeout at
+    * `last event + gap`; when the watermark passes that point the session
+    * can no longer be extended by on-time data, so the timeout fires, the
+    * closed session is emitted, and the user's state row is REMOVED.
+    * State is therefore bounded by the number of users active within one
+    * gap+delay horizon of the watermark — an idle user costs nothing —
+    * instead of one open session per ever-seen user forever
+    * (the NoTimeout hazard).
+    *
+    * `delay` is the `withWatermark` lateness allowance; events later than
+    * it may find their session already emitted (standard watermark
+    * semantics, same trade as any event-time streaming aggregation). */
+  def sessionizeStreamEventTime(events: DataFrame, gapMinutes: Long,
+      delay: String = "0 seconds"): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+    val in = events
+      .withWatermark("ts", delay)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), col("event_id"), col("ts"))
+
+    in.groupByKey(_.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessState, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (uid: Long, it: Iterator[Row], state: GroupState[SessState]) => {
+          if (state.hasTimedOut) {
+            // watermark passed last event + gap: no on-time event can
+            // extend this session — emit it closed and FREE the state
+            val st = state.get
+            state.remove()
+            Iterator.single(Row(uid, st.sessIdx, st.n, st.sumMicro / 1e6,
+              st.startUs, st.lastUs))
+          } else {
+            val rows = it.toArray.sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var st = state.getOption.getOrElse(SessState(0L, 0L, 0L, 0L, Long.MinValue))
+            rows.foreach { r =>
+              val ts = r.getAs[Long]("ts_us")
+              val vMicro = math.round(r.getAs[Double]("value") * 1e6)
+              if (st.n == 0) st = SessState(st.sessIdx + 1, 1L, vMicro, ts, ts)
+              else if (ts - st.lastUs > gapUs) {
+                out += Row(uid, st.sessIdx, st.n, st.sumMicro / 1e6, st.startUs, st.lastUs)
+                st = SessState(st.sessIdx + 1, 1L, vMicro, ts, ts)
+              } else st = st.copy(n = st.n + 1, sumMicro = st.sumMicro + vMicro, lastUs = ts)
+            }
+            state.update(st)
+            // (re)arm expiry at last-event + gap (ms — GroupState API unit);
+            // clamp above the current watermark: a group fed only
+            // already-late data would otherwise try to arm in the past,
+            // which GroupState rejects — it then times out next batch
+            state.setTimeoutTimestamp(
+              math.max(st.lastUs / 1000L + gapMs, state.getCurrentWatermarkMs + 1L))
+            out.iterator
+          }
         })(Encoders.product[SessState], Encoders.row(sessOut))
   }
 

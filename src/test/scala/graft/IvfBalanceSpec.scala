@@ -19,12 +19,18 @@ class IvfBalanceSpec extends SparkSpec {
   private val nCentroids = 8
 
   // 64-dim vectors: cluster c occupies dims [16c, 16c+16) at magnitude 5
-  // with a small deterministic per-id jitter — well-separated clusters
+  // with a small deterministic per-id jitter — well-separated clusters.
+  // The jitter period (101) exceeds the per-cluster id range (100) so no
+  // two vectors in a cluster are identical: with a shorter period (an
+  // earlier draft used % 7) the corpus contains exact duplicates, and if
+  // the hash draw seeds two DUPLICATE vectors the later one's list is
+  // legitimately empty (d2 ties at 0, lower cid wins) — that's documented
+  // ivfAssign behavior, not imbalance, and not what this spec probes.
   private lazy val corpus = (0 until nPer * nClusters).map { id =>
     val c = id / nPer
     val v = Array.tabulate(64) { d =>
       val base = if (d >= 16 * c && d < 16 * (c + 1)) 5.0f else 0.0f
-      base + ((id * 31 + d) % 7) * 0.01f
+      base + ((id * 31 + d * 17) % 101) * 0.01f
     }
     (id.toLong, v)
   }.toDF("vec_id", "embedding")

@@ -116,6 +116,50 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(emitted == expectedClosed)
   }
 
+  test("event-time streaming sessionize emits ALL batch sessions (tails close via timeout)") {
+    val batch = Sessionize.sessions(Tables.t(spark, sf001, "events"), 30)
+      .orderBy("user_id", "session_idx").collect()
+    val streamed = StreamOps.sessionizeOnceEventTime(spark, sf001, 30, "sess_et_all_sink")
+      .orderBy("user_id", "session_idx").collect()
+    assert(streamed.sameElements(batch))
+  }
+
+  test("event-time timeout closes an idle user's session and frees its state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double, Long)]
+    val streamDf = mem.toDF().toDF("user_id", "ts", "value", "event_id")
+    val q = StreamOps.sessionizeStreamEventTime(streamDf, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_et_spec_sink")
+      .outputMode(OutputMode.Append()).start()
+    // offset from epoch 0: rows with ts <= the initial watermark (0) are
+    // dropped as late by the stateful operator — an edge only a test that
+    // starts its clock at the epoch would hit
+    def t(min: Long) = new java.sql.Timestamp((1000 + min) * 60000L)
+    // batch 1: both users active; both sessions open afterwards
+    mem.addData(Seq((1L, t(0), 1.0, 1L), (2L, t(5), 2.0, 2L), (1L, t(10), 1.0, 3L)))
+    q.processAllAvailable()
+    assert(spark.table("sess_et_spec_sink").count() == 0)
+    // batch 2+3: user 1 keeps going, user 2 goes idle. Two batches so the
+    // eviction watermark (batch N evicts with batch N-1's watermark)
+    // deterministically passes user 2's last-event+gap timeout.
+    mem.addData(Seq((1L, t(600), 1.0, 4L)))
+    q.processAllAvailable()
+    mem.addData(Seq((1L, t(610), 1.0, 5L)))
+    q.processAllAvailable()
+    val rows = spark.table("sess_et_spec_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // user 1 session 1 closed by the DATA path (gap before t=600);
+    // user 2 session 1 closed by the TIMEOUT path (idle past watermark) —
+    // under NoTimeout it would sit in state forever
+    assert(rows == Set((1L, 1L, 2L), (2L, 1L, 1L)), rows.toString)
+    // state holds exactly ONE row: user 1's open session — user 2's was
+    // removed when its timeout fired
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    assert(stateRows == 1L, s"expected 1 state row, got $stateRows")
+  }
+
   test("streaming dedup matches batch distinct") {
     val deduped = StreamOps.dedupOnce(spark, sf001, Seq("text"), "dedup_spec_sink")
     val batchDistinct = Tables.t(spark, sf001, "documents")
