@@ -42,24 +42,65 @@ object AsOfJoin {
 
   /** Nearest as-of join (pandas merge_asof direction='nearest'): the
     * right row minimizing |rightTs − leftTs|; equal distances resolve to
-    * the backward match. Two window passes over one key shuffle. */
+    * the backward match.
+    *
+    * FUSED plan: one union, then the backward carry (ts asc) and the
+    * forward carry (ts desc) as two window specs over the SAME key-hash
+    * partitioning — Catalyst plans one Exchange feeding two Sort+Window
+    * passes, instead of the two full union+shuffle rounds a
+    * backward-then-forward composition would pay. At scale the shuffle is
+    * the cost; the second in-partition sort is cheap by comparison. */
   def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightVals: Seq[String],
       prefix: String = "asof_", toleranceUs: Option[Long] = None): DataFrame = {
-    val b = backward(left, right, keys, leftTs, rightTs, rightVals, "__b_", toleranceUs)
-    val f = forward(b, right, keys, leftTs, rightTs, rightVals, "__f_", toleranceUs)
+    val leftCols = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTs)
+    val vs = rightVals :+ rightTs // rightTs LAST: tolerance nulling below
+                                  // must see the carried ts un-nulled
+    val l = left.select(
+      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__tag")) ++
+        leftCols.map(col) ++
+        vs.map(v => lit(null).cast(right.schema(v).dataType).as(s"__r_$v")): _*)
+    val r = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__tag")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        vs.map(v => col(v).as(s"__r_$v")): _*)
+    // right rows (__tag 0) sort before left rows at equal __ts under BOTH
+    // orderings, so an exactly-equal right timestamp is carried into both
+    // the backward and the forward match (merge_asof includes equality in
+    // both directions; the tie then resolves backward in chooseB)
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = vs.foldLeft(l.unionByName(r)) { (d, v) =>
+      d.withColumn(s"__b_$v", last(col(s"__r_$v"), ignoreNulls = true).over(wB))
+        .withColumn(s"__f_$v", last(col(s"__r_$v"), ignoreNulls = true).over(wF))
+    }
+    val base = vs.foldLeft(
+      carried.filter(col("__tag") === 1).drop("__tag")
+        .withColumnRenamed("__ts", leftTs)) { (d, v) => d.drop(s"__r_$v") }
     val lt = unix_micros(col(leftTs))
-    val bts = unix_micros(col(s"__b_$rightTs"))
-    val fts = unix_micros(col(s"__f_$rightTs"))
+    val withTol = toleranceUs.fold(base) { tol =>
+      val okB = col(s"__b_$rightTs").isNotNull &&
+        lt - unix_micros(col(s"__b_$rightTs")) <= tol
+      val okF = col(s"__f_$rightTs").isNotNull &&
+        unix_micros(col(s"__f_$rightTs")) - lt <= tol
+      vs.foldLeft(base) { (d, v) =>
+        d.withColumn(s"__b_$v", when(okB, col(s"__b_$v")))
+          .withColumn(s"__f_$v", when(okF, col(s"__f_$v")))
+      }
+    }
     val chooseB = col(s"__b_$rightTs").isNotNull &&
-      (col(s"__f_$rightTs").isNull || (lt - bts) <= (fts - lt))
-    val chosen = (rightVals :+ rightTs).foldLeft(f) { (d, v) =>
+      (col(s"__f_$rightTs").isNull ||
+        lt - unix_micros(col(s"__b_$rightTs")) <=
+          unix_micros(col(s"__f_$rightTs")) - lt)
+    val chosen = vs.foldLeft(withTol) { (d, v) =>
       d.withColumn(s"$prefix$v",
         when(chooseB, col(s"__b_$v")).otherwise(col(s"__f_$v")))
     }
-    (rightVals :+ rightTs).foldLeft(chosen) { (d, v) =>
-      d.drop(s"__b_$v").drop(s"__f_$v")
-    }
+    vs.foldLeft(chosen) { (d, v) => d.drop(s"__b_$v").drop(s"__f_$v") }
   }
 
   private def carry(left: DataFrame, right: DataFrame, keys: Seq[String],

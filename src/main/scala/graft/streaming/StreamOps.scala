@@ -17,6 +17,36 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
+  /** Bench/harness streaming conf, applied around each bounded run:
+    *  - state partitions sized to the key space (see resampleOnceMem);
+    *  - no-data micro-batches OFF — every harness here sequences
+    *    watermark advancement with explicit data batches (the two-sentinel
+    *    pattern in [[sessionizeOnceEventTime]]), so the extra
+    *    watermark-advance batches are pure per-batch state-store overhead;
+    *  - checkpoints on tmpfs when available: the HDFS-backed state store
+    *    fsyncs a delta file per partition per batch, which for a bounded
+    *    replay is measurement noise, not durability anyone needs. */
+  private def withStreamConf[T](spark: SparkSession, parts: String)(body: => T): T = {
+    val conf = spark.conf
+    val oldParts = conf.get("spark.sql.shuffle.partitions")
+    val oldNoData = conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    conf.set("spark.sql.shuffle.partitions", parts)
+    conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try body
+    finally {
+      conf.set("spark.sql.shuffle.partitions", oldParts)
+      conf.set("spark.sql.streaming.noDataMicroBatches.enabled", oldNoData)
+    }
+  }
+
+  /** Fresh checkpoint dir, on tmpfs when the host has one. */
+  private def ckptDir(): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base = if (java.nio.file.Files.isWritable(shm)) shm
+               else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, "graft_ckpt").toString
+  }
+
   /** Streaming resample: tumbling `rule` buckets of `value` sums/counts.
     * Runs the stream to completion over a bounded file source (the test
     * harness pattern) and returns the final result table. */

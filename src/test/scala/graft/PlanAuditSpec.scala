@@ -75,6 +75,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("nearest as-of join fuses both direction carries onto ONE shuffle") {
+    val p = plan("asof_join_near")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // one key-hash Exchange feeding two Sort+Window passes (asc + desc) —
+    // a backward-then-forward composition would shuffle the union twice
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("dedup candidate generation never degenerates to a cross join") {
     val docs = Tables.t(spark, sf001, "documents")
     val emb = Tables.t(spark, sf001, "embeddings")
