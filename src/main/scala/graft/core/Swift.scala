@@ -403,6 +403,20 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
       closed: String = "both"): SwiftRolling =
     SwiftRolling.timed(this, duration, tsCol, partitionBy, closed)
 
+  /** O5 — pandas `rolling(n, on=col)`: the window walks a named data
+    * column instead of the index. (For time windows, [[rollingTime]]'s
+    * `tsCol` IS the `on=` column.) */
+  def rollingOn(window: Int, on: String, partitionBy: Seq[String] = Nil,
+      center: Boolean = false): SwiftRolling =
+    rolling(window, Seq(on), partitionBy, center)
+
+  /** O5 — pandas `rolling(n, win_type=...)`: weighted window mean
+    * (swifter/swifter.py:140-172 passes win_type through). Supported
+    * shapes: triang, boxcar — see [[SwiftRollingWeighted.weights]]. */
+  def rollingWeighted(window: Int, winType: String, orderBy: Seq[String],
+      partitionBy: Seq[String] = Nil): SwiftRollingWeighted =
+    SwiftRollingWeighted.counted(this, window, winType, orderBy, partitionBy)
+
   /** O6 — resample(rule).apply (swifter/swifter.py:174-220,766-824).
     * `rule` is a Spark interval string, e.g. "1 day", "3 minutes". */
   def resample(rule: String, tsCol: String): SwiftResample =

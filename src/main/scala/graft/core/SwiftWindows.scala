@@ -82,6 +82,64 @@ private[core] final class RollingApplyAgg(fn: Seq[Double] => Double)
     org.apache.spark.sql.Encoders.scalaDouble
 }
 
+/** pandas `win_type=` weighted windows (swifter/swifter.py:140-172 passes
+  * win_type through to pandas.rolling): the rolling mean becomes
+  * Σ wₖ·xₖ / Σ wₖ with window-shape weights. Weights are kept as INTEGER
+  * numerators over a common denominator (triang(5) = [1,2,3,2,1]/3 ≡
+  * [2,4,6,4,2]/18) and values move to exact micro-units, so the whole
+  * weighted sum is BIGINT arithmetic — deterministic and bit-for-bit
+  * mirrorable by the DuckDB oracle; only the final mean division is a
+  * single IEEE double op. min_periods defaults to the window size
+  * (pandas: weighted windows require full frames).
+  */
+final class SwiftRollingWeighted(sw: Swift, spec: WindowSpec, window: Int,
+    nums: Seq[Long], minPeriods: Int) {
+
+  def withMin(n: Int): SwiftRollingWeighted =
+    new SwiftRollingWeighted(sw, spec, window, nums, n)
+
+  /** Weighted rolling mean of `valueCol` over the count window. */
+  def mean(valueCol: String, out: String): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    // exact micro-units: DECIMAL(20,6) × 10⁶ is integer-valued, the cast
+    // to BIGINT lossless — every weight·value product and the running sum
+    // stay in exact integer arithmetic
+    val vm = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      * lit(1000000L)).cast("long")
+    val vals = collect_list(vm).over(spec)
+    val prods = zip_with(vals, array(nums.map(lit): _*), (v, wt) => v * wt)
+    val wsum = aggregate(prods, lit(0L), (acc, x) => acc + x)
+    val res = wsum.cast("double") / lit(nums.sum.toDouble * 1000000.0)
+    val n = count(lit(1)).over(spec)
+    sw.df.withColumn(out, when(n >= minPeriods, res))
+  }
+}
+
+object SwiftRollingWeighted {
+  /** Integer weight numerators for a window shape; the common denominator
+    * cancels in the mean. `triang` matches scipy.signal.windows.triang:
+    * numₖ = 2d − |2k − (n−1)| with d = (n+1)/2 (odd n) or n/2 (even n);
+    * `boxcar` is the uniform window (= the unweighted mean). */
+  def weights(n: Int, winType: String): Seq[Long] = winType match {
+    case "triang" =>
+      val d = if (n % 2 == 1) (n + 1) / 2 else n / 2
+      (0 until n).map(k => 2L * d - math.abs(2L * k - (n - 1)))
+    case "boxcar" => Seq.fill(n)(1L)
+    case other =>
+      throw new IllegalArgumentException(
+        s"win_type must be triang|boxcar, got '$other'")
+  }
+
+  def counted(sw: Swift, window: Int, winType: String, orderBy: Seq[String],
+      partitionBy: Seq[String]): SwiftRollingWeighted = {
+    val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
+               else Window.partitionBy()
+    val spec = base.orderBy(orderBy.map(col): _*)
+      .rowsBetween(-(window.toLong - 1), Window.currentRow)
+    new SwiftRollingWeighted(sw, spec, window, weights(window, winType), window)
+  }
+}
+
 object SwiftRolling {
   /** Centered count window `rolling(n, center=True)`: ⌊(n-1)/2⌋ rows
     * before through ⌊n/2⌋ rows after (pandas centering convention).

@@ -54,16 +54,8 @@ object AsOfJoin {
       leftTs: String, rightTs: String, rightVals: Seq[String],
       prefix: String = "asof_", toleranceUs: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTs)
-    val vs = rightVals :+ rightTs // rightTs LAST: tolerance nulling below
-                                  // must see the carried ts un-nulled
-    val l = left.select(
-      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__tag")) ++
-        leftCols.map(col) ++
-        vs.map(v => lit(null).cast(right.schema(v).dataType).as(s"__r_$v")): _*)
-    val r = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__tag")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        vs.map(v => col(v).as(s"__r_$v")): _*)
+    val vs = rightVals :+ rightTs
+    val (l, r) = tagged(left, right, keys, leftTs, rightTs, rightVals)
     // right rows (__tag 0) sort before left rows at equal __ts under BOTH
     // orderings, so an exactly-equal right timestamp is carried into both
     // the backward and the forward match (merge_asof includes equality in
@@ -74,50 +66,61 @@ object AsOfJoin {
     val wF = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").desc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = vs.foldLeft(l.unionByName(r)) { (d, v) =>
-      d.withColumn(s"__b_$v", last(col(s"__r_$v"), ignoreNulls = true).over(wB))
-        .withColumn(s"__f_$v", last(col(s"__r_$v"), ignoreNulls = true).over(wF))
-    }
-    val base = vs.foldLeft(
-      carried.filter(col("__tag") === 1).drop("__tag")
-        .withColumnRenamed("__ts", leftTs)) { (d, v) => d.drop(s"__r_$v") }
+    // ONE struct carried per direction: the matched right row travels as a
+    // unit, so a NULL value field stays attached to ITS row instead of
+    // last(ignoreNulls) back-filling it from an older right row
+    val carried = l.unionByName(r)
+      .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wB))
+      .withColumn("__f", last(col("__r"), ignoreNulls = true).over(wF))
+    val base = carried.filter(col("__tag") === 1)
+      .drop("__tag", "__r")
+      .withColumnRenamed("__ts", leftTs)
     val lt = unix_micros(col(leftTs))
     val withTol = toleranceUs.fold(base) { tol =>
-      val okB = col(s"__b_$rightTs").isNotNull &&
-        lt - unix_micros(col(s"__b_$rightTs")) <= tol
-      val okF = col(s"__f_$rightTs").isNotNull &&
-        unix_micros(col(s"__f_$rightTs")) - lt <= tol
-      vs.foldLeft(base) { (d, v) =>
-        d.withColumn(s"__b_$v", when(okB, col(s"__b_$v")))
-          .withColumn(s"__f_$v", when(okF, col(s"__f_$v")))
-      }
+      val okB = col("__b").getField(rightTs).isNotNull &&
+        lt - unix_micros(col("__b").getField(rightTs)) <= tol
+      val okF = col("__f").getField(rightTs).isNotNull &&
+        unix_micros(col("__f").getField(rightTs)) - lt <= tol
+      base.withColumn("__b", when(okB, col("__b")))
+        .withColumn("__f", when(okF, col("__f")))
     }
-    val chooseB = col(s"__b_$rightTs").isNotNull &&
-      (col(s"__f_$rightTs").isNull ||
-        lt - unix_micros(col(s"__b_$rightTs")) <=
-          unix_micros(col(s"__f_$rightTs")) - lt)
-    val chosen = vs.foldLeft(withTol) { (d, v) =>
-      d.withColumn(s"$prefix$v",
-        when(chooseB, col(s"__b_$v")).otherwise(col(s"__f_$v")))
-    }
-    vs.foldLeft(chosen) { (d, v) => d.drop(s"__b_$v").drop(s"__f_$v") }
+    val bts = col("__b").getField(rightTs)
+    val fts = col("__f").getField(rightTs)
+    val chooseB = bts.isNotNull &&
+      (fts.isNull || lt - unix_micros(bts) <= unix_micros(fts) - lt)
+    withTol
+      .withColumn("__c", when(chooseB, col("__b")).otherwise(col("__f")))
+      .drop("__b", "__f")
+      .select((keys.map(col) :+ col(leftTs)) ++ leftCols.map(col) ++
+        vs.map(v => col("__c").getField(v).as(s"$prefix$v")): _*)
+  }
+
+  /** Union legs for the tag+union+window plan: left rows tagged 1 carrying
+    * a NULL `__r`, right rows tagged 0 carrying their value columns + ts
+    * as ONE `__r` struct (null-safety: see [[nearest]]). */
+  private def tagged(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String]): (DataFrame, DataFrame) = {
+    val leftCols = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTs)
+    val vs = rightVals :+ rightTs
+    val rStructT = org.apache.spark.sql.types.StructType(
+      vs.map(v => org.apache.spark.sql.types.StructField(v, right.schema(v).dataType)))
+    val l = left.select(
+      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__tag")) ++
+        leftCols.map(col) :+
+        lit(null).cast(rStructT).as("__r"): _*)
+    val r = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__tag")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(vs.map(v => col(v).as(v)): _*).as("__r"): _*)
+    (l, r)
   }
 
   private def carry(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightVals: Seq[String],
       prefix: String, forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTs)
-    // union schema: keys ++ __ts ++ __tag ++ leftCols(null on right) ++ rightVals(null on left)
-    val l = left.select(
-      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__tag")) ++
-        leftCols.map(col) ++
-        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(s"$prefix$v")) :+
-        lit(null).cast(right.schema(rightTs).dataType).as(s"$prefix$rightTs"): _*)
-    val r = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__tag")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(v => col(v).as(s"$prefix$v")) :+
-        col(rightTs).as(s"$prefix$rightTs"): _*)
+    val vs = rightVals :+ rightTs
+    val (l, r) = tagged(left, right, keys, leftTs, rightTs, rightVals)
     // right rows (__tag 0) sort before left rows at equal ts, so the
     // carried match includes an exactly-equal timestamp in BOTH
     // directions; descending order makes "preceding" mean ts ≥ t and the
@@ -127,12 +130,12 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (rightVals.map(v => s"$prefix$v") :+ s"$prefix$rightTs").foldLeft(l.unionByName(r)) {
-      (d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1)
-      .drop("__tag")
-      .withColumnRenamed("__ts", leftTs)
+    // the matched right row carried as ONE struct (null-safety: [[nearest]])
+    l.unionByName(r)
+      .withColumn("__rc", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select((keys.map(col) :+ col("__ts").as(leftTs)) ++ leftCols.map(col) ++
+        vs.map(v => col("__rc").getField(v).as(s"$prefix$v")): _*)
   }
 
   /** pandas merge_asof(tolerance=...): null the carried match where its

@@ -136,8 +136,13 @@ object Similarity {
     // (not cache) so the corpus-wide fixed-point transform runs once AND the
     // blocks are reclaimed by the ContextCleaner when fx goes out of scope —
     // cache() entries live in the CacheManager until an explicit unpersist,
-    // which no caller here is positioned to issue.
-    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint()
+    // which no caller here is positioned to issue. LAZY, so building the
+    // plan costs nothing until the caller executes it. Trade-off, noted:
+    // checkpoint blocks are unreplicated, so losing an executor mid-query
+    // fails the job (a retry recomputes from source) — acceptable for a
+    // two-consumer scratch table; a multi-tenant deployment would persist
+    // with MEMORY_AND_DISK_2 + managed unpersist instead.
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
     // k lowest (seedHash, id): TakeOrderedAndProject, no full sort
     val cents = fx.orderBy(seedHash(col("id")), col("id")).limit(nCentroids)
       .select(col("id").as("cid"), col("fx").as("cfx"), col("nrm").as("cnrm"))

@@ -213,6 +213,29 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // O5 — pandas on= kwarg: the count window walks a named data column
+    // (event_id) instead of the index/timestamp order
+    "o5_rolling_on" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rollingOn(3, "event_id", partitionBy = Seq("user_id"))
+        .agg(sum(col("value").cast(DecimalType(20, 6))), "roll_sum", _.cast("double"))
+        .select(col("event_id"), col("roll_sum"))
+        .orderBy("event_id")
+    }),
+
+    // O5 — pandas win_type='triang': weighted rolling mean. Integer weight
+    // numerators × exact micro-unit values keep the whole weighted sum in
+    // BIGINT arithmetic; only the final mean division is one double op,
+    // so DuckDB mirrors it bit-for-bit (lag-sum formulation)
+    "o5_rolling_triang" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rollingWeighted(5, "triang", orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"))
+        .mean("value", "wmean")
+        .select(col("event_id"), col("wmean"))
+        .orderBy("event_id")
+    }),
+
     // O5 — centered rolling window with min_periods (pandas center=True)
     "o5_rolling_center" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -400,6 +423,29 @@ object CoreQueries {
         |  PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS roll_sum
         |FROM events ORDER BY event_id""".stripMargin,
+    "o5_rolling_on" ->
+      """SELECT event_id,
+        |  CASE WHEN count(*) OVER w >= 3
+        |    THEN CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) END AS roll_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // triang(5) numerators [2,4,6,4,2] / 18; vm = value in exact micro-units
+    // (DECIMAL(20,6) × 10⁶ is integer-valued) — the weighted sum is all
+    // BIGINT, the one double op is the final /18000000.0 mean division
+    "o5_rolling_triang" ->
+      """SELECT event_id,
+        |  CASE WHEN count(*) OVER w >= 5 THEN
+        |    CAST(2*lag(vm,4) OVER w2 + 4*lag(vm,3) OVER w2 + 6*lag(vm,2) OVER w2
+        |      + 4*lag(vm,1) OVER w2 + 2*vm AS DOUBLE) / 18000000.0 END AS wmean
+        |FROM (SELECT event_id, user_id, ts,
+        |        CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS vm
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |  w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
     "o5_rolling_center" ->
       """SELECT event_id,
         |  CASE WHEN count(*) OVER w >= 3

@@ -40,11 +40,24 @@ object StreamOps {
   }
 
   /** Fresh checkpoint dir, on tmpfs when the host has one. */
-  private def ckptDir(): String = {
+  private def ckptDir(): java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val base = if (java.nio.file.Files.isWritable(shm)) shm
                else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.createTempDirectory(base, "graft_ckpt").toString
+    java.nio.file.Files.createTempDirectory(base, "graft_ckpt")
+  }
+
+  /** Run `body` with the bounded-replay conf ([[withStreamConf]]) and a
+    * fresh tmpfs checkpoint dir, deleting the checkpoint afterwards —
+    * a bounded harness run has no durability to preserve. */
+  private def withHarnessConf[T](spark: SparkSession, parts: String)(body: String => T): T = {
+    val ckpt = ckptDir()
+    try withStreamConf(spark, parts)(body(ckpt.toString))
+    finally {
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
+      files.reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** Streaming resample: tumbling `rule` buckets of `value` sums/counts.
@@ -68,12 +81,15 @@ object StreamOps {
       .agg(sum(col("value").cast(DecimalType(20, 6))).cast("double").as("day_sum"),
         count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col("day_sum"), col("n"))
-    val q = agg.writeStream
-      .format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Complete())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withHarnessConf(spark, "4") { ckpt =>
+      val q = agg.writeStream
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Complete())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(sinkName)
   }
 
@@ -106,16 +122,15 @@ object StreamOps {
     // is tiny (days), so 32 state partitions are pure overhead — size the
     // state partitioning to the key cardinality, not the CPU count.
     // (Production sizing: state partitions ∝ distinct keys × throughput.)
-    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withHarnessConf(spark, "4") { ckpt =>
       val q = agg.writeStream
         .format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
         .outputMode(OutputMode.Complete())
         .start()
       q.processAllAvailable()
       q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
     spark.table(sinkName)
   }
 
@@ -132,16 +147,15 @@ object StreamOps {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val src = spark.readStream.schema(schema).parquet(tmp.toString)
     // see resampleOnceMem: size state partitions to the workload, not CPUs
-    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withHarnessConf(spark, "4") { ckpt =>
       val q = src.dropDuplicates(keyCols)
         .writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
         .outputMode(OutputMode.Append())
         .start()
       q.processAllAvailable()
       q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
     spark.table(sinkName)
   }
 
@@ -165,16 +179,15 @@ object StreamOps {
     val src = ms.toDF().toDF("user_id", "ts_us", "value", "event_id")
       .withColumn("ts", timestamp_micros(col("ts_us")))
     // see resampleOnceMem: size state partitions to the workload, not CPUs
-    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withHarnessConf(spark, "8") { ckpt =>
       val q = sessionizeStream(src, gapMinutes)
         .writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
         .outputMode(OutputMode.Append())
         .start()
       q.processAllAvailable()
       q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
     spark.table(sinkName)
   }
 
@@ -201,11 +214,10 @@ object StreamOps {
     val src = ms.toDF().toDF("user_id", "ts_us", "value", "event_id")
       .withColumn("ts", timestamp_micros(col("ts_us")))
     // see resampleOnceMem: size state partitions to the workload, not CPUs
-    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withHarnessConf(spark, "8") { ckpt =>
       val q = sessionizeStreamEventTime(src, gapMinutes)
         .writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
         .outputMode(OutputMode.Append())
         .start()
       q.processAllAvailable()
@@ -219,7 +231,7 @@ object StreamOps {
       ms.addData(Seq((-1L, maxUs + 2L * 365L * 86400L * 1000000L, 0.0, 1L)))
       q.processAllAvailable()
       q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
     spark.table(sinkName).filter(col("user_id") >= 0)
   }
 
@@ -274,11 +286,24 @@ object StreamOps {
     *
     * `delay` is the `withWatermark` lateness allowance; events later than
     * it may find their session already emitted (standard watermark
-    * semantics, same trade as any event-time streaming aggregation). */
+    * semantics, same trade as any event-time streaming aggregation).
+    *
+    * Session-counter continuity: emitting a timed-out session does NOT
+    * drop the whole state row — a TOMBSTONE carrying only the session
+    * counter (n = 0) is retained, so a user who returns with on-time data
+    * continues at `session_idx + 1` instead of restarting at 1 (which
+    * would duplicate (user_id, session_idx) keys across state lifetimes
+    * and diverge from the batch numbering). The tombstone expires
+    * `retentionMinutes` after the user's last event, so state stays
+    * bounded by users active within the retention horizon; beyond it the
+    * counter restarts at 1 — (user_id, start_us) is the durable session
+    * key across retention expiries. */
   def sessionizeStreamEventTime(events: DataFrame, gapMinutes: Long,
-      delay: String = "0 seconds"): DataFrame = {
+      delay: String = "0 seconds",
+      retentionMinutes: Long = 30L * 24 * 60): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L
     val gapMs = gapMinutes * 60L * 1000L
+    val retentionMs = retentionMinutes * 60L * 1000L
     val in = events
       .withWatermark("ts", delay)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
@@ -289,12 +314,24 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (uid: Long, it: Iterator[Row], state: GroupState[SessState]) => {
           if (state.hasTimedOut) {
-            // watermark passed last event + gap: no on-time event can
-            // extend this session — emit it closed and FREE the state
             val st = state.get
-            state.remove()
-            Iterator.single(Row(uid, st.sessIdx, st.n, st.sumMicro / 1e6,
-              st.startUs, st.lastUs))
+            if (st.n == 0L) {
+              // a tombstone reached its retention horizon: the user has
+              // been idle for retentionMinutes — free the counter too
+              state.remove()
+              Iterator.empty
+            } else {
+              // watermark passed last event + gap: no on-time event can
+              // extend this session — emit it closed and shrink the state
+              // to a counter-only tombstone (see scaladoc) armed to
+              // expire at last event + retention
+              state.update(SessState(st.sessIdx, 0L, 0L, 0L, st.lastUs))
+              state.setTimeoutTimestamp(math.max(
+                st.lastUs / 1000L + retentionMs,
+                state.getCurrentWatermarkMs + 1L))
+              Iterator.single(Row(uid, st.sessIdx, st.n, st.sumMicro / 1e6,
+                st.startUs, st.lastUs))
+            }
           } else {
             val rows = it.toArray.sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
             val out = scala.collection.mutable.ArrayBuffer.empty[Row]

@@ -153,11 +153,14 @@ class StreamingMultimodalSpec extends SparkSpec {
     // user 2 session 1 closed by the TIMEOUT path (idle past watermark) —
     // under NoTimeout it would sit in state forever
     assert(rows == Set((1L, 1L, 2L), (2L, 1L, 1L)), rows.toString)
-    // state holds exactly ONE row: user 1's open session — user 2's was
-    // removed when its timeout fired
+    // state holds exactly TWO rows: user 1's open session, plus user 2's
+    // counter-only TOMBSTONE (n = 0) left by the timeout eviction so a
+    // returning user 2 continues session_idx (StreamSessionResumeSpec
+    // proves both the resume path and the tombstone's own retention
+    // expiry — the bounded-state guarantee)
     val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
     q.stop()
-    assert(stateRows == 1L, s"expected 1 state row, got $stateRows")
+    assert(stateRows == 2L, s"expected 2 state rows, got $stateRows")
   }
 
   test("streaming dedup matches batch distinct") {
