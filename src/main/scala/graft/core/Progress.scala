@@ -1,7 +1,7 @@
 package graft.core
 
 import java.util.concurrent.atomic.AtomicLong
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** K8 — progress reporting. The reference wires tqdm into the pandas path
@@ -18,8 +18,11 @@ final class ProgressListener(desc: String) extends SparkListener {
   def tasksDone: Long = done.get
   def tasksTotal: Long = total.get
 
-  override def onJobStart(js: SparkListenerJobStart): Unit = {
-    total.addAndGet(js.stageInfos.map(_.numTasks.toLong).sum)
+  // totals from stage SUBMISSION, not job start: a job's stageInfos
+  // include stages AQE later skips (shuffle reuse) — counting those
+  // announces tasks that never run and the bar never reaches 100%
+  override def onStageSubmitted(ss: SparkListenerStageSubmitted): Unit = {
+    total.addAndGet(ss.stageInfo.numTasks.toLong)
     render()
   }
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {

@@ -87,6 +87,8 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
   def forceParallel(b: Boolean = true): Swift = withCfg(cfg.copy(forceParallel = b))
   def sampleSize(n: Int): Swift = withCfg(cfg.copy(sampleSize = n))
   def sampleSeed(n: Long): Swift = withCfg(cfg.copy(sampleSeed = n))
+  /** K6 — pandas `convert_dtype=` (see [[SwiftConfig.convertDtype]]). */
+  def convertDtype(b: Boolean): Swift = withCfg(cfg.copy(convertDtype = b))
 
   /** Row count, needed by the K3 cost model. For file sources Spark
     * answers count() from footer metadata + columnar batch counts — no
@@ -226,15 +228,21 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
     shapeResult(base, out, resultType)
   }
 
-  private def applyRowsRaw(out: String, rowFn: Row => Any,
+  private def applyRowsRaw(out: String, rawRowFn: Row => Any,
       vectorized: Option[Column], outType: Option[DataType]): DataFrame = {
+    // K6 convert_dtype=False with no declared type: no inference — the
+    // result is an opaque string rendering (pandas object-dtype analog)
+    val opaque = !cfg.convertDtype && outType.isEmpty
+    val rowFn: Row => Any =
+      if (!opaque) rawRowFn
+      else r => { val v = rawRowFn(r); if (v == null) null else v.toString }
     if (nrows == 0) {
-      val dt = outType.getOrElse(NullType)
+      val dt = outType.getOrElse(if (opaque) StringType else NullType)
       return finish(mapRowsDistributed(df, out, rowFn, dt), SwiftStrategy.Parallel)
     }
     val sample = sampleRows()
     val oracle: Seq[Any] = Progress.suppressed { sample.toSeq.map(rowFn) }
-    val dt = outType.getOrElse(TypeInfer.of(oracle))
+    val dt = outType.getOrElse(if (opaque) StringType else TypeInfer.of(oracle))
 
     if (cfg.forceParallel)
       return finish(mapRowsDistributed(df, out, rowFn, dt), SwiftStrategy.Parallel)

@@ -40,7 +40,15 @@ final case class SwiftConfig(
     localMaxRows: Long = 100000L,
     /** O4 — groupBy stays local at or below this many rows (reference
       * GROUPBY_MAX_ROWS_PANDAS_DEFAULT=5000, swifter/swifter.py:31). */
-    groupbyLocalMaxRows: Long = 5000L
+    groupbyLocalMaxRows: Long = 5000L,
+    /** K6 — pandas `Series.apply(convert_dtype=)`
+      * (swifter/swifter.py:287, pandas passthrough at 225-237). True
+      * (default): infer the result DataType from the probe sample. False:
+      * skip inference — an explicitly declared type is used as-is, and an
+      * undeclared dynamic result becomes an opaque STRING column (the
+      * Spark analog of pandas leaving dtype=object: values keep a
+      * faithful rendering, the engine makes no typing guess). */
+    convertDtype: Boolean = true
 )
 
 /** The physical strategy the selector (SURVEY.md §2.2) committed to. */

@@ -232,6 +232,13 @@ object SwiftRolling {
   * rule)` tumbling windows (= pandas fixed-frequency bins, label=left);
   * built-in reducers stay native aggregates with map-side partials, and
   * arbitrary functions go through `flatMapGroups` on the bucket.
+  *
+  * Deliberately ABSENT resample kwargs (the reference forwards them but
+  * pandas itself deprecated/removed all three): `loffset` (removed in
+  * pandas 2.0 — shift the OUTPUT's `bucket` column instead), `kind`
+  * (removed — the bucket label is always a timestamp here; cast it for a
+  * period-like view) and `convention` (deprecated — only affected
+  * upsampling from period indexes, which this engine does not model).
   */
 final class SwiftResample(sw: Swift, rule: String, tsCol: String,
     label: String = "left", offsetMicros: Long = 0L,

@@ -141,13 +141,21 @@ object Dedup {
     * the deterministic test embeddings at tau=0.45, T=150×P=8 recovers
     * 7/7 (sf0.001), 14/14 (sf0.01) and 143/144 (sf0.1) of the exhaustive
     * pairs — the miss is the single pair at cos 0.45010, right at the
-    * threshold. At higher n, scale T with ln(n) to hold recall (the
-    * classic n^(1+ρ) LSH tradeoff, ρ≈0.63 at tau=0.45). */
+    * threshold.
+    *
+    * `tables = 0` (the default) AUTO-SIZES the table count with corpus
+    * growth: T = [[autoTables]](df.count()) — the T ∝ ln n rule from
+    * SCALING.md (the classic n^(1+ρ) LSH tradeoff, ρ≈0.63 at tau=0.45),
+    * anchored at the measured T=150 @ n=5000 point. Pass an explicit T
+    * to pin it — the oracled `dedup_embedding` query does (its DuckDB
+    * mirror is static SQL), and so should any job that must be
+    * bit-reproducible across corpus sizes. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-      tau: Double, tables: Int = 150, planesPerBand: Int = 8,
+      tau: Double, tables: Int = 0, planesPerBand: Int = 8,
       dims: Int = 64): DataFrame = {
+    val t = if (tables > 0) tables else autoTables(df.count())
     val docs = Similarity.fixedPoint(df, idCol, vecCol)
-      .withColumn("sig", hyperplane_sig(col("fx"), tables, planesPerBand, dims))
+      .withColumn("sig", hyperplane_sig(col("fx"), t, planesPerBand, dims))
       .cache()
     val ex = docs.select(col("id"), posexplode(col("sig")).as(Seq("bi", "bv")))
     val cand = ex.as("x").join(ex.as("y"),
@@ -162,6 +170,18 @@ object Dedup {
       .filter(col("cos") >= tau)
       .select("va", "vb", "cos")
   }
+
+  /** LSH table count for corpus size n: T = ⌈c·ln n⌉, anchored so the
+    * measured full-recall point is reproduced at its own scale
+    * (T=150 @ n=500 → c = 150/ln 500 ≈ 24.2; measurement: a
+    * threshold-adjacent pair at cos 0.45010 needs ≥~150 tables at P=8),
+    * floored at 64 so tiny corpora keep band diversity. Recall is
+    * MONOTONE in T — table t's planes are a prefix-stable series, so a
+    * larger T strictly adds candidate buckets — which makes the ln-rule
+    * safe to extrapolate upward. One count() job — cheap next to the
+    * signature pass it sizes. */
+  def autoTables(n: Long): Int =
+    math.max(64, math.ceil(24.2 * math.log(math.max(n, 2L).toDouble)).toInt)
 
   /** Connected components over near-dup PAIRS — the dedup finisher: a
     * duplicate cluster is the transitive closure of pairwise matches, and
@@ -197,6 +217,75 @@ object Dedup {
       i += 1
     }
     labels
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contractions (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the at-scale finisher [[clusters]]'s scaladoc promises:
+    * converges in O(log² n) rounds REGARDLESS of component diameter,
+    * where plain min-label propagation needs diameter-many rounds.
+    *
+    *  - large-star: every node's strictly-LARGER neighbors re-attach to
+    *    the minimum of its closed neighborhood — one equi-join of the
+    *    edge list with the per-node min (a groupBy), emit (v, m) for
+    *    v > u;
+    *  - small-star: the smaller-or-equal neighbors and the node itself
+    *    re-attach to that minimum.
+    *
+    * Each round is the same shuffle shape as one [[clusters]] round
+    * (groupBy min + equi-join on the node id); the win is round COUNT.
+    * Convergence is detected by an order-insensitive edge-set checksum
+    * (count + sum of per-edge hashes — exact set equality would cost a
+    * join; a 64-bit sum collision is negligible) and the result labeled
+    * like [[clusters]]: (n, l) with l the component minimum.
+    *
+    * [[clusters]] (fixed rounds, DuckDB-unrollable) remains the
+    * oracle-mirrored mode; this is the production path for graphs whose
+    * diameter is unknown — e.g. chained near-dup clusters at 100 TB. */
+  def clustersConverged(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    // per-node minimum of the closed neighborhood Γ(u) ∪ {u}
+    def minMap(e: DataFrame): DataFrame =
+      e.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+    def checksum(e: DataFrame): (Long, String) = {
+      // hash sum in DECIMAL(38,0): a long sum of 64-bit hashes overflows
+      // (ANSI throw)
+      val r = e.filter(col("u") < col("v"))
+        .agg(count(lit(1)),
+          sum(xxhash64(col("u"), col("v"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+    val half = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    var e = sym(half).localCheckpoint(true)
+    var prev = checksum(e)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val mL = minMap(e)
+      val large = e.join(mL, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      e = sym(large).localCheckpoint(true)
+      val mS = minMap(e)
+      val small = e.join(mS, "u").filter(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mS.select(col("u"), col("m").as("v")))
+      e = sym(small).localCheckpoint(true)
+      val cur = checksum(e)
+      done = cur == prev
+      prev = cur
+      round += 1
+    }
+    require(done, s"star contraction did not converge in $maxRounds rounds")
+    // at the fixed point every component is a star around its minimum:
+    // l(n) = min(n, min neighbor)
+    e.groupBy(col("u").as("n")).agg(min(col("v")).as("mv"))
+      .select(col("n"), least(col("n"), col("mv")).as("l"))
   }
 
   /** Exhaustive embedding near-dup pairs: all-pairs cross join with exact

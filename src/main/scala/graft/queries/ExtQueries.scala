@@ -24,6 +24,27 @@ object ExtQueries {
   private val LSH_PLANES = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- approximate aggregates ----
+    // HLL++ count-distinct and the GK quantile sketch aren't
+    // oracle-mirrorable bit-for-bit, so the query emits the EXACT
+    // aggregates (DuckDB-mirrored) plus integer error-bound flags the
+    // sketch must satisfy — a wrong sketch flips a flag and fails the
+    // hash compare. Both sketches are deterministic on fixed input
+    // (hash-based, no RNG), so the flags are stable across runs.
+    "approx_aggs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.agg(
+        countDistinct(col("l_partkey")).as("exact_nd"),
+        approx_count_distinct(col("l_partkey")).as("__acd"),
+        expr("percentile(l_extendedprice, 0.5D)").as("__p50_exact"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__p50"))
+        .select(col("exact_nd"),
+          (abs(col("__acd") - col("exact_nd")) / col("exact_nd") < 0.05)
+            .cast("int").as("acd_ok"),
+          (abs(col("__p50") - col("__p50_exact")) / col("__p50_exact") < 0.02)
+            .cast("int").as("p50_ok"))
+    }),
+
     // ---- text analysis ----
     "text_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
@@ -60,7 +81,9 @@ object ExtQueries {
         .select(col("n").as("id"), col("l").as("cluster"))
         .orderBy("id")),
     "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", COS_TAU)
+      // T pinned (not auto-sized): the DuckDB mirror is static SQL
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", COS_TAU,
+        tables = LSH_TABLES)
         .orderBy("va", "vb")),
     "dedup_embedding_exact" -> ((s, dir) =>
       Dedup.embeddingPairsExact(t(s, dir, "embeddings"), "vec_id", "embedding", COS_TAU)
@@ -93,6 +116,11 @@ object ExtQueries {
        |n AS (SELECT id, fx, ${Similarity.nrmSql} AS nrm FROM f)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // the exact column is mirrored; the _ok flags assert the sketches'
+    // error bounds, which the oracle pins at their expected value 1
+    "approx_aggs" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_nd,
+        |  1 AS acd_ok, 1 AS p50_ok FROM lineitem""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id AS id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re

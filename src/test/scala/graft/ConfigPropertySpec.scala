@@ -29,6 +29,25 @@ class ConfigPropertySpec extends SparkSpec {
     assert(sw.lastStrategy == SwiftStrategy.Parallel)
   }
 
+  test("K6: convert_dtype=False leaves the dynamic result as opaque strings") {
+    val d = (1 to 40).map(i => (i.toLong, i * 1.0)).toDF("id", "x")
+    // default (convert_dtype=True): runtime Long results → inferred LongType
+    val inferred = Swift(d).applyRows("y") { r => r.getAs[Double]("x").toLong * 2 }
+    assert(inferred.schema("y").dataType == org.apache.spark.sql.types.LongType)
+    // convert_dtype=False, no declared type: no inference — opaque string
+    // rendering (the pandas dtype=object analog)
+    val opaque = Swift(d).convertDtype(false)
+      .applyRows("y") { r => r.getAs[Double]("x").toLong * 2 }
+    assert(opaque.schema("y").dataType == org.apache.spark.sql.types.StringType)
+    assert(opaque.orderBy("id").select("y").as[String].collect().toSeq ==
+      (1 to 40).map(i => (i.toLong * 2).toString))
+    // convert_dtype=False + declared type: declared wins, no stringifying
+    val declared = Swift(d).convertDtype(false)
+      .applyRows("y")(r => r.getAs[Double]("x").toLong * 2,
+        outType = Some(org.apache.spark.sql.types.LongType))
+    assert(declared.schema("y").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("K7: probe runs execute the function with output suppressed") {
     val d = (1 to 3000).map(i => (i.toLong, i * 1.0)).toDF("id", "x")
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)

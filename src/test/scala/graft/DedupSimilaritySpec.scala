@@ -76,6 +76,36 @@ class DedupSimilaritySpec extends SparkSpec {
       7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L))
   }
 
+  test("star contraction converges on a long path that fixed rounds leave unmerged") {
+    import spark.implicits._
+    // a 24-node path: diameter 23 >> the 4 fixed propagation rounds
+    val path = (0L until 23L).map(i => (i, i + 1)).toDF("da", "db")
+    val fixed = Dedup.clusters(path, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fixed-round propagation is honest about its limit: far nodes have
+    // NOT reached label 0 yet
+    assert(fixed.values.toSet.size > 1, fixed.toString)
+    val star = Dedup.clustersConverged(path, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == (0L to 23L).map(_ -> 0L).toMap, star.toString)
+  }
+
+  test("star contraction == fixed-round propagation on converged inputs") {
+    import spark.implicits._
+    // random sparse graph with small components (the near-dup regime):
+    // both algorithms must produce identical labelings
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("da", "db")
+    val fixed = Dedup.clusters(pairs, "da", "db", iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.clustersConverged(pairs, "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == fixed, s"star=$star fixed=$fixed")
+  }
+
   test("IVF topk: k rows per query, descending cosine") {
     val t3 = Similarity.ivfTopK(emb, "vec_id", "embedding", _ < 3, 3).cache()
     assert(t3.groupBy("qid").count().filter(col("count") =!= 3).count() == 0)
@@ -95,5 +125,22 @@ class DedupSimilaritySpec extends SparkSpec {
     // Dedup.embeddingPairs scaladoc for the tuning story at other scales
     assert(exact.nonEmpty)
     assert(lsh == exact)
+  }
+
+  test("auto-sized LSH tables (T ∝ ln n) hold full recall at two scales") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the default tables=0 path sizes T from df.count(); both corpus
+    // scales must keep recall == the exhaustive brute force
+    Seq(emb, spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"))
+      .foreach { e =>
+        val n = e.count()
+        val t = graft.operators.Dedup.autoTables(n)
+        assert(t >= 64 && t <= 256, s"autoTables($n) = $t out of expected range")
+        val exact = pairs(Dedup.embeddingPairsExact(e, "vec_id", "embedding", 0.45))
+        val auto = pairs(Dedup.embeddingPairs(e, "vec_id", "embedding", 0.45))
+        assert(exact.nonEmpty)
+        assert(auto == exact, s"n=$n T=$t missing=${exact -- auto} extra=${auto -- exact}")
+      }
   }
 }
