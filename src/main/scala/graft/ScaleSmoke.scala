@@ -72,6 +72,18 @@ object ScaleSmoke {
       d.unpersist()
     }
 
+    // Star-contraction vs fixed-round propagation on a LONG-DIAMETER
+    // graph: a 20k-node path (diameter 20k). Fixed rounds would need
+    // diameter-many iterations; large-star/small-star must close it in
+    // O(log² n) rounds — the property that makes it the 100 TB finisher.
+    import spark.implicits._
+    val path = spark.range(0, 20000).select(col("id").as("da"), (col("id") + 1).as("db"))
+    time("clusters_star_contraction 20k-node path (diameter 20k)") {
+      val labels = graft.operators.Dedup.clustersConverged(path.toDF, "da", "db")
+      val distinct = labels.select("l").distinct().count()
+      require(distinct == 1L, s"expected 1 component, got $distinct")
+    }
+
     // Skew-safe sessionize under a deliberately hot key: all events
     // collapsed onto one user (the single-pass plan's worst case).
     val ev = graft.queries.Tables.t(spark, "/root/testdata/sf0.1", "events")

@@ -310,6 +310,17 @@ object RelationalQueries {
         .orderBy("doc_id")
     }),
 
+    // Generator / UDTF surface: posexplode = LATERAL VIEW with ordinal —
+    // one row per token with its position (Spark's Generate operator,
+    // DuckDB's UNNEST WITH ORDINALITY). Filter keeps output bounded.
+    "rel_explode" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("word"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // Plain-SQL frontend: the engine's surface is also reachable via
     // spark.sql over registered views
     "rel_sql_api" -> ((s, dir) => {
@@ -535,6 +546,12 @@ object RelationalQueries {
         |  ws[-1] AS last_w,
         |  CAST(len(list_distinct(ws)) AS BIGINT) AS nd
         |FROM w ORDER BY doc_id""".stripMargin,
+    "rel_explode" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents WHERE doc_id % 50 = 0)
+        |SELECT doc_id, CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos,
+        |  unnest(ws) AS word
+        |FROM w ORDER BY doc_id, pos""".stripMargin,
     "rel_correlated" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem l1
         |WHERE l_extendedprice >
