@@ -195,7 +195,12 @@ object Dedup {
     * plan (edge⋈label equi-join + min groupBy) is identical. */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
       iters: Int = 4): DataFrame = {
+    // checkpoint the pair list BEFORE symmetrizing: the union references
+    // it twice, which would run the whole upstream candidate pipeline
+    // (LSH/Jaccard joins) twice inside one job (measured ~2.3s of
+    // dedup_clusters' 5.8s at sf0.1)
     val half = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .localCheckpoint(true)
     // eager localCheckpoint: each round references the previous labels
     // TWICE (union + join), so without lineage truncation the plan tree
     // doubles per round — 2^iters recomputations of the whole upstream
@@ -261,7 +266,10 @@ object Dedup {
             .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
       (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
     }
+    // checkpoint before sym(): see [[clusters]] — the union would run the
+    // upstream pair pipeline twice otherwise
     val half = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .localCheckpoint(true)
     var e = sym(half).localCheckpoint(true)
     var prev = checksum(e)
     var round = 0
