@@ -79,7 +79,7 @@ object ScaleSmoke {
     import spark.implicits._
     val path = spark.range(0, 20000).select(col("id").as("da"), (col("id") + 1).as("db"))
     time("clusters_star_contraction 20k-node path (diameter 20k)") {
-      val labels = graft.operators.Dedup.clustersConverged(path.toDF, "da", "db")
+      val labels = graft.operators.Dedup.clustersConverged(path.toDF(), "da", "db")
       val distinct = labels.select("l").distinct().count()
       require(distinct == 1L, s"expected 1 component, got $distinct")
     }

@@ -263,7 +263,7 @@ object Dedup {
       val r = e.filter(col("u") < col("v"))
         .agg(count(lit(1)),
           sum(xxhash64(col("u"), col("v"))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
       (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
     }
     // checkpoint before sym(): see [[clusters]] — the union would run the

@@ -328,7 +328,7 @@ object StreamOps {
               state.update(SessState(st.sessIdx, 0L, 0L, 0L, st.lastUs))
               state.setTimeoutTimestamp(math.max(
                 st.lastUs / 1000L + retentionMs,
-                state.getCurrentWatermarkMs + 1L))
+                state.getCurrentWatermarkMs() + 1L))
               Iterator.single(Row(uid, st.sessIdx, st.n, st.sumMicro / 1e6,
                 st.startUs, st.lastUs))
             }
@@ -351,7 +351,7 @@ object StreamOps {
             // already-late data would otherwise try to arm in the past,
             // which GroupState rejects — it then times out next batch
             state.setTimeoutTimestamp(
-              math.max(st.lastUs / 1000L + gapMs, state.getCurrentWatermarkMs + 1L))
+              math.max(st.lastUs / 1000L + gapMs, state.getCurrentWatermarkMs() + 1L))
             out.iterator
           }
         })(Encoders.product[SessState], Encoders.row(sessOut))
