@@ -19,7 +19,8 @@ object ExtQueries {
   private val JACCARD_TAU = 0.6
   private val SIMHASH_HD = 4
   private val COS_TAU = 0.45
-  // embedding-LSH config; must match Dedup.embeddingPairs defaults
+  // embedding-LSH config, PINNED for the static DuckDB mirror (the
+  // operator itself defaults to auto-sized tables — Dedup.autoTables)
   private val LSH_TABLES = 150
   private val LSH_PLANES = 8
 

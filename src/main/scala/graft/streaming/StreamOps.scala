@@ -55,8 +55,11 @@ object StreamOps {
     try withStreamConf(spark, parts)(body(ckpt.toString))
     finally {
       import scala.jdk.CollectionConverters._
-      val files = java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
-      files.reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+      val walk = java.nio.file.Files.walk(ckpt)
+      try {
+        val files = walk.iterator().asScala.toSeq
+        files.reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
     }
   }
 
