@@ -95,6 +95,15 @@ object StreamQueries {
         .orderBy("user_id", "session_idx")
     }),
 
+    // NATIVE streaming sessionization: Spark's built-in session_window
+    // operator under readStream (engine-managed state merge + watermark
+    // eviction) — every session closed by the sentinel-driven watermark,
+    // so the oracle is the full batch session_window result
+    "stream_sessionize_native" -> ((s, dir) => {
+      StreamOps.sessionizeOnceNative(s, dir, gapMinutes = 30)
+        .orderBy("user_id", "start_us")
+    }),
+
     // gap-based sessionization, skew-safe two-pass plan ((user, day)
     // pre-split + boundary merge; differential spec proves == single-pass)
     "sessionize" -> ((s, dir) =>
@@ -192,6 +201,22 @@ object StreamQueries {
          |  ${dsumSql("value")} AS sess_sum,
          |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
          |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // identical to sessionize_native: the streaming engine must produce
+    // exactly the batch session_window result once all sessions close
+    "stream_sessionize_native" ->
+      s"""WITH x AS (
+         |  SELECT user_id, ts, value, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+         |    THEN 1 ELSE 0 END AS new_s
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |y AS (SELECT user_id, ts, value,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+         |  FROM x)
+         |SELECT user_id, epoch_us(min(ts)) AS start_us,
+         |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us,
+         |  count(*) AS n_events, ${dsumSql("value")} AS sess_sum
+         |FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     "sessionize_native" ->
       s"""WITH x AS (
          |  SELECT user_id, ts, value, event_id,

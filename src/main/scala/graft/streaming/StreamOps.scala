@@ -238,6 +238,53 @@ object StreamOps {
     spark.table(sinkName).filter(col("user_id") >= 0)
   }
 
+  /** Native `session_window` sessionization under Structured Streaming —
+    * Spark's built-in streaming session operator (state merging, gap
+    * extension and watermark eviction all inside the engine), the twin of
+    * the batch `sessionize_native` query. Append mode emits a session
+    * once the watermark passes its end (= last event + gap); the
+    * two-sentinel pattern (see [[sessionizeOnceEventTime]]) closes every
+    * real session deterministically, so the oracle is the FULL batch
+    * session_window result. */
+  def sessionizeOnceNative(spark: SparkSession, dir: String, gapMinutes: Long,
+      sinkName: String = "stream_sessionize_native_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), col("event_id"))
+      .as[(Long, Long, Double, Long)].collect()
+    val maxUs = recs.iterator.map(_._2).max
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double, Long)]
+    ms.addData(recs.toIndexedSeq)
+    val src = ms.toDF().toDF("user_id", "ts_us", "value", "event_id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val agg = src
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(20, 6))).cast("double").as("sess_sum"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("sess_sum"))
+    withHarnessConf(spark, "8") { ckpt =>
+      val q = agg.writeStream
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      ms.addData(Seq((-1L, maxUs + 365L * 86400L * 1000000L, 0.0, 0L)))
+      q.processAllAvailable()
+      ms.addData(Seq((-1L, maxUs + 2L * 365L * 86400L * 1000000L, 0.0, 1L)))
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName).filter(col("user_id") >= 0)
+  }
+
   private val sessOut: StructType = StructType(Seq(
     StructField("user_id", LongType),
     StructField("session_idx", LongType),
