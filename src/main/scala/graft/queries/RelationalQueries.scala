@@ -310,6 +310,26 @@ object RelationalQueries {
         .orderBy("doc_id")
     }),
 
+    // Source/sink surface under the oracle: parquet → CSV sink → CSV
+    // source must reproduce the rows exactly (header + explicit schema
+    // on read — the production pattern; inference is a schema gamble)
+    "src_csv_roundtrip" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      n.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(n.schema).option("header", "true").csv(out)
+        .orderBy("n_nationkey")
+    }),
+
+    // parquet → JSON-lines sink → JSON source, same exactness contract
+    "src_json_roundtrip" -> ((s, dir) => {
+      val r = t(s, dir, "region").select("r_regionkey", "r_name")
+      val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+      r.write.mode("overwrite").json(out)
+      s.read.schema(r.schema).json(out)
+        .orderBy("r_regionkey")
+    }),
+
     // Generator / UDTF surface: posexplode = LATERAL VIEW with ordinal —
     // one row per token with its position (Spark's Generate operator,
     // DuckDB's UNNEST WITH ORDINALITY). Filter keeps output bounded.
@@ -546,6 +566,11 @@ object RelationalQueries {
         |  ws[-1] AS last_w,
         |  CAST(len(list_distinct(ws)) AS BIGINT) AS nd
         |FROM w ORDER BY doc_id""".stripMargin,
+    "src_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "src_json_roundtrip" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
     "rel_explode" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents WHERE doc_id % 50 = 0)
