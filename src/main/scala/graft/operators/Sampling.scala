@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-independent sampling for training pipelines:
+  * reproducible subsets, train/val/test splits and stratified draws at
+  * 100 TB — all PURE FILTERS over a row-id hash.
+  *
+  * Why not `df.sample()` / `sampleBy()`: Spark's samplers are seeded per
+  * PARTITION, so the selected set changes with partitioning, file
+  * layout, and AQE decisions — a re-run of the "same" 1% draw on a
+  * recompacted table yields different rows. Membership here is a pure
+  * function of the row id: stable across runs, engines, cluster sizes
+  * and table layouts (the property a train/val split must have — a row
+  * must never migrate from val to train when files compact).
+  *
+  * Plan shape: one codegen'd arithmetic filter — no shuffle, no state;
+  * composes with scan pruning. The hash is the repo's standard two-round
+  * multiplicative form with a modular-squaring middle step (see
+  * [[graft.functions.PlaneHash]]) — every intermediate BIGINT-safe, so
+  * the DuckDB oracle mirrors membership bit-for-bit. The final multiplier
+  * differs from the IVF seed hash so sampling decisions are decorrelated
+  * from quantizer seeding.
+  */
+object Sampling {
+
+  val M: Long = graft.functions.PlaneHash.M // 2^31 − 1 (prime)
+
+  /** Uniform hash of a row id into [0, M): h2(h1(id)²) with h1, h2
+    * multiplicative rounds mod M. Reduce mod M BEFORE multiplying —
+    * (M−1)·3266489917 ≈ 7.0e18 fits signed 64-bit, a raw 64-bit id
+    * would overflow (ANSI throw vs DuckDB range error). */
+  def rowHash(id: Column): Column = {
+    val h1 = id % M * 2654435761L % M
+    h1 * h1 % M * 3266489917L % M
+  }
+
+  /** DuckDB mirror of [[rowHash]]. */
+  def rowHashSql(id: String): String = {
+    val h1 = s"((($id)%$M)*2654435761)%$M"
+    s"(($h1)*($h1))%$M*3266489917%$M"
+  }
+
+  /** Hash threshold selecting a `fraction` share of [0, M). */
+  def threshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    math.floor(fraction * M).toLong
+  }
+
+  /** Deterministic `fraction` sample: rows with hash(id) < fraction·M.
+    * Reproducible membership — the same id is always in or always out. */
+  def deterministic(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(rowHash(col(idCol)) < threshold(fraction))
+
+  /** Reproducible split labels by consecutive hash ranges: `weights`
+    * (summing to 1) and `labels` of equal length; every row gets exactly
+    * one label — disjoint and exhaustive by construction. */
+  def split(df: DataFrame, idCol: String, weights: Seq[Double],
+      labels: Seq[String], out: String = "split"): DataFrame = {
+    require(weights.length == labels.length && weights.nonEmpty,
+      "weights and labels must align")
+    require(math.abs(weights.sum - 1.0) < 1e-9, s"weights sum ${weights.sum} != 1")
+    val cuts = weights.scanLeft(0.0)(_ + _).tail.map(threshold) // cumulative
+    val h = rowHash(col(idCol))
+    // last bucket catches the remainder so coverage is exhaustive even
+    // with floor rounding on the cuts
+    val expr0 = labels.init.zip(cuts.init).foldRight(lit(labels.last)) {
+      case ((lbl, cut), rest) => when(h < cut, lbl).otherwise(rest)
+    }
+    df.withColumn(out, expr0)
+  }
+
+  /** Stratified deterministic sample: a per-stratum fraction (with a
+    * default for unlisted strata), membership still a pure function of
+    * the row id — strata only pick the threshold. */
+  def stratified(df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[Long, Double], default: Double = 0.0): DataFrame = {
+    val h = rowHash(col(idCol))
+    val thr = fractions.toSeq.sortBy(_._1).foldRight(lit(threshold(default))) {
+      case ((k, f), rest) => when(col(strataCol) === k, lit(threshold(f))).otherwise(rest)
+    }
+    df.filter(h < thr)
+  }
+}
