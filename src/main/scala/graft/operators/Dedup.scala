@@ -146,7 +146,7 @@ object Dedup {
     * `tables = 0` (the default) AUTO-SIZES the table count with corpus
     * growth: T = [[autoTables]](df.count()) — the T ∝ ln n rule from
     * SCALING.md (the classic n^(1+ρ) LSH tradeoff, ρ≈0.63 at tau=0.45),
-    * anchored at the measured T=150 @ n=5000 point. Pass an explicit T
+    * anchored at the measured T=150 @ n=500 point. Pass an explicit T
     * to pin it — the oracled `dedup_embedding` query does (its DuckDB
     * mirror is static SQL), and so should any job that must be
     * bit-reproducible across corpus sizes. */

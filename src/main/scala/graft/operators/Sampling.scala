@@ -73,9 +73,12 @@ object Sampling {
 
   /** Stratified deterministic sample: a per-stratum fraction (with a
     * default for unlisted strata), membership still a pure function of
-    * the row id — strata only pick the threshold. */
+    * the row id — strata only pick the threshold. `default = 0.0` means
+    * an unlisted stratum contributes NOTHING (threshold 0 excludes every
+    * hash), not "pass through" — pass `default = 1.0` to keep unlisted
+    * strata whole. */
   def stratified(df: DataFrame, idCol: String, strataCol: String,
-      fractions: Map[Long, Double], default: Double = 0.0): DataFrame = {
+      fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
     val h = rowHash(col(idCol))
     val thr = fractions.toSeq.sortBy(_._1).foldRight(lit(threshold(default))) {
       case ((k, f), rest) => when(col(strataCol) === k, lit(threshold(f))).otherwise(rest)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.MirrorHash
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** Training-data-pipeline extension queries (north star in BASELINE.json):
@@ -17,6 +17,12 @@ object ExtQueries {
   import MirrorHash.{P, wordHashesSql, shingleHashesSql, minhashSql, simhashSql, simhashBandsSql, bandsSql, minhashSigSql, fingerprintSql}
 
   private val JACCARD_TAU = 0.6
+  // deterministic-sampling query config (mirrored literally in the oracle)
+  private val SAMPLE_FRAC = 0.3
+  private val SPLIT_WEIGHTS = Seq(0.8, 0.1, 0.1)
+  private val SPLIT_LABELS = Seq("train", "val", "test")
+  private val STRAT_FRACTIONS = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.2)
+  private val STRAT_DEFAULT = 0.1
   private val SIMHASH_HD = 4
   private val COS_TAU = 0.45
   // embedding-LSH config, PINNED for the static DuckDB mirror (the
@@ -87,6 +93,15 @@ object ExtQueries {
           "da", "db")
         .select(col("n").as("id"), col("l").as("cluster"))
         .orderBy("id")),
+    "dedup_clusters_conv" -> ((s, dir) =>
+      // the PRODUCTION finisher (large-star/small-star contraction, runs
+      // to convergence) — oracle = recursive min-propagation to fixed
+      // point, which converges to the same component minima
+      Dedup.clustersConverged(
+          Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", JACCARD_TAU),
+          "da", "db")
+        .select(col("n").as("id"), col("l").as("cluster"))
+        .orderBy("id")),
     "dedup_embedding" -> ((s, dir) =>
       // T pinned (not auto-sized): the DuckDB mirror is static SQL
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", COS_TAU,
@@ -95,6 +110,21 @@ object ExtQueries {
     "dedup_embedding_exact" -> ((s, dir) =>
       Dedup.embeddingPairsExact(t(s, dir, "embeddings"), "vec_id", "embedding", COS_TAU)
         .orderBy("va", "vb")),
+
+    // ---- deterministic sampling / splits (Sampling.scala: membership is
+    // a pure function of the row-id hash — invariant under partitioning,
+    // file layout and cluster size, unlike Spark's per-partition-seeded
+    // df.sample; SamplingSpec proves the invariance) ----
+    "sample_det" -> ((s, dir) =>
+      Sampling.deterministic(t(s, dir, "documents"), "doc_id", SAMPLE_FRAC)
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
+    "sample_split" -> ((s, dir) =>
+      Sampling.split(t(s, dir, "documents"), "doc_id", SPLIT_WEIGHTS, SPLIT_LABELS)
+        .select(col("doc_id"), col("split")).orderBy("doc_id")),
+    "sample_strat" -> ((s, dir) =>
+      Sampling.stratified(t(s, dir, "documents"), "doc_id", "source",
+          STRAT_FRACTIONS, STRAT_DEFAULT)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")),
 
     // ---- similarity search ----
     "sim_topk_brute" -> ((s, dir) =>
@@ -197,6 +227,24 @@ object ExtQueries {
          |$levels
          |SELECT n AS id, l AS cluster FROM l$iters ORDER BY id""".stripMargin
     },
+    // star contraction converges to the true component minima, which is
+    // exactly what recursive min-propagation (transitive closure over the
+    // symmetrized edges + group min) converges to — no round unrolling
+    "dedup_clusters_conv" ->
+      s"""WITH RECURSIVE $distinctShingleCte,
+         |ex AS (SELECT id, nd, unnest(ds) AS h FROM d),
+         |pr AS (
+         |  SELECT a.id AS da, b.id AS db, count(*) AS common,
+         |    any_value(a.nd) AS na, any_value(b.nd) AS nb
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
+         |jp AS (SELECT da, db FROM pr WHERE common/(na+nb-common) >= $JACCARD_TAU),
+         |ed AS (SELECT da AS u, db AS v FROM jp UNION ALL SELECT db AS u, da AS v FROM jp),
+         |reach(n, m) AS (
+         |  SELECT u, v FROM ed
+         |  UNION
+         |  SELECT r.n, ed.v FROM reach r JOIN ed ON r.m = ed.u)
+         |SELECT n AS id, least(n, min(m)) AS cluster FROM reach
+         |GROUP BY n ORDER BY id""".stripMargin,
     "dedup_minhash_sig" -> {
       val cols = (0 until MirrorHash.NUM_PERMS)
         .map(j => s"${minhashSql("ds", j)} AS mh$j").mkString(", ")
@@ -255,6 +303,29 @@ object ExtQueries {
          |FROM n a JOIN n b ON a.id < b.id
          |WHERE ${Similarity.cosineSql("a.fx", "b.fx", "a.nrm", "b.nrm")} >= $COS_TAU
          |ORDER BY va, vb""".stripMargin,
+
+    // sampling mirrors: the same Scala code (rowHashSql / threshold)
+    // generates both engines' arithmetic, so membership is bit-identical
+    "sample_det" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE ${Sampling.rowHashSql("doc_id")} < ${Sampling.threshold(SAMPLE_FRAC)}
+         |ORDER BY doc_id""".stripMargin,
+    "sample_split" -> {
+      val cuts = SPLIT_WEIGHTS.scanLeft(0.0)(_ + _).tail.map(Sampling.threshold)
+      val cases = SPLIT_LABELS.init.zip(cuts.init)
+        .map { case (l, c) => s"WHEN ${Sampling.rowHashSql("doc_id")} < $c THEN '$l'" }
+        .mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE '${SPLIT_LABELS.last}' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "sample_strat" -> {
+      val cases = STRAT_FRACTIONS.toSeq.sortBy(_._1)
+        .map { case (k, f) => s"WHEN '$k' THEN ${Sampling.threshold(f)}" }.mkString(" ")
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${Sampling.rowHashSql("doc_id")}
+         |  < CASE source $cases ELSE ${Sampling.threshold(STRAT_DEFAULT)} END
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "sim_topk_brute" ->
       s"""WITH $fxCte,

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic sampling (Sampling.scala): membership must be a pure
+  * function of the row id — THE design property (a row must never migrate
+  * between train and val when files compact or the cluster resizes), and
+  * the reason the operator exists instead of df.sample (whose
+  * per-partition seeding changes the selected set with layout). */
+class SamplingSpec extends SparkSpec {
+
+  private def docs = graft.queries.Tables.t(spark, sf001, "documents")
+
+  test("deterministic: membership invariant under repartitioning") {
+    val base = Sampling.deterministic(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(base.nonEmpty && base.length < docs.count())
+    Seq(1, 7, 32).foreach { k =>
+      val re = Sampling.deterministic(docs.repartition(k), "doc_id", 0.3)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(re.sameElements(base), s"membership changed at repartition($k)")
+    }
+  }
+
+  test("deterministic: fraction 0 selects nothing, 1 selects everything") {
+    assert(Sampling.deterministic(docs, "doc_id", 0.0).count() === 0L)
+    assert(Sampling.deterministic(docs, "doc_id", 1.0).count() === docs.count())
+  }
+
+  test("split: disjoint, exhaustive, and invariant under repartitioning") {
+    val w = Seq(0.8, 0.1, 0.1)
+    val l = Seq("train", "val", "test")
+    val s1 = Sampling.split(docs, "doc_id", w, l)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    // exhaustive: every row got exactly one label (withColumn keeps rows)
+    assert(s1.length === docs.count())
+    assert(s1.map(_._2).toSet.subsetOf(l.toSet))
+    // the majority bucket should dominate on 50 rows at 80%
+    val byLabel = s1.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLabel("train") > byLabel.getOrElse("val", 0))
+    val s2 = Sampling.split(docs.repartition(13), "doc_id", w, l)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(s2.sameElements(s1), "split labels changed under repartition(13)")
+  }
+
+  test("stratified: unlisted stratum with default=0.0 yields ZERO rows") {
+    // default is a THRESHOLD fraction, not pass-through: 0.0 excludes
+    // every hash, so strata absent from the map contribute nothing
+    val out = Sampling.stratified(docs, "doc_id", "source",
+      Map("src0" -> 1.0), default = 0.0)
+    val srcs = out.select("source").distinct().collect().map(_.getString(0))
+    assert(srcs.toSet === Set("src0"))
+    // and the listed stratum at fraction 1.0 survives whole
+    val src0Total = docs.filter(col("source") === "src0").count()
+    assert(out.count() === src0Total)
+  }
+
+  test("stratified: per-stratum thresholds compose with the id hash") {
+    val out = Sampling.stratified(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.4), default = 0.0)
+    val perSrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src1Total = docs.filter(col("source") === "src1").count()
+    assert(perSrc.getOrElse("src1", 0L) < src1Total,
+      "fraction 0.4 should subsample the stratum")
+    // membership within a stratum equals the plain deterministic draw
+    // restricted to that stratum — strata only pick the threshold
+    val direct = Sampling.deterministic(
+        docs.filter(col("source") === "src1"), "doc_id", 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val strat = out.filter(col("source") === "src1")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(strat.sameElements(direct))
+  }
+}
