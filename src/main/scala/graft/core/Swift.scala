@@ -420,10 +420,11 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
 
   /** O5 — pandas `rolling(n, win_type=...)`: weighted window mean
     * (swifter/swifter.py:140-172 passes win_type through). Supported
-    * shapes: triang, boxcar — see [[SwiftRollingWeighted.weights]]. */
+    * shapes: triang, boxcar, gaussian (`std` is the gaussian width, the
+    * scipy `.mean(std=)` parameter) — see [[SwiftRollingWeighted.weights]]. */
   def rollingWeighted(window: Int, winType: String, orderBy: Seq[String],
-      partitionBy: Seq[String] = Nil): SwiftRollingWeighted =
-    SwiftRollingWeighted.counted(this, window, winType, orderBy, partitionBy)
+      partitionBy: Seq[String] = Nil, std: Double = 0.0): SwiftRollingWeighted =
+    SwiftRollingWeighted.counted(this, window, winType, orderBy, partitionBy, std)
 
   /** O6 — resample(rule).apply (swifter/swifter.py:174-220,766-824).
     * `rule` is a Spark interval string, e.g. "1 day", "3 minutes". */

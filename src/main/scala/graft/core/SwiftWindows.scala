@@ -119,24 +119,37 @@ object SwiftRollingWeighted {
   /** Integer weight numerators for a window shape; the common denominator
     * cancels in the mean. `triang` matches scipy.signal.windows.triang:
     * numₖ = 2d − |2k − (n−1)| with d = (n+1)/2 (odd n) or n/2 (even n);
-    * `boxcar` is the uniform window (= the unweighted mean). */
-  def weights(n: Int, winType: String): Seq[Long] = winType match {
+    * `boxcar` is the uniform window (= the unweighted mean); `gaussian`
+    * (the first irrational-weight shape) is scipy.signal.windows.gaussian
+    * wₖ = exp(−½((k−(n−1)/2)/std)²) QUANTIZED to micro-weights
+    * round(wₖ·10⁶) — the weighted sum stays pure BIGINT (same fixed-point
+    * trick as the values), so the DuckDB mirror built from the SAME Longs
+    * is bit-exact. Disclosed divergence from pandas: the 10⁻⁶ weight
+    * quantization (≤ 1e-6 relative on the mean) — pandas' own float
+    * weights aren't cross-engine reproducible at all. */
+  def weights(n: Int, winType: String, std: Double = 0.0): Seq[Long] = winType match {
     case "triang" =>
       val d = if (n % 2 == 1) (n + 1) / 2 else n / 2
       (0 until n).map(k => 2L * d - math.abs(2L * k - (n - 1)))
     case "boxcar" => Seq.fill(n)(1L)
+    case "gaussian" =>
+      require(std > 0, s"win_type=gaussian needs std > 0, got $std")
+      (0 until n).map { k =>
+        val z = (k - (n - 1) / 2.0) / std
+        math.round(math.exp(-0.5 * z * z) * 1e6)
+      }
     case other =>
       throw new IllegalArgumentException(
-        s"win_type must be triang|boxcar, got '$other'")
+        s"win_type must be triang|boxcar|gaussian, got '$other'")
   }
 
   def counted(sw: Swift, window: Int, winType: String, orderBy: Seq[String],
-      partitionBy: Seq[String]): SwiftRollingWeighted = {
+      partitionBy: Seq[String], std: Double = 0.0): SwiftRollingWeighted = {
     val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
                else Window.partitionBy()
     val spec = base.orderBy(orderBy.map(col): _*)
       .rowsBetween(-(window.toLong - 1), Window.currentRow)
-    new SwiftRollingWeighted(sw, spec, window, weights(window, winType), window)
+    new SwiftRollingWeighted(sw, spec, window, weights(window, winType, std), window)
   }
 }
 

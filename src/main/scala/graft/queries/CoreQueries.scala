@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.core.{ResultType, Swift}
+import graft.core.{ResultType, Swift, SwiftRollingWeighted}
 import Tables._
 
 /** Declared queries for the reference's accelerated surface — O1..O6 and
@@ -236,6 +236,19 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // O5 — pandas win_type='gaussian', std=2 (first irrational-weight
+    // shape): weights quantized to micro-weight integers round(wₖ·10⁶),
+    // so weighted sum stays BIGINT and the oracle (built from the SAME
+    // Longs) is bit-exact; see SwiftRollingWeighted.weights
+    "o5_rolling_gauss" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rollingWeighted(5, "gaussian", orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"), std = 2.0)
+        .mean("value", "wmean")
+        .select(col("event_id"), col("wmean"))
+        .orderBy("event_id")
+    }),
+
     // O5 — centered rolling window with min_periods (pandas center=True)
     "o5_rolling_center" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -446,6 +459,25 @@ object CoreQueries {
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
         |  w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    // gaussian(5, std=2) micro-weight numerators, generated from the SAME
+    // SwiftRollingWeighted.weights call the Spark query uses — the lag-sum
+    // is all BIGINT; the single double op is the final mean division
+    "o5_rolling_gauss" -> {
+      val gw = SwiftRollingWeighted.weights(5, "gaussian", 2.0)
+      val terms = gw.zipWithIndex.map { case (w, k) =>
+        if (k == gw.length - 1) s"$w*vm" else s"$w*lag(vm,${gw.length - 1 - k}) OVER w2"
+      }.mkString(" + ")
+      s"""SELECT event_id,
+         |  CASE WHEN count(*) OVER w >= 5 THEN
+         |    CAST($terms AS DOUBLE) / ${gw.sum}000000.0 END AS wmean
+         |FROM (SELECT event_id, user_id, ts,
+         |        CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS vm
+         |      FROM events)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |  w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY event_id""".stripMargin
+    },
     "o5_rolling_center" ->
       """SELECT event_id,
         |  CASE WHEN count(*) OVER w >= 3
