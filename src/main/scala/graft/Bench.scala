@@ -37,7 +37,10 @@ object Bench {
     // would let Catalyst prune the computed projections away. A failed
     // query records -1, NOT its elapsed time: a crash must never read as
     // a fast success in the bench JSON.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -49,10 +52,19 @@ object Bench {
       }
     }
     val failed = results.count(_._2 < 0)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4 decimals (0.1 ms) keeps the line short — the stdout tail capture
+    // has truncated ~30 entries in past rounds
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // belt and braces for the stdout scrape: also land the JSON in a file
+    // (driver or human can read bench_out.json when the tail truncates)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -119,7 +119,7 @@ class StreamingMultimodalSpec extends SparkSpec {
   test("event-time streaming sessionize emits ALL batch sessions (tails close via timeout)") {
     val batch = Sessionize.sessions(Tables.t(spark, sf001, "events"), 30)
       .orderBy("user_id", "session_idx").collect()
-    val streamed = StreamOps.sessionizeOnceEventTime(spark, sf001, 30, "sess_et_all_sink")
+    val streamed = StreamOps.sessionizeOnceEventTime(spark, sf001, 30)
       .orderBy("user_id", "session_idx").collect()
     assert(streamed.sameElements(batch))
   }
