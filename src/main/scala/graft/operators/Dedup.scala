@@ -201,12 +201,14 @@ object Dedup {
     // dedup_clusters' 5.8s at sf0.1)
     val half = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .localCheckpoint(true)
-    // eager localCheckpoint: each round references the previous labels
-    // TWICE (union + join), so without lineage truncation the plan tree
-    // doubles per round — 2^iters recomputations of the whole upstream
-    // pair pipeline (measured 158s for 8 rounds at sf0.1; seconds when truncated)
+    // each round references the previous labels TWICE (union + join), so
+    // without lineage truncation the plan tree doubles per round —
+    // 2^iters recomputations of the whole upstream pair pipeline
+    // (measured 158s for 8 rounds at sf0.1; seconds when truncated).
+    // edges itself is NOT checkpointed: it is a cheap union over the
+    // checkpointed half's blocks, so re-deriving it per reference costs
+    // less than the extra eager checkpoint job
     val edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
     var labels = edges.select(col("u").as("n")).distinct()
       .select(col("n"), col("n").as("l"))
       .localCheckpoint(true)
@@ -278,9 +280,14 @@ object Dedup {
       val mL = minMap(e)
       val large = e.join(mL, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-      e = sym(large).localCheckpoint(true)
-      val mS = minMap(e)
-      val small = e.join(mS, "u").filter(col("v") <= col("u"))
+      // only the post-small-star edge set is checkpointed: the large-star
+      // intermediate is referenced twice (minMap + join) but its lineage
+      // is one round deep off the previous checkpoint, so the bounded
+      // double-recompute of tiny frames costs less than an extra eager
+      // checkpoint job per round
+      val eL = sym(large)
+      val mS = minMap(eL)
+      val small = eL.join(mS, "u").filter(col("v") <= col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(mS.select(col("u"), col("m").as("v")))
       e = sym(small).localCheckpoint(true)
