@@ -72,6 +72,35 @@ object ScaleSmoke {
       d.unpersist()
     }
 
+    // Auto-T recall at a THIRD scale: 4× the sf0.1 corpus (8000 vectors)
+    // with per-copy dimension ROTATION. Rotation preserves within-copy
+    // pairwise dot products — each copy contributes the same
+    // near-threshold pair structure as the measured 143/144 sf0.1 point —
+    // but the hyperplane weights are indexed by absolute dimension, so
+    // every copy faces a fresh LSH draw; cross-copy pairs are
+    // uncorrelated extras counted in both sides. Turns the T = ⌈24.2·ln n⌉
+    // upward extrapolation (Dedup.autoTables) into a measured point.
+    val emb4 = (0 until 4).map { k =>
+      emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+        expr(s"transform(sequence(0, 63), i -> element_at(embedding, CAST((i + ${16 * k}) % 64 AS INT) + 1))")
+          .as("embedding"))
+    }.reduce(_ union _).repartition(32).cache()
+    emb4.count()
+    time(s"embedding auto-T recall x4 (8000 vecs, T=${graft.operators.Dedup.autoTables(8000)})") {
+      val lsh = graft.operators.Dedup.embeddingPairs(emb4, "vec_id", "embedding", 0.45)
+        .select("va", "vb")
+      val exact = graft.operators.Dedup
+        .embeddingPairsExact(emb4, "vec_id", "embedding", 0.45)
+        .select("va", "vb").cache()
+      val nExact = exact.count()
+      val nHit = exact.join(lsh, Seq("va", "vb"), "left_semi").count()
+      println(s"auto-T recall: $nHit/$nExact")
+      require(nHit.toDouble / nExact >= 143.0 / 144.0,
+        s"auto-T recall $nHit/$nExact below the measured 143/144 sf0.1 level")
+      exact.unpersist()
+    }
+    emb4.unpersist()
+
     // Star-contraction vs fixed-round propagation on a LONG-DIAMETER
     // graph: a 20k-node path (diameter 20k). Fixed rounds would need
     // diameter-many iterations; large-star/small-star must close it in
