@@ -119,14 +119,15 @@ object SwiftRollingWeighted {
   /** Integer weight numerators for a window shape; the common denominator
     * cancels in the mean. `triang` matches scipy.signal.windows.triang:
     * numₖ = 2d − |2k − (n−1)| with d = (n+1)/2 (odd n) or n/2 (even n);
-    * `boxcar` is the uniform window (= the unweighted mean); `gaussian`
-    * (the first irrational-weight shape) is scipy.signal.windows.gaussian
-    * wₖ = exp(−½((k−(n−1)/2)/std)²) QUANTIZED to micro-weights
-    * round(wₖ·10⁶) — the weighted sum stays pure BIGINT (same fixed-point
-    * trick as the values), so the DuckDB mirror built from the SAME Longs
-    * is bit-exact. Disclosed divergence from pandas: the 10⁻⁶ weight
-    * quantization (≤ 1e-6 relative on the mean) — pandas' own float
-    * weights aren't cross-engine reproducible at all. */
+    * `boxcar` is the uniform window (= the unweighted mean). The
+    * irrational-weight scipy shapes — `gaussian`
+    * wₖ = exp(−½((k−(n−1)/2)/std)²), `hamming`, `blackman` — are
+    * QUANTIZED to micro-weights round(wₖ·10⁶): the weighted sum stays
+    * pure BIGINT (same fixed-point trick as the values), so the DuckDB
+    * mirror built from the SAME Longs is bit-exact. Disclosed divergence
+    * from pandas: the 10⁻⁶ weight quantization (≤ 1e-6 relative on the
+    * mean) — pandas' own float weights aren't cross-engine reproducible
+    * at all. */
   def weights(n: Int, winType: String, std: Double = 0.0): Seq[Long] = winType match {
     case "triang" =>
       val d = if (n % 2 == 1) (n + 1) / 2 else n / 2
@@ -138,9 +139,18 @@ object SwiftRollingWeighted {
         val z = (k - (n - 1) / 2.0) / std
         math.round(math.exp(-0.5 * z * z) * 1e6)
       }
+    case "hamming" => // scipy: 0.54 − 0.46·cos(2πk/(n−1)), micro-quantized
+      (0 until n).map { k =>
+        math.round((0.54 - 0.46 * math.cos(2 * math.Pi * k / (n - 1))) * 1e6)
+      }
+    case "blackman" => // scipy 3-term: 0.42 − 0.5·cos + 0.08·cos(2·), micro-quantized
+      (0 until n).map { k =>
+        val t = 2 * math.Pi * k / (n - 1)
+        math.round((0.42 - 0.5 * math.cos(t) + 0.08 * math.cos(2 * t)) * 1e6)
+      }
     case other =>
       throw new IllegalArgumentException(
-        s"win_type must be triang|boxcar|gaussian, got '$other'")
+        s"win_type must be triang|boxcar|gaussian|hamming|blackman, got '$other'")
   }
 
   def counted(sw: Swift, window: Int, winType: String, orderBy: Seq[String],

@@ -71,6 +71,16 @@ object Sampling {
     df.withColumn(out, expr0)
   }
 
+  /** Deterministic EXACT-k sample: the k rows with the smallest id hash
+    * (id as tiebreak). The hash order is a fixed uniform permutation of
+    * the ids, so the selected set is reproducible across runs, layouts
+    * and engines — and growing k only ADDS rows (prefix property), the
+    * analog of extending a sample without resampling. Plan: one
+    * TakeOrderedAndProject (per-partition top-k + merge) — no full sort,
+    * no shuffle of unselected rows. */
+  def deterministicK(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.orderBy(rowHash(col(idCol)), col(idCol)).limit(k)
+
   /** Stratified deterministic sample: a per-stratum fraction (with a
     * default for unlisted strata), membership still a pure function of
     * the row id — strata only pick the threshold. `default = 0.0` means

@@ -27,6 +27,28 @@ object CoreQueries {
   private[queries] val interpMedianD: Seq[Double] => Double =
     xs => interpMedian(xs).asInstanceOf[Double]
 
+  /** Weighted-rolling oracle for any micro-weight numerator sequence: the
+    * lag-sum of weight × micro-unit-value products is all BIGINT,
+    * min_periods = full frame (pandas weighted-window convention), and
+    * the one double op is the final mean division — mirroring
+    * [[graft.core.SwiftRollingWeighted.mean]] bit-for-bit. */
+  private def weightedRollingOracle(nums: Seq[Long]): String = {
+    val n = nums.length
+    val terms = nums.zipWithIndex.map { case (w, k) =>
+      if (k == n - 1) s"$w*vm" else s"$w*lag(vm,${n - 1 - k}) OVER w2"
+    }.mkString(" + ")
+    s"""SELECT event_id,
+       |  CASE WHEN count(*) OVER w >= $n THEN
+       |    CAST($terms AS DOUBLE) / ${nums.sum}000000.0 END AS wmean
+       |FROM (SELECT event_id, user_id, ts,
+       |        CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS vm
+       |      FROM events)
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW),
+       |  w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY event_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O1 — Series apply, vectorizable (K2 probe accepts the Column form)
     "o1_apply_vec" -> ((s, dir) => {
@@ -249,6 +271,17 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // O5 — pandas win_type='hamming' (scipy cosine-sum window), same
+    // micro-weight quantization as gaussian, window 7
+    "o5_rolling_hamming" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rollingWeighted(7, "hamming", orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"))
+        .mean("value", "wmean")
+        .select(col("event_id"), col("wmean"))
+        .orderBy("event_id")
+    }),
+
     // O5 — centered rolling window with min_periods (pandas center=True)
     "o5_rolling_center" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -459,25 +492,13 @@ object CoreQueries {
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
         |  w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
-    // gaussian(5, std=2) micro-weight numerators, generated from the SAME
-    // SwiftRollingWeighted.weights call the Spark query uses — the lag-sum
-    // is all BIGINT; the single double op is the final mean division
-    "o5_rolling_gauss" -> {
-      val gw = SwiftRollingWeighted.weights(5, "gaussian", 2.0)
-      val terms = gw.zipWithIndex.map { case (w, k) =>
-        if (k == gw.length - 1) s"$w*vm" else s"$w*lag(vm,${gw.length - 1 - k}) OVER w2"
-      }.mkString(" + ")
-      s"""SELECT event_id,
-         |  CASE WHEN count(*) OVER w >= 5 THEN
-         |    CAST($terms AS DOUBLE) / ${gw.sum}000000.0 END AS wmean
-         |FROM (SELECT event_id, user_id, ts,
-         |        CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS vm
-         |      FROM events)
-         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
-         |  w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
-         |ORDER BY event_id""".stripMargin
-    },
+    // micro-weight numerators generated from the SAME
+    // SwiftRollingWeighted.weights calls the Spark queries use — the
+    // lag-sum is all BIGINT; the single double op is the mean division
+    "o5_rolling_gauss" ->
+      weightedRollingOracle(SwiftRollingWeighted.weights(5, "gaussian", 2.0)),
+    "o5_rolling_hamming" ->
+      weightedRollingOracle(SwiftRollingWeighted.weights(7, "hamming")),
     "o5_rolling_center" ->
       """SELECT event_id,
         |  CASE WHEN count(*) OVER w >= 3

@@ -23,6 +23,7 @@ object ExtQueries {
   private val SPLIT_LABELS = Seq("train", "val", "test")
   private val STRAT_FRACTIONS = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.2)
   private val STRAT_DEFAULT = 0.1
+  private val SAMPLE_K = 100
   private val SIMHASH_HD = 4
   private val COS_TAU = 0.45
   // embedding-LSH config, PINNED for the static DuckDB mirror (the
@@ -125,6 +126,10 @@ object ExtQueries {
       Sampling.stratified(t(s, dir, "documents"), "doc_id", "source",
           STRAT_FRACTIONS, STRAT_DEFAULT)
         .select(col("doc_id"), col("source")).orderBy("doc_id")),
+    "sample_topk" -> ((s, dir) =>
+      // exact-k draw: TakeOrderedAndProject on the id hash, no full sort
+      Sampling.deterministicK(t(s, dir, "documents"), "doc_id", SAMPLE_K)
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
 
     // ---- similarity search ----
     "sim_topk_brute" -> ((s, dir) =>
@@ -326,6 +331,11 @@ object ExtQueries {
          |  < CASE source $cases ELSE ${Sampling.threshold(STRAT_DEFAULT)} END
          |ORDER BY doc_id""".stripMargin
     },
+    "sample_topk" ->
+      s"""SELECT doc_id, n_chars FROM (
+         |  SELECT doc_id, n_chars FROM documents
+         |  ORDER BY ${Sampling.rowHashSql("doc_id")}, doc_id LIMIT $SAMPLE_K)
+         |ORDER BY doc_id""".stripMargin,
 
     "sim_topk_brute" ->
       s"""WITH $fxCte,

@@ -47,6 +47,23 @@ class SamplingSpec extends SparkSpec {
     assert(s2.sameElements(s1), "split labels changed under repartition(13)")
   }
 
+  test("deterministicK: exact k, repartition-invariant, prefix-monotone, top-k plan") {
+    val k10 = Sampling.deterministicK(docs, "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k10.size === 10)
+    val k10b = Sampling.deterministicK(docs.repartition(9), "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k10b === k10, "selected set changed under repartition(9)")
+    // growing k only ADDS rows — extending a sample without resampling
+    val k30 = Sampling.deterministicK(docs, "doc_id", 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k10.subsetOf(k30))
+    // plan is per-partition top-k + merge, not a global sort
+    val plan = Sampling.deterministicK(docs, "doc_id", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan, got:\n$plan")
+  }
+
   test("stratified: unlisted stratum with default=0.0 yields ZERO rows") {
     // default is a THRESHOLD fraction, not pass-through: 0.0 excludes
     // every hash, so strata absent from the map contribute nothing
