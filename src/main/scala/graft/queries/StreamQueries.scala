@@ -104,6 +104,14 @@ object StreamQueries {
         .orderBy("user_id", "start_us")
     }),
 
+    // stream-stream INTERVAL JOIN (view → click attribution within 4 h):
+    // watermarked self-join with a time-range predicate — the engine
+    // bounds both sides' join state from the condition; oracle = the
+    // identical batch interval join
+    "stream_interval_join" -> ((s, dir) =>
+      StreamOps.intervalJoinOnce(s, dir, "view", "click", windowMinutes = 240)
+        .orderBy("ea", "eb")),
+
     // gap-based sessionization, skew-safe two-pass plan ((user, day)
     // pre-split + boundary merge; differential spec proves == single-pass)
     "sessionize" -> ((s, dir) =>
@@ -217,6 +225,15 @@ object StreamQueries {
          |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us,
          |  count(*) AS n_events, ${dsumSql("value")} AS sess_sum
          |FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT l.user_id, l.event_id AS ea, r.event_id AS eb,
+        |  epoch_us(l.ts) AS lts_us, epoch_us(r.ts) AS rts_us
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        |  AND l.event_type = 'view' AND r.event_type = 'click'
+        |  AND r.ts >= l.ts
+        |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 14400000000
+        |ORDER BY ea, eb""".stripMargin,
     "sessionize_native" ->
       s"""WITH x AS (
          |  SELECT user_id, ts, value, event_id,

@@ -292,6 +292,57 @@ object StreamOps {
         spark.table(natSink).filter(col("user_id") >= 0))
     })
 
+  /** Stream-stream INTERVAL JOIN: every left-type event paired with the
+    * same user's right-type events inside [lts, lts + window] — the
+    * impression→conversion attribution shape. Both sides carry an
+    * event-time watermark and the join predicate carries the time-range
+    * constraint; that pair is what lets Spark BOUND the join state (a
+    * buffered left row is evictable once the watermark passes
+    * lts + window, a right row once it passes rts — the engine derives
+    * both bounds from the condition). Inner-join rows emit as soon as
+    * both sides have arrived, so the bounded replay needs ONE
+    * micro-batch and no sentinel drain. At scale the state store is
+    * partitioned by the equi-key (user), exactly like the batch
+    * shuffle-join it mirrors. */
+  def intervalJoinOnce(spark: SparkSession, dir: String, leftType: String,
+      rightType: String, windowMinutes: Long,
+      sinkName: String = "stream_interval_join_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("event_id"))
+      .as[(Long, Long, String, Long)].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Long)]
+    ms.addData(recs.toIndexedSeq)
+    val src = ms.toDF().toDF("user_id", "ts_us", "event_type", "event_id")
+    val left = src.filter(col("event_type") === leftType)
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("lts"),
+        col("event_id").as("ea"))
+      .withWatermark("lts", "0 seconds")
+    val right = src.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), timestamp_micros(col("ts_us")).as("rts"),
+        col("event_id").as("eb"))
+      .withWatermark("rts", "0 seconds")
+    val joined = left.join(right,
+        col("user_id") === col("r_user") &&
+          col("rts") >= col("lts") &&
+          col("rts") <= col("lts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("ea"), col("eb"),
+        unix_micros(col("lts")).as("lts_us"), unix_micros(col("rts")).as("rts_us"))
+    withHarnessConf(spark, "8") { ckpt =>
+      val q = joined.writeStream
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName)
+  }
+
   private val sessOut: StructType = StructType(Seq(
     StructField("user_id", LongType),
     StructField("session_idx", LongType),
