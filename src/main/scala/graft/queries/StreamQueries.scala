@@ -104,6 +104,23 @@ object StreamQueries {
         .orderBy("user_id", "start_us")
     }),
 
+    // multimodal: frame sampling — n equal-stride byte slices per blob
+    // (video-frame-extraction stand-in); frames cast back to text so the
+    // oracle can mirror the slicing with plain substring arithmetic
+    "mm_frames" -> ((s, dir) => {
+      val docs = Multimodal.withBlob(t(s, dir, "documents"), "text")
+      Multimodal.frameSample(docs, "blob", n = 4)
+        .select(col("doc_id").as("id"), posexplode(col("frames")).as(Seq("k", "frame")))
+        .select(col("id"), col("k").cast("long").as("k"),
+          col("frame").cast("string").as("ftxt"))
+        .orderBy("id", "k")
+    }),
+
+    // STREAM-STATIC broadcast enrichment join (dimension lookup per
+    // micro-batch, zero streaming join state)
+    "stream_static_join" -> ((s, dir) =>
+      StreamOps.staticJoinOnce(s, dir).orderBy("event_id")),
+
     // stream-stream INTERVAL JOIN (view → click attribution within 4 h):
     // watermarked self-join with a time-range predicate — the engine
     // bounds both sides' join state from the condition; oracle = the
@@ -225,6 +242,19 @@ object StreamQueries {
          |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us,
          |  count(*) AS n_events, ${dsumSql("value")} AS sess_sum
          |FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    // mirror of Multimodal.frameSample's stride arithmetic: stride =
+    // greatest(1, floor(len/n)), frame i = 16 bytes from 1 + i*stride
+    "mm_frames" ->
+      """SELECT doc_id AS id, CAST(i AS BIGINT) AS k,
+        |  substring(text, CAST(1 + i * greatest(1, length(text) // 4) AS INT), 16) AS ftxt
+        |FROM documents, UNNEST(generate_series(0, 3)) AS u(i)
+        |ORDER BY id, k""".stripMargin,
+    "stream_static_join" ->
+      s"""WITH p AS (SELECT user_id, ${dsumSql("value")} AS user_total,
+         |    count(*) AS user_n FROM events GROUP BY 1)
+         |SELECT e.event_id, e.user_id, p.user_total, p.user_n
+         |FROM events e JOIN p USING (user_id)
+         |ORDER BY e.event_id""".stripMargin,
     "stream_interval_join" ->
       """SELECT l.user_id, l.event_id AS ea, r.event_id AS eb,
         |  epoch_us(l.ts) AS lts_us, epoch_us(r.ts) AS rts_us

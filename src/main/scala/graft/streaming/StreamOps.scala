@@ -343,6 +343,42 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** STREAM-STATIC broadcast enrichment: the event stream joined to a
+    * static per-user profile (computed batch-side from the same table).
+    * The static side plans as a broadcast hash join INSIDE each
+    * micro-batch — no streaming join state at all, the canonical
+    * dimension-enrichment shape (at scale: broadcast for small dims,
+    * bucket/storage-partitioned join for big ones; either way the stream
+    * side never shuffles on the dim key). */
+  def staticJoinOnce(spark: SparkSession, dir: String,
+      sinkName: String = "stream_static_join_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = graft.queries.Tables.t(spark, dir, "events")
+    val recs = events
+      .select(col("user_id"), col("value"), col("event_id"))
+      .as[(Long, Double, Long)].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double, Long)]
+    ms.addData(recs.toIndexedSeq)
+    val src = ms.toDF().toDF("user_id", "value", "event_id")
+    val profile = events.groupBy("user_id")
+      .agg(graft.queries.Tables.dsum(col("value")).as("user_total"),
+        count(lit(1)).as("user_n"))
+    val joined = src.join(broadcast(profile), "user_id")
+      .select(col("event_id"), col("user_id"), col("user_total"), col("user_n"))
+    withHarnessConf(spark, "8") { ckpt =>
+      val q = joined.writeStream
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName)
+  }
+
   private val sessOut: StructType = StructType(Seq(
     StructField("user_id", LongType),
     StructField("session_idx", LongType),
