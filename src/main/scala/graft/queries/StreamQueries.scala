@@ -129,6 +129,14 @@ object StreamQueries {
       StreamOps.intervalJoinOnce(s, dir, "view", "click", windowMinutes = 240)
         .orderBy("ea", "eb")),
 
+    // LEFT-OUTER stream-stream interval join: unmatched views emit with
+    // null click columns once the watermark proves no click can arrive —
+    // the watermark-driven null-emission mode (sentinel-pair drain)
+    "stream_interval_join_left" -> ((s, dir) =>
+      StreamOps.intervalJoinOnce(s, dir, "view", "click", windowMinutes = 240,
+          joinType = "left_outer", sinkName = "stream_interval_join_left_sink")
+        .orderBy("ea", "eb")),
+
     // gap-based sessionization, skew-safe two-pass plan ((user, day)
     // pre-split + boundary merge; differential spec proves == single-pass)
     "sessionize" -> ((s, dir) =>
@@ -261,6 +269,15 @@ object StreamQueries {
         |FROM events l JOIN events r
         |  ON l.user_id = r.user_id
         |  AND l.event_type = 'view' AND r.event_type = 'click'
+        |  AND r.ts >= l.ts
+        |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 14400000000
+        |ORDER BY ea, eb""".stripMargin,
+    "stream_interval_join_left" ->
+      """SELECT l.user_id, l.event_id AS ea, r.event_id AS eb,
+        |  epoch_us(l.ts) AS lts_us, epoch_us(r.ts) AS rts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') l
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id
         |  AND r.ts >= l.ts
         |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 14400000000
         |ORDER BY ea, eb""".stripMargin,

@@ -303,9 +303,18 @@ object StreamOps {
     * both sides have arrived, so the bounded replay needs ONE
     * micro-batch and no sentinel drain. At scale the state store is
     * partitioned by the equi-key (user), exactly like the batch
-    * shuffle-join it mirrors. */
+    * shuffle-join it mirrors.
+    *
+    * `joinType = "left_outer"` additionally emits each unmatched left
+    * row (null right columns) — but only once the watermark passes
+    * `lts + window`, when the engine KNOWS no matching right row can
+    * still arrive. The bounded replay then needs the sentinel drain:
+    * a sentinel PAIR (one event per side, user −1, so both branch
+    * watermarks advance) rides in the data batch, and one trailing
+    * sentinel-pair batch evicts the unmatched lefts (eviction in batch N
+    * uses the watermark committed by batch N−1). */
   def intervalJoinOnce(spark: SparkSession, dir: String, leftType: String,
-      rightType: String, windowMinutes: Long,
+      rightType: String, windowMinutes: Long, joinType: String = "inner",
       sinkName: String = "stream_interval_join_sink"): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -313,9 +322,14 @@ object StreamOps {
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_type"), col("event_id"))
       .as[(Long, Long, String, Long)].collect()
+    val maxUs = recs.iterator.map(_._2).max
+    val outer = joinType != "inner"
+    def sentinels(ts: Long) =
+      Seq((-1L, ts, leftType, -1L), (-1L, ts, rightType, -2L))
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, String, Long)]
-    ms.addData(recs.toIndexedSeq)
+    ms.addData(if (outer) recs.toIndexedSeq ++ sentinels(maxUs + 365L * 86400L * 1000000L)
+               else recs.toIndexedSeq)
     val src = ms.toDF().toDF("user_id", "ts_us", "event_type", "event_id")
     val left = src.filter(col("event_type") === leftType)
       .select(col("user_id"), timestamp_micros(col("ts_us")).as("lts"),
@@ -328,7 +342,8 @@ object StreamOps {
     val joined = left.join(right,
         col("user_id") === col("r_user") &&
           col("rts") >= col("lts") &&
-          col("rts") <= col("lts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+          col("rts") <= col("lts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        joinType)
       .select(col("user_id"), col("ea"), col("eb"),
         unix_micros(col("lts")).as("lts_us"), unix_micros(col("rts")).as("rts_us"))
     withHarnessConf(spark, "8") { ckpt =>
@@ -338,9 +353,13 @@ object StreamOps {
         .outputMode(OutputMode.Append())
         .start()
       q.processAllAvailable()
+      if (outer) {
+        ms.addData(sentinels(maxUs + 2L * 365L * 86400L * 1000000L))
+        q.processAllAvailable()
+      }
       q.stop()
     }
-    spark.table(sinkName)
+    spark.table(sinkName).filter(col("user_id") >= 0)
   }
 
   /** STREAM-STATIC broadcast enrichment: the event stream joined to a
