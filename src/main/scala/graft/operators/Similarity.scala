@@ -143,10 +143,20 @@ object Similarity {
     // two-consumer scratch table; a multi-tenant deployment would persist
     // with MEMORY_AND_DISK_2 + managed unpersist instead.
     val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
-    // k lowest (seedHash, id): TakeOrderedAndProject, no full sort
-    val cents = fx.orderBy(seedHash(col("id")), col("id")).limit(nCentroids)
+    rankByCentroids(fx, seedCentroids(fx, nCentroids))
+  }
+
+  /** The k lowest (seedHash, id) rows as centroids: TakeOrderedAndProject,
+    * no full sort. */
+  private def seedCentroids(fx: DataFrame, nCentroids: Int): DataFrame =
+    fx.orderBy(seedHash(col("id")), col("id")).limit(nCentroids)
       .select(col("id").as("cid"), col("fx").as("cfx"), col("nrm").as("cnrm"))
-    // exact fixed-point L2 to every centroid: ||x||² − 2·x·c + ||c||²
+
+  /** Every vector of `fx` ranked by exact fixed-point L2
+    * (||x||² − 2·x·c + ||c||²) to each centroid: (id, cid, crn, fx, nrm),
+    * crn = 1 the owning list. Broadcast of the tiny centroid set — one
+    * corpus pass. */
+  private def rankByCentroids(fx: DataFrame, cents: DataFrame): DataFrame = {
     val scored = fx.crossJoin(broadcast(cents))
       .withColumn("d2",
         col("nrm") - lit(2L) * graft.functions.HashExpressions.fixed_dot(col("fx"), col("cfx"))
@@ -155,6 +165,57 @@ object Similarity {
     scored
       .withColumn("crn", row_number().over(byDist))
       .select(col("id"), col("cid"), col("crn"), col("fx"), col("nrm"))
+  }
+
+  /** Probe tail shared by the IVF variants: inverted lists from crn = 1,
+    * nprobe nearest lists per query, exact-cosine top-k. */
+  private def probeLists(ranked: DataFrame, isQuery: Column => Column,
+      k: Int, nprobe: Int): DataFrame = {
+    val lists = ranked.filter(col("crn") === 1)
+      .select(col("cid"), col("id"), col("fx"), col("nrm"))
+    val probes = ranked.filter(isQuery(col("id")) && col("crn") <= nprobe)
+      .select(col("id").as("qid"), col("cid"), col("fx").as("fq"), col("nrm").as("nq"))
+    val joined = broadcast(probes).join(lists, Seq("cid"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("cos", cosine(col("fq"), col("fx"), col("nq"), col("nrm")))
+    // inverted lists are disjoint (each corpus vector lives in exactly one
+    // list), so probing distinct lists can't duplicate a (qid, id) pair
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    joined
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("id").as("vec_id"), col("cos"))
+  }
+
+  /** IVF with ONE Lloyd refinement round: seed centroids as [[ivfTopK]],
+    * assign, then move each centroid to the element-wise INTEGER mean of
+    * its list, re-assign the corpus to the refined centroids and probe as
+    * usual — the classic quantizer-quality lever (centroids move to the
+    * data's mass, lists tighten, so a probe needs fewer lists for the same
+    * recall). Costs one extra corpus×C broadcast pass plus one C-sized
+    * groupBy (64 per-dimension sums, map-side partials) per round.
+    *
+    * Exactness: the mean is TRUNC-toward-zero integer division (Spark
+    * `div` == DuckDB `//`, verified both round −7/2 to −3), so refined
+    * centroids stay in the 1e6 fixed-point domain and the oracle mirrors
+    * every centroid element bit-for-bit — no FP k-means drift. A
+    * duplicate-seed tie can leave a seed list empty; the refined
+    * quantizer then has one fewer centroid, identically in both engines. */
+  def ivfTopKRefined(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 2, dims: Int = 64): DataFrame = {
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    val asg0 = rankByCentroids(fx, seedCentroids(fx, nCentroids))
+      .filter(col("crn") === 1)
+    val sumCols = (0 until dims).map(d => sum(element_at(col("fx"), d + 1)).as(s"__s$d"))
+    val sums = asg0.groupBy(col("cid"))
+      .agg(count(lit(1)).as("cnt"), sumCols: _*)
+    val meanArr = array((0 until dims).map(d => expr(s"__s$d div cnt")): _*)
+    val cents1 = sums.select(col("cid"), meanArr.as("cfx"))
+      .withColumn("cnrm", aggregate(transform(col("cfx"), x => x * x),
+        lit(0L), (a, x) => a + x))
+    val ranked = rankByCentroids(fx, cents1).cache()
+    probeLists(ranked, isQuery, k, nprobe)
   }
 
   /** IVF-flat ANN: coarse quantizer = `nCentroids` hash-spread seed
@@ -175,20 +236,7 @@ object Similarity {
       isQuery: Column => Column, k: Int,
       nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
     val ranked = ivfAssign(df, idCol, vecCol, nCentroids).cache()
-    val lists = ranked.filter(col("crn") === 1) // inverted lists
-      .select(col("cid"), col("id"), col("fx"), col("nrm"))
-    val probes = ranked.filter(isQuery(col("id")) && col("crn") <= nprobe)
-      .select(col("id").as("qid"), col("cid"), col("fx").as("fq"), col("nrm").as("nq"))
-    val joined = broadcast(probes).join(lists, Seq("cid"))
-      .filter(col("qid") =!= col("id"))
-      .withColumn("cos", cosine(col("fq"), col("fx"), col("nq"), col("nrm")))
-    // inverted lists are disjoint (each corpus vector lives in exactly one
-    // list), so probing distinct lists can't duplicate a (qid, id) pair
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
-    joined
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("rn"), col("id").as("vec_id"), col("cos"))
+    probeLists(ranked, isQuery, k, nprobe)
   }
 
   // ---- DuckDB SQL mirrors ----

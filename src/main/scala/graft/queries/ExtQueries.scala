@@ -143,6 +143,11 @@ object ExtQueries {
         id => id < 5, k = 3).orderBy("qid", "rn")),
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        id => id < 5, k = 3, nCentroids = 16, nprobe = 2).orderBy("qid", "rn")),
+    "sim_ivf_refined" -> ((s, dir) =>
+      // one Lloyd round on the coarse quantizer (integer-mean centroids,
+      // exact trunc division — mirrored bit-for-bit by the oracle)
+      Similarity.ivfTopKRefined(t(s, dir, "embeddings"), "vec_id", "embedding",
         id => id < 5, k = 3, nCentroids = 16, nprobe = 2).orderBy("qid", "rn"))
   )
 
@@ -367,6 +372,38 @@ object ExtQueries {
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rn
          |  FROM j)
          |SELECT qid, rn, vid AS vec_id, cos FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    // Lloyd-refined IVF: seed assignment as sim_ivf_topk, element-wise
+    // HUGEINT-safe integer-mean centroids (s // cnt truncates toward zero
+    // exactly like Spark's div), re-assignment, then the shared probe tail
+    "sim_ivf_refined" -> {
+      val sumList = (1 to 64).map(i => s"sum(n.fx[$i])").mkString("[", ", ", "]")
+      s"""WITH $fxCte,
+         |c0 AS (SELECT id AS cid, fx AS cfx, nrm AS cnrm FROM n
+         |  ORDER BY ${Similarity.seedHashSql("id")}, id LIMIT 16),
+         |sc0 AS (SELECT n.id, c0.cid,
+         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c0.cfx[i])) AS BIGINT) + c0.cnrm AS d2
+         |  FROM n, c0),
+         |rk0 AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS crn FROM sc0),
+         |asg AS (SELECT id, cid FROM rk0 WHERE crn = 1),
+         |ag AS (SELECT asg.cid, count(*) AS cnt, $sumList AS sfx
+         |  FROM asg JOIN n USING (id) GROUP BY asg.cid),
+         |c1 AS (SELECT cid, list_transform(sfx, s -> CAST(s // cnt AS BIGINT)) AS cfx FROM ag),
+         |c1n AS (SELECT cid, cfx, CAST(list_sum(list_transform(cfx, x -> x*x)) AS BIGINT) AS cnrm FROM c1),
+         |sc1 AS (SELECT n.id, c1n.cid,
+         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c1n.cfx[i])) AS BIGINT) + c1n.cnrm AS d2
+         |  FROM n, c1n),
+         |rk1 AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS crn FROM sc1),
+         |lists AS (SELECT rk1.cid, rk1.id, n.fx, n.nrm FROM rk1 JOIN n USING(id) WHERE crn = 1),
+         |probes AS (SELECT rk1.id AS qid, rk1.cid, n.fx AS fq, n.nrm AS nq
+         |  FROM rk1 JOIN n USING(id) WHERE rk1.id < 5 AND crn <= 2),
+         |j AS (SELECT p.qid, l.id AS vid,
+         |    ${Similarity.cosineSql("p.fq", "l.fx", "p.nq", "l.nrm")} AS cos
+         |  FROM probes p JOIN lists l ON p.cid = l.cid AND l.id <> p.qid),
+         |r AS (SELECT qid, vid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rn
+         |  FROM j)
+         |SELECT qid, rn, vid AS vec_id, cos FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    },
     "sim_ann_topk" ->
       s"""WITH $fxCte,
          |b AS (SELECT id, fx, nrm, ${Similarity.bucketSql()} AS bucket FROM n),
