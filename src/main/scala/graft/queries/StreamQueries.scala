@@ -71,6 +71,11 @@ object StreamQueries {
         .orderBy("bucket_us")
     }),
 
+    // streaming PARQUET sink roundtrip: append-mode windowed agg →
+    // exactly-once file sink → batch read-back; oracle = batch resample
+    "stream_parquet_sink" -> ((s, dir) =>
+      StreamOps.resampleToParquetOnce(s, dir, "1 day").orderBy("bucket_us")),
+
     // streaming exact dedup: dropDuplicates under the streaming engine;
     // output projected to content-derived columns (which doc_id survives
     // depends on arrival order — content identity does not)
@@ -198,6 +203,10 @@ object StreamQueries {
          |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT md5(text) AS h, n_chars FROM documents ORDER BY h""",
+    "stream_parquet_sink" ->
+      s"""SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
+         |  ${dsumSql("value")} AS day_sum, count(*) AS n
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // batch gap-sessions minus each user's LAST session (still open in
     // the streaming state when the bounded replay ends)
     "stream_sessionize" ->

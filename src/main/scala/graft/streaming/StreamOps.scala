@@ -362,6 +362,53 @@ object StreamOps {
     spark.table(sinkName).filter(col("user_id") >= 0)
   }
 
+  /** Streaming PARQUET (file) sink roundtrip: the tumbling-window
+    * resample aggregation written with `writeStream.format("parquet")` in
+    * APPEND mode — a window's row is written exactly once, when the
+    * watermark passes its end — then read back as a batch table. This is
+    * the exactly-once file-sink path (offset log + file-manifest commit
+    * protocol under the checkpoint), the production shape for
+    * stream-to-lake jobs; the memory-sink harnesses elsewhere exist only
+    * because their results feed in-process compares. The two-sentinel
+    * pattern closes every real window (sentinel 1 rides in the data
+    * batch so the committed watermark passes every real window end;
+    * the trailing sentinel batch evicts them — eviction in batch N uses
+    * batch N−1's watermark); sentinel windows are filtered on
+    * read-back. */
+  def resampleToParquetOnce(spark: SparkSession, dir: String,
+      rule: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = graft.queries.Tables.t(spark, dir, "events")
+      .select(unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[EventRec].collect()
+    val maxUs = recs.iterator.map(_.ts_us).max
+    val sentinelUs = maxUs + 365L * 86400L * 1000000L
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRec]
+    ms.addData(recs.toIndexedSeq :+ EventRec(sentinelUs, 0.0))
+    val agg = ms.toDF()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), rule))
+      .agg(sum(col("value").cast(DecimalType(20, 6))).cast("double").as("day_sum"),
+        count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("bucket_us"), col("day_sum"), col("n"))
+    val outDir = java.nio.file.Files.createTempDirectory("stream_pq_sink").toString
+    withHarnessConf(spark, "4") { ckpt =>
+      val q = agg.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      ms.addData(Seq(EventRec(sentinelUs + 365L * 86400L * 1000000L, 0.0)))
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.read.parquet(outDir).filter(col("bucket_us") < sentinelUs - 365L * 86400L * 1000000L / 2)
+  }
+
   /** STREAM-STATIC broadcast enrichment: the event stream joined to a
     * static per-user profile (computed batch-side from the same table).
     * The static side plans as a broadcast hash join INSIDE each
