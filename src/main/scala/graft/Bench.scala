@@ -26,7 +26,11 @@ object Bench {
     // Warmup on the smallest scale factor: exercises parquet reader,
     // codegen, shuffle, window, HOF expression paths once.
     val warmDir = "/root/testdata/sf0.001"
-    Seq("o4_groupby_agg", "rel_window_rank", "o1_apply_vec", "text_fingerprint")
+    // text_quality additionally warms the higher-order-function (lambda)
+    // expression machinery shared by the text/dedup/similarity queries —
+    // its first execution in a fresh JVM costs ~4s regardless of data size
+    Seq("o4_groupby_agg", "rel_window_rank", "o1_apply_vec", "text_fingerprint",
+        "text_quality")
       .foreach { q =>
         SparkEntry.queries.get(q).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
@@ -52,18 +56,34 @@ object Bench {
       }
     }
     val failed = results.count(_._2 < 0)
-    // 4 decimals (0.1 ms) keeps the line short — the stdout tail capture
-    // has truncated ~30 entries in past rounds
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
-    val total = results.filter(_._2 >= 0).map(_._2).sum
-    val line =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    println(line)
+    def toJson(rs: Seq[(String, Double)], extra: String = ""): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
+      val total = results.filter(_._2 >= 0).map(_._2).sum
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"$extra}"""
+    }
+    val full = toJson(results)
+    // The driver captures only a ~2KB stdout TAIL: with 100+ queries the
+    // full line (~2.7KB) gets its head cut and fails to parse (r4–r6 all
+    // recorded parsed:null). Print the full line first for humans, then a
+    // compact line — slowest queries only, sized to fit the capture window
+    // whole — LAST, so the scrape always ends with one complete JSON
+    // object. The complete per-query map also lands in bench_out.json.
+    println(full)
+    val budget = 1400 // bytes for the compact queries map
+    val slowest = results.sortBy(-_._2)
+    val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = 0
+    slowest.foreach { case (k, v) =>
+      val w = k.length + 12
+      if (used + w <= budget) { keep += ((k, v)); used += w }
+    }
+    println(toJson(keep.sortBy(_._1).toSeq,
+      s""","queries_shown":${keep.size},"full":"bench_out.json""""))
     // belt and braces for the stdout scrape: also land the JSON in a file
     // (driver or human can read bench_out.json when the tail truncates)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
     spark.stop()
   }

@@ -50,17 +50,21 @@ object TextAnalysis {
   }
 
   /** Stopword-scored language ID with deterministic alphabetical
-    * tie-break (the CASE chain tries languages in order, `>=` keeps the
-    * earliest on ties). */
+    * tie-break. Each language's score is built ONCE into an array of
+    * (score, lang) structs and the winner picked by a strict-`>` fold —
+    * array order is alphabetical, so the earliest language wins ties and
+    * the `und` seed (score 0) wins only when every score is 0: exactly
+    * the semantics of the CASE chain the oracle runs. (A naive CASE
+    * chain here re-instantiates every score expression ~5×; the expanded
+    * tree cost >6s of one-time codegen per fresh JVM.) */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = words(col(textCol))
-    val scores = langWords.map { case (l, list) => l -> countIn(ws, list) }
-    val pred = scores.foldRight(lit("und")) { case ((l, s), rest) =>
-      val isMax = scores.filter(_._1 != l)
-        .map { case (_, s2) => s >= s2 }.reduce(_ && _)
-      when(s > 0 && isMax, lit(l)).otherwise(rest)
-    }
-    df.select(col(idCol).as("id"), pred.as("pred_lang"))
+    val scored = array(langWords.map { case (l, list) =>
+      struct(countIn(ws, list).as("s"), lit(l).as("l")) }: _*)
+    val best = aggregate(scored,
+      struct(lit(0L).as("s"), lit("und").as("l")),
+      (acc, e) => when(e.getField("s") > acc.getField("s"), e).otherwise(acc))
+    df.select(col(idCol).as("id"), best.getField("l").as("pred_lang"))
   }
 
   /** Position-weighted rolling-hash document fingerprint. */
