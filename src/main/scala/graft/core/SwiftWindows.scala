@@ -133,6 +133,9 @@ object SwiftRollingWeighted {
       val d = if (n % 2 == 1) (n + 1) / 2 else n / 2
       (0 until n).map(k => 2L * d - math.abs(2L * k - (n - 1)))
     case "boxcar" => Seq.fill(n)(1L)
+    case "bartlett" => // scipy: 2/(n−1)·((n−1)/2 − |k − (n−1)/2|); the
+      // 2/(n−1) factor cancels in the mean → exact integers, zero endpoints
+      (0 until n).map(k => (n - 1L) - math.abs(2L * k - (n - 1)))
     case "gaussian" =>
       require(std > 0, s"win_type=gaussian needs std > 0, got $std")
       (0 until n).map { k =>
@@ -150,7 +153,7 @@ object SwiftRollingWeighted {
       }
     case other =>
       throw new IllegalArgumentException(
-        s"win_type must be triang|boxcar|gaussian|hamming|blackman, got '$other'")
+        s"win_type must be triang|boxcar|bartlett|gaussian|hamming|blackman, got '$other'")
   }
 
   def counted(sw: Swift, window: Int, winType: String, orderBy: Seq[String],

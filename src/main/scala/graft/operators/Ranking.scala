@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level keyword relevance scoring (BM25 family) for
+  * training-data pipelines — e.g. mining documents relevant to a probe
+  * query, or quality-weighting a corpus against a topic list.
+  *
+  * Scoring is Okapi BM25 with one deliberate change: the idf factor is
+  * the RATIONAL core `(N - df + 0.5) / (df + 0.5)` WITHOUT the log.
+  * The log is a monotone transform, so per-term document rankings are
+  * IDENTICAL to textbook BM25; what changes is only how multi-term
+  * scores mix. The payoff is bit-exact cross-engine determinism: every
+  * input is an exact integer (tf, df, dl, N), and the score is a fixed
+  * dag of IEEE-754 +,*,/ — operations every engine rounds identically —
+  * whereas `ln` is implementation-defined in the last ulp and would
+  * break the DuckDB-oracle hash compare. (Document ranking experiments
+  * routinely drop/replace the idf log the same way — e.g. Lucene's
+  * BM25 idf differs from Robertson's by a +1 inside the log.)
+  *
+  * Plan shape (the 100 TB path):
+  *  - one projection computes per-doc length and per-term tf (array
+  *    filter over the tokenized text — no shuffle, pipelined in the
+  *    scan stage);
+  *  - `stack` unpivots to (doc, term, tf) and filters tf > 0, so the
+  *    posting list is sparse;
+  *  - df and avgdl are two tiny aggregates (map-side partials), both
+  *    BROADCAST back — the corpus never shuffles;
+  *  - the final per-term top-k is a window rank over the sparse posting
+  *    rows only.
+  */
+object Ranking {
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Per-(term, doc) BM25-rational scores for `terms`, ranked per term;
+    * keeps rank ≤ k. Output: (term, rank, id, tf, dl, score). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty)
+    val ws = split(col(textCol), " ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(ws, w => w === t)).cast("long").as(s"__tf$i") }
+    val base = df.select(
+      (col(idCol).as("id") +: size(ws).cast("long").as("dl") +: tfCols): _*)
+    // corpus stats: N and avgdl in one tiny agg, broadcast to every row
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // unpivot to sparse postings: stack(k, 'term0', tf0, 'term1', tf1, ...)
+    val stackArgs = terms.zipWithIndex
+      .map { case (t, i) => s"'${t.replace("'", "''")}', __tf$i" }
+      .mkString(", ")
+    val postings = base
+      .select(col("id"), col("dl"),
+        expr(s"stack(${terms.size}, $stackArgs) AS (term, tf)"))
+      .filter(col("tf") > 0)
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = postings
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      // identical operation order to the SQL mirror — see scaladoc
+      .withColumn("idf",
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("score",
+        col("idf") * (col("tf").cast("double") * lit(K1 + 1)) /
+          (col("tf").cast("double") +
+            lit(K1) * (lit(1 - B) + lit(B) * (col("dl").cast("double") / col("avgdl")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("rank"), col("id"), col("tf"), col("dl"), col("score"))
+  }
+
+  /** DuckDB mirror of [[bm25TopK]] over the `documents` table: same
+    * postings construction, same operation-ordered arithmetic. */
+  def bm25Sql(terms: Seq[String], k: Int): String = {
+    val termRows = terms.map(t => s"('${t.replace("'", "''")}')").mkString(", ")
+    s"""WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+       |base AS (SELECT id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
+       |terms(term) AS (VALUES $termRows),
+       |postings AS (
+       |  SELECT b.id, b.dl, t.term,
+       |    CAST(len(list_filter(b.ws, w -> w = t.term)) AS BIGINT) AS tf
+       |  FROM base b, terms t
+       |  WHERE len(list_filter(b.ws, w -> w = t.term)) > 0),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term),
+       |scored AS (
+       |  SELECT p.term, p.id, p.tf, p.dl,
+       |    ((CAST(s.n_docs - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+       |      * (CAST(p.tf AS DOUBLE) * ${K1 + 1})
+       |      / (CAST(p.tf AS DOUBLE)
+       |         + $K1 * ((1 - $B) + $B * (CAST(p.dl AS DOUBLE)
+       |            / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS score
+       |  FROM postings p JOIN dfreq d USING (term) CROSS JOIN stats s),
+       |r AS (SELECT term, id, tf, dl, score,
+       |    CAST(row_number() OVER (PARTITION BY term ORDER BY score DESC, id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT term, rank, id, tf, dl, score FROM r WHERE rank <= $k
+       |ORDER BY term, rank""".stripMargin
+  }
+}

@@ -271,6 +271,18 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // O5 — pandas win_type='bartlett' (triangle with ZERO endpoints):
+    // the 2/(n−1) scipy factor cancels in the mean, so the numerators are
+    // exact integers like triang — no quantization at all
+    "o5_rolling_bartlett" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rollingWeighted(7, "bartlett", orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"))
+        .mean("value", "wmean")
+        .select(col("event_id"), col("wmean"))
+        .orderBy("event_id")
+    }),
+
     // O5 — pandas win_type='hamming' (scipy cosine-sum window), same
     // micro-weight quantization as gaussian, window 7
     "o5_rolling_hamming" -> ((s, dir) => {
@@ -497,6 +509,8 @@ object CoreQueries {
     // lag-sum is all BIGINT; the single double op is the mean division
     "o5_rolling_gauss" ->
       weightedRollingOracle(SwiftRollingWeighted.weights(5, "gaussian", 2.0)),
+    "o5_rolling_bartlett" ->
+      weightedRollingOracle(SwiftRollingWeighted.weights(7, "bartlett")),
     "o5_rolling_hamming" ->
       weightedRollingOracle(SwiftRollingWeighted.weights(7, "hamming")),
     "o5_rolling_center" ->

@@ -398,8 +398,72 @@ object RelationalQueries {
           && col("l_quantity") < 10)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Exact grouped percentiles (continuous interpolation, the engine's
+    // sort-based exact percentile — DuckDB quantile_cont mirrors it; the
+    // integer-valued quantity column makes every percentile land inside a
+    // run of equal values, so the interpolation arithmetic never fires
+    // and the compare is tie-safe)
+    "rel_percentiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.9D))").as("__p"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          element_at(col("__p"), 1).as("p25"),
+          element_at(col("__p"), 2).as("p50"),
+          element_at(col("__p"), 3).as("p75"),
+          element_at(col("__p"), 4).as("p90"),
+          col("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // CO-LOCATED BUCKETED JOIN — the 100 TB fact-fact join shape: both
+    // sides written bucketed+sorted on the join key, so the sort-merge
+    // join reads bucket i against bucket i with NO Exchange and NO Sort
+    // on either side (BucketedJoinSpec asserts the plan). At scale this
+    // is the difference between shuffling 100 TB and shuffling nothing —
+    // bucketing amortizes the one-time layout cost across every
+    // subsequent join on that key. The `merge` hint keeps the small test
+    // tables from planning as a broadcast join, which would hide the
+    // co-location the query exists to demonstrate.
+    "rel_join_bucketed" -> ((s, dir) => {
+      val (ordersTab, lineitemTab) = bucketedTables(s, dir)
+      s.table(lineitemTab).hint("merge")
+        .join(s.table(ordersTab), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
     })
   )
+
+  /** One-time bucketed+sorted layout of orders/lineitem on the join key,
+    * memoized per (session, sf dir) — the bench therefore books the
+    * layout cost on the first caller, exactly like a warehouse pays the
+    * bucketing once at ingest. Tables are EXTERNAL (data under
+    * java.io.tmpdir) so nothing lands in the repo; 8 buckets matches the
+    * small test tables (production sizing: buckets ∝ data / target file
+    * size). */
+  private val bucketedTabs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketedTabs.getOrElseUpdate((s, dir), {
+      val tag = math.abs(dir.hashCode).toString
+      val base = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      val oTab = s"graft_bkt_orders_$tag"
+      val lTab = s"graft_bkt_lineitem_$tag"
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").saveAsTable(oTab)
+      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").saveAsTable(lTab)
+      (oTab, lTab)
+    })
 
   def oracleSql: Map[String, String] = Map(
     "rel_q1_pricing" ->
@@ -601,6 +665,20 @@ object RelationalQueries {
     "rel_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_quantity < 10
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "rel_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the bucketed layout is a physical-plan property; the logical result
+    // is the plain join+aggregate
+    "rel_join_bucketed" ->
+      s"""SELECT o_orderpriority, ${dsumSql("l_extendedprice")} AS rev, count(*) AS n
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

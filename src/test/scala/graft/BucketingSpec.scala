@@ -38,4 +38,15 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("rel_join_bucketed query: co-located SMJ, only the aggregate shuffles") {
+    val df = graft.queries.RelationalQueries.queries("rel_join_bucketed")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    // the join inputs are bucket-co-located: no Exchange may hash on a
+    // join key — the only legal Exchange is the groupBy on o_orderpriority
+    assert(!p.contains("hashpartitioning(l_orderkey"), p.take(3000))
+    assert(!p.contains("hashpartitioning(o_orderkey"), p.take(3000))
+  }
 }
