@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the 110-query bench/verify accumulate cached +
+  // checkpointed blocks across queries; at 8g the old gen fills mid-run
+  // and multi-second full-GC pauses land on random queries (observed as
+  // 6-9s spikes on sub-second queries). The host has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -53,6 +53,13 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           name -> -1.0
+      } finally {
+        // Drop Dataset caches the query pinned (cache() without unpersist
+        // is the normal single-query idiom here): across 110 queries the
+        // orphaned blocks otherwise accumulate until old-gen full-GC
+        // pauses land on later queries. Memoized cross-query frames use
+        // localCheckpoint, which this does not touch. Outside the timer.
+        spark.catalog.clearCache()
       }
     }
     val failed = results.count(_._2 < 0)

@@ -400,6 +400,21 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // FULL OUTER join with nulls flowing both directions: segment
+    // customers without qualifying orders (null rev) and qualifying
+    // order-customers outside the segment (null segment). Both sides are
+    // unique-keyed so the output order key is total.
+    "rel_join_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_mktsegment")
+      val rev = t(s, dir, "orders").filter(col("o_totalprice") > 150000.0)
+        .groupBy(col("o_custkey")).agg(dsum(col("o_totalprice")).as("rev"))
+      c.join(rev, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"), col("rev"))
+        .orderBy("custkey")
+    }),
+
     // Exact grouped percentiles (continuous interpolation, the engine's
     // sort-based exact percentile — DuckDB quantile_cont mirrors it; the
     // integer-valued quantity column makes every percentile land inside a
@@ -666,6 +681,15 @@ object RelationalQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_quantity < 10
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "rel_join_outer" ->
+      s"""SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+         |  c.c_mktsegment, o.rev
+         |FROM (SELECT c_custkey, c_mktsegment FROM customer
+         |      WHERE c_mktsegment = 'BUILDING') c
+         |FULL OUTER JOIN (SELECT o_custkey, ${dsumSql("o_totalprice")} AS rev
+         |      FROM orders WHERE o_totalprice > 150000.0 GROUP BY 1) o
+         |  ON c.c_custkey = o.o_custkey
+         |ORDER BY custkey""".stripMargin,
     "rel_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,

@@ -126,6 +126,12 @@ object StreamQueries {
     "stream_static_join" -> ((s, dir) =>
       StreamOps.staticJoinOnce(s, dir).orderBy("event_id")),
 
+    // UPDATE-mode running aggregation: per-batch deltas (changed keys
+    // only); final state reconstructed from each key's highest count,
+    // oracled == the batch groupBy
+    "stream_update" -> ((s, dir) =>
+      StreamOps.updateCountsOnce(s, dir).orderBy("user_id")),
+
     // stream-stream INTERVAL JOIN (view → click attribution within 4 h):
     // watermarked self-join with a time-range predicate — the engine
     // bounds both sides' join state from the condition; oracle = the
@@ -272,6 +278,9 @@ object StreamQueries {
          |SELECT e.event_id, e.user_id, p.user_total, p.user_n
          |FROM events e JOIN p USING (user_id)
          |ORDER BY e.event_id""".stripMargin,
+    "stream_update" ->
+      s"""SELECT user_id, count(*) AS n, ${dsumSql("value")} AS vsum
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_interval_join" ->
       """SELECT l.user_id, l.event_id AS ea, r.event_id AS eb,
         |  epoch_us(l.ts) AS lts_us, epoch_us(r.ts) AS rts_us

@@ -445,6 +445,51 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** UPDATE-mode streaming aggregation: per-user running (count, sum)
+    * over a TWO-batch bounded replay. Update mode emits, per micro-batch,
+    * only the keys whose aggregate CHANGED — the delta-shipping shape for
+    * dashboard/upsert sinks (complete mode reships the whole state every
+    * batch; append can't emit running aggregates at all). The memory sink
+    * therefore holds one row per (user, state version); the caller keeps
+    * each user's row with the HIGHEST count — counts strictly increase
+    * across updates of one key, so that row is the final state, and the
+    * oracle is the plain batch groupBy. No watermark: running totals
+    * never expire by design (state ∝ distinct users — the dashboard
+    * contract; bound it with a watermark + windowed key when user churn
+    * is unbounded). */
+  def updateCountsOnce(spark: SparkSession, dir: String,
+      sinkName: String = "stream_update_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("user_id"), col("value"), col("event_id"))
+      .as[(Long, Double, Long)].collect()
+    val (b1, b2) = recs.splitAt(recs.length / 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double, Long)]
+    ms.addData(b1.toIndexedSeq)
+    val agg = ms.toDF().toDF("user_id", "value", "event_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(20, 6))).cast("double").as("vsum"))
+    withHarnessConf(spark, "8") { ckpt =>
+      val q = agg.writeStream
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .start()
+      q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n").desc)
+    spark.table(sinkName)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   private val sessOut: StructType = StructType(Seq(
     StructField("user_id", LongType),
     StructField("session_idx", LongType),
