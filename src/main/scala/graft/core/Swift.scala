@@ -426,6 +426,11 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
       partitionBy: Seq[String] = Nil, std: Double = 0.0): SwiftRollingWeighted =
     SwiftRollingWeighted.counted(this, window, winType, orderBy, partitionBy, std)
 
+  /** O5 — pandas `expanding()`: cumulative (unbounded-preceding) frames.
+    * min_periods defaults to 1, the pandas default. */
+  def expanding(orderBy: Seq[String], partitionBy: Seq[String] = Nil): SwiftRolling =
+    SwiftRolling.expanding(this, orderBy, partitionBy)
+
   /** O6 — resample(rule).apply (swifter/swifter.py:174-220,766-824).
     * `rule` is a Spark interval string, e.g. "1 day", "3 minutes". */
   def resample(rule: String, tsCol: String): SwiftResample =

@@ -95,4 +95,16 @@ final class SwiftGroupBy(sw: Swift, by: Seq[String], subset: Option[Seq[String]]
     sw.lastStrategy = SwiftStrategy.Vectorized
     inputDf.groupBy(by.map(col).toIndexedSeq: _*).agg(exprs.head, exprs.tail: _*)
   }
+
+  /** pandas `groupby(by).transform(agg)`: the group aggregate broadcast
+    * back onto EVERY row of the group (same length as the input) — a
+    * window aggregate partitioned by the keys: one shuffle on the group
+    * key, no self-join, map-side partials; `post` runs after the OVER
+    * (e.g. a cast or a per-row combination with the group value). */
+  def transform(aggExpr: Column, out: String,
+      post: Column => Column = identity): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(by.map(col): _*)
+    df.withColumn(out, post(aggExpr.over(w)))
+  }
 }

@@ -54,6 +54,31 @@ final class SwiftRolling(sw: Swift, spec: WindowSpec, minPeriods: Int) {
     withMinPeriods(sw.df, out, fnUdaf(col(valueCol)).over(spec))
   }
 
+  /** pandas `rolling(n).cov(other)` — SAMPLE covariance (ddof = 1) in
+    * exact arithmetic: both columns move to integer micro-units, and
+    * cov = (n·Σxy − Σx·Σy) / (n·(n−1)) / 10¹² accumulates the sums in
+    * DECIMAL(38,0) (a per-row micro-product can reach ~10¹⁸, so n·Σxy
+    * overflows BIGINT — DuckDB mirrors with HUGEINT). The numerator is
+    * ONE exact-integer→double conversion (correctly rounded identically
+    * in both engines) followed by two IEEE divisions in fixed order.
+    * Frames with fewer than max(min_periods, 2) rows yield null. */
+  def cov(xCol: String, yCol: String, out: String): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def micro(c: String) =
+      (col(c).cast(org.apache.spark.sql.types.DecimalType(20, 6)) * lit(1000000L))
+        .cast("long")
+    val xm = micro(xCol).cast(d38)
+    val ym = micro(yCol).cast(d38)
+    val n = count(lit(1)).over(spec)
+    val sxy = sum(xm * ym).over(spec)
+    val sx = sum(xm).over(spec)
+    val sy = sum(ym).over(spec)
+    val num = (n.cast(d38) * sxy - sx * sy).cast("double")
+    val res = num / (n * (n - lit(1L))).cast("double") / lit(1e12)
+    sw.df.withColumn(out, when(n >= math.max(minPeriods, 2), res))
+  }
+
   /** pandas `min_periods`: frames with fewer observations yield null. */
   private def withMinPeriods(df: DataFrame, out: String, res: Column): DataFrame = {
     if (minPeriods <= 1) df.withColumn(out, res)
@@ -200,6 +225,20 @@ object SwiftRolling {
     new SwiftRolling(sw, spec, window)
   }
 
+  /** pandas `expanding()`: every frame is all rows from the partition
+    * start through the current row — `rowsBetween(unboundedPreceding, 0)`,
+    * the native cumulative frame (still one shuffle + one sort per
+    * partition key; Spark evaluates running aggregates incrementally, not
+    * O(n²)). min_periods defaults to 1 like pandas. */
+  def expanding(sw: Swift, orderBy: Seq[String],
+      partitionBy: Seq[String]): SwiftRolling = {
+    val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
+               else Window.partitionBy()
+    val spec = base.orderBy(orderBy.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new SwiftRolling(sw, spec, 1)
+  }
+
   /** Time window `rolling("1 hour")`: rows within the trailing duration —
     * `rangeBetween` over unix microseconds, the exact analog of a pandas
     * offset window on a DatetimeIndex. min_periods defaults to 1 (pandas
@@ -318,6 +357,35 @@ final class SwiftResample(sw: Swift, rule: String, tsCol: String,
     sw.lastStrategy = SwiftStrategy.Vectorized
     bucketed.groupBy(groupCols: _*)
       .agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** pandas `resample(rule).agg(...).ffill()`: the per-bucket aggregate
+    * with MISSING buckets materialized and forward-filled. The bucket
+    * spine is `sequence(min, max, rule)` exploded from a 1-row aggregate
+    * — no driver loop — left-joined to the populated buckets; the fill
+    * is `last(value, ignoreNulls)` over the bucket order. Output:
+    * (bucket, `out` = filled aggregate, n = rows in bucket, 0 for
+    * generated gap buckets).
+    *
+    * Single-series form: the fill window is one global partition, fine
+    * because it runs over BUCKETS (post-aggregation — thousands of rows,
+    * not the raw events); a per-key gap-fill at scale would carry the
+    * series key in both the spine and the window partition. */
+  def aggFfill(aggExpr: Column, out: String,
+      post: Column => Column = identity): DataFrame = {
+    require(partitionBy.isEmpty,
+      "ffill is the single-series form; partition per series upstream")
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    val base = bucketed.groupBy(col("__bucket").as("bucket"))
+      .agg(post(aggExpr).as("__v"), count(lit(1)).as("__n"))
+    val spine = base.agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+      .select(explode(expr(s"sequence(__mn, __mx, interval $rule)")).as("bucket"))
+    val wOrd = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(base, Seq("bucket"), "left")
+      .withColumn(out, last(col("__v"), ignoreNulls = true).over(wOrd))
+      .withColumn("n", coalesce(col("__n"), lit(0L)))
+      .select(col("bucket"), col(out), col("n"))
   }
 
   /** Arbitrary per-bucket function over the bucket's values. */

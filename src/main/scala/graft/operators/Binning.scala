@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering binning: pandas `cut` (fixed edges → labels) and
+  * `value_counts` as declarative plans. A bin assignment is one CASE
+  * chain of double comparisons — codegen'd, zero shuffle, and exactly
+  * mirrorable because both engines compare against the same literals
+  * (no arithmetic at all, just `<=`). */
+object Binning {
+
+  /** pandas `cut(x, bins, labels)` with the default `right=True`:
+    * label i for x in (edges(i), edges(i+1)]; values outside
+    * (edges.head, edges.last] — and nulls — map to null (pandas NaN). */
+  def cut(c: Column, edges: Seq[Double], labels: Seq[String]): Column = {
+    require(edges.length == labels.length + 1, "need one more edge than labels")
+    require(edges.sliding(2).forall(p => p(0) < p(1)), "edges must be ascending")
+    val chain = labels.zipWithIndex.foldRight(lit(null).cast("string")) {
+      case ((l, i), rest) => when(c <= edges(i + 1), lit(l)).otherwise(rest)
+    }
+    when(c > edges.head && c <= edges.last, chain)
+  }
+
+  /** SQL mirror of [[cut]] — the same CASE chain from the same Double
+    * literals (Scala `Double.toString` parses to the identical IEEE
+    * value in DuckDB). */
+  def cutSql(x: String, edges: Seq[Double], labels: Seq[String]): String = {
+    val whens = labels.zipWithIndex
+      .map { case (l, i) => s"WHEN $x <= ${edges(i + 1)} THEN '${l.replace("'", "''")}'" }
+      .mkString(" ")
+    s"CASE WHEN $x > ${edges.head} AND $x <= ${edges.last} THEN (CASE $whens END) ELSE NULL END"
+  }
+
+  /** pandas `value_counts()` over a binned column: one hash aggregate
+    * (map-side partials), descending count with the label as tie-break. */
+  def valueCounts(df: DataFrame, c: Column, out: String = "bin"): DataFrame =
+    df.groupBy(c.as(out)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(out))
+}

@@ -294,6 +294,44 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // O5 — pandas expanding(): cumulative (unbounded-preceding) decimal
+    // sum per user — the native running-aggregate frame
+    "o5_expanding" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).expanding(orderBy = Seq("ts", "event_id"), partitionBy = Seq("user_id"))
+        .agg(sum(col("value").cast(DecimalType(20, 6))), "cum_sum", _.cast("double"))
+        .select(col("event_id"), col("cum_sum"))
+        .orderBy("event_id")
+    }),
+
+    // O5 — pandas rolling(3).cov(other): SAMPLE covariance in exact
+    // decimal micro-unit arithmetic (see SwiftRolling.cov), frames walk
+    // each order's line numbers
+    "o5_rolling_cov" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // l_linenumber is NOT unique within an order in this synthetic data —
+      // the value columns join the ordering to make the walk total (ties
+      // would give each engine different frames)
+      Swift(li).rolling(3,
+          orderBy = Seq("l_linenumber", "l_extendedprice", "l_quantity"),
+          partitionBy = Seq("l_orderkey"))
+        .cov("l_quantity", "l_extendedprice", "qp_cov")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("qp_cov"))
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    }),
+
+    // O4 — pandas groupby(...).transform(...): the group aggregate
+    // broadcast back onto every row (window aggregate, no self-join)
+    "o4_groupby_transform" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).groupBy("user_id")
+        .transform(sum(col("value").cast(DecimalType(20, 6))), "user_total",
+          _.cast("double"))
+        .select(col("event_id"), col("user_id"), col("user_total"))
+        .orderBy("event_id")
+    }),
+
     // O5 — centered rolling window with min_periods (pandas center=True)
     "o5_rolling_center" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -302,6 +340,17 @@ object CoreQueries {
         .agg(sum(col("value").cast(DecimalType(20, 6))), "roll_sum", _.cast("double"))
         .select(col("event_id"), col("roll_sum"))
         .orderBy("event_id")
+    }),
+
+    // O6 — pandas resample('1h').sum().ffill(): sparse series (error
+    // events populate 678 of 720 hours at sf0.01) — gap buckets are
+    // materialized from a sequence spine and forward-filled
+    "o6_resample_ffill" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("event_type") === "error")
+      Swift(ev).resample("1 hour", "ts")
+        .aggFfill(sum(col("value").cast(DecimalType(20, 6))), "hr_sum", _.cast("double"))
+        .select(epochUs(col("bucket")).as("bucket_us"), col("hr_sum"), col("n"))
+        .orderBy("bucket_us")
     }),
 
     // O6 — resample with label='right' (bucket labeled by bin end)
@@ -513,6 +562,36 @@ object CoreQueries {
       weightedRollingOracle(SwiftRollingWeighted.weights(7, "bartlett")),
     "o5_rolling_hamming" ->
       weightedRollingOracle(SwiftRollingWeighted.weights(7, "hamming")),
+    "o5_expanding" ->
+      """SELECT event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+    // HUGEINT mirror of SwiftRolling.cov's DECIMAL(38,0) arithmetic: one
+    // exact-integer numerator -> double, then two IEEE divisions in the
+    // same order as the Spark expression
+    "o5_rolling_cov" ->
+      """WITH m AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  CAST(CAST(l_quantity AS DECIMAL(20,6))*1000000 AS BIGINT) AS xm,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(20,6))*1000000 AS BIGINT) AS ym
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  CASE WHEN count(*) OVER w >= 3 THEN
+        |    CAST(count(*) OVER w * sum(CAST(xm AS HUGEINT)*CAST(ym AS HUGEINT)) OVER w
+        |       - sum(CAST(xm AS HUGEINT)) OVER w * sum(CAST(ym AS HUGEINT)) OVER w AS DOUBLE)
+        |    / CAST(count(*) OVER w * (count(*) OVER w - 1) AS DOUBLE) / 1000000000000.0
+        |  END AS qp_cov
+        |FROM m
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_extendedprice, l_quantity
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+    "o4_groupby_transform" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (PARTITION BY user_id) AS DOUBLE)
+        |    AS user_total
+        |FROM events ORDER BY event_id""".stripMargin,
     "o5_rolling_center" ->
       """SELECT event_id,
         |  CASE WHEN count(*) OVER w >= 3
@@ -521,6 +600,19 @@ object CoreQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
         |ORDER BY event_id""".stripMargin,
+    "o6_resample_ffill" ->
+      s"""WITH b AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         |    ${dsumSql("value")} AS hr_sum, count(*) AS n
+         |  FROM events WHERE event_type = 'error' GROUP BY 1),
+         |sp AS (SELECT unnest(generate_series(
+         |  (SELECT min(bucket) FROM b), (SELECT max(bucket) FROM b),
+         |  INTERVAL 1 HOUR)) AS bucket)
+         |SELECT epoch_us(sp.bucket) AS bucket_us,
+         |  last_value(b.hr_sum IGNORE NULLS) OVER (ORDER BY sp.bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hr_sum,
+         |  coalesce(b.n, 0) AS n
+         |FROM sp LEFT JOIN b USING (bucket)
+         |ORDER BY bucket_us""".stripMargin,
     "o6_resample_label_right" ->
       s"""SELECT epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS bucket_us,
          |  ${dsumSql("value")} AS hr_sum, count(*) AS n

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.MirrorHash
-import graft.operators.{Chunking, Dedup, Ranking, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Binning, Chunking, Dedup, Ranking, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** Training-data-pipeline extension queries (north star in BASELINE.json):
@@ -32,6 +32,9 @@ object ExtQueries {
   private val CHUNK_OV = 4
   private val BM25_TERMS = Seq("join", "data", "vector", "stream", "slow")
   private val BM25_K = 10
+  // cut() bin edges/labels for the price-binning query (right-closed)
+  private val CUT_EDGES = Seq(0.0, 10000.0, 25000.0, 50000.0, 75000.0, 1.0e9)
+  private val CUT_LABELS = Seq("xs", "s", "m", "l", "xl")
   // embedding-LSH config, PINNED for the static DuckDB mirror (the
   // operator itself defaults to auto-sized tables — Dedup.autoTables)
   private val LSH_TABLES = 150
@@ -97,6 +100,10 @@ object ExtQueries {
       // BM25-rational relevance top-k (log-free idf: bit-exact cross-engine)
       Ranking.bm25TopK(t(s, dir, "documents"), "doc_id", "text", BM25_TERMS, BM25_K)
         .orderBy("term", "rank")),
+    "feat_cut_bins" -> ((s, dir) =>
+      // pandas cut + value_counts: fixed-edge binning, one hash aggregate
+      Binning.valueCounts(t(s, dir, "lineitem"),
+        Binning.cut(col("l_extendedprice"), CUT_EDGES, CUT_LABELS))),
 
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
@@ -222,6 +229,10 @@ object ExtQueries {
          |SELECT id, ${fingerprintSql()} AS fp FROM w ORDER BY id""".stripMargin,
     "doc_chunks" -> Chunking.chunkSql(CHUNK_W, CHUNK_OV),
     "text_bm25" -> Ranking.bm25Sql(BM25_TERMS, BM25_K),
+    "feat_cut_bins" ->
+      s"""SELECT ${Binning.cutSql("l_extendedprice", CUT_EDGES, CUT_LABELS)} AS bin,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY 1 ORDER BY n DESC, bin""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper

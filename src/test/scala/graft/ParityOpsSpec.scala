@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Swift
+import graft.operators.Binning
+
+/** Behavior specs for the round-7 pandas-parity additions: expanding
+  * windows, rolling covariance, groupby transform, resample ffill, cut. */
+class ParityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("expanding: cumulative frames match a manual scan") {
+    val df = Seq((1L, 1, 2.0), (1L, 2, 3.0), (1L, 3, 5.0), (2L, 1, 10.0))
+      .toDF("k", "i", "v")
+    val out = Swift(df).expanding(orderBy = Seq("i"), partitionBy = Seq("k"))
+      .agg(sum(col("v").cast(DecimalType(20, 6))), "cum", _.cast("double"))
+      .select("k", "i", "cum").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 1)) == 2.0 && out((1L, 2)) == 5.0 && out((1L, 3)) == 10.0)
+    assert(out((2L, 1)) == 10.0)
+  }
+
+  test("rolling cov: matches the two-pass textbook sample covariance") {
+    val xs = Seq(3.25, 1.5, 4.75, 2.0, 6.5)
+    val ys = Seq(10.0, 14.5, 7.25, 11.0, 3.5)
+    val df = xs.zip(ys).zipWithIndex.map { case ((x, y), i) => (1L, i, x, y) }
+      .toDF("k", "i", "x", "y")
+    val got = Swift(df).rolling(3, orderBy = Seq("i"), partitionBy = Seq("k"))
+      .cov("x", "y", "c").select("i", "c").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // frames 0,1 have n<3 -> null
+    assert(got(0).isEmpty && got(1).isEmpty)
+    def cov3(i: Int): Double = {
+      val fx = xs.slice(i - 2, i + 1); val fy = ys.slice(i - 2, i + 1)
+      val mx = fx.sum / 3; val my = fy.sum / 3
+      fx.zip(fy).map { case (a, b) => (a - mx) * (b - my) }.sum / 2
+    }
+    (2 to 4).foreach { i =>
+      assert(math.abs(got(i).get - cov3(i)) < 1e-9, s"frame $i")
+    }
+  }
+
+  test("groupby transform: group aggregate lands on every row, length preserved") {
+    val df = Seq((1L, 2.0), (1L, 3.0), (2L, 7.0)).toDF("k", "v")
+    val out = Swift(df).groupBy("k")
+      .transform(sum(col("v").cast(DecimalType(20, 6))), "tot", _.cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length == 3)
+    assert(out.filter(_._1 == 1L).forall(_._3 == 5.0))
+    assert(out.filter(_._1 == 2L).forall(_._3 == 7.0))
+  }
+
+  test("resample ffill: gap buckets materialize with the previous value and n=0") {
+    val base = java.sql.Timestamp.valueOf("1970-01-01 00:30:00")
+    def at(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600L * 1000)
+    // hours 0, 1, 4 populated; 2 and 3 are gaps
+    val df = Seq((at(0), 1.0), (at(1), 2.0), (at(4), 8.0)).toDF("ts", "v")
+    val out = Swift(df).resample("1 hour", "ts")
+      .aggFfill(sum(col("v").cast(DecimalType(20, 6))), "s", _.cast("double"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getDouble(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1.0, 1L), (2.0, 1L), (2.0, 0L), (2.0, 0L), (8.0, 1L)))
+  }
+
+  test("cut: right-closed intervals, outside range and nulls -> null") {
+    val df = Seq(Some(0.0), Some(0.5), Some(1.0), Some(1.5), Some(2.0),
+      Some(2.5), None).toDF("x")
+    val got = df.select(Binning.cut(col("x"), Seq(0.0, 1.0, 2.0), Seq("a", "b")).as("b"))
+      .collect().map(r => Option(r.getString(0)))
+    // 0.0 is outside (left edge open); 1.0 closes bin a; 2.0 closes bin b
+    assert(got.toSeq == Seq(None, Some("a"), Some("a"), Some("b"), Some("b"), None, None))
+  }
+}
