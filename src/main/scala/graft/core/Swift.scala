@@ -431,6 +431,40 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
   def expanding(orderBy: Seq[String], partitionBy: Seq[String] = Nil): SwiftRolling =
     SwiftRolling.expanding(this, orderBy, partitionBy)
 
+  private def lagSpec(orderBy: Seq[String], partitionBy: Seq[String]) = {
+    val base =
+      if (partitionBy.nonEmpty)
+        org.apache.spark.sql.expressions.Window.partitionBy(partitionBy.map(col): _*)
+      else org.apache.spark.sql.expressions.Window.partitionBy()
+    base.orderBy(orderBy.map(col): _*)
+  }
+
+  /** pandas `shift(periods)`: the value `periods` rows back (lag) —
+    * leading rows yield null, exactly pandas' NaN head. */
+  def shift(valueCol: String, periods: Int, orderBy: Seq[String],
+      partitionBy: Seq[String] = Nil, out: String = "shifted"): DataFrame = {
+    lastStrategy = SwiftStrategy.Vectorized
+    df.withColumn(out, lag(col(valueCol), periods).over(lagSpec(orderBy, partitionBy)))
+  }
+
+  /** pandas `diff(periods)`: x − shift(x, periods). */
+  def diff(valueCol: String, periods: Int, orderBy: Seq[String],
+      partitionBy: Seq[String] = Nil, out: String = "diffed"): DataFrame = {
+    lastStrategy = SwiftStrategy.Vectorized
+    val prev = lag(col(valueCol), periods).over(lagSpec(orderBy, partitionBy))
+    df.withColumn(out, col(valueCol) - prev)
+  }
+
+  /** pandas `pct_change(periods)`: x ∕ shift(x) − 1 — a single IEEE
+    * division then subtraction, deterministic cross-engine (the oracle
+    * mirrors the identical operation order). */
+  def pctChange(valueCol: String, periods: Int, orderBy: Seq[String],
+      partitionBy: Seq[String] = Nil, out: String = "pct"): DataFrame = {
+    lastStrategy = SwiftStrategy.Vectorized
+    val prev = lag(col(valueCol), periods).over(lagSpec(orderBy, partitionBy))
+    df.withColumn(out, col(valueCol) / prev - lit(1.0))
+  }
+
   /** O6 — resample(rule).apply (swifter/swifter.py:174-220,766-824).
     * `rule` is a Spark interval string, e.g. "1 day", "3 minutes". */
   def resample(rule: String, tsCol: String): SwiftResample =

@@ -388,6 +388,40 @@ final class SwiftResample(sw: Swift, rule: String, tsCol: String,
       .select(col("bucket"), col(out), col("n"))
   }
 
+  /** pandas `resample(rule).agg(...).interpolate()` (linear): like
+    * [[aggFfill]] but gap buckets get the LINEAR interpolation between
+    * the surrounding populated buckets:
+    * `prev + (next − prev) · (t − tPrev)/(tNext − tPrev)`, with the time
+    * ratio computed on exact BIGINT microseconds. The spine's endpoints
+    * are populated by construction (min/max come from the data), so
+    * every gap has both neighbors. Same single-series window note as
+    * [[aggFfill]]. */
+  def aggInterpolate(aggExpr: Column, out: String,
+      post: Column => Column = identity): DataFrame = {
+    require(partitionBy.isEmpty,
+      "interpolate is the single-series form; partition per series upstream")
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    val base = bucketed.groupBy(col("__bucket").as("bucket"))
+      .agg(post(aggExpr).as("__v"), count(lit(1)).as("__n"))
+    val spine = base.agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+      .select(explode(expr(s"sequence(__mn, __mx, interval $rule)")).as("bucket"))
+    val bUs = unix_micros(col("bucket"))
+    val back = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevV = last(col("__v"), ignoreNulls = true).over(back)
+    val prevT = last(when(col("__v").isNotNull, bUs), ignoreNulls = true).over(back)
+    val nextV = first(col("__v"), ignoreNulls = true).over(fwd)
+    val nextT = first(when(col("__v").isNotNull, bUs), ignoreNulls = true).over(fwd)
+    val interp = prevV + (nextV - prevV) *
+      ((bUs - prevT).cast("double") / (nextT - prevT).cast("double"))
+    spine.join(base, Seq("bucket"), "left")
+      .withColumn(out, when(col("__v").isNotNull, col("__v")).otherwise(interp))
+      .withColumn("n", coalesce(col("__n"), lit(0L)))
+      .select(col("bucket"), col(out), col("n"))
+  }
+
   /** Arbitrary per-bucket function over the bucket's values. */
   def apply(valueCol: String, out: String, outType: DataType)(
       fn: Seq[Double] => Any): DataFrame = {

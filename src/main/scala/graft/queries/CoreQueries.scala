@@ -342,6 +342,30 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // O1 — pandas shift / diff / pct_change: lag-based projections over
+    // the per-user event order (one shuffle on user, one sort)
+    "o1_shift_ops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ord = Seq("ts", "event_id"); val part = Seq("user_id")
+      val s1 = Swift(ev).shift("value", 1, ord, part, "shifted")
+      val s2 = Swift(s1).diff("value", 1, ord, part, "diffed")
+      val s3 = Swift(s2).pctChange("value", 1, ord, part, "pct")
+      s3.select(col("event_id"), col("shifted"), col("diffed"), col("pct"))
+        .orderBy("event_id")
+    }),
+
+    // O6 — pandas resample('1h').sum().interpolate(): gap buckets get the
+    // LINEAR interpolation between surrounding populated buckets (exact
+    // BIGINT-microsecond time ratio; see SwiftResample.aggInterpolate)
+    "o6_resample_interp" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("event_type") === "error")
+      Swift(ev).resample("1 hour", "ts")
+        .aggInterpolate(sum(col("value").cast(DecimalType(20, 6))), "hr_sum",
+          _.cast("double"))
+        .select(epochUs(col("bucket")).as("bucket_us"), col("hr_sum"), col("n"))
+        .orderBy("bucket_us")
+    }),
+
     // O6 — pandas resample('1h').sum().ffill(): sparse series (error
     // events populate 678 of 720 hours at sf0.01) — gap buckets are
     // materialized from a sequence spine and forward-filled
@@ -600,6 +624,38 @@ object CoreQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
         |ORDER BY event_id""".stripMargin,
+    "o1_shift_ops" ->
+      """SELECT event_id, lag(value, 1) OVER w AS shifted,
+        |  value - lag(value, 1) OVER w AS diffed,
+        |  value / lag(value, 1) OVER w - 1.0 AS pct
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "o6_resample_interp" ->
+      s"""WITH b AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         |    ${dsumSql("value")} AS hs, count(*) AS n
+         |  FROM events WHERE event_type = 'error' GROUP BY 1),
+         |sp AS (SELECT unnest(generate_series(
+         |  (SELECT min(bucket) FROM b), (SELECT max(bucket) FROM b),
+         |  INTERVAL 1 HOUR)) AS bucket),
+         |j AS (SELECT sp.bucket, b.hs, b.n FROM sp LEFT JOIN b USING (bucket))
+         |SELECT epoch_us(bucket) AS bucket_us,
+         |  CASE WHEN hs IS NOT NULL THEN hs ELSE
+         |    last_value(hs IGNORE NULLS) OVER back
+         |    + (first_value(hs IGNORE NULLS) OVER fwd
+         |       - last_value(hs IGNORE NULLS) OVER back)
+         |      * (CAST(epoch_us(bucket)
+         |            - last_value(CASE WHEN hs IS NOT NULL THEN epoch_us(bucket) END
+         |                IGNORE NULLS) OVER back AS DOUBLE)
+         |         / CAST(first_value(CASE WHEN hs IS NOT NULL THEN epoch_us(bucket) END
+         |                IGNORE NULLS) OVER fwd
+         |            - last_value(CASE WHEN hs IS NOT NULL THEN epoch_us(bucket) END
+         |                IGNORE NULLS) OVER back AS DOUBLE))
+         |  END AS hr_sum, coalesce(n, 0) AS n
+         |FROM j
+         |WINDOW back AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  fwd AS (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |ORDER BY bucket_us""".stripMargin,
     "o6_resample_ffill" ->
       s"""WITH b AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
          |    ${dsumSql("value")} AS hr_sum, count(*) AS n
