@@ -113,6 +113,27 @@ object ScaleSmoke {
       require(distinct == 1L, s"expected 1 component, got $distinct")
     }
 
+    // Chunking and BM25 at growing corpus multiples (documents replicated
+    // with distinct ids): chunking must scale linearly (zero shuffle —
+    // pipelined in the scan), BM25 with the sparse posting count (the
+    // corpus never shuffles; df/avgdl are broadcast 1-row aggs).
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def repDocs(n: Int) = (0 until n).map(k =>
+      docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"), col("text")))
+      .reduce(_ union _)
+    Seq(1, 4, 16).foreach { m =>
+      val d = repDocs(m)
+      time(s"doc_chunks x$m (${5000 * m} docs)") {
+        graft.operators.Chunking.chunk(d, "doc_id", "text", 16, 4)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"text_bm25 x$m (${5000 * m} docs)") {
+        graft.operators.Ranking.bm25TopK(d, "doc_id", "text",
+            Seq("join", "data", "vector", "stream", "slow"), 10)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     // Skew-safe sessionize under a deliberately hot key: all events
     // collapsed onto one user (the single-pass plan's worst case).
     val ev = graft.queries.Tables.t(spark, "/root/testdata/sf0.1", "events")

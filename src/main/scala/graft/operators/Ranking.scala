@@ -44,9 +44,15 @@ object Ranking {
       size(filter(ws, w => w === t)).cast("long").as(s"__tf$i") }
     val base = df.select(
       (col(idCol).as("id") +: size(ws).cast("long").as("dl") +: tfCols): _*)
-    // corpus stats: N and avgdl in one tiny agg, broadcast to every row
-    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    // unpivot to sparse postings: stack(k, 'term0', tf0, 'term1', tf1, ...)
+    // corpus stats: N and avgdl in one tiny agg from a SLIM projection —
+    // it needs only dl, not the per-term tf filters (the expensive
+    // lambda passes), so the tf computation runs exactly once below
+    val stats = df.select(size(ws).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // unpivot to sparse postings: stack(k, 'term0', tf0, 'term1', tf1, ...);
+    // cached because two consumers (dfreq + scoring) would otherwise
+    // re-run the whole tokenize+filter pipeline — postings are the SPARSE
+    // output (rows ∝ docs containing a term), safe to materialize at scale
     val stackArgs = terms.zipWithIndex
       .map { case (t, i) => s"'${t.replace("'", "''")}', __tf$i" }
       .mkString(", ")
@@ -54,6 +60,7 @@ object Ranking {
       .select(col("id"), col("dl"),
         expr(s"stack(${terms.size}, $stackArgs) AS (term, tf)"))
       .filter(col("tf") > 0)
+      .cache()
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = postings
       .join(broadcast(dfreq), "term")

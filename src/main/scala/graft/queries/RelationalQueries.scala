@@ -400,6 +400,41 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Typed-Aggregator UDAF as a first-class oracled query: exact
+    // micro-unit mean per user (two-Long buffer, map-side partials —
+    // the custom-aggregate API with built-in-aggregate plan shape)
+    "rel_udaf_mean" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val microMean = udaf(new graft.functions.MicroMeanAgg,
+        org.apache.spark.sql.Encoders.scalaLong)
+      val vm = (col("value").cast(DecimalType(20, 6)) * lit(1000000L)).cast("long")
+      ev.select(col("user_id"), vm.as("__vm"))
+        .groupBy(col("user_id"))
+        .agg(microMean(col("__vm")).as("vmean"), count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
+    // TPC-H Q5-style 6-table local-supplier revenue: the canonical
+    // mixed-strategy join tree — region/nation/supplier/customer are
+    // broadcast (the fact tables never move for them), lineitem⋈orders is
+    // the one shuffled fact-fact join; aggregation is map-side partial.
+    "rel_q5_region" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name")
+    }),
+
     // FULL OUTER join with nulls flowing both directions: segment
     // customers without qualifying orders (null rev) and qualifying
     // order-customers outside the segment (null segment). Both sides are
@@ -681,6 +716,26 @@ object RelationalQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_quantity < 10
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "rel_udaf_mean" ->
+      """WITH m AS (SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS vm
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(vm) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE) AS vmean,
+        |  count(*) AS n
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_q5_region" ->
+      s"""SELECT n_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(*) AS n
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "rel_join_outer" ->
       s"""SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
          |  c.c_mktsegment, o.rev
