@@ -431,6 +431,14 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
   def expanding(orderBy: Seq[String], partitionBy: Seq[String] = Nil): SwiftRolling =
     SwiftRolling.expanding(this, orderBy, partitionBy)
 
+  /** O5 — pandas `ewm(alpha=...)` (adjust=True): exponentially weighted
+    * mean with micro-quantized weights, realized as a bounded window —
+    * the quantized decay tail is exactly zero past ~⌈6·ln10 / α⌉ rows,
+    * so no unbounded frame. See [[SwiftEwm]] for the determinism story. */
+  def ewm(alpha: Double, orderBy: Seq[String],
+      partitionBy: Seq[String] = Nil): SwiftEwm =
+    SwiftEwm.counted(this, alpha, orderBy, partitionBy)
+
   private def lagSpec(orderBy: Seq[String], partitionBy: Seq[String]) = {
     val base =
       if (partitionBy.nonEmpty)
@@ -463,6 +471,21 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
     lastStrategy = SwiftStrategy.Vectorized
     val prev = lag(col(valueCol), periods).over(lagSpec(orderBy, partitionBy))
     df.withColumn(out, col(valueCol) / prev - lit(1.0))
+  }
+
+  /** pandas `fillna(value)`: nulls → the fill value (pure projection). */
+  def fillna(valueCol: String, fill: Double, out: String = "filled"): DataFrame = {
+    lastStrategy = SwiftStrategy.Vectorized
+    df.withColumn(out, coalesce(col(valueCol), lit(fill)))
+  }
+
+  /** pandas `clip(lower, upper)`: componentwise clamp — two IEEE
+    * comparisons, no arithmetic, so bit-exact cross-engine; nulls pass
+    * through like pandas NaN. */
+  def clip(valueCol: String, lower: Double, upper: Double,
+      out: String = "clipped"): DataFrame = {
+    lastStrategy = SwiftStrategy.Vectorized
+    df.withColumn(out, least(greatest(col(valueCol), lit(lower)), lit(upper)))
   }
 
   /** O6 — resample(rule).apply (swifter/swifter.py:174-220,766-824).

@@ -191,6 +191,63 @@ object SwiftRollingWeighted {
   }
 }
 
+/** pandas `ewm(alpha).mean()` with `adjust=True` (the pandas default):
+  * yₜ = Σᵢ (1−α)^i·xₜ₋ᵢ / Σᵢ (1−α)^i over the row's history.
+  *
+  * The exponential weights are QUANTIZED to micro-weights
+  * wₖ = round((1−α)^k·10⁶) — the same fixed-point trick as
+  * [[SwiftRollingWeighted]] — which makes the tail EXACTLY zero past
+  * W = the first k where the rounded weight hits 0 (α=0.5 → W=21). The
+  * full-history EWM therefore equals a W-row bounded window: the frame is
+  * `rowsBetween(-(W-1), 0)`, cost O(n·W) with no unbounded collect.
+  * Early rows (m < W values) renormalize over the weights present,
+  * exactly pandas adjust=True. All products/sums are BIGINT; the single
+  * double op is the final division, so the DuckDB mirror built from the
+  * SAME Long weights is bit-exact. Disclosed divergence from pandas: the
+  * 10⁻⁶ weight quantization (≤1e-6 relative on the mean).
+  */
+final class SwiftEwm(sw: Swift, spec: WindowSpec, microWeights: Seq[Long]) {
+
+  /** EWM mean of `valueCol`; frame values arrive oldest→newest, so the
+    * weight vector is the first-m prefix reversed (newest gets w₀). */
+  def mean(valueCol: String, out: String): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    val vm = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      * lit(1000000L)).cast("long")
+    val vals = collect_list(vm).over(spec)
+    val wArr = array(microWeights.map(lit): _*)
+    val m = size(vals)
+    val used = reverse(slice(wArr, lit(1), m))
+    val num = aggregate(zip_with(vals, used, (v, wt) => v * wt), lit(0L), _ + _)
+    val den = aggregate(slice(wArr, lit(1), m), lit(0L), _ + _)
+    // den·10⁶ ≤ 2·10¹³ < 2⁵³: the double product is exact, so the one
+    // rounding step is the final division — mirrored verbatim in SQL
+    sw.df.withColumn(out, num.cast("double") / (den.cast("double") * lit(1e6)))
+  }
+}
+
+object SwiftEwm {
+  /** Micro-weights for decay α: round((1−α)^k·10⁶) for k = 0 until the
+    * first zero — the exact support of the quantized EWM. */
+  def microWeights(alpha: Double): Seq[Long] = {
+    require(alpha > 0 && alpha < 1, s"ewm needs 0 < alpha < 1, got $alpha")
+    Iterator.iterate(1.0)(_ * (1 - alpha))
+      .map(w => math.round(w * 1e6))
+      .takeWhile(_ > 0L)
+      .toSeq
+  }
+
+  def counted(sw: Swift, alpha: Double, orderBy: Seq[String],
+      partitionBy: Seq[String]): SwiftEwm = {
+    val ws = microWeights(alpha)
+    val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
+               else Window.partitionBy()
+    val spec = base.orderBy(orderBy.map(col): _*)
+      .rowsBetween(-(ws.length.toLong - 1), Window.currentRow)
+    new SwiftEwm(sw, spec, ws)
+  }
+}
+
 object SwiftRolling {
   /** Centered count window `rolling(n, center=True)`: ⌊(n-1)/2⌋ rows
     * before through ⌊n/2⌋ rows after (pandas centering convention).

@@ -304,6 +304,17 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // O5 — pandas ewm(alpha=0.5).mean() (adjust=True): micro-quantized
+    // exponential weights make the decay tail exactly zero at 21 rows, so
+    // the full-history EWM is a bounded 21-row window (see SwiftEwm)
+    "o5_ewm_mean" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).ewm(0.5, orderBy = Seq("ts", "event_id"), partitionBy = Seq("user_id"))
+        .mean("value", "ewm")
+        .select(col("event_id"), col("ewm"))
+        .orderBy("event_id")
+    }),
+
     // O5 — pandas rolling(3).cov(other): SAMPLE covariance in exact
     // decimal micro-unit arithmetic (see SwiftRolling.cov), frames walk
     // each order's line numbers
@@ -352,6 +363,24 @@ object CoreQueries {
       val s3 = Swift(s2).pctChange("value", 1, ord, part, "pct")
       s3.select(col("event_id"), col("shifted"), col("diffed"), col("pct"))
         .orderBy("event_id")
+    }),
+
+    // pandas Series.value_counts(): one hash aggregate, descending count
+    // with the value as tie-break (the pandas sort convention)
+    "o1_value_counts" -> ((s, dir) =>
+      graft.operators.Binning.valueCounts(t(s, dir, "lineitem"),
+        col("l_returnflag"), out = "val")),
+
+    // pandas fillna + clip chained (nulls synthesized via nullif —
+    // the testdata itself is dense): clamp is two IEEE comparisons,
+    // no arithmetic, so the mirror is trivially bit-exact
+    "o1_clean_ops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val withNulls = li.withColumn("tax0", nullif(col("l_tax"), lit(0.0)))
+      val filled = Swift(withNulls).fillna("tax0", 0.04, "tax_f")
+      Swift(filled).clip("tax_f", 0.02, 0.07, "tax_c")
+        .select(col("l_orderkey"), col("l_linenumber"), col("tax_c"))
+        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // O6 — pandas resample('1h').sum().interpolate(): gap buckets get the
@@ -592,6 +621,23 @@ object CoreQueries {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_sum
         |FROM events ORDER BY event_id""".stripMargin,
+    // ewm(0.5) mirror from the SAME micro-weights the Spark query uses:
+    // frame values arrive oldest→newest, so vs[i] pairs with weight
+    // w[len−i] (newest gets w₀); numerator and denominator are BIGINT,
+    // the one double op is the final division — identical to SwiftEwm
+    "o5_ewm_mean" -> {
+      val ws = graft.core.SwiftEwm.microWeights(0.5)
+      val wArr = ws.mkString("[", ",", "]")
+      s"""WITH v AS (SELECT event_id, user_id, ts,
+         |    CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS vm FROM events),
+         |l AS (SELECT event_id, list(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN ${ws.length - 1} PRECEDING AND CURRENT ROW) AS vs FROM v)
+         |SELECT event_id,
+         |  CAST(list_sum(list_transform(generate_series(1, len(vs)),
+         |      i -> vs[i] * ($wArr)[len(vs)-i+1])) AS DOUBLE)
+         |  / (CAST(list_sum(list_slice($wArr, 1, len(vs))) AS DOUBLE) * 1000000.0) AS ewm
+         |FROM l ORDER BY event_id""".stripMargin
+    },
     // HUGEINT mirror of SwiftRolling.cov's DECIMAL(38,0) arithmetic: one
     // exact-integer numerator -> double, then two IEEE divisions in the
     // same order as the Spark expression
@@ -631,6 +677,13 @@ object CoreQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    "o1_value_counts" ->
+      """SELECT l_returnflag AS val, count(*) AS n FROM lineitem
+        |GROUP BY 1 ORDER BY n DESC, val""".stripMargin,
+    "o1_clean_ops" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  least(greatest(coalesce(nullif(l_tax, 0.0), 0.04), 0.02), 0.07) AS tax_c
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "o6_resample_interp" ->
       s"""WITH b AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
          |    ${dsumSql("value")} AS hs, count(*) AS n

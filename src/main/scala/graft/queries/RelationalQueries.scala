@@ -113,6 +113,30 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // pandas melt (wide → long): Spark's native unpivot — an Expand
+    // generator, zero shuffle, 4 output rows per lineitem
+    "rel_melt" -> ((s, dir) =>
+      graft.operators.Reshape.melt(t(s, dir, "lineitem"),
+          ids = Seq("l_orderkey", "l_linenumber"),
+          values = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("l_orderkey", "l_linenumber", "variable")),
+
+    // pandas crosstab(priority, status): ONE hash aggregate with
+    // conditional count partials — the shuffle carries 5 rows, not pairs
+    "rel_crosstab" -> ((s, dir) =>
+      graft.operators.Reshape.crosstab(t(s, dir, "orders"),
+          "o_orderpriority", "o_orderstatus", Seq("F", "O", "P"))
+        .orderBy("o_orderpriority")),
+
+    // pandas get_dummies: one 0/1 column per category, pure projection
+    // (explicit category list keeps the plan collect-free — see Reshape)
+    "feat_one_hot" -> ((s, dir) =>
+      graft.operators.Reshape.oneHot(t(s, dir, "orders"), "o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), "pri")
+        .select(col("o_orderkey"), col("pri_1_urgent"), col("pri_2_high"),
+          col("pri_3_medium"), col("pri_4_not_specified"), col("pri_5_low"))
+        .orderBy("o_orderkey")),
+
     // Distribution window functions: ntile / percent_rank / cume_dist
     "rel_window_dist" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -613,6 +637,27 @@ object RelationalQueries {
         s"CAST(sum(CAST(value AS DECIMAL(20,6))) FILTER (WHERE event_type = '$t') AS DOUBLE) AS $t"
       s"""SELECT user_id, ${Seq("click", "error", "purchase", "signup", "view").map(cell).mkString(", ")}
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // melt mirror: UNION ALL of one projection per value column — the
+    // dialect-neutral spelling of UNPIVOT
+    "rel_melt" -> {
+      val vals = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      vals.map(v =>
+        s"SELECT l_orderkey, l_linenumber, '$v' AS variable, $v AS value FROM lineitem")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY l_orderkey, l_linenumber, variable")
+    },
+    "rel_crosstab" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "feat_one_hot" -> {
+      val cats = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val cols = cats.map(c =>
+        s"CAST(o_orderpriority = '$c' AS BIGINT) AS pri_${graft.operators.Reshape.sanitize(c)}")
+      s"""SELECT o_orderkey, ${cols.mkString(", ")}
+         |FROM orders ORDER BY o_orderkey""".stripMargin
     },
     "rel_window_dist" ->
       """SELECT event_id,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Swift
-import graft.operators.Binning
+import graft.operators.{Binning, Reshape}
 
 /** Behavior specs for the round-7 pandas-parity additions: expanding
   * windows, rolling covariance, groupby transform, resample ffill, cut. */
@@ -71,5 +71,36 @@ class ParityOpsSpec extends SparkSpec {
       .collect().map(r => Option(r.getString(0)))
     // 0.0 is outside (left edge open); 1.0 closes bin a; 2.0 closes bin b
     assert(got.toSeq == Seq(None, Some("a"), Some("a"), Some("b"), Some("b"), None, None))
+  }
+
+  test("melt: wide-to-long inverts a pivot; row count = n x value cols") {
+    val df = Seq((1L, 2.0, 3.0), (2L, 5.0, 7.0)).toDF("id", "a", "b")
+    val long = Reshape.melt(df, Seq("id"), Seq("a", "b"))
+    assert(long.count() == 4)
+    val back = long.groupBy("id").pivot("variable", Seq("a", "b")).sum("value")
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1),
+      r.getDouble(2))).toSeq == Seq((1L, 2.0, 3.0), (2L, 5.0, 7.0)))
+  }
+
+  test("oneHot: exactly one dummy fires per row; unknown category = all zeros") {
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "zz")).toDF("id", "c")
+    val out = Reshape.oneHot(df, "c", Seq("x", "y"), "d")
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(r.fieldIndex("d_x")), r.getLong(r.fieldIndex("d_y"))))
+      .toSeq == Seq((1L, 0L), (0L, 1L), (0L, 0L)))
+  }
+
+  test("crosstab: cell counts match pair frequencies; absent cell = 0") {
+    val df = Seq(("a", "u"), ("a", "u"), ("a", "v"), ("b", "v")).toDF("r", "c")
+    val out = Reshape.crosstab(df, "r", "c", Seq("u", "v")).orderBy("r").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(out.toSeq == Seq(("a", 2L, 1L), ("b", 0L, 1L)))
+  }
+
+  test("fillna/clip: nulls filled then clamped; non-null values pass clip only") {
+    val df = Seq(Some(0.5), None, Some(9.0), Some(-3.0)).toDF("x")
+    val out = Swift(Swift(df).fillna("x", 1.5, "f")).clip("f", 0.0, 2.0, "c")
+      .select("c").collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(0.5, 1.5, 2.0, 0.0))
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.core.Swift
+import graft.core.{Swift, SwiftEwm}
 
 /** O5/O6 window semantics + a differential property check of the
   * selector (the reference's core invariant, SURVEY.md §1.4.1). */
@@ -102,6 +102,23 @@ class WindowGroupSpec extends SparkSpec {
     val ev = queries.Tables.t(spark, sf001, "events")
     val out = Swift(ev).resample("1 day", "ts").agg(count(lit(1)).as("n"))
     assert(out.agg(sum("n")).head.getLong(0) == ev.count())
+  }
+
+  test("O5 ewm mean matches a local recomputation; head row equals its value") {
+    val d = (1 to 50).map(i => (i.toLong, (i * 37 % 11) * 0.5)).toDF("id", "x")
+    val out = Swift(d).ewm(0.5, orderBy = Seq("id")).mean("x", "e")
+      .orderBy("id").collect().map(_.getDouble(2))
+    // local mirror of the quantized arithmetic (same Long micro-weights)
+    val ws = SwiftEwm.microWeights(0.5)
+    val xs = (1 to 50).map(i => (i * 37 % 11) * 0.5)
+    val expect = xs.indices.map { t =>
+      val m = math.min(t + 1, ws.length)
+      val num = (0 until m).map(k => ws(k) * math.round(xs(t - k) * 1e6)).sum
+      val den = (0 until m).map(ws).sum
+      num.toDouble / (den.toDouble * 1e6)
+    }
+    out.zip(expect).foreach { case (a, b) => assert(a == b) }
+    assert(out.head == xs.head) // single-row frame renormalizes to x₀
   }
 
   test("min_periods yields null for underfilled frames") {
