@@ -239,6 +239,22 @@ object Similarity {
     probeLists(ranked, isQuery, k, nprobe)
   }
 
+  /** Symmetric int8 quantization (the standard embedding-compression
+    * step before indexing): qᵈ = round(xᵈ·127 ∕ max|x|), per vector, in
+    * PURE integer arithmetic over the fixed-point values — nearest with
+    * half-away-from-zero is (|fx|·254 + m) DIV (2m) on non-negative
+    * operands (trunc = floor there, so Spark DIV and DuckDB // agree),
+    * re-signed. Zero vectors quantize to zeros. Emitted exploded as
+    * (id, d, q) scalar rows; one projection pass, no shuffle. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    fixedPoint(df, idCol, vecCol)
+      .select(col("id"), array_max(transform(col("fx"), x => abs(x))).as("m"),
+        posexplode(col("fx")).as(Seq("d", "x")))
+      .select(col("id"), col("d").cast("long").as("d"),
+        expr("""CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+               |  WHEN x >= 0 THEN (x*254 + m) DIV (2*m)
+               |  ELSE -((-x*254 + m) DIV (2*m)) END""".stripMargin).as("q"))
+
   // ---- DuckDB SQL mirrors ----
 
   /** SQL: fixed-point vector + norm from an embedding list column. */

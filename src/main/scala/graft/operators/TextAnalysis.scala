@@ -57,18 +57,48 @@ object TextAnalysis {
     * the semantics of the CASE chain the oracle runs. (A naive CASE
     * chain here re-instantiates every score expression ~5×; the expanded
     * tree cost >6s of one-time codegen per fresh JVM.) */
-  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = words(col(textCol))
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), langIdCol(col(textCol)).as("pred_lang"))
+
+  /** Column form of [[langId]] for single-pass pipeline composition. */
+  def langIdCol(text: Column): Column = {
+    val ws = words(text)
     val scored = array(langWords.map { case (l, list) =>
       struct(countIn(ws, list).as("s"), lit(l).as("l")) }: _*)
-    val best = aggregate(scored,
+    aggregate(scored,
       struct(lit(0L).as("s"), lit("und").as("l")),
       (acc, e) => when(e.getField("s") > acc.getField("s"), e).otherwise(acc))
-    df.select(col(idCol).as("id"), best.getField("l").as("pred_lang"))
+      .getField("l")
   }
+
+  /** Column form of the word count for pipeline composition. */
+  def nWordsCol(text: Column): Column = size(words(text)).cast("long")
 
   /** Position-weighted rolling-hash document fingerprint. */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
       MirrorHash.fingerprint(graft.functions.HashExpressions.word_hashes(col(textCol))).as("fp"))
+
+  /** Corpus vocabulary: top-k tokens by frequency (the first step of any
+    * tokenizer/BPE training run). Explode pipelines inside the scan stage;
+    * the hash aggregate does map-side partials so the shuffle carries one
+    * row per distinct token per partition; top-k is
+    * TakeOrderedAndProject — no global sort. */
+  def vocab(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(words(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+
+  /** Top-k word bigrams — same plan shape as [[vocab]]; the bigram array
+    * is built by zipping the token array with its own tail (pure
+    * projection, no second pass over the text). */
+  def bigrams(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val ws = words(col(textCol))
+    val n = size(ws)
+    val bg = zip_with(slice(ws, lit(1), n - 1), slice(ws, lit(2), n - 1),
+      (a, b) => concat_ws(" ", a, b))
+    df.select(explode(bg).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(k)
+  }
 }

@@ -30,6 +30,8 @@ object ExtQueries {
   // yields ~5 chunks per doc; terms drawn from the synthetic vocabulary)
   private val CHUNK_W = 16
   private val CHUNK_OV = 4
+  private val VOCAB_K = 50
+  private val CURATE_MIN_WORDS = 40L
   private val BM25_TERMS = Seq("join", "data", "vector", "stream", "slow")
   private val BM25_K = 10
   // cut() bin edges/labels for the price-binning query (right-closed)
@@ -104,6 +106,31 @@ object ExtQueries {
       // pandas cut + value_counts: fixed-edge binning, one hash aggregate
       Binning.valueCounts(t(s, dir, "lineitem"),
         Binning.cut(col("l_extendedprice"), CUT_EDGES, CUT_LABELS))),
+    "text_vocab" -> ((s, dir) =>
+      // tokenizer/BPE step 1: corpus top-k vocabulary — explode pipelined
+      // in the scan, map-side partial counts, TakeOrderedAndProject
+      TextAnalysis.vocab(t(s, dir, "documents"), "text", VOCAB_K)),
+    "text_ngrams" -> ((s, dir) =>
+      // top-k word bigrams — the array zipped with its own tail, one pass
+      TextAnalysis.bigrams(t(s, dir, "documents"), "text", VOCAB_K)),
+    "pipe_curation" -> ((s, dir) => {
+      // end-to-end curation: tag language + length in ONE projection pass
+      // (column-composed, no self-joins), filter, exact-dedup keep-first,
+      // deterministic split — the canonical pretraining-data pipeline;
+      // only the dedup window shuffles
+      val docs = t(s, dir, "documents")
+        .withColumn("pred_lang", TextAnalysis.langIdCol(col("text")))
+        .withColumn("n_words", TextAnalysis.nWordsCol(col("text")))
+        .filter(col("pred_lang") === "en" && col("n_words") >= CURATE_MIN_WORDS)
+      Sampling.split(Dedup.dropDuplicatesKeepMin(docs, "doc_id", Seq("text")),
+          "doc_id", SPLIT_WEIGHTS, SPLIT_LABELS)
+        .select(col("doc_id"), col("pred_lang"), col("n_words"), col("split"))
+        .orderBy("doc_id")
+    }),
+    "emb_quantize" -> ((s, dir) =>
+      // symmetric int8 embedding quantization, exploded to scalar rows
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("id", "d")),
 
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
@@ -183,6 +210,31 @@ object ExtQueries {
   )
 
   // shared SQL prefixes
+  /** Per-language stopword score columns (s_de, s_en, …) over a
+    * string-split array `ws` — mirror of TextAnalysis.langIdCol's fold. */
+  private def langScoreSql = TextAnalysis.langWords.map { case (l, list) =>
+    s"CAST(len(list_filter(ws, w -> w IN (${list.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS s_$l"
+  }.mkString(", ")
+
+  /** Arg-max CASE chain over the s_* columns, alphabetical tie-break. */
+  private def langCaseSql = {
+    val langs = TextAnalysis.langWords.map(_._1)
+    langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN s_$l > 0 AND $geAll THEN '$l'"
+    }.mkString(" ")
+  }
+
+  /** Deterministic-split CASE over the row-id hash (same thresholds the
+    * Spark Sampling.split uses). */
+  private def splitCaseSql(idExpr: String): String = {
+    val cuts = SPLIT_WEIGHTS.scanLeft(0.0)(_ + _).tail.map(Sampling.threshold)
+    val cases = SPLIT_LABELS.init.zip(cuts.init)
+      .map { case (l, c) => s"WHEN ${Sampling.rowHashSql(idExpr)} < $c THEN '$l'" }
+      .mkString(" ")
+    s"CASE $cases ELSE '${SPLIT_LABELS.last}' END"
+  }
+
   private def whsCte =
     s"w AS (SELECT doc_id AS id, ${wordHashesSql()} AS whs FROM documents)"
   private def shsCte =
@@ -210,20 +262,11 @@ object ExtQueries {
         |  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) / CAST(len(ws) AS BIGINT) AS avg_wlen,
         |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in'))) AS BIGINT) / CAST(len(ws) AS BIGINT) AS stop_ratio
         |FROM w ORDER BY id""".stripMargin,
-    "text_lang_id" -> {
-      val scoreSql = TextAnalysis.langWords.map { case (l, list) =>
-        s"CAST(len(list_filter(ws, w -> w IN (${list.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS s_$l"
-      }.mkString(", ")
-      val langs = TextAnalysis.langWords.map(_._1)
-      val caseChain = langs.map { l =>
-        val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
-        s"WHEN s_$l > 0 AND $geAll THEN '$l'"
-      }.mkString(" ")
+    "text_lang_id" ->
       s"""WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
-         |sc AS (SELECT id, $scoreSql FROM w)
-         |SELECT id, CASE $caseChain ELSE 'und' END AS pred_lang
-         |FROM sc ORDER BY id""".stripMargin
-    },
+         |sc AS (SELECT id, $langScoreSql FROM w)
+         |SELECT id, CASE $langCaseSql ELSE 'und' END AS pred_lang
+         |FROM sc ORDER BY id""".stripMargin,
     "text_fingerprint" ->
       s"""WITH $whsCte
          |SELECT id, ${fingerprintSql()} AS fp FROM w ORDER BY id""".stripMargin,
@@ -233,6 +276,40 @@ object ExtQueries {
       s"""SELECT ${Binning.cutSql("l_extendedprice", CUT_EDGES, CUT_LABELS)} AS bin,
          |  count(*) AS n
          |FROM lineitem GROUP BY 1 ORDER BY n DESC, bin""".stripMargin,
+    "text_vocab" ->
+      s"""SELECT token, count(*) AS n
+         |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+         |GROUP BY 1 ORDER BY n DESC, token LIMIT $VOCAB_K""".stripMargin,
+    "text_ngrams" ->
+      s"""WITH w AS (SELECT string_split(text,' ') AS ws FROM documents),
+         |b AS (SELECT unnest(list_transform(generate_series(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM w)
+         |SELECT bigram, count(*) AS n FROM b
+         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT $VOCAB_K""".stripMargin,
+    "pipe_curation" ->
+      s"""WITH w AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents),
+         |sc AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_words,
+         |    $langScoreSql FROM w),
+         |lid AS (SELECT doc_id, text, n_words,
+         |    CASE $langCaseSql ELSE 'und' END AS pred_lang FROM sc),
+         |flt AS (SELECT * FROM lid
+         |  WHERE pred_lang = 'en' AND n_words >= $CURATE_MIN_WORDS),
+         |ded AS (SELECT doc_id, pred_lang, n_words,
+         |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM flt)
+         |SELECT doc_id, pred_lang, n_words, ${splitCaseSql("doc_id")} AS split
+         |FROM ded WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // int8 quantization mirror: identical integer rounding arithmetic —
+    // both DIV branches see non-negative operands, so Spark's trunc DIV
+    // and DuckDB's floor // agree
+    "emb_quantize" ->
+      s"""WITH f AS (SELECT vec_id AS id, ${Similarity.fixedPointSql("embedding")} AS fx FROM embeddings),
+         |m AS (SELECT id, fx, list_max(list_transform(fx, x -> abs(x))) AS m FROM f),
+         |e AS (SELECT id, d, fx[d+1] AS x, m FROM m, generate_series(0,63) g(d))
+         |SELECT id, CAST(d AS BIGINT) AS d,
+         |  CAST(CASE WHEN m = 0 THEN 0
+         |    WHEN x >= 0 THEN (x*254 + m) // (2*m)
+         |    ELSE -((-x*254 + m) // (2*m)) END AS BIGINT) AS q
+         |FROM e ORDER BY id, d""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
@@ -357,14 +434,9 @@ object ExtQueries {
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE ${Sampling.rowHashSql("doc_id")} < ${Sampling.threshold(SAMPLE_FRAC)}
          |ORDER BY doc_id""".stripMargin,
-    "sample_split" -> {
-      val cuts = SPLIT_WEIGHTS.scanLeft(0.0)(_ + _).tail.map(Sampling.threshold)
-      val cases = SPLIT_LABELS.init.zip(cuts.init)
-        .map { case (l, c) => s"WHEN ${Sampling.rowHashSql("doc_id")} < $c THEN '$l'" }
-        .mkString(" ")
-      s"""SELECT doc_id, CASE $cases ELSE '${SPLIT_LABELS.last}' END AS split
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+    "sample_split" ->
+      s"""SELECT doc_id, ${splitCaseSql("doc_id")} AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_strat" -> {
       val cases = STRAT_FRACTIONS.toSeq.sortBy(_._1)
         .map { case (k, f) => s"WHEN '$k' THEN ${Sampling.threshold(f)}" }.mkString(" ")

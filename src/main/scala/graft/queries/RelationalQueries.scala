@@ -345,6 +345,19 @@ object RelationalQueries {
         .orderBy("n_nationkey")
     }),
 
+    // Hive-partitioned parquet sink → pruned read: the layout a 100 TB
+    // corpus actually ships with (one directory per source); the read
+    // filter prunes to 2 of 20 partition directories before any IO
+    // (PartitionFilters in the scan — audited in SourceSinkIndexSpec)
+    "src_partitioned_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+      d.write.mode("overwrite").partitionBy("source").parquet(out)
+      s.read.parquet(out).filter(col("source").isin("src0", "src1"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // parquet → JSON-lines sink → JSON source, same exactness contract
     "src_json_roundtrip" -> ((s, dir) => {
       val r = t(s, dir, "region").select("r_regionkey", "r_name")
@@ -730,6 +743,9 @@ object RelationalQueries {
         |ORDER BY n_nationkey""".stripMargin,
     "src_json_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+    "src_partitioned_roundtrip" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE source IN ('src0', 'src1') ORDER BY doc_id""".stripMargin,
     "rel_explode" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents WHERE doc_id % 50 = 0)

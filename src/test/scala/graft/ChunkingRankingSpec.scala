@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, Ranking}
+import graft.operators.{Chunking, Ranking, Similarity, TextAnalysis}
 import graft.queries.Tables
 
 /** Chunking coverage contract + BM25 ranking sanity. */
@@ -75,5 +75,33 @@ class ChunkingRankingSpec extends SparkSpec {
     val ranked = Ranking.bm25TopK(df, "doc_id", "text", Seq("x"), 10)
       .orderBy("rank").select("id").collect().map(_.getLong(0))
     assert(ranked.sameElements(Seq(1L, 2L, 3L)))
+  }
+
+  test("vocab: counts sum to the corpus token total when k covers all tokens") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "b c b")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocab(df, "text", 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v == Map("a" -> 2L, "b" -> 3L, "c" -> 1L))
+  }
+
+  test("bigrams: adjacent pairs only; single-word docs contribute none") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "solo"), (3L, "a b")).toDF("doc_id", "text")
+    val b = TextAnalysis.bigrams(df, "text", 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(b == Map("a b" -> 2L, "b c" -> 1L))
+  }
+
+  test("quantizeInt8: max |component| maps to ±127, zero vector to zeros") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.0f)), (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(q((1L, 0L)) == 64L)   // round(0.5·127) = round(63.5) half-up
+    assert(q((1L, 1L)) == -127L)
+    assert(q((1L, 2L)) == 0L)
+    assert(Seq(0L, 1L, 2L).forall(d => q((2L, d)) == 0L))
   }
 }
