@@ -465,12 +465,16 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
 
   /** pandas `pct_change(periods)`: x ∕ shift(x) − 1 — a single IEEE
     * division then subtraction, deterministic cross-engine (the oracle
-    * mirrors the identical operation order). */
+    * mirrors the identical operation order). A ZERO previous value yields
+    * NULL (the SQL convention, via a null-ified divisor — ANSI-safe);
+    * pandas emits ±inf there. Disclosed divergence: inf is not
+    * representable in the cross-engine hash compare, and NULL is what
+    * every SQL engine agrees on. */
   def pctChange(valueCol: String, periods: Int, orderBy: Seq[String],
       partitionBy: Seq[String] = Nil, out: String = "pct"): DataFrame = {
     lastStrategy = SwiftStrategy.Vectorized
     val prev = lag(col(valueCol), periods).over(lagSpec(orderBy, partitionBy))
-    df.withColumn(out, col(valueCol) / prev - lit(1.0))
+    df.withColumn(out, col(valueCol) / nullif(prev, lit(0.0)) - lit(1.0))
   }
 
   /** pandas `fillna(value)`: nulls → the fill value (pure projection). */

@@ -673,7 +673,7 @@ object CoreQueries {
     "o1_shift_ops" ->
       """SELECT event_id, lag(value, 1) OVER w AS shifted,
         |  value - lag(value, 1) OVER w AS diffed,
-        |  value / lag(value, 1) OVER w - 1.0 AS pct
+        |  value / nullif(lag(value, 1) OVER w, 0.0) - 1.0 AS pct
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -472,6 +472,52 @@ object RelationalQueries {
         .orderBy("n_name")
     }),
 
+    // TPC-H Q18-style "large volume customer": HAVING over a fact-table
+    // aggregate, then a join back to orders/customer for the detail. The
+    // qualifying-key set is tiny after the filter, so the detail joins
+    // broadcast it — the fact table shuffles ONCE (for its own groupBy),
+    // never for the joins.
+    "rel_q18_topcust" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 270.0)
+      o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(c.select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          epochUs(col("o_orderdate").cast("timestamp")).as("odate_us"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+    }),
+
+    // pandas describe(): per-column profile — count, exact mean, sample
+    // std, min/max — ONE aggregate pass over the fact table. Values move
+    // to micro-unit BIGINT; Σxm and Σxm² accumulate exactly (DECIMAL(38,0)
+    // ≙ DuckDB HUGEINT), so the variance numerator n·Σxm² − (Σxm)² is an
+    // exact integer and the only IEEE ops are the final casts, divisions
+    // and one sqrt — in an order the oracle mirrors verbatim.
+    "rel_describe" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def profile(c: String): Seq[Column] = {
+        val xm = (col(c).cast(DecimalType(20, 6)) * lit(1000000L)).cast("long")
+        val n = count(col(c))
+        val sx = sum(xm).cast(DecimalType(38, 0))
+        val sxx = sum((xm * xm).cast(DecimalType(38, 0)))
+        val nn = n.cast("double")
+        val mean = sx.cast("double") / (nn * lit(1e6))
+        val num = (sxx * n - sx * sx).cast("double")
+        val std = sqrt(num / (nn * (nn - lit(1.0)))) / lit(1e6)
+        Seq(n.as(s"${c.stripPrefix("l_")}_n"), mean.as(s"${c.stripPrefix("l_")}_mean"),
+          std.as(s"${c.stripPrefix("l_")}_std"),
+          min(col(c)).as(s"${c.stripPrefix("l_")}_min"),
+          max(col(c)).as(s"${c.stripPrefix("l_")}_max"))
+      }
+      val cols = profile("l_quantity") ++ profile("l_discount")
+      li.agg(cols.head, cols.tail: _*)
+    }),
+
     // FULL OUTER join with nulls flowing both directions: segment
     // customers without qualifying orders (null rev) and qualifying
     // order-customers outside the segment (null segment). Both sides are
@@ -797,6 +843,33 @@ object RelationalQueries {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "rel_q18_topcust" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${dsumSql("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING ${dsumSql("l_quantity")} > 270.0)
+         |SELECT c_custkey, c_name, o_orderkey, epoch_us(o_orderdate) AS odate_us,
+         |  o_totalprice, sum_qty
+         |FROM orders JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
+    // describe mirror: micro-unit BIGINT sums (HUGEINT-exact in DuckDB ≙
+    // DECIMAL(38,0) in Spark), IEEE ops in the identical order
+    "rel_describe" -> {
+      def prof(c: String, short: String) =
+        s"""count($c) AS ${short}_n,
+           |  CAST(sum(${short}m) AS DOUBLE) / (CAST(count($c) AS DOUBLE) * 1000000.0) AS ${short}_mean,
+           |  sqrt(CAST(sum(${short}m*${short}m)*count($c) - sum(${short}m)*sum(${short}m) AS DOUBLE)
+           |    / (CAST(count($c) AS DOUBLE) * (CAST(count($c) AS DOUBLE) - 1.0))) / 1000000.0 AS ${short}_std,
+           |  min($c) AS ${short}_min, max($c) AS ${short}_max""".stripMargin
+      s"""WITH m AS (SELECT l_quantity, l_discount,
+         |    CAST(CAST(l_quantity AS DECIMAL(20,6))*1000000 AS BIGINT) AS quantitym,
+         |    CAST(CAST(l_discount AS DECIMAL(20,6))*1000000 AS BIGINT) AS discountm
+         |  FROM lineitem)
+         |SELECT ${prof("l_quantity", "quantity")},
+         |  ${prof("l_discount", "discount")}
+         |FROM m""".stripMargin
+    },
     "rel_join_outer" ->
       s"""SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
          |  c.c_mktsegment, o.rev
