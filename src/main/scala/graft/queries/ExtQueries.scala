@@ -57,6 +57,19 @@ object ExtQueries {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", JACCARD_TAU)
         .localCheckpoint(true))
 
+  /** ONE embedding-LSH pair pipeline feeds `dedup_embedding` AND the
+    * embedding dedup pipeline — same memoization discipline as
+    * [[jaccardShared]]; the bench books it on whichever runs first
+    * (alphabetically `dedup_embedding`). */
+  private val embPairs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def embeddingShared(s: SparkSession, dir: String): DataFrame =
+    embPairs.getOrElseUpdate((s, dir),
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          COS_TAU, tables = LSH_TABLES)
+        .localCheckpoint(true))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- approximate aggregates ----
     // HLL++ count-distinct and the GK quantile sketch aren't
@@ -163,12 +176,25 @@ object ExtQueries {
         .orderBy("id")),
     "dedup_embedding" -> ((s, dir) =>
       // T pinned (not auto-sized): the DuckDB mirror is static SQL
-      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", COS_TAU,
-        tables = LSH_TABLES)
-        .orderBy("va", "vb")),
+      embeddingShared(s, dir).orderBy("va", "vb")),
     "dedup_embedding_exact" -> ((s, dir) =>
       Dedup.embeddingPairsExact(t(s, dir, "embeddings"), "vec_id", "embedding", COS_TAU)
         .orderBy("va", "vb")),
+    "pipe_embed_dedup" -> ((s, dir) => {
+      // embedding dedup endgame: LSH candidate pairs → exact verify →
+      // fixed-round clustering → keep ONE representative (the min id)
+      // per cluster. Survivors = corpus anti-joined against the
+      // non-representative nodes (label ≠ self); singletons never enter
+      // the label frame and are kept for free. Only pair generation and
+      // the tiny label rounds shuffle — the corpus itself moves once
+      // through the LSH projection, never pairwise.
+      val emb = t(s, dir, "embeddings")
+      val labels = Dedup.clusters(embeddingShared(s, dir), "va", "vb")
+      emb.join(labels.filter(col("l") =!= col("n")).select(col("n")),
+          col("vec_id") === col("n"), "left_anti")
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
 
     // ---- deterministic sampling / splits (Sampling.scala: membership is
     // a pure function of the row-id hash — invariant under partitioning,
@@ -225,6 +251,22 @@ object ExtQueries {
     }.mkString(" ")
   }
 
+  /** Unrolled min-label-propagation CTEs (l0..lN over a symmetrized edge
+    * CTE `ed(u,v)`) — the DuckDB mirror of `Dedup.clusters`' fixed
+    * rounds, shared by every pipeline that finishes with clustering. */
+  private val CLUSTER_ITERS = 4
+  private def clusterUnrollCtes: String = {
+    val levels = (1 to CLUSTER_ITERS).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT n, min(l) AS l FROM (
+         |  SELECT n, l FROM l${i - 1}
+         |  UNION ALL
+         |  SELECT ed.v AS n, l${i - 1}.l AS l FROM ed JOIN l${i - 1} ON ed.u = l${i - 1}.n
+         |) GROUP BY n)""".stripMargin
+    }.mkString(",\n")
+    s"""l0 AS MATERIALIZED (SELECT DISTINCT u AS n, u AS l FROM ed),
+       |$levels""".stripMargin
+  }
+
   /** Deterministic-split CASE over the row-id hash (same thresholds the
     * Spark Sampling.split uses). */
   private def splitCaseSql(idExpr: String): String = {
@@ -244,6 +286,28 @@ object ExtQueries {
   private def fxCte =
     s"""f AS (SELECT vec_id AS id, ${Similarity.fixedPointSql("embedding")} AS fx FROM embeddings),
        |n AS (SELECT id, fx, ${Similarity.nrmSql} AS nrm FROM f)""".stripMargin
+
+  /** Hyperplane-LSH candidate generation + exact-cosine verify as CTEs
+    * (appended after [[fxCte]]); final CTE `ep(va, vb, cos)` holds the
+    * verified pairs — shared by `dedup_embedding` and the embedding
+    * dedup pipeline. */
+  private def embPairsCtes: String = {
+    val planes = LSH_TABLES * LSH_PLANES
+    val pow2 = (0 until LSH_PLANES).map(1L << _).mkString("[", ",", "]")
+    s"""${graft.functions.PlaneHash.weightsCteSql(planes, 64)},
+       |el AS (SELECT id, d, fx[d+1] AS x FROM n, generate_series(0,63) g(d)),
+       |dots AS (SELECT el.id, wts.j, CAST(sum(el.x*wts.w) AS BIGINT) AS dot
+       |  FROM el JOIN wts ON el.d = wts.d GROUP BY el.id, wts.j),
+       |sigs AS (SELECT id, j//$LSH_PLANES AS bi,
+       |    CAST(sum(CASE WHEN dot>=0 THEN ($pow2)[CAST(j%$LSH_PLANES AS INT)+1] ELSE 0 END) AS BIGINT) AS bv
+       |  FROM dots GROUP BY id, j//$LSH_PLANES),
+       |cand AS (SELECT DISTINCT x.id AS va, y.id AS vb
+       |  FROM sigs x JOIN sigs y ON x.bi=y.bi AND x.bv=y.bv AND x.id<y.id),
+       |ep AS MATERIALIZED (SELECT cand.va, cand.vb,
+       |    ${Similarity.cosineSql("a.fx", "b.fx", "a.nrm", "b.nrm")} AS cos
+       |  FROM cand JOIN n a ON a.id = cand.va JOIN n b ON b.id = cand.vb
+       |  WHERE ${Similarity.cosineSql("a.fx", "b.fx", "a.nrm", "b.nrm")} >= $COS_TAU)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     // the exact column is mirrored; the _ok flags assert the sketches'
@@ -330,15 +394,7 @@ object ExtQueries {
          |FROM pairs WHERE common/(na+nb-common) >= $JACCARD_TAU
          |ORDER BY da, db""".stripMargin,
     // unrolled min-label propagation (same fixed rounds as Dedup.clusters)
-    "dedup_clusters" -> {
-      val iters = 4
-      val levels = (1 to iters).map { i =>
-        s"""l$i AS (SELECT n, min(l) AS l FROM (
-           |  SELECT n, l FROM l${i - 1}
-           |  UNION ALL
-           |  SELECT ed.v AS n, l${i - 1}.l AS l FROM ed JOIN l${i - 1} ON ed.u = l${i - 1}.n
-           |) GROUP BY n)""".stripMargin
-      }.mkString(",\n")
+    "dedup_clusters" ->
       s"""WITH $distinctShingleCte,
          |ex AS (SELECT id, nd, unnest(ds) AS h FROM d),
          |pr AS (
@@ -347,10 +403,8 @@ object ExtQueries {
          |  FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
          |jp AS (SELECT da, db FROM pr WHERE common/(na+nb-common) >= $JACCARD_TAU),
          |ed AS (SELECT da AS u, db AS v FROM jp UNION ALL SELECT db AS u, da AS v FROM jp),
-         |l0 AS (SELECT DISTINCT u AS n, u AS l FROM ed),
-         |$levels
-         |SELECT n AS id, l AS cluster FROM l$iters ORDER BY id""".stripMargin
-    },
+         |$clusterUnrollCtes
+         |SELECT n AS id, l AS cluster FROM l$CLUSTER_ITERS ORDER BY id""".stripMargin,
     // star contraction converges to the true component minima, which is
     // exactly what recursive min-propagation (transitive closure over the
     // symmetrized edges + group min) converges to — no round unrolling
@@ -401,25 +455,19 @@ object ExtQueries {
          |SELECT da, db, hd FROM p WHERE hd <= $SIMHASH_HD ORDER BY da, db""".stripMargin,
     // LSH mirror: same weights/bands as HyperplaneSig (PlaneHash), so the
     // candidate set — and therefore the verified output — is identical.
-    "dedup_embedding" -> {
-      val planes = LSH_TABLES * LSH_PLANES
-      val pow2 = (0 until LSH_PLANES).map(1L << _).mkString("[", ",", "]")
+    "dedup_embedding" ->
       s"""WITH $fxCte,
-         |${graft.functions.PlaneHash.weightsCteSql(planes, 64)},
-         |el AS (SELECT id, d, fx[d+1] AS x FROM n, generate_series(0,63) g(d)),
-         |dots AS (SELECT el.id, wts.j, CAST(sum(el.x*wts.w) AS BIGINT) AS dot
-         |  FROM el JOIN wts ON el.d = wts.d GROUP BY el.id, wts.j),
-         |sigs AS (SELECT id, j//$LSH_PLANES AS bi,
-         |    CAST(sum(CASE WHEN dot>=0 THEN ($pow2)[CAST(j%$LSH_PLANES AS INT)+1] ELSE 0 END) AS BIGINT) AS bv
-         |  FROM dots GROUP BY id, j//$LSH_PLANES),
-         |cand AS (SELECT DISTINCT x.id AS va, y.id AS vb
-         |  FROM sigs x JOIN sigs y ON x.bi=y.bi AND x.bv=y.bv AND x.id<y.id)
-         |SELECT cand.va, cand.vb,
-         |  ${Similarity.cosineSql("a.fx", "b.fx", "a.nrm", "b.nrm")} AS cos
-         |FROM cand JOIN n a ON a.id = cand.va JOIN n b ON b.id = cand.vb
-         |WHERE ${Similarity.cosineSql("a.fx", "b.fx", "a.nrm", "b.nrm")} >= $COS_TAU
-         |ORDER BY va, vb""".stripMargin
-    },
+         |$embPairsCtes
+         |SELECT va, vb, cos FROM ep ORDER BY va, vb""".stripMargin,
+    // composite: LSH pairs → fixed-round clustering → representatives
+    "pipe_embed_dedup" ->
+      s"""WITH $fxCte,
+         |$embPairsCtes,
+         |ed AS MATERIALIZED (SELECT va AS u, vb AS v FROM ep UNION ALL SELECT vb AS u, va AS v FROM ep),
+         |$clusterUnrollCtes
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT n FROM l$CLUSTER_ITERS WHERE l <> n)
+         |ORDER BY vec_id""".stripMargin,
     "dedup_embedding_exact" ->
       s"""WITH $fxCte
          |SELECT a.id AS va, b.id AS vb,
