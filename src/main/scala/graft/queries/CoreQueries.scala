@@ -365,6 +365,30 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // pandas groupby().nunique(): per-group distinct counts — Spark's
+    // distinct-aggregate Expand keeps the shuffle to (group, value) rows
+    "o4_groupby_nunique" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("user_id"))
+        .agg(countDistinct(col("event_type")).as("n_types"),
+          countDistinct(col("props")).as("n_props"))
+        .orderBy("user_id")),
+
+    // pandas rank(method='average'): tied values share the MEAN of their
+    // rank positions = rank() + (tie_count − 1)/2 — two window passes over
+    // one shuffle, integer arithmetic until the exact halving
+    "o1_rank_avg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("value"))
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("value"))
+      ev.select(col("event_id"),
+          (rank().over(w).cast("double")
+            + (count(lit(1)).over(wt).cast("double") - lit(1.0)) / lit(2.0))
+            .as("avg_rank"))
+        .orderBy("event_id")
+    }),
+
     // pandas Series.value_counts(): one hash aggregate, descending count
     // with the value as tie-break (the pandas sort convention)
     "o1_value_counts" -> ((s, dir) =>
@@ -680,6 +704,16 @@ object CoreQueries {
     "o1_value_counts" ->
       """SELECT l_returnflag AS val, count(*) AS n FROM lineitem
         |GROUP BY 1 ORDER BY n DESC, val""".stripMargin,
+    "o4_groupby_nunique" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_types,
+        |  count(DISTINCT props) AS n_props
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "o1_rank_avg" ->
+      """SELECT event_id,
+        |  CAST(rank() OVER (PARTITION BY user_id ORDER BY value) AS DOUBLE)
+        |  + (CAST(count(*) OVER (PARTITION BY user_id, value) AS DOUBLE) - 1.0) / 2.0
+        |    AS avg_rank
+        |FROM events ORDER BY event_id""".stripMargin,
     "o1_clean_ops" ->
       """SELECT l_orderkey, l_linenumber,
         |  least(greatest(coalesce(nullif(l_tax, 0.0), 0.04), 0.02), 0.07) AS tax_c
