@@ -134,6 +134,38 @@ object ScaleSmoke {
       }
     }
 
+    // Vocabulary and the curation pipeline at growing corpus multiples:
+    // vocab must scale with corpus size (map-side partials collapse
+    // repeats before the one shuffle — the distinct token set stays
+    // FIXED as copies repeat, so the shuffle is constant-size);
+    // curation's tagging is a pure projection, its dedup window the only
+    // data movement.
+    Seq(1, 4, 16).foreach { m =>
+      val d = repDocs(m)
+      time(s"text_vocab x$m (${5000 * m} docs)") {
+        graft.operators.TextAnalysis.vocab(d, "text", 50)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"pipe_curation x$m (${5000 * m} docs)") {
+        val tagged = d
+          .withColumn("pred_lang", graft.operators.TextAnalysis.langIdCol(col("text")))
+          .withColumn("n_words", graft.operators.TextAnalysis.nWordsCol(col("text")))
+          .filter(col("pred_lang") === "en" && col("n_words") >= 40L)
+        graft.operators.Dedup.dropDuplicatesKeepMin(tagged, "doc_id", Seq("text"))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
+    // int8 quantization at growing vector multiples: pure projection,
+    // must be linear with zero shuffle.
+    Seq(1, 4, 16).foreach { m =>
+      val d = repEmb(m)
+      time(s"emb_quantize x$m (${2000 * m} vecs)") {
+        graft.operators.Similarity.quantizeInt8(d, "vec_id", "embedding")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     // Skew-safe sessionize under a deliberately hot key: all events
     // collapsed onto one user (the single-pass plan's worst case).
     val ev = graft.queries.Tables.t(spark, "/root/testdata/sf0.1", "events")
