@@ -12,23 +12,27 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftFunctions {
   import HashExpressions._
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Name → expression builder for every native graft function — the one
+    * source both [[register]] (temp functions) and
+    * [[graft.plans.GraftExtensions]] (permanent, via
+    * `spark.sql.extensions`) install from. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_word_hashes" -> (exprs => WordHashArray(exprs.head)),
+    "graft_shingles" -> (exprs => ShingleHashArray(exprs.head)),
+    "graft_minhash_sig" -> (exprs => MinHashSig(exprs.head)),
+    "graft_simhash" -> (exprs => SimHash30(exprs.head)),
+    "graft_fixed_dot" -> (exprs => FixedDot(exprs.head, exprs(1))),
+    // graft_hyperplane_sig(fx, tables, planes, dims) — LSH band signature
+    "graft_hyperplane_sig" -> (exprs => HyperplaneSig(exprs.head,
+      foldInt(exprs(1)), foldInt(exprs(2)), foldInt(exprs(3)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_word_hashes",
-      exprs => WordHashArray(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_shingles",
-      exprs => ShingleHashArray(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_minhash_sig",
-      exprs => MinHashSig(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      exprs => SimHash30(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_fixed_dot",
-      exprs => FixedDot(exprs.head, exprs(1)), "scala_udf")
-    // graft_hyperplane_sig(fx, tables, planes, dims) — LSH band signature
-    reg.createOrReplaceTempFunction("graft_hyperplane_sig",
-      exprs => HyperplaneSig(exprs.head,
-        foldInt(exprs(1)), foldInt(exprs(2)), foldInt(exprs(3))), "scala_udf")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 
   /** Config args of graft_hyperplane_sig must be integer literals. */
