@@ -159,4 +159,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Join") || p.contains("SortMergeJoin")
       || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("vocab: explode pipelined into the scan, partial agg, top-k heap") {
+    val p = fmt(graft.queries.ExtQueries.queries("text_vocab")(spark, sf001))
+    assert(p.contains("Generate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p) // no global sort
+  }
+
+  private def exchangeNodes(p: String): Int =
+    """\(\d+\) Exchange""".r.findAllIn(p).size
+
+  test("melt: Expand generator, no shuffle before the output sort") {
+    val p = plan("rel_melt")
+    assert(p.contains("Expand"), p)
+    // the only exchange is the output ORDER BY range partitioning
+    assert(exchangeNodes(p) == 1, p)
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("Q18: fact table shuffles for its aggregate, detail joins broadcast") {
+    val p = plan("rel_q18_topcust")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // no shuffled (sort-merge / shuffled-hash) join anywhere
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("partitioned roundtrip read prunes partition directories") {
+    val p = plan("src_partitioned_roundtrip")
+    assert(p.contains("PartitionFilters: [") && p.contains("src0"), p)
+  }
+
+  test("curation pipeline: tagging is one projection, dedup window the only wide op") {
+    val p = fmt(graft.queries.ExtQueries.queries("pipe_curation")(spark, sf001))
+    // one hashpartitioning exchange (dedup window) + the output sort
+    assert(exchangeNodes(p) == 2, p)
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p) // column-composed: no self-joins
+  }
 }
