@@ -224,6 +224,45 @@ final class SwiftEwm(sw: Swift, spec: WindowSpec, microWeights: Seq[Long]) {
     // rounding step is the final division — mirrored verbatim in SQL
     sw.df.withColumn(out, num.cast("double") / (den.cast("double") * lit(1e6)))
   }
+
+  /** pandas `ewm(alpha).var(bias=False)` — the debiased weighted
+    * variance. Algebra keeps EVERYTHING integer until one division:
+    *
+    *   var = [Σw·Σwx² − (Σwx)²] ∕ [(Σw)² − Σw²]
+    *
+    * (substitute μ = Σwx/Σw into Σw(x−μ)²/Σw and multiply through by
+    * (Σw)², then apply the reliability-weights debias factor
+    * (Σw)²/((Σw)²−Σw²) — the (Σw)² cancels). Numerator terms reach
+    * ~10³⁰ (micro² units), so sums accumulate in DECIMAL(38,0) ≙ DuckDB
+    * HUGEINT — exact on both engines. The IEEE tail is numerator÷
+    * denominator then ÷10¹², in that order, mirrored by the oracle.
+    * Frames with < 2 values yield null (pandas NaN). */
+  def variance(valueCol: String, out: String): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val vm = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      * lit(1000000L)).cast("long")
+    val vals = collect_list(vm).over(spec)
+    val wArr = array(microWeights.map(lit): _*)
+    val m = size(vals)
+    val used = reverse(slice(wArr, lit(1), m))
+    val sw1 = aggregate(slice(wArr, lit(1), m), lit(0L), _ + _) // Σw ≤ 2e6·21
+    val sw2 = aggregate(slice(wArr, lit(1), m), lit(0L), (a, w) => a + w * w) // Σw²
+    val swx = aggregate(zip_with(vals, used, (v, wt) => v * wt), lit(0L), _ + _)
+    val swxx = aggregate(zip_with(vals, used,
+        (v, wt) => (v.cast(dec) * v * wt)), lit(0L).cast(dec), _ + _)
+    val num = swxx * sw1 - swx.cast(dec) * swx
+    val den = sw1.cast(dec) * sw1 - sw2
+    sw.df.withColumn(out,
+      when(m >= 2, num.cast("double") / den.cast("double") / lit(1e12)))
+  }
+
+  /** pandas `ewm(alpha).std(bias=False)`: √[[variance]] — one extra IEEE
+    * sqrt, same determinism story. */
+  def std(valueCol: String, out: String): DataFrame = {
+    val v = variance(valueCol, out)
+    v.withColumn(out, sqrt(col(out)))
+  }
 }
 
 object SwiftEwm {

@@ -315,6 +315,18 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // O5 — pandas ewm(alpha=0.5).var(bias=False)/.std(): the debiased
+    // weighted variance in PURE integer algebra (DECIMAL(38,0)/HUGEINT
+    // sums) with a two-division IEEE tail + sqrt — see SwiftEwm.variance
+    "o5_ewm_var" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).ewm(0.5, orderBy = Seq("ts", "event_id"), partitionBy = Seq("user_id"))
+        .variance("value", "evar")
+        .withColumn("estd", sqrt(col("evar")))
+        .select(col("event_id"), col("evar"), col("estd"))
+        .orderBy("event_id")
+    }),
+
     // O5 — pandas rolling(3).cov(other): SAMPLE covariance in exact
     // decimal micro-unit arithmetic (see SwiftRolling.cov), frames walk
     // each order's line numbers
@@ -661,6 +673,31 @@ object CoreQueries {
          |      i -> vs[i] * ($wArr)[len(vs)-i+1])) AS DOUBLE)
          |  / (CAST(list_sum(list_slice($wArr, 1, len(vs))) AS DOUBLE) * 1000000.0) AS ewm
          |FROM l ORDER BY event_id""".stripMargin
+    },
+    // debiased ewm variance: var = (Σw·Σwx² − (Σwx)²)/((Σw)² − Σw²) —
+    // all-integer numerator/denominator (HUGEINT ≙ DECIMAL(38,0)), then
+    // two IEEE divisions + sqrt in the same order as the Spark query
+    "o5_ewm_var" -> {
+      val ws = graft.core.SwiftEwm.microWeights(0.5)
+      val wArr = ws.mkString("[", ",", "]")
+      s"""WITH v AS (SELECT event_id, user_id, ts,
+         |    CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS vm FROM events),
+         |l AS (SELECT event_id, list(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN ${ws.length - 1} PRECEDING AND CURRENT ROW) AS vs FROM v),
+         |st AS (SELECT event_id, len(vs) AS m,
+         |    CAST(list_sum(list_slice($wArr, 1, len(vs))) AS HUGEINT) AS sw1,
+         |    CAST(list_sum(list_transform(list_slice($wArr, 1, len(vs)), w -> CAST(w AS BIGINT)*w)) AS HUGEINT) AS sw2,
+         |    CAST(list_sum(list_transform(generate_series(1, len(vs)),
+         |        i -> vs[i] * ($wArr)[len(vs)-i+1])) AS HUGEINT) AS swx,
+         |    list_sum(list_transform(generate_series(1, len(vs)),
+         |        i -> CAST(vs[i] AS HUGEINT) * vs[i] * ($wArr)[len(vs)-i+1])) AS swxx
+         |  FROM l),
+         |r AS (SELECT event_id,
+         |    CASE WHEN m >= 2 THEN
+         |      CAST(swxx*sw1 - swx*swx AS DOUBLE) / CAST(sw1*sw1 - sw2 AS DOUBLE)
+         |        / 1000000000000.0 END AS evar
+         |  FROM st)
+         |SELECT event_id, evar, sqrt(evar) AS estd FROM r ORDER BY event_id""".stripMargin
     },
     // HUGEINT mirror of SwiftRolling.cov's DECIMAL(38,0) arithmetic: one
     // exact-integer numerator -> double, then two IEEE divisions in the

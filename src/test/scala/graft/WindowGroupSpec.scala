@@ -121,6 +121,26 @@ class WindowGroupSpec extends SparkSpec {
     assert(out.head == xs.head) // single-row frame renormalizes to x₀
   }
 
+  test("O5 ewm variance: matches the integer-algebra recomputation; m=1 is null") {
+    val d = (1 to 40).map(i => (i.toLong, (i * 53 % 13) * 0.25)).toDF("id", "x")
+    val rows = Swift(d).ewm(0.5, orderBy = Seq("id")).variance("x", "v")
+      .orderBy("id").collect()
+    val ws = SwiftEwm.microWeights(0.5)
+    val xs = (1 to 40).map(i => (i * 53 % 13) * 0.25)
+    assert(rows.head.isNullAt(2)) // single-observation frame → NaN/null
+    (1 until 40).foreach { t =>
+      val m = math.min(t + 1, ws.length)
+      val wUsed = (0 until m).map(ws)
+      val vals = (0 until m).map(k => BigInt(math.round(xs(t - k) * 1e6)))
+      val sw1 = wUsed.map(BigInt(_)).sum
+      val sw2 = wUsed.map(w => BigInt(w) * w).sum
+      val swx = (0 until m).map(k => vals(k) * wUsed(k)).sum
+      val swxx = (0 until m).map(k => vals(k) * vals(k) * wUsed(k)).sum
+      val expect = (swxx * sw1 - swx * swx).toDouble / (sw1 * sw1 - sw2).toDouble / 1e12
+      assert(rows(t).getDouble(2) == expect, s"row $t")
+    }
+  }
+
   test("min_periods yields null for underfilled frames") {
     val d = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
     val roll = Swift(d).rolling(3, orderBy = Seq("id")).withMin(3)
