@@ -132,6 +132,12 @@ object StreamQueries {
     "stream_update" -> ((s, dir) =>
       StreamOps.updateCountsOnce(s, dir).orderBy("user_id")),
 
+    // COMPLETE output mode: running corpus vocabulary over a parquet
+    // stream — state bounded by the distinct-token set, final table ==
+    // the batch top-k (the oracle)
+    "stream_vocab" -> ((s, dir) =>
+      StreamOps.vocabOnce(s, dir, k = 50)),
+
     // stream-stream INTERVAL JOIN (view → click attribution within 4 h):
     // watermarked self-join with a time-range predicate — the engine
     // bounds both sides' join state from the condition; oracle = the
@@ -281,6 +287,10 @@ object StreamQueries {
     "stream_update" ->
       s"""SELECT user_id, count(*) AS n, ${dsumSql("value")} AS vsum
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_vocab" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "stream_interval_join" ->
       """SELECT l.user_id, l.event_id AS ea, r.event_id AS eb,
         |  epoch_us(l.ts) AS lts_us, epoch_us(r.ts) AS rts_us

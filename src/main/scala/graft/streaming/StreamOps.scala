@@ -162,6 +162,35 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming vocabulary: COMPLETE-mode running token counts over a
+    * parquet file source — the streaming twin of `TextAnalysis.vocab`
+    * (the missing output mode in the suite: resample/sessionize are
+    * append, counts are update, this is complete). State = one entry per
+    * distinct token (the quantity that must stay bounded at scale — a
+    * vocabulary, not a corpus); the final completed table is what a
+    * monitoring dashboard reads from the sink, top-k taken there. */
+  def vocabOnce(spark: SparkSession, dir: String, k: Int,
+      sinkName: String = "stream_vocab_sink"): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("stream_docs_vocab")
+    java.nio.file.Files.createSymbolicLink(
+      tmp.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(schema).parquet(tmp.toString)
+    val agg = src.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    // see resampleOnceMem: size state partitions to the workload, not CPUs
+    withHarnessConf(spark, "4") { ckpt =>
+      val q = agg.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Complete())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName).orderBy(col("n").desc, col("token")).limit(k)
+  }
+
   /** Bounded-replay harness for [[sessionizeStream]]: all events arrive
     * as ONE MemoryStream batch (the per-batch sort makes the replay
     * deterministic), the query runs to completion, and the emitted
