@@ -203,8 +203,12 @@ object SwiftRollingWeighted {
   * Early rows (m < W values) renormalize over the weights present,
   * exactly pandas adjust=True. All products/sums are BIGINT; the single
   * double op is the final division, so the DuckDB mirror built from the
-  * SAME Long weights is bit-exact. Disclosed divergence from pandas: the
-  * 10⁻⁶ weight quantization (≤1e-6 relative on the mean).
+  * SAME Long weights is bit-exact. Disclosed divergences from pandas:
+  * the 10⁻⁶ weight quantization (≤1e-6 relative on the mean), and null
+  * handling — `collect_list` drops nulls, so null values are skipped
+  * with the remaining weights renormalized over the values present:
+  * pandas `ignore_na=True` semantics (the pandas DEFAULT ignore_na=False
+  * instead decays by absolute position across the gap).
   */
 final class SwiftEwm(sw: Swift, spec: WindowSpec, microWeights: Seq[Long]) {
 

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
 object Reshape {
 
   /** pandas `melt(id_vars, value_vars)`: wide → long. Spark's native
-    * `unpivot` — an Expand generator, zero shuffle, value columns must
-    * share a least-common type (here: cast to double up front). */
+    * `unpivot` — an Expand generator, zero shuffle. Value columns must
+    * share a least-common type (Spark errors otherwise, where pandas
+    * silently widens to object — pre-cast mixed columns explicitly). */
   def melt(df: DataFrame, ids: Seq[String], values: Seq[String],
       varName: String = "variable", valueName: String = "value"): DataFrame =
     df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valueName)
