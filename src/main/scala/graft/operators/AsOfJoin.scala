@@ -25,9 +25,11 @@ object AsOfJoin {
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightVals: Seq[String],
-      prefix: String = "asof_", toleranceUs: Option[Long] = None): DataFrame =
+      prefix: String = "asof_", toleranceUs: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame =
     withTolerance(
-      carry(left, right, keys, leftTs, rightTs, rightVals, prefix, forward = false),
+      carry(left, right, keys, leftTs, rightTs, rightVals, prefix,
+        forward = false, allowExactMatches),
       leftTs, rightTs, rightVals, prefix, toleranceUs, forward = false)
 
   /** Forward as-of join (pandas merge_asof direction='forward'): the
@@ -35,9 +37,11 @@ object AsOfJoin {
     * plan with the sort reversed. */
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightVals: Seq[String],
-      prefix: String = "asof_", toleranceUs: Option[Long] = None): DataFrame =
+      prefix: String = "asof_", toleranceUs: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame =
     withTolerance(
-      carry(left, right, keys, leftTs, rightTs, rightVals, prefix, forward = true),
+      carry(left, right, keys, leftTs, rightTs, rightVals, prefix,
+        forward = true, allowExactMatches),
       leftTs, rightTs, rightVals, prefix, toleranceUs, forward = true)
 
   /** Nearest as-of join (pandas merge_asof direction='nearest'): the
@@ -117,7 +121,8 @@ object AsOfJoin {
 
   private def carry(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightVals: Seq[String],
-      prefix: String, forward: Boolean): DataFrame = {
+      prefix: String, forward: Boolean,
+      allowExactMatches: Boolean = true): DataFrame = {
     val leftCols = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTs)
     val vs = rightVals :+ rightTs
     val (l, r) = tagged(left, right, keys, leftTs, rightTs, rightVals)
@@ -125,8 +130,13 @@ object AsOfJoin {
     // carried match includes an exactly-equal timestamp in BOTH
     // directions; descending order makes "preceding" mean ts ≥ t and the
     // last preceding non-null the nearest following right row
-    val ord = if (forward) Seq(col("__ts").desc, col("__tag").asc)
-              else Seq(col("__ts").asc, col("__tag").asc)
+    // pandas allow_exact_matches: the tag tie-break at EQUAL __ts decides
+    // whether an exactly-equal right row is inside the preceding frame —
+    // right-before-left (tag asc) includes it; left-before-right (tag
+    // desc) excludes it, giving the strict < / > semantics
+    val tagOrd = if (allowExactMatches) col("__tag").asc else col("__tag").desc
+    val ord = if (forward) Seq(col("__ts").desc, tagOrd)
+              else Seq(col("__ts").asc, tagOrd)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

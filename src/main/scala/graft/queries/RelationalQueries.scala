@@ -255,6 +255,23 @@ object RelationalQueries {
     // As-of join (backward): latest prior error per click, per user —
     // an operator Spark lacks; union+window plan, oracle is DuckDB's
     // native ASOF JOIN (semantics must agree exactly)
+    // pandas merge_asof(allow_exact_matches=False): STRICTLY-earlier
+    // match (e.ts < c.ts) — one tie-break flip in the same one-shuffle
+    // union+window plan
+    "asof_join_strict" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value")
+      graft.operators.AsOfJoin.backward(clicks, errors,
+          Seq("user_id"), "ts", "ts", Seq("value"), prefix = "err_",
+          allowExactMatches = false)
+        .select(col("event_id"), epochUs(col("err_ts")).as("err_ts_us"),
+          col("err_value"))
+        .orderBy("event_id")
+    }),
+
     "asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
@@ -684,6 +701,12 @@ object RelationalQueries {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
         |  ON c.user_id = e.user_id AND e.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "asof_join_strict" ->
+      """SELECT c.event_id, epoch_us(e.ts) AS err_ts_us, e.value AS err_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND e.ts < c.ts
         |ORDER BY c.event_id""".stripMargin,
     "rel_join_salted" ->
       s"""WITH dim AS (SELECT user_id, ${dsumSql("value")} AS user_total

@@ -61,6 +61,21 @@ class AsOfJoinNullSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("asof_rts")))
   }
 
+  test("allow_exact_matches=false: an exactly-equal right row is excluded") {
+    import spark.implicits._
+    val l = Seq((1L, ts(20_000_000L), 10L)).toDF("k", "lts", "lid")
+    val r = Seq((1L, ts(5_000_000L), 1.0), (1L, ts(20_000_000L), 2.0))
+      .toDF("k", "rts", "px")
+    val incl = AsOfJoin.backward(l, r, Seq("k"), "lts", "rts", Seq("px")).head
+    assert(incl.getAs[Double]("asof_px") == 2.0) // default: equal ts matches
+    val strict = AsOfJoin.backward(l, r, Seq("k"), "lts", "rts", Seq("px"),
+      allowExactMatches = false).head
+    assert(strict.getAs[Double]("asof_px") == 1.0) // strictly earlier only
+    val fwdStrict = AsOfJoin.forward(l, r, Seq("k"), "lts", "rts", Seq("px"),
+      allowExactMatches = false).head
+    assert(fwdStrict.isNullAt(fwdStrict.fieldIndex("asof_px"))) // nothing later
+  }
+
   test("nearest: NULL value stays attached to its matched row") {
     val out = AsOfJoin.nearest(left, right, Seq("k"), "lts", "rts", Seq("px", "qty"))
       .orderBy("lid").collect()
