@@ -176,9 +176,21 @@ object SwiftRollingWeighted {
         val t = 2 * math.Pi * k / (n - 1)
         math.round((0.42 - 0.5 * math.cos(t) + 0.08 * math.cos(2 * t)) * 1e6)
       }
+    case "parzen" => // de la Vallée Poussin window: with x = |2k−(n−1)|/(n−1),
+      // w = 1 − 6x² + 6x³ (x ≤ ½) else 2(1−x)³ — a CUBIC in p/q with
+      // q = n−1, so scaling by q³ (cancels in the mean) gives EXACT
+      // integers like triang/bartlett: no quantization at all
+      val q = n - 1L
+      (0 until n).map { k =>
+        val p = math.abs(2L * k - q)
+        if (2 * p <= q) q * q * q - 6 * p * p * q + 6 * p * p * p
+        else 2 * (q - p) * (q - p) * (q - p)
+      }
+    case "cosine" => // scipy: sin(π(k+½)/n), micro-quantized
+      (0 until n).map(k => math.round(math.sin(math.Pi * (k + 0.5) / n) * 1e6))
     case other =>
       throw new IllegalArgumentException(
-        s"win_type must be triang|boxcar|bartlett|gaussian|hamming|blackman, got '$other'")
+        s"win_type must be triang|boxcar|bartlett|parzen|cosine|gaussian|hamming|blackman, got '$other'")
   }
 
   def counted(sw: Swift, window: Int, winType: String, orderBy: Seq[String],

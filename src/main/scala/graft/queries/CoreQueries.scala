@@ -294,6 +294,29 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // O5 — pandas win_type='parzen': cubic in p/q scaled by (n−1)³ →
+    // EXACT integer numerators (zero quantization, like triang/bartlett)
+    "o5_rolling_parzen" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rollingWeighted(7, "parzen", orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"))
+        .mean("value", "wmean")
+        .select(col("event_id"), col("wmean"))
+        .orderBy("event_id")
+    }),
+
+    // pandas groupby().head(n): first n rows per group in time order —
+    // WindowGroupLimit pushes the rank filter below the full window
+    "o4_groupby_head" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 3).drop("__rn")
+        .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("ts_us"))
+        .orderBy("event_id")
+    }),
+
     // O5 — pandas expanding(): cumulative (unbounded-preceding) decimal
     // sum per user — the native running-aggregate frame
     "o5_expanding" -> ((s, dir) => {
@@ -651,6 +674,13 @@ object CoreQueries {
       weightedRollingOracle(SwiftRollingWeighted.weights(7, "bartlett")),
     "o5_rolling_hamming" ->
       weightedRollingOracle(SwiftRollingWeighted.weights(7, "hamming")),
+    "o5_rolling_parzen" ->
+      weightedRollingOracle(SwiftRollingWeighted.weights(7, "parzen")),
+    "o4_groupby_head" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM (
+        |  SELECT event_id, user_id, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 3 ORDER BY event_id""".stripMargin,
     "o5_expanding" ->
       """SELECT event_id,
         |  CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (

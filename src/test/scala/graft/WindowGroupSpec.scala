@@ -141,6 +141,21 @@ class WindowGroupSpec extends SparkSpec {
     }
   }
 
+  test("O5 win_type weight shapes: symmetric, peaked at center") {
+    import graft.core.SwiftRollingWeighted.weights
+    Seq("triang", "bartlett", "parzen", "cosine", "hamming", "blackman").foreach { wt =>
+      val w = weights(7, wt)
+      assert(w == w.reverse, s"$wt not symmetric: $w")
+      assert(w(3) == w.max, s"$wt not peaked at center: $w")
+      assert(w.forall(_ >= 0L), s"$wt has negative weight: $w")
+    }
+    // parzen is EXACT (scaled by (n−1)³ = 216): the closed-grid mapping
+    // x = |2k−(n−1)|/(n−1) puts x=1 at the endpoints → 2(1−x)³ = 0
+    // (zero ends, like bartlett) and x=0 at the center → full weight
+    assert(weights(7, "parzen").head == 0L)
+    assert(weights(7, "parzen")(3) == 216L) // center: q³
+  }
+
   test("min_periods yields null for underfilled frames") {
     val d = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
     val roll = Swift(d).rolling(3, orderBy = Seq("id")).withMin(3)
