@@ -42,6 +42,15 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** pandas drop_duplicates(keep='last'): the MAXIMUM id survives —
+    * identical plan with the rank order reversed. */
+  def dropDuplicatesKeepMax(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(idCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Per-doc distinct 3-gram shingle hashes: id, ds (array), nd (count). */
   def shingleDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),

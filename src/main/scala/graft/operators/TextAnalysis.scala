@@ -74,6 +74,17 @@ object TextAnalysis {
   /** Column form of the word count for pipeline composition. */
   def nWordsCol(text: Column): Column = size(words(text)).cast("long")
 
+  /** Pattern scrubbing (the PII-redaction step of a curation pipeline):
+    * every match of `pattern` replaced by `mask`, with a count of
+    * scrubbed spans per document for audit. Pure projection — codegen'd
+    * regex, zero shuffle. Keep patterns to the portable regex core
+    * (character classes, quantifiers) so external mirrors agree. */
+  def redact(df: DataFrame, idCol: String, textCol: String,
+      pattern: String, mask: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      regexp_replace(col(textCol), pattern, mask).as("redacted"),
+      regexp_count(col(textCol), lit(pattern)).cast("long").as("n_hits"))
+
   /** Position-weighted rolling-hash document fingerprint. */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),

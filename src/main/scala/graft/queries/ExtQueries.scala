@@ -140,6 +140,15 @@ object ExtQueries {
         .select(col("doc_id"), col("pred_lang"), col("n_words"), col("split"))
         .orderBy("doc_id")
     }),
+    "text_redact" -> ((s, dir) =>
+      // PII-style scrubbing: digit runs masked, per-doc hit count for
+      // audit — pure projection, portable regex core
+      TextAnalysis.redact(t(s, dir, "documents"), "doc_id", "text",
+        "[0-9]+", "#").orderBy("id")),
+    "dedup_keep_last" -> ((s, dir) =>
+      // pandas drop_duplicates(keep='last'): max doc_id survives
+      Dedup.dropDuplicatesKeepMax(t(s, dir, "documents"), "doc_id", Seq("text"))
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
     "emb_quantize" -> ((s, dir) =>
       // symmetric int8 embedding quantization, exploded to scalar rows
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -378,6 +387,15 @@ object ExtQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "text_redact" ->
+      """SELECT doc_id AS id, regexp_replace(text, '[0-9]+', '#', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_hits
+        |FROM documents ORDER BY id""".stripMargin,
+    "dedup_keep_last" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id DESC) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_keep_rows" ->
       """SELECT doc_id, n_chars FROM (
         |  SELECT doc_id, n_chars,
