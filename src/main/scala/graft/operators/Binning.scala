@@ -37,4 +37,26 @@ object Binning {
   def valueCounts(df: DataFrame, c: Column, out: String = "bin"): DataFrame =
     df.groupBy(c.as(out)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(out))
+
+  /** Z-score feature scaling (the sklearn StandardScaler step of a
+    * training pipeline): ONE stats pass (micro-unit BIGINT sums — exact,
+    * order-independent), the single stats row broadcast back, then a
+    * pure projection. Mean and std are derived with the same integer
+    * algebra as `rel_describe` (ddof=0, the StandardScaler convention);
+    * the IEEE tail per row is (x − μ)/σ with μ,σ computed once. */
+  def zscore(df: DataFrame, valueCol: String, out: String): DataFrame = {
+    val xm = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      * lit(1000000L)).cast("long")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val n = count(col(valueCol))
+    val sx = sum(xm).cast(dec)
+    val sxx = sum((xm * xm).cast(dec))
+    val nn = n.cast("double")
+    val stats = df.agg(
+      (sx.cast("double") / (nn * lit(1e6))).as("__mu"),
+      (sqrt((sxx * n - sx * sx).cast("double")) / (nn * lit(1e6))).as("__sigma"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(out, (col(valueCol) - col("__mu")) / col("__sigma"))
+      .drop("__mu", "__sigma")
+  }
 }

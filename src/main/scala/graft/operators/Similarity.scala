@@ -255,6 +255,18 @@ object Similarity {
                |  WHEN x >= 0 THEN (x*254 + m) DIV (2*m)
                |  ELSE -((-x*254 + m) DIV (2*m)) END""".stripMargin).as("q"))
 
+  /** L2 normalization (unit vectors — the standard pre-cosine-index
+    * step): xₙ = fx ∕ √Σfx² over the fixed-point values; the micro scale
+    * cancels, the integer norm is exact, and the per-component IEEE
+    * division is identical cross-engine. Zero vectors yield nulls (no
+    * direction to keep). Exploded (id, d, xn); one projection pass. */
+  def normalizeL2(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    fixedPoint(df, idCol, vecCol)
+      .select(col("id"), col("nrm"), posexplode(col("fx")).as(Seq("d", "x")))
+      .select(col("id"), col("d").cast("long").as("d"),
+        when(col("nrm") > 0,
+          col("x").cast("double") / sqrt(col("nrm").cast("double"))).as("xn"))
+
   // ---- DuckDB SQL mirrors ----
 
   /** SQL: fixed-point vector + norm from an embedding list column. */

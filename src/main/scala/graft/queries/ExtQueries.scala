@@ -153,6 +153,15 @@ object ExtQueries {
       // symmetric int8 embedding quantization, exploded to scalar rows
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("id", "d")),
+    "emb_normalize" -> ((s, dir) =>
+      // L2 unit-normalization, exploded to scalar rows
+      Similarity.normalizeL2(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("id", "d")),
+    "feat_zscore" -> ((s, dir) =>
+      // sklearn StandardScaler: one exact stats pass broadcast back
+      Binning.zscore(t(s, dir, "lineitem"), "l_quantity", "z")
+        .select(col("l_orderkey"), col("l_linenumber"), col("z"))
+        .orderBy("l_orderkey", "l_linenumber")),
 
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
@@ -371,6 +380,22 @@ object ExtQueries {
          |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM flt)
          |SELECT doc_id, pred_lang, n_words, ${splitCaseSql("doc_id")} AS split
          |FROM ded WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "emb_normalize" ->
+      s"""WITH $fxCte
+         |SELECT id, CAST(d AS BIGINT) AS d,
+         |  CASE WHEN nrm > 0 THEN CAST(fx[d+1] AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE)) END AS xn
+         |FROM n, generate_series(0,63) g(d) ORDER BY id, d""".stripMargin,
+    "feat_zscore" ->
+      """WITH m AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    CAST(CAST(l_quantity AS DECIMAL(20,6))*1000000 AS BIGINT) AS xm
+        |  FROM lineitem),
+        |s AS (SELECT CAST(sum(xm) AS HUGEINT) AS sx, sum(xm*xm) AS sxx,
+        |    count(l_quantity) AS n FROM m),
+        |st AS (SELECT CAST(sx AS DOUBLE)/(CAST(n AS DOUBLE)*1000000.0) AS mu,
+        |    sqrt(CAST(sxx*n - sx*sx AS DOUBLE))/(CAST(n AS DOUBLE)*1000000.0) AS sigma
+        |  FROM s)
+        |SELECT l_orderkey, l_linenumber, (l_quantity - mu)/sigma AS z
+        |FROM m, st ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // int8 quantization mirror: identical integer rounding arithmetic —
     // both DIV branches see non-negative operands, so Spark's trunc DIV
     // and DuckDB's floor // agree

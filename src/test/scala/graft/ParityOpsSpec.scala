@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Swift
+import graft.queries.Tables
 import graft.operators.{Binning, Reshape}
 
 /** Behavior specs for the round-7 pandas-parity additions: expanding
@@ -95,6 +96,25 @@ class ParityOpsSpec extends SparkSpec {
     val out = Reshape.crosstab(df, "r", "c", Seq("u", "v")).orderBy("r").collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
     assert(out.toSeq == Seq(("a", 2L, 1L), ("b", 0L, 1L)))
+  }
+
+  test("zscore: scaled column has mean ~0 and population std ~1") {
+    val li = Tables.t(spark, sf001, "lineitem")
+    val z = Binning.zscore(li, "l_quantity", "z")
+    val r = z.agg(avg(col("z")), stddev_pop(col("z"))).head
+    assert(math.abs(r.getDouble(0)) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("normalizeL2: every non-zero vector lands on the unit sphere") {
+    import spark.implicits._
+    val df = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.normalizeL2(df, "vec_id", "embedding")
+      .groupBy("id").agg(sum(col("xn") * col("xn")).as("nrm2")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(math.abs(out(1L).get.asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(out(2L).isEmpty) // zero vector: null components → null norm
   }
 
   test("fillna/clip: nulls filled then clamped; non-null values pass clip only") {
