@@ -424,6 +424,21 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // O6 — pandas resample('1D').ohlc(): open/high/low/close per bucket.
+    // open/close are min_by/max_by over the (ts, event_id) total order —
+    // pure value SELECTION, zero arithmetic, so exactness is free; one
+    // hash aggregate with map-side partials like any resample
+    "o6_resample_ohlc" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ord = struct(col("ts"), col("event_id"))
+      ev.groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(min_by(col("value"), ord).as("open"), max(col("value")).as("high"),
+          min(col("value")).as("low"), max_by(col("value"), ord).as("close"))
+        .select(epochUs(col("w.start")).as("bucket_us"),
+          col("open"), col("high"), col("low"), col("close"))
+        .orderBy("bucket_us")
+    }),
+
     // pandas Series.value_counts(): one hash aggregate, descending count
     // with the value as tie-break (the pandas sort convention)
     "o1_value_counts" -> ((s, dir) =>
@@ -831,6 +846,12 @@ object CoreQueries {
       s"""SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
          |  ${dsumSql("value")} AS day_sum, count(*) AS n
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "o6_resample_ohlc" ->
+      """SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
+        |  first(value ORDER BY ts, event_id) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  last(value ORDER BY ts, event_id) AS close
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "o6_resample_grouped" ->
       s"""SELECT user_id, epoch_us(date_trunc('day', ts)) AS bucket_us,
          |  ${dsumSql("value")} AS day_sum, count(*) AS n

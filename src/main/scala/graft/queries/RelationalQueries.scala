@@ -509,6 +509,22 @@ object RelationalQueries {
         .orderBy(col("sum_qty").desc, col("o_orderkey"))
     }),
 
+    // TPC-H Q10-style returned-item report: who returned the most
+    // revenue — selective fact filter (pushed to the scan), one fact
+    // shuffle for the customer rollup, broadcast dim, top-20 heap
+    "rel_q10_returns" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c.select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // pandas describe(): per-column profile — count, exact mean, sample
     // std, min/max — ONE aggregate pass over the fact table. Values move
     // to micro-unit BIGINT; Σxm and Σxm² accumulate exactly (DECIMAL(38,0)
@@ -876,6 +892,16 @@ object RelationalQueries {
          |FROM orders JOIN big ON o_orderkey = l_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
+    "rel_q10_returns" ->
+      s"""SELECT c_custkey, c_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(*) AS n
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY 1, 2
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     // describe mirror: micro-unit BIGINT sums (HUGEINT-exact in DuckDB ≙
     // DECIMAL(38,0) in Spark), IEEE ops in the identical order
     "rel_describe" -> {
