@@ -138,6 +138,12 @@ object StreamQueries {
     "stream_vocab" -> ((s, dir) =>
       StreamOps.vocabOnce(s, dir, k = 50)),
 
+    // the batch OHLC aggregate unchanged under streaming state —
+    // min_by/max_by are declarative aggs, so the engine maintains them
+    // incrementally; oracle == batch OHLC
+    "stream_ohlc" -> ((s, dir) =>
+      StreamOps.ohlcOnce(s, dir).orderBy("bucket_us")),
+
     // stream-stream INTERVAL JOIN (view → click attribution within 4 h):
     // watermarked self-join with a time-range predicate — the engine
     // bounds both sides' join state from the condition; oracle = the
@@ -291,6 +297,12 @@ object StreamQueries {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "stream_ohlc" ->
+      """SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
+        |  first(value ORDER BY ts, event_id) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  last(value ORDER BY ts, event_id) AS close
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_interval_join" ->
       """SELECT l.user_id, l.event_id AS ea, r.event_id AS eb,
         |  epoch_us(l.ts) AS lts_us, epoch_us(r.ts) AS rts_us

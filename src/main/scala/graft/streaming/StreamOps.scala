@@ -162,6 +162,41 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming OHLC: the finance resample (open/high/low/close per
+    * tumbling day) as a watermarked streaming aggregate — min_by/max_by
+    * are ordinary declarative aggregates, so the exact batch query runs
+    * unchanged under the engine's incremental state; oracle == the batch
+    * OHLC. */
+  def ohlcOnce(spark: SparkSession, dir: String,
+      sinkName: String = "stream_ohlc_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = graft.queries.Tables.t(spark, dir, "events")
+      .select(unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+      .as[EventIdRec].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventIdRec]
+    ms.addData(recs.toIndexedSeq)
+    val ord = struct(col("ts"), col("event_id"))
+    val agg = ms.toDF()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(min_by(col("value"), ord).as("open"), max(col("value")).as("high"),
+        min(col("value")).as("low"), max_by(col("value"), ord).as("close"))
+      .select(unix_micros(col("w.start")).as("bucket_us"),
+        col("open"), col("high"), col("low"), col("close"))
+    withHarnessConf(spark, "4") { ckpt =>
+      val q = agg.writeStream
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Complete())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName)
+  }
+
   /** Streaming vocabulary: COMPLETE-mode running token counts over a
     * parquet file source — the streaming twin of `TextAnalysis.vocab`
     * (the missing output mode in the suite: resample/sessionize are
@@ -676,3 +711,5 @@ case class SessState(sessIdx: Long, n: Long, sumMicro: Long,
 
 /** MemoryStream record for the bench-path streaming resample. */
 case class EventRec(ts_us: Long, value: Double)
+
+case class EventIdRec(ts_us: Long, event_id: Long, value: Double)
