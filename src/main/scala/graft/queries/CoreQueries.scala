@@ -439,6 +439,47 @@ object CoreQueries {
         .orderBy("bucket_us")
     }),
 
+    // pandas Series.map(dict): a small literal mapping — a CASE chain
+    // (codegen'd, zero shuffle; a large dict would broadcast-join instead)
+    "o1_map_dict" -> ((s, dir) => {
+      val mapping = Seq("A" -> "accepted", "N" -> "none", "R" -> "returned")
+      val chain = mapping.foldRight(lit(null).cast("string")) {
+        case ((k, v), rest) => when(col("l_returnflag") === k, lit(v)).otherwise(rest)
+      }
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), chain.as("flag_name"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // pandas .str accessor: lower / len / contains / slice in one
+    // projection over the documents table
+    "o1_str_ops" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          lower(substring(col("text"), 1, 20)).as("head_lower"),
+          length(col("text")).cast("long").as("n_chars_str"),
+          col("text").contains("data").cast("long").as("has_data"),
+          substring(col("text"), 5, 8).as("slice_5_8"))
+        .orderBy("doc_id")),
+
+    // pandas groupby().filter(lambda g: len(g) > k): groups keep ALL
+    // their rows iff the group passes — a window count + filter, no join
+    "o4_groupby_filter" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("event_type") === "purchase")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      ev.withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__n") >= 60).drop("__n")
+        .select(col("event_id"), col("user_id"))
+        .orderBy("event_id")
+    }),
+
+    // pandas groupby().idxmax(): the row ID holding each group's maximum
+    // — max_by keeps it one hash aggregate (no self-join back)
+    "o4_groupby_idxmax" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("user_id"))
+        .agg(max_by(col("event_id"), struct(col("value"), col("event_id"))).as("idx_max"),
+          max(col("value")).as("max_value"))
+        .orderBy("user_id")),
+
     // pandas Series.value_counts(): one hash aggregate, descending count
     // with the value as tie-break (the pandas sort convention)
     "o1_value_counts" -> ((s, dir) =>
@@ -789,6 +830,27 @@ object CoreQueries {
     "o4_groupby_nunique" ->
       """SELECT user_id, count(DISTINCT event_type) AS n_types,
         |  count(DISTINCT props) AS n_props
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "o1_map_dict" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE l_returnflag WHEN 'A' THEN 'accepted' WHEN 'N' THEN 'none'
+        |    WHEN 'R' THEN 'returned' END AS flag_name
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "o1_str_ops" ->
+      """SELECT doc_id, lower(substr(text, 1, 20)) AS head_lower,
+        |  CAST(length(text) AS BIGINT) AS n_chars_str,
+        |  CAST(contains(text, 'data') AS BIGINT) AS has_data,
+        |  substr(text, 5, 8) AS slice_5_8
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "o4_groupby_filter" ->
+      """SELECT event_id, user_id FROM (
+        |  SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events WHERE event_type = 'purchase')
+        |WHERE n >= 60 ORDER BY event_id""".stripMargin,
+    "o4_groupby_idxmax" ->
+      """SELECT user_id,
+        |  last(event_id ORDER BY value, event_id) AS idx_max,
+        |  max(value) AS max_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "o1_rank_avg" ->
       """SELECT event_id,
