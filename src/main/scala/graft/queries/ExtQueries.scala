@@ -149,6 +149,23 @@ object ExtQueries {
       // pandas drop_duplicates(keep='last'): max doc_id survives
       Dedup.dropDuplicatesKeepMax(t(s, dir, "documents"), "doc_id", Seq("text"))
         .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
+    "pipe_text_dedup" -> ((s, dir) => {
+      // near-dup "keep best": jaccard clusters labeled, every doc mapped
+      // to its cluster (singletons to themselves), the LONGEST doc
+      // (n_chars, min-id tie-break) kept per cluster — the production
+      // selection rule (keep the most complete copy, not the first).
+      // Reuses the shared pair pipeline; one broadcast-size label join +
+      // one window over clusters
+      val docs = t(s, dir, "documents")
+      val labels = Dedup.clusters(jaccardShared(s, dir), "da", "db")
+      val labeled = docs.join(broadcast(labels), docs("doc_id") === labels("n"), "left")
+        .withColumn("cl", coalesce(col("l"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cl"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labeled.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("doc_id"), col("cl").as("cluster"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "emb_quantize" -> ((s, dir) =>
       // symmetric int8 embedding quantization, exploded to scalar rows
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -448,6 +465,27 @@ object ExtQueries {
          |ed AS (SELECT da AS u, db AS v FROM jp UNION ALL SELECT db AS u, da AS v FROM jp),
          |$clusterUnrollCtes
          |SELECT n AS id, l AS cluster FROM l$CLUSTER_ITERS ORDER BY id""".stripMargin,
+    // keep-best mirror: the same jaccard pair CTEs + unrolled labels,
+    // then every doc joined to its cluster (singletons to themselves)
+    // and the longest kept per cluster
+    "pipe_text_dedup" ->
+      s"""WITH $distinctShingleCte,
+         |ex AS (SELECT id, nd, unnest(ds) AS h FROM d),
+         |pr AS (
+         |  SELECT a.id AS da, b.id AS db, count(*) AS common,
+         |    any_value(a.nd) AS na, any_value(b.nd) AS nb
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
+         |jp AS (SELECT da, db FROM pr WHERE common/(na+nb-common) >= $JACCARD_TAU),
+         |ed AS (SELECT da AS u, db AS v FROM jp UNION ALL SELECT db AS u, da AS v FROM jp),
+         |$clusterUnrollCtes,
+         |lbl AS (SELECT doc_id, n_chars,
+         |    coalesce(l$CLUSTER_ITERS.l, doc_id) AS cl
+         |  FROM documents LEFT JOIN l$CLUSTER_ITERS ON doc_id = l$CLUSTER_ITERS.n),
+         |rk AS (SELECT doc_id, cl, n_chars,
+         |    row_number() OVER (PARTITION BY cl ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM lbl)
+         |SELECT doc_id, cl AS cluster, n_chars FROM rk WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
     // star contraction converges to the true component minima, which is
     // exactly what recursive min-propagation (transitive closure over the
     // symmetrized edges + group min) converges to — no round unrolling

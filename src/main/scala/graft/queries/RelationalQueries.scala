@@ -509,6 +509,16 @@ object RelationalQueries {
         .orderBy(col("sum_qty").desc, col("o_orderkey"))
     }),
 
+    // pandas concat with mismatched columns (NaN fill): unionByName with
+    // allowMissingColumns — absent columns null-fill, zero shuffle
+    "rel_union_by_name" -> ((s, dir) => {
+      val a = t(s, dir, "nation").select(col("n_nationkey").as("id"), col("n_name").as("name"))
+      val b = t(s, dir, "region").select(col("r_regionkey").as("id"),
+        col("r_name").as("name"), lit("region").as("kind"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("id"), col("kind").asc_nulls_first)
+    }),
+
     // TPC-H Q10-style returned-item report: who returned the most
     // revenue — selective fact filter (pushed to the scan), one fact
     // shuffle for the customer rollup, broadcast dim, top-20 heap
@@ -892,6 +902,11 @@ object RelationalQueries {
          |FROM orders JOIN big ON o_orderkey = l_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
+    "rel_union_by_name" ->
+      """SELECT n_nationkey AS id, n_name AS name, NULL AS kind FROM nation
+        |UNION ALL BY NAME
+        |SELECT r_regionkey AS id, r_name AS name, 'region' AS kind FROM region
+        |ORDER BY id, kind ASC NULLS FIRST""".stripMargin,
     "rel_q10_returns" ->
       s"""SELECT c_custkey, c_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
