@@ -439,6 +439,21 @@ object CoreQueries {
         .orderBy("bucket_us")
     }),
 
+    // pandas cummax/cummin/cumcount: running extremes and ordinal per
+    // user — native unbounded-preceding window aggregates (incremental,
+    // not O(n²)), one shuffle + sort like any ordered scan
+    "o1_cum_ops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      ev.select(col("event_id"),
+          max(col("value")).over(w).as("cummax"),
+          min(col("value")).over(w).as("cummin"),
+          (count(lit(1)).over(w) - 1).as("cumcount"))
+        .orderBy("event_id")
+    }),
+
     // pandas Series.map(dict): a small literal mapping — a CASE chain
     // (codegen'd, zero shuffle; a large dict would broadcast-join instead)
     "o1_map_dict" -> ((s, dir) => {
@@ -831,6 +846,13 @@ object CoreQueries {
       """SELECT user_id, count(DISTINCT event_type) AS n_types,
         |  count(DISTINCT props) AS n_props
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "o1_cum_ops" ->
+      """SELECT event_id, max(value) OVER w AS cummax, min(value) OVER w AS cummin,
+        |  count(*) OVER w - 1 AS cumcount
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "o1_map_dict" ->
       """SELECT l_orderkey, l_linenumber,
         |  CASE l_returnflag WHEN 'A' THEN 'accepted' WHEN 'N' THEN 'none'
