@@ -79,6 +79,37 @@ final class SwiftRolling(sw: Swift, spec: WindowSpec, minPeriods: Int) {
     sw.df.withColumn(out, when(n >= math.max(minPeriods, 2), res))
   }
 
+  /** pandas `rolling.skew()` — the adjusted Fisher–Pearson coefficient
+    * G₁ = √(n(n−1))∕(n−2) · (m₃∕n)∕(m₂∕n)^{3/2}. Substituting the raw
+    * micro-unit sums gives G₁ = B·√(n(n−1)) ∕ (A·√A·(n−2)) with
+    *
+    *   A = n·Σx² − (Σx)²        B = n²·Σx³ − 3n·Σx·Σx² + 2(Σx)³
+    *
+    * — both EXACT integers in DECIMAL(38,0)/HUGEINT (the micro scale
+    * cancels between B and A^{3/2}). A^{3/2} is spelled A·√A, never
+    * pow(x,1.5) (whose rounding is libm-dependent); the IEEE tail is
+    * the two √s, two multiplies and one division in oracle-mirrored
+    * order. Frames with n < max(min_periods, 3) (or zero variance)
+    * yield null, matching pandas NaN. */
+  def skew(valueCol: String, out: String): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xm = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      * lit(1000000L)).cast("long").cast(d38)
+    val n = count(lit(1)).over(spec)
+    val sx = sum(xm).over(spec)
+    val sxx = sum(xm * xm).over(spec)
+    val sxxx = sum(xm * xm * xm).over(spec)
+    val nd = n.cast(d38)
+    val a = (nd * sxx - sx * sx).cast("double")
+    val b = (nd * nd * sxxx - lit(3L).cast(d38) * nd * sx * sxx
+      + lit(2L).cast(d38) * sx * sx * sx).cast("double")
+    val nn = n.cast("double")
+    val res = (b * sqrt(nn * (nn - lit(1.0)))) / ((a * sqrt(a)) * (nn - lit(2.0)))
+    sw.df.withColumn(out,
+      when(n >= math.max(minPeriods, 3) && a > 0, res))
+  }
+
   /** pandas `min_periods`: frames with fewer observations yield null. */
   private def withMinPeriods(df: DataFrame, out: String, res: Column): DataFrame = {
     if (minPeriods <= 1) df.withColumn(out, res)

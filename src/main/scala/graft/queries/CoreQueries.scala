@@ -327,6 +327,17 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // O5 — pandas rolling(5).skew(): adjusted Fisher–Pearson G₁ from
+    // exact integer raw moments (see SwiftRolling.skew — A·√A, never pow)
+    "o5_rolling_skew" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rolling(5, orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"))
+        .skew("value", "skew")
+        .select(col("event_id"), col("skew"))
+        .orderBy("event_id")
+    }),
+
     // O5 — pandas ewm(alpha=0.5).mean() (adjust=True): micro-quantized
     // exponential weights make the decay tail exactly zero at 21 rows, so
     // the full-history EWM is a bounded 21-row window (see SwiftEwm)
@@ -758,6 +769,27 @@ object CoreQueries {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_sum
         |FROM events ORDER BY event_id""".stripMargin,
+    // skew mirror: exact HUGEINT raw moments; A^{3/2} spelled A·√A and
+    // the IEEE tail in the identical order as SwiftRolling.skew
+    "o5_rolling_skew" ->
+      """WITH m AS (SELECT event_id, user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS xm FROM events),
+        |s AS (SELECT event_id, count(*) OVER w AS n,
+        |    CAST(sum(xm) OVER w AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(xm AS HUGEINT)*xm) OVER w AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(xm AS HUGEINT)*xm*xm) OVER w AS HUGEINT) AS sxxx
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |ab AS (SELECT event_id, n,
+        |    CAST(n*sxx - sx*sx AS DOUBLE) AS a,
+        |    CAST(n*n*sxxx - 3*n*sx*sxx + 2*sx*sx*sx AS DOUBLE) AS b
+        |  FROM s)
+        |SELECT event_id,
+        |  CASE WHEN n >= 5 AND a > 0 THEN
+        |    (b * sqrt(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)))
+        |    / ((a * sqrt(a)) * (CAST(n AS DOUBLE)-2.0)) END AS skew
+        |FROM ab ORDER BY event_id""".stripMargin,
     // ewm(0.5) mirror from the SAME micro-weights the Spark query uses:
     // frame values arrive oldest→newest, so vs[i] pairs with weight
     // w[len−i] (newest gets w₀); numerator and denominator are BIGINT,

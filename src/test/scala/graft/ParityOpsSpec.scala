@@ -43,6 +43,25 @@ class ParityOpsSpec extends SparkSpec {
     }
   }
 
+  test("rolling skew: matches the textbook adjusted Fisher-Pearson formula") {
+    val xs = Seq(3.25, 1.5, 4.75, 2.0, 6.5, 1.25, 8.0)
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, i, x) }.toDF("k", "i", "x")
+    val got = Swift(df).rolling(5, orderBy = Seq("i"), partitionBy = Seq("k"))
+      .skew("x", "sk").select("i", "sk").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert((0 to 3).forall(got(_).isEmpty)) // frames with n < 5
+    def skew5(i: Int): Double = {
+      val f = xs.slice(i - 4, i + 1); val n = 5.0
+      val m = f.sum / n
+      val m2 = f.map(x => (x - m) * (x - m)).sum / n
+      val m3 = f.map(x => math.pow(x - m, 3)).sum / n
+      math.sqrt(n * (n - 1)) / (n - 2) * m3 / math.pow(m2, 1.5)
+    }
+    (4 to 6).foreach { i =>
+      assert(math.abs(got(i).get - skew5(i)) < 1e-9, s"frame $i")
+    }
+  }
+
   test("groupby transform: group aggregate lands on every row, length preserved") {
     val df = Seq((1L, 2.0), (1L, 3.0), (2L, 7.0)).toDF("k", "v")
     val out = Swift(df).groupBy("k")
