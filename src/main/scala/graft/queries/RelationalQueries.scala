@@ -137,6 +137,19 @@ object RelationalQueries {
           col("pri_3_medium"), col("pri_4_not_specified"), col("pri_5_low"))
         .orderBy("o_orderkey")),
 
+    // Numeric RANGE frame (vs the ROWS frames everywhere else and the
+    // time-range frames in o5_rolling_time): peers within a VALUE
+    // distance — how many of the user's events fall within 5.0 below
+    // the current value
+    "rel_window_range" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("value"))
+        .rangeBetween(-5L, 0L)
+      ev.select(col("event_id"), count(lit(1)).over(w).as("n_near"))
+        .orderBy("event_id")
+    }),
+
     // Distribution window functions: ntile / percent_rank / cume_dist
     "rel_window_dist" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -767,6 +780,11 @@ object RelationalQueries {
       s"""SELECT o_orderkey, ${cols.mkString(", ")}
          |FROM orders ORDER BY o_orderkey""".stripMargin
     },
+    "rel_window_range" ->
+      """SELECT event_id, count(*) OVER (
+        |  PARTITION BY user_id ORDER BY value
+        |  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_near
+        |FROM events ORDER BY event_id""".stripMargin,
     "rel_window_dist" ->
       """SELECT event_id,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
