@@ -574,6 +574,24 @@ object RelationalQueries {
       li.agg(cols.head, cols.tail: _*)
     }),
 
+    // grouped describe(): the per-group twin of rel_describe — one hash
+    // aggregate, same exact integer moment algebra, 20 groups out
+    "o4_groupby_describe" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val dec = DecimalType(38, 0)
+      val xm = (col("n_chars").cast(DecimalType(20, 6)) * lit(1000000L)).cast("long")
+      val n = count(col("n_chars"))
+      val sx = sum(xm).cast(dec)
+      val sxx = sum((xm * xm).cast(dec))
+      val nn = n.cast("double")
+      d.groupBy(col("source")).agg(
+          n.as("n"),
+          (sx.cast("double") / (nn * lit(1e6))).as("mean"),
+          (sqrt(((sxx * n - sx * sx).cast("double")) / (nn * (nn - lit(1.0)))) / lit(1e6)).as("std"),
+          min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+        .orderBy("source")
+    }),
+
     // FULL OUTER join with nulls flowing both directions: segment
     // customers without qualifying orders (null rev) and qualifying
     // order-customers outside the segment (null segment). Both sides are
@@ -935,6 +953,16 @@ object RelationalQueries {
          |WHERE l_returnflag = 'R'
          |GROUP BY 1, 2
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "o4_groupby_describe" ->
+      """SELECT source, count(n_chars) AS n,
+        |  CAST(sum(xm) AS DOUBLE)/(CAST(count(n_chars) AS DOUBLE)*1000000.0) AS mean,
+        |  sqrt(CAST(sum(xm*xm)*count(n_chars) - sum(xm)*sum(xm) AS DOUBLE)
+        |    / (CAST(count(n_chars) AS DOUBLE) * (CAST(count(n_chars) AS DOUBLE) - 1.0)))
+        |    / 1000000.0 AS std,
+        |  min(n_chars) AS mn, max(n_chars) AS mx
+        |FROM (SELECT source, n_chars,
+        |    CAST(CAST(n_chars AS DECIMAL(20,6))*1000000 AS BIGINT) AS xm FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // describe mirror: micro-unit BIGINT sums (HUGEINT-exact in DuckDB ≙
     // DECIMAL(38,0) in Spark), IEEE ops in the identical order
     "rel_describe" -> {
