@@ -180,6 +180,53 @@ object Multimodal {
     }(Encoders.row(resizedSchema))
   }
 
+  val ahashSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("ah_lo", LongType),
+    StructField("ah_hi", LongType)))
+
+  /** Perceptual average-hash (aHash — the classic near-dup image
+    * fingerprint): REAL decode, nearest-neighbor 8×8 downscale with the
+    * same explicit integer source-pixel arithmetic as [[resizeImages]],
+    * then bit k set iff pixel k ≥ the integer mean (sum DIV 64). All
+    * integer decisions over genuine codec output, so the oracle predicts
+    * the 64-bit hash exactly from the generation rule. Hamming distance
+    * between aHashes = visual near-dup candidate metric (pairs via the
+    * same banding machinery as SimHash). */
+  def averageHash(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](blobIdx)))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = new Array[Long](64)
+        var k = 0
+        while (k < 64) {
+          val sx = (k % 8) * w / 8
+          val sy = (k / 8) * h / 8
+          px(k) = ((img.getRGB(sx, sy) >> 16) & 0xff).toLong
+          k += 1
+        }
+        // the 64-bit hash travels as two positive 32-bit halves so the
+        // integer arithmetic (and the SQL mirror) never touches the
+        // BIGINT sign bit
+        val mean = px.sum / 64
+        var lo = 0L; var hi = 0L
+        k = 0
+        while (k < 64) {
+          if (px(k) >= mean) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        Row(id, lo, hi)
+      }
+    }(Encoders.row(ahashSchema))
+  }
+
   /** Frame sampling: n equal-stride byte slices of the payload (stands in
     * for video frame extraction) as an array<binary> column. */
   def frameSample(df: DataFrame, blobCol: String, n: Int, frameLen: Int = 16): DataFrame = {

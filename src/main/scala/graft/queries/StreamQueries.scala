@@ -44,6 +44,16 @@ object StreamQueries {
     }),
 
     // multimodal: batch featurizer (fixed-size vector), exact milli units
+    "mm_ahash" -> ((s, dir) => {
+      // perceptual average-hash over REAL decoded pixels (8x8 NN grid,
+      // integer mean threshold) -- the classic visual near-dup
+      // fingerprint; hash emitted as two positive 32-bit halves
+      val ids = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val docs = Multimodal.withPngBlob(ids, "doc_id")
+      Multimodal.averageHash(docs, "doc_id", "img").orderBy("id")
+    }),
+
     "mm_featurize" -> ((s, dir) => {
       val docs = Multimodal.withBlob(t(s, dir, "documents"), "text")
       Multimodal.featurizeStub(docs, "doc_id", "blob", dim = 8)
@@ -200,6 +210,17 @@ object StreamQueries {
         |    list_transform(generate_series(0, 15), tx ->
         |      (doc_id + 7*((tx*(1+doc_id%48))//16) + 13*((ty*(1+doc_id%32))//8)) % 256)))) AS BIGINT) AS pix_sum
         |FROM documents ORDER BY id""".stripMargin,
+    "mm_ahash" ->
+      """WITH g AS (SELECT doc_id AS id, 1 + doc_id%48 AS w, 1 + doc_id%32 AS h FROM documents),
+        |p AS (SELECT id, list_transform(generate_series(0,63), k ->
+        |    (id + 7*((k%8)*w//8) + 13*((k//8)*h//8)) % 256) AS px FROM g),
+        |m AS (SELECT id, px, list_sum(px)//64 AS mean FROM p)
+        |SELECT id,
+        |  CAST(list_sum(list_transform(generate_series(0,31), k ->
+        |    CASE WHEN px[k+1] >= mean THEN ([1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192,16384,32768,65536,131072,262144,524288,1048576,2097152,4194304,8388608,16777216,33554432,67108864,134217728,268435456,536870912,1073741824,2147483648])[k+1] ELSE 0 END)) AS BIGINT) AS ah_lo,
+        |  CAST(list_sum(list_transform(generate_series(32,63), k ->
+        |    CASE WHEN px[k+1] >= mean THEN ([1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192,16384,32768,65536,131072,262144,524288,1048576,2097152,4194304,8388608,16777216,33554432,67108864,134217728,268435456,536870912,1073741824,2147483648])[k-31] ELSE 0 END)) AS BIGINT) AS ah_hi
+        |FROM m ORDER BY id""".stripMargin,
     "mm_featurize" ->
       """WITH ks AS (SELECT unnest(generate_series(0, 7)) AS k),
         |v AS (SELECT doc_id AS id, k,
