@@ -68,16 +68,31 @@ final class SwiftGroupBy(sw: Swift, by: Seq[String], subset: Option[Seq[String]]
     * `fn` on ONE sampled group on the driver — the Dask-`meta` analog for
     * per-group functions (reference swifter/swifter.py:260; SURVEY.md
     * §7.4.5: shape must be fixed per query). Column names default to
-    * c0..cN unless `names` is given. */
+    * c0..cN unless `names` is given.
+    *
+    * The probe group is drawn from the K1 sample ([[Swift.sampleRows]] —
+    * one bounded draw), NOT by re-filtering the input for one key: a
+    * filter on a non-partition column can't prune, so the old
+    * `filter(key).limit(1000)` probe cost a full scan at scale. The
+    * sampled group may be a SUBSET of the real group — fine, because the
+    * contract is fixed result shape per query, and the distributed run
+    * re-executes `fn` on complete groups. */
   def applyAuto(names: Seq[String] = Nil)(
       fn: (Row, Iterator[Row]) => Iterator[Row]): DataFrame = {
     val in = inputDf
-    val keyRow = in.select(by.map(col).toIndexedSeq: _*).limit(1).collect().headOption
-      .getOrElse(throw new IllegalArgumentException(
-        "applyAuto on an empty input: declare the schema via apply(outSchema)"))
-    val cond = by.zipWithIndex.map { case (c, i) => col(c) <=> lit(keyRow.get(i)) }
-      .reduce(_ && _)
-    val sampleRows = in.filter(cond).limit(1000).collect()
+    val sample = sw.sampleRows()
+    if (sample.isEmpty) throw new IllegalArgumentException(
+      "applyAuto on an empty input: declare the schema via apply(outSchema)")
+    // project the full-schema sample rows onto the (possibly subset) input
+    val inIdx = in.schema.fieldNames.map(sw.df.schema.fieldIndex)
+    val byIdx = by.map(sw.df.schema.fieldIndex)
+    def keyOf(r: Row): Seq[Any] = byIdx.map(r.get)
+    val keyVals = keyOf(sample.head)
+    val keyRow = Row.fromSeq(keyVals)
+    val sampleRows = sample.iterator
+      .filter(r => keyOf(r) == keyVals)
+      .map(r => Row.fromSeq(inIdx.toSeq.map(r.get)))
+      .take(1000).toArray
     val sampleOut = Progress.suppressed { fn(keyRow, sampleRows.iterator).toSeq }
     require(sampleOut.nonEmpty, "applyAuto: the sampled group produced no rows")
     val width = sampleOut.head.size

@@ -207,25 +207,70 @@ object SwiftRollingWeighted {
         val t = 2 * math.Pi * k / (n - 1)
         math.round((0.42 - 0.5 * math.cos(t) + 0.08 * math.cos(2 * t)) * 1e6)
       }
-    case "parzen" => // de la Vallée Poussin window: with x = |2k−(n−1)|/(n−1),
-      // w = 1 − 6x² + 6x³ (x ≤ ½) else 2(1−x)³ — a CUBIC in p/q with
-      // q = n−1, so scaling by q³ (cancels in the mean) gives EXACT
-      // integers like triang/bartlett: no quantization at all
-      val q = n - 1L
+    case "parzen" => // de la Vallée Poussin window, scipy's grid (what
+      // pandas win_type='parzen' calls): position offset from center is
+      // p/2 with p = |2k−(n−1)|, normalized by n/2 → x = p/n, with the
+      // piecewise cutoff at |k−(n−1)/2| ≤ (n−1)/4 ⇔ 2p ≤ n−1:
+      // w = 1 − 6x² + 6x³ (inner) else 2(1−x)³ — a CUBIC in p/n, so
+      // scaling by n³ (cancels in the mean) gives EXACT integers like
+      // triang/bartlett: no quantization at all. NB: endpoints are
+      // 2(1−(n−1)/n)³ = 2/n³ > 0 — scipy/pandas parzen never reaches 0
+      val q = n.toLong
       (0 until n).map { k =>
-        val p = math.abs(2L * k - q)
-        if (2 * p <= q) q * q * q - 6 * p * p * q + 6 * p * p * p
+        val p = math.abs(2L * k - (n - 1))
+        if (2 * p <= n - 1) q * q * q - 6 * p * p * q + 6 * p * p * p
         else 2 * (q - p) * (q - p) * (q - p)
       }
     case "cosine" => // scipy: sin(π(k+½)/n), micro-quantized
       (0 until n).map(k => math.round(math.sin(math.Pi * (k + 0.5) / n) * 1e6))
+    case "blackmanharris" => // scipy 4-term minimum-sidelobe cosine sum,
+      // micro-quantized like hamming/blackman
+      cosineSum(n, Seq(0.35875, -0.48829, 0.14128, -0.01168))
+    case "nuttall" => // scipy Nuttall 4-term (continuous first derivative)
+      cosineSum(n, Seq(0.3635819, -0.4891775, 0.1365995, -0.0106411))
+    case "kaiser" => // scipy: I₀(β·√(1−((2k−(n−1))/(n−1))²)) / I₀(β) with
+      // β = the `std` slot (pandas .mean(beta=)); micro-quantized
+      require(std > 0, s"win_type=kaiser needs beta > 0 (pass via std=), got $std")
+      val i0b = besselI0(std)
+      (0 until n).map { k =>
+        val r = (2.0 * k - (n - 1)) / (n - 1)
+        math.round(besselI0(std * math.sqrt(math.max(0.0, 1 - r * r))) / i0b * 1e6)
+      }
+    case "exponential" => // scipy (symmetric form): exp(−|k−(n−1)/2|/τ)
+      // with τ = the `std` slot (pandas .mean(tau=)); micro-quantized
+      require(std > 0, s"win_type=exponential needs tau > 0 (pass via std=), got $std")
+      (0 until n).map { k =>
+        math.round(math.exp(-math.abs(k - (n - 1) / 2.0) / std) * 1e6)
+      }
     case other =>
       throw new IllegalArgumentException(
-        s"win_type must be triang|boxcar|bartlett|parzen|cosine|gaussian|hamming|blackman, got '$other'")
+        "win_type must be triang|boxcar|bartlett|parzen|cosine|gaussian|hamming|" +
+          s"blackman|blackmanharris|nuttall|kaiser|exponential, got '$other'")
+  }
+
+  /** Generalized cosine-sum window Σⱼ aⱼ·cos(2πjk/(n−1)) (hamming/blackman
+    * family), micro-quantized to integer weight numerators. */
+  private def cosineSum(n: Int, as: Seq[Double]): Seq[Long] =
+    (0 until n).map { k =>
+      val t = 2 * math.Pi * k / (n - 1)
+      math.round(as.zipWithIndex.map { case (a, j) => a * math.cos(j * t) }.sum * 1e6)
+    }
+
+  /** Modified Bessel function of the first kind, order 0 — the kaiser
+    * window's kernel — by its power series Σ ((x/2)^m / m!)², which
+    * converges in a few dozen terms for any practical β. */
+  private[graft] def besselI0(x: Double): Double = {
+    var term = 1.0; var sum = 1.0; var m = 1
+    val h = x / 2
+    while (term > 1e-17 * sum && m < 200) {
+      term *= (h / m) * (h / m); sum += term; m += 1
+    }
+    sum
   }
 
   def counted(sw: Swift, window: Int, winType: String, orderBy: Seq[String],
       partitionBy: Seq[String], std: Double = 0.0): SwiftRollingWeighted = {
+    SwiftRolling.warnIfGlobal(sw, partitionBy, s"rolling($window, win_type=$winType)")
     val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
                else Window.partitionBy()
     val spec = base.orderBy(orderBy.map(col): _*)
@@ -251,9 +296,28 @@ object SwiftRollingWeighted {
   * handling — `collect_list` drops nulls, so null values are skipped
   * with the remaining weights renormalized over the values present:
   * pandas `ignore_na=True` semantics (the pandas DEFAULT ignore_na=False
-  * instead decays by absolute position across the gap).
+  * instead decays by absolute position across the gap). The DuckDB
+  * mirror applies `list_filter(vs, v -> v IS NOT NULL)` to its kept-null
+  * `list()` frame, so both engines skip nulls identically — a null row
+  * still consumes one slot of the bounded W-row frame on both sides.
   */
 final class SwiftEwm(sw: Swift, spec: WindowSpec, microWeights: Seq[Long]) {
+
+  // Frame-SIZE-only quantities hoisted out of the per-row expression:
+  // the weights are a compile-time table, so Σw, Σw² and the reversed
+  // weight slice depend only on m = #values in the frame. Recomputing
+  // them with per-row aggregate() folds was the #2 query in the r7 bench
+  // (6.9s); as size-indexed literal lookups only the two value folds
+  // (Σwx, Σwx²) remain per-row work. The looked-up Longs are identical
+  // to the folded ones, so results — and the DuckDB mirror — are
+  // unchanged bit-for-bit.
+  private val prefW: Seq[Long] = microWeights.scanLeft(0L)(_ + _).tail
+  private val prefW2: Seq[Long] = microWeights.scanLeft(0L)((a, w) => a + w * w).tail
+  private val usedByM: Seq[Seq[Long]] =
+    (1 to microWeights.length).map(m => microWeights.take(m).reverse)
+  private def sumWOf(m: Column): Column = element_at(typedlit(prefW), m)
+  private def sumW2Of(m: Column): Column = element_at(typedlit(prefW2), m)
+  private def usedOf(m: Column): Column = element_at(typedlit(usedByM), m)
 
   /** EWM mean of `valueCol`; frame values arrive oldest→newest, so the
     * weight vector is the first-m prefix reversed (newest gets w₀). */
@@ -262,11 +326,9 @@ final class SwiftEwm(sw: Swift, spec: WindowSpec, microWeights: Seq[Long]) {
     val vm = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
       * lit(1000000L)).cast("long")
     val vals = collect_list(vm).over(spec)
-    val wArr = array(microWeights.map(lit): _*)
     val m = size(vals)
-    val used = reverse(slice(wArr, lit(1), m))
-    val num = aggregate(zip_with(vals, used, (v, wt) => v * wt), lit(0L), _ + _)
-    val den = aggregate(slice(wArr, lit(1), m), lit(0L), _ + _)
+    val num = aggregate(zip_with(vals, usedOf(m), (v, wt) => v * wt), lit(0L), _ + _)
+    val den = sumWOf(m)
     // den·10⁶ ≤ 2·10¹³ < 2⁵³: the double product is exact, so the one
     // rounding step is the final division — mirrored verbatim in SQL
     sw.df.withColumn(out, num.cast("double") / (den.cast("double") * lit(1e6)))
@@ -290,11 +352,10 @@ final class SwiftEwm(sw: Swift, spec: WindowSpec, microWeights: Seq[Long]) {
     val vm = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
       * lit(1000000L)).cast("long")
     val vals = collect_list(vm).over(spec)
-    val wArr = array(microWeights.map(lit): _*)
     val m = size(vals)
-    val used = reverse(slice(wArr, lit(1), m))
-    val sw1 = aggregate(slice(wArr, lit(1), m), lit(0L), _ + _) // Σw ≤ 2e6·21
-    val sw2 = aggregate(slice(wArr, lit(1), m), lit(0L), (a, w) => a + w * w) // Σw²
+    val used = usedOf(m)
+    val sw1 = sumWOf(m) // Σw ≤ 2e6·21 — size-indexed lookup, not a fold
+    val sw2 = sumW2Of(m) // Σw²
     val swx = aggregate(zip_with(vals, used, (v, wt) => v * wt), lit(0L), _ + _)
     val swxx = aggregate(zip_with(vals, used,
         (v, wt) => (v.cast(dec) * v * wt)), lit(0L).cast(dec), _ + _)
@@ -325,6 +386,7 @@ object SwiftEwm {
 
   def counted(sw: Swift, alpha: Double, orderBy: Seq[String],
       partitionBy: Seq[String]): SwiftEwm = {
+    SwiftRolling.warnIfGlobal(sw, partitionBy, s"ewm(alpha=$alpha)")
     val ws = microWeights(alpha)
     val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
                else Window.partitionBy()
@@ -335,12 +397,41 @@ object SwiftEwm {
 }
 
 object SwiftRolling {
+
+  /** True when every leaf of the plan is an in-memory LocalRelation —
+    * the K3 driver-local route and unit-test literals. Plan inspection
+    * only: no job. */
+  private[core] def isLocalInput(df: DataFrame): Boolean = {
+    val leaves = df.queryExecution.logical.collectLeaves()
+    leaves.nonEmpty && leaves.forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
+      case _ => false
+    }
+  }
+
+  /** A window spec with no partitionBy is a SINGLE global partition —
+    * Spark sorts the entire input in one task. pandas semantics genuinely
+    * are one global order, so the construction stays legal, but over a
+    * distributed input it is the easiest way to OOM an executor at scale,
+    * so warn (the duplicate-index warning pattern, SwiftIndex
+    * .checkUnique). Driver-local inputs stay silent. */
+  private[core] def warnIfGlobal(sw: Swift, partitionBy: Seq[String],
+      what: String): Unit =
+    if (partitionBy.isEmpty && !isLocalInput(sw.df))
+      Console.err.println(
+        s"[swift] WARNING: $what built without partitionBy over a " +
+          "distributed input — the whole dataset sorts in ONE task; " +
+          "partition the window (or pre-filter to one series) before " +
+          "running at scale")
+
   /** Centered count window `rolling(n, center=True)`: ⌊(n-1)/2⌋ rows
     * before through ⌊n/2⌋ rows after (pandas centering convention).
     * min_periods defaults to the window size, as pandas does for integer
     * windows (use `withMin(1)` for partial leading/trailing frames). */
   def centered(sw: Swift, window: Int, orderBy: Seq[String],
       partitionBy: Seq[String]): SwiftRolling = {
+    warnIfGlobal(sw, partitionBy, s"rolling($window, center=True)")
     val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
                else Window.partitionBy()
     val spec = base.orderBy(orderBy.map(col): _*)
@@ -361,6 +452,7 @@ object SwiftRolling {
     * aggregates. */
   def counted(sw: Swift, window: Int, orderBy: Seq[String],
       partitionBy: Seq[String]): SwiftRolling = {
+    warnIfGlobal(sw, partitionBy, s"rolling($window)")
     val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
                else Window.partitionBy()
     val spec = base.orderBy(orderBy.map(col): _*)
@@ -375,6 +467,7 @@ object SwiftRolling {
     * O(n²)). min_periods defaults to 1 like pandas. */
   def expanding(sw: Swift, orderBy: Seq[String],
       partitionBy: Seq[String]): SwiftRolling = {
+    warnIfGlobal(sw, partitionBy, "expanding()")
     val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
                else Window.partitionBy()
     val spec = base.orderBy(orderBy.map(col): _*)
@@ -410,6 +503,7 @@ object SwiftRolling {
         throw new IllegalArgumentException(
           s"closed must be both|right|left|neither, got '$other'")
     }
+    warnIfGlobal(sw, partitionBy, s"rolling('$duration')")
     val base = if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
                else Window.partitionBy()
     val spec = base.orderBy(unix_micros(col(tsCol))).rangeBetween(lo, hi)
@@ -450,12 +544,26 @@ object SwiftRolling {
   */
 final class SwiftResample(sw: Swift, rule: String, tsCol: String,
     label: String = "left", offsetMicros: Long = 0L,
-    partitionBy: Seq[String] = Nil) {
+    partitionBy: Seq[String] = Nil, closed: String = "left") {
 
   /** pandas `label='left'|'right'`: bucket labeled by bin start or end. */
   def withLabel(l: String): SwiftResample = {
     require(l == "left" || l == "right", s"label must be left|right, got $l")
-    new SwiftResample(sw, rule, tsCol, l, offsetMicros, partitionBy)
+    new SwiftResample(sw, rule, tsCol, l, offsetMicros, partitionBy, closed)
+  }
+
+  /** pandas `closed='left'|'right'`: which bin edge is inclusive.
+    * Default `left` — bins [S, S+rule), Spark `window()`'s own
+    * convention and the pandas default for most rules. `right` — bins
+    * (S, S+rule], so a value exactly ON a boundary joins the EARLIER
+    * bin: realized as the same ±1µs endpoint nudge as rolling-time
+    * `closed=` ([[SwiftRolling.timed]]) — bucket assignment shifts the
+    * timestamp back 1µs (timestamps are integer microseconds, so
+    * t ∈ (S, S+rule] ⇔ t−1µs ∈ [S, S+rule)), while the bucket LABEL is
+    * unaffected (the shifted window's start IS the true bin start). */
+  def withClosed(c: String): SwiftResample = {
+    require(c == "left" || c == "right", s"closed must be left|right, got $c")
+    new SwiftResample(sw, rule, tsCol, label, offsetMicros, partitionBy, c)
   }
 
   /** pandas `offset=`: shift bucket boundaries by a duration (e.g.
@@ -464,7 +572,7 @@ final class SwiftResample(sw: Swift, rule: String, tsCol: String,
     * boundary-origin parameter; no extra shuffle or projection. */
   def withOffset(dur: String): SwiftResample =
     new SwiftResample(sw, rule, tsCol, label,
-      SwiftRolling.parseDurationMicros(dur), partitionBy)
+      SwiftRolling.parseDurationMicros(dur), partitionBy, closed)
 
   /** pandas `origin=`: align buckets so `ts` (an ISO timestamp string,
     * e.g. "1970-01-03 06:00:00") is a bucket boundary. Reduces to the
@@ -475,19 +583,22 @@ final class SwiftResample(sw: Swift, rule: String, tsCol: String,
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
     val ruleUs = SwiftRolling.parseDurationMicros(rule)
     val off = ((originUs % ruleUs) + ruleUs) % ruleUs
-    new SwiftResample(sw, rule, tsCol, label, off, partitionBy)
+    new SwiftResample(sw, rule, tsCol, label, off, partitionBy, closed)
   }
 
   /** pandas `groupby(keys).resample(rule)`: additional grouping keys in
     * front of the time bucket — still ONE shuffle on (keys, bucket) with
     * map-side partial aggregation. */
   def by(keys: String*): SwiftResample =
-    new SwiftResample(sw, rule, tsCol, label, offsetMicros, keys.toSeq)
+    new SwiftResample(sw, rule, tsCol, label, offsetMicros, keys.toSeq, closed)
 
   private def bucketed: DataFrame = {
+    val tsForBin =
+      if (closed == "right") col(tsCol) - expr("INTERVAL 1 MICROSECOND")
+      else col(tsCol)
     val w =
-      if (offsetMicros == 0L) window(col(tsCol), rule)
-      else window(col(tsCol), rule, rule, s"$offsetMicros microseconds")
+      if (offsetMicros == 0L) window(tsForBin, rule)
+      else window(tsForBin, rule, rule, s"$offsetMicros microseconds")
     val lbl = if (label == "right") w.getField("end") else w.getField("start")
     sw.df.withColumn("__bucket", lbl)
   }

@@ -50,7 +50,10 @@ object Binning {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val n = count(col(valueCol))
     val sx = sum(xm).cast(dec)
-    val sxx = sum((xm * xm).cast(dec))
+    // xm is cast to DECIMAL(38,0) BEFORE squaring: a BIGINT square
+    // overflows (silently, in Spark) for |x| ≳ 3037 in micro-units —
+    // same pattern as SwiftRolling.skew
+    val sxx = sum(xm.cast(dec) * xm)
     val nn = n.cast("double")
     val stats = df.agg(
       (sx.cast("double") / (nn * lit(1e6))).as("__mu"),

@@ -28,11 +28,15 @@ object Reshape {
   /** pandas `get_dummies(prefix=...)`: one 0/1 LongType column per
     * category. Unknown categories simply yield all-zeros rows (pandas
     * drops them from the column set instead — disclosed divergence;
-    * parameterizing the list is what keeps the plan collect-free). */
+    * parameterizing the list is what keeps the plan collect-free).
+    * A NULL category value also yields an all-zeros row — matching
+    * pandas get_dummies on NaN — via coalesce (a bare `=== c` is NULL
+    * on NULL input, which downstream ML code would choke on). */
   def oneHot(df: DataFrame, catCol: String, categories: Seq[String],
       prefix: String): DataFrame = {
     val dummies = categories.map { c =>
-      (col(catCol) === c).cast("long").as(s"${prefix}_${sanitize(c)}")
+      coalesce((col(catCol) === c).cast("long"), lit(0L))
+        .as(s"${prefix}_${sanitize(c)}")
     }
     df.select(df.columns.map(col).toSeq ++ dummies: _*)
   }

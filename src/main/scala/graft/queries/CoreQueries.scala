@@ -294,12 +294,56 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
-    // O5 — pandas win_type='parzen': cubic in p/q scaled by (n−1)³ →
-    // EXACT integer numerators (zero quantization, like triang/bartlett)
+    // O5 — pandas win_type='parzen' (scipy grid: x = |2k−(n−1)|/n, inner
+    // cutoff |k−(n−1)/2| ≤ (n−1)/4): cubic in p/n scaled by n³ → EXACT
+    // integer numerators (zero quantization, like triang/bartlett)
     "o5_rolling_parzen" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       Swift(ev).rollingWeighted(7, "parzen", orderBy = Seq("ts", "event_id"),
           partitionBy = Seq("user_id"))
+        .mean("value", "wmean")
+        .select(col("event_id"), col("wmean"))
+        .orderBy("event_id")
+    }),
+
+    // O5 — pandas win_type='kaiser' (scipy I₀-ratio window, beta=8 via
+    // the std slot): micro-quantized like gaussian/hamming
+    "o5_rolling_kaiser" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rollingWeighted(7, "kaiser", orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"), std = 8.0)
+        .mean("value", "wmean")
+        .select(col("event_id"), col("wmean"))
+        .orderBy("event_id")
+    }),
+
+    // O5 — pandas win_type='blackmanharris' (4-term minimum-sidelobe
+    // cosine sum), micro-quantized
+    "o5_rolling_blackmanharris" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rollingWeighted(7, "blackmanharris", orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"))
+        .mean("value", "wmean")
+        .select(col("event_id"), col("wmean"))
+        .orderBy("event_id")
+    }),
+
+    // O5 — pandas win_type='nuttall' (4-term, continuous 1st derivative)
+    "o5_rolling_nuttall" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rollingWeighted(7, "nuttall", orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"))
+        .mean("value", "wmean")
+        .select(col("event_id"), col("wmean"))
+        .orderBy("event_id")
+    }),
+
+    // O5 — pandas win_type='exponential' (symmetric, tau=2 via the std
+    // slot): exp(−|k−center|/τ), micro-quantized
+    "o5_rolling_exponential" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rollingWeighted(7, "exponential", orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"), std = 2.0)
         .mean("value", "wmean")
         .select(col("event_id"), col("wmean"))
         .orderBy("event_id")
@@ -576,6 +620,18 @@ object CoreQueries {
         .orderBy("user_id", "bucket_us")
     }),
 
+    // O6 — pandas resample('1D', closed='right'): bins (S, S+1d] — a
+    // value exactly ON a bucket boundary joins the EARLIER bucket,
+    // realized as a −1µs nudge on bucket ASSIGNMENT only (the label stays
+    // the true bin start; see SwiftResample.withClosed)
+    "o6_resample_closed_right" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).resample("1 day", "ts").withClosed("right")
+        .agg(dsum(col("value")).as("day_sum"), count(lit(1)).as("n"))
+        .select(epochUs(col("bucket")).as("bucket_us"), col("day_sum"), col("n"))
+        .orderBy("bucket_us")
+    }),
+
     // O6 — resample with a boundary offset (pandas origin/offset kwarg):
     // daily buckets starting at 06:00 instead of midnight
     "o6_resample_origin" -> ((s, dir) => {
@@ -758,6 +814,14 @@ object CoreQueries {
       weightedRollingOracle(SwiftRollingWeighted.weights(7, "hamming")),
     "o5_rolling_parzen" ->
       weightedRollingOracle(SwiftRollingWeighted.weights(7, "parzen")),
+    "o5_rolling_kaiser" ->
+      weightedRollingOracle(SwiftRollingWeighted.weights(7, "kaiser", 8.0)),
+    "o5_rolling_blackmanharris" ->
+      weightedRollingOracle(SwiftRollingWeighted.weights(7, "blackmanharris")),
+    "o5_rolling_nuttall" ->
+      weightedRollingOracle(SwiftRollingWeighted.weights(7, "nuttall")),
+    "o5_rolling_exponential" ->
+      weightedRollingOracle(SwiftRollingWeighted.weights(7, "exponential", 2.0)),
     "o4_groupby_head" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM (
         |  SELECT event_id, user_id, ts,
@@ -793,14 +857,17 @@ object CoreQueries {
     // ewm(0.5) mirror from the SAME micro-weights the Spark query uses:
     // frame values arrive oldest→newest, so vs[i] pairs with weight
     // w[len−i] (newest gets w₀); numerator and denominator are BIGINT,
-    // the one double op is the final division — identical to SwiftEwm
+    // the one double op is the final division — identical to SwiftEwm.
+    // list_filter drops nulls from the kept-null list() frame, matching
+    // Spark's null-dropping collect_list (ignore_na=True on both sides)
     "o5_ewm_mean" -> {
       val ws = graft.core.SwiftEwm.microWeights(0.5)
       val wArr = ws.mkString("[", ",", "]")
       s"""WITH v AS (SELECT event_id, user_id, ts,
          |    CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS vm FROM events),
-         |l AS (SELECT event_id, list(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS BETWEEN ${ws.length - 1} PRECEDING AND CURRENT ROW) AS vs FROM v)
+         |l0 AS (SELECT event_id, list(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN ${ws.length - 1} PRECEDING AND CURRENT ROW) AS vs0 FROM v),
+         |l AS (SELECT event_id, list_filter(vs0, v -> v IS NOT NULL) AS vs FROM l0)
          |SELECT event_id,
          |  CAST(list_sum(list_transform(generate_series(1, len(vs)),
          |      i -> vs[i] * ($wArr)[len(vs)-i+1])) AS DOUBLE)
@@ -815,8 +882,9 @@ object CoreQueries {
       val wArr = ws.mkString("[", ",", "]")
       s"""WITH v AS (SELECT event_id, user_id, ts,
          |    CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS vm FROM events),
-         |l AS (SELECT event_id, list(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS BETWEEN ${ws.length - 1} PRECEDING AND CURRENT ROW) AS vs FROM v),
+         |l0 AS (SELECT event_id, list(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN ${ws.length - 1} PRECEDING AND CURRENT ROW) AS vs0 FROM v),
+         |l AS (SELECT event_id, list_filter(vs0, v -> v IS NOT NULL) AS vs FROM l0),
          |st AS (SELECT event_id, len(vs) AS m,
          |    CAST(list_sum(list_slice($wArr, 1, len(vs))) AS HUGEINT) AS sw1,
          |    CAST(list_sum(list_transform(list_slice($wArr, 1, len(vs)), w -> CAST(w AS BIGINT)*w)) AS HUGEINT) AS sw2,
@@ -960,6 +1028,12 @@ object CoreQueries {
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "o6_resample_day" ->
       s"""SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
+         |  ${dsumSql("value")} AS day_sum, count(*) AS n
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // closed='right' mirror: the same −1µs assignment nudge (integer-µs
+    // timestamps make t ∈ (S, S+1d] ⇔ t−1µs ∈ [S, S+1d))
+    "o6_resample_closed_right" ->
+      s"""SELECT epoch_us(date_trunc('day', ts - INTERVAL 1 MICROSECOND)) AS bucket_us,
          |  ${dsumSql("value")} AS day_sum, count(*) AS n
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "o6_resample_ohlc" ->

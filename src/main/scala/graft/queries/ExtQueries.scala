@@ -406,7 +406,7 @@ object ExtQueries {
       """WITH m AS (SELECT l_orderkey, l_linenumber, l_quantity,
         |    CAST(CAST(l_quantity AS DECIMAL(20,6))*1000000 AS BIGINT) AS xm
         |  FROM lineitem),
-        |s AS (SELECT CAST(sum(xm) AS HUGEINT) AS sx, sum(xm*xm) AS sxx,
+        |s AS (SELECT CAST(sum(xm) AS HUGEINT) AS sx, sum(CAST(xm AS HUGEINT)*xm) AS sxx,
         |    count(l_quantity) AS n FROM m),
         |st AS (SELECT CAST(sx AS DOUBLE)/(CAST(n AS DOUBLE)*1000000.0) AS mu,
         |    sqrt(CAST(sxx*n - sx*sx AS DOUBLE))/(CAST(n AS DOUBLE)*1000000.0) AS sigma

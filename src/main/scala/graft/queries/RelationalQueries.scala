@@ -369,7 +369,7 @@ object RelationalQueries {
     // on read — the production pattern; inference is a schema gamble)
     "src_csv_roundtrip" -> ((s, dir) => {
       val n = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val out = cachedTempDir("graft_csv", dir)
       n.write.mode("overwrite").option("header", "true").csv(out)
       s.read.schema(n.schema).option("header", "true").csv(out)
         .orderBy("n_nationkey")
@@ -381,7 +381,7 @@ object RelationalQueries {
     // (PartitionFilters in the scan — audited in SourceSinkIndexSpec)
     "src_partitioned_roundtrip" -> ((s, dir) => {
       val d = t(s, dir, "documents").select("doc_id", "source", "n_chars")
-      val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val out = cachedTempDir("graft_part", dir)
       d.write.mode("overwrite").partitionBy("source").parquet(out)
       s.read.parquet(out).filter(col("source").isin("src0", "src1"))
         .select(col("doc_id"), col("source"), col("n_chars"))
@@ -391,7 +391,7 @@ object RelationalQueries {
     // parquet → JSON-lines sink → JSON source, same exactness contract
     "src_json_roundtrip" -> ((s, dir) => {
       val r = t(s, dir, "region").select("r_regionkey", "r_name")
-      val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val out = cachedTempDir("graft_json", dir)
       r.write.mode("overwrite").json(out)
       s.read.schema(r.schema).json(out)
         .orderBy("r_regionkey")
@@ -560,7 +560,10 @@ object RelationalQueries {
         val xm = (col(c).cast(DecimalType(20, 6)) * lit(1000000L)).cast("long")
         val n = count(col(c))
         val sx = sum(xm).cast(DecimalType(38, 0))
-        val sxx = sum((xm * xm).cast(DecimalType(38, 0)))
+        // cast BEFORE squaring: a BIGINT square silently wraps in Spark
+        // for |x| ≳ 3037 micro-units while DuckDB raises — latent
+        // cross-engine divergence (same fix as Binning.zscore)
+        val sxx = sum(xm.cast(DecimalType(38, 0)) * xm)
         val nn = n.cast("double")
         val mean = sx.cast("double") / (nn * lit(1e6))
         val num = (sxx * n - sx * sx).cast("double")
@@ -582,7 +585,7 @@ object RelationalQueries {
       val xm = (col("n_chars").cast(DecimalType(20, 6)) * lit(1000000L)).cast("long")
       val n = count(col("n_chars"))
       val sx = sum(xm).cast(dec)
-      val sxx = sum((xm * xm).cast(dec))
+      val sxx = sum(xm.cast(dec) * xm) // cast before squaring (overflow-safe)
       val nn = n.cast("double")
       d.groupBy(col("source")).agg(
           n.as("n"),
@@ -658,7 +661,9 @@ object RelationalQueries {
   private def bucketedTables(s: SparkSession, dir: String): (String, String) =
     bucketedTabs.getOrElseUpdate((s, dir), {
       val tag = math.abs(dir.hashCode).toString
-      val base = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      val basePath = java.nio.file.Files.createTempDirectory("graft_bkt")
+      Tables.deleteOnExit(basePath)
+      val base = basePath.toString
       val oTab = s"graft_bkt_orders_$tag"
       val lTab = s"graft_bkt_lineitem_$tag"
       t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
@@ -793,8 +798,8 @@ object RelationalQueries {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "feat_one_hot" -> {
       val cats = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
-      val cols = cats.map(c =>
-        s"CAST(o_orderpriority = '$c' AS BIGINT) AS pri_${graft.operators.Reshape.sanitize(c)}")
+      val cols = cats.map(c => // coalesce mirrors oneHot's NULL→all-zeros row
+        s"coalesce(CAST(o_orderpriority = '$c' AS BIGINT), 0) AS pri_${graft.operators.Reshape.sanitize(c)}")
       s"""SELECT o_orderkey, ${cols.mkString(", ")}
          |FROM orders ORDER BY o_orderkey""".stripMargin
     },
@@ -956,7 +961,7 @@ object RelationalQueries {
     "o4_groupby_describe" ->
       """SELECT source, count(n_chars) AS n,
         |  CAST(sum(xm) AS DOUBLE)/(CAST(count(n_chars) AS DOUBLE)*1000000.0) AS mean,
-        |  sqrt(CAST(sum(xm*xm)*count(n_chars) - sum(xm)*sum(xm) AS DOUBLE)
+        |  sqrt(CAST(sum(CAST(xm AS HUGEINT)*xm)*count(n_chars) - sum(xm)*sum(xm) AS DOUBLE)
         |    / (CAST(count(n_chars) AS DOUBLE) * (CAST(count(n_chars) AS DOUBLE) - 1.0)))
         |    / 1000000.0 AS std,
         |  min(n_chars) AS mn, max(n_chars) AS mx
@@ -969,7 +974,7 @@ object RelationalQueries {
       def prof(c: String, short: String) =
         s"""count($c) AS ${short}_n,
            |  CAST(sum(${short}m) AS DOUBLE) / (CAST(count($c) AS DOUBLE) * 1000000.0) AS ${short}_mean,
-           |  sqrt(CAST(sum(${short}m*${short}m)*count($c) - sum(${short}m)*sum(${short}m) AS DOUBLE)
+           |  sqrt(CAST(sum(CAST(${short}m AS HUGEINT)*${short}m)*count($c) - sum(${short}m)*sum(${short}m) AS DOUBLE)
            |    / (CAST(count($c) AS DOUBLE) * (CAST(count($c) AS DOUBLE) - 1.0))) / 1000000.0 AS ${short}_std,
            |  min($c) AS ${short}_min, max($c) AS ${short}_max""".stripMargin
       s"""WITH m AS (SELECT l_quantity, l_discount,

@@ -36,4 +36,31 @@ object Tables {
 
   /** Timestamp → epoch microseconds (BIGINT). SQL mirror: epoch_us(ts). */
   def epochUs(c: Column): Column = unix_micros(c)
+
+  private val tmpDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Per-(prefix, input-dir) CACHED temp directory: repeated query
+    * invocations (bench loops, repeated correctness runs) reuse one
+    * directory instead of leaking a fresh /tmp entry per call; a
+    * shutdown hook removes it at JVM exit. Callers write with
+    * mode("overwrite"), so reuse is safe. */
+  def cachedTempDir(prefix: String, dir: String): String =
+    tmpDirs.getOrElseUpdate((prefix, dir), {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      deleteOnExit(p)
+      p.toString
+    })
+
+  /** Best-effort recursive delete of `p` at JVM exit. */
+  def deleteOnExit(p: java.nio.file.Path): Unit = {
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }
+    ()
+  }
 }

@@ -47,6 +47,24 @@ object StreamOps {
     java.nio.file.Files.createTempDirectory(base, "graft_ckpt")
   }
 
+  private val linkDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** FileStreamSource wants a directory; expose a single read-only
+    * parquet file through a temp-dir symlink. CACHED per (input dir,
+    * table) — repeated bench/correctness invocations reuse one symlink
+    * dir instead of leaking a fresh /tmp entry per call — and removed
+    * by a shutdown hook at JVM exit. */
+  private def linkedDir(dir: String, table: String): String =
+    linkDirs.getOrElseUpdate((dir, table), {
+      val tmp = java.nio.file.Files.createTempDirectory(s"stream_$table")
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve(s"$table.parquet"),
+        java.nio.file.Paths.get(s"$dir/$table.parquet"))
+      graft.queries.Tables.deleteOnExit(tmp)
+      tmp.toString
+    })
+
   /** Run `body` with the bounded-replay conf ([[withStreamConf]]) and a
     * fresh tmpfs checkpoint dir, deleting the checkpoint afterwards —
     * a bounded harness run has no durability to preserve. */
@@ -69,14 +87,9 @@ object StreamOps {
   def resampleOnce(spark: SparkSession, dir: String, rule: String,
       sinkName: String = "stream_resample_sink"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // FileStreamSource wants a directory; expose the single parquet file
-    // through a temp dir symlink (testdata is read-only).
-    val tmp = java.nio.file.Files.createTempDirectory("stream_events")
-    java.nio.file.Files.createSymbolicLink(
-      tmp.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val tmp = linkedDir(dir, "events")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(schema).parquet(tmp.toString)
+    val src = spark.readStream.schema(schema).parquet(tmp)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val agg = src
       .withWatermark("ts", "1 day")
@@ -143,12 +156,9 @@ object StreamOps {
     * completion and returns the deduped table. */
   def dedupOnce(spark: SparkSession, dir: String, keyCols: Seq[String],
       sinkName: String = "stream_dedup_sink"): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("stream_docs")
-    java.nio.file.Files.createSymbolicLink(
-      tmp.resolve("documents.parquet"),
-      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val tmp = linkedDir(dir, "documents")
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val src = spark.readStream.schema(schema).parquet(tmp.toString)
+    val src = spark.readStream.schema(schema).parquet(tmp)
     // see resampleOnceMem: size state partitions to the workload, not CPUs
     withHarnessConf(spark, "4") { ckpt =>
       val q = src.dropDuplicates(keyCols)
@@ -206,12 +216,9 @@ object StreamOps {
     * monitoring dashboard reads from the sink, top-k taken there. */
   def vocabOnce(spark: SparkSession, dir: String, k: Int,
       sinkName: String = "stream_vocab_sink"): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("stream_docs_vocab")
-    java.nio.file.Files.createSymbolicLink(
-      tmp.resolve("documents.parquet"),
-      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val tmp = linkedDir(dir, "documents")
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val src = spark.readStream.schema(schema).parquet(tmp.toString)
+    val src = spark.readStream.schema(schema).parquet(tmp)
     val agg = src.select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
     // see resampleOnceMem: size state partitions to the workload, not CPUs
@@ -483,7 +490,11 @@ object StreamOps {
       .agg(sum(col("value").cast(DecimalType(20, 6))).cast("double").as("day_sum"),
         count(lit(1)).as("n"))
       .select(unix_micros(col("window.start")).as("bucket_us"), col("day_sum"), col("n"))
-    val outDir = java.nio.file.Files.createTempDirectory("stream_pq_sink").toString
+    // fresh per run (the parquet streaming sink APPENDS — reuse would
+    // double the data), but registered for JVM-exit cleanup
+    val outPath = java.nio.file.Files.createTempDirectory("stream_pq_sink")
+    graft.queries.Tables.deleteOnExit(outPath)
+    val outDir = outPath.toString
     withHarnessConf(spark, "4") { ckpt =>
       val q = agg.writeStream
         .format("parquet")

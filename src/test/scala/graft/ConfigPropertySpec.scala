@@ -76,6 +76,62 @@ class ConfigPropertySpec extends SparkSpec {
     assert(sig.length == 3 && sig.forall(_.getAs[Seq[Long]]("sig").length == 4))
   }
 
+  private def captureErr(body: => Unit): String = {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(buf, true)) { body }
+    buf.toString
+  }
+
+  test("O5 guard: unpartitioned windows over a distributed input warn; partitioned/local stay silent") {
+    val ev = queries.Tables.t(spark, sf001, "events")
+    // every O5-family constructor fires the guard when partitionBy = Nil
+    // over a file-backed input (a global window sorts ALL data in 1 task)
+    assert(captureErr { Swift(ev).rolling(3, Seq("ts", "event_id")) }
+      .contains("WARNING"))
+    assert(captureErr { Swift(ev).expanding(Seq("ts", "event_id")) }
+      .contains("WARNING"))
+    assert(captureErr { Swift(ev).ewm(0.5, Seq("ts", "event_id")) }
+      .contains("WARNING"))
+    assert(captureErr { Swift(ev).rollingTime("1 hour", "ts") }
+      .contains("WARNING"))
+    assert(captureErr { Swift(ev).rollingWeighted(5, "triang", Seq("ts")) }
+      .contains("WARNING"))
+    // partitioned spec: silent
+    assert(captureErr {
+      Swift(ev).rolling(3, Seq("ts", "event_id"), partitionBy = Seq("user_id"))
+    }.isEmpty)
+    // driver-local input (LocalRelation leaves): silent — pandas-sized
+    // data is exactly where a global order is legitimate
+    val local = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    assert(captureErr { Swift(local).rolling(3, Seq("id")) }.isEmpty)
+    assert(captureErr { Swift(local).ewm(0.5, Seq("id")) }.isEmpty)
+  }
+
+  test("K6: applyAuto schema probe draws from the K1 sample, not a per-key re-scan") {
+    val li = queries.Tables.t(spark, sf001, "lineitem")
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    val planned = try {
+      val out = Swift(li).groupBy("l_returnflag").select("l_quantity")
+        .applyAuto(names = Seq("rf", "n")) { (k, rows) =>
+          Iterator.single(org.apache.spark.sql.Row(k.getString(0), rows.size.toLong))
+        }
+      Thread.sleep(1000) // listener bus drain
+      out
+    } finally spark.sparkContext.removeSparkListener(l)
+    // probe cost: one count (nrows) + one bounded sample collect (+ the
+    // local-route collect for this small input) — NOT a limit-probe plus
+    // a full filter(key) scan of the input per inferred schema
+    assert(jobs <= 3, s"applyAuto probe launched $jobs jobs")
+    assert(planned.schema.fieldNames.toSeq == Seq("rf", "n"))
+    assert(planned.count() == 3) // three return flags
+  }
+
   test("property: selector strategies agree on arbitrary inputs (ScalaCheck gens, seeded)") {
     val genXs = Gen.listOfN(200, Gen.chooseNum(-1e6, 1e6))
     (0 until 5).foreach { trial =>

@@ -143,17 +143,56 @@ class WindowGroupSpec extends SparkSpec {
 
   test("O5 win_type weight shapes: symmetric, peaked at center") {
     import graft.core.SwiftRollingWeighted.weights
-    Seq("triang", "bartlett", "parzen", "cosine", "hamming", "blackman").foreach { wt =>
+    Seq("triang", "bartlett", "parzen", "cosine", "hamming", "blackman",
+        "blackmanharris", "nuttall").foreach { wt =>
       val w = weights(7, wt)
       assert(w == w.reverse, s"$wt not symmetric: $w")
       assert(w(3) == w.max, s"$wt not peaked at center: $w")
       assert(w.forall(_ >= 0L), s"$wt has negative weight: $w")
     }
-    // parzen is EXACT (scaled by (n−1)³ = 216): the closed-grid mapping
-    // x = |2k−(n−1)|/(n−1) puts x=1 at the endpoints → 2(1−x)³ = 0
-    // (zero ends, like bartlett) and x=0 at the center → full weight
-    assert(weights(7, "parzen").head == 0L)
-    assert(weights(7, "parzen")(3) == 216L) // center: q³
+    Seq(("kaiser", 8.0), ("exponential", 2.0), ("gaussian", 2.0)).foreach {
+      case (wt, p) =>
+        val w = weights(7, wt, p)
+        assert(w == w.reverse, s"$wt not symmetric: $w")
+        assert(w(3) == w.max, s"$wt not peaked at center: $w")
+    }
+    // parzen is EXACT (scaled by n³ = 343) on scipy's grid x = p/n with
+    // the piecewise cutoff at 2p ≤ n−1: endpoints are 2(n−(n−1))³ = 2
+    // (scipy/pandas parzen never reaches 0 — the old (n−1)-normalized
+    // grid that did was a divergence, ADVICE r7), center is n³
+    assert(weights(7, "parzen") == Seq(2L, 54L, 223L, 343L, 223L, 54L, 2L))
+    // normalized: [0.00583, 0.157, 0.650, 1.0] — scipy.signal.windows
+    // .parzen(7) to 3 significant digits
+    val p7 = weights(7, "parzen").map(_.toDouble / 343.0)
+    assert(math.abs(p7(0) - 0.00583) < 1e-4 && math.abs(p7(1) - 0.1574) < 1e-3
+      && math.abs(p7(2) - 0.6501) < 1e-3 && p7(3) == 1.0)
+    // kaiser endpoints: I₀(0)/I₀(β) = 1/I₀(8) ≈ 2.33e-3 in micro-weights
+    val k7 = weights(7, "kaiser", 8.0)
+    assert(k7.head == math.round(1e6 / graft.core.SwiftRollingWeighted.besselI0(8.0)))
+    assert(k7(3) == 1000000L) // center: I₀(β)/I₀(β) = 1
+    // exponential(tau=2): center 1, one step off = e^{-1/2}
+    val e7 = weights(7, "exponential", 2.0)
+    assert(e7(3) == 1000000L && e7(2) == math.round(math.exp(-0.5) * 1e6))
+  }
+
+  test("O6 resample closed='right': boundary value joins the earlier bin") {
+    val d = Seq((1L, "2024-01-02 00:00:00", 10.0), // exactly ON a day boundary
+                (2L, "2024-01-02 06:00:00", 1.0),
+                (3L, "2024-01-01 06:00:00", 2.0))
+      .toDF("id", "tss", "v")
+      .withColumn("ts", to_timestamp(col("tss")))
+    def buckets(rs: graft.core.SwiftResample): Map[String, Double] =
+      rs.agg(sum(col("v")).as("s"))
+        .select(date_format(col("bucket"), "yyyy-MM-dd").as("b"), col("s"))
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("s")).toMap
+    // closed='left' (default): [S, S+1d) — midnight row starts Jan 2
+    val left = buckets(Swift(d).resample("1 day", "ts"))
+    assert(left("2024-01-01") == 2.0 && left("2024-01-02") == 11.0)
+    // closed='right': (S, S+1d] — midnight row closes Jan 1's bin
+    val right = buckets(Swift(d).resample("1 day", "ts").withClosed("right"))
+    assert(right("2024-01-01") == 12.0 && right("2024-01-02") == 1.0)
+    // label is unaffected by the assignment nudge: still the bin start
+    assert(right.keySet == Set("2024-01-01", "2024-01-02"))
   }
 
   test("min_periods yields null for underfilled frames") {
