@@ -37,39 +37,126 @@ object Bench {
         }
       }
 
+    // JVM-pause attribution (r8's bench showed nondeterministic 30-150s
+    // per-query stalls): per query we record the GC-time delta (public
+    // GarbageCollectorMXBeans) and the safepoint-time delta (Hotspot
+    // internal bean, reflective + try-guarded). wall ≫ gc+safepoint means
+    // the time was real query work; wall ≈ pause means JVM state decay.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
+    val safepointMs: () => Long = {
+      try {
+        val helper = Class.forName("sun.management.ManagementFactoryHelper")
+        val m = helper.getMethod("getHotspotRuntimeMBean")
+        val bean = m.invoke(null)
+        val t = bean.getClass.getMethod("getTotalSafepointTime")
+        t.setAccessible(true)
+        () => t.invoke(bean).asInstanceOf[java.lang.Long].longValue()
+      } catch { case _: Throwable => () => -1L }
+    }
+
+    // Stall watchdog: r8's bench recorded nondeterministic 30-150s
+    // per-query stalls with idle CPU while the GC/safepoint logs stayed
+    // clean (max pause ~3s) — i.e. the stall is a LOCK or TIMEOUT wait,
+    // not a JVM pause. When the in-flight query exceeds the threshold, a
+    // daemon thread dumps every thread's full stack + lock owner once to
+    // /tmp/graft_stall_<query>.txt, naming the wait directly.
+    val inFlight = new java.util.concurrent.atomic.AtomicReference[(String, Long)]
+    val stallSec = sys.env.getOrElse("SPARK_GRAFT_STALL_DUMP_SEC", "25").toInt
+    locally {
+      val w = new Thread(() => {
+        val dumped = scala.collection.mutable.Set.empty[String]
+        while (true) {
+          Thread.sleep(1000)
+          Option(inFlight.get()).foreach { case (name, t0) =>
+            val elapsed = (System.nanoTime() - t0) / 1e9
+            if (elapsed > stallSec && dumped.add(name)) {
+              val sb = new StringBuilder
+              sb.append(f"[stall] query=$name elapsed=$elapsed%.1fs\n\n")
+              // manual format: ThreadInfo.toString truncates at 8 frames.
+              // dumpAllThreads(false, false): walking locked monitors +
+              // synchronizers held a 5–14 s global safepoint per dump
+              // (measured in the r9 gc log) — the cheap variant is ~ms.
+              java.lang.management.ManagementFactory.getThreadMXBean
+                .dumpAllThreads(false, false).foreach { ti =>
+                  sb.append(s""""${ti.getThreadName}" state=${ti.getThreadState}""")
+                  Option(ti.getLockName).foreach(l => sb.append(s" on $l"))
+                  Option(ti.getLockOwnerName)
+                    .foreach(o => sb.append(" held by " + o))
+                  sb.append('\n')
+                  ti.getStackTrace.foreach(f => sb.append(s"    at $f\n"))
+                  sb.append('\n')
+                }
+              val p = java.nio.file.Paths.get(s"/tmp/graft_stall_$name.txt")
+              try java.nio.file.Files.writeString(p, sb.toString)
+              catch { case _: Throwable => () }
+              System.err.println(f"[bench] STALL $name at $elapsed%.1fs — stacks in $p")
+            }
+          }
+        }
+      }, "graft-stall-watchdog")
+      w.setDaemon(true)
+      w.start()
+    }
+
     // noop sink forces full evaluation of every output column — count()
     // would let Catalyst prune the computed projections away. A failed
     // query records -1, NOT its elapsed time: a crash must never read as
     // a fast success in the bench JSON.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val gcByQuery = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val (gc0, sp0) = (gcMs(), safepointMs())
       val t0 = System.nanoTime()
+      inFlight.set((name, t0))
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (gcD, spD) = (gcMs() - gc0, safepointMs() - sp0)
+        gcByQuery(name) = (gcD, spD)
+        if (wall > 5.0 || gcD > 2000)
+          System.err.println(f"[bench] $name wall=$wall%.1fs gc=${gcD}ms safepoint=${spD}ms")
+        name -> wall
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           name -> -1.0
       } finally {
+        inFlight.set(null)
         // Drop Dataset caches the query pinned (cache() without unpersist
-        // is the normal single-query idiom here): across 110 queries the
-        // orphaned blocks otherwise accumulate until old-gen full-GC
-        // pauses land on later queries. Memoized cross-query frames use
-        // localCheckpoint, which this does not touch. Outside the timer.
+        // is the normal single-query idiom here) and the query's orphaned
+        // localCheckpoint blocks (Dedup star-contraction rounds etc.):
+        // across 166 queries the orphans otherwise accumulate in the block
+        // manager until driver-GC/ContextCleaner stalls land on unrelated
+        // queries. The memoized cross-query frames are consulted at sweep
+        // time and never touched — unpersisting a localCheckpoint'd frame
+        // would truncate its lineage for good. Outside the timer.
         spark.catalog.clearCache()
+        val keep = queries.ExtQueries.memoizedRddIds
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!keep.contains(id)) rdd.unpersist(blocking = false)
+        }
       }
     }
     val failed = results.count(_._2 < 0)
+    val gcTotal = gcByQuery.values.map(_._1).sum
+    val spTotal = gcByQuery.values.map(_._2).sum
     def toJson(rs: Seq[(String, Double)], extra: String = ""): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
         .mkString("{", ",", "}")
       val total = results.filter(_._2 >= 0).map(_._2).sum
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"$extra}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"gc_ms":$gcTotal,"safepoint_ms":$spTotal,"sf":"$sfDir"$extra}"""
     }
-    val full = toJson(results)
+    // per-query JVM-pause attribution lands in the file line only (humans
+    // + post-hoc stall analysis; the driver's scraped tail stays compact)
+    val gcMap = gcByQuery.map { case (k, (g, sp)) => s""""$k":[$g,$sp]""" }
+      .mkString("{", ",", "}")
+    val full = toJson(results, s""","gc_by_query":$gcMap""")
     // The driver captures only a ~2KB stdout TAIL: with 100+ queries the
     // full line (~2.7KB) gets its head cut and fails to parse (r4–r6 all
     // recorded parsed:null). Print the full line first for humans, then a

@@ -352,6 +352,31 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
       cols.tail.map(c => aggFn(col(c)).as(c + suffix)): _*)
   }
 
+  /** The literal pandas `df.apply(func, axis=0)`: an OPAQUE whole-column
+    * `Seq[Any] => Any` per column. A black-box column function can't be
+    * partially aggregated, and the reference never parallelizes axis=0
+    * either (swifter/swifter.py:434 gates the Dask path on axis==1) — so
+    * this is faithfully a DRIVER-LOCAL route (K3's local leg), with a
+    * hard row guard: past `maxRows` the caller must express the function
+    * as a Column aggregate ([[applyColumns]]) for distributed execution.
+    * Result: one row, one output column per input column, types inferred
+    * from the computed values (K6). */
+  def applyColumnsLocal(cols: Seq[String], maxRows: Long = 10000000L)(
+      fn: Seq[Any] => Any): DataFrame = {
+    require(nrows <= maxRows,
+      s"applyColumnsLocal is driver-local (the reference never parallelizes " +
+      s"axis=0); input has $nrows rows > maxRows=$maxRows — express the " +
+      "function as a Column aggregate via applyColumns to run distributed")
+    lastStrategy = SwiftStrategy.Local
+    val rows = df.select(cols.map(col).toIndexedSeq: _*).collect()
+    val outVals = cols.indices.map(i => fn(rows.toIndexedSeq.map(_.get(i))))
+    val schema = StructType(cols.zipWithIndex.map { case (c, i) =>
+      StructField(c, TypeInfer.of(Seq(outVals(i))), nullable = true)
+    }.toIndexedSeq)
+    df.sparkSession.createDataFrame(
+      java.util.List.of(Row.fromSeq(outVals)), schema)
+  }
+
   // =====================================================================
   // O3 — DataFrame.swifter.applymap (swifter/swifter.py:483-521)
   // =====================================================================
@@ -392,6 +417,14 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
 
   // =====================================================================
   // O4 / O5 / O6 entry points (implementations in SwiftGroupBy/Windows)
+  //
+  // PARTITIONING CONTRACT for every O5/O6 window entry point below: an
+  // empty `partitionBy` on a distributed (non-LocalRelation) input puts
+  // the WHOLE dataset in one window partition — one task sorts
+  // everything, which at cluster scale is an executor OOM, not a slow
+  // query. The plan still executes (a global order is legitimate on
+  // pandas-sized data) but SwiftRolling.warnIfGlobal warns on stderr;
+  // pass `partitionBy=` for anything bigger than one executor's memory.
   // =====================================================================
 
   /** O4 — groupBy(...).apply(func) (swifter/swifter.py:523-639). */

@@ -3,6 +3,7 @@ package graft.core
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -83,18 +84,34 @@ final class SwiftGroupBy(sw: Swift, by: Seq[String], subset: Option[Seq[String]]
     val sample = sw.sampleRows()
     if (sample.isEmpty) throw new IllegalArgumentException(
       "applyAuto on an empty input: declare the schema via apply(outSchema)")
-    // project the full-schema sample rows onto the (possibly subset) input
+    // project the full-schema sample rows onto the (possibly subset) input.
+    // Probe rows MUST carry schemas: the distributed flatMapGroups rows are
+    // encoder-decoded (schema-ful), so a user fn indexing by field name
+    // (getAs[T]("col")) must work identically on the driver-side probe.
     val inIdx = in.schema.fieldNames.map(sw.df.schema.fieldIndex)
     val byIdx = by.map(sw.df.schema.fieldIndex)
-    def keyOf(r: Row): Seq[Any] = byIdx.map(r.get)
+    val keySchema = StructType(by.map(c => sw.df.schema(c)))
+    // Deep-normalize key values so array/binary keys compare structurally
+    // (Array[_].== is reference equality; the distributed groupByKey path
+    // groups by encoder value semantics).
+    def norm(v: Any): Any = v match {
+      case a: Array[_] => a.toSeq.map(norm)
+      case s: Seq[_]   => s.map(norm)
+      case other       => other
+    }
+    def rawKey(r: Row): Seq[Any] = byIdx.toSeq.map(r.get)
+    def keyOf(r: Row): Seq[Any] = rawKey(r).map(norm)
     val keyVals = keyOf(sample.head)
-    val keyRow = Row.fromSeq(keyVals)
+    val keyRow = new GenericRowWithSchema(rawKey(sample.head).toArray, keySchema)
     val sampleRows = sample.iterator
       .filter(r => keyOf(r) == keyVals)
-      .map(r => Row.fromSeq(inIdx.toSeq.map(r.get)))
+      .map(r => new GenericRowWithSchema(inIdx.map(r.get), in.schema))
       .take(1000).toArray
     val sampleOut = Progress.suppressed { fn(keyRow, sampleRows.iterator).toSeq }
-    require(sampleOut.nonEmpty, "applyAuto: the sampled group produced no rows")
+    require(sampleOut.nonEmpty,
+      "applyAuto: the sampled group produced no rows (the probe sees only a " +
+      "sampled subset of one group) — declare the result schema explicitly " +
+      "via apply(outSchema) to skip the probe")
     val width = sampleOut.head.size
     val fieldNames = if (names.nonEmpty) names else (0 until width).map(i => s"c$i")
     val schema = StructType(fieldNames.zipWithIndex.map { case (nm, i) =>

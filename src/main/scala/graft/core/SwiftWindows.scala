@@ -163,8 +163,15 @@ final class SwiftRollingWeighted(sw: Swift, spec: WindowSpec, window: Int,
     val vm = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
       * lit(1000000L)).cast("long")
     val vals = collect_list(vm).over(spec)
-    val prods = zip_with(vals, array(nums.map(lit): _*), (v, wt) => v * wt)
-    val wsum = aggregate(prods, lit(0L), (acc, x) => acc + x)
+    // fixed_dot = the codegen'd Σ vals·weights (the zip_with/aggregate
+    // HOF fold walked an interpreted tree per element). The size guard
+    // preserves the HOF's partial-frame semantics exactly: zip_with
+    // padded a short frame with nulls, nulling the whole fold — so a
+    // frame with fewer values than weights must yield null, while
+    // fixed_dot alone would return the prefix dot product.
+    val wsum = when(size(vals) >= lit(nums.length),
+      graft.functions.HashExpressions.fixed_dot(
+        vals, array(nums.map(lit): _*)))
     val res = wsum.cast("double") / lit(nums.sum.toDouble * 1000000.0)
     val n = count(lit(1)).over(spec)
     sw.df.withColumn(out, when(n >= minPeriods, res))
@@ -327,11 +334,18 @@ final class SwiftEwm(sw: Swift, spec: WindowSpec, microWeights: Seq[Long]) {
       * lit(1000000L)).cast("long")
     val vals = collect_list(vm).over(spec)
     val m = size(vals)
-    val num = aggregate(zip_with(vals, usedOf(m), (v, wt) => v * wt), lit(0L), _ + _)
+    // codegen'd dot product; usedOf(m) has exactly m = size(vals)
+    // elements, so no zip_with padding semantics to preserve
+    val num = graft.functions.HashExpressions.fixed_dot(vals, usedOf(m))
     val den = sumWOf(m)
     // den·10⁶ ≤ 2·10¹³ < 2⁵³: the double product is exact, so the one
-    // rounding step is the final division — mirrored verbatim in SQL
-    sw.df.withColumn(out, num.cast("double") / (den.cast("double") * lit(1e6)))
+    // rounding step is the final division — mirrored verbatim in SQL.
+    // The when(m >= 1) guard is load-bearing: collect_list drops nulls, so
+    // a frame holding only nulls has m = 0 and element_at(…, 0) would
+    // throw INVALID_INDEX_OF_ZERO; CaseWhen evaluates the branch lazily,
+    // so all-null frames yield null (pandas NaN) instead.
+    sw.df.withColumn(out,
+      when(m >= 1, num.cast("double") / (den.cast("double") * lit(1e6))))
   }
 
   /** pandas `ewm(alpha).var(bias=False)` — the debiased weighted
@@ -356,7 +370,11 @@ final class SwiftEwm(sw: Swift, spec: WindowSpec, microWeights: Seq[Long]) {
     val used = usedOf(m)
     val sw1 = sumWOf(m) // Σw ≤ 2e6·21 — size-indexed lookup, not a fold
     val sw2 = sumW2Of(m) // Σw²
-    val swx = aggregate(zip_with(vals, used, (v, wt) => v * wt), lit(0L), _ + _)
+    // codegen'd dot: the SAME Long multiply-adds the zip_with/aggregate
+    // fold performed (identical overflow budget, bit-identical result);
+    // swxx below keeps the HOF fold because its v²·w terms genuinely
+    // need DECIMAL(38,0)
+    val swx = graft.functions.HashExpressions.fixed_dot(vals, used)
     val swxx = aggregate(zip_with(vals, used,
         (v, wt) => (v.cast(dec) * v * wt)), lit(0L).cast(dec), _ + _)
     val num = swxx * sw1 - swx.cast(dec) * swx

@@ -24,6 +24,7 @@ object GraftFunctions {
     "graft_minhash_sig" -> (exprs => MinHashSig(exprs.head)),
     "graft_simhash" -> (exprs => SimHash30(exprs.head)),
     "graft_fixed_dot" -> (exprs => FixedDot(exprs.head, exprs(1))),
+    "graft_fixed_point" -> (exprs => FixedPointVec(exprs.head)),
     // graft_hyperplane_sig(fx, tables, planes, dims) — LSH band signature
     "graft_hyperplane_sig" -> (exprs => HyperplaneSig(exprs.head,
       foldInt(exprs(1)), foldInt(exprs(2)), foldInt(exprs(3)))))

@@ -290,6 +290,98 @@ object HashExpressions {
     * codegen'd (`doGenCode`): the loop inlines into the surrounding
     * whole-stage-codegen pipeline, the hot path of the all-pairs
     * embedding join. */
+  /** Spark `round(p, 0).cast("long")` for a DOUBLE, callable from
+    * generated code. Fast exact path: for |p| < 2⁵¹, `floor(|p|+0.5)`
+    * re-signed equals Spark's HALF_UP-on-shortest-decimal — a `k+0.5`
+    * boundary can only separate a double from its shortest decimal
+    * representation if the boundary itself is representable AND shorter,
+    * in which case Double.toString would have produced the boundary; and
+    * below 2⁵¹ the sum |p|+0.5 never falsely rounds across k+1 because
+    * fractional parts are ulp-grid multiples, so f ≤ 0.5−ulp keeps the
+    * exact sum representable. Past 2⁵¹ (far outside the ±10⁷ embedding
+    * domain) the exact BigDecimal route; NaN/±Inf follow Cast-to-long
+    * (0 / clamp). Bit-parity with the HOF form: HashExprSpec. */
+  def roundFix(p: Double): Long = {
+    if (p != p) 0L
+    else if (p == Double.PositiveInfinity) Long.MaxValue
+    else if (p == Double.NegativeInfinity) Long.MinValue
+    else if (p >= 0 && p < 2.251799813685248e15) Math.floor(p + 0.5d).toLong
+    else if (p < 0 && p > -2.251799813685248e15) -Math.floor(-p + 0.5d).toLong
+    else java.math.BigDecimal.valueOf(p)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  }
+
+  /** Fixed-point conversion of a DOUBLE vector — the fused, fully
+    * codegen'd form of `transform(vec, x => round(x * 1e6).cast("long"))`.
+    * The HOF form walks an interpreted expression tree per ELEMENT
+    * (ArrayTransform never participates in whole-stage codegen), which
+    * made the corpus-wide fixed-point pass the dominant cost of every
+    * similarity / embedding / embedding-dedup query; this loop inlines
+    * into the surrounding generated code. Identical output incl. null
+    * elements and round-half boundaries ([[roundFix]]). */
+  case class FixedPointVec(child: Expression) extends UnaryExpression {
+    private def childContainsNull: Boolean = child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = childContainsNull)
+    override protected def withNewChildInternal(c: Expression): FixedPointVec =
+      copy(c)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (childContainsNull) {
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          if (!arr.isNullAt(i)) out(i) = roundFix(arr.getDouble(i) * 1e6)
+          i += 1
+        }
+        new GenericArrayData(out)
+      } else {
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) { out(i) = roundFix(arr.getDouble(i) * 1e6); i += 1 }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val gad = classOf[GenericArrayData].getName
+      val he = "graft.functions.HashExpressions"
+      nullSafeCodeGen(ctx, ev, arr => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        if (childContainsNull)
+          s"""
+             |int $n = $arr.numElements();
+             |Object[] $out = new Object[$n];
+             |for (int $i = 0; $i < $n; $i++) {
+             |  if (!$arr.isNullAt($i)) {
+             |    $out[$i] = java.lang.Long.valueOf(
+             |      $he.roundFix($arr.getDouble($i) * 1.0E6D));
+             |  }
+             |}
+             |${ev.value} = new $gad($out);
+           """.stripMargin
+        else
+          s"""
+             |int $n = $arr.numElements();
+             |long[] $out = new long[$n];
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $out[$i] = $he.roundFix($arr.getDouble($i) * 1.0E6D);
+             |}
+             |${ev.value} = new $gad($out);
+           """.stripMargin
+      })
+    }
+  }
+
   case class FixedDot(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = LongType
@@ -333,6 +425,7 @@ object HashExpressions {
   def minhash_sig(shs: Column): Column = column(MinHashSig(expression(shs)))
   def simhash30(shs: Column): Column = column(SimHash30(expression(shs)))
   def fixed_dot(a: Column, b: Column): Column = column(FixedDot(expression(a), expression(b)))
+  def fixed_point_vec(vec: Column): Column = column(FixedPointVec(expression(vec)))
   def hyperplane_sig(fx: Column, tables: Int, planes: Int, dims: Int): Column =
     column(HyperplaneSig(expression(fx), tables, planes, dims))
 }

@@ -38,6 +38,20 @@ object Binning {
     df.groupBy(c.as(out)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(out))
 
+  /** Exact Σxm² without a per-row BigDecimal multiply: |xm| ≤
+    * 3 037 000 499 = ⌊√(2⁶³−1)⌋ squares in BIGINT (whole-stage codegen)
+    * and only larger magnitudes take the DECIMAL(38,0) multiply branch —
+    * CaseWhen evaluates branches lazily, so the common small-magnitude
+    * case never touches BigDecimal (the unconditional decimal square was
+    * a measured ~4.6× constant-factor hit). Both branches compute the
+    * mathematically identical xm², so the DuckDB HUGEINT mirror is
+    * unchanged bit-for-bit. */
+  def sumSquaresExact(xm: Column): Column = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    sum(when(abs(xm) > lit(3037000499L), xm.cast(dec) * xm)
+      .otherwise((xm * xm).cast(dec)))
+  }
+
   /** Z-score feature scaling (the sklearn StandardScaler step of a
     * training pipeline): ONE stats pass (micro-unit BIGINT sums — exact,
     * order-independent), the single stats row broadcast back, then a
@@ -50,10 +64,7 @@ object Binning {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val n = count(col(valueCol))
     val sx = sum(xm).cast(dec)
-    // xm is cast to DECIMAL(38,0) BEFORE squaring: a BIGINT square
-    // overflows (silently, in Spark) for |x| ≳ 3037 in micro-units —
-    // same pattern as SwiftRolling.skew
-    val sxx = sum(xm.cast(dec) * xm)
+    val sxx = sumSquaresExact(xm)
     val nn = n.cast("double")
     val stats = df.agg(
       (sx.cast("double") / (nn * lit(1e6))).as("__mu"),

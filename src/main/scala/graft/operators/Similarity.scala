@@ -23,13 +23,21 @@ object Similarity {
   val NUM_PLANES = 8
   val FIX = 1e6
 
-  /** id + fixed-point vector + its squared norm. */
+  /** id + fixed-point vector + its squared norm. Both columns are native
+    * codegen'd expressions (fused loops inside whole-stage codegen):
+    * the previous `transform`/`aggregate` HOF forms evaluated an
+    * interpreted expression tree per ELEMENT (with per-element boxing),
+    * which made this corpus-wide pass the dominant cost of every
+    * similarity / embedding / embedding-dedup query, and the allocation
+    * churn made it a prime victim of this environment's page-fault
+    * stalls (see build.sbt). nrm = fixed_dot(fx, fx) = sum of fx^2,
+    * same exact BIGINT value. */
   def fixedPoint(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-        transform(col(vecCol).cast("array<double>"),
-          x => round(x * FIX).cast("long")).as("fx"))
-      .withColumn("nrm", aggregate(transform(col("fx"), x => x * x),
-        lit(0L), (a, x) => a + x))
+        graft.functions.HashExpressions.fixed_point_vec(
+          col(vecCol).cast("array<double>")).as("fx"))
+      .withColumn("nrm",
+        graft.functions.HashExpressions.fixed_dot(col("fx"), col("fx")))
 
   private def cosine(fa: Column, fb: Column, na: Column, nb: Column): Column =
     graft.functions.HashExpressions.fixed_dot(fa, fb) /
@@ -50,34 +58,22 @@ object Similarity {
       .select(col("qid"), col("rn"), col("id").as("vec_id"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane weight for (plane j, dim d):
-    * integer in [-48, 48], identical in the SQL mirror — the Column form
-    * of [[graft.functions.PlaneHash.weight]] (see there for why the
-    * nonlinear squaring step matters). */
-  private def planeWeight(j: Column, d: Column): Column = {
-    val m = graft.functions.PlaneHash.M
-    val h1 = (j * 64L + d) * 2654435761L % m
-    h1 * h1 % m * 2246822519L % 97L - 48L
-  }
-
   /** LSH bucket id per vector: sign pattern of NUM_PLANES hyperplane
-    * dot products, packed into a BIGINT. One projection pass, no shuffle. */
-  def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    * dot products, packed into a BIGINT. One projection pass, no shuffle.
+    *
+    * The bucket is table 0 of the codegen'd
+    * [[graft.functions.HashExpressions.HyperplaneSig]] (tables=1 makes
+    * its single band use plane indices 0..NUM_PLANES−1 over the same
+    * [[graft.functions.PlaneHash]] weights): bit-for-bit equal to the
+    * interpreted HOF formulation it replaces — the differential stays
+    * pinned in HashExprSpec ("hyperplane_sig == HOF bucket"), and the
+    * DuckDB mirror [[bucketSql]] is unchanged. */
+  def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int = 64): DataFrame = {
     val fx = fixedPoint(df, idCol, vecCol)
-    val bucket = aggregate(
-      transform(sequence(lit(0), lit(NUM_PLANES - 1)), j =>
-        when(aggregate(
-          transform(col("fx"), (x, d) => x * planeWeight(j.cast("long"), d.cast("long"))),
-          lit(0L), (a, x) => a + x) >= 0,
-          pow2(j)).otherwise(0L)),
-      lit(0L), (a, x) => a + x)
-    fx.withColumn("bucket", bucket)
-  }
-
-  private def pow2(j: Column): Column = {
-    // 2^j for j in [0, NUM_PLANES) via an exact lookup (no FP pow)
-    val arr = array((0 until NUM_PLANES).map(b => lit(1L << b)): _*)
-    element_at(arr, j.cast("int") + 1)
+    fx.withColumn("bucket", element_at(
+      graft.functions.HashExpressions.hyperplane_sig(
+        col("fx"), 1, NUM_PLANES, dims), 1))
   }
 
   /** ANN top-k: candidates restricted to the query's bucket, ranked by
@@ -212,8 +208,8 @@ object Similarity {
       .agg(count(lit(1)).as("cnt"), sumCols: _*)
     val meanArr = array((0 until dims).map(d => expr(s"__s$d div cnt")): _*)
     val cents1 = sums.select(col("cid"), meanArr.as("cfx"))
-      .withColumn("cnrm", aggregate(transform(col("cfx"), x => x * x),
-        lit(0L), (a, x) => a + x))
+      .withColumn("cnrm",
+        graft.functions.HashExpressions.fixed_dot(col("cfx"), col("cfx")))
     val ranked = rankByCentroids(fx, cents1).cache()
     probeLists(ranked, isQuery, k, nprobe)
   }
@@ -248,7 +244,12 @@ object Similarity {
     * (id, d, q) scalar rows; one projection pass, no shuffle. */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     fixedPoint(df, idCol, vecCol)
-      .select(col("id"), array_max(transform(col("fx"), x => abs(x))).as("m"),
+      // max|fx| as greatest(max, −min): same value as the HOF
+      // array_max(transform(fx, abs)) but both array extrema are native
+      // codegen'd loops (ArrayTransform never codegens). |fx| ≤ ~1e7,
+      // so the negation can't overflow.
+      .select(col("id"),
+        greatest(array_max(col("fx")), -array_min(col("fx"))).as("m"),
         posexplode(col("fx")).as(Seq("d", "x")))
       .select(col("id"), col("d").cast("long").as("d"),
         expr("""CASE WHEN m = 0 THEN CAST(0 AS BIGINT)

@@ -137,6 +137,22 @@ object CoreQueries {
         dsum, suffix = "_sum")
     }),
 
+    // O2 axis=0 with an OPAQUE whole-column function (the literal pandas
+    // df.apply(func, axis=0)): driver-local by design — the reference
+    // never parallelizes axis=0 (swifter/swifter.py:434). The black-box
+    // fn here is a per-column range; the oracle mirrors it relationally.
+    "o2_axis0_blackbox" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Swift(li).applyColumnsLocal(Seq("l_quantity", "l_discount")) { vs =>
+        var mn = Double.MaxValue; var mx = Double.MinValue
+        vs.foreach { v =>
+          val d = v.asInstanceOf[Double]
+          if (d < mn) mn = d; if (d > mx) mx = d
+        }
+        mx - mn
+      }
+    }),
+
     // O3 — applymap: same scalar fn over every element of listed columns
     "o3_applymap" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -740,6 +756,10 @@ object CoreQueries {
          |  ${dsumSql("l_extendedprice")} AS l_extendedprice_sum,
          |  ${dsumSql("l_discount")} AS l_discount_sum
          |FROM lineitem""".stripMargin,
+    "o2_axis0_blackbox" ->
+      """SELECT max(l_quantity) - min(l_quantity) AS l_quantity,
+        |  max(l_discount) - min(l_discount) AS l_discount
+        |FROM lineitem""".stripMargin,
     "o3_applymap" ->
       """SELECT l_orderkey, l_linenumber, l_quantity*2.0+1.0 AS l_quantity, l_tax*2.0+1.0 AS l_tax
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

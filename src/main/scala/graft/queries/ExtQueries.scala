@@ -70,6 +70,17 @@ object ExtQueries {
           COS_TAU, tables = LSH_TABLES)
         .localCheckpoint(true))
 
+  /** Persisted RDD ids owned by the memoized cross-query frames above.
+    * The bench's between-query orphan sweep (Bench.scala) must never
+    * unpersist these: a localCheckpoint'd frame has its lineage truncated,
+    * so dropping its blocks would break every later query that reuses it. */
+  def memoizedRddIds: Set[Int] =
+    (jacPairs.values ++ embPairs.values).flatMap { df =>
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }
+    }.toSet
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- approximate aggregates ----
     // HLL++ count-distinct and the GK quantile sketch aren't

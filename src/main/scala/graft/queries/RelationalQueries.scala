@@ -560,10 +560,9 @@ object RelationalQueries {
         val xm = (col(c).cast(DecimalType(20, 6)) * lit(1000000L)).cast("long")
         val n = count(col(c))
         val sx = sum(xm).cast(DecimalType(38, 0))
-        // cast BEFORE squaring: a BIGINT square silently wraps in Spark
-        // for |x| ≳ 3037 micro-units while DuckDB raises — latent
-        // cross-engine divergence (same fix as Binning.zscore)
-        val sxx = sum(xm.cast(DecimalType(38, 0)) * xm)
+        // overflow-safe exact square with the Long fast path (a BIGINT
+        // square silently wraps for |xm| > ⌊√(2⁶³−1)⌋ while DuckDB raises)
+        val sxx = graft.operators.Binning.sumSquaresExact(xm)
         val nn = n.cast("double")
         val mean = sx.cast("double") / (nn * lit(1e6))
         val num = (sxx * n - sx * sx).cast("double")
@@ -585,7 +584,7 @@ object RelationalQueries {
       val xm = (col("n_chars").cast(DecimalType(20, 6)) * lit(1000000L)).cast("long")
       val n = count(col("n_chars"))
       val sx = sum(xm).cast(dec)
-      val sxx = sum(xm.cast(dec) * xm) // cast before squaring (overflow-safe)
+      val sxx = graft.operators.Binning.sumSquaresExact(xm) // overflow-safe, Long fast path
       val nn = n.cast("double")
       d.groupBy(col("source")).agg(
           n.as("n"),

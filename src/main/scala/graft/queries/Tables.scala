@@ -52,15 +52,27 @@ object Tables {
       p.toString
     })
 
-  /** Best-effort recursive delete of `p` at JVM exit. */
-  def deleteOnExit(p: java.nio.file.Path): Unit = {
+  // ONE shutdown hook draining a shared set: registering a fresh hook per
+  // call would accumulate unbounded hooks (each pinning its Path) across
+  // long bench loops — e.g. the streaming parquet sink creates a new temp
+  // dir on every run.
+  private val exitPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val exitHook: Unit = {
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm))
         f.delete(): Unit
       }
-      rm(p.toFile)
+      exitPaths.forEach(p => rm(p.toFile))
     }
+    ()
+  }
+
+  /** Best-effort recursive delete of `p` at JVM exit. */
+  def deleteOnExit(p: java.nio.file.Path): Unit = {
+    exitHook
+    exitPaths.add(p)
     ()
   }
 }

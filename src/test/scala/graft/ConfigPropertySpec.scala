@@ -117,19 +117,51 @@ class ConfigPropertySpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(l)
     val planned = try {
+      // the fn indexes rows and the key BY NAME: the driver-side probe
+      // rows must carry a schema exactly like the encoder-decoded rows
+      // the distributed flatMapGroups sees (r8 shipped schema-less
+      // GenericRow probe rows because this test only indexed positionally)
       val out = Swift(li).groupBy("l_returnflag").select("l_quantity")
-        .applyAuto(names = Seq("rf", "n")) { (k, rows) =>
-          Iterator.single(org.apache.spark.sql.Row(k.getString(0), rows.size.toLong))
+        .applyAuto(names = Seq("rf", "sq")) { (k, rows) =>
+          var sq = 0.0
+          rows.foreach(r => sq += r.getAs[Double]("l_quantity"))
+          Iterator.single(org.apache.spark.sql.Row(
+            k.getAs[String]("l_returnflag"), sq))
         }
-      Thread.sleep(1000) // listener bus drain
+      org.apache.spark.GraftTestBus.drain(spark.sparkContext) // deterministic bus drain
       out
     } finally spark.sparkContext.removeSparkListener(l)
     // probe cost: one count (nrows) + one bounded sample collect (+ the
     // local-route collect for this small input) — NOT a limit-probe plus
     // a full filter(key) scan of the input per inferred schema
     assert(jobs <= 3, s"applyAuto probe launched $jobs jobs")
-    assert(planned.schema.fieldNames.toSeq == Seq("rf", "n"))
+    assert(planned.schema.fieldNames.toSeq == Seq("rf", "sq"))
     assert(planned.count() == 3) // three return flags
+  }
+
+  test("K6 applyAuto: empty probe output names apply(outSchema) as the escape hatch") {
+    // a legitimate fn may return zero rows for the (sampled, possibly
+    // sparse) probe group — the error must point at the declared-schema
+    // fallback instead of just rejecting
+    val d = (1 to 100).map(i => (i.toLong, i % 3)).toDF("id", "g")
+    val e = intercept[IllegalArgumentException] {
+      Swift(d).groupBy("g").applyAuto() { (_, _) => Iterator.empty }
+    }
+    assert(e.getMessage.contains("apply(outSchema)"))
+  }
+
+  test("K6 applyAuto: array-typed group keys compare structurally in the probe") {
+    // Array[_].== is reference equality; without deep normalization the
+    // probe group silently collapses to ~1 row (and an all-null sample
+    // would make TypeInfer throw). The distributed groupByKey path groups
+    // by encoded value semantics, so the probe must match it.
+    val d = (1 to 60).map(i => (i.toLong, Array(i % 2, 7), i * 1.0))
+      .toDF("id", "k", "x")
+    val out = Swift(d).groupBy("k").applyAuto(names = Seq("n")) { (_, rows) =>
+      Iterator.single(org.apache.spark.sql.Row(rows.size.toLong))
+    }
+    assert(out.count() == 2)
+    assert(out.schema("n").dataType == org.apache.spark.sql.types.LongType)
   }
 
   test("property: selector strategies agree on arbitrary inputs (ScalaCheck gens, seeded)") {

@@ -40,21 +40,58 @@ class HashExprSpec extends SparkSpec {
       MH.simhash(MH.shingleHashes(MH.wordHashes(col("text")))))
   }
 
-  test("hyperplane_sig == Similarity's HOF bucket (shared plane indices)") {
+  test("hyperplane_sig == HOF bucket specification (shared plane indices)") {
     // tables=1, planes=8 makes HyperplaneSig's single band use plane
-    // indices 0..7 — exactly hyperplaneBuckets' planes, independently
-    // formulated as interpreted HOF Columns over the same PlaneHash
-    // weights; the codegen'd expression must agree bit-for-bit
-    val viaExpr = graft.operators.Similarity
-      .fixedPoint(emb, "vec_id", "embedding")
-      .select(col("id"), element_at(
-        HE.hyperplane_sig(col("fx"), 1, 8, 64), 1).as("band"))
-    val viaHof = graft.operators.Similarity
+    // indices 0..7 — exactly the production bucket's planes. The HOF
+    // formulation below (interpreted Columns over the same PlaneHash
+    // weights, the shape of the DuckDB mirror Similarity.bucketSql) IS
+    // the executable specification — it lives here since production
+    // hyperplaneBuckets now uses the codegen'd expression directly.
+    def planeWeight(j: org.apache.spark.sql.Column,
+        d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val m = graft.functions.PlaneHash.M
+      val h1 = (j * 64L + d) * 2654435761L % m
+      h1 * h1 % m * 2246822519L % 97L - 48L
+    }
+    val pow2 = array((0 until 8).map(b => lit(1L << b)): _*)
+    val hofBucket = aggregate(
+      transform(sequence(lit(0), lit(7)), j =>
+        when(aggregate(
+          transform(col("fx"), (x, d) =>
+            x * planeWeight(j.cast("long"), d.cast("long"))),
+          lit(0L), (a, x) => a + x) >= 0,
+          element_at(pow2, j.cast("int") + 1)).otherwise(0L)),
+      lit(0L), (a, x) => a + x)
+    val both = graft.operators.Similarity
       .hyperplaneBuckets(emb, "vec_id", "embedding")
-      .select(col("id"), col("bucket"))
-    val joined = viaExpr.join(viaHof, "id")
-    assert(joined.filter(col("band") =!= col("bucket")).count() == 0)
-    assert(joined.count() == emb.count())
+      .select(col("id"), col("bucket"), hofBucket.as("spec_bucket"))
+    assert(both.filter(col("bucket") =!= col("spec_bucket")).count() == 0)
+    assert(both.count() == emb.count())
+  }
+
+  test("fixed_point_vec == transform(round(x*1e6)) HOF, incl. half-way values") {
+    // production fixedPoint uses the codegen'd expression; the HOF form
+    // (the DuckDB mirror's shape) is the specification. Adversarial
+    // values: exact ±k.5 micro-unit boundaries (round-half direction),
+    // subnormal-ish tiny values, zeros, and the real embedding floats.
+    import spark.implicits._
+    val spec = transform(col("v"), x => round(x * 1e6).cast("long"))
+    val adversarial = Seq(
+      Array(2.5e-6, -2.5e-6, 0.5e-6, -0.5e-6, 3.5e-6, -3.5e-6),
+      Array(0.0, -0.0, 1e-12, -1e-12, 9.87654321, -9.87654321),
+      Array(0.4999999999999999e-6, -0.4999999999999999e-6, 1.0, -1.0))
+      .toDF("v")
+    assert(adversarial.select(HE.fixed_point_vec(col("v")).as("a"), spec.as("b"))
+      .filter(not(col("a") <=> col("b"))).count() == 0)
+    val onReal = emb.select(col("embedding").cast("array<double>").as("v"))
+      .select(HE.fixed_point_vec(col("v")).as("a"), spec.as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(onReal == 0)
+    // null array and null element pass through
+    val withNulls = Seq[Option[Seq[Option[Double]]]](
+      None, Some(Seq(Some(1.5e-6), None, Some(-1.5e-6)))).toDF("v")
+    assert(withNulls.select(HE.fixed_point_vec(col("v")).as("a"), spec.as("b"))
+      .filter(not(col("a") <=> col("b"))).count() == 0)
   }
 
   test("fixed_dot == zip_with/aggregate dot") {

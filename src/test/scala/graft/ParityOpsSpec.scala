@@ -125,6 +125,18 @@ class ParityOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("zscore: exact beyond the BIGINT-square bound (|x| > 3037)") {
+    // micro-unit values past ⌊√(2⁶³−1)⌋ wrap a Long square silently; the
+    // gated decimal branch must keep Σxm² exact (a wrapped sxx skews σ,
+    // breaking the std≈1 invariant — or NaNs it via a negative variance)
+    val d = Seq(12345.125, -8000.5, 5000.25, 3036.0, 1.5, 0.0)
+      .zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
+    val z = Binning.zscore(d, "x", "z")
+    val r = z.agg(avg(col("z")), stddev_pop(col("z"))).head
+    assert(math.abs(r.getDouble(0)) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+  }
+
   test("normalizeL2: every non-zero vector lands on the unit sphere") {
     import spark.implicits._
     val df = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))

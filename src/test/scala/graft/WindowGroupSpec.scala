@@ -121,6 +121,20 @@ class WindowGroupSpec extends SparkSpec {
     assert(out.head == xs.head) // single-row frame renormalizes to x₀
   }
 
+  test("O5 ewm mean: an all-null frame yields null, not INVALID_INDEX_OF_ZERO") {
+    // collect_list drops nulls, so a partition whose first ordered row is
+    // null has an m=0 frame — element_at(…, 0) always throws in Spark;
+    // the when(m >= 1) guard must short-circuit to null (pandas NaN)
+    val d = Seq[(Long, String, Option[Double])](
+      (1L, "a", None), (2L, "a", Some(2.0)), (3L, "a", Some(4.0)),
+      (1L, "b", Some(1.0)), (2L, "b", None)).toDF("id", "g", "x")
+    val out = Swift(d).ewm(0.5, orderBy = Seq("id"), partitionBy = Seq("g"))
+      .mean("x", "e").orderBy("g", "id").collect()
+    assert(out(0).isNullAt(3)) // a/id=1: frame holds only a null
+    assert(out(1).getDouble(3) == 2.0) // a/id=2: renormalized over [2.0]
+    assert(out(4).getDouble(3) == 1.0) // b/id=2: null skipped, mean of [1.0]
+  }
+
   test("O5 ewm variance: matches the integer-algebra recomputation; m=1 is null") {
     val d = (1 to 40).map(i => (i.toLong, (i * 53 % 13) * 0.25)).toDF("id", "x")
     val rows = Swift(d).ewm(0.5, orderBy = Seq("id")).variance("x", "v")
