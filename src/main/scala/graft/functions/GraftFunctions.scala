@@ -27,7 +27,9 @@ object GraftFunctions {
     "graft_fixed_point" -> (exprs => FixedPointVec(exprs.head)),
     // graft_hyperplane_sig(fx, tables, planes, dims) — LSH band signature
     "graft_hyperplane_sig" -> (exprs => HyperplaneSig(exprs.head,
-      foldInt(exprs(1)), foldInt(exprs(2)), foldInt(exprs(3)))))
+      foldInt(exprs(1)), foldInt(exprs(2)), foldInt(exprs(3)))),
+    // graft_ngrams(whs, n) — word-n-gram hashes (decontamination joins)
+    "graft_ngrams" -> (exprs => NgramHashArray(exprs.head, foldInt(exprs(1)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -36,11 +38,12 @@ object GraftFunctions {
     }
   }
 
-  /** Config args of graft_hyperplane_sig must be integer literals. */
+  /** Integer config args (hyperplane tables/planes/dims, ngram n) must be
+    * integer literals. */
   private def foldInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(
-        s"graft_hyperplane_sig expects integer literals for (tables, planes, dims), got $other")
+        s"graft function config arguments must be integer literals, got $other")
     }
 }

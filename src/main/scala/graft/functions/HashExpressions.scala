@@ -120,6 +120,56 @@ object HashExpressions {
     }
   }
 
+  /** Word-n-gram hashes over a word-hash array (MirrorHash.ngramHashes):
+    * gram i = Σ_k (whs[i+k] mod P)·(131^k mod P) mod P. Terms stay under
+    * P² ≈ 2^60 and at most 8 accumulate, so the sum never wraps a long. */
+  case class NgramHashArray(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1 && n <= 8, s"ngram n must be in [1,8], got $n")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(c: Expression): NgramHashArray =
+      copy(child = c)
+
+    private val mult: Array[Long] =
+      (0 until n).scanLeft(1L)((a, _) => a * 131L % P).take(n).toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val whs = input.asInstanceOf[ArrayData].toLongArray()
+      if (whs.length < n) return new GenericArrayData(Array.emptyLongArray)
+      val out = new Array[Long](whs.length - n + 1)
+      var i = 0
+      while (i < out.length) {
+        var acc = 0L
+        var k = 0
+        while (k < n) { acc += (whs(i + k) % P) * mult(k); k += 1 }
+        out(i) = acc % P
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val gad = classOf[GenericArrayData].getName
+      val multRef = ctx.addReferenceObj("mult", mult, "long[]")
+      nullSafeCodeGen(ctx, ev, in => {
+        val nn = ctx.freshName("n"); val out = ctx.freshName("out")
+        val i = ctx.freshName("i"); val k = ctx.freshName("k")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $nn = $in.numElements();
+           |long[] $out = ($nn < $n) ? new long[0] : new long[$nn - ${n - 1}];
+           |for (int $i = 0; $i < $out.length; $i++) {
+           |  long $acc = 0L;
+           |  for (int $k = 0; $k < $n; $k++) {
+           |    $acc += ($in.getLong($i + $k) % ${P}L) * $multRef[$k];
+           |  }
+           |  $out[$i] = $acc % ${P}L;
+           |}
+           |${ev.value} = new $gad($out);
+         """.stripMargin
+      })
+    }
+  }
+
   /** MinHash signature (MirrorHash.minhashSig): NUM_PERMS mins in one pass. */
   case class MinHashSig(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -422,6 +472,7 @@ object HashExpressions {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def word_hashes(text: Column): Column = column(WordHashArray(expression(text)))
   def shingle_hashes(whs: Column): Column = column(ShingleHashArray(expression(whs)))
+  def ngram_hashes(whs: Column, n: Int): Column = column(NgramHashArray(expression(whs), n))
   def minhash_sig(shs: Column): Column = column(MinHashSig(expression(shs)))
   def simhash30(shs: Column): Column = column(SimHash30(expression(shs)))
   def fixed_dot(a: Column, b: Column): Column = column(FixedDot(expression(a), expression(b)))

@@ -63,6 +63,26 @@ object MirrorHash {
           + (element_at(whs, i + 3) % P) * 1313L) % P))
       .otherwise(array().cast("array<bigint>"))
 
+  /** Word-n-gram hashes from a word-hash array: gram i is
+    * Σ_k (whs[i+k] mod P)·(131^k mod P) mod P for k < n. Every term is
+    * < P² ≈ 2^60 and at most 8 terms sum before the reduction, so the
+    * accumulation never overflows a Long (nor DuckDB's BIGINT). Used for
+    * benchmark decontamination (n=8, the published train/test-overlap
+    * convention — GPT-3 appendix C uses 8–13-gram collision checks). */
+  def ngramHashes(whs: Column, n: Int): Column = {
+    require(n >= 1 && n <= 8, s"ngram n must be in [1,8], got $n")
+    when(size(whs) >= n,
+      transform(sequence(lit(0), size(whs) - n), i =>
+        (0 until n).map(k =>
+            (element_at(whs, i + k + 1) % P) * lit(powMod131(k)))
+          .reduce(_ + _) % P))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** 131^k mod P (distinct per-position multipliers for [[ngramHashes]]). */
+  private def powMod131(k: Int): Long =
+    (0 until k).foldLeft(1L)((a, _) => a * 131L % P)
+
   /** MinHash under permutation j: min((a_j·h + b_j) mod P). */
   def minhash(shs: Column, j: Int): Column =
     array_min(transform(shs, h => (h * permA(j) + permB(j)) % P))
@@ -172,4 +192,14 @@ object MirrorHash {
 
   def fingerprintSql(whs: String = "whs"): String =
     s"""CAST(list_sum(list_transform($whs, (h,i) -> (h%$P) * (((i-1)%64)+1))) AS BIGINT) % $P""".stripMargin
+
+  /** SQL mirror of [[ngramHashes]] (DuckDB lists are 1-based). */
+  def ngramHashesSql(whs: String, n: Int): String = {
+    require(n >= 1 && n <= 8, s"ngram n must be in [1,8], got $n")
+    val terms = (0 until n)
+      .map(k => s"($whs[i+$k]%$P)*${powMod131(k)}").mkString(" + ")
+    s"""CASE WHEN len($whs) >= $n THEN
+       | list_transform(generate_series(1, len($whs)-${n - 1}), i -> ($terms) % $P)
+       | ELSE [] END""".stripMargin
+  }
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExpressions.{word_hashes, ngram_hashes}
+
+/** Benchmark decontamination: flag training documents that share any
+  * word n-gram with a held-out evaluation set (the published
+  * train/test-overlap check — GPT-3 appendix C, Gopher §A.8 — uses
+  * 8–13-gram collisions; default n = 8).
+  *
+  * Scale design (100 TB corpus, MB-scale benchmark):
+  *  - the eval side is tiny by construction (benchmark suites are a few
+  *    thousand documents), so its distinct gram set broadcasts and the
+  *    corpus-side probe is a broadcast hash join — the 100 TB training
+  *    side is scanned ONCE, never shuffled on grams;
+  *  - per-doc grams are computed in one codegen'd projection
+  *    ([[graft.functions.HashExpressions.NgramHashArray]]) and
+  *    de-duplicated per document BEFORE the explode, so a doc repeating
+  *    one boilerplate gram contributes a single probe row;
+  *  - the only shuffle is the final per-doc hit-count aggregate, which
+  *    carries only the (rare) contaminated rows after map-side partials;
+  *  - [[contaminatedBloom]] is the even-bigger-benchmark variant: a
+  *    Bloom filter over the eval grams prefilters the exploded corpus
+  *    grams (a compact bitset where the exact gram set would strain the
+  *    broadcast budget), and the surviving sliver — false positives
+  *    included — is verified by an exact equi-join, so the result is
+  *    bit-identical to [[contaminated]].
+  */
+object Decontaminate {
+
+  private def gramSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_distinct(ngram_hashes(word_hashes(col(textCol)), n)).as("gs"))
+
+  /** Training docs (`!evalPred`) sharing ≥1 word n-gram with the eval
+    * docs (`evalPred`), with the count of distinct shared grams.
+    * `evalPred` receives the id column. */
+  def contaminated(df: DataFrame, idCol: String, textCol: String,
+      evalPred: Column => Column, n: Int = 8): DataFrame = {
+    val grams = gramSets(df, idCol, textCol, n)
+    val ev = grams.filter(evalPred(col("id")))
+      .select(explode(col("gs")).as("g")).distinct()
+    val tr = grams.filter(!evalPred(col("id")))
+      .select(col("id"), explode(col("gs")).as("g"))
+    tr.join(broadcast(ev), "g")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Same result as [[contaminated]], via a Bloom prefilter on the
+    * corpus side followed by an exact verify join. The verify join is
+    * deliberately NOT broadcast: this is the shape for an eval gram set
+    * too large to broadcast as a hash map — the bitset ships to every
+    * task, the exact set only meets the few surviving candidates in a
+    * (tiny) shuffle. FPP only adds verify-join probes, never rows. */
+  def contaminatedBloom(df: DataFrame, idCol: String, textCol: String,
+      evalPred: Column => Column, n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val grams = gramSets(df, idCol, textCol, n)
+    val ev = grams.filter(evalPred(col("id")))
+      .select(explode(col("gs")).as("g")).distinct()
+    // Two driver actions on the SMALL side only (count sizes the filter,
+    // bloomFilter aggregates it) — the corpus side stays lazy.
+    val nEval = math.max(ev.count(), 1L)
+    val bloom = ev.stat.bloomFilter("g", nEval, fpp)
+    val bc = df.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((g: Long) => bc.value.mightContainLong(g))
+    val tr = grams.filter(!evalPred(col("id")))
+      .select(col("id"), explode(col("gs")).as("g"))
+      .filter(might(col("g")))
+    tr.join(ev.hint("shuffle_hash"), "g")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
+}

@@ -100,6 +100,29 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(k)
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A.1.1, the
+    * repetition-removal filters): per document, the share of words taken
+    * by the single most frequent word and the fraction of duplicated
+    * word bigrams. Both are pure per-row array folds — zero shuffle, the
+    * document never leaves its partition, so the pass is embarrassingly
+    * parallel at any corpus size. Ratios divide exact BIGINTs → bit-
+    * identical doubles in any engine. */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val n = size(ws).cast("long")
+    val topCount = array_max(
+      transform(array_distinct(ws), w => size(filter(ws, x => x === w))))
+      .cast("long")
+    val bg = zip_with(slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1), (a, b) => concat_ws(" ", a, b))
+    val nbg = size(bg).cast("long")
+    df.select(col(idCol).as("id"),
+      n.as("n_words"),
+      (topCount / n).as("top_word_share"),
+      when(nbg >= 1, lit(1.0) - size(array_distinct(bg)).cast("long") / nbg)
+        .otherwise(lit(0.0)).as("dup_bigram_frac"))
+  }
+
   /** Top-k word bigrams — same plan shape as [[vocab]]; the bigram array
     * is built by zipping the token array with its own tail (pure
     * projection, no second pass over the text). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.MirrorHash
-import graft.operators.{Binning, Chunking, Dedup, Ranking, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Binning, Chunking, Decontaminate, Dedup, Ranking, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** Training-data-pipeline extension queries (north star in BASELINE.json):
@@ -41,6 +41,10 @@ object ExtQueries {
   // operator itself defaults to auto-sized tables — Dedup.autoTables)
   private val LSH_TABLES = 150
   private val LSH_PLANES = 8
+  // decontamination config: 8-gram collisions (the published convention),
+  // every 17th doc is the held-out "benchmark" set
+  private val DECON_N = 8
+  private val DECON_MOD = 17
 
   /** ONE jaccard candidate pipeline (the inverted-index self-join, ~2.6s
     * at sf0.1) feeds `dedup_jaccard` AND both cluster finishers. Memoized
@@ -137,6 +141,21 @@ object ExtQueries {
     "text_ngrams" -> ((s, dir) =>
       // top-k word bigrams — the array zipped with its own tail, one pass
       TextAnalysis.bigrams(t(s, dir, "documents"), "text", VOCAB_K)),
+    "text_repetition" -> ((s, dir) =>
+      // Gopher repetition filters: top-word share + duplicate-bigram
+      // fraction, pure per-row folds, zero shuffle
+      TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")),
+    "text_decontam" -> ((s, dir) =>
+      // benchmark decontamination: training docs sharing an 8-gram with
+      // the held-out set — eval grams broadcast, corpus scanned once
+      Decontaminate.contaminated(t(s, dir, "documents"), "doc_id", "text",
+        id => id % DECON_MOD === 0, DECON_N).orderBy("id")),
+    "text_decontam_bloom" -> ((s, dir) =>
+      // same result via the Bloom-prefilter scale path (bitset to every
+      // task, exact verify join on the survivors) — shares the oracle
+      Decontaminate.contaminatedBloom(t(s, dir, "documents"), "doc_id", "text",
+        id => id % DECON_MOD === 0, DECON_N).orderBy("id")),
     "pipe_curation" -> ((s, dir) => {
       // end-to-end curation: tag language + length in ONE projection pass
       // (column-composed, no self-joins), filter, exact-dedup keep-first,
@@ -355,6 +374,17 @@ object ExtQueries {
        |  WHERE ${Similarity.cosineSql("a.fx", "b.fx", "a.nrm", "b.nrm")} >= $COS_TAU)""".stripMargin
   }
 
+  /** Decontamination mirror — shared verbatim by the exact and the
+    * Bloom-prefilter queries (the Bloom path verifies exactly, so both
+    * must hash-match the same oracle). */
+  private def deconSql: String =
+    s"""WITH w AS (SELECT doc_id AS id, ${wordHashesSql()} AS whs FROM documents),
+       |gr AS (SELECT id, list_distinct(${MirrorHash.ngramHashesSql("whs", DECON_N)}) AS gs FROM w),
+       |ev AS (SELECT DISTINCT unnest(gs) AS g FROM gr WHERE id % $DECON_MOD = 0),
+       |tr AS (SELECT id, unnest(gs) AS g FROM gr WHERE id % $DECON_MOD <> 0)
+       |SELECT id, count(*) AS n_hits FROM tr JOIN ev USING (g)
+       |GROUP BY id ORDER BY id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // the exact column is mirrored; the _ok flags assert the sketches'
     // error bounds, which the oracle pins at their expected value 1
@@ -396,6 +426,20 @@ object ExtQueries {
          |    i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM w)
          |SELECT bigram, count(*) AS n FROM b
          |GROUP BY 1 ORDER BY n DESC, bigram LIMIT $VOCAB_K""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
+        |b AS (SELECT id, ws, list_transform(generate_series(1, len(ws)-1),
+        |    i -> ws[i] || ' ' || ws[i+1]) AS bg FROM w)
+        |SELECT id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(list_max(list_transform(list_distinct(ws),
+        |    w -> len(list_filter(ws, x -> x = w)))) AS BIGINT)
+        |    / CAST(len(ws) AS BIGINT) AS top_word_share,
+        |  CASE WHEN len(bg) >= 1 THEN
+        |    1.0 - CAST(len(list_distinct(bg)) AS BIGINT)/CAST(len(bg) AS BIGINT)
+        |  ELSE 0.0 END AS dup_bigram_frac
+        |FROM b ORDER BY id""".stripMargin,
+    "text_decontam" -> deconSql,
+    "text_decontam_bloom" -> deconSql,
     "pipe_curation" ->
       s"""WITH w AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents),
          |sc AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_words,

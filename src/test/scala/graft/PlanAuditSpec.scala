@@ -120,6 +120,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(salted.sameElements(plain))
   }
 
+  // r7/r8 flagged rel_join_semi / rel_join_salted / rel_cube as possible
+  // perf regressions but the bench noise made them unadjudicable; these
+  // pins freeze the plan shapes so a future slowdown must be a real plan
+  // change, not harness noise (r9 isolated timings: all three ≤ r7).
+  test("semi join: quantity filter pushed to scan, LeftSemi, no cartesian") {
+    val p = plan("rel_join_semi")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // single-row result still aggregates partial+final (no driver fold)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("salted join: salt in the join key, replication via Generate, no cartesian") {
+    val p = plan("rel_join_salted")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // the k-fold dim replication is a generator (explode), never a join
+    assert(p.contains("Generate"), p.take(3000))
+    // the salt participates in the join key, so a hot key spreads over
+    // k reducers — the operator's whole point
+    assert(p.contains("__salt"), p.take(3000))
+  }
+
+  test("cube: ONE Expand into partial+final aggregate, one hash shuffle") {
+    val p = plan("rel_cube")
+    // formatted mode names each node twice (tree + detail header) — count
+    // the detail headers, which appear exactly once per physical node
+    assert("""\(\d+\) Expand""".r.findAllIn(p).size === 1, p.take(3000))
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size === 2, p.take(3000))
+    // exactly one hash-partitioned exchange (the aggregate's); the output
+    // orderBy legitimately adds a range exchange on the 12-row result
+    assert("hashpartitioning\\(".r.findAllIn(p).size === 1, p.take(3000))
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     val conf = spark.conf
     val saved = Seq(
