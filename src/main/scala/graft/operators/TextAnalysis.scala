@@ -108,6 +108,22 @@ object TextAnalysis {
     * parallel at any corpus size. Ratios divide exact BIGINTs → bit-
     * identical doubles in any engine. */
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = graft.functions.TextExpressions.repetition_stats(words(col(textCol)))
+    val n = size(words(col(textCol))).cast("long")
+    df.select(col(idCol).as("id"),
+      n.as("n_words"),
+      (st.getField("top_count") / n).as("top_word_share"),
+      when(st.getField("n_bigrams") >= 1,
+          lit(1.0) - st.getField("n_distinct_bigrams") / st.getField("n_bigrams"))
+        .otherwise(lit(0.0)).as("dup_bigram_frac"))
+  }
+
+  /** HOF formulation of [[repetition]] — the executable specification the
+    * native [[graft.functions.TextExpressions.RepetitionStats]] is
+    * differentially tested against (DecontaminateSpec). O(n²) interpreted
+    * comparisons per row: correct, but not the production path. */
+  private[graft] def repetitionSpec(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val ws = words(col(textCol))
     val n = size(ws).cast("long")
     val topCount = array_max(

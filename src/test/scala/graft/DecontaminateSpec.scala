@@ -69,6 +69,16 @@ class DecontaminateSpec extends SparkSpec {
     assert(m(2L) === ((5L, 0.6, 0.5)))
   }
 
+  test("native RepetitionStats == HOF executable spec on real documents") {
+    val native = TextAnalysis.repetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val spec = TextAnalysis.repetitionSpec(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(native === spec)
+  }
+
   test("decontamination plan: corpus side broadcast-joins, no gram shuffle") {
     val plan = Decontaminate.contaminated(docs, "doc_id", "text",
       id => id % 17 === 0, n = 8)
