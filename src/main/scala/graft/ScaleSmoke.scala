@@ -156,6 +156,20 @@ object ScaleSmoke {
       }
     }
 
+    // Decontamination at growing corpus multiples with a FIXED benchmark
+    // (the real asymmetry: eval side constant, training side grows):
+    // per-copy id offsets keep every copy a training doc, while the eval
+    // predicate picks the original ids only — so the broadcast gram set
+    // is constant-size and runtime must track the corpus scan linearly.
+    Seq(1, 4, 16).foreach { m =>
+      val d = repDocs(m)
+      time(s"text_decontam x$m (${5000 * m} docs, fixed eval set)") {
+        graft.operators.Decontaminate.contaminated(d, "doc_id", "text",
+            id => id % 17 === 0 && id < 10000000L, n = 8)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     // int8 quantization at growing vector multiples: pure projection,
     // must be linear with zero shuffle.
     Seq(1, 4, 16).foreach { m =>

@@ -118,6 +118,29 @@ object TextAnalysis {
         .otherwise(lit(0.0)).as("dup_bigram_frac"))
   }
 
+  /** The composite pretraining quality gate: language, length and both
+    * Gopher repetition signals evaluated in ONE projection pass (no
+    * self-joins, no shuffle — every signal is a per-row fold), each doc
+    * emitted with its signals and the keep verdict. Thresholds are the
+    * caller's corpus policy; the shape (tag once, gate once) is the
+    * production filter chain every curation pipeline runs first. */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+      lang: String, minWords: Long, maxTopShare: Double,
+      maxDupBigram: Double): DataFrame = {
+    val st = graft.functions.TextExpressions.repetition_stats(words(col(textCol)))
+    val n = size(words(col(textCol))).cast("long")
+    val tws = st.getField("top_count") / n
+    val dbf = when(st.getField("n_bigrams") >= 1,
+        lit(1.0) - st.getField("n_distinct_bigrams") / st.getField("n_bigrams"))
+      .otherwise(lit(0.0))
+    val lg = langIdCol(col(textCol))
+    df.select(col(idCol).as("id"), n.as("n_words"),
+      tws.as("top_word_share"), dbf.as("dup_bigram_frac"),
+      lg.as("pred_lang"),
+      (lg === lang && n >= minWords && tws <= maxTopShare &&
+        dbf <= maxDupBigram).cast("int").as("keep"))
+  }
+
   /** HOF formulation of [[repetition]] — the executable specification the
     * native [[graft.functions.TextExpressions.RepetitionStats]] is
     * differentially tested against (DecontaminateSpec). O(n²) interpreted

@@ -45,6 +45,11 @@ object ExtQueries {
   // every 17th doc is the held-out "benchmark" set
   private val DECON_N = 8
   private val DECON_MOD = 17
+  // quality-gate thresholds (Gopher-style corpus policy; splits the
+  // synthetic corpus ~313 keep / 187 drop at sf0.01)
+  private val GATE_MIN_WORDS = 40L
+  private val GATE_MAX_TOP_SHARE = 0.12
+  private val GATE_MAX_DUP_BIGRAM = 0.10
 
   /** ONE jaccard candidate pipeline (the inverted-index self-join, ~2.6s
     * at sf0.1) feeds `dedup_jaccard` AND both cluster finishers. Memoized
@@ -156,6 +161,12 @@ object ExtQueries {
       // task, exact verify join on the survivors) — shares the oracle
       Decontaminate.contaminatedBloom(t(s, dir, "documents"), "doc_id", "text",
         id => id % DECON_MOD === 0, DECON_N).orderBy("id")),
+    "pipe_quality_gate" -> ((s, dir) =>
+      // the composite pretraining gate: language + length + both Gopher
+      // repetition signals in ONE projection pass, verdict per doc
+      TextAnalysis.qualityGate(t(s, dir, "documents"), "doc_id", "text",
+        "en", GATE_MIN_WORDS, GATE_MAX_TOP_SHARE, GATE_MAX_DUP_BIGRAM)
+        .orderBy("id")),
     "pipe_curation" -> ((s, dir) => {
       // end-to-end curation: tag language + length in ONE projection pass
       // (column-composed, no self-joins), filter, exact-dedup keep-first,
@@ -374,10 +385,10 @@ object ExtQueries {
        |  WHERE ${Similarity.cosineSql("a.fx", "b.fx", "a.nrm", "b.nrm")} >= $COS_TAU)""".stripMargin
   }
 
-  /** Decontamination mirror — shared verbatim by the exact and the
-    * Bloom-prefilter queries (the Bloom path verifies exactly, so both
-    * must hash-match the same oracle). */
-  private def deconSql: String =
+  /** Decontamination mirror — shared verbatim by the exact query, the
+    * Bloom-prefilter query (verifies exactly, so it must hash-match the
+    * same oracle) and the streaming twin (StreamQueries). */
+  private[queries] def deconSql: String =
     s"""WITH w AS (SELECT doc_id AS id, ${wordHashesSql()} AS whs FROM documents),
        |gr AS (SELECT id, list_distinct(${MirrorHash.ngramHashesSql("whs", DECON_N)}) AS gs FROM w),
        |ev AS (SELECT DISTINCT unnest(gs) AS g FROM gr WHERE id % $DECON_MOD = 0),
@@ -440,6 +451,26 @@ object ExtQueries {
         |FROM b ORDER BY id""".stripMargin,
     "text_decontam" -> deconSql,
     "text_decontam_bloom" -> deconSql,
+    "pipe_quality_gate" ->
+      s"""WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
+         |b AS (SELECT id, ws, list_transform(generate_series(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1]) AS bg FROM w),
+         |sc AS (SELECT id, ws, bg, $langScoreSql FROM b),
+         |m AS (SELECT id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(list_max(list_transform(list_distinct(ws),
+         |    w -> len(list_filter(ws, x -> x = w)))) AS BIGINT)
+         |    / CAST(len(ws) AS BIGINT) AS top_word_share,
+         |  CASE WHEN len(bg) >= 1 THEN
+         |    1.0 - CAST(len(list_distinct(bg)) AS BIGINT)/CAST(len(bg) AS BIGINT)
+         |  ELSE 0.0 END AS dup_bigram_frac,
+         |  CASE $langCaseSql ELSE 'und' END AS pred_lang FROM sc)
+         |SELECT id, n_words, top_word_share, dup_bigram_frac, pred_lang,
+         |  CAST(CASE WHEN pred_lang = 'en' AND n_words >= $GATE_MIN_WORDS
+         |    AND top_word_share <= $GATE_MAX_TOP_SHARE
+         |    AND dup_bigram_frac <= $GATE_MAX_DUP_BIGRAM
+         |  THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM m ORDER BY id""".stripMargin,
     "pipe_curation" ->
       s"""WITH w AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents),
          |sc AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_words,

@@ -154,6 +154,13 @@ object StreamQueries {
     "stream_ohlc" -> ((s, dir) =>
       StreamOps.ohlcOnce(s, dir).orderBy("bucket_us")),
 
+    // ONLINE decontamination: streaming docs probe the static benchmark
+    // gram set (stream-static broadcast join, zero join state); COMPLETE
+    // aggregate state = one entry per contaminated doc; oracle == the
+    // batch text_decontam SQL verbatim
+    "stream_decontam" -> ((s, dir) =>
+      StreamOps.decontamOnce(s, dir, evalMod = 17, n = 8).orderBy("id")),
+
     // stream-stream INTERVAL JOIN (view → click attribution within 4 h):
     // watermarked self-join with a time-range predicate — the engine
     // bounds both sides' join state from the condition; oracle = the
@@ -318,6 +325,7 @@ object StreamQueries {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "stream_decontam" -> ExtQueries.deconSql,
     "stream_ohlc" ->
       """SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
         |  first(value ORDER BY ts, event_id) AS open,

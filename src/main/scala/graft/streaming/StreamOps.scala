@@ -207,6 +207,42 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming decontamination: the online-ingestion twin of
+    * `Decontaminate.contaminated`. Docs stream from the parquet source;
+    * each micro-batch computes per-doc distinct 8-gram hashes in the
+    * codegen'd projection, explodes, and probes the STATIC eval gram set
+    * with a stream-static broadcast join (zero streaming join state —
+    * the benchmark is a fixed dimension, exactly the stream-static
+    * contract). The per-doc hit count is a COMPLETE-mode aggregate whose
+    * state is one entry per CONTAMINATED doc — the rare set, not the
+    * corpus — so state stays bounded at ingestion scale. Oracle: the
+    * batch `text_decontam` SQL verbatim. */
+  def decontamOnce(spark: SparkSession, dir: String, evalMod: Long, n: Int,
+      sinkName: String = "stream_decontam_sink"): DataFrame = {
+    import graft.functions.HashExpressions.{word_hashes, ngram_hashes}
+    val tmp = linkedDir(dir, "documents")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id").as("id"),
+        explode(array_distinct(ngram_hashes(word_hashes(col("text")), n))).as("g"))
+    val ev = grams(spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % evalMod === 0))
+      .select(col("g")).distinct()
+    val src = spark.readStream.schema(schema).parquet(tmp)
+      .filter(col("doc_id") % evalMod =!= 0)
+    val agg = grams(src).join(broadcast(ev), "g")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    withHarnessConf(spark, "4") { ckpt =>
+      val q = agg.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Complete())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName)
+  }
+
   /** Streaming vocabulary: COMPLETE-mode running token counts over a
     * parquet file source — the streaming twin of `TextAnalysis.vocab`
     * (the missing output mode in the suite: resample/sessionize are

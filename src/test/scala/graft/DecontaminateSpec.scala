@@ -79,6 +79,31 @@ class DecontaminateSpec extends SparkSpec {
     assert(native === spec)
   }
 
+  test("streaming decontamination == batch operator, row for row") {
+    val batch = Decontaminate.contaminated(docs, "doc_id", "text",
+      id => id % 17 === 0, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val stream = graft.streaming.StreamOps.decontamOnce(spark, sf001,
+      evalMod = 17, n = 8, sinkName = "spec_decontam_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stream === batch)
+  }
+
+  test("quality gate: verdicts match the component signals") {
+    val g = TextAnalysis.qualityGate(docs, "doc_id", "text",
+      "en", 40L, 0.12, 0.10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getString(4), r.getInt(5)))
+    assert(g.nonEmpty)
+    g.foreach { case (id, n, tws, dbf, lang, keep) =>
+      val expect = if (lang == "en" && n >= 40 && tws <= 0.12 && dbf <= 0.10) 1 else 0
+      assert(keep === expect, s"doc $id: n=$n tws=$tws dbf=$dbf lang=$lang")
+    }
+    // the thresholds actually split the corpus — a gate that keeps or
+    // drops everything is a configuration bug, not a filter
+    assert(g.exists(_._6 == 1) && g.exists(_._6 == 0))
+  }
+
   test("decontamination plan: corpus side broadcast-joins, no gram shuffle") {
     val plan = Decontaminate.contaminated(docs, "doc_id", "text",
       id => id % 17 === 0, n = 8)
