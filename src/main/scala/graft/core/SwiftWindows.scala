@@ -370,13 +370,14 @@ final class SwiftEwm(sw: Swift, spec: WindowSpec, microWeights: Seq[Long]) {
     val used = usedOf(m)
     val sw1 = sumWOf(m) // Σw ≤ 2e6·21 — size-indexed lookup, not a fold
     val sw2 = sumW2Of(m) // Σw²
-    // codegen'd dot: the SAME Long multiply-adds the zip_with/aggregate
-    // fold performed (identical overflow budget, bit-identical result);
-    // swxx below keeps the HOF fold because its v²·w terms genuinely
-    // need DECIMAL(38,0)
+    // codegen'd dots: fixed_dot is the SAME Long multiply-add the
+    // zip_with/aggregate fold performed; fixed_dot_sq accumulates the
+    // v²·w terms (which genuinely need > 64 bits) in 128-bit integer
+    // arithmetic, emitting one DECIMAL(38,0) per row — replacing the
+    // interpreted per-element Decimal fold (measured 5.8s → see
+    // HashExprSpec differential for bit-parity with the HOF form)
     val swx = graft.functions.HashExpressions.fixed_dot(vals, used)
-    val swxx = aggregate(zip_with(vals, used,
-        (v, wt) => (v.cast(dec) * v * wt)), lit(0L).cast(dec), _ + _)
+    val swxx = graft.functions.HashExpressions.fixed_dot_sq(vals, used)
     val num = swxx * sw1 - swx.cast(dec) * swx
     val den = sw1.cast(dec) * sw1 - sw2
     sw.df.withColumn(out,

@@ -468,6 +468,57 @@ object HashExpressions {
     }
   }
 
+  /** Σ xᵢ²·wᵢ accumulated in unsigned 128-bit integer arithmetic and
+    * emitted as DECIMAL(38,0) — the allocation-light replacement for a
+    * per-element Decimal HOF fold (ewm variance's Σw·x² term, whose
+    * v²·w products overflow a Long for |v| > ~2.1e6 micro-units). Values
+    * may be negative (the square is taken here); weights must be
+    * non-negative. Exact while the true sum < 2¹²⁷ ≈ 1.7e38 — i.e. on
+    * the full domain DECIMAL(38,0) itself can represent. */
+  case class FixedDotSq(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DecimalType(38, 0)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): FixedDotSq =
+      copy(l, r)
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashExpressions.fixedDotSq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.HashExpressions.fixedDotSq($a, $b);")
+  }
+
+  /** Shared by interpreted eval and generated code: unsigned 128-bit
+    * (hi, lo) accumulation of Σ x²·w, one Decimal built per ROW. */
+  def fixedDotSq(a: ArrayData, b: ArrayData): org.apache.spark.sql.types.Decimal = {
+    val n = math.min(a.numElements(), b.numElements())
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < n) {
+      val v = a.getLong(i); val w = b.getLong(i)
+      // v² as unsigned 128 (non-negative): signed multiplyHigh is exact
+      // here because both operands are the same value
+      val sqHi = Math.multiplyHigh(v, v); val sqLo = v * v
+      // (sqHi, sqLo) · w: 64×128 schoolbook; sqLo is an UNSIGNED limb, so
+      // its high product needs the unsigned correction of multiplyHigh
+      val pLo = sqLo * w
+      var pHi = Math.multiplyHigh(sqLo, w) + ((sqLo >> 63) & w) + ((w >> 63) & sqLo)
+      pHi += sqHi * w
+      // 128-bit add with carry detect on the unsigned low limb
+      val newLo = lo + pLo
+      if (java.lang.Long.compareUnsigned(newLo, lo) < 0) hi += 1L
+      lo = newLo; hi += pHi
+      i += 1
+    }
+    val big = java.math.BigInteger.valueOf(hi).shiftLeft(64)
+      .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
+    org.apache.spark.sql.types.Decimal(scala.math.BigDecimal(big), 38, 0)
+  }
+
   // Column wrappers (Spark 4: Column ↔ Expression via the sql-package bridge)
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def word_hashes(text: Column): Column = column(WordHashArray(expression(text)))
@@ -476,6 +527,7 @@ object HashExpressions {
   def minhash_sig(shs: Column): Column = column(MinHashSig(expression(shs)))
   def simhash30(shs: Column): Column = column(SimHash30(expression(shs)))
   def fixed_dot(a: Column, b: Column): Column = column(FixedDot(expression(a), expression(b)))
+  def fixed_dot_sq(a: Column, b: Column): Column = column(FixedDotSq(expression(a), expression(b)))
   def fixed_point_vec(vec: Column): Column = column(FixedPointVec(expression(vec)))
   def hyperplane_sig(fx: Column, tables: Int, planes: Int, dims: Int): Column =
     column(HyperplaneSig(expression(fx), tables, planes, dims))

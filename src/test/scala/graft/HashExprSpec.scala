@@ -106,4 +106,35 @@ class HashExprSpec extends SparkSpec {
       .filter(col("fast") =!= col("spec")).count()
     assert(diff == 0)
   }
+
+  test("fixed_dot_sq == DECIMAL(38,0) HOF fold, incl. Long-overflowing squares") {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def specCol(v: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column) =
+      aggregate(zip_with(v, w, (x, y) => x.cast(dec) * x * y),
+        lit(0L).cast(dec), _ + _)
+    // real embedding micro-values (weights must be NON-NEGATIVE per the
+    // expression contract — the ewm micro-weight domain; values may be
+    // negative, their square is taken inside)
+    val fx = emb.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => round(x * 1e6).cast("long")).as("fx"),
+      transform(col("embedding").cast("array<double>"),
+        x => abs(round(x * 1e6)).cast("long")).as("w")).limit(50)
+    val d1 = fx.select(HE.fixed_dot_sq(col("fx"), col("w")).as("fast"),
+        specCol(col("fx"), col("w")).as("spec"))
+      .filter(col("fast") =!= col("spec")).count()
+    assert(d1 == 0)
+    // adversarial magnitudes: v² overflows a Long (|v| > 3.03e9), negative
+    // values, ewm-scale weights — the 128-bit path must match Decimal
+    val hard = Seq(
+      (Seq(4000000000L, -4000000000L, 3037000500L), Seq(1000000L, 999999L, 1L)),
+      (Seq(9000000000L, 1L, -7L), Seq(1000000L, 1000000L, 1000000L)),
+      (Seq.empty[Long], Seq.empty[Long]))
+      .toDF("v", "w")
+    val d2 = hard.select(HE.fixed_dot_sq(col("v"), col("w")).as("fast"),
+        specCol(col("v"), col("w")).as("spec"))
+      .filter(not(col("fast") <=> col("spec"))).count()
+    assert(d2 == 0)
+  }
 }
