@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, expressions}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the pretraining step that concatenates documents
+  * into fixed-token-budget training sequences (context-window filling).
+  * A document is assigned to the sequence in which its first token
+  * lands: seq = ⌊start_offset ∕ budget⌋ over the bucket's concatenated
+  * token stream (document-level packing; an overflowing tail document
+  * belongs to the sequence it starts in).
+  *
+  * Scale design (100 TB): packing does NOT need one global order — the
+  * production form packs independently inside deterministic hash
+  * buckets, so the only window is `partitionBy(bucket)` (never the
+  * unpartitioned-window OOM trap; bucket count chosen ≈ executor
+  * parallelism, skew bounded by hash uniformity). Order within a bucket
+  * is (rowHash, id) — a pure function of the id like Sampling's
+  * membership, so the packing is invariant under file layout,
+  * partitioning and cluster size, and reproducible across runs. */
+object Packing {
+
+  /** Assign each doc a packed sequence id under `budget` tokens per
+    * sequence, `buckets` independent packing streams. Output: one row
+    * per doc — (id, bucket, n_tokens, seq_id), seq_id globally unique
+    * (bucket-offset encoded). */
+  def packTokens(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, buckets: Int): DataFrame = {
+    require(budget >= 1 && buckets >= 1, s"need budget/buckets >= 1")
+    val w = expressions.Window.partitionBy(col("bucket"))
+      .orderBy(col("h"), col("id"))
+    df.select(col(idCol).as("id"),
+        Sampling.rowHash(col(idCol)).as("h"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", (col("h") % buckets).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("id"), col("bucket"), col("n_tokens"),
+        (col("bucket") * lit(1000000L)
+          + expr(s"(cum - n_tokens) DIV $budget")).as("seq_id"))
+  }
+}

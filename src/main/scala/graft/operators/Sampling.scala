@@ -36,6 +36,13 @@ object Sampling {
     h1 * h1 % M * 3266489917L % M
   }
 
+  /** Driver-side mirror of [[rowHash]] (specs recompute memberships and
+    * packing orders locally against it). */
+  def rowHashLong(id: Long): Long = {
+    val h1 = id % M * 2654435761L % M
+    h1 * h1 % M * 3266489917L % M
+  }
+
   /** DuckDB mirror of [[rowHash]]. */
   def rowHashSql(id: String): String = {
     val h1 = s"((($id)%$M)*2654435761)%$M"

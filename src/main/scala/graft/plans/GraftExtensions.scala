@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * (or `SparkSession.builder().withExtensions(new GraftExtensions()(_))`)
   * and every session gets:
   *
-  *  - the six native graft expressions as PERMANENT SQL functions
+  *  - the native graft expressions as PERMANENT SQL functions
   *    (`graft_word_hashes`, …) — unlike
   *    [[graft.functions.GraftFunctions.register]]'s temp functions,
   *    these survive `newSession()` and need no per-session call;

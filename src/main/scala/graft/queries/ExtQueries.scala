@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.MirrorHash
-import graft.operators.{Binning, Chunking, Decontaminate, Dedup, Ranking, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Binning, Chunking, Decontaminate, Dedup, Packing, Ranking, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** Training-data-pipeline extension queries (north star in BASELINE.json):
@@ -50,6 +50,10 @@ object ExtQueries {
   private val GATE_MIN_WORDS = 40L
   private val GATE_MAX_TOP_SHARE = 0.12
   private val GATE_MAX_DUP_BIGRAM = 0.10
+  // sequence-packing config: 512-token training sequences, 8 independent
+  // packing streams (≈ docs of ~54 tokens → ~9 docs per sequence)
+  private val PACK_BUDGET = 512L
+  private val PACK_BUCKETS = 8
 
   /** ONE jaccard candidate pipeline (the inverted-index self-join, ~2.6s
     * at sf0.1) feeds `dedup_jaccard` AND both cluster finishers. Memoized
@@ -167,6 +171,12 @@ object ExtQueries {
       TextAnalysis.qualityGate(t(s, dir, "documents"), "doc_id", "text",
         "en", GATE_MIN_WORDS, GATE_MAX_TOP_SHARE, GATE_MAX_DUP_BIGRAM)
         .orderBy("id")),
+    "pipe_pack_sequences" -> ((s, dir) =>
+      // sequence packing: docs → fixed-budget training sequences inside
+      // deterministic hash buckets (bucket-partitioned window, no global
+      // sort; assignment a pure function of the id set)
+      Packing.packTokens(t(s, dir, "documents"), "doc_id", "text",
+        PACK_BUDGET, PACK_BUCKETS).orderBy("id")),
     "pipe_curation" -> ((s, dir) => {
       // end-to-end curation: tag language + length in ONE projection pass
       // (column-composed, no self-joins), filter, exact-dedup keep-first,
@@ -451,6 +461,15 @@ object ExtQueries {
         |FROM b ORDER BY id""".stripMargin,
     "text_decontam" -> deconSql,
     "text_decontam_bloom" -> deconSql,
+    "pipe_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id AS id, ${Sampling.rowHashSql("doc_id")} AS h,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+         |b AS (SELECT id, h, n_tokens, h % $PACK_BUCKETS AS bucket FROM d),
+         |c AS (SELECT id, bucket, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, id) AS cum FROM b)
+         |SELECT id, bucket, n_tokens,
+         |  CAST(bucket*1000000 + (cum - n_tokens) // $PACK_BUDGET AS BIGINT) AS seq_id
+         |FROM c ORDER BY id""".stripMargin,
     "pipe_quality_gate" ->
       s"""WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
          |b AS (SELECT id, ws, list_transform(generate_series(1, len(ws)-1),

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+/** Sequence packing (Packing.scala): every doc starts inside its
+  * sequence's budget window, assignment is a pure function of the id
+  * set (layout-invariant like Sampling), and sequences fill greedily. */
+class PackingSpec extends SparkSpec {
+
+  private def docs = graft.queries.Tables.t(spark, sf001, "documents")
+
+  test("every doc's start offset lies inside its sequence's window") {
+    val packed = Packing.packTokens(docs, "doc_id", "text", 512L, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.length === docs.count())
+    // reconstruct per-bucket streams: cumulative start offsets must map
+    // to exactly the assigned sequence — and stay within [seq*512, (seq+1)*512)
+    packed.groupBy(_._2).foreach { case (bucket, rows) =>
+      // bucket order is (rowHash, id); recompute it independently
+      val ordered = rows.sortBy { case (id, _, _, _) =>
+        (graft.operators.Sampling.rowHashLong(id), id) }
+      var cum = 0L
+      ordered.foreach { case (id, b, n, seq) =>
+        val expectSeq = b * 1000000L + cum / 512L
+        assert(seq === expectSeq, s"doc $id in bucket $b at offset $cum")
+        cum += n
+      }
+    }
+  }
+
+  test("assignment invariant under repartitioning (pure id function)") {
+    val base = Packing.packTokens(docs, "doc_id", "text", 512L, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted
+    Seq(1, 7, 32).foreach { k =>
+      val re = Packing.packTokens(docs.repartition(k), "doc_id", "text", 512L, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).sorted
+      assert(re.sameElements(base), s"packing changed at repartition($k)")
+    }
+  }
+
+  test("budget below every doc size degenerates to one sequence per doc") {
+    val one = Packing.packTokens(docs, "doc_id", "text", 1L, 2)
+    assert(one.select(col("seq_id")).distinct().count() === one.count())
+  }
+}
