@@ -25,17 +25,40 @@ object Packing {
     * per doc — (id, bucket, n_tokens, seq_id), seq_id globally unique
     * (bucket-offset encoded). */
   def packTokens(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, buckets: Int): DataFrame =
+    assign(df, idCol, textCol, budget, buckets)
+      .select(col("id"), col("bucket"), col("n_tokens"), col("seq_id"))
+
+  /** MATERIALIZE the packed sequences: one row per sequence with the
+    * concatenated text (docs joined in packing order), doc count and
+    * token count — the table a training job actually reads. One
+    * bucket-partitioned window + one hash aggregate on seq_id; the
+    * in-sequence order is re-derived by sorting the collected (h, id,
+    * text) structs, so the output is deterministic however the shuffle
+    * delivers rows. */
+  def packTexts(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, buckets: Int): DataFrame =
+    assign(df, idCol, textCol, budget, buckets)
+      .groupBy(col("seq_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("h"), col("id"), col("text")))),
+          e => e.getField("text")), " ").as("seq_text"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+
+  private def assign(df: DataFrame, idCol: String, textCol: String,
       budget: Long, buckets: Int): DataFrame = {
     require(budget >= 1 && buckets >= 1, s"need budget/buckets >= 1")
     val w = expressions.Window.partitionBy(col("bucket"))
       .orderBy(col("h"), col("id"))
     df.select(col(idCol).as("id"),
         Sampling.rowHash(col(idCol)).as("h"),
+        col(textCol).as("text"),
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))
       .withColumn("bucket", (col("h") % buckets).cast("long"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      .select(col("id"), col("bucket"), col("n_tokens"),
-        (col("bucket") * lit(1000000L)
-          + expr(s"(cum - n_tokens) DIV $budget")).as("seq_id"))
+      .withColumn("seq_id", col("bucket") * lit(1000000L)
+        + expr(s"(cum - n_tokens) DIV $budget"))
   }
 }

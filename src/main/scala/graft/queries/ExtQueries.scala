@@ -177,6 +177,11 @@ object ExtQueries {
       // sort; assignment a pure function of the id set)
       Packing.packTokens(t(s, dir, "documents"), "doc_id", "text",
         PACK_BUDGET, PACK_BUCKETS).orderBy("id")),
+    "pipe_pack_texts" -> ((s, dir) =>
+      // the materialized packed sequences a training job reads: text
+      // concatenated in packing order, one hash aggregate on seq_id
+      Packing.packTexts(t(s, dir, "documents"), "doc_id", "text",
+        PACK_BUDGET, PACK_BUCKETS).orderBy("seq_id")),
     "pipe_curation" -> ((s, dir) => {
       // end-to-end curation: tag language + length in ONE projection pass
       // (column-composed, no self-joins), filter, exact-dedup keep-first,
@@ -470,6 +475,16 @@ object ExtQueries {
          |SELECT id, bucket, n_tokens,
          |  CAST(bucket*1000000 + (cum - n_tokens) // $PACK_BUDGET AS BIGINT) AS seq_id
          |FROM c ORDER BY id""".stripMargin,
+    "pipe_pack_texts" ->
+      s"""WITH d AS (SELECT doc_id AS id, ${Sampling.rowHashSql("doc_id")} AS h,
+         |    text, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+         |b AS (SELECT id, h, text, n_tokens, h % $PACK_BUCKETS AS bucket FROM d),
+         |c AS (SELECT id, h, text, n_tokens, bucket,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, id) AS cum FROM b),
+         |a AS (SELECT *, CAST(bucket*1000000 + (cum - n_tokens) // $PACK_BUDGET AS BIGINT) AS seq_id FROM c)
+         |SELECT seq_id, string_agg(text, ' ' ORDER BY h, id) AS seq_text,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM a GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     "pipe_quality_gate" ->
       s"""WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
          |b AS (SELECT id, ws, list_transform(generate_series(1, len(ws)-1),

@@ -40,6 +40,23 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("materialized sequences conserve every doc and every token") {
+    val texts = Packing.packTexts(docs, "doc_id", "text", 512L, 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(texts.map(_._3).sum === docs.count())
+    // the concatenation is space-joined, so token counts survive exactly
+    texts.foreach { case (seq, t, _, n) =>
+      assert(t.split(" ").length.toLong === n, s"seq $seq token drift")
+    }
+    // and the assignment view agrees on membership counts per sequence
+    val assigned = Packing.packTokens(docs, "doc_id", "text", 512L, 8)
+      .groupBy("seq_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    texts.foreach { case (seq, _, nDocs, _) =>
+      assert(assigned(seq) === nDocs)
+    }
+  }
+
   test("budget below every doc size degenerates to one sequence per doc") {
     val one = Packing.packTokens(docs, "doc_id", "text", 1L, 2)
     assert(one.select(col("seq_id")).distinct().count() === one.count())
