@@ -146,16 +146,18 @@ object Bench {
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        val (gcD, spD) = (gcMs() - gc0, safepointMs() - sp0)
-        gcByQuery(name) = (gcD, spD)
-        if (wall > 5.0 || gcD > 2000)
-          System.err.println(f"[bench] $name wall=$wall%.1fs gc=${gcD}ms safepoint=${spD}ms")
+        if (wall > 5.0 || gcMs() - gc0 > 2000)
+          System.err.println(f"[bench] $name wall=$wall%.1fs gc=${gcMs() - gc0}ms safepoint=${safepointMs() - sp0}ms")
         name -> wall
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           name -> -1.0
       } finally {
+        // in the finally so a FAILED query still gets its pause
+        // attribution — a crash after a GC storm is exactly the case the
+        // instrumentation exists for
+        gcByQuery(name) = (gcMs() - gc0, safepointMs() - sp0)
         inFlight.set(null)
         // Drop Dataset caches the query pinned (cache() without unpersist
         // is the normal single-query idiom here) and the query's orphaned

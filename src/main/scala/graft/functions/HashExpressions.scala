@@ -341,22 +341,27 @@ object HashExpressions {
     * whole-stage-codegen pipeline, the hot path of the all-pairs
     * embedding join. */
   /** Spark `round(p, 0).cast("long")` for a DOUBLE, callable from
-    * generated code. Fast exact path: for |p| < 2⁵¹, `floor(|p|+0.5)`
+    * generated code. Fast exact path: for 1 ≤ |p| < 2⁵¹, `floor(|p|+0.5)`
     * re-signed equals Spark's HALF_UP-on-shortest-decimal — a `k+0.5`
     * boundary can only separate a double from its shortest decimal
     * representation if the boundary itself is representable AND shorter,
     * in which case Double.toString would have produced the boundary; and
-    * below 2⁵¹ the sum |p|+0.5 never falsely rounds across k+1 because
+    * in [1, 2⁵¹) the sum |p|+0.5 never falsely rounds across k+1 because
     * fractional parts are ulp-grid multiples, so f ≤ 0.5−ulp keeps the
-    * exact sum representable. Past 2⁵¹ (far outside the ±10⁷ embedding
-    * domain) the exact BigDecimal route; NaN/±Inf follow Cast-to-long
-    * (0 / clamp). Bit-parity with the HOF form: HashExprSpec. */
+    * exact sum representable. |p| < 1 takes the exact BigDecimal route:
+    * the JDK-6430675 value 0.49999999999999994 has 0.49…94+0.5 land
+    * exactly on the 1.0 round-to-even tie, where floor(+0.5) says 1 but
+    * HALF_UP on the shortest decimal says 0 — the one region where the
+    * addition trick and decimal rounding disagree. Past 2⁵¹ (far outside
+    * the ±10⁷ embedding domain) likewise BigDecimal; NaN/±Inf follow
+    * Cast-to-long (0 / clamp). Bit-parity with the HOF form:
+    * HashExprSpec. */
   def roundFix(p: Double): Long = {
     if (p != p) 0L
     else if (p == Double.PositiveInfinity) Long.MaxValue
     else if (p == Double.NegativeInfinity) Long.MinValue
-    else if (p >= 0 && p < 2.251799813685248e15) Math.floor(p + 0.5d).toLong
-    else if (p < 0 && p > -2.251799813685248e15) -Math.floor(-p + 0.5d).toLong
+    else if (p >= 1 && p < 2.251799813685248e15) Math.floor(p + 0.5d).toLong
+    else if (p <= -1 && p > -2.251799813685248e15) -Math.floor(-p + 0.5d).toLong
     else java.math.BigDecimal.valueOf(p)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
   }

@@ -35,16 +35,22 @@ object Decontaminate {
     df.select(col(idCol).as("id"),
       array_distinct(ngram_hashes(word_hashes(col(textCol)), n)).as("gs"))
 
+  /** (id, g) rows — one per DISTINCT n-gram per doc. The single gram
+    * convention shared by the batch paths and the streaming twin
+    * ([[graft.streaming.StreamOps.decontamOnce]]). */
+  private[graft] def explodedGrams(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    gramSets(df, idCol, textCol, n)
+      .select(col("id"), explode(col("gs")).as("g"))
+
   /** Training docs (`!evalPred`) sharing ≥1 word n-gram with the eval
     * docs (`evalPred`), with the count of distinct shared grams.
     * `evalPred` receives the id column. */
   def contaminated(df: DataFrame, idCol: String, textCol: String,
       evalPred: Column => Column, n: Int = 8): DataFrame = {
-    val grams = gramSets(df, idCol, textCol, n)
-    val ev = grams.filter(evalPred(col("id")))
-      .select(explode(col("gs")).as("g")).distinct()
+    val grams = explodedGrams(df, idCol, textCol, n)
+    val ev = grams.filter(evalPred(col("id"))).select(col("g")).distinct()
     val tr = grams.filter(!evalPred(col("id")))
-      .select(col("id"), explode(col("gs")).as("g"))
     tr.join(broadcast(ev), "g")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
   }
@@ -57,17 +63,20 @@ object Decontaminate {
     * (tiny) shuffle. FPP only adds verify-join probes, never rows. */
   def contaminatedBloom(df: DataFrame, idCol: String, textCol: String,
       evalPred: Column => Column, n: Int = 8, fpp: Double = 0.01): DataFrame = {
-    val grams = gramSets(df, idCol, textCol, n)
+    val grams = explodedGrams(df, idCol, textCol, n)
+    // persisted: the eval gram set is consumed THREE times (count sizes
+    // the filter, bloomFilter aggregates it, the verify join probes it)
+    // and this method exists for the big-benchmark case where re-running
+    // the eval scan+distinct per use is exactly the waste to avoid
     val ev = grams.filter(evalPred(col("id")))
-      .select(explode(col("gs")).as("g")).distinct()
-    // Two driver actions on the SMALL side only (count sizes the filter,
-    // bloomFilter aggregates it) — the corpus side stays lazy.
+      .select(col("g")).distinct().persist()
+    // Two driver actions on the SMALL side only — the corpus side stays
+    // lazy.
     val nEval = math.max(ev.count(), 1L)
     val bloom = ev.stat.bloomFilter("g", nEval, fpp)
     val bc = df.sparkSession.sparkContext.broadcast(bloom)
     val might = udf((g: Long) => bc.value.mightContainLong(g))
     val tr = grams.filter(!evalPred(col("id")))
-      .select(col("id"), explode(col("gs")).as("g"))
       .filter(might(col("g")))
     tr.join(ev.hint("shuffle_hash"), "g")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))

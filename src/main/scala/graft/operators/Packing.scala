@@ -23,7 +23,7 @@ object Packing {
   /** Assign each doc a packed sequence id under `budget` tokens per
     * sequence, `buckets` independent packing streams. Output: one row
     * per doc — (id, bucket, n_tokens, seq_id), seq_id globally unique
-    * (bucket-offset encoded). */
+    * (in-bucket index interleaved with the bucket). */
   def packTokens(df: DataFrame, idCol: String, textCol: String,
       budget: Long, buckets: Int): DataFrame =
     assign(df, idCol, textCol, budget, buckets)
@@ -58,7 +58,11 @@ object Packing {
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))
       .withColumn("bucket", (col("h") % buckets).cast("long"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("seq_id", col("bucket") * lit(1000000L)
-        + expr(s"(cum - n_tokens) DIV $budget"))
+      // seq_id = in-bucket sequence index interleaved with the bucket
+      // (idx·buckets + bucket): injective for ANY number of sequences per
+      // bucket — a fixed bucket multiplier would collide once a bucket
+      // exceeds it, which a corpus-scale stream eventually does
+      .withColumn("seq_id",
+        expr(s"(cum - n_tokens) DIV $budget") * buckets + col("bucket"))
   }
 }

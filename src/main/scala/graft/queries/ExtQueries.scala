@@ -42,9 +42,11 @@ object ExtQueries {
   private val LSH_TABLES = 150
   private val LSH_PLANES = 8
   // decontamination config: 8-gram collisions (the published convention),
-  // every 17th doc is the held-out "benchmark" set
-  private val DECON_N = 8
-  private val DECON_MOD = 17
+  // every 17th doc is the held-out "benchmark" set. private[queries]:
+  // StreamQueries' streaming twin must use the SAME constants as the
+  // shared deconSql oracle or a config edit would silently split them
+  private[queries] val DECON_N = 8
+  private[queries] val DECON_MOD = 17
   // quality-gate thresholds (Gopher-style corpus policy; splits the
   // synthetic corpus ~313 keep / 187 drop at sf0.01)
   private val GATE_MIN_WORDS = 40L
@@ -473,7 +475,7 @@ object ExtQueries {
          |c AS (SELECT id, bucket, n_tokens,
          |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, id) AS cum FROM b)
          |SELECT id, bucket, n_tokens,
-         |  CAST(bucket*1000000 + (cum - n_tokens) // $PACK_BUDGET AS BIGINT) AS seq_id
+         |  CAST(((cum - n_tokens) // $PACK_BUDGET) * $PACK_BUCKETS + bucket AS BIGINT) AS seq_id
          |FROM c ORDER BY id""".stripMargin,
     "pipe_pack_texts" ->
       s"""WITH d AS (SELECT doc_id AS id, ${Sampling.rowHashSql("doc_id")} AS h,
@@ -481,7 +483,7 @@ object ExtQueries {
          |b AS (SELECT id, h, text, n_tokens, h % $PACK_BUCKETS AS bucket FROM d),
          |c AS (SELECT id, h, text, n_tokens, bucket,
          |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, id) AS cum FROM b),
-         |a AS (SELECT *, CAST(bucket*1000000 + (cum - n_tokens) // $PACK_BUDGET AS BIGINT) AS seq_id FROM c)
+         |a AS (SELECT *, CAST(((cum - n_tokens) // $PACK_BUDGET) * $PACK_BUCKETS + bucket AS BIGINT) AS seq_id FROM c)
          |SELECT seq_id, string_agg(text, ' ' ORDER BY h, id) AS seq_text,
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          |FROM a GROUP BY seq_id ORDER BY seq_id""".stripMargin,

@@ -159,7 +159,8 @@ object StreamQueries {
     // aggregate state = one entry per contaminated doc; oracle == the
     // batch text_decontam SQL verbatim
     "stream_decontam" -> ((s, dir) =>
-      StreamOps.decontamOnce(s, dir, evalMod = 17, n = 8).orderBy("id")),
+      StreamOps.decontamOnce(s, dir, evalMod = ExtQueries.DECON_MOD,
+        n = ExtQueries.DECON_N).orderBy("id")),
 
     // stream-stream INTERVAL JOIN (view → click attribution within 4 h):
     // watermarked self-join with a time-range predicate — the engine

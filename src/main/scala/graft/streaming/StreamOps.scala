@@ -219,12 +219,12 @@ object StreamOps {
     * batch `text_decontam` SQL verbatim. */
   def decontamOnce(spark: SparkSession, dir: String, evalMod: Long, n: Int,
       sinkName: String = "stream_decontam_sink"): DataFrame = {
-    import graft.functions.HashExpressions.{word_hashes, ngram_hashes}
+    // gram convention shared with the batch operator — one code path, so
+    // the streaming twin can never drift from the deconSql oracle
+    def grams(df: DataFrame): DataFrame =
+      graft.operators.Decontaminate.explodedGrams(df, "doc_id", "text", n)
     val tmp = linkedDir(dir, "documents")
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    def grams(df: DataFrame): DataFrame =
-      df.select(col("doc_id").as("id"),
-        explode(array_distinct(ngram_hashes(word_hashes(col("text")), n))).as("g"))
     val ev = grams(spark.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") % evalMod === 0))
       .select(col("g")).distinct()

@@ -94,6 +94,17 @@ class HashExprSpec extends SparkSpec {
       .filter(not(col("a") <=> col("b"))).count() == 0)
   }
 
+  test("roundFix: JDK-6430675 tie value rounds like Spark HALF_UP, not floor(+0.5)") {
+    // 0.49…94 + 0.5 lands exactly on the 1.0 round-to-even tie: the
+    // floor(+0.5) trick says 1, decimal HALF_UP (Spark round) says 0
+    assert(HE.roundFix(0.49999999999999994) === 0L)
+    assert(HE.roundFix(-0.49999999999999994) === 0L)
+    assert(HE.roundFix(0.5) === 1L)
+    assert(HE.roundFix(-0.5) === -1L)
+    assert(HE.roundFix(1.5) === 2L)
+    assert(HE.roundFix(-2.5) === -3L)
+  }
+
   test("fixed_dot == zip_with/aggregate dot") {
     val fx = emb.select(col("vec_id"),
       transform(col("embedding").cast("array<double>"),

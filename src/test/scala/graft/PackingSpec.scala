@@ -23,7 +23,7 @@ class PackingSpec extends SparkSpec {
         (graft.operators.Sampling.rowHashLong(id), id) }
       var cum = 0L
       ordered.foreach { case (id, b, n, seq) =>
-        val expectSeq = b * 1000000L + cum / 512L
+        val expectSeq = (cum / 512L) * 8L + b
         assert(seq === expectSeq, s"doc $id in bucket $b at offset $cum")
         cum += n
       }
