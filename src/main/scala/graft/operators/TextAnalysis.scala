@@ -127,18 +127,36 @@ object TextAnalysis {
   def qualityGate(df: DataFrame, idCol: String, textCol: String,
       lang: String, minWords: Long, maxTopShare: Double,
       maxDupBigram: Double): DataFrame = {
-    val st = graft.functions.TextExpressions.repetition_stats(words(col(textCol)))
     val n = size(words(col(textCol))).cast("long")
-    val tws = st.getField("top_count") / n
-    val dbf = when(st.getField("n_bigrams") >= 1,
-        lit(1.0) - st.getField("n_distinct_bigrams") / st.getField("n_bigrams"))
-      .otherwise(lit(0.0))
+    val (tws, dbf) = repetitionCols(col(textCol))
     val lg = langIdCol(col(textCol))
     df.select(col(idCol).as("id"), n.as("n_words"),
       tws.as("top_word_share"), dbf.as("dup_bigram_frac"),
       lg.as("pred_lang"),
-      (lg === lang && n >= minWords && tws <= maxTopShare &&
-        dbf <= maxDupBigram).cast("int").as("keep"))
+      qualityGateCol(col(textCol), lang, minWords, maxTopShare, maxDupBigram)
+        .cast("int").as("keep"))
+  }
+
+  /** (top_word_share, dup_bigram_frac) Column pair for composition. */
+  private def repetitionCols(text: Column): (Column, Column) = {
+    val st = graft.functions.TextExpressions.repetition_stats(words(text))
+    val n = size(words(text)).cast("long")
+    val tws = st.getField("top_count") / n
+    val dbf = when(st.getField("n_bigrams") >= 1,
+        lit(1.0) - st.getField("n_distinct_bigrams") / st.getField("n_bigrams"))
+      .otherwise(lit(0.0))
+    (tws, dbf)
+  }
+
+  /** Boolean Column form of the gate verdict — lets a pipeline FILTER on
+    * the gate in place (one projection, zero join), the shape that
+    * matters when the corpus is the big side. */
+  def qualityGateCol(text: Column, lang: String, minWords: Long,
+      maxTopShare: Double, maxDupBigram: Double): Column = {
+    val n = size(words(text)).cast("long")
+    val (tws, dbf) = repetitionCols(text)
+    langIdCol(text) === lang && n >= minWords &&
+      tws <= maxTopShare && dbf <= maxDupBigram
   }
 
   /** HOF formulation of [[repetition]] — the executable specification the

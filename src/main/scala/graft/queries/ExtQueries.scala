@@ -184,6 +184,26 @@ object ExtQueries {
       // concatenated in packing order, one hash aggregate on seq_id
       Packing.packTexts(t(s, dir, "documents"), "doc_id", "text",
         PACK_BUDGET, PACK_BUCKETS).orderBy("seq_id")),
+    "pipe_e2e_curation" -> ((s, dir) => {
+      // the CAPSTONE pipeline, one declarative plan end to end:
+      // quality-gate (pure filter, no join) → drop the held-out eval
+      // docs → exact-dedup keep-first → remove benchmark-contaminated
+      // docs (tiny hit list, broadcast anti-join) → pack into training
+      // sequences. Wide ops: ONE dedup window + ONE packing window +
+      // the decontam candidate agg — everything else is projections.
+      val docs = t(s, dir, "documents")
+      val gated = docs
+        .filter(TextAnalysis.qualityGateCol(col("text"), "en",
+          GATE_MIN_WORDS, GATE_MAX_TOP_SHARE, GATE_MAX_DUP_BIGRAM))
+        .filter(col("doc_id") % DECON_MOD =!= 0)
+      val deduped = Dedup.dropDuplicatesKeepMin(gated, "doc_id", Seq("text"))
+      val hits = Decontaminate.contaminated(docs, "doc_id", "text",
+        id => id % DECON_MOD === 0, DECON_N).select(col("id"))
+      val clean = deduped.join(broadcast(hits),
+        deduped("doc_id") === hits("id"), "left_anti")
+      Packing.packTokens(clean, "doc_id", "text", PACK_BUDGET, PACK_BUCKETS)
+        .orderBy("id")
+    }),
     "pipe_curation" -> ((s, dir) => {
       // end-to-end curation: tag language + length in ONE projection pass
       // (column-composed, no self-joins), filter, exact-dedup keep-first,
@@ -487,6 +507,44 @@ object ExtQueries {
          |SELECT seq_id, string_agg(text, ' ' ORDER BY h, id) AS seq_text,
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          |FROM a GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    "pipe_e2e_curation" ->
+      s"""WITH w AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents),
+         |rep AS (SELECT doc_id, text, ws, list_transform(generate_series(1, len(ws)-1),
+         |    i -> ws[i] || ' ' || ws[i+1]) AS bg FROM w),
+         |sc AS (SELECT doc_id, text, ws, bg, $langScoreSql FROM rep),
+         |gate AS (SELECT doc_id, text FROM (
+         |  SELECT doc_id, text,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(list_max(list_transform(list_distinct(ws),
+         |      w2 -> len(list_filter(ws, x -> x = w2)))) AS BIGINT)
+         |      / CAST(len(ws) AS BIGINT) AS tws,
+         |    CASE WHEN len(bg) >= 1 THEN
+         |      1.0 - CAST(len(list_distinct(bg)) AS BIGINT)/CAST(len(bg) AS BIGINT)
+         |    ELSE 0.0 END AS dbf,
+         |    CASE $langCaseSql ELSE 'und' END AS pl
+         |  FROM sc)
+         | WHERE pl = 'en' AND n_words >= $GATE_MIN_WORDS
+         |   AND tws <= $GATE_MAX_TOP_SHARE AND dbf <= $GATE_MAX_DUP_BIGRAM
+         |   AND doc_id % $DECON_MOD <> 0),
+         |ded AS (SELECT doc_id, text FROM (
+         |  SELECT doc_id, text,
+         |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM gate)
+         | WHERE rn = 1),
+         |wh AS (SELECT doc_id AS id, ${wordHashesSql()} AS whs FROM documents),
+         |grm AS (SELECT id, list_distinct(${MirrorHash.ngramHashesSql("whs", DECON_N)}) AS gs FROM wh),
+         |ev AS (SELECT DISTINCT unnest(gs) AS g FROM grm WHERE id % $DECON_MOD = 0),
+         |tr AS (SELECT id, unnest(gs) AS g FROM grm WHERE id % $DECON_MOD <> 0),
+         |hits AS (SELECT DISTINCT id FROM tr JOIN ev USING (g)),
+         |clean AS (SELECT doc_id, text FROM ded
+         |  WHERE doc_id NOT IN (SELECT id FROM hits)),
+         |pd AS (SELECT doc_id AS id, ${Sampling.rowHashSql("doc_id")} AS h,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM clean),
+         |pb AS (SELECT id, h, n_tokens, h % $PACK_BUCKETS AS bucket FROM pd),
+         |pc AS (SELECT id, bucket, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, id) AS cum FROM pb)
+         |SELECT id, bucket, n_tokens,
+         |  CAST(((cum - n_tokens) // $PACK_BUDGET) * $PACK_BUCKETS + bucket AS BIGINT) AS seq_id
+         |FROM pc ORDER BY id""".stripMargin,
     "pipe_quality_gate" ->
       s"""WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
          |b AS (SELECT id, ws, list_transform(generate_series(1, len(ws)-1),

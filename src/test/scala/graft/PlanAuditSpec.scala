@@ -227,6 +227,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [") && p.contains("src0"), p)
   }
 
+  test("e2e curation capstone: gate is a pure filter, hits anti-join broadcasts") {
+    val p = fmt(graft.queries.ExtQueries.queries("pipe_e2e_curation")(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // the contaminated-id removal is a broadcast LeftAnti (tiny hit list)
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the quality gate never becomes a join — it's a Filter over the scan
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("curation pipeline: tagging is one projection, dedup window the only wide op") {
     val p = fmt(graft.queries.ExtQueries.queries("pipe_curation")(spark, sf001))
     // one hashpartitioning exchange (dedup window) + the output sort
