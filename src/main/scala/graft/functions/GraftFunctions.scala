@@ -29,7 +29,12 @@ object GraftFunctions {
     "graft_hyperplane_sig" -> (exprs => HyperplaneSig(exprs.head,
       foldInt(exprs(1)), foldInt(exprs(2)), foldInt(exprs(3)))),
     // graft_ngrams(whs, n) — word-n-gram hashes (decontamination joins)
-    "graft_ngrams" -> (exprs => NgramHashArray(exprs.head, foldInt(exprs(1)))))
+    "graft_ngrams" -> (exprs => NgramHashArray(exprs.head, foldInt(exprs(1)))),
+    // graft_fixed_dot_sq(vals, weights) — Σ x²·w in 128-bit → DECIMAL(38,0)
+    "graft_fixed_dot_sq" -> (exprs => FixedDotSq(exprs.head, exprs(1))),
+    // graft_repetition_stats(tokens) — (top_count, n_bigrams, n_distinct)
+    "graft_repetition_stats" ->
+      (exprs => TextExpressions.RepetitionStats(exprs.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
