@@ -94,6 +94,36 @@ class HashExprSpec extends SparkSpec {
       .filter(not(col("a") <=> col("b"))).count() == 0)
   }
 
+  test("fixedDotSq 128-bit arithmetic == BigInteger reference (randomized)") {
+    // the unsigned multiplyHigh corrections and carry detection are the
+    // subtle part — drive them with randomized magnitudes up to the
+    // full documented domain (Σ x²·w < 2¹²⁷), checked against exact
+    // BigInteger arithmetic on the driver
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val pairGen = for {
+      n <- Gen.choose(0, 24)
+      vs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(-1000000L, 1000000L),          // embedding micro domain
+        Gen.choose(-9000000000L, 9000000000L),    // Long-overflowing squares
+        Gen.oneOf(0L, 1L, -1L, 3037000499L, -3037000500L)))
+      ws <- Gen.listOfN(n, Gen.choose(0L, 2000000L))
+    } yield (vs, ws)
+    val params = org.scalacheck.Gen.Parameters.default
+    (0 until 300).foreach { i =>
+      val (vs, ws) = pairGen.pureApply(params, Seed(i.toLong))
+      val got = HE.fixedDotSq(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vs.toArray),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(ws.toArray))
+        .toJavaBigDecimal.toBigInteger
+      val want = vs.zip(ws).map { case (v, w) =>
+        java.math.BigInteger.valueOf(v).pow(2)
+          .multiply(java.math.BigInteger.valueOf(w))
+      }.foldLeft(java.math.BigInteger.ZERO)(_ add _)
+      assert(got === want, s"seed $i: vs=$vs ws=$ws")
+    }
+  }
+
   test("roundFix: JDK-6430675 tie value rounds like Spark HALF_UP, not floor(+0.5)") {
     // 0.49…94 + 0.5 lands exactly on the 1.0 round-to-even tie: the
     // floor(+0.5) trick says 1, decimal HALF_UP (Spark round) says 0
