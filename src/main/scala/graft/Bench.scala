@@ -19,6 +19,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -34,9 +35,6 @@ object Bench {
     // Correctness runs (Verify) keep the pristine driver layout.
     val respool = sys.env.getOrElse("SPARK_GRAFT_RESPOOL", cpus).toInt
     val sfDir = if (respool <= 1) sfDir0 else {
-      // events.ts is TIMESTAMP(NANOS): readable only via the legacy long
-      // conf (same setting Tables.t applies before every read)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tgt = java.nio.file.Files.createTempDirectory("graft_bench_sf")
       queries.Tables.deleteOnExit(tgt)
       val t0 = System.nanoTime()

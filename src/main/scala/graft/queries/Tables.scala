@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Shared helpers for the declared query set (SparkEntry.queries).
   *
@@ -15,16 +15,34 @@ import org.apache.spark.sql.types.DecimalType
   *  - Every result carries an ORDER BY on a unique key.
   */
 object Tables {
-  /** Load a testdata table. `events.ts` is parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader refuses; read it as raw nanos and floor to
-    * microseconds — exactly what DuckDB does when it narrows ns→µs, so
-    * both engines see identical values. */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .fold(df)(_ => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
-  }
+  /** Load a testdata table, normalizing `ts` via [[normalizeTs]].
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (every main/spec bootstrap sets it in its builder) so a
+    * TIMESTAMP(NANOS) encoding surfaces as LongType instead of a reader
+    * refusal — `t` itself never mutates session conf. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Normalize a `ts` column to session-tz TimestampType regardless of
+    * the physical encoding the testdata generator used this round. The
+    * generator has shipped three encodings across rounds:
+    *  - parquet TIMESTAMP(NANOS) → LongType raw nanos (under the
+    *    nanosAsLong conf); floor to µs — exactly DuckDB's ns→µs narrowing,
+    *    so both engines see identical values;
+    *  - timestamp[us] without timezone → TimestampNTZType; cast to
+    *    TimestampType (sessions pin UTC, so the instant is unchanged and
+    *    DuckDB reads the same wall-clock values);
+    *  - plain TimestampType → passthrough.
+    * Tables without a `ts` column pass through untouched. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** Exact decimal-accumulated sum of a double column, returned as DOUBLE.
     * SQL mirror: CAST(sum(CAST(x AS DECIMAL(20,6))) AS DOUBLE). */

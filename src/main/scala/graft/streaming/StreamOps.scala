@@ -86,11 +86,13 @@ object StreamOps {
     * harness pattern) and returns the final result table. */
   def resampleOnce(spark: SparkSession, dir: String, rule: String,
       sinkName: String = "stream_resample_sink"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = linkedDir(dir, "events")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(schema).parquet(tmp)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // normalizeTs handles whichever physical ts encoding this round's
+    // generator shipped (raw nanos long / TIMESTAMP_NTZ / timestamp) —
+    // a pure projection, so it composes with the streaming source.
+    val src = graft.queries.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(tmp))
     val agg = src
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), rule))

@@ -21,6 +21,7 @@ class ExtensionSpec extends AnyFunSuite {
         .appName("graft-ext-test")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .withExtensions(new graft.plans.GraftExtensions()(_))
         .getOrCreate()
       f(s) // do NOT stop: the SparkContext is shared with other suites

@@ -19,6 +19,7 @@ object SparkSpec {
       .appName("swifterspark-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", s"$tmp/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
