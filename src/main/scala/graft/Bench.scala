@@ -50,14 +50,23 @@ object Bench {
       tgt.toString
     }
 
+    // Testdata-drift preflight (schema-only): a regeneration that changed
+    // any column encoding gets named HERE, before 170+ queries each hit
+    // it as an opaque analysis error.
+    queries.Tables.driftReport(spark, sfDir0)
+      .foreach(d => System.err.println(s"[bench] TESTDATA DRIFT: $d"))
+
     // Warmup on the smallest scale factor: exercises parquet reader,
     // codegen, shuffle, window, HOF expression paths once.
     val warmDir = "/root/testdata/sf0.001"
     // text_quality additionally warms the higher-order-function (lambda)
     // expression machinery shared by the text/dedup/similarity queries —
-    // its first execution in a fresh JVM costs ~4s regardless of data size
+    // its first execution in a fresh JVM costs ~4s regardless of data
+    // size; mm_ahash warms javax.imageio's JVM-wide codec/plugin-registry
+    // first-touch, which otherwise lands on the first timed mm_* query
+    // (measured +8s on a cold driver run).
     Seq("o4_groupby_agg", "rel_window_rank", "o1_apply_vec", "text_fingerprint",
-        "text_quality")
+        "text_quality", "mm_ahash")
       .foreach { q =>
         SparkEntry.queries.get(q).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
@@ -135,6 +144,10 @@ object Bench {
     // a fast success in the bench JSON.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val gcByQuery = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    // Failed queries record their error's first line in the artifact:
+    // a -1 with the message only in a truncated stderr tail once cost a
+    // full round of diagnosis (the ts-encoding drift).
+    val errByQuery = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -150,6 +163,8 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          errByQuery(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString
           name -> -1.0
       } finally {
         // in the finally so a FAILED query still gets its pause
@@ -185,7 +200,15 @@ object Bench {
     // + post-hoc stall analysis; the driver's scraped tail stays compact)
     val gcMap = gcByQuery.map { case (k, (g, sp)) => s""""$k":[$g,$sp]""" }
       .mkString("{", ",", "}")
-    val full = toJson(results, s""","gc_by_query":$gcMap""")
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errMap = errByQuery.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
+      .mkString("{", ",", "}")
+    val full = toJson(results, s""","gc_by_query":$gcMap,"errors":$errMap""")
     // The driver captures only a ~2KB stdout TAIL: with 100+ queries the
     // full line (~2.7KB) gets its head cut and fails to parse (r4–r6 all
     // recorded parsed:null). Print the full line first for humans, then a

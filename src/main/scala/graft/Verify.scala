@@ -18,6 +18,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+
+    // Testdata-drift preflight: schema-only diff of every table against
+    // the frozen consumed snapshot. A regeneration that changes any
+    // column prints named lines here (and lands in errors.json below)
+    // instead of surfacing as N opaque per-query analysis errors.
+    val drift = queries.Tables.driftReport(spark, sfDir)
+    if (drift.isEmpty) System.err.println(s"[verify] preflight: ${queries.Tables.expectedSchemas.size} table schemas match the frozen snapshot")
+    else drift.foreach(d => System.err.println(s"[verify] TESTDATA DRIFT: $d"))
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -28,6 +38,8 @@ object Verify {
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(3).mkString(" / ")
       } finally spark.catalog.clearCache() // see Bench: drop per-query caches
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +57,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure visibility: queries that error at analysis are otherwise
+    // just ABSENT from the correctness artifact (no parquet dir → the
+    // driver's compare omits them) — a third of the suite vanished that
+    // way once with the root cause visible only in a truncated stderr
+    // tail. errors.json names every failed query and any schema drift.
+    val errJson = (drift match {
+      case Nil => errors
+      case d => errors += ("_preflight_drift" -> d.mkString(" | "))
+    }).map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

@@ -106,17 +106,34 @@ object ExtQueries {
     // (hash-based, no RNG), so the flags are stable across runs.
     "approx_aggs" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      // two single-pass aggs joined at 1×1, NOT one combined agg: mixing
-      // count(DISTINCT) with the percentile buffers would put the
+      // separate single-pass aggs joined at 1×1, NOT one combined agg:
+      // mixing count(DISTINCT) with the percentile buffers would put the
       // multi-distinct Expand (3× rows) under the percentile aggregator
       // — measured 6.6s vs ~2s split at sf0.1
       val nd = li.agg(
         countDistinct(col("l_partkey")).as("exact_nd"),
         approx_count_distinct(col("l_partkey")).as("__acd"))
-      val p50 = li.agg(
-        expr("percentile(l_extendedprice, 0.5D)").as("__p50_exact"),
+      // the PRODUCTION path: GK sketch over the full column (mergeable
+      // partials, bounded state)
+      val sk = li.agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__p50"))
-      nd.crossJoin(p50)
+      // the exact-percentile VALIDATION arm is scale-bounded: percentile()
+      // is an ImperativeAggregate whose final buffer accumulates every
+      // input value — a single-task sort of the whole column at 100 TB.
+      // Feed it the hash-smallest 100k rows instead (Sampling.rowHash
+      // order: a deterministic uniform subsample, executed as distributed
+      // top-k with constant per-task state). Below 100k rows the "sample"
+      // IS the full column, so the flag compares the sketch against the
+      // true median at test SFs; at scale a 100k uniform sample's median
+      // sits ~0.16% off in quantile space (sqrt(0.25/1e5)) — far inside
+      // the 2% gate, so the flag is stable.
+      val rowId = col("l_orderkey") * 8 + col("l_linenumber") // unique: linenumber ∈ 1..7
+      val ex = li
+        .select(col("l_extendedprice"),
+          graft.operators.Sampling.rowHash(rowId).as("__h"))
+        .orderBy(col("__h"), col("l_extendedprice")).limit(100000)
+        .agg(expr("percentile(l_extendedprice, 0.5D)").as("__p50_exact"))
+      nd.crossJoin(sk).crossJoin(ex)
         .select(col("exact_nd"),
           (abs(col("__acd") - col("exact_nd")) / col("exact_nd") < 0.05)
             .cast("int").as("acd_ok"),

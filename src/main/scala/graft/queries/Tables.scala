@@ -44,6 +44,74 @@ object Tables {
       case _ => df
     }
 
+  /** Frozen logical schema (column -> Spark `simpleString` dtype, in
+    * column order) for every testdata table as CONSUMED by the query set
+    * — i.e. after [[normalizeTs]]. The testdata generator regenerates the
+    * parquet between rounds and has silently changed physical encodings
+    * before (the `ts` drift zeroed 29 queries in one round); the drift
+    * canary ([[driftReport]], run by TestdataDriftSpec and as a Verify/
+    * Bench preflight) diffs against this snapshot so any regeneration
+    * that changes ANY column surfaces as one clear named failure instead
+    * of N downstream query errors. */
+  val expectedSchemas: Seq[(String, Seq[(String, String)])] = Seq(
+    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double",
+      "c_mktsegment" -> "string"),
+    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
+      "label" -> "int"),
+    "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp",
+      "user_id" -> "bigint", "event_type" -> "string", "value" -> "double",
+      "props" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp_ntz"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int"),
+    "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string"),
+    "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+      "p_retailprice" -> "double"),
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+      "s_nationkey" -> "int", "s_acctbal" -> "double"))
+
+  /** Testdata-drift canary: diff each table's consumed schema (after
+    * [[normalizeTs]]) against [[expectedSchemas]]. Returns one line per
+    * drifted/missing/extra column — empty means no drift. Each line
+    * carries the RAW pre-normalization Spark schema so the message names
+    * the generator's new physical encoding directly (this is the
+    * diagnosis that took a full round to make when `ts` drifted).
+    * Schema-only (parquet footers); reads no data. */
+  def driftReport(spark: SparkSession, dir: String): Seq[String] =
+    expectedSchemas.flatMap { case (table, want) =>
+      try {
+        val raw = spark.read.parquet(s"$dir/$table.parquet")
+        val got = normalizeTs(raw).schema.map(f => f.name -> f.dataType.simpleString)
+        if (got == want) Nil
+        else {
+          val gotM = got.toMap
+          val wantM = want.toMap
+          val diffs =
+            want.collect { case (n, t) if !gotM.contains(n) => s"column $n ($t) missing" } ++
+            got.collect { case (n, t) if !wantM.contains(n) => s"unexpected column $n ($t)" } ++
+            want.collect { case (n, t) if gotM.get(n).exists(_ != t) =>
+              s"column $n: expected $t, got ${gotM(n)}" }
+          val rawS = raw.schema.map(f => s"${f.name}=${f.dataType.simpleString}")
+            .mkString(", ")
+          diffs.map(d => s"$table: $d [raw parquet reads as: $rawS]")
+        }
+      } catch {
+        case e: Throwable => Seq(s"$table: unreadable — ${e.getMessage}")
+      }
+    }
+
   /** Exact decimal-accumulated sum of a double column, returned as DOUBLE.
     * SQL mirror: CAST(sum(CAST(x AS DECIMAL(20,6))) AS DOUBLE). */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(20, 6))).cast("double")
