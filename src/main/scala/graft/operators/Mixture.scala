@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mixture composition: the step between a curated corpus and
+  * a training run, where each source (or language/domain) is up- or
+  * down-weighted to a target mixture and capped to a token budget.
+  *
+  * Reference pipelines express this as "epochs per source" (a rate of
+  * 2.5 means every document appears twice and a random half appear a
+  * third time) and "top-quality documents until the budget is spent".
+  * Both are re-expressed here as deterministic, layout-invariant Spark
+  * plans:
+  *
+  *  - [[resample]] replicates/filters per-row with membership decided by
+  *    [[Sampling.rowHash]] — a pure projection + generator, no shuffle,
+  *    no RNG, reproducible across runs, partitionings and engines (the
+  *    property a training mixture must have: re-running the job on a
+  *    recompacted table must yield the same corpus).
+  *  - [[tokenBudget]] is one window per source partition (cumulative
+  *    token sum in quality order) + a filter — a single shuffle on the
+  *    source key; budgets are enforced exactly and deterministically
+  *    (score ties broken by id).
+  */
+object Mixture {
+
+  import Sampling.M
+
+  /** Per-source sampling plan derived from fractional epoch rates:
+    * `whole` full copies for every row plus one extra copy for the
+    * deterministic hash slice below `fracThreshold`. Thresholds are
+    * precomputed as integer constants so the DuckDB oracle can mirror
+    * membership bit-for-bit from the same numbers. */
+  final case class EpochPlan(whole: Long, fracThreshold: Long)
+
+  /** Derive an [[EpochPlan]] from a fractional epoch rate (0 drops the
+    * source, 1 keeps it unchanged, 2.5 = two epochs + a half slice). */
+  def epochPlan(rate: Double): EpochPlan = {
+    require(rate >= 0.0, s"epoch rate $rate < 0")
+    val whole = math.floor(rate).toLong
+    EpochPlan(whole, math.floor((rate - whole) * M).toLong)
+  }
+
+  /** Copies-per-row column for the given per-source rates: CASE over the
+    * source column with integer-constant plans, so the same constants
+    * can be pasted into the oracle SQL. */
+  def copiesCol(idCol: Column, srcCol: Column,
+      plans: Map[String, EpochPlan], default: EpochPlan): Column = {
+    val h = Sampling.rowHash(idCol)
+    val whole = plans.foldLeft(lit(default.whole)) { case (acc, (s, p)) =>
+      when(srcCol === s, lit(p.whole)).otherwise(acc) }
+    val thr = plans.foldLeft(lit(default.fracThreshold)) { case (acc, (s, p)) =>
+      when(srcCol === s, lit(p.fracThreshold)).otherwise(acc) }
+    whole + when(h < thr, 1L).otherwise(0L)
+  }
+
+  /** Deterministic mixture resampling with fractional-epoch replication:
+    * each row appears `floor(rate)` times, plus once more if its id hash
+    * falls in the fractional slice. Emits every input column plus
+    * `copy_idx` (0-based). Plan shape: projection + `explode(sequence)`
+    * generator — zero shuffle; replication happens where the row already
+    * lives. */
+  def resample(df: DataFrame, idCol: String, srcCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val plans = rates.map { case (s, r) => s -> epochPlan(r) }
+    val n = copiesCol(col(idCol), col(srcCol), plans, epochPlan(defaultRate))
+    df.withColumn("__n", n).filter(col("__n") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
+  /** Quality-ordered token-budget selection: per `srcCol` group, keep
+    * the best-scoring rows (ties broken by id) until the cumulative
+    * `tokensCol` sum would exceed `budget`. One window over the source
+    * partition — the per-group state is a running BIGINT sum, so the
+    * plan holds at any corpus size where a single source's rows fit a
+    * sort spill. Emits id, source, tokens and the cumulative sum. */
+  def tokenBudget(df: DataFrame, idCol: String, srcCol: String,
+      tokensCol: String, scoreCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.MirrorHash
-import graft.operators.{Binning, Chunking, Decontaminate, Dedup, Packing, Ranking, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Binning, Chunking, Decontaminate, Dedup, Mixture, Packing, Ranking, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** Training-data-pipeline extension queries (north star in BASELINE.json):
@@ -24,6 +24,12 @@ object ExtQueries {
   private val STRAT_FRACTIONS = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.2)
   private val STRAT_DEFAULT = 0.1
   private val SAMPLE_K = 100
+  // training-mixture config: fractional epochs per source (2.5 = two
+  // full copies + a deterministic half slice; 0 drops the source) and a
+  // per-source token budget for quality-ordered selection
+  private val MIX_RATES = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0)
+  private val MIX_DEFAULT = 1.0
+  private val MIX_BUDGET = 4000L
   private val SIMHASH_HD = 4
   private val COS_TAU = 0.45
   // chunking / ranking config (documents average ~54 tokens — W=16/OV=4
@@ -344,6 +350,27 @@ object ExtQueries {
       // exact-k draw: TakeOrderedAndProject on the id hash, no full sort
       Sampling.deterministicK(t(s, dir, "documents"), "doc_id", SAMPLE_K)
         .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
+
+    // ---- training-mixture composition (Mixture.scala) ----
+    "mix_resample" -> ((s, dir) =>
+      // per-source fractional-epoch replication: projection + generator,
+      // zero shuffle — rows replicate where they live
+      Mixture.resample(t(s, dir, "documents"), "doc_id", "source",
+          MIX_RATES, MIX_DEFAULT)
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+        .orderBy("doc_id", "copy_idx")),
+    "mix_token_budget" -> ((s, dir) => {
+      // quality-ordered per-source budget cap: one window on the source
+      // partition (running BIGINT sum), best distinct-word-ratio docs
+      // first (BIGINT/BIGINT division — engine-exact), ties by id
+      val ws = split(col("text"), " ")
+      val score = size(array_distinct(ws)).cast("long") / size(ws).cast("long")
+      Mixture.tokenBudget(
+          t(s, dir, "documents").withColumn("__q", score),
+          "doc_id", "source", "n_chars", "__q", MIX_BUDGET)
+        .select(col("doc_id"), col("source"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
 
     // ---- similarity search ----
     "sim_topk_brute" -> ((s, dir) =>
@@ -776,6 +803,37 @@ object ExtQueries {
          |  SELECT doc_id, n_chars FROM documents
          |  ORDER BY ${Sampling.rowHashSql("doc_id")}, doc_id LIMIT $SAMPLE_K)
          |ORDER BY doc_id""".stripMargin,
+
+    // mixture mirrors: epoch plans (whole copies + fractional-slice hash
+    // thresholds) are derived by the SAME Scala code (Mixture.epochPlan)
+    // that the Spark query uses, so replication counts are bit-identical
+    "mix_resample" -> {
+      val plans = MIX_RATES.toSeq.sortBy(_._1)
+        .map { case (s, r) => s -> graft.operators.Mixture.epochPlan(r) }
+      val dflt = graft.operators.Mixture.epochPlan(MIX_DEFAULT)
+      val wholeCase = plans.map { case (s, p) => s"WHEN '$s' THEN ${p.whole}" }
+        .mkString(" ")
+      val thrCase = plans.map { case (s, p) => s"WHEN '$s' THEN ${p.fracThreshold}" }
+        .mkString(" ")
+      s"""WITH c AS (SELECT doc_id, source,
+         |    CASE source $wholeCase ELSE ${dflt.whole} END
+         |    + CASE WHEN ${Sampling.rowHashSql("doc_id")}
+         |        < CASE source $thrCase ELSE ${dflt.fracThreshold} END
+         |      THEN 1 ELSE 0 END AS n FROM documents)
+         |SELECT doc_id, source, unnest(range(n)) AS copy_idx
+         |FROM c WHERE n > 0 ORDER BY doc_id, copy_idx""".stripMargin
+    },
+    "mix_token_budget" ->
+      s"""WITH q AS (SELECT doc_id, source, n_chars,
+         |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)
+         |    / CAST(len(string_split(text,' ')) AS BIGINT) AS __q FROM documents),
+         |c AS (SELECT doc_id, source,
+         |    CAST(sum(n_chars) OVER (PARTITION BY source
+         |      ORDER BY __q DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens FROM q)
+         |SELECT doc_id, source, cum_tokens FROM c
+         |WHERE cum_tokens <= $MIX_BUDGET ORDER BY doc_id""".stripMargin,
 
     "sim_topk_brute" ->
       s"""WITH $fxCte,

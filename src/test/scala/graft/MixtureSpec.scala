@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Mixture, Sampling}
+
+/** Training-mixture operators: fractional-epoch resampling and
+  * token-budget selection (operators/Mixture.scala). */
+class MixtureSpec extends SparkSpec {
+
+  private lazy val docs = queries.Tables.t(spark, sf001, "documents")
+
+  test("resample: epoch counts match the fractional-rate plan") {
+    val out = Mixture.resample(docs, "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0), 1.0)
+    val counts = out.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    // src2 dropped entirely
+    assert(!counts.exists(_._2 == "src2"))
+    // src0: every surviving doc has 2 or 3 copies, per its hash slice
+    val src0 = counts.filter(_._2 == "src0")
+    assert(src0.nonEmpty && src0.forall(c => c._3 == 2 || c._3 == 3))
+    // src1: 0 or 1 copies — 0-copy rows are absent from the output
+    val src1 = counts.filter(_._2 == "src1")
+    assert(src1.forall(_._3 == 1))
+    // default sources: exactly 1 copy
+    val rest = counts.filterNot(c => Set("src0", "src1", "src2")(c._2))
+    assert(rest.nonEmpty && rest.forall(_._3 == 1))
+
+    // membership/copy-count is the documented pure function of the hash
+    val th = Mixture.epochPlan(2.5).fracThreshold
+    src0.foreach { case (id, _, n) =>
+      val extra = if (Sampling.rowHashLong(id) < th) 1 else 0
+      assert(n == 2 + extra, s"doc $id: $n copies, hash slice said ${2 + extra}")
+    }
+  }
+
+  test("resample: layout-invariant (same corpus after repartition)") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Mixture.resample(df, "doc_id", "source", Map("src0" -> 1.5), 0.4)
+        .select("doc_id", "copy_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(docs) == run(docs.repartition(13)))
+  }
+
+  test("resample plan: generator only, no shuffle") {
+    val plan = Mixture.resample(docs, "doc_id", "source", Map("src0" -> 2.0), 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"resample shuffled:\n$plan")
+    assert(plan.contains("Generate"), "expected explode(sequence) generator")
+  }
+
+  test("tokenBudget: per-source sums within budget, greedy-maximal") {
+    val budget = 500L
+    val ws = split(col("text"), " ")
+    val scored = docs.withColumn("__q",
+      size(array_distinct(ws)).cast("long") / size(ws).cast("long"))
+    val kept = Mixture.tokenBudget(scored, "doc_id", "source", "n_chars", "__q", budget)
+    val sums = kept.groupBy("source").agg(sum("n_chars").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums.nonEmpty && sums.values.forall(_ <= budget))
+
+    // greedy-maximal: the best-scoring EXCLUDED doc of some source would
+    // not have fit (cum including it exceeds the budget)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val excluded = scored.filter(!col("doc_id").isin(keptIds.toSeq: _*))
+      .orderBy(col("__q").desc, col("doc_id"))
+      .select("source", "n_chars").limit(1).collect()
+    excluded.headOption.foreach { r =>
+      assert(sums.getOrElse(r.getString(0), 0L) + r.getLong(1) > budget)
+    }
+  }
+}
