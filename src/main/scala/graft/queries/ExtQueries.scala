@@ -351,6 +351,22 @@ object ExtQueries {
       Sampling.deterministicK(t(s, dir, "documents"), "doc_id", SAMPLE_K)
         .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
 
+    "split_leak_safe" -> ((s, dir) => {
+      // leakage-safe train/val/test split: membership is decided by the
+      // hash of the doc's near-dup CLUSTER representative, so every
+      // member of a jaccard cluster lands on the same side — a plain
+      // doc-id split would scatter near-copies of a val doc into train
+      // (test-set contamination). Reuses the shared pair pipeline; one
+      // broadcast label join + the usual pure-hash filter.
+      val docs = t(s, dir, "documents")
+      val labels = Dedup.clusters(jaccardShared(s, dir), "da", "db")
+      val labeled = docs.join(broadcast(labels), docs("doc_id") === labels("n"), "left")
+        .withColumn("cl", coalesce(col("l"), col("doc_id")))
+      Sampling.split(labeled, "cl", SPLIT_WEIGHTS, SPLIT_LABELS)
+        .select(col("doc_id"), col("cl").as("cluster"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // ---- training-mixture composition (Mixture.scala) ----
     "mix_resample" -> ((s, dir) =>
       // per-source fractional-epoch replication: projection + generator,
@@ -803,6 +819,23 @@ object ExtQueries {
          |  SELECT doc_id, n_chars FROM documents
          |  ORDER BY ${Sampling.rowHashSql("doc_id")}, doc_id LIMIT $SAMPLE_K)
          |ORDER BY doc_id""".stripMargin,
+
+    // leakage-safe split mirror: same cluster unroll as pipe_text_dedup,
+    // split CASE applied to the cluster representative instead of doc_id
+    "split_leak_safe" ->
+      s"""WITH $distinctShingleCte,
+         |ex AS (SELECT id, nd, unnest(ds) AS h FROM d),
+         |pr AS (
+         |  SELECT a.id AS da, b.id AS db, count(*) AS common,
+         |    any_value(a.nd) AS na, any_value(b.nd) AS nb
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
+         |jp AS (SELECT da, db FROM pr WHERE common/(na+nb-common) >= $JACCARD_TAU),
+         |ed AS (SELECT da AS u, db AS v FROM jp UNION ALL SELECT db AS u, da AS v FROM jp),
+         |$clusterUnrollCtes,
+         |lbl AS (SELECT doc_id, coalesce(l$CLUSTER_ITERS.l, doc_id) AS cl
+         |  FROM documents LEFT JOIN l$CLUSTER_ITERS ON doc_id = l$CLUSTER_ITERS.n)
+         |SELECT doc_id, cl AS cluster, ${splitCaseSql("cl")} AS split
+         |FROM lbl ORDER BY doc_id""".stripMargin,
 
     // mixture mirrors: epoch plans (whole copies + fractional-slice hash
     // thresholds) are derived by the SAME Scala code (Mixture.epochPlan)

@@ -51,6 +51,39 @@ class MixtureSpec extends SparkSpec {
     assert(plan.contains("Generate"), "expected explode(sequence) generator")
   }
 
+  test("leak-safe split: near-dup pairs never straddle a split boundary") {
+    // sf0.01 is the smallest SF with a meaningful near-dup pair set
+    val dir = "/root/testdata/sf0.01"
+    val docs = queries.Tables.t(spark, dir, "documents")
+    val pairs = operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs; property vacuous")
+
+    val labels = operators.Dedup.clusters(
+      operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5), "da", "db")
+    val labeled = docs.join(labels, docs("doc_id") === labels("n"), "left")
+      .withColumn("cl", coalesce(col("l"), col("doc_id")))
+    val byCluster = Sampling.split(labeled, "cl", Seq(0.8, 0.1, 0.1),
+        Seq("train", "val", "test"))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    pairs.foreach { case (a, b) =>
+      assert(byCluster(a) == byCluster(b),
+        s"near-dup pair ($a,$b) split across ${byCluster(a)}/${byCluster(b)}")
+    }
+
+    // the property is not vacuous: a plain doc-id split DOES separate
+    // at least one near-dup pair on this fixture
+    val byDoc = Sampling.split(docs, "doc_id", Seq(0.8, 0.1, 0.1),
+        Seq("train", "val", "test"))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs.exists { case (a, b) => byDoc(a) != byDoc(b) },
+      "doc-id split kept every pair together — fixture too small to " +
+        "demonstrate the leak; widen the pair set")
+  }
+
   test("tokenBudget: per-source sums within budget, greedy-maximal") {
     val budget = 500L
     val ws = split(col("text"), " ")
