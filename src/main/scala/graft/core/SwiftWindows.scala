@@ -110,6 +110,122 @@ final class SwiftRolling(sw: Swift, spec: WindowSpec, minPeriods: Int) {
       when(n >= math.max(minPeriods, 3) && a > 0, res))
   }
 
+  /** pandas `rolling.kurt()` — the adjusted sample excess kurtosis
+    * G₂ = (n−1)∕((n−2)(n−3)) · ((n+1)·g₂ + 6) with g₂ = n·m₄∕m₂² − 3.
+    * Substituting raw integer sums Sₖ = Σxᵏ (shift-scale cancels):
+    *
+    *   A = n·S₂ − S₁²                        (= n·m₂)
+    *   C = n³·S₄ − 4n²·S₁·S₃ + 6n·S₁²·S₂ − 3·S₁⁴   (= n³·m₄)
+    *
+    * so g₂ = C∕A² − 3 exactly. Values move to 10⁴ fixed point rather
+    * than micro-units: the −3·S₁⁴ term at micro scale overflows
+    * DECIMAL(38,0) for realistic frames (micro S₁ ≈ 2.5e9 → S₁⁴ ≈
+    * 4e37·3), while at 10⁴ every term stays < 10³¹ — and 10⁴ is exact
+    * for the ≤4-decimal inputs the testdata carries (beyond that both
+    * engines quantize from the SAME decimal cast, staying bit-equal).
+    * IEEE tail (mirrored op order): c∕(a·a), then the two affine steps.
+    * Frames with n < max(min_periods, 4) or zero variance yield null. */
+  def kurt(valueCol: String, out: String): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xm = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, 4))
+      * lit(10000L)).cast("long").cast(d38)
+    val n = count(col(valueCol)).over(spec)
+    val s1 = sum(xm).over(spec)
+    val s2 = sum(xm * xm).over(spec)
+    val s3 = sum(xm * xm * xm).over(spec)
+    val s4 = sum(xm * xm * xm * xm).over(spec)
+    val nd = n.cast(d38)
+    val a = (nd * s2 - s1 * s1).cast("double")
+    val c = (nd * nd * nd * s4 - lit(4L).cast(d38) * nd * nd * s1 * s3
+      + lit(6L).cast(d38) * nd * s1 * s1 * s2
+      - lit(3L).cast(d38) * s1 * s1 * s1 * s1).cast("double")
+    val nn = n.cast("double")
+    val res = (nn - lit(1.0)) / ((nn - lit(2.0)) * (nn - lit(3.0))) *
+      ((nn + lit(1.0)) * (c / (a * a) - lit(3.0)) + lit(6.0))
+    sw.df.withColumn(out, when(n >= math.max(minPeriods, 4) && a > 0, res))
+  }
+
+  /** pandas `rolling.sem()` — standard error of the mean, ddof = 1:
+    * sem = s∕√(n−ddof) (pandas divides by n−ddof, NOT n) with
+    * s² = A∕(n(n−1))∕10¹² from the same exact integer A = n·S₂ − S₁² as
+    * [[skew]]/[[kurt]] (micro-units). One sqrt over three IEEE divisions
+    * in mirrored order. n < max(min_periods, 2) yields null. */
+  def sem(valueCol: String, out: String): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xm = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      * lit(1000000L)).cast("long").cast(d38)
+    val n = count(col(valueCol)).over(spec)
+    val s1 = sum(xm).over(spec)
+    val s2 = sum(xm * xm).over(spec)
+    val a = (n.cast(d38) * s2 - s1 * s1).cast("double")
+    val nn = n.cast("double")
+    val res = sqrt(a / (nn * (nn - lit(1.0))) / lit(1e12) / (nn - lit(1.0)))
+    sw.df.withColumn(out, when(n >= math.max(minPeriods, 2) && a >= 0, res))
+  }
+
+  /** pandas `rolling.median()` — exact midpoint of the sorted frame in
+    * integer micro-units: odd frames pick the middle element, even
+    * frames average the two middles. Both middles are BIGINT micros
+    * (< 2⁵³, so the double add is exact) and the single IEEE op is the
+    * final ÷2·10⁶ — bit-mirrorable, unlike interpolation-order-dependent
+    * native percentile implementations. */
+  def median(valueCol: String, out: String): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    val xm = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      * lit(1000000L)).cast("long")
+    val sorted = sort_array(collect_list(xm).over(spec))
+    val n = size(sorted)
+    val lo = element_at(sorted, ((n + lit(1)) / lit(2)).cast("int"))
+    val hi = element_at(sorted, (n / lit(2)).cast("int") + lit(1))
+    val res = (lo.cast("double") + hi.cast("double")) / lit(2000000.0)
+    sw.df.withColumn(out, when(n >= math.max(minPeriods, 1), res))
+  }
+
+  /** pandas `rolling.quantile(q, interpolation='linear')` for a RATIONAL
+    * q = num∕den — the type-7 position q·(n−1) = num·(n−1)∕den splits
+    * into integer k = ⌊·⌋ and remainder, so the interpolated value
+    * ((den−rem)·x₍ₖ₎ + rem·x₍ₖ₊₁₎)∕den is EXACT integer arithmetic over
+    * the sorted micro-unit frame; the one IEEE op is the final division.
+    * (Irrational q has no cross-engine-stable interpolation — the
+    * rational contract is the reproducibility boundary.) */
+  def quantile(valueCol: String, num: Int, den: Int, out: String): DataFrame = {
+    require(den > 0 && num >= 0 && num <= den, s"quantile $num/$den outside [0,1]")
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    val xm = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      * lit(1000000L)).cast("long")
+    val sorted = sort_array(collect_list(xm).over(spec))
+    val n = size(sorted)
+    val p = (n - lit(1)) * lit(num)
+    val k = (p / lit(den)).cast("int")
+    val rem = pmod(p, lit(den))
+    val a = element_at(sorted, k + lit(1))
+    // rem == 0 ⇒ no upper neighbour needed; guard keeps element_at in
+    // bounds at the top of the frame (ANSI-safe)
+    val b = when(rem === 0, a).otherwise(element_at(sorted, k + lit(2)))
+    val res = ((lit(den.toLong) - rem) * a + rem * b).cast("double") /
+      lit(den * 1000000.0)
+    sw.df.withColumn(out, when(n >= math.max(minPeriods, 1), res))
+  }
+
+  /** pandas `rolling.rank(method='average', pct=False)` — the average
+    * rank of the CURRENT row's value within its frame:
+    * (#\{x < cur\} + #\{x ≤ cur\} + 1)∕2. Pure comparison counting via
+    * the `filter` higher-order function (no quantization — double
+    * comparisons are exact); the ÷2 over a small integer is the one
+    * IEEE op. */
+  def rank(valueCol: String, out: String): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    val arr = collect_list(col(valueCol)).over(spec)
+    val cur = col(valueCol)
+    val lt = size(filter(arr, e => e < cur))
+    val le = size(filter(arr, e => e <= cur))
+    val res = (lt + le + lit(1)).cast("double") / lit(2.0)
+    sw.df.withColumn(out,
+      when(size(arr) >= math.max(minPeriods, 1) && cur.isNotNull, res))
+  }
+
   /** pandas `min_periods`: frames with fewer observations yield null. */
   private def withMinPeriods(df: DataFrame, out: String, res: Column): DataFrame = {
     if (minPeriods <= 1) df.withColumn(out, res)

@@ -312,6 +312,33 @@ object Dedup {
       .select(col("n"), least(col("n"), col("mv")).as("l"))
   }
 
+  /** Corpus-level paragraph (line-span) dedup — the C4 move (Raffel et
+    * al. 2020 §2.2 deduplicates three-sentence spans corpus-wide,
+    * keep-first): explode documents into lines, keep only the globally
+    * FIRST occurrence of each distinct line (ordered by document id,
+    * then line position), and reassemble the survivors into documents.
+    * Documents whose every line was seen earlier disappear.
+    *
+    * Scale design: first-occurrence selection is `min(struct(doc, idx))`
+    * grouped BY LINE — a hash aggregation with full map-side partial
+    * combine, so a boilerplate line repeated millions of times collapses
+    * to one row per map task before the shuffle (the skew-killer the
+    * row_number()-over-line formulation lacks), and the agg output IS
+    * the kept set — no join back. Two shuffles total (line agg, doc
+    * regroup), no global sort, no cross join. */
+  def paragraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val exploded = df.select(col(idCol).as("id"), posexplode(lines).as(Seq("idx", "line")))
+    val kept = exploded
+      .groupBy("line").agg(min(struct(col("id"), col("idx"))).as("f"))
+      .select(col("f.id").as("id"), col("f.idx").as("idx"), col("line"))
+    kept.groupBy("id").agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line")), "\n").as("text"),
+      count(lit(1)).as("n_kept"))
+  }
+
   /** Exhaustive embedding near-dup pairs: all-pairs cross join with exact
     * fixed-point (1e6) BIGINT dot products. O(n²) — brute-force-only, for
     * small inputs and as the recall oracle for [[embeddingPairs]]; never

@@ -180,6 +180,54 @@ object TextAnalysis {
         .otherwise(lit(0.0)).as("dup_bigram_frac"))
   }
 
+  /** Deterministic line segmentation for corpora that arrive as flat
+    * word streams (no newlines): regroup the whitespace tokens into
+    * `wordsPerLine`-word lines joined by '\n'. Pure projection (HOFs
+    * over the token array) — zero shuffle; gives line-level operators
+    * ([[cleanLines]], [[Dedup.paragraphs]]) a well-defined line
+    * structure on unsegmented text. */
+  def segmentLines(df: DataFrame, idCol: String, textCol: String,
+      wordsPerLine: Int): DataFrame = {
+    require(wordsPerLine > 0, "wordsPerLine must be positive")
+    val ws = words(col(textCol))
+    val nLines = ((size(ws) + lit(wordsPerLine - 1)) / lit(wordsPerLine)).cast("int")
+    val lines = transform(sequence(lit(0), nLines - 1),
+      i => array_join(slice(ws, i * wordsPerLine + 1, wordsPerLine), " "))
+    df.select(col(idCol).as("id"), array_join(lines, "\n").as("text"))
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): per
+    * document, keep only lines that (a) have at least `minWordsPerLine`
+    * words, (b) contain no blacklisted word, (c) — when
+    * `requireTerminalPunct` — end in terminal punctuation; then drop
+    * duplicate lines within the document (keep-first), and drop the
+    * document entirely if fewer than `minLines` lines survive. The whole
+    * pass is per-row HOF folds over the line array — zero shuffle, the
+    * document never leaves its partition, so it holds at any corpus
+    * size. Emits the cleaned text plus kept/dropped line counts. */
+  def cleanLines(df: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 3, minLines: Int = 1,
+      badWords: Seq[String] = Nil,
+      requireTerminalPunct: Boolean = false): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val bad = array(badWords.map(lit): _*)
+    def ok(l: Column): Column = {
+      val lws = split(l, " ")
+      val base = size(lws) >= minWordsPerLine &&
+        !exists(lws, w => array_contains(bad, w))
+      if (requireTerminalPunct) base && l.rlike("[.!?\"']$") else base
+    }
+    val filtered = filter(lines, ok _)
+    // keep-first in-doc dedup: a line survives iff its position is the
+    // FIRST occurrence of its content among the filtered lines
+    val kept = filter(filtered, (l, i) => array_position(filtered, l) === i + 1)
+    df.select(col(idCol).as("id"),
+        array_join(kept, "\n").as("text"),
+        size(kept).as("n_lines"),
+        (size(lines) - size(kept)).as("n_dropped"))
+      .filter(col("n_lines") >= minLines)
+  }
+
   /** Top-k word bigrams — same plan shape as [[vocab]]; the bigram array
     * is built by zipping the token array with its own tail (pure
     * projection, no second pass over the text). */

@@ -438,6 +438,62 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
     }),
 
+    // O5 — pandas rolling(7).kurt(): adjusted excess kurtosis G₂ from
+    // exact 10⁴-fixed-point raw moments (C/A² algebra — see
+    // SwiftRolling.kurt for why the scale is coarser than skew's micro)
+    "o5_rolling_kurt" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rolling(7, orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"))
+        .kurt("value", "kurt")
+        .select(col("event_id"), col("kurt"))
+        .orderBy("event_id")
+    }),
+
+    // O5 — pandas rolling(5).sem(): std error of the mean from the same
+    // exact integer A = n·Σx² − (Σx)² as skew/kurt
+    "o5_rolling_sem" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rolling(5, orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"))
+        .sem("value", "sem")
+        .select(col("event_id"), col("sem"))
+        .orderBy("event_id")
+    }),
+
+    // O5 — pandas rolling(5).median(): exact sorted-frame midpoint in
+    // integer micro-units (no interpolation-order divergence)
+    "o5_rolling_median" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rolling(5, orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"))
+        .median("value", "med")
+        .select(col("event_id"), col("med"))
+        .orderBy("event_id")
+    }),
+
+    // O5 — pandas rolling(5).quantile(0.25): type-7 linear interpolation
+    // with rational q — all-integer until the final division
+    "o5_rolling_quantile" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rolling(5, orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"))
+        .quantile("value", 1, 4, "q25")
+        .select(col("event_id"), col("q25"))
+        .orderBy("event_id")
+    }),
+
+    // O5 — pandas rolling(7).rank(method='average'): average rank of the
+    // current value within its frame by comparison counting
+    "o5_rolling_rank" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rolling(7, orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"))
+        .rank("value", "rnk")
+        .select(col("event_id"), col("rnk"))
+        .orderBy("event_id")
+    }),
+
     // O4 — pandas groupby(...).transform(...): the group aggregate
     // broadcast back onto every row (window aggregate, no self-join)
     "o4_groupby_transform" -> ((s, dir) => {
@@ -939,6 +995,97 @@ object CoreQueries {
         |  ORDER BY l_linenumber, l_extendedprice, l_quantity
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+    // kurt mirror: same 10⁴ fixed point, HUGEINT raw moments, identical
+    // C/A² tail op order as SwiftRolling.kurt
+    "o5_rolling_kurt" ->
+      """WITH m AS (SELECT event_id, user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(20,4))*10000 AS BIGINT) AS xm FROM events),
+        |s AS (SELECT event_id, count(xm) OVER w AS n,
+        |    CAST(sum(xm) OVER w AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(xm AS HUGEINT)*xm) OVER w AS HUGEINT) AS s2,
+        |    CAST(sum(CAST(xm AS HUGEINT)*xm*xm) OVER w AS HUGEINT) AS s3,
+        |    CAST(sum(CAST(xm AS HUGEINT)*xm*xm*xm) OVER w AS HUGEINT) AS s4
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |ac AS (SELECT event_id, n,
+        |    CAST(n*s2 - s1*s1 AS DOUBLE) AS a,
+        |    CAST(n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1
+        |      AS DOUBLE) AS c
+        |  FROM s)
+        |SELECT event_id,
+        |  CASE WHEN n >= 7 AND a > 0 THEN
+        |    (CAST(n AS DOUBLE) - 1.0)
+        |      / ((CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0))
+        |      * ((CAST(n AS DOUBLE) + 1.0) * (c / (a * a) - 3.0) + 6.0)
+        |  END AS kurt
+        |FROM ac ORDER BY event_id""".stripMargin,
+    // sem mirror: sqrt over three IEEE divisions in the Spark order
+    "o5_rolling_sem" ->
+      """WITH m AS (SELECT event_id, user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS xm FROM events),
+        |s AS (SELECT event_id, count(xm) OVER w AS n,
+        |    CAST(sum(xm) OVER w AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(xm AS HUGEINT)*xm) OVER w AS HUGEINT) AS s2
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT event_id,
+        |  CASE WHEN n >= 5 AND CAST(n*s2 - s1*s1 AS DOUBLE) >= 0 THEN
+        |    sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |      / 1000000000000.0 / (CAST(n AS DOUBLE) - 1.0))
+        |  END AS sem
+        |FROM s ORDER BY event_id""".stripMargin,
+    // median mirror: sorted micro-unit frame, exact midpoint; the ÷2·10⁶
+    // is the single IEEE op, as in SwiftRolling.median
+    "o5_rolling_median" ->
+      """WITH m AS (SELECT event_id, user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS xm FROM events),
+        |l AS (SELECT event_id, list_sort(list_filter(list(xm) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), v -> v IS NOT NULL)) AS vs
+        |  FROM m)
+        |SELECT event_id,
+        |  CASE WHEN len(vs) >= 5 THEN
+        |    (CAST(vs[CAST((len(vs)+1)//2 AS INT)] AS DOUBLE)
+        |     + CAST(vs[CAST(len(vs)//2 AS INT) + 1] AS DOUBLE)) / 2000000.0
+        |  END AS med
+        |FROM l ORDER BY event_id""".stripMargin,
+    // quantile(1/4) mirror: type-7 split into integer k/rem, all-integer
+    // interpolation, one final division
+    "o5_rolling_quantile" ->
+      """WITH m AS (SELECT event_id, user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS xm FROM events),
+        |l AS (SELECT event_id, list_sort(list_filter(list(xm) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), v -> v IS NOT NULL)) AS vs
+        |  FROM m),
+        |c AS (SELECT event_id, vs,
+        |    CAST((len(vs)-1)//4 AS INT) AS k,
+        |    (len(vs)-1) % 4 AS rem FROM l)
+        |SELECT event_id,
+        |  CASE WHEN len(vs) >= 5 THEN
+        |    CAST((4-rem)*vs[k+1]
+        |      + rem*(CASE WHEN rem = 0 THEN vs[k+1] ELSE vs[k+2] END) AS DOUBLE)
+        |    / 4000000.0
+        |  END AS q25
+        |FROM c ORDER BY event_id""".stripMargin,
+    // rank mirror: comparison counting over the raw double frame —
+    // lt/le via list_filter with the outer row's value
+    "o5_rolling_rank" ->
+      """WITH l AS (SELECT event_id, value,
+        |    list_filter(list(value) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        |      v -> v IS NOT NULL) AS vs
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN len(vs) >= 7 AND value IS NOT NULL THEN
+        |    CAST(len(list_filter(vs, x -> x < value))
+        |       + len(list_filter(vs, x -> x <= value)) + 1 AS DOUBLE) / 2.0
+        |  END AS rnk
+        |FROM l ORDER BY event_id""".stripMargin,
     "o4_groupby_transform" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (PARTITION BY user_id) AS DOUBLE)

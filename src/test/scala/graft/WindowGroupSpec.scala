@@ -218,6 +218,36 @@ class WindowGroupSpec extends SparkSpec {
     assert(!out(2).isNullAt(out(2).fieldIndex("s")))
   }
 
+  test("O5 rolling kurt/sem/median/quantile/rank match pandas") {
+    // pandas 2.x oracle: Series([3,1,4,1,5,9,2,6,5,3]).rolling(n).<op>()
+    val xs = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0)
+    val d = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
+    def got(df: org.apache.spark.sql.DataFrame, c: String): Seq[Option[Double]] =
+      df.orderBy("id").collect().toSeq.map(r =>
+        if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Double](c)))
+    def close(a: Seq[Option[Double]], want: Seq[Double], tol: Double): Unit =
+      a.zip(want).foreach {
+        case (None, w) => assert(w.isNaN, s"got null, want $w")
+        case (Some(g), w) => assert(math.abs(g - w) <= tol, s"got $g, want $w")
+      }
+    val nan = Double.NaN
+    // kurt/sem: 1e-9 tolerance for the disclosed 10⁻⁴/10⁻⁶ fixed-point
+    // quantization; median/quantile/rank are exact on this data
+    close(got(Swift(d).rolling(7, orderBy = Seq("id")).kurt("x", "k"), "k"),
+      Seq(nan, nan, nan, nan, nan, nan, 1.7305102370110077,
+        -0.3053254437869818, 0.3483580409082393, 0.05221068819684831), 1e-9)
+    close(got(Swift(d).rolling(5, orderBy = Seq("id")).sem("x", "s"), "s"),
+      Seq(nan, nan, nan, nan, 0.8944271909999159, 1.6583123951777,
+        1.5572411502397436, 1.6046806535881213, 1.2549900398011133,
+        1.3693063937629153), 1e-9)
+    close(got(Swift(d).rolling(5, orderBy = Seq("id")).median("x", "m"), "m"),
+      Seq(nan, nan, nan, nan, 3.0, 4.0, 4.0, 5.0, 5.0, 5.0), 0.0)
+    close(got(Swift(d).rolling(5, orderBy = Seq("id")).quantile("x", 1, 4, "q"), "q"),
+      Seq(nan, nan, nan, nan, 1.0, 1.0, 2.0, 2.0, 5.0, 3.0), 0.0)
+    close(got(Swift(d).rolling(7, orderBy = Seq("id")).rank("x", "r"), "r"),
+      Seq(nan, nan, nan, nan, nan, nan, 3.0, 6.0, 4.5, 3.0), 0.0)
+  }
+
   test("selector invisibility: all strategies produce identical results") {
     val d = (1 to 2000).map(i => (i.toLong, i * 0.25)).toDF("id", "x")
     val fn: Double => Double = v => if (v < 100) v * v else v / 2
