@@ -79,6 +79,44 @@ final class SwiftRolling(sw: Swift, spec: WindowSpec, minPeriods: Int) {
     sw.df.withColumn(out, when(n >= math.max(minPeriods, 2), res))
   }
 
+  /** pandas `rolling(n).corr(other)` — Pearson correlation over the
+    * frame from the same exact micro-unit sums as [[cov]]:
+    *
+    *   corr = (n·Σxy − Σx·Σy) ∕ (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))
+    *
+    * Numerator and both variance terms are EXACT integers in
+    * DECIMAL(38,0)/HUGEINT; the fixed-point scale cancels between them,
+    * so the IEEE tail is two √s, one multiply, one division in mirrored
+    * order. `scale` is the per-value fixed point (default micro, like
+    * [[cov]]); pick it so n·Σx² stays under 2⁶³ when a DuckDB-mirrored
+    * oracle is in play — DuckDB's HUGEINT→DOUBLE cast double-rounds
+    * above 2⁶³ (measured ~260 ulp off on 2.8e19) while Spark's
+    * Decimal→double rounds correctly, so exact-integer mirrors must
+    * stay in BIGINT-cast range. Frames with n < max(min_periods, 2) or
+    * a zero-variance side yield null (pandas NaN). */
+  def corr(xCol: String, yCol: String, out: String,
+      scale: Long = 1000000L): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val digits = math.log10(scale.toDouble).round.toInt
+    def fixed(c: String) =
+      (col(c).cast(org.apache.spark.sql.types.DecimalType(20, digits)) * lit(scale))
+        .cast("long").cast(d38)
+    val xm = fixed(xCol)
+    val ym = fixed(yCol)
+    val n = count(lit(1)).over(spec)
+    val nd = n.cast(d38)
+    val num = (nd * sum(xm * ym).over(spec)
+      - sum(xm).over(spec) * sum(ym).over(spec)).cast("double")
+    val ax = (nd * sum(xm * xm).over(spec)
+      - sum(xm).over(spec) * sum(xm).over(spec)).cast("double")
+    val ay = (nd * sum(ym * ym).over(spec)
+      - sum(ym).over(spec) * sum(ym).over(spec)).cast("double")
+    val res = num / (sqrt(ax) * sqrt(ay))
+    sw.df.withColumn(out,
+      when(n >= math.max(minPeriods, 2) && ax > 0 && ay > 0, res))
+  }
+
   /** pandas `rolling.skew()` — the adjusted Fisher–Pearson coefficient
     * G₁ = √(n(n−1))∕(n−2) · (m₃∕n)∕(m₂∕n)^{3/2}. Substituting the raw
     * micro-unit sums gives G₁ = B·√(n(n−1)) ∕ (A·√A·(n−2)) with

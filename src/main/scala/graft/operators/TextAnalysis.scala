@@ -192,7 +192,7 @@ object TextAnalysis {
     val ws = words(col(textCol))
     val nLines = ((size(ws) + lit(wordsPerLine - 1)) / lit(wordsPerLine)).cast("int")
     val lines = transform(sequence(lit(0), nLines - 1),
-      i => array_join(slice(ws, i * wordsPerLine + 1, wordsPerLine), " "))
+      i => array_join(slice(ws, i * wordsPerLine + 1, lit(wordsPerLine)), " "))
     df.select(col(idCol).as("id"), array_join(lines, "\n").as("text"))
   }
 
@@ -221,10 +221,17 @@ object TextAnalysis {
     // keep-first in-doc dedup: a line survives iff its position is the
     // FIRST occurrence of its content among the filtered lines
     val kept = filter(filtered, (l, i) => array_position(filtered, l) === i + 1)
-    df.select(col(idCol).as("id"),
-        array_join(kept, "\n").as("text"),
-        size(kept).as("n_lines"),
-        (size(lines) - size(kept)).as("n_dropped"))
+    // `kept` is projected ONCE and dependent columns derive from the
+    // attribute: duplicating a lambda-bearing expression across output
+    // columns shares its NamedLambdaVariable ids and can evaluate
+    // inconsistently (observed: size() disagreeing with array_join()
+    // over the same expression)
+    df.select(col(idCol).as("id"), size(lines).as("__n_lines_in"),
+        kept.as("__kept"))
+      .select(col("id"),
+        array_join(col("__kept"), "\n").as("text"),
+        size(col("__kept")).cast("long").as("n_lines"),
+        (col("__n_lines_in") - size(col("__kept"))).cast("long").as("n_dropped"))
       .filter(col("n_lines") >= minLines)
   }
 

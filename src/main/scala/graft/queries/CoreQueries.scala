@@ -494,6 +494,22 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // O5 — pandas rolling(3).corr(other): Pearson correlation from exact
+    // fixed-point sums; the scale cancels in the ratio. Scale 10² (exact
+    // for the 2-decimal price/quantity data) keeps every integer term
+    // under 2⁶³ — above that DuckDB's HUGEINT→DOUBLE cast double-rounds
+    // and the mirror stops being bit-exact (see SwiftRolling.corr)
+    "o5_rolling_corr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Swift(li).rolling(3,
+          orderBy = Seq("l_linenumber", "l_extendedprice", "l_quantity"),
+          partitionBy = Seq("l_orderkey"))
+        .corr("l_quantity", "l_extendedprice", "qp_corr", scale = 100L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("qp_corr"))
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    }),
+
     // O4 — pandas groupby(...).transform(...): the group aggregate
     // broadcast back onto every row (window aggregate, no self-join)
     "o4_groupby_transform" -> ((s, dir) => {
@@ -1086,6 +1102,33 @@ object CoreQueries {
         |       + len(list_filter(vs, x -> x <= value)) + 1 AS DOUBLE) / 2.0
         |  END AS rnk
         |FROM l ORDER BY event_id""".stripMargin,
+    // corr mirror: HUGEINT numerator + variance terms, IEEE tail in the
+    // SwiftRolling.corr op order (two sqrts, one multiply, one division)
+    "o5_rolling_corr" ->
+      """WITH m AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  CAST(CAST(l_quantity AS DECIMAL(20,2))*100 AS BIGINT) AS xm,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(20,2))*100 AS BIGINT) AS ym
+        |  FROM lineitem),
+        |s AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(xm*ym) OVER w AS BIGINT) AS sxy,
+        |    CAST(sum(xm) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(ym) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(xm*xm) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(ym*ym) OVER w AS BIGINT) AS syy
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_extendedprice, l_quantity
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  CASE WHEN n >= 3 AND CAST(n*sxx - sx*sx AS BIGINT) > 0
+        |            AND CAST(n*syy - sy*sy AS BIGINT) > 0 THEN
+        |    CAST(CAST(n*sxy - sx*sy AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(CAST(n*sxx - sx*sx AS BIGINT) AS DOUBLE))
+        |       * sqrt(CAST(CAST(n*syy - sy*sy AS BIGINT) AS DOUBLE)))
+        |  END AS qp_corr
+        |FROM s
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
     "o4_groupby_transform" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (PARTITION BY user_id) AS DOUBLE)

@@ -180,6 +180,23 @@ object ExtQueries {
       // fraction, pure per-row folds, zero shuffle
       TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
+    "text_clean_lines" -> ((s, dir) =>
+      // C4 §2.2 line-level cleaning over a deterministic 12-word line
+      // segmentation of the flat-word corpus: min-words floor, badword
+      // blacklist, in-doc keep-first line dedup, short-doc drop — all
+      // per-row HOF folds, zero shuffle
+      TextAnalysis.cleanLines(
+        TextAnalysis.segmentLines(t(s, dir, "documents"), "doc_id", "text", 12),
+        "id", "text", minWordsPerLine = 8, minLines = 2,
+        badWords = Seq("slow")).orderBy("id")),
+    "dedup_paragraphs" -> ((s, dir) =>
+      // C4 corpus-wide span dedup: keep the globally FIRST occurrence of
+      // each distinct line, reassemble docs — min(struct) per line (full
+      // map-side combine: skew-proof on boilerplate lines), two shuffles,
+      // no join, no global sort
+      Dedup.paragraphs(
+        TextAnalysis.segmentLines(t(s, dir, "documents"), "doc_id", "text", 12),
+        "id", "text").orderBy("id")),
     "text_decontam" -> ((s, dir) =>
       // benchmark decontamination: training docs sharing an 8-gram with
       // the held-out set — eval grams broadcast, corpus scanned once
@@ -546,6 +563,32 @@ object ExtQueries {
         |    1.0 - CAST(len(list_distinct(bg)) AS BIGINT)/CAST(len(bg) AS BIGINT)
         |  ELSE 0.0 END AS dup_bigram_frac
         |FROM b ORDER BY id""".stripMargin,
+    // 12-word line segmentation CTE shared by the two C4 mirrors below —
+    // same slice arithmetic as TextAnalysis.segmentLines
+    "text_clean_lines" ->
+      """WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
+        |seg AS (SELECT id, list_transform(generate_series(0, (len(ws)+11)//12 - 1),
+        |    i -> array_to_string(ws[i*12+1 : i*12+12], ' ')) AS lines FROM w),
+        |f AS (SELECT id, lines, list_filter(lines, l ->
+        |      len(string_split(l,' ')) >= 8
+        |      AND NOT list_contains(string_split(l,' '), 'slow')) AS fl FROM seg),
+        |d AS (SELECT id, lines,
+        |    list_filter(fl, (l,i) -> list_position(fl, l) = i) AS kept FROM f)
+        |SELECT id, array_to_string(kept, chr(10)) AS text,
+        |  CAST(len(kept) AS BIGINT) AS n_lines,
+        |  CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped
+        |FROM d WHERE len(kept) >= 2 ORDER BY id""".stripMargin,
+    "dedup_paragraphs" ->
+      """WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
+        |seg AS (SELECT id, list_transform(generate_series(0, (len(ws)+11)//12 - 1),
+        |    i -> array_to_string(ws[i*12+1 : i*12+12], ' ')) AS lines FROM w),
+        |e0 AS (SELECT id, lines, unnest(generate_series(1, len(lines))) AS idx FROM seg),
+        |e AS (SELECT id, idx, lines[CAST(idx AS INT)] AS line FROM e0),
+        |r AS (SELECT id, idx, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY id, idx) AS rn FROM e)
+        |SELECT id, string_agg(line, chr(10) ORDER BY idx) AS text,
+        |  count(*) AS n_kept
+        |FROM r WHERE rn = 1 GROUP BY id ORDER BY id""".stripMargin,
     "text_decontam" -> deconSql,
     "text_decontam_bloom" -> deconSql,
     "pipe_pack_sequences" ->

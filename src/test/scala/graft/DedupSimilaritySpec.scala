@@ -127,6 +127,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("C4 cleanLines: filters, terminal punct, in-doc keep-first dedup") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Good line one.\nshort\nGood line one.\nbad word here spam.\nAnother keeper stays!"),
+      (2L, "no punct at all here\nonly line"),
+      (3L, "Solo survivor stays put.")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.cleanLines(d, "doc_id", "text",
+        minWordsPerLine = 3, minLines = 1, badWords = Seq("spam."),
+        requireTerminalPunct = true)
+      .orderBy("id").collect()
+    // doc 1: dup "Good line one." collapses, "short" (<3 words) and the
+    // spam line drop → 2 lines; doc 2: no terminal punct → 0 lines → doc
+    // dropped; doc 3: kept as-is
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(out(0).getString(1) == "Good line one.\nAnother keeper stays!")
+    assert(out(0).getAs[Long]("n_lines") == 2L)
+    assert(out(0).getAs[Long]("n_dropped") == 3L)
+    assert(out(1).getString(1) == "Solo survivor stays put.")
+  }
+
+  test("C4 paragraphs: corpus-wide keep-first line dedup reassembles docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta\ncommon boilerplate\ngamma delta"),
+      (2L, "common boilerplate\nunique two"),
+      (3L, "common boilerplate") // every line seen earlier → doc vanishes
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.paragraphs(d, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getString(1) == "alpha beta\ncommon boilerplate\ngamma delta")
+    assert(out(0).getAs[Long]("n_kept") == 3L)
+    assert(out(1).getString(1) == "unique two")
+    assert(out(1).getAs[Long]("n_kept") == 1L)
+  }
+
   test("auto-sized LSH tables (T ∝ ln n) hold full recall at two scales") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -246,6 +246,13 @@ class WindowGroupSpec extends SparkSpec {
       Seq(nan, nan, nan, nan, 1.0, 1.0, 2.0, 2.0, 5.0, 3.0), 0.0)
     close(got(Swift(d).rolling(7, orderBy = Seq("id")).rank("x", "r"), "r"),
       Seq(nan, nan, nan, nan, nan, nan, 3.0, 6.0, 4.5, 3.0), 0.0)
+    // corr: a second column paired against the first 8 values
+    val d2 = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+      .zip(Seq(2.0, 7.0, 1.0, 8.0, 2.0, 8.0, 1.0, 8.0)).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "x", "y")
+    close(got(Swift(d2).rolling(3, orderBy = Seq("id")).corr("x", "y", "c"), "c"),
+      Seq(nan, nan, -0.9843241382880896, -0.9912407071619304,
+        -0.9305008557631897, 0.0, 0.9526832000714107, 0.9041944301794647), 1e-9)
   }
 
   test("selector invisibility: all strategies produce identical results") {
