@@ -71,6 +71,59 @@ object Mixture {
       .drop("__n")
   }
 
+  /** DSIR-style importance table (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hashed-unigram
+    * bag-of-words models of the target and source distributions, emitted
+    * as integer MICRO-NAT log-ratios per hash bucket:
+    *
+    *   L_b = round(10⁶ · ln( (ct_b+1)∕(tt+B) ÷ (cs_b+1)∕(ts+B) ))
+    *
+    * (add-one smoothing; ct/cs = target/source bucket counts, tt/ts the
+    * totals, B the bucket count). A document's importance log-weight is
+    * then Σ_words L_bucket(word) — integer exact given the table.
+    *
+    * Scale design: `isTarget` tags rows so BOTH distributions come from
+    * ONE pass over the corpus (explode word hashes → conditional counts
+    * per bucket — map-side combine makes the shuffle B-bounded); totals
+    * join at 1×1; the output is B rows. The ln argument is a ratio of
+    * exact sub-2⁵³ integer products, so both engines see the same
+    * double; the only cross-engine wobble is the final ulp of ln before
+    * the micro-nat rounding. */
+  def importanceTable(df: DataFrame, textCol: String, isTarget: Column,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val wh = graft.functions.HashExpressions.word_hashes(col(textCol))
+    val bc = df.select(explode(wh).as("w"), isTarget.as("t"))
+      .select(pmod(col("w"), lit(buckets.toLong)).as("bucket"), col("t"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cs"), sum(when(col("t"), 1L).otherwise(0L)).as("ct"))
+    val tot = bc.agg(sum(col("cs")).as("ts"), sum(col("ct")).as("tt"))
+    val spine = df.sparkSession.range(buckets).select(col("id").as("bucket"))
+    spine.join(bc, Seq("bucket"), "left").crossJoin(tot)
+      .select(col("bucket"),
+        round(lit(1e6) * log(
+          ((coalesce(col("ct"), lit(0L)) + 1) * (col("ts") + buckets)).cast("double")
+            / ((coalesce(col("cs"), lit(0L)) + 1) * (col("tt") + buckets)).cast("double")))
+          .cast("long").as("lw"))
+  }
+
+  /** Score every document against a collected importance table (the
+    * model-application half of DSIR, and the same plan shape as any
+    * trained hashed-linear quality classifier à la fastText): score =
+    * Σ_words table[hash(word) mod B], a pure projection fold with the
+    * B-entry table shipped as a plan literal — zero shuffle, zero join;
+    * the corpus is touched exactly once no matter its size. */
+  def importanceScore(df: DataFrame, idCol: String, textCol: String,
+      table: Seq[Long], buckets: Int): DataFrame = {
+    require(table.length == buckets, s"table size ${table.length} != $buckets")
+    val la = lit(table.toArray)
+    val wh = graft.functions.HashExpressions.word_hashes(col(textCol))
+    df.select(col(idCol).as("id"),
+      aggregate(wh, lit(0L), (acc, w) =>
+        acc + element_at(la, pmod(w, lit(buckets.toLong)).cast("int") + 1))
+        .as("score"))
+  }
+
   /** Quality-ordered token-budget selection: per `srcCol` group, keep
     * the best-scoring rows (ties broken by id) until the cumulative
     * `tokensCol` sum would exceed `budget`. One window over the source

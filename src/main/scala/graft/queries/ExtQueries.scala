@@ -63,6 +63,12 @@ object ExtQueries {
   private val PACK_BUDGET = 512L
   private val PACK_BUCKETS = 8
 
+  // DSIR importance model: hash-bucket count and the deterministic
+  // target-subset rule (every 37th doc models the "high-quality" set)
+  private val DSIR_B = 4096
+  private val DSIR_MOD = 37
+  private val DSIR_K = 100
+
   /** ONE jaccard candidate pipeline (the inverted-index self-join, ~2.6s
     * at sf0.1) feeds `dedup_jaccard` AND both cluster finishers. Memoized
     * per (session, sf dir) with an eager localCheckpoint, mirroring the
@@ -403,6 +409,21 @@ object ExtQueries {
           "doc_id", "source", "n_chars", "__q", MIX_BUDGET)
         .select(col("doc_id"), col("source"), col("cum_tokens"))
         .orderBy("doc_id")
+    }),
+
+    "mix_dsir_select" -> ((s, dir) => {
+      // DSIR data selection: fit the hashed-unigram importance model in
+      // ONE corpus pass (target = every DSIR_MOD-th doc), collect the
+      // B-entry micro-nat table (model fitting, like IVF centroids),
+      // then score every doc in a pure projection fold and keep the
+      // top-K log-weights — the corpus is read twice total, never
+      // shuffled on words beyond the B-bounded bucket agg
+      val docs = t(s, dir, "documents")
+      val tbl = Mixture.importanceTable(docs, "text",
+          col("doc_id") % DSIR_MOD === 0, DSIR_B)
+        .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+      Mixture.importanceScore(docs, "doc_id", "text", tbl, DSIR_B)
+        .orderBy(col("score").desc, col("id")).limit(DSIR_K)
     }),
 
     // ---- similarity search ----
@@ -910,6 +931,32 @@ object ExtQueries {
          |      AS cum_tokens FROM q)
          |SELECT doc_id, source, cum_tokens FROM c
          |WHERE cum_tokens <= $MIX_BUDGET ORDER BY doc_id""".stripMargin,
+
+    // DSIR mirror: identical one-pass bucket counts, identical integer
+    // products under the ln, micro-nat rounding, literal-free — the SQL
+    // refits the table from the same data rather than pasting the
+    // collected array
+    "mix_dsir_select" ->
+      s"""WITH wh AS (SELECT doc_id, ${wordHashesSql()} AS whs FROM documents),
+         |e AS (SELECT doc_id, unnest(whs) % $DSIR_B AS bucket FROM wh),
+         |bc AS (SELECT bucket, count(*) AS cs,
+         |    count(*) FILTER (WHERE doc_id % $DSIR_MOD = 0) AS ct
+         |  FROM e GROUP BY bucket),
+         |tot AS (SELECT sum(cs) AS ts, sum(ct) AS tt FROM bc),
+         |spine AS (SELECT unnest(generate_series(0, ${DSIR_B - 1})) AS bucket),
+         |l AS (SELECT spine.bucket,
+         |    CAST(round(1000000.0 * ln(
+         |      CAST((COALESCE(bc.ct,0)+1) * (tot.ts+$DSIR_B) AS DOUBLE)
+         |      / CAST((COALESCE(bc.cs,0)+1) * (tot.tt+$DSIR_B) AS DOUBLE)))
+         |      AS BIGINT) AS lw
+         |  FROM spine LEFT JOIN bc ON spine.bucket = bc.bucket, tot),
+         |la AS (SELECT list(lw ORDER BY bucket) AS a FROM l),
+         |sc AS (SELECT doc_id AS id,
+         |    CAST(list_sum(list_transform(whs, w -> a[CAST(w % $DSIR_B AS INT) + 1]))
+         |      AS BIGINT) AS score
+         |  FROM wh, la)
+         |SELECT id, score FROM sc
+         |ORDER BY score DESC, id LIMIT $DSIR_K""".stripMargin,
 
     "sim_topk_brute" ->
       s"""WITH $fxCte,

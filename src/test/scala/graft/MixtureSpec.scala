@@ -104,4 +104,28 @@ class MixtureSpec extends SparkSpec {
       assert(sums.getOrElse(r.getString(0), 0L) + r.getLong(1) > budget)
     }
   }
+
+  test("DSIR importance: docs sharing the target vocabulary outscore the rest") {
+    import spark.implicits._
+    // target docs (id % 5 == 0) use a distinctive vocabulary; two probe
+    // docs mix it — the one with more target words must score higher,
+    // and every pure-target-vocab doc must outscore every pure-noise doc
+    val corpus = (0L until 40L).map { i =>
+      val text = if (i % 5 == 0) "quantum flux entangle qubit decohere"
+      else "mundane filler noise words here"
+      (i, text)
+    } ++ Seq((100L, "quantum flux noise words here"),
+      (101L, "quantum noise filler words here"))
+    val df = corpus.toDF("doc_id", "text")
+    val tbl = Mixture.importanceTable(df, "text", col("doc_id") % 5 === 0, 512)
+      .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+    assert(tbl.length == 512)
+    val scores = Mixture.importanceScore(df, "doc_id", "text", tbl, 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val target = (0L until 40L by 5).map(scores)
+    val noise = (0L until 40L).filter(_ % 5 != 0).map(scores)
+    assert(target.min > noise.max,
+      s"target min ${target.min} vs noise max ${noise.max}")
+    assert(scores(100L) > scores(101L)) // two target words beat one
+  }
 }
