@@ -203,6 +203,26 @@ final class SwiftRolling(sw: Swift, spec: WindowSpec, minPeriods: Int) {
     sw.df.withColumn(out, when(n >= math.max(minPeriods, 2) && a >= 0, res))
   }
 
+  /** pandas `rolling.var(ddof=1)` / `.std()` — sample variance from the
+    * exact integer A = n·S₂ − S₁² (micro-units): var = A∕(n(n−1))∕10¹²,
+    * std = √var. Two IEEE divisions + optional sqrt in mirrored order —
+    * unlike native `var_samp`, whose streaming-moment accumulation order
+    * is engine-specific. n < max(min_periods, 2) yields null. */
+  def varStd(valueCol: String, varOut: String, stdOut: String): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xm = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      * lit(1000000L)).cast("long").cast(d38)
+    val n = count(col(valueCol)).over(spec)
+    val s1 = sum(xm).over(spec)
+    val s2 = sum(xm * xm).over(spec)
+    val a = (n.cast(d38) * s2 - s1 * s1).cast("double")
+    val nn = n.cast("double")
+    val v = a / (nn * (nn - lit(1.0))) / lit(1e12)
+    val gated = when(n >= math.max(minPeriods, 2) && a >= 0, v)
+    sw.df.withColumn(varOut, gated).withColumn(stdOut, sqrt(col(varOut)))
+  }
+
   /** pandas `rolling.median()` — exact midpoint of the sorted frame in
     * integer micro-units: odd frames pick the middle element, even
     * frames average the two middles. Both middles are BIGINT micros

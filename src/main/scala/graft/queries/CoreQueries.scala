@@ -510,6 +510,31 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
     }),
 
+    // O5 — pandas rolling(5).var(ddof=1)/.std(): exact-integer A term,
+    // two IEEE divisions + sqrt (order-stable, unlike native var_samp)
+    "o5_rolling_var" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rolling(5, orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"))
+        .varStd("value", "rvar", "rstd")
+        .select(col("event_id"), col("rvar"), col("rstd"))
+        .orderBy("event_id")
+    }),
+
+    // O5 — pandas rolling(5).min()/.max(): native window min/max (exact
+    // value selection — no arithmetic to mirror)
+    "o5_rolling_minmax" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val r = Swift(ev).rolling(5, orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"))
+        .agg(min(col("value")), "rmin")
+      Swift(r).rolling(5, orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"))
+        .agg(max(col("value")), "rmax")
+        .select(col("event_id"), col("rmin"), col("rmax"))
+        .orderBy("event_id")
+    }),
+
     // O4 — pandas groupby(...).transform(...): the group aggregate
     // broadcast back onto every row (window aggregate, no self-join)
     "o4_groupby_transform" -> ((s, dir) => {
@@ -1129,6 +1154,32 @@ object CoreQueries {
         |  END AS qp_corr
         |FROM s
         |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+    // var/std mirror: HUGEINT A term, IEEE tail in SwiftRolling.varStd
+    // op order
+    "o5_rolling_var" ->
+      """WITH m AS (SELECT event_id, user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS xm FROM events),
+        |s AS (SELECT event_id, count(xm) OVER w AS n,
+        |    CAST(sum(xm) OVER w AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(xm AS HUGEINT)*xm) OVER w AS HUGEINT) AS s2
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |r AS (SELECT event_id,
+        |    CASE WHEN n >= 5 AND CAST(n*s2 - s1*s1 AS DOUBLE) >= 0 THEN
+        |      CAST(n*s2 - s1*s1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |      / 1000000000000.0 END AS rvar
+        |  FROM s)
+        |SELECT event_id, rvar, sqrt(rvar) AS rstd FROM r ORDER BY event_id""".stripMargin,
+    "o5_rolling_minmax" ->
+      """SELECT event_id,
+        |  CASE WHEN count(*) OVER w >= 5 THEN min(value) OVER w END AS rmin,
+        |  CASE WHEN count(*) OVER w >= 5 THEN max(value) OVER w END AS rmax
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "o4_groupby_transform" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (PARTITION BY user_id) AS DOUBLE)

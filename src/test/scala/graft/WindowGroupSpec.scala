@@ -246,6 +246,15 @@ class WindowGroupSpec extends SparkSpec {
       Seq(nan, nan, nan, nan, 1.0, 1.0, 2.0, 2.0, 5.0, 3.0), 0.0)
     close(got(Swift(d).rolling(7, orderBy = Seq("id")).rank("x", "r"), "r"),
       Seq(nan, nan, nan, nan, nan, nan, 3.0, 6.0, 4.5, 3.0), 0.0)
+    val vs = got(Swift(d).rolling(5, orderBy = Seq("id"))
+      .varStd("x", "v", "sd"), "v")
+    close(vs, Seq(nan, nan, nan, nan, 3.2, 11.0, 9.7, 10.3,
+      6.300000000000001, 7.500000000000001), 1e-9)
+    close(got(Swift(d).rolling(5, orderBy = Seq("id"))
+        .varStd("x", "v", "sd"), "sd"),
+      Seq(nan, nan, nan, nan, 1.7888543819998317, 3.3166247903554,
+        3.1144823004794873, 3.2093613071762426, 2.5099800796022267,
+        2.7386127875258306), 1e-9)
     // corr: a second column paired against the first 8 values
     val d2 = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
       .zip(Seq(2.0, 7.0, 1.0, 8.0, 2.0, 8.0, 1.0, 8.0)).zipWithIndex
