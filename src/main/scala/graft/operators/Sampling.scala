@@ -88,6 +88,19 @@ object Sampling {
   def deterministicK(df: DataFrame, idCol: String, k: Int): DataFrame =
     df.orderBy(rowHash(col(idCol)), col(idCol)).limit(k)
 
+  /** Deterministic corpus shuffle — the "global shuffle before packing/
+    * training" step every LLM data pipeline runs: a pseudo-random but
+    * REPRODUCIBLE permutation, realized as ORDER BY (hash(id), id) with
+    * the hash emitted as `shuffle_key`. The permutation is a pure
+    * function of the id set — invariant under partitioning, file layout
+    * and cluster size (per-partition-seeded `df.orderBy(rand())` is
+    * none of these). Plan: one range-partitioned sort — the canonical
+    * distributed total order, no single-task collapse; downstream
+    * writers keep the order per output partition. */
+  def shuffleDeterministic(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("shuffle_key", rowHash(col(idCol)))
+      .orderBy(col("shuffle_key"), col(idCol))
+
   /** Stratified deterministic sample: a per-stratum fraction (with a
     * default for unlisted strata), membership still a pure function of
     * the row id — strata only pick the threshold. `default = 0.0` means

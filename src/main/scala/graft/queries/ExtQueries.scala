@@ -65,9 +65,57 @@ object ExtQueries {
 
   // DSIR importance model: hash-bucket count and the deterministic
   // target-subset rule (every 37th doc models the "high-quality" set)
-  private val DSIR_B = 4096
-  private val DSIR_MOD = 37
+  private[queries] val DSIR_B = 4096
+  private[queries] val DSIR_MOD = 37
   private val DSIR_K = 100
+
+  // C4 line-cleaning policy, shared by the batch query and its streaming
+  // twin (one set of constants → one oracle)
+  private[queries] val CLEAN_WPL = 12
+  private[queries] val CLEAN_MIN_WORDS = 8
+  private[queries] val CLEAN_MIN_LINES = 2
+  private[queries] val CLEAN_BAD = Seq("slow")
+
+  /** Oracle for text_clean_lines AND its streaming twin: the CLEAN_*
+    * policy constants inlined into the DuckDB mirror of
+    * segmentLines ∘ cleanLines. */
+  private[queries] lazy val cleanLinesSql: String = {
+    val w = CLEAN_WPL
+    s"""WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
+       |seg AS (SELECT id, list_transform(generate_series(0, (len(ws)+${w - 1})//$w - 1),
+       |    i -> array_to_string(ws[i*$w+1 : i*$w+$w], ' ')) AS lines FROM w),
+       |f AS (SELECT id, lines, list_filter(lines, l ->
+       |      len(string_split(l,' ')) >= $CLEAN_MIN_WORDS
+       |      AND NOT list_contains(string_split(l,' '), '${CLEAN_BAD.head}')) AS fl FROM seg),
+       |d AS (SELECT id, lines,
+       |    list_filter(fl, (l,i) -> list_position(fl, l) = i) AS kept FROM f)
+       |SELECT id, array_to_string(kept, chr(10)) AS text,
+       |  CAST(len(kept) AS BIGINT) AS n_lines,
+       |  CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped
+       |FROM d WHERE len(kept) >= $CLEAN_MIN_LINES ORDER BY id""".stripMargin
+  }
+
+  /** DSIR model CTEs (fit + per-doc score), shared by the top-K selection
+    * oracle and the streaming scoring twin. */
+  private[queries] lazy val dsirCtes: String =
+    s"""wh AS (SELECT doc_id, ${MirrorHash.wordHashesSql()} AS whs FROM documents),
+       |e AS (SELECT doc_id, unnest(whs) % $DSIR_B AS bucket FROM wh),
+       |bc AS (SELECT bucket, count(*) AS cs,
+       |    count(*) FILTER (WHERE doc_id % $DSIR_MOD = 0) AS ct
+       |  FROM e GROUP BY bucket),
+       |tot AS (SELECT sum(cs) AS ts, sum(ct) AS tt FROM bc),
+       |spine AS (SELECT unnest(generate_series(0, ${DSIR_B - 1})) AS bucket),
+       |l AS (SELECT spine.bucket,
+       |    CAST(round(1000000.0 * ln(
+       |      CAST((COALESCE(bc.ct,0)+1) * (tot.ts+$DSIR_B) AS DOUBLE)
+       |      / CAST((COALESCE(bc.cs,0)+1) * (tot.tt+$DSIR_B) AS DOUBLE)))
+       |      AS BIGINT) AS lw
+       |  FROM spine LEFT JOIN bc ON spine.bucket = bc.bucket, tot),
+       |la AS (SELECT list(lw ORDER BY bucket) AS a FROM l),
+       |sc AS (SELECT doc_id AS id,
+       |    CAST(list_sum(list_transform(whs, w -> a[CAST(w % $DSIR_B AS INT) + 1]))
+       |      AS BIGINT) AS score
+       |  FROM wh, la)""".stripMargin
 
   /** ONE jaccard candidate pipeline (the inverted-index self-join, ~2.6s
     * at sf0.1) feeds `dedup_jaccard` AND both cluster finishers. Memoized
@@ -192,9 +240,10 @@ object ExtQueries {
       // blacklist, in-doc keep-first line dedup, short-doc drop — all
       // per-row HOF folds, zero shuffle
       TextAnalysis.cleanLines(
-        TextAnalysis.segmentLines(t(s, dir, "documents"), "doc_id", "text", 12),
-        "id", "text", minWordsPerLine = 8, minLines = 2,
-        badWords = Seq("slow")).orderBy("id")),
+        TextAnalysis.segmentLines(t(s, dir, "documents"), "doc_id", "text",
+          CLEAN_WPL),
+        "id", "text", minWordsPerLine = CLEAN_MIN_WORDS,
+        minLines = CLEAN_MIN_LINES, badWords = CLEAN_BAD).orderBy("id")),
     "dedup_paragraphs" -> ((s, dir) =>
       // C4 corpus-wide span dedup: keep the globally FIRST occurrence of
       // each distinct line, reassemble docs — min(struct) per line (full
@@ -373,6 +422,13 @@ object ExtQueries {
       // exact-k draw: TakeOrderedAndProject on the id hash, no full sort
       Sampling.deterministicK(t(s, dir, "documents"), "doc_id", SAMPLE_K)
         .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
+
+    "sample_shuffle" -> ((s, dir) =>
+      // deterministic global shuffle (the pre-training permutation):
+      // range-partitioned sort on (hash(id), id) — reproducible across
+      // layouts/clusters, no single-task collapse
+      Sampling.shuffleDeterministic(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("shuffle_key"))),
 
     "split_leak_safe" -> ((s, dir) => {
       // leakage-safe train/val/test split: membership is decided by the
@@ -586,19 +642,7 @@ object ExtQueries {
         |FROM b ORDER BY id""".stripMargin,
     // 12-word line segmentation CTE shared by the two C4 mirrors below —
     // same slice arithmetic as TextAnalysis.segmentLines
-    "text_clean_lines" ->
-      """WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
-        |seg AS (SELECT id, list_transform(generate_series(0, (len(ws)+11)//12 - 1),
-        |    i -> array_to_string(ws[i*12+1 : i*12+12], ' ')) AS lines FROM w),
-        |f AS (SELECT id, lines, list_filter(lines, l ->
-        |      len(string_split(l,' ')) >= 8
-        |      AND NOT list_contains(string_split(l,' '), 'slow')) AS fl FROM seg),
-        |d AS (SELECT id, lines,
-        |    list_filter(fl, (l,i) -> list_position(fl, l) = i) AS kept FROM f)
-        |SELECT id, array_to_string(kept, chr(10)) AS text,
-        |  CAST(len(kept) AS BIGINT) AS n_lines,
-        |  CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped
-        |FROM d WHERE len(kept) >= 2 ORDER BY id""".stripMargin,
+    "text_clean_lines" -> cleanLinesSql,
     "dedup_paragraphs" ->
       """WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
         |seg AS (SELECT id, list_transform(generate_series(0, (len(ws)+11)//12 - 1),
@@ -884,6 +928,10 @@ object ExtQueries {
          |  ORDER BY ${Sampling.rowHashSql("doc_id")}, doc_id LIMIT $SAMPLE_K)
          |ORDER BY doc_id""".stripMargin,
 
+    "sample_shuffle" ->
+      s"""SELECT doc_id, ${Sampling.rowHashSql("doc_id")} AS shuffle_key
+         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+
     // leakage-safe split mirror: same cluster unroll as pipe_text_dedup,
     // split CASE applied to the cluster representative instead of doc_id
     "split_leak_safe" ->
@@ -937,24 +985,7 @@ object ExtQueries {
     // refits the table from the same data rather than pasting the
     // collected array
     "mix_dsir_select" ->
-      s"""WITH wh AS (SELECT doc_id, ${wordHashesSql()} AS whs FROM documents),
-         |e AS (SELECT doc_id, unnest(whs) % $DSIR_B AS bucket FROM wh),
-         |bc AS (SELECT bucket, count(*) AS cs,
-         |    count(*) FILTER (WHERE doc_id % $DSIR_MOD = 0) AS ct
-         |  FROM e GROUP BY bucket),
-         |tot AS (SELECT sum(cs) AS ts, sum(ct) AS tt FROM bc),
-         |spine AS (SELECT unnest(generate_series(0, ${DSIR_B - 1})) AS bucket),
-         |l AS (SELECT spine.bucket,
-         |    CAST(round(1000000.0 * ln(
-         |      CAST((COALESCE(bc.ct,0)+1) * (tot.ts+$DSIR_B) AS DOUBLE)
-         |      / CAST((COALESCE(bc.cs,0)+1) * (tot.tt+$DSIR_B) AS DOUBLE)))
-         |      AS BIGINT) AS lw
-         |  FROM spine LEFT JOIN bc ON spine.bucket = bc.bucket, tot),
-         |la AS (SELECT list(lw ORDER BY bucket) AS a FROM l),
-         |sc AS (SELECT doc_id AS id,
-         |    CAST(list_sum(list_transform(whs, w -> a[CAST(w % $DSIR_B AS INT) + 1]))
-         |      AS BIGINT) AS score
-         |  FROM wh, la)
+      s"""WITH $dsirCtes
          |SELECT id, score FROM sc
          |ORDER BY score DESC, id LIMIT $DSIR_K""".stripMargin,
 

@@ -162,6 +162,27 @@ object StreamQueries {
       StreamOps.decontamOnce(s, dir, evalMod = ExtQueries.DECON_MOD,
         n = ExtQueries.DECON_N).orderBy("id")),
 
+    // ONLINE C4 line cleaning: pure per-row projection over the file
+    // stream (append mode, zero state/shuffle) — the batch code path and
+    // its oracle verbatim
+    "stream_clean_lines" -> ((s, dir) =>
+      StreamOps.cleanLinesOnce(s, dir, ExtQueries.CLEAN_WPL,
+        ExtQueries.CLEAN_MIN_WORDS, ExtQueries.CLEAN_MIN_LINES,
+        ExtQueries.CLEAN_BAD).orderBy("id")),
+
+    // ONLINE importance/quality scoring: the DSIR table is fitted batch-
+    // side (a model artifact), then every streaming doc is scored in a
+    // stateless projection fold — append mode, zero state, the shape of
+    // tagging a live ingest with quality weights
+    "stream_dsir_score" -> ((s, dir) => {
+      val docs = graft.queries.Tables.t(s, dir, "documents")
+      val tbl = graft.operators.Mixture.importanceTable(docs, "text",
+          org.apache.spark.sql.functions.col("doc_id") % ExtQueries.DSIR_MOD === 0,
+          ExtQueries.DSIR_B)
+        .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+      StreamOps.importanceScoreOnce(s, dir, tbl, ExtQueries.DSIR_B).orderBy("id")
+    }),
+
     // stream-stream INTERVAL JOIN (view → click attribution within 4 h):
     // watermarked self-join with a time-range predicate — the engine
     // bounds both sides' join state from the condition; oracle = the
@@ -327,6 +348,10 @@ object StreamQueries {
         |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "stream_decontam" -> ExtQueries.deconSql,
+    "stream_clean_lines" -> ExtQueries.cleanLinesSql,
+    "stream_dsir_score" ->
+      s"""WITH ${ExtQueries.dsirCtes}
+         |SELECT id, score FROM sc ORDER BY id""".stripMargin,
     "stream_ohlc" ->
       """SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
         |  first(value ORDER BY ts, event_id) AS open,

@@ -245,6 +245,59 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming C4 line cleaning — the online-ingestion twin of
+    * `TextAnalysis.cleanLines ∘ segmentLines`. Both are pure per-row
+    * projections (no state, no watermark, no shuffle), so the streaming
+    * plan IS the batch code path over a file source in APPEND mode —
+    * the shape of a cleaning stage running as documents arrive; shares
+    * the `text_clean_lines` oracle verbatim (one code path, no drift). */
+  def cleanLinesOnce(spark: SparkSession, dir: String, wordsPerLine: Int,
+      minWords: Int, minLines: Int, badWords: Seq[String],
+      sinkName: String = "stream_clean_lines_sink"): DataFrame = {
+    val tmp = linkedDir(dir, "documents")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(schema).parquet(tmp)
+    val out = graft.operators.TextAnalysis.cleanLines(
+      graft.operators.TextAnalysis.segmentLines(src, "doc_id", "text", wordsPerLine),
+      "id", "text", minWordsPerLine = minWords, minLines = minLines,
+      badWords = badWords)
+    withHarnessConf(spark, "4") { ckpt =>
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName)
+  }
+
+  /** Streaming importance/quality scoring — model APPLICATION at
+    * ingestion time: a fitted hashed-linear table (the batch artifact of
+    * `Mixture.importanceTable`, or any trained quality classifier) ships
+    * as a plan literal, and every arriving document is scored in one
+    * stateless projection fold — append mode, zero state, zero shuffle,
+    * the production shape for tagging a live ingest with quality
+    * weights. */
+  def importanceScoreOnce(spark: SparkSession, dir: String,
+      table: Seq[Long], buckets: Int,
+      sinkName: String = "stream_dsir_score_sink"): DataFrame = {
+    val tmp = linkedDir(dir, "documents")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(schema).parquet(tmp)
+    val out = graft.operators.Mixture.importanceScore(
+      src, "doc_id", "text", table, buckets)
+    withHarnessConf(spark, "4") { ckpt =>
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName)
+  }
+
   /** Streaming vocabulary: COMPLETE-mode running token counts over a
     * parquet file source — the streaming twin of `TextAnalysis.vocab`
     * (the missing output mode in the suite: resample/sessionize are

@@ -76,6 +76,22 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() === src0Total)
   }
 
+  test("shuffleDeterministic: a total permutation, layout-invariant") {
+    import spark.implicits._
+    val d = (0L until 500L).map(i => (i, s"doc$i")).toDF("id", "body")
+    val out = Sampling.shuffleDeterministic(d, "id").collect()
+    // total order: the emitted sequence is sorted by (shuffle_key, id)
+    val keys = out.map(r => (r.getAs[Long]("shuffle_key"), r.getAs[Long]("id")))
+    assert(keys.toSeq == keys.toSeq.sorted)
+    // a permutation: every input id exactly once
+    assert(out.map(_.getAs[Long]("id")).toSet == (0L until 500L).toSet)
+    // actually shuffled (not identity order) and layout-invariant
+    assert(out.map(_.getAs[Long]("id")).toSeq != (0L until 500L).toSeq)
+    val re = Sampling.shuffleDeterministic(d.repartition(7), "id").collect()
+    assert(re.map(_.getAs[Long]("id")).toSeq
+      == out.map(_.getAs[Long]("id")).toSeq)
+  }
+
   test("stratified: per-stratum thresholds compose with the id hash") {
     val out = Sampling.stratified(docs, "doc_id", "source",
       Map("src0" -> 1.0, "src1" -> 0.4), default = 0.0)
