@@ -467,6 +467,21 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "pipe_mix_pack" -> ((s, dir) => {
+      // mixture → training sequences in ONE declarative plan: the
+      // fractional-epoch generator (zero shuffle — replicas materialize
+      // where the row lives) feeds the bucket-partitioned packing
+      // window directly. The replica id (doc_id·8 + copy_idx; copies
+      // < 8 by the rate map) keeps packing a pure function of the
+      // virtual-corpus id set — layout-invariant like everything in
+      // Sampling/Packing.
+      val rs = Mixture.resample(t(s, dir, "documents"), "doc_id", "source",
+          MIX_RATES, MIX_DEFAULT)
+        .withColumn("rep_id", col("doc_id") * 8 + col("copy_idx"))
+      Packing.packTokens(rs, "rep_id", "text", PACK_BUDGET, PACK_BUCKETS)
+        .orderBy("id")
+    }),
+
     "mix_dsir_select" -> ((s, dir) => {
       // DSIR data selection: fit the hashed-unigram importance model in
       // ONE corpus pass (target = every DSIR_MOD-th doc), collect the
@@ -979,6 +994,34 @@ object ExtQueries {
          |      AS cum_tokens FROM q)
          |SELECT doc_id, source, cum_tokens FROM c
          |WHERE cum_tokens <= $MIX_BUDGET ORDER BY doc_id""".stripMargin,
+
+    // mixture→pack mirror: the resample CASE thresholds (same epochPlan
+    // constants) feed the pack window keyed on the replica id
+    "pipe_mix_pack" -> {
+      val plans = MIX_RATES.toSeq.sortBy(_._1)
+        .map { case (s, r) => s -> graft.operators.Mixture.epochPlan(r) }
+      val dflt = graft.operators.Mixture.epochPlan(MIX_DEFAULT)
+      val wholeCase = plans.map { case (s, p) => s"WHEN '$s' THEN ${p.whole}" }
+        .mkString(" ")
+      val thrCase = plans.map { case (s, p) => s"WHEN '$s' THEN ${p.fracThreshold}" }
+        .mkString(" ")
+      s"""WITH c AS (SELECT doc_id, text,
+         |    CASE source $wholeCase ELSE ${dflt.whole} END
+         |    + CASE WHEN ${Sampling.rowHashSql("doc_id")}
+         |        < CASE source $thrCase ELSE ${dflt.fracThreshold} END
+         |      THEN 1 ELSE 0 END AS n FROM documents),
+         |r AS (SELECT doc_id, text, unnest(range(n)) AS copy_idx
+         |  FROM c WHERE n > 0),
+         |d AS (SELECT doc_id*8 + copy_idx AS id,
+         |    ${Sampling.rowHashSql("(doc_id*8 + copy_idx)")} AS h,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM r),
+         |b AS (SELECT id, h, n_tokens, h % $PACK_BUCKETS AS bucket FROM d),
+         |cc AS (SELECT id, bucket, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, id) AS cum FROM b)
+         |SELECT id, bucket, n_tokens,
+         |  CAST(((cum - n_tokens) // $PACK_BUDGET) * $PACK_BUCKETS + bucket AS BIGINT) AS seq_id
+         |FROM cc ORDER BY id""".stripMargin
+    },
 
     // DSIR mirror: identical one-pass bucket counts, identical integer
     // products under the ln, micro-nat rounding, literal-free — the SQL
