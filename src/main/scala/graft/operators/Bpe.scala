@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE merge learning — tokenizer-training step 2 (step 1, the corpus
+  * vocabulary, is `TextAnalysis.vocab`). Classic Sennrich-style greedy
+  * pair merging (Sennrich et al. 2016), here over the WORD sequence
+  * (learned merges are multi-word tokens — the phrase-BPE variant), as
+  * iterative Spark plans:
+  *
+  * per round: (1) count adjacent symbol pairs — explode + hash agg with
+  * full map-side combine, the shuffle bounded by the DISTINCT pair set,
+  * not the corpus; (2) pick the most frequent pair — a 1-row
+  * TakeOrdered with a total tie-break (count desc, left, right); (3)
+  * rewrite the corpus — one pure projection applying the merge.
+  *
+  * This is exactly how distributed BPE trainers iterate (a corpus pass
+  * per merge; production trainers batch top-N compatible merges per
+  * pass — same plan shape, fewer rounds). State between rounds is
+  * localCheckpoint'd: K rounds must cost K plans, not one 2^K plan.
+  *
+  * Merge application semantics (disclosed, engine-mirrored): the pair
+  * `a b` is replaced by `a_b` via TWO passes of non-overlapping
+  * left-to-right literal string replacement over the space-joined
+  * symbols. Two passes re-catch the occurrence a single pass misses
+  * when matches share a delimiter space (`x a b a b`); an unbroken run
+  * of 3+ identical pairs can still differ from a strict leftmost-greedy
+  * tokenizer — on natural corpora this is vanishingly rare, and both
+  * engines compute the IDENTICAL result by construction. */
+object Bpe {
+
+  /** Learn `rounds` merges from `df.textCol`; returns one row per merge:
+    * (rank, left, right, cnt) in learning order. */
+  def learnMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = df.sparkSession
+    var state = df.select(col(textCol).as("s")).localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val ws = split(col("s"), " ")
+      val top = state
+        .select(explode(zip_with(slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) return result(spark, merges.result())
+      val (l, rr, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((r, l, rr, cnt))
+      val pat = lit(s" $l $rr ")
+      val rep = lit(s" ${l}_$rr ")
+      def pass(c: org.apache.spark.sql.Column) = replace(c, pat, rep)
+      state = state
+        .select(trim(pass(pass(concat(lit(" "), col("s"), lit(" "))))).as("s"))
+        .localCheckpoint(true)
+    }
+    result(spark, merges.result())
+  }
+
+  private def result(spark: SparkSession,
+      ms: Seq[(Int, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    ms.toDF("rank", "left", "right", "cnt")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.MirrorHash
-import graft.operators.{Binning, Chunking, Decontaminate, Dedup, Mixture, Packing, Ranking, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Binning, Bpe, Chunking, Decontaminate, Dedup, Mixture, Packing, Ranking, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** Training-data-pipeline extension queries (north star in BASELINE.json):
@@ -62,6 +62,29 @@ object ExtQueries {
   // packing streams (≈ docs of ~54 tokens → ~9 docs per sequence)
   private val PACK_BUDGET = 512L
   private val PACK_BUCKETS = 8
+
+  // BPE merge-learning rounds (tokenizer-training step 2)
+  private val BPE_ROUNDS = 6
+
+  /** Unrolled BPE rounds for the DuckDB mirror: round i counts adjacent
+    * pairs of state s{i-1}, picks the (cnt desc, l, r) top pair, and
+    * rewrites the state with the same padded double-replace as
+    * [[graft.operators.Bpe.learnMerges]]. */
+  private def bpeCtes(rounds: Int): String = {
+    val blocks = (1 to rounds).map { i =>
+      s"""w$i AS (SELECT s FROM s${i - 1}),
+         |x$i AS (SELECT string_split(s,' ') AS ws FROM w$i),
+         |e$i AS (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS j FROM x$i),
+         |c$i AS (SELECT ws[CAST(j AS INT)] AS l, ws[CAST(j AS INT)+1] AS r,
+         |    count(*) AS cnt FROM e$i GROUP BY 1, 2),
+         |t$i AS (SELECT l, r, cnt FROM c$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$i AS (SELECT trim(replace(replace(' '||s||' ',
+         |    ' '||t$i.l||' '||t$i.r||' ', ' '||t$i.l||'_'||t$i.r||' '),
+         |    ' '||t$i.l||' '||t$i.r||' ', ' '||t$i.l||'_'||t$i.r||' ')) AS s
+         |  FROM w$i, t$i)""".stripMargin
+    }
+    s"s0 AS (SELECT text AS s FROM documents),\n" + blocks.mkString(",\n")
+  }
 
   // DSIR importance model: hash-bucket count and the deterministic
   // target-subset rule (every 37th doc models the "high-quality" set)
@@ -481,6 +504,14 @@ object ExtQueries {
       Packing.packTokens(rs, "rep_id", "text", PACK_BUDGET, PACK_BUCKETS)
         .orderBy("id")
     }),
+
+    "text_bpe_merges" -> ((s, dir) =>
+      // tokenizer training step 2: greedy pair merging over the word
+      // sequence — per round ONE pair-count agg (shuffle bounded by the
+      // distinct pair set), one 1-row TakeOrdered, one projection
+      // rewriting the corpus
+      Bpe.learnMerges(t(s, dir, "documents"), "text", BPE_ROUNDS)
+        .orderBy("rank")),
 
     "mix_dsir_select" -> ((s, dir) => {
       // DSIR data selection: fit the hashed-unigram importance model in
@@ -994,6 +1025,14 @@ object ExtQueries {
          |      AS cum_tokens FROM q)
          |SELECT doc_id, source, cum_tokens FROM c
          |WHERE cum_tokens <= $MIX_BUDGET ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_merges" -> {
+      val tails = (1 to BPE_ROUNDS)
+        .map(i => s"""SELECT $i AS rank, l AS "left", r AS "right", cnt FROM t$i""")
+        .mkString("\n UNION ALL ")
+      s"""WITH ${bpeCtes(BPE_ROUNDS)}
+         |SELECT * FROM ($tails) ORDER BY rank""".stripMargin
+    },
 
     // mixture→pack mirror: the resample CASE thresholds (same epochPlan
     // constants) feed the pack window keyed on the replica id
