@@ -60,6 +60,24 @@ object Bpe {
     result(spark, merges.result())
   }
 
+  /** Apply a learned merge table to a corpus — the inference half (the
+    * tokenizer's encode step for the merge phase): the K merges unfold
+    * into K stacked two-pass replaces, one pure projection over the
+    * corpus — zero shuffle, zero state; the merge table is part of the
+    * plan like [[Mixture.importanceScore]]'s weight table. Emits the
+    * rewritten text plus the resulting token count. */
+  def applyMerges(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val rewritten = merges.foldLeft(concat(lit(" "), col(textCol), lit(" "))) {
+      case (acc, (l, r)) =>
+        val pat = lit(s" $l $r ")
+        val rep = lit(s" ${l}_$r ")
+        replace(replace(acc, pat, rep), pat, rep)
+    }
+    df.select(col(idCol).as("id"), trim(rewritten).as("text"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+  }
+
   private def result(spark: SparkSession,
       ms: Seq[(Int, String, String, Long)]): DataFrame = {
     import spark.implicits._

@@ -72,18 +72,18 @@ object ExtQueries {
     * [[graft.operators.Bpe.learnMerges]]. */
   private def bpeCtes(rounds: Int): String = {
     val blocks = (1 to rounds).map { i =>
-      s"""w$i AS (SELECT s FROM s${i - 1}),
+      s"""w$i AS (SELECT doc_id, s FROM s${i - 1}),
          |x$i AS (SELECT string_split(s,' ') AS ws FROM w$i),
          |e$i AS (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS j FROM x$i),
          |c$i AS (SELECT ws[CAST(j AS INT)] AS l, ws[CAST(j AS INT)+1] AS r,
          |    count(*) AS cnt FROM e$i GROUP BY 1, 2),
          |t$i AS (SELECT l, r, cnt FROM c$i ORDER BY cnt DESC, l, r LIMIT 1),
-         |s$i AS (SELECT trim(replace(replace(' '||s||' ',
+         |s$i AS (SELECT doc_id, trim(replace(replace(' '||s||' ',
          |    ' '||t$i.l||' '||t$i.r||' ', ' '||t$i.l||'_'||t$i.r||' '),
          |    ' '||t$i.l||' '||t$i.r||' ', ' '||t$i.l||'_'||t$i.r||' ')) AS s
          |  FROM w$i, t$i)""".stripMargin
     }
-    s"s0 AS (SELECT text AS s FROM documents),\n" + blocks.mkString(",\n")
+    s"s0 AS (SELECT doc_id, text AS s FROM documents),\n" + blocks.mkString(",\n")
   }
 
   // DSIR importance model: hash-bucket count and the deterministic
@@ -512,6 +512,17 @@ object ExtQueries {
       // rewriting the corpus
       Bpe.learnMerges(t(s, dir, "documents"), "text", BPE_ROUNDS)
         .orderBy("rank")),
+
+    "text_bpe_apply" -> ((s, dir) => {
+      // tokenizer encode (merge phase): the learned table unfolds into
+      // stacked replaces — ONE projection pass over the corpus, zero
+      // shuffle; fit is the batch artifact, apply is the plan
+      val ms = Bpe.learnMerges(t(s, dir, "documents"), "text", BPE_ROUNDS)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.applyMerges(t(s, dir, "documents"), "doc_id", "text", ms)
+        .orderBy("id")
+    }),
 
     "mix_dsir_select" -> ((s, dir) => {
       // DSIR data selection: fit the hashed-unigram importance model in
@@ -1033,6 +1044,12 @@ object ExtQueries {
       s"""WITH ${bpeCtes(BPE_ROUNDS)}
          |SELECT * FROM ($tails) ORDER BY rank""".stripMargin
     },
+
+    "text_bpe_apply" ->
+      s"""WITH ${bpeCtes(BPE_ROUNDS)}
+         |SELECT doc_id AS id, s AS text,
+         |  CAST(len(string_split(s,' ')) AS BIGINT) AS n_tokens
+         |FROM s$BPE_ROUNDS ORDER BY id""".stripMargin,
 
     // mixture→pack mirror: the resample CASE thresholds (same epochPlan
     // constants) feed the pack window keyed on the replica id
