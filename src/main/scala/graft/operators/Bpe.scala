@@ -60,6 +60,61 @@ object Bpe {
     result(spark, merges.result())
   }
 
+  /** Batched merge learning — the 100 TB path: each corpus pass learns
+    * up to `perRound` merges instead of one, so M merges cost ~M∕N
+    * passes. A batch must be order-independent to apply in one rewrite,
+    * so it keeps only SYMBOL-DISJOINT pairs, selected by a
+    * non-recursive rule both engines can express: rank candidates by
+    * (count desc, left, right); a pair is kept iff NO higher-ranked
+    * CANDIDATE (kept or not) shares a symbol with it. (Stricter than
+    * greedy-vs-kept-only — it may select fewer merges per pass — but it
+    * is deterministic, engine-mirrorable, and still sound.) Merge
+    * application then stacks the batch's two-pass replaces in rank
+    * order. Emits (round, rank, left, right, cnt). */
+  def learnMergesBatched(df: DataFrame, textCol: String, rounds: Int,
+      perRound: Int): DataFrame = {
+    require(rounds >= 1 && perRound >= 1, "rounds/perRound must be >= 1")
+    val spark = df.sparkSession
+    var state = df.select(col(textCol).as("s")).localCheckpoint(true)
+    val out = Seq.newBuilder[(Int, Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val ws = split(col("s"), " ")
+      // top candidates: perRound is the KEEP budget; examine a deeper
+      // pool so disjointness filtering can still fill the batch
+      val pool = state
+        .select(explode(zip_with(slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(perRound * 4).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (pool.isEmpty) return resultBatched(spark, out.result())
+      // kept iff disjoint from EVERY higher-ranked candidate
+      val kept = pool.zipWithIndex.filter { case ((l, r, _), i) =>
+        pool.take(i).forall { case (l2, r2, _) =>
+          l != l2 && l != r2 && r != l2 && r != r2 }
+      }.map(_._1).take(perRound)
+      kept.zipWithIndex.foreach { case ((l, r, c), i) =>
+        out += ((round, i + 1, l, r, c)) }
+      val rewritten = kept.foldLeft(concat(lit(" "), col("s"), lit(" "))) {
+        case (acc, (l, r, _)) =>
+          val pat = lit(s" $l $r ")
+          val rep = lit(s" ${l}_$r ")
+          replace(replace(acc, pat, rep), pat, rep)
+      }
+      state = state.select(trim(rewritten).as("s")).localCheckpoint(true)
+    }
+    resultBatched(spark, out.result())
+  }
+
+  private def resultBatched(spark: SparkSession,
+      ms: Seq[(Int, Int, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    ms.toDF("round", "rank", "left", "right", "cnt")
+  }
+
   /** Apply a learned merge table to a corpus — the inference half (the
     * tokenizer's encode step for the merge phase): the K merges unfold
     * into K stacked two-pass replaces, one pure projection over the

@@ -86,6 +86,40 @@ object ExtQueries {
     s"s0 AS (SELECT doc_id, text AS s FROM documents),\n" + blocks.mkString(",\n")
   }
 
+  private val BPE_BATCH_ROUNDS = 2
+  private val BPE_BATCH_PER = 3
+
+  /** Unrolled batched-BPE rounds: per round, a ranked candidate pool
+    * (top 4·perRound), the non-recursive disjointness rule (kept iff no
+    * higher-ranked candidate shares a symbol), and a rewrite stacking
+    * the ≤perRound kept merges via scalar subqueries (missing ranks
+    * no-op through the CASE). Mirrors [[Bpe.learnMergesBatched]]. */
+  private def bpeBatchedCtes(rounds: Int, perRound: Int): String = {
+    val blocks = (1 to rounds).map { i =>
+      val rewrite = (1 to perRound).foldLeft("' '||s||' '") { (acc, k) =>
+        val lk = s"(SELECT l FROM kk$i WHERE rnk = $k)"
+        val rk = s"(SELECT r FROM kk$i WHERE rnk = $k)"
+        val pat = s"' '||$lk||' '||$rk||' '"
+        val rp = s"' '||$lk||'_'||$rk||' '"
+        s"CASE WHEN $lk IS NULL THEN $acc ELSE replace(replace($acc, $pat, $rp), $pat, $rp) END"
+      }
+      s"""x$i AS (SELECT string_split(s,' ') AS ws FROM s${i - 1}),
+         |e$i AS (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS j FROM x$i),
+         |c$i AS (SELECT ws[CAST(j AS INT)] AS l, ws[CAST(j AS INT)+1] AS r,
+         |    count(*) AS cnt FROM e$i GROUP BY 1, 2),
+         |p$i AS (SELECT l, r, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, l, r) AS rn FROM c$i
+         |  ORDER BY cnt DESC, l, r LIMIT ${perRound * 4}),
+         |k$i AS (SELECT l, r, cnt, rn FROM p$i a WHERE NOT EXISTS (
+         |    SELECT 1 FROM p$i b WHERE b.rn < a.rn
+         |      AND (b.l = a.l OR b.l = a.r OR b.r = a.l OR b.r = a.r))),
+         |kk$i AS (SELECT l, r, cnt, row_number() OVER (ORDER BY rn) AS rnk
+         |  FROM k$i ORDER BY rn LIMIT $perRound),
+         |s$i AS (SELECT trim($rewrite) AS s FROM s${i - 1})""".stripMargin
+    }
+    s"s0 AS (SELECT text AS s FROM documents),\n" + blocks.mkString(",\n")
+  }
+
   // DSIR importance model: hash-bucket count and the deterministic
   // target-subset rule (every 37th doc models the "high-quality" set)
   private[queries] val DSIR_B = 4096
@@ -512,6 +546,14 @@ object ExtQueries {
       // rewriting the corpus
       Bpe.learnMerges(t(s, dir, "documents"), "text", BPE_ROUNDS)
         .orderBy("rank")),
+
+    "text_bpe_batched" -> ((s, dir) =>
+      // the 100 TB BPE path: each corpus pass learns a BATCH of
+      // symbol-disjoint merges (selection rule non-recursive so both
+      // engines express it) — M merges in ~M/N passes
+      Bpe.learnMergesBatched(t(s, dir, "documents"), "text",
+          BPE_BATCH_ROUNDS, BPE_BATCH_PER)
+        .orderBy("round", "rank")),
 
     "text_bpe_apply" -> ((s, dir) => {
       // tokenizer encode (merge phase): the learned table unfolds into
@@ -1043,6 +1085,15 @@ object ExtQueries {
         .mkString("\n UNION ALL ")
       s"""WITH ${bpeCtes(BPE_ROUNDS)}
          |SELECT * FROM ($tails) ORDER BY rank""".stripMargin
+    },
+
+    "text_bpe_batched" -> {
+      val tails = (1 to BPE_BATCH_ROUNDS)
+        .map(i => s"""SELECT $i AS round, CAST(rnk AS INT) AS rank,
+                     | l AS "left", r AS "right", cnt FROM kk$i""".stripMargin)
+        .mkString("\n UNION ALL ")
+      s"""WITH ${bpeBatchedCtes(BPE_BATCH_ROUNDS, BPE_BATCH_PER)}
+         |SELECT * FROM ($tails) ORDER BY round, rank""".stripMargin
     },
 
     "text_bpe_apply" ->

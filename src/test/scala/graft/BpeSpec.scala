@@ -36,6 +36,35 @@ class BpeSpec extends SparkSpec {
     assert(m(1) == (("a_b", "a_b", 1L)))
   }
 
+  test("learnMergesBatched: kept merges are symbol-disjoint within a round") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val m = Bpe.learnMergesBatched(docs, "text", 2, 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(m.nonEmpty)
+    // across DIFFERENT pairs no symbol repeats (a self-pair like
+    // "order order" is a single merge and is fine)
+    m.groupBy(_._1).foreach { case (_, batch) =>
+      batch.combinations(2).foreach { case Array(a, b) =>
+        val sa = Set(a._3, a._4); val sb = Set(b._3, b._4)
+        assert(sa.intersect(sb).isEmpty,
+          s"overlapping symbols between $a and $b")
+      }
+    }
+    // ranks are 1..k within each round
+    m.groupBy(_._1).foreach { case (_, batch) =>
+      assert(batch.map(_._2).sorted.toSeq == (1 to batch.length)) }
+  }
+
+  test("learnMergesBatched(perRound=1) == learnMerges") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val seq = Bpe.learnMerges(docs, "text", 3).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val bat = Bpe.learnMergesBatched(docs, "text", 3, 1)
+      .orderBy("round").collect()
+      .map(r => (r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(seq == bat)
+  }
+
   test("learnMerges: fewer pairs than rounds terminates early") {
     val d = Seq("one two", "solo").toDF("text")
     val m = Bpe.learnMerges(d, "text", 5).collect()
