@@ -107,6 +107,50 @@ object Mixture {
           .cast("long").as("lw"))
   }
 
+  /** Unigram language-model table for perplexity filtering (the CCNet
+    * move — Wenzek et al. 2020 rank documents by LM perplexity and drop
+    * the tail): hashed-unigram log-probabilities as integer micro-nats,
+    * L_b = round(10⁶ · ln((c_b+1)∕(total+B))) with add-one smoothing.
+    * One corpus pass, map-side combine, B-bounded shuffle — the same
+    * fit shape as [[importanceTable]]. */
+  def unigramLmTable(df: DataFrame, textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val wh = graft.functions.HashExpressions.word_hashes(col(textCol))
+    val bc = df.select(explode(wh).as("w"))
+      .select(pmod(col("w"), lit(buckets.toLong)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val tot = bc.agg(sum(col("c")).as("t"))
+    val spine = df.sparkSession.range(buckets).select(col("id").as("bucket"))
+    spine.join(bc, Seq("bucket"), "left").crossJoin(tot)
+      .select(col("bucket"),
+        round(lit(1e6) * log(
+          (coalesce(col("c"), lit(0L)) + 1).cast("double")
+            / (col("t") + buckets).cast("double")))
+          .cast("long").as("lp"))
+  }
+
+  /** Per-document perplexity under a collected unigram table: the
+    * negative mean log-probability in micro-nats,
+    * nll = −Σ_words lp[bucket(word)] ∕ n_words — BIGINT sum, one final
+    * IEEE division. High nll = surprising/low-quality under the corpus
+    * LM; the CCNet filter drops the worst tail. Pure projection fold
+    * with the table a plan literal — zero shuffle. */
+  def perplexityScore(df: DataFrame, idCol: String, textCol: String,
+      table: Seq[Long], buckets: Int): DataFrame = {
+    require(table.length == buckets, s"table size ${table.length} != $buckets")
+    val la = lit(table.toArray)
+    val wh = graft.functions.HashExpressions.word_hashes(col(textCol))
+    val nllSum = aggregate(wh, lit(0L), (acc, w) =>
+      acc - element_at(la, pmod(w, lit(buckets.toLong)).cast("int") + 1))
+    df.select(col(idCol).as("id"),
+      size(wh).cast("long").as("n_words"),
+      nllSum.as("__s"))
+      .select(col("id"), col("n_words"),
+        (col("__s").cast("double") / col("n_words").cast("double"))
+          .as("nll_micro_nats"))
+      .filter(col("n_words") > 0)
+  }
+
   /** Score every document against a collected importance table (the
     * model-application half of DSIR, and the same plan shape as any
     * trained hashed-linear quality classifier à la fastText): score =

@@ -547,6 +547,17 @@ object ExtQueries {
       Bpe.learnMerges(t(s, dir, "documents"), "text", BPE_ROUNDS)
         .orderBy("rank")),
 
+    "text_perplexity" -> ((s, dir) => {
+      // CCNet perplexity filtering: fit the corpus unigram LM (one
+      // B-bounded pass), then rank every doc by negative mean log-prob
+      // and emit the WORST tail — the drop set of the filter
+      val docs = t(s, dir, "documents")
+      val tbl = Mixture.unigramLmTable(docs, "text", DSIR_B)
+        .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+      Mixture.perplexityScore(docs, "doc_id", "text", tbl, DSIR_B)
+        .orderBy(col("nll_micro_nats").desc, col("id")).limit(DSIR_K)
+    }),
+
     "text_bpe_batched" -> ((s, dir) =>
       // the 100 TB BPE path: each corpus pass learns a BATCH of
       // symbol-disjoint merges (selection rule non-recursive so both
@@ -1086,6 +1097,29 @@ object ExtQueries {
       s"""WITH ${bpeCtes(BPE_ROUNDS)}
          |SELECT * FROM ($tails) ORDER BY rank""".stripMargin
     },
+
+    // perplexity mirror: refit the unigram LM from the same data, same
+    // micro-nat rounding, same -sum/n IEEE division
+    "text_perplexity" ->
+      s"""WITH wh AS (SELECT doc_id, ${MirrorHash.wordHashesSql()} AS whs FROM documents),
+         |e AS (SELECT unnest(whs) % $DSIR_B AS bucket FROM wh),
+         |bc AS (SELECT bucket, count(*) AS c FROM e GROUP BY 1),
+         |tot AS (SELECT sum(c) AS t FROM bc),
+         |spine AS (SELECT unnest(generate_series(0, ${DSIR_B - 1})) AS bucket),
+         |l AS (SELECT spine.bucket,
+         |    CAST(round(1000000.0 * ln(
+         |      CAST(COALESCE(bc.c,0)+1 AS DOUBLE)
+         |      / CAST(tot.t+$DSIR_B AS DOUBLE))) AS BIGINT) AS lp
+         |  FROM spine LEFT JOIN bc ON spine.bucket = bc.bucket, tot),
+         |la AS (SELECT list(lp ORDER BY bucket) AS a FROM l),
+         |sc AS (SELECT doc_id AS id, CAST(len(whs) AS BIGINT) AS n_words,
+         |    CAST(-list_sum(list_transform(whs,
+         |      w -> a[CAST(w % $DSIR_B AS INT) + 1])) AS BIGINT) AS s
+         |  FROM wh, la)
+         |SELECT id, n_words,
+         |  CAST(s AS DOUBLE) / CAST(n_words AS DOUBLE) AS nll_micro_nats
+         |FROM sc WHERE n_words > 0
+         |ORDER BY nll_micro_nats DESC, id LIMIT $DSIR_K""".stripMargin,
 
     "text_bpe_batched" -> {
       val tails = (1 to BPE_BATCH_ROUNDS)

@@ -105,6 +105,23 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("perplexity: rare-vocabulary docs score higher nll than common ones") {
+    import spark.implicits._
+    // 30 docs share a common vocabulary; 2 outliers use words seen
+    // nowhere else — the unigram LM must rank the outliers as the most
+    // surprising (highest negative mean log-prob)
+    val corpus = (0L until 30L).map(i => (i, "the quick brown fox jumps")) ++
+      Seq((100L, "zyx wvu tsr qpo nml"), (101L, "abc def ghi jkl mno"))
+    val df = corpus.toDF("doc_id", "text")
+    val tbl = Mixture.unigramLmTable(df, "text", 512)
+      .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+    val nll = Mixture.perplexityScore(df, "doc_id", "text", tbl, 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val common = (0L until 30L).map(nll).max
+    assert(nll(100L) > common && nll(101L) > common,
+      s"outliers ${nll(100L)}/${nll(101L)} vs common max $common")
+  }
+
   test("DSIR importance: docs sharing the target vocabulary outscore the rest") {
     import spark.implicits._
     // target docs (id % 5 == 0) use a distinctive vocabulary; two probe
