@@ -200,12 +200,7 @@ object Bench {
     // + post-hoc stall analysis; the driver's scraped tail stays compact)
     val gcMap = gcByQuery.map { case (k, (g, sp)) => s""""$k":[$g,$sp]""" }
       .mkString("{", ",", "}")
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jq(s: String): String = queries.Tables.jsonEscape(s)
     val errMap = errByQuery.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
       .mkString("{", ",", "}")
     val full = toJson(results, s""","gc_by_query":$gcMap,"errors":$errMap""")

@@ -65,12 +65,16 @@ final class SwiftRolling(sw: Swift, spec: WindowSpec, minPeriods: Int) {
   def cov(xCol: String, yCol: String, out: String): DataFrame = {
     sw.lastStrategy = SwiftStrategy.Vectorized
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // pairwise-complete: a row contributes only when BOTH inputs are
+    // set (pandas NaN handling) — masking keeps Σx/Σy/Σxy/n consistent
+    val bothSet = col(xCol).isNotNull && col(yCol).isNotNull
     def micro(c: String) =
-      (col(c).cast(org.apache.spark.sql.types.DecimalType(20, 6)) * lit(1000000L))
-        .cast("long")
+      when(bothSet,
+        (col(c).cast(org.apache.spark.sql.types.DecimalType(20, 6)) * lit(1000000L))
+          .cast("long"))
     val xm = micro(xCol).cast(d38)
     val ym = micro(yCol).cast(d38)
-    val n = count(lit(1)).over(spec)
+    val n = count(xm).over(spec)
     val sxy = sum(xm * ym).over(spec)
     val sx = sum(xm).over(spec)
     val sy = sum(ym).over(spec)
@@ -99,12 +103,15 @@ final class SwiftRolling(sw: Swift, spec: WindowSpec, minPeriods: Int) {
     sw.lastStrategy = SwiftStrategy.Vectorized
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val digits = math.log10(scale.toDouble).round.toInt
+    // pairwise-complete masking, same contract as [[cov]]
+    val bothSet = col(xCol).isNotNull && col(yCol).isNotNull
     def fixed(c: String) =
-      (col(c).cast(org.apache.spark.sql.types.DecimalType(20, digits)) * lit(scale))
-        .cast("long").cast(d38)
+      when(bothSet,
+        (col(c).cast(org.apache.spark.sql.types.DecimalType(20, digits)) * lit(scale))
+          .cast("long")).cast(d38)
     val xm = fixed(xCol)
     val ym = fixed(yCol)
-    val n = count(lit(1)).over(spec)
+    val n = count(xm).over(spec)
     val nd = n.cast(d38)
     val num = (nd * sum(xm * ym).over(spec)
       - sum(xm).over(spec) * sum(ym).over(spec)).cast("double")
@@ -155,19 +162,23 @@ final class SwiftRolling(sw: Swift, spec: WindowSpec, minPeriods: Int) {
     *   A = n·S₂ − S₁²                        (= n·m₂)
     *   C = n³·S₄ − 4n²·S₁·S₃ + 6n·S₁²·S₂ − 3·S₁⁴   (= n³·m₄)
     *
-    * so g₂ = C∕A² − 3 exactly. Values move to 10⁴ fixed point rather
-    * than micro-units: the −3·S₁⁴ term at micro scale overflows
-    * DECIMAL(38,0) for realistic frames (micro S₁ ≈ 2.5e9 → S₁⁴ ≈
-    * 4e37·3), while at 10⁴ every term stays < 10³¹ — and 10⁴ is exact
-    * for the ≤4-decimal inputs the testdata carries (beyond that both
+    * so g₂ = C∕A² − 3 exactly. Values move to `scale` fixed point
+    * (default 10⁴, exact for ≤4-decimal inputs; beyond that both
     * engines quantize from the SAME decimal cast, staying bit-equal).
+    * CONTRACT — the magnitude bound: the −3·S₁⁴ term must stay inside
+    * DECIMAL(38,0)/HUGEINT, i.e. |Σ frame values|·scale ≲ 4.2e9 (at
+    * the default: |value| up to ~5·10⁴ for 7-row frames). Past the
+    * bound Spark's non-ANSI decimal overflow yields NULL while a
+    * HUGEINT oracle ERRORS — so pick `scale` for the data's range
+    * (10² supports |value| ≈ 4·10⁶, still exact for 2-decimal data).
     * IEEE tail (mirrored op order): c∕(a·a), then the two affine steps.
     * Frames with n < max(min_periods, 4) or zero variance yield null. */
-  def kurt(valueCol: String, out: String): DataFrame = {
+  def kurt(valueCol: String, out: String, scale: Long = 10000L): DataFrame = {
     sw.lastStrategy = SwiftStrategy.Vectorized
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val xm = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, 4))
-      * lit(10000L)).cast("long").cast(d38)
+    val digits = math.log10(scale.toDouble).round.toInt
+    val xm = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, digits))
+      * lit(scale)).cast("long").cast(d38)
     val n = count(col(valueCol)).over(spec)
     val s1 = sum(xm).over(spec)
     val s2 = sum(xm * xm).over(spec)

@@ -30,6 +30,19 @@ import org.apache.spark.sql.functions._
   * engines compute the IDENTICAL result by construction. */
 object Bpe {
 
+  /** THE merge-application contract (engine-mirrored): two passes of
+    * non-overlapping literal replacement of " l r " with " l_r " over a
+    * space-padded symbol string. Single definition — learnMerges,
+    * learnMergesBatched and applyMerges must never drift apart on the
+    * padding, pass count or joiner. `c` must already carry the leading
+    * and trailing pad space. */
+  private def applyMergePadded(c: org.apache.spark.sql.Column,
+      l: String, r: String): org.apache.spark.sql.Column = {
+    val pat = lit(s" $l $r ")
+    val rep = lit(s" ${l}_$r ")
+    replace(replace(c, pat, rep), pat, rep)
+  }
+
   /** Learn `rounds` merges from `df.textCol`; returns one row per merge:
     * (rank, left, right, cnt) in learning order. */
   def learnMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
@@ -50,11 +63,9 @@ object Bpe {
       if (top.isEmpty) return result(spark, merges.result())
       val (l, rr, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += ((r, l, rr, cnt))
-      val pat = lit(s" $l $rr ")
-      val rep = lit(s" ${l}_$rr ")
-      def pass(c: org.apache.spark.sql.Column) = replace(c, pat, rep)
       state = state
-        .select(trim(pass(pass(concat(lit(" "), col("s"), lit(" "))))).as("s"))
+        .select(trim(applyMergePadded(
+          concat(lit(" "), col("s"), lit(" ")), l, rr)).as("s"))
         .localCheckpoint(true)
     }
     result(spark, merges.result())
@@ -99,10 +110,7 @@ object Bpe {
       kept.zipWithIndex.foreach { case ((l, r, c), i) =>
         out += ((round, i + 1, l, r, c)) }
       val rewritten = kept.foldLeft(concat(lit(" "), col("s"), lit(" "))) {
-        case (acc, (l, r, _)) =>
-          val pat = lit(s" $l $r ")
-          val rep = lit(s" ${l}_$r ")
-          replace(replace(acc, pat, rep), pat, rep)
+        case (acc, (l, r, _)) => applyMergePadded(acc, l, r)
       }
       state = state.select(trim(rewritten).as("s")).localCheckpoint(true)
     }
@@ -124,10 +132,7 @@ object Bpe {
   def applyMerges(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val rewritten = merges.foldLeft(concat(lit(" "), col(textCol), lit(" "))) {
-      case (acc, (l, r)) =>
-        val pat = lit(s" $l $r ")
-        val rep = lit(s" ${l}_$r ")
-        replace(replace(acc, pat, rep), pat, rep)
+      case (acc, (l, r)) => applyMergePadded(acc, l, r)
     }
     df.select(col(idCol).as("id"), trim(rewritten).as("text"))
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))

@@ -78,9 +78,12 @@ object Mixture {
     *
     *   L_b = round(10⁶ · ln( (ct_b+1)∕(tt+B) ÷ (cs_b+1)∕(ts+B) ))
     *
-    * (add-one smoothing; ct/cs = target/source bucket counts, tt/ts the
-    * totals, B the bucket count). A document's importance log-weight is
-    * then Σ_words L_bucket(word) — integer exact given the table.
+    * (add-one smoothing; ct = target bucket counts, cs = RAW-CORPUS
+    * bucket counts — the whole pool INCLUDING the target rows, i.e. the
+    * q distribution is the raw pool DSIR selects from, not
+    * corpus-minus-target; tt/ts the totals, B the bucket count). A
+    * document's importance log-weight is then Σ_words L_bucket(word) —
+    * integer exact given the table.
     *
     * Scale design: `isTarget` tags rows so BOTH distributions come from
     * ONE pass over the corpus (explode word hashes → conditional counts

@@ -217,17 +217,17 @@ object TextAnalysis {
         !exists(lws, w => array_contains(bad, w))
       if (requireTerminalPunct) base && l.rlike("[.!?\"']$") else base
     }
-    val filtered = filter(lines, ok _)
-    // keep-first in-doc dedup: a line survives iff its position is the
-    // FIRST occurrence of its content among the filtered lines
+    // Each lambda-bearing stage is projected ONCE and later stages read
+    // the attribute: (a) nesting/duplicating a lambda-bearing Column
+    // shares its NamedLambdaVariable ids and can evaluate inconsistently
+    // (observed: size() disagreeing with array_join() over one expr);
+    // (b) referencing `filtered` inside the dedup lambda would re-run
+    // the content filters once per element — O(L²) per document.
+    val filtered = col("__filtered")
     val kept = filter(filtered, (l, i) => array_position(filtered, l) === i + 1)
-    // `kept` is projected ONCE and dependent columns derive from the
-    // attribute: duplicating a lambda-bearing expression across output
-    // columns shares its NamedLambdaVariable ids and can evaluate
-    // inconsistently (observed: size() disagreeing with array_join()
-    // over the same expression)
     df.select(col(idCol).as("id"), size(lines).as("__n_lines_in"),
-        kept.as("__kept"))
+        filter(lines, ok _).as("__filtered"))
+      .select(col("id"), col("__n_lines_in"), kept.as("__kept"))
       .select(col("id"),
         array_join(col("__kept"), "\n").as("text"),
         size(col("__kept")).cast("long").as("n_lines"),

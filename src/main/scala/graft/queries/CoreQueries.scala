@@ -1022,14 +1022,16 @@ object CoreQueries {
     // same order as the Spark expression
     "o5_rolling_cov" ->
       """WITH m AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-        |  CAST(CAST(l_quantity AS DECIMAL(20,6))*1000000 AS BIGINT) AS xm,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(20,6))*1000000 AS BIGINT) AS ym
+        |  CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    THEN CAST(CAST(l_quantity AS DECIMAL(20,6))*1000000 AS BIGINT) END AS xm,
+        |  CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(20,6))*1000000 AS BIGINT) END AS ym
         |  FROM lineitem)
         |SELECT l_orderkey, l_linenumber, l_extendedprice,
-        |  CASE WHEN count(*) OVER w >= 3 THEN
-        |    CAST(count(*) OVER w * sum(CAST(xm AS HUGEINT)*CAST(ym AS HUGEINT)) OVER w
+        |  CASE WHEN count(xm) OVER w >= 3 THEN
+        |    CAST(count(xm) OVER w * sum(CAST(xm AS HUGEINT)*CAST(ym AS HUGEINT)) OVER w
         |       - sum(CAST(xm AS HUGEINT)) OVER w * sum(CAST(ym AS HUGEINT)) OVER w AS DOUBLE)
-        |    / CAST(count(*) OVER w * (count(*) OVER w - 1) AS DOUBLE) / 1000000000000.0
+        |    / CAST(count(xm) OVER w * (count(xm) OVER w - 1) AS DOUBLE) / 1000000000000.0
         |  END AS qp_cov
         |FROM m
         |WINDOW w AS (PARTITION BY l_orderkey
@@ -1131,11 +1133,13 @@ object CoreQueries {
     // SwiftRolling.corr op order (two sqrts, one multiply, one division)
     "o5_rolling_corr" ->
       """WITH m AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-        |  CAST(CAST(l_quantity AS DECIMAL(20,2))*100 AS BIGINT) AS xm,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(20,2))*100 AS BIGINT) AS ym
+        |  CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    THEN CAST(CAST(l_quantity AS DECIMAL(20,2))*100 AS BIGINT) END AS xm,
+        |  CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(20,2))*100 AS BIGINT) END AS ym
         |  FROM lineitem),
         |s AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
-        |    count(*) OVER w AS n,
+        |    count(xm) OVER w AS n,
         |    CAST(sum(xm*ym) OVER w AS BIGINT) AS sxy,
         |    CAST(sum(xm) OVER w AS BIGINT) AS sx,
         |    CAST(sum(ym) OVER w AS BIGINT) AS sy,

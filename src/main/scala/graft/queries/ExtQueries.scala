@@ -72,16 +72,25 @@ object ExtQueries {
     * [[graft.operators.Bpe.learnMerges]]. */
   private def bpeCtes(rounds: Int): String = {
     val blocks = (1 to rounds).map { i =>
+      // state rewrite via SCALAR subqueries, not a cross join: a round
+      // whose pair pool ran dry has an EMPTY t$i, and `FROM w$i, t$i`
+      // would annihilate the state (0 rows) while Spark's early-return
+      // passes it through — the CASE no-ops on the NULL scalar instead
+      val lk = s"(SELECT l FROM t$i)"
+      val rk = s"(SELECT r FROM t$i)"
+      val pat = s"' '||$lk||' '||$rk||' '"
+      val rp = s"' '||$lk||'_'||$rk||' '"
       s"""w$i AS (SELECT doc_id, s FROM s${i - 1}),
          |x$i AS (SELECT string_split(s,' ') AS ws FROM w$i),
          |e$i AS (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS j FROM x$i),
          |c$i AS (SELECT ws[CAST(j AS INT)] AS l, ws[CAST(j AS INT)+1] AS r,
          |    count(*) AS cnt FROM e$i GROUP BY 1, 2),
-         |t$i AS (SELECT l, r, cnt FROM c$i ORDER BY cnt DESC, l, r LIMIT 1),
-         |s$i AS (SELECT doc_id, trim(replace(replace(' '||s||' ',
-         |    ' '||t$i.l||' '||t$i.r||' ', ' '||t$i.l||'_'||t$i.r||' '),
-         |    ' '||t$i.l||' '||t$i.r||' ', ' '||t$i.l||'_'||t$i.r||' ')) AS s
-         |  FROM w$i, t$i)""".stripMargin
+         |t$i AS MATERIALIZED (SELECT l, r, cnt FROM c$i
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT doc_id,
+         |    CASE WHEN $lk IS NULL THEN s
+         |    ELSE trim(replace(replace(' '||s||' ', $pat, $rp), $pat, $rp)) END AS s
+         |  FROM w$i)""".stripMargin
     }
     s"s0 AS (SELECT doc_id, text AS s FROM documents),\n" + blocks.mkString(",\n")
   }
@@ -113,9 +122,10 @@ object ExtQueries {
          |k$i AS (SELECT l, r, cnt, rn FROM p$i a WHERE NOT EXISTS (
          |    SELECT 1 FROM p$i b WHERE b.rn < a.rn
          |      AND (b.l = a.l OR b.l = a.r OR b.r = a.l OR b.r = a.r))),
-         |kk$i AS (SELECT l, r, cnt, row_number() OVER (ORDER BY rn) AS rnk
+         |kk$i AS MATERIALIZED (SELECT l, r, cnt,
+         |  row_number() OVER (ORDER BY rn) AS rnk
          |  FROM k$i ORDER BY rn LIMIT $perRound),
-         |s$i AS (SELECT trim($rewrite) AS s FROM s${i - 1})""".stripMargin
+         |s$i AS MATERIALIZED (SELECT trim($rewrite) AS s FROM s${i - 1})""".stripMargin
     }
     s"s0 AS (SELECT text AS s FROM documents),\n" + blocks.mkString(",\n")
   }
@@ -143,7 +153,8 @@ object ExtQueries {
        |    i -> array_to_string(ws[i*$w+1 : i*$w+$w], ' ')) AS lines FROM w),
        |f AS (SELECT id, lines, list_filter(lines, l ->
        |      len(string_split(l,' ')) >= $CLEAN_MIN_WORDS
-       |      AND NOT list_contains(string_split(l,' '), '${CLEAN_BAD.head}')) AS fl FROM seg),
+       |      ${CLEAN_BAD.map(b => s"AND NOT list_contains(string_split(l,' '), '$b')")
+                  .mkString(" ")}) AS fl FROM seg),
        |d AS (SELECT id, lines,
        |    list_filter(fl, (l,i) -> list_position(fl, l) = i) AS kept FROM f)
        |SELECT id, array_to_string(kept, chr(10)) AS text,

@@ -112,6 +112,21 @@ object Tables {
       }
     }
 
+  /** JSON string escape shared by the Verify/Bench artifact writers:
+    * backslash, quote, and ALL control chars (<0x20) — a tab or CR in
+    * builder-authored SQL or an error message would otherwise make the
+    * driver's json.load fail and silently zero the round's artifact.
+    * ONE definition: two hand-rolled escapers drifted once already. */
+  def jsonEscape(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** Exact decimal-accumulated sum of a double column, returned as DOUBLE.
     * SQL mirror: CAST(sum(CAST(x AS DECIMAL(20,6))) AS DOUBLE). */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(20, 6))).cast("double")

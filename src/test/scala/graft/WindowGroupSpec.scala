@@ -262,6 +262,16 @@ class WindowGroupSpec extends SparkSpec {
     close(got(Swift(d2).rolling(3, orderBy = Seq("id")).corr("x", "y", "c"), "c"),
       Seq(nan, nan, -0.9843241382880896, -0.9912407071619304,
         -0.9305008557631897, 0.0, 0.9526832000714107, 0.9041944301794647), 1e-9)
+    // pairwise-complete NaN handling: a null x masks the whole pair, so
+    // every frame touching it has < min_periods valid pairs → null
+    // (pandas: [nan ×5, 0.0] for both corr and cov)
+    val dn = Seq((0L, Some(3.0), 2.0), (1L, Some(1.0), 7.0),
+      (2L, None: Option[Double], 1.0), (3L, Some(1.0), 8.0),
+      (4L, Some(5.0), 2.0), (5L, Some(9.0), 8.0)).toDF("id", "x", "y")
+    close(got(Swift(dn).rolling(3, orderBy = Seq("id")).corr("x", "y", "c"), "c"),
+      Seq(nan, nan, nan, nan, nan, 0.0), 0.0)
+    close(got(Swift(dn).rolling(3, orderBy = Seq("id")).cov("x", "y", "c"), "c"),
+      Seq(nan, nan, nan, nan, nan, 0.0), 0.0)
   }
 
   test("selector invisibility: all strategies produce identical results") {
