@@ -245,4 +245,52 @@ class PlanAuditSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Join"), p) // column-composed: no self-joins
   }
+
+  test("mixture resample: replica generator adds NO shuffle before the output sort") {
+    val p = fmt(graft.queries.ExtQueries.queries("mix_resample")(spark, sf001))
+    assert(p.contains("Generate"), p)           // explode(sequence)
+    assert(exchangeNodes(p) == 1, p)            // the oracle ORDER BY only
+    assert(!p.contains("hashpartitioning"), p)  // rows replicate in place
+  }
+
+  test("paragraph dedup: two hash shuffles (line agg, doc regroup), partial agg, no join") {
+    val p = fmt(graft.queries.ExtQueries.queries("dedup_paragraphs")(spark, sf001))
+    // line-key agg + doc_id regroup; +1 range exchange for the output sort
+    assert("hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(exchangeNodes(p) == 3, p)
+    // the skew-killer: min(struct) combines map-side BEFORE the shuffle
+    assert(p.contains("partial_min") || p.contains("Functions [partial"), p)
+    assert(!p.contains("Join"), p)              // the agg output IS the kept set
+  }
+
+  test("C4 line cleaning: pure per-doc projection, zero wide ops") {
+    val p = fmt(graft.queries.ExtQueries.queries("text_clean_lines")(spark, sf001))
+    assert(exchangeNodes(p) == 1, p)            // output ORDER BY only
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("importance scoring: the fitted table applies as a projection fold, zero shuffle") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val scored = graft.operators.Mixture.importanceScore(
+      docs, "doc_id", "text", Seq.fill(64)(1L), 64)
+    val p = fmt(scored)
+    assert(exchangeNodes(p) == 0, p)            // table is a plan literal
+    assert(!p.contains("Join"), p)
+  }
+
+  test("mixture->pack capstone: generator + ONE pack-window shuffle") {
+    val p = fmt(graft.queries.ExtQueries.queries("pipe_mix_pack")(spark, sf001))
+    assert(p.contains("Generate"), p)
+    // the bucket-partitioned packing window is the only hash shuffle
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("deterministic shuffle: one range sort, no hash shuffle, no single-task collapse") {
+    val p = fmt(graft.queries.ExtQueries.queries("sample_shuffle")(spark, sf001))
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
