@@ -227,6 +227,39 @@ object Multimodal {
     }(Encoders.row(ahashSchema))
   }
 
+  /** Visual near-duplicate pairs from the perceptual hash — the image
+    * analog of SimHash dedup: the 64-bit average-hash splits into four
+    * 16-bit bands, candidates come from a band equi-join (pigeonhole:
+    * any pair with hamming distance < 4 shares at least one intact
+    * band, so recall is EXACT for `maxHd` ≤ 3), and candidates verify
+    * with the exact 64-bit hamming distance. Never an all-pairs cross
+    * join — the shuffle carries band collisions, exactly the
+    * [[Dedup.simhashPairs]] scale story applied to images. */
+  def nearDupPairs(df: DataFrame, idCol: String, blobCol: String,
+      maxHd: Int): DataFrame = {
+    require(maxHd >= 0 && maxHd <= 3,
+      s"4 bands guarantee recall only for hamming <= 3, got $maxHd")
+    val h = averageHash(df, idCol, blobCol)
+    val banded = h.select(col("id"), col("ah_lo"), col("ah_hi"),
+      explode(array(
+        struct(lit(0).as("bi"), col("ah_lo").bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(1).as("bi"), shiftright(col("ah_lo"), 16).as("bv")),
+        struct(lit(2).as("bi"), col("ah_hi").bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(3).as("bi"), shiftright(col("ah_hi"), 16).as("bv")))).as("b"))
+      .select(col("id"), col("ah_lo"), col("ah_hi"),
+        col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val a = banded.select(col("id").as("da"), col("ah_lo").as("la"),
+      col("ah_hi").as("ha"), col("bi"), col("bv"))
+    val b = banded.select(col("id").as("db"), col("ah_lo").as("lb"),
+      col("ah_hi").as("hb"), col("bi"), col("bv"))
+    a.join(b, Seq("bi", "bv")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        (bit_count(col("la").bitwiseXOR(col("lb")))
+          + bit_count(col("ha").bitwiseXOR(col("hb")))).cast("long").as("hd"))
+      .filter(col("hd") <= maxHd)
+      .distinct()
+  }
+
   /** Frame sampling: n equal-stride byte slices of the payload (stands in
     * for video frame extraction) as an array<binary> column. */
   def frameSample(df: DataFrame, blobCol: String, n: Int, frameLen: Int = 16): DataFrame = {

@@ -13,6 +13,24 @@ import Tables._
   */
 object StreamQueries {
 
+  /** Predicted average-hash CTEs (the synthetic PNG pixel rule is known,
+    * so the oracle computes the hash the real decoder will produce) —
+    * shared by the mm_ahash and mm_neardup_pairs mirrors; yields
+    * `ah(id, ah_lo, ah_hi)`. */
+  private val ahashCtes: String = {
+    val pow2 = (0 to 31).map(k => 1L << k).mkString("[", ",", "]")
+    s"""g AS (SELECT doc_id AS id, 1 + doc_id%48 AS w, 1 + doc_id%32 AS h FROM documents),
+       |p AS (SELECT id, list_transform(generate_series(0,63), k ->
+       |    (id + 7*((k%8)*w//8) + 13*((k//8)*h//8)) % 256) AS px FROM g),
+       |m AS (SELECT id, px, list_sum(px)//64 AS mean FROM p),
+       |ah AS (SELECT id,
+       |  CAST(list_sum(list_transform(generate_series(0,31), k ->
+       |    CASE WHEN px[k+1] >= mean THEN ($pow2)[k+1] ELSE 0 END)) AS BIGINT) AS ah_lo,
+       |  CAST(list_sum(list_transform(generate_series(32,63), k ->
+       |    CASE WHEN px[k+1] >= mean THEN ($pow2)[k-31] ELSE 0 END)) AS BIGINT) AS ah_hi
+       |  FROM m)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // multimodal: binary payload → batch decode via mapPartitions
     "mm_decode_stub" -> ((s, dir) => {
@@ -52,6 +70,16 @@ object StreamQueries {
         .repartition(s.sparkContext.defaultParallelism)
       val docs = Multimodal.withPngBlob(ids, "doc_id")
       Multimodal.averageHash(docs, "doc_id", "img").orderBy("id")
+    }),
+
+    "mm_neardup_pairs" -> ((s, dir) => {
+      // visual near-dup: aHash bands -> candidate equi-join -> exact
+      // hamming verify (recall exact for hd<=3 by pigeonhole)
+      val ids = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val docs = Multimodal.withPngBlob(ids, "doc_id")
+      Multimodal.nearDupPairs(docs, "doc_id", "img", maxHd = 3)
+        .orderBy("da", "db")
     }),
 
     "mm_featurize" -> ((s, dir) => {
@@ -240,16 +268,21 @@ object StreamQueries {
         |      (doc_id + 7*((tx*(1+doc_id%48))//16) + 13*((ty*(1+doc_id%32))//8)) % 256)))) AS BIGINT) AS pix_sum
         |FROM documents ORDER BY id""".stripMargin,
     "mm_ahash" ->
-      """WITH g AS (SELECT doc_id AS id, 1 + doc_id%48 AS w, 1 + doc_id%32 AS h FROM documents),
-        |p AS (SELECT id, list_transform(generate_series(0,63), k ->
-        |    (id + 7*((k%8)*w//8) + 13*((k//8)*h//8)) % 256) AS px FROM g),
-        |m AS (SELECT id, px, list_sum(px)//64 AS mean FROM p)
-        |SELECT id,
-        |  CAST(list_sum(list_transform(generate_series(0,31), k ->
-        |    CASE WHEN px[k+1] >= mean THEN ([1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192,16384,32768,65536,131072,262144,524288,1048576,2097152,4194304,8388608,16777216,33554432,67108864,134217728,268435456,536870912,1073741824,2147483648])[k+1] ELSE 0 END)) AS BIGINT) AS ah_lo,
-        |  CAST(list_sum(list_transform(generate_series(32,63), k ->
-        |    CASE WHEN px[k+1] >= mean THEN ([1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192,16384,32768,65536,131072,262144,524288,1048576,2097152,4194304,8388608,16777216,33554432,67108864,134217728,268435456,536870912,1073741824,2147483648])[k-31] ELSE 0 END)) AS BIGINT) AS ah_hi
-        |FROM m ORDER BY id""".stripMargin,
+      s"""WITH $ahashCtes
+         |SELECT id, ah_lo, ah_hi FROM ah ORDER BY id""".stripMargin,
+    // visual near-dup mirror: same predicted hashes, OR-of-bands
+    // candidate rule (equivalent result set to the banded equi-join),
+    // exact 64-bit hamming verify
+    "mm_neardup_pairs" ->
+      s"""WITH $ahashCtes
+         |SELECT da, db, hd FROM (
+         |  SELECT a.id AS da, b.id AS db,
+         |    CAST(bit_count(xor(a.ah_lo, b.ah_lo))
+         |       + bit_count(xor(a.ah_hi, b.ah_hi)) AS BIGINT) AS hd
+         |  FROM ah a JOIN ah b ON a.id < b.id AND (
+         |    a.ah_lo % 65536 = b.ah_lo % 65536 OR a.ah_lo // 65536 = b.ah_lo // 65536
+         |    OR a.ah_hi % 65536 = b.ah_hi % 65536 OR a.ah_hi // 65536 = b.ah_hi // 65536))
+         |WHERE hd <= 3 ORDER BY da, db""".stripMargin,
     "mm_featurize" ->
       """WITH ks AS (SELECT unnest(generate_series(0, 7)) AS k),
         |v AS (SELECT doc_id AS id, k,

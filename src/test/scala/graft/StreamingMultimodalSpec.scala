@@ -180,6 +180,23 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(meta.filter(!col("format").isin("rgb", "rgba", "gray")).count() == 0)
   }
 
+  test("visual near-dup banding: exact recall vs brute force at hd<=3") {
+    val docs = Multimodal.withPngBlob(
+      Tables.t(spark, sf001, "documents").select("doc_id"), "doc_id")
+    val h = Multimodal.averageHash(docs, "doc_id", "img").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (ia, la, ha) <- h; (ib, lb, hb) <- h if ia < ib
+      hd = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+      if hd <= 3
+    } yield (ia, ib, hd.toLong)).toSet
+    val banded = Multimodal.nearDupPairs(docs, "doc_id", "img", maxHd = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty)
+    assert(banded == brute,
+      s"missing=${brute -- banded} extra=${banded -- brute}")
+  }
+
   test("multimodal frame sampling and featurizer shapes") {
     val docs = Multimodal.withBlob(Tables.t(spark, sf001, "documents"), "text")
     val frames = Multimodal.frameSample(docs, "blob", n = 4)
