@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.MirrorHash
-import graft.operators.{Binning, Bpe, Chunking, Decontaminate, Dedup, Mixture, Packing, Ranking, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Binning, Bpe, Chunking, Decontaminate, Multimodal, Dedup, Mixture, Packing, Ranking, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** Training-data-pipeline extension queries (north star in BASELINE.json):
@@ -390,6 +390,28 @@ object ExtQueries {
       // pandas drop_duplicates(keep='last'): max doc_id survives
       Dedup.dropDuplicatesKeepMax(t(s, dir, "documents"), "doc_id", Seq("text"))
         .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
+    "pipe_mm_dedup" -> ((s, dir) => {
+      // CROSS-MODAL dedup capstone: a document is a duplicate if its
+      // TEXT is a near-dup (jaccard inverted index) OR its IMAGE is a
+      // visual near-dup (aHash band join) — both candidate-generation
+      // pipelines are equi-joins, their pair sets union into ONE
+      // converged star-contraction clustering, and the min-id
+      // representative survives per cluster (label == id). Emits each
+      // representative with its cluster size; sizes sum to the corpus.
+      val docs = t(s, dir, "documents")
+      val textPairs = jaccardShared(s, dir).select("da", "db")
+      val imgDocs = Multimodal.withPngBlob(docs.select("doc_id"), "doc_id")
+      val visPairs = Multimodal.nearDupPairs(imgDocs, "doc_id", "img", maxHd = 3)
+        .select("da", "db")
+      val labels = Dedup.clustersConverged(
+        textPairs.union(visPairs).distinct(), "da", "db")
+      docs.join(broadcast(labels), docs("doc_id") === labels("n"), "left")
+        .withColumn("cluster", coalesce(col("l"), col("doc_id")))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+        .select(col("cluster").as("doc_id"), col("n_members"))
+        .orderBy("doc_id")
+    }),
+
     "pipe_text_dedup" -> ((s, dir) => {
       // near-dup "keep best": jaccard clusters labeled, every doc mapped
       // to its cluster (singletons to themselves), the LONGEST doc
@@ -937,6 +959,35 @@ object ExtQueries {
     // keep-best mirror: the same jaccard pair CTEs + unrolled labels,
     // then every doc joined to its cluster (singletons to themselves)
     // and the longest kept per cluster
+    // cross-modal mirror: text pairs (shingle index + jaccard) UNION
+    // visual pairs (predicted aHash band join), recursive reach ==
+    // converged star contraction, representative = component min
+    "pipe_mm_dedup" ->
+      s"""WITH RECURSIVE $distinctShingleCte,
+         |ex AS (SELECT id, nd, unnest(ds) AS h FROM d),
+         |pr AS (SELECT a.id AS da, b.id AS db, count(*) AS common,
+         |    any_value(a.nd) AS na, any_value(b.nd) AS nb
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
+         |jp AS (SELECT da, db FROM pr WHERE common/(na+nb-common) >= $JACCARD_TAU),
+         |${StreamQueries.ahashCtes},
+         |vp AS (SELECT a.id AS da, b.id AS db
+         |  FROM ah a JOIN ah b ON a.id < b.id AND (
+         |    a.ah_lo % 65536 = b.ah_lo % 65536 OR a.ah_lo // 65536 = b.ah_lo // 65536
+         |    OR a.ah_hi % 65536 = b.ah_hi % 65536 OR a.ah_hi // 65536 = b.ah_hi // 65536)
+         |  WHERE bit_count(xor(a.ah_lo, b.ah_lo))
+         |      + bit_count(xor(a.ah_hi, b.ah_hi)) <= 3),
+         |up AS (SELECT da, db FROM jp UNION SELECT da, db FROM vp),
+         |ed AS (SELECT da AS u, db AS v FROM up UNION ALL SELECT db AS u, da AS v FROM up),
+         |reach(n, m) AS (
+         |  SELECT u, v FROM ed
+         |  UNION
+         |  SELECT r.n, ed.v FROM reach r JOIN ed ON r.m = ed.u),
+         |lab AS (SELECT n, least(n, min(m)) AS l FROM reach GROUP BY n),
+         |cl AS (SELECT doc_id, coalesce(lab.l, doc_id) AS cluster
+         |  FROM documents LEFT JOIN lab ON doc_id = lab.n)
+         |SELECT cluster AS doc_id, count(*) AS n_members
+         |FROM cl GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     "pipe_text_dedup" ->
       s"""WITH $distinctShingleCte,
          |ex AS (SELECT id, nd, unnest(ds) AS h FROM d),

@@ -17,7 +17,7 @@ object StreamQueries {
     * so the oracle computes the hash the real decoder will produce) —
     * shared by the mm_ahash and mm_neardup_pairs mirrors; yields
     * `ah(id, ah_lo, ah_hi)`. */
-  private val ahashCtes: String = {
+  private[queries] val ahashCtes: String = {
     val pow2 = (0 to 31).map(k => 1L << k).mkString("[", ",", "]")
     s"""g AS (SELECT doc_id AS id, 1 + doc_id%48 AS w, 1 + doc_id%32 AS h FROM documents),
        |p AS (SELECT id, list_transform(generate_series(0,63), k ->
