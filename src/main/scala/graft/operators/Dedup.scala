@@ -339,6 +339,99 @@ object Dedup {
       count(lit(1)).as("n_kept"))
   }
 
+  /** Canonical text form for normalization-then-exact dedup — the
+    * RefinedWeb/CCNet preprocessing trick (Penedo et al. 2023 §3.3 run
+    * exact dedup on a normalized form so trivial variants — case,
+    * punctuation, whitespace — collapse): lowercase, strip everything
+    * outside [a-z0-9 ], squeeze whitespace runs, trim. A pure
+    * projection (three codegen'd string ops), zero shuffle. */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** The SQL twin of [[canonicalText]] (DuckDB regexp_replace needs the
+    * explicit 'g' flag where Spark replaces all matches by default). */
+  def canonicalTextSql(text: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** Normalization-then-exact dedup: exact keep-min-id dedup on the
+    * [[canonicalText]] key. Same one-shuffle plan as [[exact]] — the
+    * canonical form is computed in the scan projection, the group key
+    * is its hash. Emits survivor id, duplicate count, and the
+    * canonical key's length for audit. */
+  def exactNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val canon = canonicalText(col(textCol))
+    df.select(col(idCol).as("id"), canon.as("__c"))
+      .groupBy(col("__c"))
+      .agg(min(col("id")).as("id"), count(lit(1)).as("n"))
+      .select(col("id"), col("n"), length(col("__c")).cast("long").as("canon_len"))
+  }
+
+  /** Duplicate-SPAN detection and removal — the exact-substring dedup of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499), re-expressed over hashed word n-grams
+    * instead of a suffix array: a token is "duplicated" when it is
+    * covered by any n-gram whose hash occurs ≥2 times ANYWHERE in the
+    * corpus (including twice in the same document — self-repetition
+    * counts, as in the paper's suffix-array formulation). Emits per doc
+    * the token count, the covered-token count, and the text with every
+    * duplicated span removed (the paper's "drop all copies" variant,
+    * which it reports trains as well as keep-one and needs no global
+    * occurrence ordering — so the plan needs no sort at all).
+    *
+    * Scale design: gram extraction is one codegen'd projection
+    * ([[graft.functions.HashExpressions.NgramHashArray]]); the global
+    * occurrence count is a hash aggregate on the gram hash with full
+    * map-side combine (a boilerplate gram repeated 10⁶× collapses per
+    * map task before the shuffle — same skew-killer as [[paragraphs]]);
+    * marking is an equi-JOIN back on the gram hash (shuffle bounded by
+    * gram occurrences, never |corpus|²); span→token coverage is a
+    * per-row sequence explode + per-doc distinct. No broadcast of
+    * corpus-sized state, no global sort, no driver collect. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      posexplode(graft.functions.HashExpressions.ngram_hashes(
+        word_hashes(col(textCol)), n)).as(Seq("p", "g")))
+    val dupG = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("g")
+    val covered = grams.join(dupG, "g")
+      .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("ti"))
+      .distinct()
+    val cov = covered.groupBy("id").agg(
+      count(lit(1)).as("dup_tokens"), collect_set(col("ti")).as("__cset"))
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .join(cov, Seq("id"), "left")
+      .select(col("id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        concat_ws(" ", filter(col("__toks"),
+          (_, i) => !coalesce(array_contains(col("__cset"), i), lit(false))))
+          .as("clean_text"))
+  }
+
+  /** DuckDB mirror of [[dupSpans]] (shares the word/n-gram hash mirrors
+    * with the decontamination oracle). `docs` must provide (id, text). */
+  def dupSpansSql(n: Int, docs: String = "documents",
+      idCol: String = "doc_id"): String =
+    s"""WITH w AS (SELECT $idCol AS id, string_split(text,' ') AS toks,
+       |    ${wordHashesSql()} AS whs FROM $docs),
+       |gr AS (SELECT id, toks, ${ngramHashesSql("whs", n)} AS gs FROM w),
+       |oc AS (SELECT id, unnest(gs) AS g,
+       |    unnest(list_transform(gs, (x,i) -> i-1)) AS p FROM gr),
+       |dg AS (SELECT g FROM oc GROUP BY g HAVING count(*) >= 2),
+       |cov AS (SELECT DISTINCT id, p+d AS ti
+       |  FROM (SELECT oc.id, oc.p FROM oc JOIN dg USING (g)) dup,
+       |    generate_series(0, ${n - 1}) s(d)),
+       |agg AS (SELECT id, count(*) AS dup_tokens, list(ti) AS cset
+       |  FROM cov GROUP BY id)
+       |SELECT gr.id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  coalesce(agg.dup_tokens, 0) AS dup_tokens,
+       |  coalesce(array_to_string(list_filter(toks,
+       |    (x,i) -> NOT coalesce(list_contains(cset, i-1), FALSE)), ' '), '')
+       |    AS clean_text
+       |FROM gr LEFT JOIN agg USING (id) ORDER BY id""".stripMargin
+
   /** Exhaustive embedding near-dup pairs: all-pairs cross join with exact
     * fixed-point (1e6) BIGINT dot products. O(n²) — brute-force-only, for
     * small inputs and as the recall oracle for [[embeddingPairs]]; never

@@ -171,6 +171,107 @@ object Mixture {
         .as("score"))
   }
 
+  /** Temperature-based mixture planning — the multilingual up/down-
+    * weighting rule of XLM (Conneau & Lample 2019) and mT5 (Xue et al.
+    * 2021): source i is sampled ∝ n_i^α with α < 1, boosting
+    * low-resource sources. α is PINNED at 1∕2 so the power is `sqrt` —
+    * correctly rounded per IEEE-754 in every engine, unlike `pow`
+    * whose libm tail differs across platforms (the same determinism
+    * discipline as the rest of the oracle surface). Weights are
+    * emitted RELATIVE TO THE LARGEST source (max is order-independent,
+    * a cross-source sum of doubles is not), so the output is a pure
+    * function of the per-source token counts: rel_weight =
+    * √n_i ∕ √n_max, epochs = rel_weight · maxEpochs — the epochs-per-
+    * source vector a [[resample]] pass consumes.
+    *
+    * ONE pass: per-source counts aggregate with map-side combine
+    * (shuffle ≤ |sources| rows), the 1-row max broadcasts back. */
+  def temperaturePlan(df: DataFrame, srcCol: String, textCol: String,
+      maxEpochs: Double): DataFrame = {
+    val bySrc = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+    val mx = bySrc.agg(max(col("n_tokens")).as("max_tokens"))
+    bySrc.crossJoin(broadcast(mx))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (sqrt(col("n_tokens").cast("double"))
+          / sqrt(col("max_tokens").cast("double"))).as("rel_weight"),
+        (sqrt(col("n_tokens").cast("double"))
+          / sqrt(col("max_tokens").cast("double")) * maxEpochs).as("epochs"))
+  }
+
+  /** Multinomial Naive Bayes over hashed unigrams — fit half. The
+    * in-engine stand-in for the fastText-style domain/quality classifier
+    * every published curation pipeline trains (CCNet's language-model
+    * filter, GPT-3's WebText-vs-CommonCrawl quality classifier, Llama's
+    * Wikipedia-reference classifier): a linear scorer over hashed bag-of-
+    * words features, here with exactly mirrorable integer weights.
+    * Returns the spine-complete conditional table (cls, bucket, lw) with
+    * lw = round(10⁶·ln((c_{cls,b}+1)∕(t_cls+B))) — add-one-smoothed
+    * log-likelihoods in micro-nats, same integerization as
+    * [[importanceTable]].
+    *
+    * ONE corpus pass: the (cls, bucket) agg has full map-side combine and
+    * its shuffle is bounded by |classes|·B, never the corpus. */
+  def nbTable(df: DataFrame, textCol: String, classCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val wh = graft.functions.HashExpressions.word_hashes(col(textCol))
+    val bc = df.select(col(classCol).as("cls"), explode(wh).as("w"))
+      .select(col("cls"), pmod(col("w"), lit(buckets.toLong)).as("bucket"))
+      .groupBy("cls", "bucket").agg(count(lit(1)).as("c"))
+    val tot = bc.groupBy("cls").agg(sum(col("c")).as("t"))
+    val spine = tot.select(col("cls"), col("t")).crossJoin(
+      df.sparkSession.range(buckets).select(col("id").as("bucket")))
+    spine.join(bc, Seq("cls", "bucket"), "left")
+      .select(col("cls"), col("bucket"),
+        round(lit(1e6) * log(
+          (coalesce(col("c"), lit(0L)) + 1).cast("double")
+            / (col("t") + buckets).cast("double")))
+          .cast("long").as("lw"))
+  }
+
+  /** Class log-priors for [[nbPredict]]: (cls, n_docs,
+    * lp = round(10⁶·ln(n_docs∕N))). One tiny agg. */
+  def nbPriors(df: DataFrame, classCol: String): DataFrame = {
+    val nd = df.groupBy(col(classCol).as("cls")).agg(count(lit(1)).as("nd"))
+    nd.crossJoin(nd.agg(sum(col("nd")).as("n")))
+      .select(col("cls"), col("nd"),
+        round(lit(1e6) * log(col("nd").cast("double") / col("n").cast("double")))
+          .cast("long").as("lp"))
+  }
+
+  /** Multinomial Naive Bayes — predict half. `model` maps each class to
+    * (log-prior, B-entry log-likelihood table), collected from
+    * [[nbPriors]]/[[nbTable]] (model fitting collects like IVF centroids
+    * — |classes|·B longs, driver-bounded). Scoring is |classes| pure
+    * projection folds over the word-hash array with every table a plan
+    * literal — ZERO shuffle, zero join; the corpus is read once. The
+    * argmax (score DESC, class name ASC on ties) is a `greatest` over
+    * (score, reverse-class-rank, name) structs — one codegen'd row-local
+    * comparison chain. Emits (id, cls = true label, pred, correct). */
+  def nbPredict(df: DataFrame, idCol: String, textCol: String,
+      classCol: String, model: Seq[(String, (Long, Seq[Long]))],
+      buckets: Int): DataFrame = {
+    require(model.nonEmpty, "model must have at least one class")
+    val wh = graft.functions.HashExpressions.word_hashes(col(textCol))
+    // classes sorted ASC; revRank = |C|-idx makes the struct ordering
+    // break score ties toward the lexicographically smallest class
+    val sorted = model.sortBy(_._1)
+    val cands = sorted.zipWithIndex.map { case ((name, (lp, tbl)), idx) =>
+      require(tbl.length == buckets, s"table size ${tbl.length} != $buckets")
+      val la = lit(tbl.toArray)
+      val score = aggregate(wh, lit(lp), (acc, w) =>
+        acc + element_at(la, pmod(w, lit(buckets.toLong)).cast("int") + 1))
+      struct(score.as("s"), lit(sorted.size - idx).as("r"), lit(name).as("n"))
+    }
+    val best =
+      if (cands.size == 1) cands.head else greatest(cands: _*)
+    df.select(col(idCol).as("id"), col(classCol).as("cls"),
+        best.getField("n").as("pred"))
+      .withColumn("correct", (col("cls") === col("pred")).cast("int"))
+  }
+
   /** Quality-ordered token-budget selection: per `srcCol` group, keep
     * the best-scoring rows (ties broken by id) until the cumulative
     * `tokensCol` sum would exceed `budget`. One window over the source

@@ -81,11 +81,14 @@ object Ranking {
       .select(col("term"), col("rank"), col("id"), col("tf"), col("dl"), col("score"))
   }
 
-  /** DuckDB mirror of [[bm25TopK]] over the `documents` table: same
-    * postings construction, same operation-ordered arithmetic. */
-  def bm25Sql(terms: Seq[String], k: Int): String = {
+  /** DuckDB mirror of [[bm25TopK]]: same postings construction, same
+    * operation-ordered arithmetic. `source` is any relation producing
+    * (id, text) — defaults to the `documents` table; the RAG capstone
+    * passes the chunk expansion instead. */
+  def bm25Sql(terms: Seq[String], k: Int,
+      source: String = "SELECT doc_id AS id, text FROM documents"): String = {
     val termRows = terms.map(t => s"('${t.replace("'", "''")}')").mkString(", ")
-    s"""WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+    s"""WITH w AS (SELECT id, string_split(text, ' ') AS ws FROM ($source)),
        |base AS (SELECT id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
        |terms(term) AS (VALUES $termRows),

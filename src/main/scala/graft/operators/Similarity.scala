@@ -160,7 +160,44 @@ object Similarity {
     val byDist = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
     scored
       .withColumn("crn", row_number().over(byDist))
-      .select(col("id"), col("cid"), col("crn"), col("fx"), col("nrm"))
+      .select(col("id"), col("cid"), col("crn"), col("d2"), col("fx"), col("nrm"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication via the cluster-then-prune recipe — cluster the
+    * embeddings with the IVF coarse quantizer, then WITHIN each cluster
+    * drop every vector that is ≥ `tau` cosine-similar to a cluster-mate
+    * of higher keep-priority. Keep-priority follows the paper: members
+    * far from their centroid survive first (order by exact fixed-point
+    * L2 distance DESC, id to break ties), so each near-dup group keeps
+    * its least-centroid-like exemplar.
+    *
+    * Scale design: this is exactly the trade SemDeDup exists to make —
+    * the corpus NEVER self-joins pairwise; the only quadratic term is
+    * within-cluster (an equi-join on the cluster id, Σ|c|² candidate
+    * rows), and the cluster count scales with √n to keep lists ~√n.
+    * Assignment is one broadcast-centroid pass; the drop set is a
+    * left-anti join. Returns the surviving (id, cid). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, nCentroids: Int = 16): DataFrame = {
+    // cached: the ranked membership feeds THREE consumers (both prune
+    // sides + the survivor anti-join) — uncached, the corpus×C
+    // assignment pass would replay per consumer (same discipline as
+    // ivfTopK's ranked cache)
+    val m = ivfAssign(df, idCol, vecCol, nCentroids)
+      .filter(col("crn") === 1)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("d2").desc, col("id"))))
+      .cache()
+    val a = m.select(col("cid"), col("id").as("ia"), col("r").as("ra"),
+      col("fx").as("fa"), col("nrm").as("na"))
+    val b = m.select(col("cid"), col("id").as("ib"), col("r").as("rb"),
+      col("fx").as("fb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("ra") < col("rb") &&
+        cosine(col("fa"), col("fb"), col("na"), col("nb")) >= tau)
+      .select(col("ib").as("id")).distinct()
+    m.join(dropped, Seq("id"), "left_anti").select(col("id"), col("cid"))
   }
 
   /** Probe tail shared by the IVF variants: inverted lists from crn = 1,

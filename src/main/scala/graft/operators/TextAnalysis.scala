@@ -247,4 +247,26 @@ object TextAnalysis {
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram")).limit(k)
   }
+
+  /** Corpus-wide most-DUPLICATED word n-grams — the WIMBD corpus
+    * statistic (Elazar et al. 2024 report the most-duplicated n-grams of
+    * every major pretraining corpus as a first-class audit artifact):
+    * textual n-grams occurring ≥2 times, top-k by (count DESC, gram).
+    * Generalizes [[vocab]]/[[bigrams]]: the n-gram array is one
+    * projection (sequence + slice + concat_ws — no self-join on
+    * positions), the hash aggregate takes map-side partials so a
+    * boilerplate gram collapses per map task, and top-k is
+    * TakeOrderedAndProject — no global sort at any corpus size. */
+  def ngramTopK(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 1, "ngram n must be positive")
+    val ws = words(col(textCol))
+    val grams = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .orderBy(col("c").desc, col("gram")).limit(k)
+  }
 }

@@ -53,6 +53,15 @@ object ExtQueries {
   // shared deconSql oracle or a config edit would silently split them
   private[queries] val DECON_N = 8
   private[queries] val DECON_MOD = 17
+  // Naive-Bayes domain classifier: hashed-unigram feature buckets (20
+  // source classes × 512 buckets keeps the fitted model ~10k longs)
+  private val NB_B = 512
+  // SemDeDup coarse-quantizer size (matches the IVF queries' 16)
+  private val SEM_C = 16
+  // WIMBD duplicated-n-gram audit length
+  private val DUPNG_N = 4
+  // temperature mixture planning: epochs granted to the largest source
+  private val MIX_MAX_EPOCHS = 4.0
   // quality-gate thresholds (Gopher-style corpus policy; splits the
   // synthetic corpus ~313 keep / 187 drop at sf0.01)
   private val GATE_MIN_WORDS = 40L
@@ -286,6 +295,21 @@ object ExtQueries {
       // BM25-rational relevance top-k (log-free idf: bit-exact cross-engine)
       Ranking.bm25TopK(t(s, dir, "documents"), "doc_id", "text", BM25_TERMS, BM25_K)
         .orderBy("term", "rank")),
+    "pipe_rag_retrieval" -> ((s, dir) => {
+      // RAG index+retrieve capstone in ONE declarative plan: chunk the
+      // corpus into context windows (zero-shuffle posexplode pipelined
+      // in the scan stage), derive a provenance-preserving chunk id
+      // (doc*64+idx: chunk counts are bounded by 64 at W=16/S=12 for
+      // any doc under ~770 tokens), and BM25-rank chunks per query
+      // term — retrieval shuffles only the sparse postings, the corpus
+      // text moves once
+      val chunks = Chunking.chunk(t(s, dir, "documents"), "doc_id", "text",
+          CHUNK_W, CHUNK_OV)
+        .select((col("id") * 64 + col("chunk_idx")).as("chunk_id"),
+          col("chunk_text"))
+      Ranking.bm25TopK(chunks, "chunk_id", "chunk_text", BM25_TERMS, BM25_K)
+        .orderBy("term", "rank")
+    }),
     "feat_cut_bins" -> ((s, dir) =>
       // pandas cut + value_counts: fixed-edge binning, one hash aggregate
       Binning.valueCounts(t(s, dir, "lineitem"),
@@ -297,6 +321,11 @@ object ExtQueries {
     "text_ngrams" -> ((s, dir) =>
       // top-k word bigrams — the array zipped with its own tail, one pass
       TextAnalysis.bigrams(t(s, dir, "documents"), "text", VOCAB_K)),
+    "text_dup_ngrams" -> ((s, dir) =>
+      // WIMBD-style corpus audit: the most-duplicated word 4-grams —
+      // one projection builds the gram array, map-side partial counts,
+      // TakeOrderedAndProject top-k
+      TextAnalysis.ngramTopK(t(s, dir, "documents"), "text", DUPNG_N, VOCAB_K)),
     "text_repetition" -> ((s, dir) =>
       // Gopher repetition filters: top-word share + duplicate-bigram
       // fraction, pure per-row folds, zero shuffle
@@ -478,6 +507,26 @@ object ExtQueries {
     "dedup_embedding_exact" -> ((s, dir) =>
       Dedup.embeddingPairsExact(t(s, dir, "embeddings"), "vec_id", "embedding", COS_TAU)
         .orderBy("va", "vb")),
+    "dedup_normalized" -> ((s, dir) =>
+      // RefinedWeb-style normalization-then-exact dedup: case/punct/
+      // whitespace variants collapse onto one canonical key; same
+      // one-shuffle plan as dedup_exact
+      Dedup.exactNormalized(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")),
+    "dedup_span" -> ((s, dir) =>
+      // Lee et al. 2021 exact-substring dedup over hashed 8-grams:
+      // per-doc duplicated-token coverage + text with every duplicated
+      // span removed; gram counts aggregate with map-side combine, the
+      // mark-back is an equi-join on the gram hash
+      Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text", DECON_N)
+        .orderBy("id")),
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup (Abbas et al. 2023): IVF-cluster the embeddings, prune
+      // within-cluster cosine near-dups keeping the least-centroid-like
+      // exemplar — the only quadratic term is within-cluster
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          COS_TAU, SEM_C)
+        .orderBy("id")),
     "pipe_embed_dedup" -> ((s, dir) => {
       // embedding dedup endgame: LSH candidate pairs → exact verify →
       // fixed-round clustering → keep ONE representative (the min id)
@@ -625,6 +674,31 @@ object ExtQueries {
         .orderBy(col("score").desc, col("id")).limit(DSIR_K)
     }),
 
+    "mix_temperature" -> ((s, dir) =>
+      // XLM/mT5 temperature mixture planning at α=1/2 (sqrt is IEEE-
+      // correctly-rounded in every engine, pow is not): per-source
+      // epochs vector for a resample pass — one map-side-combined agg,
+      // 1-row max broadcast back
+      Mixture.temperaturePlan(t(s, dir, "documents"), "source", "text",
+          MIX_MAX_EPOCHS)
+        .orderBy("source")),
+    "mix_nb_classify" -> ((s, dir) => {
+      // fastText-style domain classifier as multinomial Naive Bayes over
+      // hashed unigrams: fit = ONE corpus pass (|classes|·B-bounded
+      // agg), model collects like IVF centroids, scoring = |classes|
+      // projection folds with the tables as plan literals — zero
+      // shuffle, the corpus is read once for fit and once for predict
+      val docs = t(s, dir, "documents")
+      val rows = Mixture.nbTable(docs, "text", "source", NB_B).collect()
+      val tables = rows.groupBy(_.getString(0)).map { case (c, rs) =>
+        c -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+      val priors = Mixture.nbPriors(docs, "source").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      val model = tables.map { case (c, tb) => c -> (priors(c), tb) }.toSeq
+      Mixture.nbPredict(docs, "doc_id", "text", "source", model, NB_B)
+        .orderBy("id")
+    }),
+
     // ---- similarity search ----
     "sim_topk_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -757,6 +831,10 @@ object ExtQueries {
          |SELECT id, ${fingerprintSql()} AS fp FROM w ORDER BY id""".stripMargin,
     "doc_chunks" -> Chunking.chunkSql(CHUNK_W, CHUNK_OV),
     "text_bm25" -> Ranking.bm25Sql(BM25_TERMS, BM25_K),
+    // chunk expansion feeds the BM25 mirror as its source relation
+    "pipe_rag_retrieval" -> Ranking.bm25Sql(BM25_TERMS, BM25_K,
+      s"""SELECT id*64 + chunk_idx AS id, chunk_text AS text
+         |FROM (${Chunking.chunkSql(CHUNK_W, CHUNK_OV)})""".stripMargin),
     "feat_cut_bins" ->
       s"""SELECT ${Binning.cutSql("l_extendedprice", CUT_EDGES, CUT_LABELS)} AS bin,
          |  count(*) AS n
@@ -771,6 +849,14 @@ object ExtQueries {
          |    i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM w)
          |SELECT bigram, count(*) AS n FROM b
          |GROUP BY 1 ORDER BY n DESC, bigram LIMIT $VOCAB_K""".stripMargin,
+    "text_dup_ngrams" ->
+      s"""WITH t AS (SELECT string_split(text,' ') AS toks FROM documents),
+         |g AS (SELECT unnest(CASE WHEN len(toks) >= $DUPNG_N
+         |    THEN list_transform(generate_series(1, len(toks)-${DUPNG_N - 1}),
+         |      i -> array_to_string(toks[i:i+${DUPNG_N - 1}], ' '))
+         |    ELSE [] END) AS gram FROM t)
+         |SELECT gram, count(*) AS c FROM g GROUP BY gram
+         |HAVING count(*) >= 2 ORDER BY c DESC, gram LIMIT $VOCAB_K""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
         |b AS (SELECT id, ws, list_transform(generate_series(1, len(ws)-1),
@@ -1076,6 +1162,42 @@ object ExtQueries {
          |FROM n a JOIN n b ON a.id < b.id
          |WHERE ${Similarity.cosineSql("a.fx", "b.fx", "a.nrm", "b.nrm")} >= $COS_TAU
          |ORDER BY va, vb""".stripMargin,
+    // Lee et al. duplicate-span mirror: same word/n-gram hash chain as
+    // the decontamination oracle, positions via indexed list_transform
+    "dedup_span" -> Dedup.dupSpansSql(DECON_N),
+    "dedup_normalized" ->
+      s"""WITH c AS (SELECT doc_id AS id,
+         |    ${Dedup.canonicalTextSql("text")} AS ct FROM documents)
+         |SELECT min(id) AS id, count(*) AS n,
+         |  CAST(len(ct) AS BIGINT) AS canon_len
+         |FROM c GROUP BY ct ORDER BY id""".stripMargin,
+    "mix_temperature" ->
+      s"""WITH b AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |m AS (SELECT max(n_tokens) AS mt FROM b)
+         |SELECT source, n_docs, n_tokens,
+         |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(mt AS DOUBLE)) AS rel_weight,
+         |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(mt AS DOUBLE)) * $MIX_MAX_EPOCHS AS epochs
+         |FROM b, m ORDER BY source""".stripMargin,
+    // SemDeDup mirror: the sim_ivf_topk centroid/assignment CTEs with d2
+    // carried, keep-priority rank (d2 DESC, id), pairwise prune
+    "dedup_semantic" ->
+      s"""WITH $fxCte,
+         |c AS (SELECT id AS cid, fx AS cfx, nrm AS cnrm FROM n
+         |  ORDER BY ${Similarity.seedHashSql("id")}, id LIMIT $SEM_C),
+         |sc AS (SELECT n.id, c.cid,
+         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c.cfx[i])) AS BIGINT) + c.cnrm AS d2
+         |  FROM n, c),
+         |rk AS (SELECT id, cid, d2, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS crn FROM sc),
+         |m AS (SELECT id, cid, d2 FROM rk WHERE crn = 1),
+         |pr AS (SELECT id, cid, row_number() OVER (PARTITION BY cid ORDER BY d2 DESC, id) AS rr FROM m),
+         |dr AS (SELECT DISTINCT b.id
+         |  FROM pr a JOIN pr b ON a.cid = b.cid AND a.rr < b.rr
+         |  JOIN n na ON na.id = a.id JOIN n nb ON nb.id = b.id
+         |  WHERE ${Similarity.cosineSql("na.fx", "nb.fx", "na.nrm", "nb.nrm")} >= $COS_TAU)
+         |SELECT id, cid FROM m WHERE id NOT IN (SELECT id FROM dr)
+         |ORDER BY id""".stripMargin,
 
     // sampling mirrors: the same Scala code (rowHashSql / threshold)
     // generates both engines' arithmetic, so membership is bit-identical
@@ -1234,6 +1356,39 @@ object ExtQueries {
       s"""WITH $dsirCtes
          |SELECT id, score FROM sc
          |ORDER BY score DESC, id LIMIT $DSIR_K""".stripMargin,
+
+    // Naive-Bayes mirror: refits the per-class conditional table and
+    // priors from the same data (identical add-one smoothing and
+    // micro-nat rounding as the Spark fit), scores every (doc, class)
+    // pair via the word-occurrence join, argmax by (score DESC, cls)
+    "mix_nb_classify" ->
+      s"""WITH w AS (SELECT doc_id AS id, source, ${MirrorHash.wordHashesSql()} AS whs FROM documents),
+         |e AS (SELECT id, source, unnest(whs) % $NB_B AS bucket FROM w),
+         |bc AS (SELECT source AS cls, bucket, count(*) AS c FROM e GROUP BY 1, 2),
+         |tot AS (SELECT cls, sum(c) AS t FROM bc GROUP BY 1),
+         |cl AS (SELECT source AS cls, count(*) AS nd FROM documents GROUP BY 1),
+         |nn AS (SELECT sum(nd) AS n FROM cl),
+         |pri AS (SELECT cl.cls,
+         |    CAST(round(1000000.0 * ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS lp
+         |  FROM cl, nn),
+         |lw AS (SELECT e.id, c2.cls,
+         |    CAST(round(1000000.0 * ln(
+         |      CAST(COALESCE(bc.c, 0) + 1 AS DOUBLE) / CAST(tot.t + $NB_B AS DOUBLE)))
+         |      AS BIGINT) AS lw
+         |  FROM e CROSS JOIN (SELECT cls FROM cl) c2
+         |  JOIN tot ON tot.cls = c2.cls
+         |  LEFT JOIN bc ON bc.cls = c2.cls AND bc.bucket = e.bucket),
+         |sc AS (SELECT id, cls, sum(lw) AS s FROM lw GROUP BY 1, 2),
+         |sp AS (SELECT w.id, w.source, c2.cls FROM w CROSS JOIN (SELECT cls FROM cl) c2),
+         |fin AS (SELECT sp.id, sp.source, sp.cls, pri.lp + COALESCE(sc.s, 0) AS score
+         |  FROM sp JOIN pri ON pri.cls = sp.cls
+         |  LEFT JOIN sc ON sc.id = sp.id AND sc.cls = sp.cls),
+         |rk AS (SELECT id, source, cls,
+         |    row_number() OVER (PARTITION BY id ORDER BY score DESC, cls) AS rn
+         |  FROM fin)
+         |SELECT id, source AS cls, cls AS pred,
+         |  CAST(source = cls AS INT) AS correct
+         |FROM rk WHERE rn = 1 ORDER BY id""".stripMargin,
 
     "sim_topk_brute" ->
       s"""WITH $fxCte,

@@ -93,6 +93,18 @@ class ChunkingRankingSpec extends SparkSpec {
     assert(b == Map("a b" -> 2L, "b c" -> 1L))
   }
 
+  test("ngramTopK: only duplicated n-grams, exact counts, short docs contribute none") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c d"),    // shared 3-grams "a b c", "b c d" ×2 each
+      (3L, "x y"),                          // too short for n=3
+      (4L, "p q r s")                       // unique 3-grams
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.ngramTopK(df, "text", 3, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a b c" -> 2L, "b c d" -> 2L))
+  }
+
   test("quantizeInt8: max |component| maps to ±127, zero vector to zeros") {
     import spark.implicits._
     val df = Seq((1L, Array(0.5f, -1.0f, 0.0f)), (2L, Array(0.0f, 0.0f, 0.0f)))

@@ -180,4 +180,65 @@ class DedupSimilaritySpec extends SparkSpec {
         assert(auto == exact, s"n=$n T=$t missing=${exact -- auto} extra=${auto -- exact}")
       }
   }
+
+  test("dupSpans: planted cross-doc span covered in both docs, self-repeat counts") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ") // one 8-gram
+    val df = Seq(
+      (1L, s"alpha beta $span gamma delta epsilon zeta eta theta"),
+      (2L, s"$span iota kappa lambda mu nu xi omicron pi"),
+      (3L, "unique words only here nothing repeats at all today friend"),
+      (4L, s"$span and again $span") // self-repetition in one doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(df, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // docs 1, 2, 4 each contain the planted 8-gram (doc 4 twice) -> its
+    // 8 tokens are covered in every occurrence; doc 3 is untouched
+    assert(out(1L)._2 == 8L)
+    assert(out(2L)._2 == 8L)
+    assert(out(3L) == ((10L, 0L,
+      "unique words only here nothing repeats at all today friend")))
+    assert(out(1L)._3 == "alpha beta gamma delta epsilon zeta eta theta")
+    assert(out(2L)._3 == "iota kappa lambda mu nu xi omicron pi")
+    // doc 4: both copies removed (drop-all-copies variant); the infix
+    // "and again" bridges two copies — grams spanning the boundary are
+    // unique, so only the two clean copies' tokens are covered
+    assert(out(4L)._2 == 16L)
+    assert(out(4L)._3 == "and again")
+  }
+
+  test("exactNormalized: case/punct/whitespace variants collapse, keep-min survives") {
+    import spark.implicits._
+    val df = Seq(
+      (5L, "Hello,  World!"), (3L, "hello world"), (9L, "HELLO WORLD."),
+      (7L, "different text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(3L -> ((3L, 11L)), 7L -> ((1L, 14L))))
+  }
+
+  test("semDedup: identical in-cluster twin dropped, keeper is min id; singletons survive") {
+    import spark.implicits._
+    // 64-dim unit-ish vectors: two identical (near-dup) + one orthogonal
+    def vec(hot: Int): Array[Float] =
+      Array.tabulate(64)(d => if (d == hot) 1.0f else 0.0f)
+    val df = Seq(
+      (10L, vec(0)), (11L, vec(0)), // identical pair
+      (20L, vec(5))                  // unrelated singleton
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(df, "vec_id", "embedding", 0.9, 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // exactly one of the twins survives, the singleton always does
+    assert(kept.contains(20L))
+    assert((kept - 20L).size == 1)
+    assert((kept - 20L).subsetOf(Set(10L, 11L)))
+  }
+
+  test("semDedup at tau>1 drops nothing") {
+    val all = emb.count()
+    val kept = Similarity.semDedup(emb, "vec_id", "embedding", 1.1, 4).count()
+    assert(kept == all)
+  }
 }

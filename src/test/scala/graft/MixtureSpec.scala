@@ -145,4 +145,53 @@ class MixtureSpec extends SparkSpec {
       s"target min ${target.min} vs noise max ${noise.max}")
     assert(scores(100L) > scores(101L)) // two target words beat one
   }
+
+  test("temperaturePlan: α=1/2 weights relative to the largest source, exact on squares") {
+    import spark.implicits._
+    // 100 vs 25 tokens -> rel weights exactly 1.0 and 0.5
+    val df = Seq.tabulate(10)(i => (i.toLong, "big", Seq.fill(10)("w").mkString(" "))) ++
+      Seq.tabulate(5)(i => (100L + i, "small", Seq.fill(5)("w").mkString(" ")))
+    val out = Mixture.temperaturePlan(df.toDF("doc_id", "source", "text"),
+        "source", "text", 4.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("big") == ((10L, 100L, 1.0, 4.0)))
+    assert(out("small") == ((5L, 25L, 0.5, 2.0)))
+  }
+
+  test("Naive Bayes: planted class vocabularies classify perfectly; model shapes hold") {
+    import spark.implicits._
+    val corpus = (0L until 40L).map { i =>
+      val cls = if (i % 2 == 0) "news" else "code"
+      val word = if (cls == "news") "election" else "compiler"
+      (i, cls, Seq.fill(5)(word).mkString(" ") + s" shared$i common")
+    }
+    val df = corpus.toDF("doc_id", "source", "text")
+    val b = 256
+    val tblRows = Mixture.nbTable(df, "text", "source", b).collect()
+    // spine-complete: every (class, bucket) present exactly once
+    assert(tblRows.length == 2 * b)
+    val tables = tblRows.groupBy(_.getString(0)).map { case (c, rs) =>
+      c -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    val priors = Mixture.nbPriors(df, "source").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // balanced classes: equal priors = round(1e6 ln 0.5)
+    assert(priors("news") == priors("code"))
+    assert(priors("news") == math.round(1e6 * math.log(0.5)))
+    val model = tables.map { case (c, t) => c -> (priors(c), t) }.toSeq
+    val pred = Mixture.nbPredict(df, "doc_id", "text", "source", model, b)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getInt(3))).toMap
+    assert(pred.size == 40)
+    assert(pred.values.forall(_._2 == 1), // 5 class-exclusive words dominate
+      s"misclassified: ${pred.filter(_._2._2 == 0)}")
+  }
+
+  test("Naive Bayes argmax tie-break is the lexicographically smallest class") {
+    import spark.implicits._
+    // identical per-class tables and priors -> every class ties
+    val df = Seq((1L, "x", "word")).toDF("doc_id", "source", "text")
+    val model = Seq("zeta" -> (0L, Seq.fill(16)(0L)), "alpha" -> (0L, Seq.fill(16)(0L)))
+    val out = Mixture.nbPredict(df, "doc_id", "text", "source", model, 16).head()
+    assert(out.getString(2) == "alpha")
+  }
 }

@@ -293,4 +293,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("dup-span dedup: gram-hash equi-joins only, partial gram agg, no cartesian") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.Dedup.dupSpans(docs, "doc_id", "text", 8))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+    // the global gram count aggregates with map-side partials
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("semDedup: centroids broadcast, prune join is an equi-join on the cluster id") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val p = fmt(graft.operators.Similarity.semDedup(
+      emb, "vec_id", "embedding", 0.45, 8))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the corpus×C assignment pass (centroids as the broadcast build
+    // side, same shape as the IVF queries) is CACHED so its one
+    // nested-loop runs once however many consumers read it — every
+    // occurrence of the BNL in the plan text is inside an
+    // InMemoryRelation subtree
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    // prune + survivor joins stay equi-joins (SMJ/hash), never BNL:
+    // the first BNL mention lies inside a cached (InMemoryRelation)
+    // subtree, i.e. after the cache boundary in the plan text
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(p.indexOf("BroadcastNestedLoopJoin") > p.indexOf("InMemoryRelation"),
+      p.take(2000))
+  }
+
+  test("NB predict: literal tables fold in a projection — zero shuffle, zero join") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val model = Seq("a" -> (0L, Seq.fill(64)(1L)), "b" -> (0L, Seq.fill(64)(2L)))
+    val p = fmt(graft.operators.Mixture.nbPredict(
+      docs, "doc_id", "text", "source", model, 64))
+    assert(exchangeNodes(p) == 0, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("RAG capstone: chunk Generate pipelines into the scan; no corpus-side shuffle before postings") {
+    val p = fmt(graft.queries.ExtQueries.queries("pipe_rag_retrieval")(spark, sf001))
+    assert(p.contains("Generate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // nested-loop joins only for the 1-row corpus-stats broadcasts (the
+    // scored and unscored stat arms); dfreq joins the postings as a
+    // broadcast HASH join, and the corpus itself never nested-loops
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }
