@@ -181,6 +181,54 @@ object ScaleSmoke {
       }
     }
 
+    // Duplicate-span dedup at growing corpus multiples. Replication is
+    // this operator's WORST case: every copy makes every gram duplicated,
+    // so every token of every doc is covered and the coverage explode
+    // emits n·8 rows — the measured curve bounds the pathological
+    // all-duplicated corpus, real corpora sit far below it.
+    Seq(1, 4).foreach { m =>
+      val d = repDocs(m)
+      time(s"dedup_span x$m (${5000 * m} docs, all-dup worst case at x4)") {
+        graft.operators.Dedup.dupSpans(d, "doc_id", "text", 8)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
+    // SemDeDup at growing corpus multiples with √n-scaled centroids (the
+    // paper's sizing): within-cluster candidate volume Σ|c|² ≈ n²/C must
+    // track n^1.5 — replicated ids shift per copy so clusters mix copies.
+    Seq(1, 2, 4).foreach { m =>
+      val d = repEmb(m)
+      val c = math.max(16, math.ceil(math.sqrt(2000.0 * m)).toInt)
+      time(s"dedup_semantic x$m (${2000 * m} vecs, C=$c)") {
+        graft.operators.Similarity.semDedup(d, "vec_id", "embedding", 0.45, c)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
+    // NB classifier: fit ONCE on the base corpus (the model is corpus-
+    // size-free: |classes|·B longs), predict over growing multiples —
+    // prediction is pure projection folds, must be linear, zero shuffle.
+    {
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val rows = graft.operators.Mixture.nbTable(base, "text", "source", 512).collect()
+      val tables = rows.groupBy(_.getString(0)).map { case (c2, rs) =>
+        c2 -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+      val priors = graft.operators.Mixture.nbPriors(base, "source").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      val model = tables.map { case (c2, t) => c2 -> (priors(c2), t) }.toSeq
+      def repDocsSrc(n: Int) = (0 until n).map(k =>
+        docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          col("source"), col("text"))).reduce(_ union _)
+      Seq(1, 4, 16).foreach { m =>
+        val d = repDocsSrc(m)
+        time(s"mix_nb_predict x$m (${5000 * m} docs, 20 classes x 512 buckets)") {
+          graft.operators.Mixture.nbPredict(d, "doc_id", "text", "source", model, 512)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+    }
+
     // Skew-safe sessionize under a deliberately hot key: all events
     // collapsed onto one user (the single-pass plan's worst case).
     val ev = graft.queries.Tables.t(spark, "/root/testdata/sf0.1", "events")

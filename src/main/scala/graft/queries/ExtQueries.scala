@@ -765,7 +765,9 @@ object ExtQueries {
     s"w AS (SELECT doc_id AS id, ${wordHashesSql()} AS whs FROM documents)"
   private def shsCte =
     s"$whsCte, s AS (SELECT id, ${shingleHashesSql()} AS shs FROM w)"
-  private def distinctShingleCte =
+  // private[queries]: the streaming near-dup twin's oracle reuses the
+  // exact same shingle-set CTEs (one definition — the twins can't drift)
+  private[queries] def distinctShingleCte =
     s"$shsCte, d AS (SELECT id, list_distinct(shs) AS ds, CAST(len(list_distinct(shs)) AS BIGINT) AS nd FROM s)"
   private def fxCte =
     s"""f AS (SELECT vec_id AS id, ${Similarity.fixedPointSql("embedding")} AS fx FROM embeddings),

@@ -13,6 +13,11 @@ import Tables._
   */
 object StreamQueries {
 
+  // streaming near-dup config: every 3rd doc "arrives", the rest are the
+  // indexed historical corpus; tau matches the batch jaccard queries
+  private val ND_MOD = 3L
+  private val ND_TAU = 0.6
+
   /** Predicted average-hash CTEs (the synthetic PNG pixel rule is known,
     * so the oracle computes the hash the real decoder will produce) —
     * shared by the mm_ahash and mm_neardup_pairs mirrors; yields
@@ -113,6 +118,13 @@ object StreamQueries {
     // exactly-once file sink → batch read-back; oracle = batch resample
     "stream_parquet_sink" -> ((s, dir) =>
       StreamOps.resampleToParquetOnce(s, dir, "1 day").orderBy("bucket_us")),
+
+    // streaming near-dup against an indexed historical corpus: static
+    // MinHash band index + stream-static equi-join + exact Jaccard
+    // verify; the only state is the verified-pair dedup
+    "stream_neardup" -> ((s, dir) =>
+      StreamOps.nearDupOnce(s, dir, ND_MOD, ND_TAU, "stream_neardup_q_sink")
+        .orderBy("id", "match_id")),
 
     // streaming exact dedup: dropDuplicates under the streaming engine;
     // output projected to content-derived columns (which doc_id survives
@@ -304,6 +316,26 @@ object StreamQueries {
          |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT md5(text) AS h, n_chars FROM documents ORDER BY h""",
+    // batch mirror of the stream-static near-dup: same shingle CTEs as
+    // the batch minhash queries, candidates restricted to
+    // (stream doc) × (historical doc) by the id split
+    "stream_neardup" -> {
+      import graft.functions.MirrorHash
+      s"""WITH ${ExtQueries.distinctShingleCte},
+         |g AS (SELECT id, ds, nd, ${MirrorHash.minhashSigSql("ds")} AS sig FROM d),
+         |bd AS (SELECT id, ds, nd, ${MirrorHash.bandsSql("sig")} AS bands FROM g),
+         |ex AS (SELECT id, i AS bi, bands[i] AS bv FROM bd,
+         |  UNNEST(generate_series(1, ${MirrorHash.NUM_BANDS})) AS u(i)),
+         |cand AS (SELECT DISTINCT sx.id AS sid, hx.id AS hid
+         |  FROM ex sx JOIN ex hx ON sx.bi = hx.bi AND sx.bv = hx.bv
+         |  WHERE sx.id % $ND_MOD = 0 AND hx.id % $ND_MOD <> 0),
+         |v AS (SELECT sid, hid,
+         |    CAST(len(list_intersect(a.ds, b.ds)) AS BIGINT) AS common,
+         |    a.nd AS na, b.nd AS nb
+         |  FROM cand JOIN bd a ON a.id = sid JOIN bd b ON b.id = hid)
+         |SELECT sid AS id, hid AS match_id, common/(na+nb-common) AS j FROM v
+         |WHERE common/(na+nb-common) >= $ND_TAU ORDER BY id, match_id""".stripMargin
+    },
     "stream_parquet_sink" ->
       s"""SELECT epoch_us(date_trunc('day', ts)) AS bucket_us,
          |  ${dsumSql("value")} AS day_sum, count(*) AS n

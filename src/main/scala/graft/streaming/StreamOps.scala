@@ -174,6 +174,64 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming near-duplicate detection against an indexed historical
+    * corpus — the online-ingestion twin of
+    * [[graft.operators.Dedup.minhashLshPairs]], the check every live
+    * crawl runs before admitting a document: the HISTORICAL corpus
+    * (ids with id % histMod ≠ 0) is indexed ONCE as a static exploded
+    * band table plus per-doc shingle sets; each ARRIVING doc
+    * (id % histMod = 0) computes signature+bands in the stream
+    * projection, equi-joins the static band index (stream-static join —
+    * ZERO join state), verifies exact Jaccard at `tau`, and APPENDs its
+    * matched (id, match_id, j) pairs after a streaming `dropDuplicates`
+    * on the pair key (multi-band collisions repeat candidates; dedup
+    * runs AFTER the verify so state holds only VERIFIED pairs — the
+    * near-dup hit list, orders of magnitude below the corpus; a
+    * production deployment bounds it further with a watermark horizon).
+    * At 100 TB the band index is the thing that scales: it is a static
+    * table joined by band-value equality, so the stream side never
+    * shuffles more than its collision candidates. */
+  def nearDupOnce(spark: SparkSession, dir: String, histMod: Long,
+      tau: Double, sinkName: String = "stream_neardup_sink"): DataFrame = {
+    import graft.functions.HashExpressions.{word_hashes, shingle_hashes, minhash_sig}
+    import graft.functions.MirrorHash.bands
+    def shingled(df: DataFrame): DataFrame =
+      df.select(col("doc_id").as("id"),
+          array_distinct(shingle_hashes(word_hashes(col("text")))).as("ds"))
+        .withColumn("nd", size(col("ds")).cast("long"))
+        .withColumn("bands", bands(minhash_sig(col("ds"))))
+    val tmp = linkedDir(dir, "documents")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val hist = shingled(spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % histMod =!= 0))
+      .cache()
+    val histIdx = hist.select(col("id").as("match_id"),
+      col("ds").as("dsh"), col("nd").as("nh"),
+      posexplode(col("bands")).as(Seq("bi", "bv")))
+    val src = shingled(
+      spark.readStream.schema(schema).parquet(tmp)
+        .filter(col("doc_id") % histMod === 0))
+      .select(col("id"), col("ds"), col("nd"),
+        posexplode(col("bands")).as(Seq("bi", "bv")))
+    val verified = src.join(histIdx, Seq("bi", "bv"))
+      .withColumn("common",
+        size(array_intersect(col("ds"), col("dsh"))).cast("long"))
+      .withColumn("j", col("common") / (col("nd") + col("nh") - col("common")))
+      .filter(col("j") >= tau)
+      .select(col("id"), col("match_id"), col("j"))
+      .dropDuplicates("id", "match_id")
+    withHarnessConf(spark, "4") { ckpt =>
+      val q = verified.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    hist.unpersist()
+    spark.table(sinkName)
+  }
+
   /** Streaming OHLC: the finance resample (open/high/low/close per
     * tumbling day) as a watermarked streaming aggregate — min_by/max_by
     * are ordinary declarative aggregates, so the exact batch query runs

@@ -208,6 +208,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(4L)._3 == "and again")
   }
 
+  test("streaming near-dup == cross-split slice of the batch MinHash pairs") {
+    val batch = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect {  // orient: (stream doc, historical doc, j)
+        case (a, b, j) if a % 3 == 0 && b % 3 != 0 => (a, b, j)
+        case (a, b, j) if b % 3 == 0 && a % 3 != 0 => (b, a, j)
+      }.toSet
+    val stream = graft.streaming.StreamOps.nearDupOnce(spark, sf001,
+        histMod = 3, tau = 0.6, sinkName = "spec_neardup_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty, "fixture has no cross-split near-dup pair")
+  }
+
   test("exactNormalized: case/punct/whitespace variants collapse, keep-min survives") {
     import spark.implicits._
     val df = Seq(
