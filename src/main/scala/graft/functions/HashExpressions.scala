@@ -524,11 +524,69 @@ object HashExpressions {
     org.apache.spark.sql.types.Decimal(scala.math.BigDecimal(big), 38, 0)
   }
 
+  /** All |C| Naive-Bayes class scores in ONE codegen'd pass over a
+    * word-hash array: scores[c] = priors[c] + Σ_i table[c·B + b_i] with
+    * b_i = pmod(whs[i], B). The per-class model tables ride along as
+    * plan reference objects (|C|·B longs), so scoring a document is a
+    * tight two-level loop with zero allocation beyond the |C|-long
+    * output — replacing the |C| interpreted `aggregate` HOF folds that
+    * re-evaluated the word hashes once per class (r10's one perf_weak:
+    * ArrayAggregate.eval → WordHashArray per class per row). */
+  case class ClassScoreArray(child: Expression, priors: Array[Long],
+      table: Array[Long], buckets: Int) extends UnaryExpression {
+    require(buckets > 0, "buckets must be positive")
+    require(priors.length >= 1, "need at least one class")
+    require(table.length == priors.length * buckets,
+      s"table length ${table.length} != ${priors.length} classes x $buckets buckets")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(c: Expression): ClassScoreArray =
+      copy(child = c)
+
+    override def nullSafeEval(input: Any): Any = {
+      val whs = input.asInstanceOf[ArrayData]
+      val n = whs.numElements()
+      val out = priors.clone()
+      var i = 0
+      while (i < n) {
+        val w = whs.getLong(i)
+        val b = (((w % buckets) + buckets) % buckets).toInt // pmod
+        var c = 0
+        while (c < out.length) { out(c) += table(c * buckets + b); c += 1 }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val pRef = ctx.addReferenceObj("nbPriors", priors, "long[]")
+      val tRef = ctx.addReferenceObj("nbTable", table, "long[]")
+      val gad = classOf[GenericArrayData].getName
+      val nc = priors.length
+      nullSafeCodeGen(ctx, ev, in => {
+        val n = ctx.freshName("n"); val out = ctx.freshName("out")
+        val i = ctx.freshName("i"); val c = ctx.freshName("c")
+        val b = ctx.freshName("b")
+        s"""
+           |int $n = $in.numElements();
+           |long[] $out = ($pRef).clone();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  int $b = (int) ((($in.getLong($i) % $buckets) + $buckets) % $buckets);
+           |  for (int $c = 0; $c < $nc; $c++) $out[$c] += $tRef[$c * $buckets + $b];
+           |}
+           |${ev.value} = new $gad($out);
+         """.stripMargin
+      })
+    }
+  }
+
   // Column wrappers (Spark 4: Column ↔ Expression via the sql-package bridge)
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def word_hashes(text: Column): Column = column(WordHashArray(expression(text)))
   def shingle_hashes(whs: Column): Column = column(ShingleHashArray(expression(whs)))
   def ngram_hashes(whs: Column, n: Int): Column = column(NgramHashArray(expression(whs), n))
+  def class_scores(whs: Column, priors: Array[Long], table: Array[Long],
+      buckets: Int): Column =
+    column(ClassScoreArray(expression(whs), priors, table, buckets))
   def minhash_sig(shs: Column): Column = column(MinHashSig(expression(shs)))
   def simhash30(shs: Column): Column = column(SimHash30(expression(shs)))
   def fixed_dot(a: Column, b: Column): Column = column(FixedDot(expression(a), expression(b)))

@@ -244,31 +244,41 @@ object Mixture {
   /** Multinomial Naive Bayes — predict half. `model` maps each class to
     * (log-prior, B-entry log-likelihood table), collected from
     * [[nbPriors]]/[[nbTable]] (model fitting collects like IVF centroids
-    * — |classes|·B longs, driver-bounded). Scoring is |classes| pure
-    * projection folds over the word-hash array with every table a plan
-    * literal — ZERO shuffle, zero join; the corpus is read once. The
+    * — |classes|·B longs, driver-bounded). Scoring is ONE codegen'd
+    * expression ([[graft.functions.HashExpressions.ClassScoreArray]]):
+    * the document tokenizes once and a two-level loop adds every class's
+    * table entry for each token's bucket, with the |C|·B model riding
+    * along as a plan reference object — ZERO shuffle, zero join, the
+    * corpus is read once and hashed once (NOT once per class, the r10
+    * interpreted-HOF form that re-ran WordHashArray |C|× per row). The
     * argmax (score DESC, class name ASC on ties) is a `greatest` over
-    * (score, reverse-class-rank, name) structs — one codegen'd row-local
-    * comparison chain. Emits (id, cls = true label, pred, correct). */
+    * (score, reverse-class-rank, name) structs reading the projected
+    * score array — cheap element_at only, so the two projections stay
+    * separate and the scores evaluate once. Emits (id, cls = true
+    * label, pred, correct). */
   def nbPredict(df: DataFrame, idCol: String, textCol: String,
       classCol: String, model: Seq[(String, (Long, Seq[Long]))],
       buckets: Int): DataFrame = {
     require(model.nonEmpty, "model must have at least one class")
-    val wh = graft.functions.HashExpressions.word_hashes(col(textCol))
     // classes sorted ASC; revRank = |C|-idx makes the struct ordering
     // break score ties toward the lexicographically smallest class
     val sorted = model.sortBy(_._1)
-    val cands = sorted.zipWithIndex.map { case ((name, (lp, tbl)), idx) =>
-      require(tbl.length == buckets, s"table size ${tbl.length} != $buckets")
-      val la = lit(tbl.toArray)
-      val score = aggregate(wh, lit(lp), (acc, w) =>
-        acc + element_at(la, pmod(w, lit(buckets.toLong)).cast("int") + 1))
-      struct(score.as("s"), lit(sorted.size - idx).as("r"), lit(name).as("n"))
+    sorted.foreach { case (_, (_, tbl)) =>
+      require(tbl.length == buckets, s"table size ${tbl.length} != $buckets") }
+    val priors = sorted.map(_._2._1).toArray
+    val flat = sorted.iterator.flatMap(_._2._2).toArray
+    val scores = graft.functions.HashExpressions.class_scores(
+      graft.functions.HashExpressions.word_hashes(col(textCol)),
+      priors, flat, buckets)
+    val base = df.select(col(idCol).as("id"), col(classCol).as("cls"),
+      scores.as("__sc"))
+    val cands = sorted.zipWithIndex.map { case ((name, _), idx) =>
+      struct(element_at(col("__sc"), idx + 1).as("s"),
+        lit(sorted.size - idx).as("r"), lit(name).as("n"))
     }
     val best =
       if (cands.size == 1) cands.head else greatest(cands: _*)
-    df.select(col(idCol).as("id"), col(classCol).as("cls"),
-        best.getField("n").as("pred"))
+    base.select(col("id"), col("cls"), best.getField("n").as("pred"))
       .withColumn("correct", (col("cls") === col("pred")).cast("int"))
   }
 

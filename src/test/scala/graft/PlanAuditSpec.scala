@@ -329,6 +329,12 @@ class PlanAuditSpec extends SparkSpec {
       docs, "doc_id", "text", "source", model, 64))
     assert(exchangeNodes(p) == 0, p)
     assert(!p.contains("Join"), p)
+    // the r10 perf_weak: word_hashes re-evaluated inside every class's
+    // interpreted HOF fold. Pin the fix — the doc tokenizes ONCE and all
+    // class scores come from ONE ClassScoreArray pass; CollapseProject
+    // must not inline the score array into the |C| argmax consumers
+    assert("wordhasharray".r.findAllIn(p.toLowerCase).size == 1, p)
+    assert("classscorearray".r.findAllIn(p.toLowerCase).size == 1, p)
   }
 
   test("RAG capstone: chunk Generate pipelines into the scan; no corpus-side shuffle before postings") {
