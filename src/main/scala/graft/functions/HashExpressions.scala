@@ -170,6 +170,74 @@ object HashExpressions {
     }
   }
 
+  /** WIDE word-n-gram hashes (MirrorHash.ngramHashesWide): two
+    * independent mod-P polynomial chains (multipliers 131 and 1117)
+    * packed as h1·P + h2 < P² ≈ 10¹⁸ (fits signed 64-bit, and every
+    * intermediate stays BIGINT-safe for the DuckDB mirror). For
+    * operators that act DESTRUCTIVELY on gram-hash equality (dup-span
+    * removal deletes text): a single mod-P hash (~2³⁰) false-collides
+    * distinct grams at the birthday rate G²∕2P — hundreds of spurious
+    * deletions at 10⁶ distinct grams, overwhelming at corpus scale. The
+    * packed pair's collision space is P² ≈ 2⁶⁰: expected false pairs
+    * G²∕2P² ≈ 0.5 at G = 10⁹ and ≈ 5·10⁵ at G = 10¹² (a 5·10⁻⁷
+    * fraction at ~100 TB) — documented residual, negligible in effect
+    * and strictly audit-visible via dup_tokens counts. */
+  case class NgramHashWideArray(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1 && n <= 8, s"ngram n must be in [1,8], got $n")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(c: Expression): NgramHashWideArray =
+      copy(child = c)
+
+    private val mult1: Array[Long] =
+      (0 until n).scanLeft(1L)((a, _) => a * 131L % P).take(n).toArray
+    private val mult2: Array[Long] =
+      (0 until n).scanLeft(1L)((a, _) => a * 1117L % P).take(n).toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val whs = input.asInstanceOf[ArrayData].toLongArray()
+      if (whs.length < n) return new GenericArrayData(Array.emptyLongArray)
+      val out = new Array[Long](whs.length - n + 1)
+      var i = 0
+      while (i < out.length) {
+        var a1 = 0L; var a2 = 0L
+        var k = 0
+        while (k < n) {
+          val w = whs(i + k) % P
+          a1 += w * mult1(k); a2 += w * mult2(k) // ≤ 8·P² < 2^63
+          k += 1
+        }
+        out(i) = (a1 % P) * P + (a2 % P)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val gad = classOf[GenericArrayData].getName
+      val m1Ref = ctx.addReferenceObj("mult1", mult1, "long[]")
+      val m2Ref = ctx.addReferenceObj("mult2", mult2, "long[]")
+      nullSafeCodeGen(ctx, ev, in => {
+        val nn = ctx.freshName("n"); val out = ctx.freshName("out")
+        val i = ctx.freshName("i"); val k = ctx.freshName("k")
+        val a1 = ctx.freshName("a1"); val a2 = ctx.freshName("a2")
+        val w = ctx.freshName("w")
+        s"""
+           |int $nn = $in.numElements();
+           |long[] $out = ($nn < $n) ? new long[0] : new long[$nn - ${n - 1}];
+           |for (int $i = 0; $i < $out.length; $i++) {
+           |  long $a1 = 0L; long $a2 = 0L;
+           |  for (int $k = 0; $k < $n; $k++) {
+           |    long $w = $in.getLong($i + $k) % ${P}L;
+           |    $a1 += $w * $m1Ref[$k]; $a2 += $w * $m2Ref[$k];
+           |  }
+           |  $out[$i] = ($a1 % ${P}L) * ${P}L + ($a2 % ${P}L);
+           |}
+           |${ev.value} = new $gad($out);
+         """.stripMargin
+      })
+    }
+  }
+
   /** MinHash signature (MirrorHash.minhashSig): NUM_PERMS mins in one pass. */
   case class MinHashSig(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -584,6 +652,8 @@ object HashExpressions {
   def word_hashes(text: Column): Column = column(WordHashArray(expression(text)))
   def shingle_hashes(whs: Column): Column = column(ShingleHashArray(expression(whs)))
   def ngram_hashes(whs: Column, n: Int): Column = column(NgramHashArray(expression(whs), n))
+  def ngram_hashes_wide(whs: Column, n: Int): Column =
+    column(NgramHashWideArray(expression(whs), n))
   def class_scores(whs: Column, priors: Array[Long], table: Array[Long],
       buckets: Int): Column =
     column(ClassScoreArray(expression(whs), priors, table, buckets))

@@ -80,8 +80,29 @@ object MirrorHash {
   }
 
   /** 131^k mod P (distinct per-position multipliers for [[ngramHashes]]). */
-  private def powMod131(k: Int): Long =
-    (0 until k).foldLeft(1L)((a, _) => a * 131L % P)
+  private def powMod131(k: Int): Long = powMod(131L, k)
+
+  /** b^k mod P — per-position multipliers for the hash chains. */
+  private def powMod(b: Long, k: Int): Long =
+    (0 until k).foldLeft(1L)((a, _) => a * b % P)
+
+  /** WIDE word-n-gram hashes: two independent mod-P chains (multipliers
+    * 131 and 1117) packed h1·P + h2 < P² ≈ 10¹⁸ — the collision-safe
+    * gram identity for operators that DELETE on gram equality (dup-span
+    * removal), where a single mod-P hash would falsely merge distinct
+    * grams at the ~2³⁰ birthday rate. HOF executable spec of
+    * [[graft.functions.HashExpressions.NgramHashWideArray]]. */
+  def ngramHashesWide(whs: Column, n: Int): Column = {
+    require(n >= 1 && n <= 8, s"ngram n must be in [1,8], got $n")
+    def chain(i: Column, b: Long): Column =
+      (0 until n).map(k =>
+          (element_at(whs, i + k + 1) % P) * lit(powMod(b, k)))
+        .reduce(_ + _) % P
+    when(size(whs) >= n,
+      transform(sequence(lit(0), size(whs) - n), i =>
+        chain(i, 131L) * P + chain(i, 1117L)))
+      .otherwise(array().cast("array<bigint>"))
+  }
 
   /** MinHash under permutation j: min((a_j·h + b_j) mod P). */
   def minhash(shs: Column, j: Int): Column =
@@ -200,6 +221,19 @@ object MirrorHash {
       .map(k => s"($whs[i+$k]%$P)*${powMod131(k)}").mkString(" + ")
     s"""CASE WHEN len($whs) >= $n THEN
        | list_transform(generate_series(1, len($whs)-${n - 1}), i -> ($terms) % $P)
+       | ELSE [] END""".stripMargin
+  }
+
+  /** SQL mirror of [[ngramHashesWide]]: the packed two-chain gram hash
+    * (every intermediate < 8·P² and the packed value < P², both inside
+    * DuckDB's signed BIGINT). */
+  def ngramHashesWideSql(whs: String, n: Int): String = {
+    require(n >= 1 && n <= 8, s"ngram n must be in [1,8], got $n")
+    def terms(b: Long) = (0 until n)
+      .map(k => s"($whs[i+$k]%$P)*${powMod(b, k)}").mkString(" + ")
+    s"""CASE WHEN len($whs) >= $n THEN
+       | list_transform(generate_series(1, len($whs)-${n - 1}),
+       |   i -> ((${terms(131L)}) % $P) * $P + ((${terms(1117L)}) % $P))
        | ELSE [] END""".stripMargin
   }
 }

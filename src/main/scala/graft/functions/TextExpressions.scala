@@ -60,6 +60,52 @@ object TextExpressions {
     new GenericInternalRow(Array[Any](top, nbg.toLong, bigrams.size.toLong))
   }
 
+  /** Single-pass canonical text form for normalization-then-exact dedup
+    * (the RefinedWeb/CCNet preprocessing key): lowercase, strip
+    * everything outside [a-z0-9 ], squeeze whitespace runs, trim — one
+    * character scan with no intermediate strings. Replaces the
+    * two-`regexp_replace` Column form (now the executable spec in
+    * DedupSimilaritySpec's differential), whose java.util.regex passes
+    * over full documents were the measured cost of dedup_normalized.
+    * Unicode note: per-char `Character.toLowerCase` matches `lower()`'s
+    * full case mapping AFTER the [a-z0-9 ] filter — the only multi-char
+    * lowercase expansion (U+0130 → i + U+0307) filters to the same 'i',
+    * and map-to-ASCII singletons (U+212A KELVIN → k) map identically. */
+  case class CanonicalText(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override protected def withNewChildInternal(c: Expression): CanonicalText =
+      copy(child = c)
+
+    override def nullSafeEval(input: Any): Any =
+      TextExpressions.computeCanonical(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in =>
+        s"${ev.value} = graft.functions.TextExpressions.computeCanonical($in);")
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def computeCanonical(s0: UTF8String): UTF8String = {
+    val s = s0.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val lc = Character.toLowerCase(s.charAt(i))
+      if (lc == ' ') {
+        if (sb.length > 0) pendingSpace = true // leading spaces trim away
+      } else if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(lc)
+      } // anything else is stripped; a pending space stays pending so
+        // spaces bridged by stripped chars squeeze to one
+      i += 1
+    }
+    UTF8String.fromString(sb.toString) // trailing space never emitted = trim
+  }
+
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def repetition_stats(tokens: Column): Column = column(RepetitionStats(expression(tokens)))
+  def canonical_text(text: Column): Column = column(CanonicalText(expression(text)))
 }

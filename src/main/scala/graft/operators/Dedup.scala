@@ -343,9 +343,19 @@ object Dedup {
     * RefinedWeb/CCNet preprocessing trick (Penedo et al. 2023 §3.3 run
     * exact dedup on a normalized form so trivial variants — case,
     * punctuation, whitespace — collapse): lowercase, strip everything
-    * outside [a-z0-9 ], squeeze whitespace runs, trim. A pure
-    * projection (three codegen'd string ops), zero shuffle. */
+    * outside [a-z0-9 ], squeeze whitespace runs, trim. ONE codegen'd
+    * character scan ([[graft.functions.TextExpressions.CanonicalText]])
+    * — the r10 two-`regexp_replace` form ran java.util.regex twice over
+    * every full document (the measured cost of dedup_normalized); the
+    * regex form remains the executable spec in the differential test.
+    * Zero shuffle either way. */
   def canonicalText(text: Column): Column =
+    graft.functions.TextExpressions.canonical_text(text)
+
+  /** The two-regex Column formulation — [[canonicalText]]'s executable
+    * specification (DedupSimilaritySpec asserts equality on real docs
+    * plus adversarial edges). */
+  def canonicalTextRegex(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
@@ -379,35 +389,51 @@ object Dedup {
     * which it reports trains as well as keep-one and needs no global
     * occurrence ordering — so the plan needs no sort at all).
     *
-    * Scale design: gram extraction is one codegen'd projection
-    * ([[graft.functions.HashExpressions.NgramHashArray]]); the global
-    * occurrence count is a hash aggregate on the gram hash with full
-    * map-side combine (a boilerplate gram repeated 10⁶× collapses per
-    * map task before the shuffle — same skew-killer as [[paragraphs]]);
-    * marking is an equi-JOIN back on the gram hash (shuffle bounded by
-    * gram occurrences, never |corpus|²); span→token coverage is a
-    * per-row sequence explode + per-doc distinct. No broadcast of
-    * corpus-sized state, no global sort, no driver collect. */
+    * Scale design: gram extraction is one codegen'd projection over a
+    * COLLISION-SAFE packed two-chain gram hash
+    * ([[graft.functions.HashExpressions.NgramHashWideArray]], collision
+    * space P² ≈ 2⁶⁰ — a single mod-P hash at ~2³⁰ would falsely delete
+    * distinct grams at the birthday rate G²∕2P, hundreds of spurious
+    * span deletions at 10⁶ distinct grams; the wide form's residual is
+    * ≈ 5·10⁵ false pairs among 10¹² grams at ~100 TB, a 5·10⁻⁷
+    * fraction). The global occurrence count is a hash aggregate on the
+    * gram hash with full map-side combine (a boilerplate gram repeated
+    * 10⁶× collapses per map task before the shuffle — same skew-killer
+    * as [[paragraphs]]); marking is an equi-JOIN back on the gram hash
+    * (shuffle bounded by gram occurrences, never |corpus|²); kept-token
+    * selection is a LEFT-ANTI equi-join of the exploded (id, ti) token
+    * frame against the covered set — O(tokens) total, replacing the
+    * r10 per-row `array_contains` scan that cost O(tokens × |covered|)
+    * on a single row (~10¹⁰ comparisons for a heavily-duplicated
+    * 100k-token web document). No broadcast of corpus-sized state, no
+    * global sort, no driver collect. */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     val grams = df.select(col(idCol).as("id"),
-      posexplode(graft.functions.HashExpressions.ngram_hashes(
+      posexplode(graft.functions.HashExpressions.ngram_hashes_wide(
         word_hashes(col(textCol)), n)).as(Seq("p", "g")))
     val dupG = grams.groupBy("g").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("g")
     val covered = grams.join(dupG, "g")
       .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("ti"))
       .distinct()
-    val cov = covered.groupBy("id").agg(
-      count(lit(1)).as("dup_tokens"), collect_set(col("ti")).as("__cset"))
-    df.select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+    val cov = covered.groupBy("id").agg(count(lit(1)).as("dup_tokens"))
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("ti", "tok")))
+    // docs whose every token is covered drop out of `kept` — the final
+    // left join + coalesce('') restores them with empty clean_text
+    val kept = toks.join(covered, Seq("id", "ti"), "left_anti")
+      .groupBy("id").agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("ti"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
       .join(cov, Seq("id"), "left")
-      .select(col("id"),
-        size(col("__toks")).cast("long").as("n_tokens"),
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        concat_ws(" ", filter(col("__toks"),
-          (_, i) => !coalesce(array_contains(col("__cset"), i), lit(false))))
-          .as("clean_text"))
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** DuckDB mirror of [[dupSpans]] (shares the word/n-gram hash mirrors
@@ -416,7 +442,7 @@ object Dedup {
       idCol: String = "doc_id"): String =
     s"""WITH w AS (SELECT $idCol AS id, string_split(text,' ') AS toks,
        |    ${wordHashesSql()} AS whs FROM $docs),
-       |gr AS (SELECT id, toks, ${ngramHashesSql("whs", n)} AS gs FROM w),
+       |gr AS (SELECT id, toks, ${ngramHashesWideSql("whs", n)} AS gs FROM w),
        |oc AS (SELECT id, unnest(gs) AS g,
        |    unnest(list_transform(gs, (x,i) -> i-1)) AS p FROM gr),
        |dg AS (SELECT g FROM oc GROUP BY g HAVING count(*) >= 2),

@@ -175,20 +175,27 @@ object Similarity {
     * Scale design: this is exactly the trade SemDeDup exists to make —
     * the corpus NEVER self-joins pairwise; the only quadratic term is
     * within-cluster (an equi-join on the cluster id, Σ|c|² candidate
-    * rows), and the cluster count scales with √n to keep lists ~√n.
+    * rows), and the cluster count scales with √n to keep lists ~√n:
+    * `nCentroids = 0` (the default) derives C = max(4, ⌈√n⌉) from one
+    * cheap count, so within-cluster candidate work stays ~n·√n instead
+    * of n²∕C for a fixed C (the r10 form pinned C = 16, which at 100 TB
+    * would leave ~n∕16-sized lists — quadratic in disguise).
     * Assignment is one broadcast-centroid pass; the drop set is a
     * left-anti join. Returns the surviving (id, cid). */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      tau: Double, nCentroids: Int = 16): DataFrame = {
-    // cached: the ranked membership feeds THREE consumers (both prune
-    // sides + the survivor anti-join) — uncached, the corpus×C
-    // assignment pass would replay per consumer (same discipline as
-    // ivfTopK's ranked cache)
-    val m = ivfAssign(df, idCol, vecCol, nCentroids)
+      tau: Double, nCentroids: Int = 0): DataFrame = {
+    val c = if (nCentroids > 0) nCentroids else autoCentroids(df.count())
+    // localCheckpoint (lazy), NOT cache: the ranked membership feeds
+    // THREE consumers (both prune sides + the survivor anti-join), and
+    // checkpoint blocks are reclaimed by the ContextCleaner when m goes
+    // out of scope — cache() entries accumulate in the CacheManager
+    // until an explicit unpersist that no caller here is positioned to
+    // issue (same discipline and trade-offs as ivfAssign's fx).
+    val m = ivfAssign(df, idCol, vecCol, c)
       .filter(col("crn") === 1)
       .withColumn("r", row_number().over(
         Window.partitionBy(col("cid")).orderBy(col("d2").desc, col("id"))))
-      .cache()
+      .localCheckpoint(eager = false)
     val a = m.select(col("cid"), col("id").as("ia"), col("r").as("ra"),
       col("fx").as("fa"), col("nrm").as("na"))
     val b = m.select(col("cid"), col("id").as("ib"), col("r").as("rb"),
@@ -199,6 +206,14 @@ object Similarity {
       .select(col("ib").as("id")).distinct()
     m.join(dropped, Seq("id"), "left_anti").select(col("id"), col("cid"))
   }
+
+  /** √n cluster-count rule for [[semDedup]]'s coarse quantizer: C =
+    * max(4, ⌈√n⌉) keeps within-cluster lists ~√n, so the within-cluster
+    * quadratic term totals ~n·√n — the same growth law as
+    * [[graft.operators.Dedup]]'s autoTables ln-rule, derived from one
+    * count instead of pinned at a constant. */
+  def autoCentroids(n: Long): Int =
+    math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   /** Probe tail shared by the IVF variants: inverted lists from crn = 1,
     * nprobe nearest lists per query, exact-cosine top-k. */

@@ -257,18 +257,27 @@ object ExtQueries {
       // the exact-percentile VALIDATION arm is scale-bounded: percentile()
       // is an ImperativeAggregate whose final buffer accumulates every
       // input value — a single-task sort of the whole column at 100 TB.
-      // Feed it the hash-smallest 100k rows instead (Sampling.rowHash
-      // order: a deterministic uniform subsample, executed as distributed
-      // top-k with constant per-task state). Below 100k rows the "sample"
-      // IS the full column, so the flag compares the sketch against the
-      // true median at test SFs; at scale a 100k uniform sample's median
-      // sits ~0.16% off in quantile space (sqrt(0.25/1e5)) — far inside
-      // the 2% gate, so the flag is stable.
+      // Feed it a deterministic ~100k-row uniform subsample via a hash
+      // THRESHOLD: keep rows with rowHash < floor(k·M/n) (n from a cheap
+      // count broadcast back at 1x1). Fully scale-free — no global
+      // top-k: the r10 form's orderBy(__h).limit(k) was
+      // TakeOrderedAndProject, whose final task merges k rows FROM EVERY
+      // partition (100M rows at 1000 executors); the threshold filter
+      // keeps Binomial(n, k/n) ≈ k ± √k rows with zero cross-partition
+      // coordination. Below k rows the threshold clamps to ≥ M so the
+      // "sample" IS the full column (exact median at test SFs); at scale
+      // a ~100k uniform sample's median sits ~0.16% off in quantile
+      // space (sqrt(0.25/1e5)) — far inside the 2% gate, so the flag is
+      // stable.
       val rowId = col("l_orderkey") * 8 + col("l_linenumber") // unique: linenumber ∈ 1..7
+      val cnt = li.agg(count(lit(1)).as("__n"))
       val ex = li
         .select(col("l_extendedprice"),
           graft.operators.Sampling.rowHash(rowId).as("__h"))
-        .orderBy(col("__h"), col("l_extendedprice")).limit(100000)
+        .crossJoin(broadcast(cnt))
+        // k·M ≈ 1e5·2^31 ≈ 2.1e14: no overflow; integer division keeps
+        // the threshold deterministic and engine-mirrorable
+        .filter(col("__h") < lit(100000L) * graft.operators.Sampling.M / col("__n"))
         .agg(expr("percentile(l_extendedprice, 0.5D)").as("__p50_exact"))
       nd.crossJoin(sk).crossJoin(ex)
         .select(col("exact_nd"),
@@ -303,9 +312,19 @@ object ExtQueries {
       // any doc under ~770 tokens), and BM25-rank chunks per query
       // term — retrieval shuffles only the sparse postings, the corpus
       // text moves once
+      // ENFORCED invariant, not just commented: chunk_idx >= 64 would
+      // silently collide chunk_ids across docs (corrupting provenance
+      // and BM25 doc-length stats) and the oracle computes the same
+      // packing so it could never catch it. assert_true raises at scan
+      // time on violation; on the pass path it is NULL, so +coalesce(0)
+      // keeps chunk_id numerically identical and un-prunable
+      val guard = coalesce(
+        assert_true(col("chunk_idx") < 64, lit(
+          "pipe_rag_retrieval: doc exceeds 64 chunks; chunk_id = doc*64+idx would collide"))
+          .cast("long"), lit(0L))
       val chunks = Chunking.chunk(t(s, dir, "documents"), "doc_id", "text",
           CHUNK_W, CHUNK_OV)
-        .select((col("id") * 64 + col("chunk_idx")).as("chunk_id"),
+        .select((col("id") * 64 + col("chunk_idx") + guard).as("chunk_id"),
           col("chunk_text"))
       Ranking.bm25TopK(chunks, "chunk_id", "chunk_text", BM25_TERMS, BM25_K)
         .orderBy("term", "rank")

@@ -105,6 +105,25 @@ class ChunkingRankingSpec extends SparkSpec {
     assert(out == Map("a b c" -> 2L, "b c d" -> 2L))
   }
 
+  test("pipe_rag_retrieval chunk_id packing guard raises on >64 chunks per doc") {
+    // the invariant chunk_idx < 64 is ENFORCED by assert_true in the
+    // query (a violation would silently collide chunk ids across docs
+    // and the DuckDB mirror computes the same packing, so the oracle is
+    // blind to it). Build a doc long enough to chunk past 64 windows
+    // and point the query's table loader at it.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rag_guard").toString
+    val longDoc = (1 to 2000).map(i => s"w$i").mkString(" ") // ~166 chunks at W=16/S=12
+    Seq((1L, longDoc, "s")).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      graft.queries.ExtQueries.queries("pipe_rag_retrieval")(spark, dir).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("chunk_id")), e.toString)
+  }
+
   test("quantizeInt8: max |component| maps to ±127, zero vector to zeros") {
     import spark.implicits._
     val df = Seq((1L, Array(0.5f, -1.0f, 0.0f)), (2L, Array(0.0f, 0.0f, 0.0f)))

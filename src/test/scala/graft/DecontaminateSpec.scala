@@ -30,6 +30,29 @@ class DecontaminateSpec extends SparkSpec {
     assert(short.select(size(col("g"))).head().getInt(0) === 0)
   }
 
+  test("ngram_hashes_wide native expression == MirrorHash HOF spec; packs two chains") {
+    val both = docs.select(
+      HashExpressions.ngram_hashes_wide(
+        HashExpressions.word_hashes(col("text")), 8).as("native"),
+      MirrorHash.ngramHashesWide(
+        MirrorHash.wordHashes(col("text")), 8).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0L)
+    // packing algebra: the high chain (wide div P, exact Long division
+    // driver-side — double division would lose bits above 2^53) must be
+    // exactly the plain 131-chain ngram hash
+    val p = MirrorHash.P
+    val rows = docs.limit(50).select(
+      HashExpressions.ngram_hashes_wide(
+        HashExpressions.word_hashes(col("text")), 8).as("wide"),
+      HashExpressions.ngram_hashes(
+        HashExpressions.word_hashes(col("text")), 8).as("narrow")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val wide = r.getSeq[Long](0); val narrow = r.getSeq[Long](1)
+      assert(wide.map(_ / p) == narrow)
+    }
+  }
+
   test("exact contamination finds a planted 8-gram overlap, and only it") {
     val gram = "alpha beta gamma delta epsilon zeta eta theta"
     val df = Seq(

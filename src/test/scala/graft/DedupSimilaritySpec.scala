@@ -208,6 +208,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(4L)._3 == "and again")
   }
 
+  test("dupSpans anti-join marking == row-local membership-filter form on sf0.01") {
+    import graft.functions.HashExpressions
+    // the r10 formulation rebuilt here as the executable spec: covered
+    // token indexes collected per doc, tokens filtered by per-row
+    // array_contains (O(T x |covered|) — correct, just not the scale
+    // path). Same wide gram hash, so any divergence is the MARKING.
+    val docs = graft.queries.Tables.t(spark, sf001, "documents")
+    val n = 8
+    val grams = docs.select(col("doc_id").as("id"),
+      posexplode(HashExpressions.ngram_hashes_wide(
+        HashExpressions.word_hashes(col("text")), n)).as(Seq("p", "g")))
+    val dupG = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("g")
+    val covered = grams.join(dupG, "g")
+      .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("ti"))
+      .distinct()
+    val cov = covered.groupBy("id").agg(
+      count(lit(1)).as("dup_tokens"), collect_set(col("ti")).as("__cset"))
+    val rowLocal = docs
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("__toks"))
+      .join(cov, Seq("id"), "left")
+      .select(col("id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        concat_ws(" ", filter(col("__toks"),
+          (_, i) => !coalesce(array_contains(col("__cset"), i), lit(false))))
+          .as("clean_text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val antiJoin = Dedup.dupSpans(docs, "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(antiJoin == rowLocal)
+    assert(antiJoin.values.exists(_._2 > 0L)) // sf0.001+ plants real dups
+  }
+
   test("streaming near-dup == cross-split slice of the batch MinHash pairs") {
     val batch = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -220,6 +256,26 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(stream === batch)
     assert(stream.nonEmpty, "fixture has no cross-split near-dup pair")
+  }
+
+  test("canonicalText single-pass expression == two-regex executable spec") {
+    import spark.implicits._
+    // real corpus text
+    val docs = graft.queries.Tables.t(spark, sf001, "documents")
+    val diff = docs.select(
+      Dedup.canonicalText(col("text")).as("fast"),
+      Dedup.canonicalTextRegex(col("text")).as("spec"))
+    assert(diff.filter(col("fast") =!= col("spec")).count() === 0L)
+    // adversarial edges: leading/trailing/bridged spaces, digits, empty,
+    // all-stripped, unicode case mapping (Kelvin sign -> k, U+0130 -> i)
+    val edges = Seq("", "   ", "!!!", "  Hello,   World!  ", "a..b",
+      "MiXeD 42 CaSe", "KKelvin", "İstanbul", "tab\there",
+      "dots . . between", "x").toDF("text")
+    val ediff = edges.select(
+      Dedup.canonicalText(col("text")).as("fast"),
+      Dedup.canonicalTextRegex(col("text")).as("spec"))
+    assert(ediff.filter(col("fast") =!= col("spec")).count() === 0L,
+      ediff.collect().mkString("\n"))
   }
 
   test("exactNormalized: case/punct/whitespace variants collapse, keep-min survives") {
@@ -248,6 +304,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept.contains(20L))
     assert((kept - 20L).size == 1)
     assert((kept - 20L).subsetOf(Set(10L, 11L)))
+  }
+
+  test("semDedup auto-sizes its cluster count to ~sqrt(n) at two scales") {
+    import graft.operators.Similarity
+    assert(Similarity.autoCentroids(16) == 4)    // floor at 4
+    assert(Similarity.autoCentroids(10000) == 100)
+    assert(Similarity.autoCentroids(1000000) == 1000)
+    val emb = graft.queries.Tables.t(spark, sf001, "embeddings")
+    for (slice <- Seq(emb.filter(col("vec_id") < 40), emb)) {
+      val n = slice.count()
+      val kept = Similarity.semDedup(slice, "vec_id", "embedding", 0.99)
+      val cids = kept.select(countDistinct(col("cid"))).head().getLong(0)
+      // duplicate-seed ties can leave empty lists, so <=, and the
+      // derived C must actually spread the corpus beyond the r10 habit
+      // of a couple of mega-clusters when n >> 16
+      assert(cids <= Similarity.autoCentroids(n), s"n=$n cids=$cids")
+      assert(cids > 1, s"n=$n cids=$cids")
+    }
   }
 
   test("semDedup at tau>1 drops nothing") {

@@ -308,18 +308,13 @@ class PlanAuditSpec extends SparkSpec {
       emb, "vec_id", "embedding", 0.45, 8))
     assert(!p.contains("CartesianProduct"), p.take(2000))
     // the corpus×C assignment pass (centroids as the broadcast build
-    // side, same shape as the IVF queries) is CACHED so its one
-    // nested-loop runs once however many consumers read it — every
-    // occurrence of the BNL in the plan text is inside an
-    // InMemoryRelation subtree
-    assert(p.contains("InMemoryTableScan"), p.take(2000))
-    assert(p.contains("BroadcastExchange"), p.take(2000))
-    // prune + survivor joins stay equi-joins (SMJ/hash), never BNL:
-    // the first BNL mention lies inside a cached (InMemoryRelation)
-    // subtree, i.e. after the cache boundary in the plan text
+    // side, same shape as the IVF queries) sits behind a lazy
+    // localCheckpoint boundary so it runs once however many consumers
+    // read it — downstream of the boundary the visible plan is pure
+    // equi-join (SMJ/hash) + anti-join, with no nested-loop at all
+    assert(p.contains("ExistingRDD"), p.take(2000))
     assert(p.contains("LeftAnti"), p.take(2000))
-    assert(p.indexOf("BroadcastNestedLoopJoin") > p.indexOf("InMemoryRelation"),
-      p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
   test("NB predict: literal tables fold in a projection — zero shuffle, zero join") {
@@ -335,6 +330,16 @@ class PlanAuditSpec extends SparkSpec {
     // must not inline the score array into the |C| argmax consumers
     assert("wordhasharray".r.findAllIn(p.toLowerCase).size == 1, p)
     assert("classscorearray".r.findAllIn(p.toLowerCase).size == 1, p)
+  }
+
+  test("approx_aggs exact arm: hash-threshold sample, no global top-k funnel") {
+    // r10 residual: orderBy(__h).limit(100k) was TakeOrderedAndProject —
+    // per-partition heaps merged by ONE final task (k x P rows at scale).
+    // The threshold-filter form has no ordered-limit operator at all.
+    val p = fmt(graft.queries.ExtQueries.queries("approx_aggs")(spark, sf001))
+    assert(!p.contains("TakeOrderedAndProject"), p.take(3000))
+    val r = graft.queries.ExtQueries.queries("approx_aggs")(spark, sf001).head()
+    assert(r.getAs[Int]("acd_ok") == 1 && r.getAs[Int]("p50_ok") == 1, r)
   }
 
   test("RAG capstone: chunk Generate pipelines into the scan; no corpus-side shuffle before postings") {
