@@ -23,8 +23,9 @@ object Verify {
     // the frozen consumed snapshot. A regeneration that changes any
     // column prints named lines here (and lands in errors.json below)
     // instead of surfacing as N opaque per-query analysis errors.
-    val drift = queries.Tables.driftReport(spark, sfDir)
-    if (drift.isEmpty) System.err.println(s"[verify] preflight: ${queries.Tables.expectedSchemas.size} table schemas match the frozen snapshot")
+    val drift = queries.Tables.driftReport(spark, sfDir) ++
+      queries.Tables.contentDriftReport(spark, sfDir)
+    if (drift.isEmpty) System.err.println(s"[verify] preflight: ${queries.Tables.expectedSchemas.size} table schemas + content fingerprints match the frozen snapshot")
     else drift.foreach(d => System.err.println(s"[verify] TESTDATA DRIFT: $d"))
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -112,6 +112,81 @@ object Tables {
       }
     }
 
+  /** Content fingerprint of a consumed table: (row count, decimal string
+    * of the exact sum of xxhash64 over all columns). Order- and
+    * layout-invariant (a commutative sum over rows), encoding-invariant
+    * where [[normalizeTs]] normalizes, and exact — the sum accumulates
+    * in DECIMAL(38,0) because an ANSI Long sum of 64-bit hashes
+    * overflows. One cheap column-pruned-nothing scan per table. */
+  def contentFingerprint(spark: SparkSession, dir: String,
+      table: String): (Long, String) = {
+    val df = t(spark, dir, table)
+    val h = xxhash64(df.columns.map(col).toIndexedSeq: _*).cast(DecimalType(38, 0))
+    val r = df.agg(count(lit(1)), sum(h)).head()
+    (r.getLong(0),
+      Option(r.getDecimal(1)).map(_.toBigInteger.toString).getOrElse("0"))
+  }
+
+  /** Frozen content fingerprints per scale-factor directory (captured
+    * r11). The SCHEMA canary ([[driftReport]]) names an encoding change;
+    * this names a CONTENT regeneration — same schema, different rows —
+    * which would silently change every oracle hash and read as 207
+    * individual query failures instead of one preflight line. */
+  val expectedContent: Map[String, Seq[(String, (Long, String))]] = Map(
+    "sf0.001" -> Seq(
+      "customer" -> (150L, "51622904737525326623"),
+      "documents" -> (500L, "-74213727264358347910"),
+      "embeddings" -> (500L, "-4705625121258813846"),
+      "events" -> (1000L, "-85025696820859273702"),
+      "lineitem" -> (6000L, "175784088225920189303"),
+      "nation" -> (25L, "-19822004785370969197"),
+      "orders" -> (1500L, "203934698655393158936"),
+      "part" -> (200L, "-77640353919929694781"),
+      "region" -> (5L, "7370162031071439404"),
+      "supplier" -> (10L, "-11511707324009403489")),
+    "sf0.01" -> Seq(
+      "customer" -> (1500L, "108061532035498236417"),
+      "documents" -> (500L, "264427379249148215134"),
+      "embeddings" -> (500L, "97447353315374468931"),
+      "events" -> (10000L, "-484280014279654650383"),
+      "lineitem" -> (60000L, "517231841118322272173"),
+      "nation" -> (25L, "-19822004785370969197"),
+      "orders" -> (15000L, "79032017979703365056"),
+      "part" -> (2000L, "-76480512220046322142"),
+      "region" -> (5L, "7370162031071439404"),
+      "supplier" -> (100L, "-46750936102961366159")),
+    "sf0.1" -> Seq(
+      "customer" -> (15000L, "-520937320634263258594"),
+      "documents" -> (5000L, "-472337324480471751700"),
+      "embeddings" -> (2000L, "131320058825825624890"),
+      "events" -> (100000L, "-2064053943269937596715"),
+      "lineitem" -> (600000L, "628714472224263726084"),
+      "nation" -> (25L, "-19822004785370969197"),
+      "orders" -> (150000L, "-1092496024660149528024"),
+      "part" -> (20000L, "-124353220491432265324"),
+      "region" -> (5L, "7370162031071439404"),
+      "supplier" -> (1000L, "70448349887104000704")))
+
+  /** Data-content drift canary: recompute [[contentFingerprint]] for
+    * every table of the sf directory (matched by basename) and diff
+    * against [[expectedContent]]. Empty result = no drift, or an
+    * unknown directory (respooled temp copies have no baseline). */
+  def contentDriftReport(spark: SparkSession, dir: String): Seq[String] = {
+    val sfName = new java.io.File(dir).getName
+    expectedContent.get(sfName).toSeq.flatten.flatMap {
+      case (table, (wantN, wantH)) =>
+        try {
+          val (gotN, gotH) = contentFingerprint(spark, dir, table)
+          if (gotN == wantN && gotH == wantH) Nil
+          else Seq(s"$sfName/$table: CONTENT drift — rows $wantN -> $gotN, " +
+            s"checksum ${wantH.take(12)}.. -> ${gotH.take(12)}.. " +
+            "(regenerated data: every oracle hash may legitimately differ)")
+        } catch {
+          case e: Throwable => Seq(s"$sfName/$table: unreadable — ${e.getMessage}")
+        }
+    }
+  }
+
   /** JSON string escape shared by the Verify/Bench artifact writers:
     * backslash, quote, and ALL control chars (<0x20) — a tab or CR in
     * builder-authored SQL or an error message would otherwise make the

@@ -20,6 +20,18 @@ class TestdataDriftSpec extends SparkSpec {
     }
   }
 
+  test("every testdata table matches the frozen content fingerprint") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val drift = queries.Tables.contentDriftReport(spark, dir)
+      assert(drift.isEmpty,
+        s"\nTESTDATA CONTENT DRIFT in $dir — the generator reshuffled " +
+          "rows under an unchanged schema (every oracle hash may " +
+          s"legitimately differ); re-freeze Tables.expectedContent:\n  " +
+          drift.mkString("\n  "))
+    }
+  }
+
   test("events.ts lands as session-tz TimestampType after Tables.t") {
     val ts = queries.Tables.t(spark, sf001, "events").schema("ts").dataType
     assert(ts == TimestampType,
