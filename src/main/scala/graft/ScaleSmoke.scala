@@ -194,6 +194,28 @@ object ScaleSmoke {
       }
     }
 
+    // SoftDedup reweighting at growing corpus multiples: same gram-agg +
+    // equi-join skeleton as dedup_span minus text reconstruction — under
+    // replication every gram's frequency multiplies but the join-back
+    // volume stays n·grams, so the curve must stay ~linear.
+    Seq(1, 4).foreach { m =>
+      val d = repDocs(m)
+      time(s"dedup_soft_weights x$m (${5000 * m} docs)") {
+        graft.operators.Dedup.softDedupWeights(d, "doc_id", "text", 8)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
+    // UniMax water-filling: the corpus pass (token counts) must be linear;
+    // the fill itself is |sources|-row work regardless of corpus size.
+    Seq(1, 4).foreach { m =>
+      val d = repDocs(m)
+      time(s"mix_unimax x$m (${5000 * m} docs)") {
+        graft.operators.Mixture.unimaxPlan(d, "source", "text", 52000L * m, 2)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     // SemDeDup at growing corpus multiples with √n-scaled centroids (the
     // paper's sizing): within-cluster candidate volume Σ|c|² ≈ n²/C must
     // track n^1.5 — replicated ids shift per copy so clusters mix copies.

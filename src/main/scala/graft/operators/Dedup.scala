@@ -458,6 +458,54 @@ object Dedup {
        |    AS clean_text
        |FROM gr LEFT JOIN agg USING (id) ORDER BY id""".stripMargin
 
+  /** SoftDeDup-style duplication REWEIGHTING (He et al. 2024, "SoftDedup:
+    * an Efficient Data Reweighting Method for Speeding Up Language Model
+    * Pre-training", arXiv:2407.04203): instead of REMOVING duplicated
+    * text, down-weight it — commonness of a doc = mean corpus frequency
+    * of its word n-gram hashes, sampling weight = 1∕commonness =
+    * n_grams∕Σ freq ∈ (0, 1], with weight 1 for unduplicated docs and
+    * docs too short to form a gram (no duplication evidence). Keeps the
+    * long-tail information duplicates carry while flattening their
+    * effective epoch count — the paper's trade vs hard dedup.
+    *
+    * Scale design: same skeleton as [[dupSpans]] minus text
+    * reconstruction — one codegen'd gram projection (collision-safe
+    * wide hash), a map-side-combined gram-frequency aggregate, an
+    * equi-join back on the gram hash, one per-doc aggregate. The only
+    * division is the final weight (one IEEE double op, engine-exact).
+    * No sort, no cartesian, no driver state. */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      explode(graft.functions.HashExpressions.ngram_hashes_wide(
+        word_hashes(col(textCol)), n)).as("g"))
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("f"))
+    val perDoc = grams.join(freq, "g").groupBy("id").agg(
+      count(lit(1)).as("n_grams"), sum(col("f")).as("sum_freq"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("sum_freq"), lit(0L)).as("sum_freq"),
+        when(col("n_grams").isNull, lit(1.0))
+          .otherwise(col("n_grams").cast("double") / col("sum_freq").cast("double"))
+          .as("weight"))
+  }
+
+  /** DuckDB mirror of [[softDedupWeights]]. */
+  def softDedupWeightsSql(n: Int, docs: String = "documents",
+      idCol: String = "doc_id"): String =
+    s"""WITH w AS (SELECT $idCol AS id, ${wordHashesSql()} AS whs FROM $docs),
+       |gr AS (SELECT id, unnest(${ngramHashesWideSql("whs", n)}) AS g FROM w),
+       |fq AS (SELECT g, count(*) AS f FROM gr GROUP BY g),
+       |pd AS (SELECT id, count(*) AS n_grams, sum(f) AS sum_freq
+       |  FROM gr JOIN fq USING (g) GROUP BY id)
+       |SELECT w.id, coalesce(pd.n_grams, 0) AS n_grams,
+       |  CAST(coalesce(pd.sum_freq, 0) AS BIGINT) AS sum_freq,
+       |  CASE WHEN pd.n_grams IS NULL THEN 1.0
+       |       ELSE CAST(pd.n_grams AS DOUBLE) / CAST(pd.sum_freq AS DOUBLE) END
+       |    AS weight
+       |FROM w LEFT JOIN pd USING (id) ORDER BY id""".stripMargin
+
   /** Exhaustive embedding near-dup pairs: all-pairs cross join with exact
     * fixed-point (1e6) BIGINT dot products. O(n²) — brute-force-only, for
     * small inputs and as the recall oracle for [[embeddingPairs]]; never

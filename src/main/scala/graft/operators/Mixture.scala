@@ -200,6 +200,59 @@ object Mixture {
           / sqrt(col("max_tokens").cast("double")) * maxEpochs).as("epochs"))
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", arXiv:2304.09151): distribute a total token budget B
+    * as UNIFORMLY as possible across sources, capping every source at
+    * `maxEpochs` passes over its own data — the fairness-motivated
+    * alternative to temperature sampling ([[temperaturePlan]]) that
+    * never over-repeats low-resource sources. Classic water-filling
+    * with the sources sorted by cap ascending: a source is CAPPED when
+    * even handing every not-yet-capped source its cap amount fits the
+    * remaining budget (cᵢ·(m−i+1) ≤ B−P_{i−1}); the capped set is a
+    * prefix of the sort order, everyone else splits the remainder
+    * evenly. All integer arithmetic — allocations are exact token
+    * counts, the division remainder goes one token each to the first r
+    * uncapped sources, so Σ alloc == min(B, Σ caps) always.
+    *
+    * Scale: one corpus pass for per-source token counts (map-side
+    * combine, shuffle ≤ |sources| rows); the water-fill itself runs on
+    * the |sources|-row frame (a global window over tens of rows, not
+    * corpus data). Emits (source, n_docs, n_tokens, cap_tokens,
+    * alloc_tokens, epochs = alloc∕n_tokens). */
+  def unimaxPlan(df: DataFrame, srcCol: String, textCol: String,
+      budgetTokens: Long, maxEpochs: Int): DataFrame = {
+    require(budgetTokens > 0 && maxEpochs > 0, "budget and epochs must be positive")
+    val bySrc = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * maxEpochs)
+    val w = Window.orderBy(col("cap_tokens"), col("source"))
+    val ranked = bySrc
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("p", sum(col("cap_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("capped",
+        col("cap_tokens") * (count(lit(1)).over(Window.partitionBy()) - col("i") + 1)
+          <= lit(budgetTokens) - (col("p") - col("cap_tokens")))
+    val tot = ranked.agg(
+      count(lit(1)).as("m"),
+      coalesce(max(when(col("capped"), col("i"))), lit(0L)).as("k"),
+      coalesce(max(when(col("capped"), col("p"))), lit(0L)).as("pk"))
+    // integer DIV/% sit INSIDE the otherwise branch: CaseWhen evaluates
+    // lazily per row, so the all-capped edge (m == k, divisor 0) never
+    // reaches the division — every row takes the capped branch there
+    ranked.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("cap_tokens"),
+        when(col("i") <= col("k"), col("cap_tokens"))
+          .otherwise(expr(
+            s"($budgetTokens - pk) DIV (m - k) + " +
+            s"(CASE WHEN i - k <= ($budgetTokens - pk) % (m - k) THEN 1 ELSE 0 END)"))
+          .cast("long").as("alloc_tokens"))
+      .withColumn("epochs",
+        col("alloc_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Multinomial Naive Bayes over hashed unigrams — fit half. The
     * in-engine stand-in for the fastText-style domain/quality classifier
     * every published curation pipeline trains (CCNet's language-model

@@ -62,6 +62,11 @@ object ExtQueries {
   private val DUPNG_N = 4
   // temperature mixture planning: epochs granted to the largest source
   private val MIX_MAX_EPOCHS = 4.0
+  // UniMax water-filling: per-source epoch cap and total token budget,
+  // sized so the sf0.01 corpus genuinely splits (9 sources cap, 11
+  // share the remainder with a nonzero division remainder)
+  private val UNIMAX_EPOCHS = 2
+  private val UNIMAX_BUDGET = 52000L
   // quality-gate thresholds (Gopher-style corpus policy; splits the
   // synthetic corpus ~313 keep / 187 drop at sf0.01)
   private val GATE_MIN_WORDS = 40L
@@ -701,6 +706,20 @@ object ExtQueries {
       Mixture.temperaturePlan(t(s, dir, "documents"), "source", "text",
           MIX_MAX_EPOCHS)
         .orderBy("source")),
+    "mix_unimax" -> ((s, dir) =>
+      // UniMax (Chung et al. 2023): budget spread as uniformly as the
+      // per-source epoch cap allows — integer water-filling on the
+      // |sources|-row frame, one corpus pass for token counts
+      Mixture.unimaxPlan(t(s, dir, "documents"), "source", "text",
+          UNIMAX_BUDGET, UNIMAX_EPOCHS)
+        .orderBy("source")),
+    "dedup_soft_weights" -> ((s, dir) =>
+      // SoftDedup (He et al. 2024): reweight instead of remove — weight
+      // = n_grams / sum of corpus frequencies of the doc's 8-grams;
+      // same gram-agg + equi-join skeleton as dedup_span
+      Dedup.softDedupWeights(t(s, dir, "documents"), "doc_id", "text",
+          DECON_N)
+        .orderBy("id")),
     "mix_nb_classify" -> ((s, dir) => {
       // fastText-style domain classifier as multinomial Naive Bayes over
       // hashed unigrams: fit = ONE corpus pass (|classes|·B-bounded
@@ -1201,6 +1220,36 @@ object ExtQueries {
          |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(mt AS DOUBLE)) AS rel_weight,
          |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(mt AS DOUBLE)) * $MIX_MAX_EPOCHS AS epochs
          |FROM b, m ORDER BY source""".stripMargin,
+    // UniMax mirror: identical integer water-filling over the
+    // |sources|-row frame — capped prefix by (cap*(m-i+1) <= B-P_{i-1}),
+    // remainder one token each to the first r uncapped sources
+    "mix_unimax" ->
+      s"""WITH b AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |c AS (SELECT source, n_docs, n_tokens,
+         |    n_tokens * $UNIMAX_EPOCHS AS cap_tokens FROM b),
+         |r AS (SELECT *,
+         |    CAST(row_number() OVER (ORDER BY cap_tokens, source) AS BIGINT) AS i,
+         |    sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+         |      ROWS UNBOUNDED PRECEDING) AS p,
+         |    CAST(count(*) OVER () AS BIGINT) AS m FROM c),
+         |f AS (SELECT *, (cap_tokens * (m - i + 1) <= $UNIMAX_BUDGET - (p - cap_tokens))
+         |    AS capped FROM r),
+         |t AS (SELECT coalesce(max(CASE WHEN capped THEN i END), 0) AS k,
+         |    CAST(coalesce(max(CASE WHEN capped THEN p END), 0) AS BIGINT) AS pk
+         |  FROM f)
+         |SELECT source, n_docs, n_tokens, cap_tokens, alloc_tokens,
+         |  CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
+         |FROM (SELECT f.source, f.n_docs, f.n_tokens,
+         |    CAST(f.cap_tokens AS BIGINT) AS cap_tokens,
+         |    CAST(CASE WHEN f.i <= t.k THEN f.cap_tokens
+         |      ELSE ($UNIMAX_BUDGET - t.pk) // (f.m - t.k)
+         |        + (CASE WHEN f.i - t.k <= ($UNIMAX_BUDGET - t.pk) % (f.m - t.k)
+         |           THEN 1 ELSE 0 END)
+         |      END AS BIGINT) AS alloc_tokens
+         |  FROM f, t) ORDER BY source""".stripMargin,
+    "dedup_soft_weights" -> Dedup.softDedupWeightsSql(DECON_N),
     // SemDeDup mirror: the sim_ivf_topk centroid/assignment CTEs with d2
     // carried, keep-priority rank (d2 DESC, id), pairwise prune
     "dedup_semantic" ->

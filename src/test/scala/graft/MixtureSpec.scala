@@ -159,6 +159,45 @@ class MixtureSpec extends SparkSpec {
     assert(out("small") == ((5L, 25L, 0.5, 2.0)))
   }
 
+  test("UniMax water-filling: capped prefix, exact integer allocations, sum == min(B, caps)") {
+    import spark.implicits._
+    // sources a,b: 10 tokens; c: 40; d: 100. E=2 -> caps 20,20,80,200.
+    def doc(src: String, i: Int, words: Int) =
+      (s"$src$i", Seq.fill(words)("w").mkString(" "), src)
+    val rows = Seq.tabulate(2)(i => doc("a", i, 5)) ++ Seq(doc("b", 0, 10)) ++
+      Seq.tabulate(4)(i => doc("c", i, 10)) ++ Seq.tabulate(10)(i => doc("d", i, 10))
+    val df = rows.toDF("id", "text", "source")
+    def allocs(budget: Long): Map[String, Long] =
+      Mixture.unimaxPlan(df, "source", "text", budget, 2)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc_tokens")).toMap
+    // B=100: a,b cap (20*4=80<=100; 20*3=60<=80), c fails (160>60) ->
+    // k=2, remaining 60 splits 30/30
+    assert(allocs(100L) == Map("a" -> 20L, "b" -> 20L, "c" -> 30L, "d" -> 30L))
+    // B=101: remainder 1 goes to the FIRST uncapped source (c)
+    assert(allocs(101L) == Map("a" -> 20L, "b" -> 20L, "c" -> 31L, "d" -> 30L))
+    // B >= sum(caps)=320: everyone capped, the divisor-zero branch must
+    // never evaluate; leftover budget stays unallocated by design
+    assert(allocs(1000L) == Map("a" -> 20L, "b" -> 20L, "c" -> 80L, "d" -> 200L))
+    // conservation at the split points
+    assert(allocs(100L).values.sum == 100L && allocs(1000L).values.sum == 320L)
+  }
+
+  test("softDedupWeights: planted duplicate pair halves, unique and short docs weigh 1") {
+    import spark.implicits._
+    val gram = (1 to 8).map(i => s"g$i").mkString(" ")
+    val df = Seq(
+      (1L, gram), (2L, gram),                       // identical: 1 gram, freq 2
+      (3L, (1 to 8).map(i => s"u$i").mkString(" ")), // unique: 1 gram, freq 1
+      (4L, "x y")                                   // too short: no gram
+    ).toDF("doc_id", "text")
+    val w = graft.operators.Dedup.softDedupWeights(df, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(w(1L) == ((1L, 2L, 0.5)) && w(2L) == ((1L, 2L, 0.5)))
+    assert(w(3L) == ((1L, 1L, 1.0)))
+    assert(w(4L) == ((0L, 0L, 1.0)))
+  }
+
   test("Naive Bayes: planted class vocabularies classify perfectly; model shapes hold") {
     import spark.implicits._
     val corpus = (0L until 40L).map { i =>

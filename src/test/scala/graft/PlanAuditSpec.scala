@@ -332,6 +332,23 @@ class PlanAuditSpec extends SparkSpec {
     assert("classscorearray".r.findAllIn(p.toLowerCase).size == 1, p)
   }
 
+  test("softDedupWeights: gram equi-joins only, map-side partial counts, no cartesian") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.Dedup.softDedupWeights(docs, "doc_id", "text", 8))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("unimaxPlan: one corpus agg; the water-fill window runs on the |sources|-row frame") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.Mixture.unimaxPlan(docs, "source", "text", 52000L, 2))
+    assert(!p.contains("CartesianProduct"), p)
+    // per-source token counts aggregate with map-side combine — the only
+    // corpus-sized shuffle; everything after operates on |sources| rows
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastExchange"), p) // the 1-row totals join back
+  }
+
   test("approx_aggs exact arm: hash-threshold sample, no global top-k funnel") {
     // r10 residual: orderBy(__h).limit(100k) was TakeOrderedAndProject —
     // per-partition heaps merged by ONE final task (k x P rows at scale).
