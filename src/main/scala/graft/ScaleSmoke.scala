@@ -209,7 +209,9 @@ object ScaleSmoke {
     // UniMax water-filling: the corpus pass (token counts) must be linear;
     // the fill itself is |sources|-row work regardless of corpus size.
     Seq(1, 4).foreach { m =>
-      val d = repDocs(m)
+      val d = (0 until m).map(k =>
+        docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          col("source"), col("text"))).reduce(_ union _)
       time(s"mix_unimax x$m (${5000 * m} docs)") {
         graft.operators.Mixture.unimaxPlan(d, "source", "text", 52000L * m, 2)
           .write.format("noop").mode("overwrite").save()
