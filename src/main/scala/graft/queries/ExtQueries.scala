@@ -56,8 +56,10 @@ object ExtQueries {
   // Naive-Bayes domain classifier: hashed-unigram feature buckets (20
   // source classes × 512 buckets keeps the fitted model ~10k longs)
   private val NB_B = 512
-  // SemDeDup coarse-quantizer size (matches the IVF queries' 16)
-  private val SEM_C = 16
+  // SemDeDup coarse-quantizer size: derived (max(4, ceil(sqrt n)) from a
+  // count) — the query exercises the production auto-sizing path and the
+  // oracle computes the identical C in SQL (IEEE sqrt is correctly
+  // rounded in both engines, so the derived integer always agrees)
   // WIMBD duplicated-n-gram audit length
   private val DUPNG_N = 4
   // temperature mixture planning: epochs granted to the largest source
@@ -549,7 +551,7 @@ object ExtQueries {
       // within-cluster cosine near-dups keeping the least-centroid-like
       // exemplar — the only quadratic term is within-cluster
       Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-          COS_TAU, SEM_C)
+          COS_TAU)
         .orderBy("id")),
     "pipe_embed_dedup" -> ((s, dir) => {
       // embedding dedup endgame: LSH candidate pairs → exact verify →
@@ -1254,8 +1256,11 @@ object ExtQueries {
     // carried, keep-priority rank (d2 DESC, id), pairwise prune
     "dedup_semantic" ->
       s"""WITH $fxCte,
-         |c AS (SELECT id AS cid, fx AS cfx, nrm AS cnrm FROM n
-         |  ORDER BY ${Similarity.seedHashSql("id")}, id LIMIT $SEM_C),
+         |c AS (SELECT id AS cid, fx AS cfx, nrm AS cnrm FROM (
+         |    SELECT *, row_number() OVER (
+         |      ORDER BY ${Similarity.seedHashSql("id")}, id) AS srn FROM n)
+         |  WHERE srn <= GREATEST(4,
+         |    CAST(ceil(sqrt(CAST((SELECT count(*) FROM n) AS DOUBLE))) AS BIGINT))),
          |sc AS (SELECT n.id, c.cid,
          |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c.cfx[i])) AS BIGINT) + c.cnrm AS d2
          |  FROM n, c),

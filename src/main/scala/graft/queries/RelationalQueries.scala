@@ -397,6 +397,20 @@ object RelationalQueries {
         .orderBy("r_regionkey")
     }),
 
+    // parquet → ORC sink → ORC source: the third columnar container
+    // Spark ships natively (zlib-compressed, predicate-pushdown-capable
+    // like parquet); the oracle compares against the same rows read
+    // straight from parquet, so any ORC encode/decode drift surfaces as
+    // a value mismatch
+    "src_orc_roundtrip" -> ((s, dir) => {
+      val su = t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      val out = cachedTempDir("graft_orc", dir)
+      su.write.mode("overwrite").orc(out)
+      s.read.schema(su.schema).orc(out)
+        .orderBy("s_suppkey")
+    }),
+
     // Generator / UDTF surface: posexplode = LATERAL VIEW with ordinal —
     // one row per token with its position (Spark's Generate operator,
     // DuckDB's UNNEST WITH ORDINALITY). Filter keeps output bounded.
@@ -878,6 +892,9 @@ object RelationalQueries {
         |ORDER BY n_nationkey""".stripMargin,
     "src_json_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+    "src_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
     "src_partitioned_roundtrip" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE source IN ('src0', 'src1') ORDER BY doc_id""".stripMargin,

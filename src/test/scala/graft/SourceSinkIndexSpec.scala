@@ -8,6 +8,16 @@ import graft.queries.Tables
 /** §2.3 sources/sinks (inherited from Spark) + index/order helpers. */
 class SourceSinkIndexSpec extends SparkSpec {
 
+  test("orc round-trips a typed projection losslessly") {
+    val tmp = queries.Tables.cachedTempDir("graft_orc_spec", sf001)
+    val su = queries.Tables.t(spark, sf001, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    su.write.mode("overwrite").orc(tmp)
+    val back = spark.read.schema(su.schema).orc(tmp)
+    assert(back.schema == su.schema) // types survive (ORC is self-describing)
+    assert(back.exceptAll(su).count() == 0 && su.exceptAll(back).count() == 0)
+  }
+
   test("csv and json round-trip a projection losslessly") {
     val li = Tables.t(spark, sf001, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
