@@ -739,6 +739,21 @@ object ExtQueries {
         .orderBy("id")
     }),
 
+    "pipe_dense_retrieval" -> ((s, dir) => {
+      // dense-RAG retrieve+fetch capstone: ANN top-k per query vector
+      // (IVF coarse quantizer, broadcast centroids — the corpus never
+      // self-joins) joined to the document store for the passage-side
+      // payload, all one declarative plan. The retrieval frame is k·|Q|
+      // rows, so the doc join broadcasts the HITS, not the corpus.
+      val hits = Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", id => id < 5, k = 3, nCentroids = 16, nprobe = 2)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      hits.join(docs, hits("vec_id") === docs("doc_id"))
+        .select(col("qid"), col("rn"), col("vec_id"), col("cos"), col("n_tokens"))
+        .orderBy("qid", "rn")
+    }),
+
     // ---- similarity search ----
     "sim_topk_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1495,6 +1510,29 @@ object ExtQueries {
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rn
          |  FROM j)
          |SELECT qid, rn, vid AS vec_id, cos FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    // dense-RAG capstone mirror: the sim_ivf_topk CTE chain with the
+    // document store joined on the retrieved ids for the payload column
+    "pipe_dense_retrieval" ->
+      s"""WITH $fxCte,
+         |c AS (SELECT id AS cid, fx AS cfx, nrm AS cnrm FROM n
+         |  ORDER BY ${Similarity.seedHashSql("id")}, id LIMIT 16),
+         |sc AS (SELECT n.id, c.cid,
+         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c.cfx[i])) AS BIGINT) + c.cnrm AS d2
+         |  FROM n, c),
+         |rk AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS crn FROM sc),
+         |lists AS (SELECT rk.cid, rk.id, n.fx, n.nrm FROM rk JOIN n USING(id) WHERE crn = 1),
+         |probes AS (SELECT rk.id AS qid, rk.cid, n.fx AS fq, n.nrm AS nq
+         |  FROM rk JOIN n USING(id) WHERE rk.id < 5 AND crn <= 2),
+         |j AS (SELECT p.qid, l.id AS vid,
+         |    ${Similarity.cosineSql("p.fq", "l.fx", "p.nq", "l.nrm")} AS cos
+         |  FROM probes p JOIN lists l ON p.cid = l.cid AND l.id <> p.qid),
+         |r AS (SELECT qid, vid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rn
+         |  FROM j)
+         |SELECT r.qid, r.rn, r.vid AS vec_id, r.cos,
+         |  CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens
+         |FROM r JOIN documents d ON d.doc_id = r.vid
+         |WHERE r.rn <= 3 ORDER BY qid, rn""".stripMargin,
     // Lloyd-refined IVF: seed assignment as sim_ivf_topk, element-wise
     // HUGEINT-safe integer-mean centroids (s // cnt truncates toward zero
     // exactly like Spark's div), re-assignment, then the shared probe tail

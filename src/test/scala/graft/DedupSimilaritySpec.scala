@@ -278,6 +278,61 @@ class DedupSimilaritySpec extends SparkSpec {
       ediff.collect().mkString("\n"))
   }
 
+  test("canonicalText property: arbitrary unicode strings match the regex reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.unsafe.types.UTF8String
+    // driver-side reference replicating the Spark Column chain exactly:
+    // lower (same JVM String.toLowerCase Spark's UTF8String falls back
+    // to for non-ASCII) -> strip -> squeeze -> trim, all java.util.regex
+    def ref(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").strip()
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      3 -> Gen.const(' '),
+      2 -> Gen.oneOf('.', ',', '!', '-', '_', '\t', '\n', '"', '\\'),
+      1 -> Gen.oneOf('İ', 'K', 'ß', 'É', 'Ω', 'ﬁ', '中', '̇'),
+      1 -> Gen.choose(' ', '￿'))
+    val strGen = for {
+      n <- Gen.choose(0, 60)
+      cs <- Gen.listOfN(n, charGen)
+    } yield cs.mkString
+    val params = Gen.Parameters.default
+    (0 until 500).foreach { i =>
+      val s = strGen.pureApply(params, Seed(i.toLong))
+      val got = graft.functions.TextExpressions
+        .computeCanonical(UTF8String.fromString(s)).toString
+      assert(got == ref(s), s"seed $i input=${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
+  test("ClassScoreArray property: random models and docs match the per-class fold") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val caseGen = for {
+      nc <- Gen.choose(1, 5)
+      b <- Gen.choose(1, 16)
+      priors <- Gen.listOfN(nc, Gen.choose(-1000000L, 0L))
+      table <- Gen.listOfN(nc * b, Gen.choose(-5000000L, 0L))
+      nw <- Gen.choose(0, 30)
+      whs <- Gen.listOfN(nw, Gen.oneOf(
+        Gen.choose(0L, Long.MaxValue), Gen.choose(Long.MinValue, 0L)))
+    } yield (priors.toArray, table.toArray, b, whs.toArray)
+    val params = Gen.Parameters.default
+    (0 until 300).foreach { i =>
+      val (priors, table, b, whs) = caseGen.pureApply(params, Seed(i.toLong))
+      val expr = graft.functions.HashExpressions.ClassScoreArray(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), priors, table, b)
+      val got = expr.nullSafeEval(new GenericArrayData(whs))
+        .asInstanceOf[GenericArrayData].toLongArray.toSeq
+      val want = priors.indices.map { c =>
+        priors(c) + whs.map(w => table(c * b + (((w % b) + b) % b).toInt)).sum
+      }
+      assert(got == want, s"seed $i nc=${priors.length} b=$b")
+    }
+  }
+
   test("exactNormalized: case/punct/whitespace variants collapse, keep-min survives") {
     import spark.implicits._
     val df = Seq(

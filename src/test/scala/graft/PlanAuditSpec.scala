@@ -349,6 +349,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p) // the 1-row totals join back
   }
 
+  test("dense retrieval capstone: no cartesian; the doc join is a broadcast hash join") {
+    val p = fmt(graft.queries.ExtQueries.queries("pipe_dense_retrieval")(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the k·|Q|-row hits frame broadcasts against the doc store — the
+    // corpus-sized side must never shuffle for the payload fetch
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("approx_aggs exact arm: hash-threshold sample, no global top-k funnel") {
     // r10 residual: orderBy(__h).limit(100k) was TakeOrderedAndProject —
     // per-partition heaps merged by ONE final task (k x P rows at scale).
