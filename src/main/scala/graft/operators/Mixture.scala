@@ -335,6 +335,64 @@ object Mixture {
       .withColumn("correct", (col("cls") === col("pred")).cast("int"))
   }
 
+  /** [[nbPredict]] with the prediction MARGIN carried: margin = best
+    * score − second-best score (micro-nats, ≥ 0; 0 when the model has
+    * one class). The margin is the standard confidence proxy for a
+    * linear bag-of-words classifier — what a curation pipeline
+    * thresholds on when it keeps only confidently-classified documents.
+    * Same single [[graft.functions.HashExpressions.ClassScoreArray]]
+    * pass; the margin reads the projected score array via one
+    * sort_array (|C| elements, row-local). */
+  def nbPredictScored(df: DataFrame, idCol: String, textCol: String,
+      classCol: String, model: Seq[(String, (Long, Seq[Long]))],
+      buckets: Int): DataFrame = {
+    require(model.nonEmpty, "model must have at least one class")
+    val sorted = model.sortBy(_._1)
+    sorted.foreach { case (_, (_, tbl)) =>
+      require(tbl.length == buckets, s"table size ${tbl.length} != $buckets") }
+    val priors = sorted.map(_._2._1).toArray
+    val flat = sorted.iterator.flatMap(_._2._2).toArray
+    val scores = graft.functions.HashExpressions.class_scores(
+      graft.functions.HashExpressions.word_hashes(col(textCol)),
+      priors, flat, buckets)
+    val base = df.select(col(idCol).as("id"), col(classCol).as("cls"),
+      scores.as("__sc"))
+    val cands = sorted.zipWithIndex.map { case ((name, _), idx) =>
+      struct(element_at(col("__sc"), idx + 1).as("s"),
+        lit(sorted.size - idx).as("r"), lit(name).as("n"))
+    }
+    val best = if (cands.size == 1) cands.head else greatest(cands: _*)
+    val margin =
+      if (sorted.size == 1) lit(0L)
+      else {
+        val d = sort_array(col("__sc"), asc = false)
+        element_at(d, 1) - element_at(d, 2)
+      }
+    base.select(col("id"), col("cls"), best.getField("n").as("pred"),
+        margin.as("margin"))
+      .withColumn("correct", (col("cls") === col("pred")).cast("int"))
+  }
+
+  /** Classifier CALIBRATION audit over [[nbPredictScored]]'s margins:
+    * reliability bins — fixed-width integer bins of the margin (bin =
+    * min(margin ∕ binWidth, maxBin), micro-nat units), each with its
+    * document count, correct count, and accuracy. The sanity check
+    * every production quality-classifier gate ships with: accuracy
+    * should rise with margin, and the low-margin mass tells you what a
+    * confidence threshold would discard. ONE aggregate over the scored
+    * frame (map-side combine, ≤ maxBin+1 groups). */
+  def nbCalibration(scored: DataFrame, binWidth: Long,
+      maxBin: Int): DataFrame = {
+    require(binWidth > 0 && maxBin >= 0, "binWidth and maxBin must be positive")
+    scored
+      .withColumn("bin",
+        least(expr(s"margin DIV $binWidth"), lit(maxBin.toLong)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("correct")).cast("long").as("n_correct"))
+      .withColumn("acc",
+        col("n_correct").cast("double") / col("n").cast("double"))
+  }
+
   /** Quality-ordered token-budget selection: per `srcCol` group, keep
     * the best-scoring rows (ties broken by id) until the cumulative
     * `tokensCol` sum would exceed `budget`. One window over the source

@@ -56,6 +56,10 @@ object ExtQueries {
   // Naive-Bayes domain classifier: hashed-unigram feature buckets (20
   // source classes × 512 buckets keeps the fitted model ~10k longs)
   private val NB_B = 512
+  // calibration reliability bins: 0.25-nat margin bins, overflow at 9
+  // (sf0.01 margins: median ~0.42 nats, max ~5 nats)
+  private val NB_CAL_W = 250000L
+  private val NB_CAL_MAXBIN = 9
   // SemDeDup coarse-quantizer size: derived (max(4, ceil(sqrt n)) from a
   // count) — the query exercises the production auto-sizing path and the
   // oracle computes the identical C in SQL (IEEE sqrt is correctly
@@ -739,6 +743,23 @@ object ExtQueries {
         .orderBy("id")
     }),
 
+    "mix_nb_calibration" -> ((s, dir) => {
+      // reliability audit of the NB domain classifier: margin (best −
+      // 2nd-best score) bucketed into fixed 0.25-nat bins with per-bin
+      // accuracy — what a curation pipeline inspects before picking a
+      // confidence threshold. Same single-pass scorer as
+      // mix_nb_classify plus one ≤10-group aggregate.
+      val docs = t(s, dir, "documents")
+      val rows = Mixture.nbTable(docs, "text", "source", NB_B).collect()
+      val tables = rows.groupBy(_.getString(0)).map { case (c, rs) =>
+        c -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+      val priors = Mixture.nbPriors(docs, "source").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      val model = tables.map { case (c, tb) => c -> (priors(c), tb) }.toSeq
+      val scored = Mixture.nbPredictScored(docs, "doc_id", "text", "source",
+        model, NB_B)
+      Mixture.nbCalibration(scored, NB_CAL_W, NB_CAL_MAXBIN).orderBy("bin")
+    }),
     "pipe_dense_retrieval" -> ((s, dir) => {
       // dense-RAG retrieve+fetch capstone: ANN top-k per query vector
       // (IVF coarse quantizer, broadcast centroids — the corpus never
@@ -824,6 +845,35 @@ object ExtQueries {
   // exact same shingle-set CTEs (one definition — the twins can't drift)
   private[queries] def distinctShingleCte =
     s"$shsCte, d AS (SELECT id, list_distinct(shs) AS ds, CAST(len(list_distinct(shs)) AS BIGINT) AS nd FROM s)"
+  /** Shared Naive-Bayes scoring CTE chain (fit + per-(doc, class) score
+    * + per-doc rank with the score carried): the mix_nb_classify and
+    * mix_nb_calibration mirrors both build on it. */
+  private def nbScoreCte =
+    s"""w AS (SELECT doc_id AS id, source, ${MirrorHash.wordHashesSql()} AS whs FROM documents),
+       |e AS (SELECT id, source, unnest(whs) % $NB_B AS bucket FROM w),
+       |bc AS (SELECT source AS cls, bucket, count(*) AS c FROM e GROUP BY 1, 2),
+       |tot AS (SELECT cls, sum(c) AS t FROM bc GROUP BY 1),
+       |cl AS (SELECT source AS cls, count(*) AS nd FROM documents GROUP BY 1),
+       |nn AS (SELECT sum(nd) AS n FROM cl),
+       |pri AS (SELECT cl.cls,
+       |    CAST(round(1000000.0 * ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS lp
+       |  FROM cl, nn),
+       |lw AS (SELECT e.id, c2.cls,
+       |    CAST(round(1000000.0 * ln(
+       |      CAST(COALESCE(bc.c, 0) + 1 AS DOUBLE) / CAST(tot.t + $NB_B AS DOUBLE)))
+       |      AS BIGINT) AS lw
+       |  FROM e CROSS JOIN (SELECT cls FROM cl) c2
+       |  JOIN tot ON tot.cls = c2.cls
+       |  LEFT JOIN bc ON bc.cls = c2.cls AND bc.bucket = e.bucket),
+       |sc AS (SELECT id, cls, sum(lw) AS s FROM lw GROUP BY 1, 2),
+       |sp AS (SELECT w.id, w.source, c2.cls FROM w CROSS JOIN (SELECT cls FROM cl) c2),
+       |fin AS (SELECT sp.id, sp.source, sp.cls, pri.lp + COALESCE(sc.s, 0) AS score
+       |  FROM sp JOIN pri ON pri.cls = sp.cls
+       |  LEFT JOIN sc ON sc.id = sp.id AND sc.cls = sp.cls),
+       |rk AS (SELECT id, source, cls, score,
+       |    row_number() OVER (PARTITION BY id ORDER BY score DESC, cls) AS rn
+       |  FROM fin)""".stripMargin
+
   private def fxCte =
     s"""f AS (SELECT vec_id AS id, ${Similarity.fixedPointSql("embedding")} AS fx FROM embeddings),
        |n AS (SELECT id, fx, ${Similarity.nrmSql} AS nrm FROM f)""".stripMargin
@@ -1452,33 +1502,25 @@ object ExtQueries {
     // micro-nat rounding as the Spark fit), scores every (doc, class)
     // pair via the word-occurrence join, argmax by (score DESC, cls)
     "mix_nb_classify" ->
-      s"""WITH w AS (SELECT doc_id AS id, source, ${MirrorHash.wordHashesSql()} AS whs FROM documents),
-         |e AS (SELECT id, source, unnest(whs) % $NB_B AS bucket FROM w),
-         |bc AS (SELECT source AS cls, bucket, count(*) AS c FROM e GROUP BY 1, 2),
-         |tot AS (SELECT cls, sum(c) AS t FROM bc GROUP BY 1),
-         |cl AS (SELECT source AS cls, count(*) AS nd FROM documents GROUP BY 1),
-         |nn AS (SELECT sum(nd) AS n FROM cl),
-         |pri AS (SELECT cl.cls,
-         |    CAST(round(1000000.0 * ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS lp
-         |  FROM cl, nn),
-         |lw AS (SELECT e.id, c2.cls,
-         |    CAST(round(1000000.0 * ln(
-         |      CAST(COALESCE(bc.c, 0) + 1 AS DOUBLE) / CAST(tot.t + $NB_B AS DOUBLE)))
-         |      AS BIGINT) AS lw
-         |  FROM e CROSS JOIN (SELECT cls FROM cl) c2
-         |  JOIN tot ON tot.cls = c2.cls
-         |  LEFT JOIN bc ON bc.cls = c2.cls AND bc.bucket = e.bucket),
-         |sc AS (SELECT id, cls, sum(lw) AS s FROM lw GROUP BY 1, 2),
-         |sp AS (SELECT w.id, w.source, c2.cls FROM w CROSS JOIN (SELECT cls FROM cl) c2),
-         |fin AS (SELECT sp.id, sp.source, sp.cls, pri.lp + COALESCE(sc.s, 0) AS score
-         |  FROM sp JOIN pri ON pri.cls = sp.cls
-         |  LEFT JOIN sc ON sc.id = sp.id AND sc.cls = sp.cls),
-         |rk AS (SELECT id, source, cls,
-         |    row_number() OVER (PARTITION BY id ORDER BY score DESC, cls) AS rn
-         |  FROM fin)
+      s"""WITH $nbScoreCte
          |SELECT id, source AS cls, cls AS pred,
          |  CAST(source = cls AS INT) AS correct
          |FROM rk WHERE rn = 1 ORDER BY id""".stripMargin,
+    // calibration mirror: same scoring CTEs; margin = s1 − s2 per doc,
+    // fixed-width integer bins with overflow, per-bin accuracy
+    "mix_nb_calibration" ->
+      s"""WITH $nbScoreCte,
+         |mg AS (SELECT id,
+         |    max(CASE WHEN rn = 1 THEN score END) AS s1,
+         |    max(CASE WHEN rn = 2 THEN score END) AS s2 FROM rk GROUP BY id),
+         |pc AS (SELECT rk.id, CAST(rk.source = rk.cls AS INT) AS correct,
+         |    CAST(COALESCE(mg.s1 - mg.s2, 0) AS BIGINT) AS margin
+         |  FROM rk JOIN mg ON mg.id = rk.id WHERE rk.rn = 1),
+         |b AS (SELECT LEAST(margin // $NB_CAL_W, $NB_CAL_MAXBIN) AS bin,
+         |    count(*) AS n, sum(correct) AS n_correct FROM pc GROUP BY 1)
+         |SELECT CAST(bin AS BIGINT) AS bin, n, CAST(n_correct AS BIGINT) AS n_correct,
+         |  CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS acc
+         |FROM b ORDER BY bin""".stripMargin,
 
     "sim_topk_brute" ->
       s"""WITH $fxCte,

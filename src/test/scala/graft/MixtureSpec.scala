@@ -198,6 +198,38 @@ class MixtureSpec extends SparkSpec {
     assert(w(4L) == ((0L, 0L, 1.0)))
   }
 
+  test("nbPredictScored margins and nbCalibration bins match hand computation") {
+    import spark.implicits._
+    // word "x": hash = ascii('x') = 120 -> bucket 120 % 4 = 0 with B=4.
+    // model: a = (0, [5,0,0,0]), b = (0, [1,0,0,0]) -> per-"x" margin 4
+    val model = Seq(
+      "a" -> (0L, Seq(5L, 0L, 0L, 0L)),
+      "b" -> (0L, Seq(1L, 0L, 0L, 0L)))
+    val df = Seq(
+      (1L, "x", "a"),     // scores a=5,  b=1  -> pred a, margin 4,  correct
+      (2L, "x x", "b"),   // scores a=10, b=2  -> pred a, margin 8,  wrong
+      (3L, "x x x", "a")  // scores a=15, b=3  -> pred a, margin 12, correct
+    ).toDF("doc_id", "text", "source")
+    val scored = Mixture.nbPredictScored(df, "doc_id", "text", "source", model, 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getLong(3), r.getInt(4))).toMap
+    assert(scored(1L) == (("a", 4L, 1)))
+    assert(scored(2L) == (("a", 8L, 0)))
+    assert(scored(3L) == (("a", 12L, 1)))
+    // binWidth 5, maxBin 1: margin 4 -> bin 0; margins 8, 12 -> bin 1
+    val cal = Mixture.nbCalibration(
+      Mixture.nbPredictScored(df, "doc_id", "text", "source", model, 4), 5L, 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(cal(0L) == ((1L, 1L, 1.0)))
+    assert(cal(1L) == ((2L, 1L, 0.5)))
+    // single-class model: margin pinned 0
+    val one = Mixture.nbPredictScored(df, "doc_id", "text", "source",
+      Seq("a" -> (0L, Seq(5L, 0L, 0L, 0L))), 4)
+      .select(max(col("margin"))).head().getLong(0)
+    assert(one == 0L)
+  }
+
   test("Naive Bayes: planted class vocabularies classify perfectly; model shapes hold") {
     import spark.implicits._
     val corpus = (0L until 40L).map { i =>
