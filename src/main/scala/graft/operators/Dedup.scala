@@ -458,6 +458,57 @@ object Dedup {
        |    AS clean_text
        |FROM gr LEFT JOIN agg USING (id) ORDER BY id""".stripMargin
 
+  /** Incremental (cross-corpus) dedup — the CommonCrawl-dump workflow:
+    * dedup an INCOMING batch against a REFERENCE corpus that is already
+    * curated (dump N against dumps 1..N−1), never
+    * reference-vs-reference. Two arms: EXACT (content-hash membership
+    * in the reference) and NEAR (MinHash band candidates against the
+    * reference + exact-Jaccard verify at `tau` — the same
+    * signature/band/verify chain as [[minhashLshPairs]]). Emits one row
+    * per incoming doc: (id, exact_dup, near_dup, kept) with kept = 1
+    * iff neither arm fired — the batch-side twin of the streaming
+    * near-dup operator.
+    *
+    * Scale design: both corpora project to (hash, shingle set, bands)
+    * in one pass each; the exact arm is a LEFT-SEMI equi-join on the
+    * content hash (the reference never moves for it beyond its hash
+    * column); the near arm is a band equi-join bounded by collisions.
+    * The corpora never cross-join, and the reference side never
+    * self-joins at all — cost ∝ |incoming| + band collisions, so a
+    * small daily increment against a 100 TB reference does incremental
+    * work, not corpus-scale work. */
+  def incrementalDedup(reference: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, tau: Double): DataFrame = {
+    def prep(df: DataFrame) = df.select(col(idCol).as("id"),
+        md5(col(textCol).cast("binary")).as("h"),
+        array_distinct(shingle_hashes(word_hashes(col(textCol)))).as("ds"))
+      .withColumn("nd", size(col("ds")).cast("long"))
+      .withColumn("bands", bands(minhash_sig(col("ds"))))
+      .localCheckpoint(eager = false) // 2–3 consumers each; see ivfAssign
+    val ref = prep(reference)
+    val inc = prep(incoming)
+    val exactHits = inc.select(col("id"), col("h"))
+      .join(ref.select(col("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("id"))
+    val bi = inc.select(col("id"), posexplode(col("bands")).as(Seq("bi", "bv")))
+    val br = ref.select(col("id").as("rid"), posexplode(col("bands")).as(Seq("bi", "bv")))
+    val cand = bi.join(br, Seq("bi", "bv")).select(col("id"), col("rid")).distinct()
+    val nearHits = cand
+      .join(inc.select(col("id"), col("ds").as("dsi"), col("nd").as("ni")), Seq("id"))
+      .join(ref.select(col("id").as("rid"), col("ds").as("dsr"), col("nd").as("nr")), Seq("rid"))
+      .withColumn("common", size(array_intersect(col("dsi"), col("dsr"))).cast("long"))
+      .filter(col("common") / (col("ni") + col("nr") - col("common")) >= tau)
+      .select(col("id")).distinct()
+    inc.select(col("id"))
+      .join(exactHits.withColumn("__e", lit(1)), Seq("id"), "left")
+      .join(nearHits.withColumn("__n", lit(1)), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__e"), lit(0)).as("exact_dup"),
+        coalesce(col("__n"), lit(0)).as("near_dup"))
+      .withColumn("kept",
+        (col("exact_dup") === 0 && col("near_dup") === 0).cast("int"))
+  }
+
   /** SoftDeDup-style duplication REWEIGHTING (He et al. 2024, "SoftDedup:
     * an Efficient Data Reweighting Method for Speeding Up Language Model
     * Pre-training", arXiv:2407.04203): instead of REMOVING duplicated

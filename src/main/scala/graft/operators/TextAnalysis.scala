@@ -269,4 +269,29 @@ object TextAnalysis {
       .filter(col("c") >= 2)
       .orderBy(col("c").desc, col("gram")).limit(k)
   }
+
+  /** Cross-source n-gram overlap audit (the WIMBD "how much do my
+    * sources share?" statistic, Elazar et al. 2024 §4): for every source
+    * pair (a < b), the number of DISTINCT word n-gram hashes appearing
+    * in both — the corpus-level contamination/duplication map a mixture
+    * designer reads before weighting sources. Gram identity is the
+    * collision-safe wide hash shared with [[graft.operators.Dedup]].
+    *
+    * Scale design: one projection + distinct builds the (gram, source)
+    * inventory (map-side combine collapses within-source repeats before
+    * the shuffle); the pair join is an equi-join ON THE GRAM whose
+    * per-gram fanout is bounded by |sources|² (tens of sources → ≤ a few
+    * hundred rows per gram, never corpus-sized); the output is
+    * |sources|²∕2 rows. Sources sharing no gram emit no row. */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val gs = df.select(col(srcCol).as("source"),
+        explode(graft.functions.HashExpressions.ngram_hashes_wide(
+          graft.functions.HashExpressions.word_hashes(col(textCol)), n)).as("g"))
+      .distinct()
+    gs.as("a").join(gs.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
 }

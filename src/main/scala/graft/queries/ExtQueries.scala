@@ -53,6 +53,9 @@ object ExtQueries {
   // shared deconSql oracle or a config edit would silently split them
   private[queries] val DECON_N = 8
   private[queries] val DECON_MOD = 17
+  // incremental-dedup corpus split (matches the streaming near-dup
+  // twin's histMod): incoming = id % 3 == 0, reference = the rest
+  private val INC_MOD = 3
   // Naive-Bayes domain classifier: hashed-unigram feature buckets (20
   // source classes × 512 buckets keeps the fitted model ~10k longs)
   private val NB_B = 512
@@ -712,6 +715,23 @@ object ExtQueries {
       Mixture.temperaturePlan(t(s, dir, "documents"), "source", "text",
           MIX_MAX_EPOCHS)
         .orderBy("source")),
+    "dedup_incremental" -> ((s, dir) => {
+      // CC-dump workflow: dedup the incoming slice (doc_id % 3 == 0,
+      // the streaming twin's split) against the already-curated rest —
+      // exact hash membership + MinHash-band near-dups, flags per doc
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % INC_MOD =!= 0),
+        docs.filter(col("doc_id") % INC_MOD === 0),
+        "doc_id", "text", JACCARD_TAU)
+        .orderBy("id")
+    }),
+    "text_source_overlap" -> ((s, dir) =>
+      // WIMBD cross-source overlap map: distinct shared 8-gram count
+      // per source pair — gram-keyed equi-join, |sources|^2/2-row output
+      TextAnalysis.sourceOverlap(t(s, dir, "documents"), "source", "text",
+          DECON_N)
+        .orderBy("source_a", "source_b")),
     "mix_unimax" -> ((s, dir) =>
       // UniMax (Chung et al. 2023): budget spread as uniformly as the
       // per-source epoch cap allows — integer water-filling on the
@@ -1235,6 +1255,39 @@ object ExtQueries {
          |  FROM cand JOIN bd a ON a.id = da JOIN bd b ON b.id = db)
          |SELECT da, db, common/(na+nb-common) AS j FROM v
          |WHERE common/(na+nb-common) >= $JACCARD_TAU ORDER BY da, db""".stripMargin,
+    // incremental mirror: exact arm on raw text equality (Spark joins
+    // on md5 for shuffle-width; the FLAGS are identical), near arm the
+    // same sig/band/verify chain split incoming-vs-reference
+    "dedup_incremental" ->
+      s"""WITH $distinctShingleCte,
+         |g AS (SELECT id, ds, nd, ${minhashSigSql("ds")} AS sig FROM d),
+         |bd AS (SELECT id, ds, nd, ${bandsSql("sig")} AS bands FROM g),
+         |ri AS (SELECT * FROM bd WHERE id % $INC_MOD <> 0),
+         |ii AS (SELECT * FROM bd WHERE id % $INC_MOD = 0),
+         |exh AS (SELECT DISTINCT a.doc_id AS id FROM documents a
+         |  JOIN documents b ON a.text = b.text
+         |  WHERE a.doc_id % $INC_MOD = 0 AND b.doc_id % $INC_MOD <> 0),
+         |xr AS (SELECT id, i AS bi, bands[i] AS bv FROM ri, UNNEST(generate_series(1, ${MirrorHash.NUM_BANDS})) AS u(i)),
+         |xi AS (SELECT id, i AS bi, bands[i] AS bv FROM ii, UNNEST(generate_series(1, ${MirrorHash.NUM_BANDS})) AS u(i)),
+         |cand AS (SELECT DISTINCT x.id AS iid, y.id AS rid
+         |  FROM xi x JOIN xr y ON x.bi = y.bi AND x.bv = y.bv),
+         |nh AS (SELECT DISTINCT c.iid AS id
+         |  FROM cand c JOIN bd a ON a.id = c.iid JOIN bd b ON b.id = c.rid
+         |  WHERE CAST(len(list_intersect(a.ds, b.ds)) AS BIGINT)
+         |    / (a.nd + b.nd - len(list_intersect(a.ds, b.ds))) >= $JACCARD_TAU)
+         |SELECT ii.id,
+         |  CAST(ii.id IN (SELECT id FROM exh) AS INT) AS exact_dup,
+         |  CAST(ii.id IN (SELECT id FROM nh) AS INT) AS near_dup,
+         |  CAST(ii.id NOT IN (SELECT id FROM exh)
+         |    AND ii.id NOT IN (SELECT id FROM nh) AS INT) AS kept
+         |FROM ii ORDER BY id""".stripMargin,
+    "text_source_overlap" ->
+      s"""WITH w AS (SELECT source, ${wordHashesSql()} AS whs FROM documents),
+         |gr AS (SELECT DISTINCT source, unnest(${MirrorHash.ngramHashesWideSql("whs", DECON_N)}) AS g FROM w)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  count(*) AS shared_grams
+         |FROM gr a JOIN gr b ON a.g = b.g AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $shsCte
          |SELECT id, ${simhashSql()} AS sh FROM s ORDER BY id""".stripMargin,

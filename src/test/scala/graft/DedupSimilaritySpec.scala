@@ -244,6 +244,58 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(antiJoin.values.exists(_._2 > 0L)) // sf0.001+ plants real dups
   }
 
+  test("incrementalDedup: planted exact/near/unique flags; near arm == cross-split batch pairs") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val ref = Seq(
+      (10L, base),
+      (11L, "completely different reference words here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val inc = Seq(
+      (20L, base),                                  // exact (and near) dup of 10
+      (21L, base + " lambda"),                      // near-dup of 10, not exact
+      (22L, "unique incoming document words that overlap with nothing else")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(ref, inc, "doc_id", "text", 0.6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(20L) == ((1, 1, 0)))
+    assert(out(21L) == ((0, 1, 0)))
+    assert(out(22L) == ((0, 0, 1)))
+    // differential on real data: the near flags must be exactly the
+    // incoming ids appearing in a cross-split slice of the batch
+    // MinHash pairs (same split the streaming twin uses)
+    val docsAll = graft.queries.Tables.t(spark, sf001, "documents")
+    val batchNear = Dedup.minhashLshPairs(docsAll, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect {
+        case (a, b) if a % 3 == 0 && b % 3 != 0 => a
+        case (a, b) if b % 3 == 0 && a % 3 != 0 => b
+      }.toSet
+    val incNear = Dedup.incrementalDedup(
+        docsAll.filter(col("doc_id") % 3 =!= 0),
+        docsAll.filter(col("doc_id") % 3 === 0), "doc_id", "text", 0.6)
+      .filter(col("near_dup") === 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(incNear == batchNear, s"missing=${batchNear -- incNear} extra=${incNear -- batchNear}")
+  }
+
+  test("sourceOverlap: planted shared gram counted once, disjoint sources emit no row") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$shared tail_a words here", "a"),
+      (2L, s"lead_b $shared", "b"),       // shares exactly the planted gram...
+      (3L, s"$shared again $shared", "b"), // ...counted ONCE (distinct grams)
+      (4L, "totally disjoint source text nothing in common", "c")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.TextAnalysis.sourceOverlap(df, "source", "text", 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.contains(("a", "b")))
+    assert(out((("a", "b"))) == 1L) // only the planted 8-gram is shared
+    assert(!out.keySet.exists { case (x, y) => x == "c" || y == "c" })
+  }
+
   test("streaming near-dup == cross-split slice of the batch MinHash pairs") {
     val batch = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -332,6 +332,23 @@ class PlanAuditSpec extends SparkSpec {
     assert("classscorearray".r.findAllIn(p.toLowerCase).size == 1, p)
   }
 
+  test("incrementalDedup: band/hash equi-joins only — the corpora never cross-join") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", 0.6))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+    assert(p.contains("LeftSemi"), p.take(2000)) // the exact-hash membership arm
+  }
+
+  test("sourceOverlap: gram-keyed equi-join, distinct collapses map-side, no cartesian") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.TextAnalysis.sourceOverlap(docs, "source", "text", 8))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("softDedupWeights: gram equi-joins only, map-side partial counts, no cartesian") {
     val docs = Tables.t(spark, sf001, "documents")
     val p = fmt(graft.operators.Dedup.softDedupWeights(docs, "doc_id", "text", 8))
