@@ -55,6 +55,38 @@ object Decontaminate {
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Per-eval-document contamination RATE — the audit twin of
+    * [[contaminated]]: instead of flagging training docs, report for
+    * every EVAL document what fraction of its distinct word n-grams
+    * appears anywhere in the training corpus (the per-example
+    * benchmark-contamination statistic WIMBD (Elazar et al. 2024 §5)
+    * and the GPT-4/PaLM contamination appendices report — an eval
+    * example is then "dirty" above a rate threshold, not on any single
+    * collision). Emits (id, n_grams, n_hit, rate) for every eval doc,
+    * rate = n_hit∕n_grams as one exact BIGINT division.
+    *
+    * Scale: the eval side is tiny by construction, so its (id, gram)
+    * pairs BROADCAST and the 100 TB corpus is scanned once, never
+    * shuffled on grams — corpus grams probe the broadcast map and only
+    * HITS survive to the (id, g)-distinct + per-id count (both bounded
+    * by |eval grams|, not the corpus). Mirrors [[contaminated]]'s join
+    * orientation exactly; a gram shared by many training docs collapses
+    * in the distinct's map-side partials. */
+  def contaminationRate(df: DataFrame, idCol: String, textCol: String,
+      evalPred: Column => Column, n: Int = 8): DataFrame = {
+    val grams = explodedGrams(df, idCol, textCol, n)
+    val ev = grams.filter(evalPred(col("id")))
+    val tr = grams.filter(!evalPred(col("id"))).select(col("g"))
+    val hits = tr.join(broadcast(ev.select(col("id").as("eid"), col("g"))), "g")
+      .select(col("eid"), col("g")).distinct()
+      .groupBy("eid").agg(count(lit(1)).as("n_hit"))
+    ev.groupBy("id").agg(count(lit(1)).as("n_grams"))
+      .join(hits, col("id") === col("eid"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / col("n_grams")).as("rate"))
+  }
+
   /** Same result as [[contaminated]], via a Bloom prefilter on the
     * corpus side followed by an exact verify join. The verify join is
     * deliberately NOT broadcast: this is the shape for an eval gram set

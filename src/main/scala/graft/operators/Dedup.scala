@@ -312,6 +312,21 @@ object Dedup {
       .select(col("n"), least(col("n"), col("mv")).as("l"))
   }
 
+  /** Cluster-size histogram — the dedup AUDIT every published pipeline
+    * reports (Lee et al. 2021 fig. 4, RefinedWeb table 4 plot cluster /
+    * duplicate-group size distributions): from a (node, label) cluster
+    * assignment ([[clusters]] / [[clustersConverged]] output), emit one
+    * row per distinct cluster SIZE with the number of clusters and docs
+    * at that size. Singleton nodes never appear in the pair frame, so
+    * the histogram covers only docs with ≥1 near-dup — the population a
+    * dedup decision acts on. Two hash aggs (cluster → size, size →
+    * count), both with full map-side combine; output ≤ |distinct sizes|
+    * rows. */
+  def clusterStats(clusters: DataFrame, labelCol: String = "l"): DataFrame =
+    clusters.groupBy(col(labelCol)).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   /** Corpus-level paragraph (line-span) dedup — the C4 move (Raffel et
     * al. 2020 §2.2 deduplicates three-sentence spans corpus-wide,
     * keep-first): explode documents into lines, keep only the globally

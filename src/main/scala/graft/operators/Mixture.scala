@@ -407,4 +407,40 @@ object Mixture {
     df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Keep-rate-calibrated score threshold — how production quality gates
+    * are actually tuned (the FineWeb-Edu / DCLM recipe: pick the
+    * classifier-score cutoff that keeps the top X% of the corpus, rather
+    * than hand-picking an absolute score): given an INTEGER `score`
+    * column and a target `keepRate`, find τ = the ⌈keepRate·N⌉-th
+    * largest score and emit every doc with (id, score, thr, keep =
+    * score ≥ τ). Ties at τ are kept (threshold semantics), so n_keep ≥
+    * ⌈keepRate·N⌉ — the standard over-admit of a value cutoff.
+    *
+    * Scale design — this is the EXACT quantile, computed scale-free:
+    * no global sort of the corpus and no single-task top-K funnel
+    * (the two shapes an exact percentile usually costs, cf.
+    * `approx_aggs`' history). The corpus aggregates to a score
+    * HISTOGRAM (map-side combine; ≤ |score space| rows — integerized
+    * micro-unit ratios give ≤ 10⁶+1 bins regardless of corpus size),
+    * the cumulative count runs over that bounded frame, and the 1-row
+    * threshold broadcasts back over the scoring pass. Corpus is read
+    * twice (histogram + flagging) — fuse with a cache upstream if the
+    * score projection is expensive. */
+  def thresholdByKeepRate(df: DataFrame, idCol: String, score: Column,
+      keepRate: Double): DataFrame = {
+    require(keepRate > 0.0 && keepRate <= 1.0, "keepRate must be in (0,1]")
+    val scored = df.select(col(idCol).as("id"), score.as("score"))
+    val hist = scored.groupBy("score").agg(count(lit(1)).as("cnt"))
+    val n = hist.agg(sum(col("cnt")).as("n"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist.crossJoin(broadcast(n))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .filter(col("cum") >= ceil(lit(keepRate) * col("n")).cast("long"))
+      .agg(max(col("score")).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("id"), col("score"), col("thr"),
+        (col("score") >= col("thr")).cast("int").as("keep"))
+  }
 }

@@ -294,6 +294,65 @@ object Similarity {
     * operands (trunc = floor there, so Spark DIV and DuckDB // agree),
     * re-signed. Zero vectors quantize to zeros. Emitted exploded as
     * (id, d, q) scalar rows; one projection pass, no shuffle. */
+  /** Margin-criterion pair mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" — the
+    * CCMatrix/LASER recipe that mined the largest public parallel
+    * corpora): a candidate pair (x, y) across two sides is accepted not
+    * on raw cosine but on its RATIO margin — cosine divided by the mean
+    * of the two local neighborhood averages — which cancels the hubness
+    * that makes absolute-threshold mining pick the same "hub" vectors
+    * for everything. For each left vector this emits its best right
+    * match with margin ≥ `tau`:
+    *
+    *   margin(x,y) = cos(x,y) ∕ ( (avgₖ(x→B) + avgₖ(y→A)) ∕ 2 )
+    *
+    * Determinism across engines: cosines are integerized to micro-units
+    * first (one round of an identical double), neighborhood sums are
+    * then EXACT BIGINT sums (order-free — never a cross-engine
+    * float-accumulation), and the margin is ONE double division of
+    * exact integers: margin = 2·k_a·k_b·c ∕ (s_a·k_b + s_b·k_a), with
+    * k_a/k_b the actual neighborhood sizes (≤ k when a side is small).
+    *
+    * Scale: the pair generator here is the broadcast-smaller-side brute
+    * form — the DISCLOSED oracle-exact configuration (same status as
+    * [[bruteForceTopK]]); at corpus scale swap the generator for IVF
+    * probe candidates ([[ivfTopKRefined]]'s lists) and the margin
+    * algebra is unchanged — neighborhoods then come from candidate
+    * lists, the published approximation. The ranked pair frame feeds
+    * three consumers (two neighborhood sums + best-match pick), so it
+    * is lazily localCheckpoint'ed like [[ivfAssign]]'s fx. */
+  def marginMining(df: DataFrame, idCol: String, vecCol: String,
+      isLeft: Column => Column, k: Int, tau: Double): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    val a = fx.filter(isLeft(col("id")))
+      .select(col("id").as("aid"), col("fx").as("fa"), col("nrm").as("na"))
+    val b = fx.filter(!isLeft(col("id")))
+      .select(col("id").as("bid"), col("fx").as("fb"), col("nrm").as("nb"))
+    val pairs = broadcast(a).crossJoin(b)
+      .select(col("aid"), col("bid"),
+        round(lit(1e6) * cosine(col("fa"), col("fb"), col("na"), col("nb")))
+          .cast("long").as("c"))
+    val wa = Window.partitionBy(col("aid")).orderBy(col("c").desc, col("bid"))
+    val wb = Window.partitionBy(col("bid")).orderBy(col("c").desc, col("aid"))
+    val ranked = pairs
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .localCheckpoint(eager = false)
+    val sa = ranked.filter(col("ra") <= k)
+      .groupBy("aid").agg(sum(col("c")).as("sa"), count(lit(1)).as("ka"))
+    val sb = ranked.filter(col("rb") <= k)
+      .groupBy("bid").agg(sum(col("c")).as("sb"), count(lit(1)).as("kb"))
+    ranked.filter(col("ra") === 1)
+      .join(sa, "aid").join(sb, "bid")
+      .withColumn("margin",
+        (col("c") * 2L * col("ka") * col("kb")).cast("double")
+          / (col("sa") * col("kb") + col("sb") * col("ka")).cast("double"))
+      .filter(col("margin") >= tau)
+      .select(col("aid").as("qid"), col("bid").as("vec_id"),
+        col("c").as("cos_micro"), col("margin"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     fixedPoint(df, idCol, vecCol)
       // max|fx| as greatest(max, −min): same value as the HOF

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.MirrorHash
@@ -187,13 +188,14 @@ object TextAnalysis {
     * ([[cleanLines]], [[Dedup.paragraphs]]) a well-defined line
     * structure on unsegmented text. */
   def segmentLines(df: DataFrame, idCol: String, textCol: String,
-      wordsPerLine: Int): DataFrame = {
+      wordsPerLine: Int, keep: Seq[String] = Nil): DataFrame = {
     require(wordsPerLine > 0, "wordsPerLine must be positive")
     val ws = words(col(textCol))
     val nLines = ((size(ws) + lit(wordsPerLine - 1)) / lit(wordsPerLine)).cast("int")
     val lines = transform(sequence(lit(0), nLines - 1),
       i => array_join(slice(ws, i * wordsPerLine + 1, lit(wordsPerLine)), " "))
-    df.select(col(idCol).as("id"), array_join(lines, "\n").as("text"))
+    df.select(col(idCol).as("id") +: array_join(lines, "\n").as("text") +:
+      keep.map(col): _*)
   }
 
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): per
@@ -268,6 +270,96 @@ object TextAnalysis {
       .groupBy("gram").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .orderBy(col("c").desc, col("gram")).limit(k)
+  }
+
+  /** KMV (k-minimum-values) distinct n-gram estimator per source — the
+    * corpus-diversity audit statistic ("how many distinct n-grams does
+    * each source contribute?") computed WITHOUT a corpus-wide exact
+    * distinct: by the classic bottom-k sketch (Bar-Yossef et al. 2002),
+    * if h_k is the k-th smallest distinct hash of a uniform [0,P) hash,
+    * then D̂ = (k−1)·P∕h_k. Deterministic and engine-mirrorable because
+    * the "random" hash is the fixed arithmetic gram hash and the only
+    * floating step is one final division of exact BIGINTs.
+    *
+    * Scale design: a THRESHOLD prefilter (g < P∕invFrac) bounds the
+    * candidate set to ≈ D∕invFrac rows per source BEFORE the distinct —
+    * the corpus-side explode feeds a filter that discards (invFrac−1)/
+    * invFrac of all grams at the map side, the (source, g) distinct +
+    * per-source rank then run on the surviving sliver. Correct because
+    * survivors < P∕invFrac are exactly the k smallest whenever ≥ k
+    * survive; when fewer survive, ALL distinct hashes sit under the
+    * threshold and the inverse-probability estimate D̂ = n_low·invFrac
+    * applies. Pick invFrac so D∕invFrac ≫ k for real sources (k=32,
+    * invFrac=64 here); a per-partition bottom-k pre-aggregation is the
+    * further refinement if the sliver itself ever dominates. */
+  def distinctKmv(df: DataFrame, srcCol: String, textCol: String,
+      n: Int, k: Int, invFrac: Int): DataFrame = {
+    require(k >= 2 && invFrac >= 2, "need k >= 2 and invFrac >= 2")
+    val P = graft.functions.MirrorHash.P
+    val thr = P / invFrac
+    val gs = df.select(col(srcCol).as("source"),
+        explode(graft.functions.HashExpressions.ngram_hashes(
+          graft.functions.HashExpressions.word_hashes(col(textCol)), n)).as("g"))
+      .filter(col("g") < thr).distinct()
+    val w = Window.partitionBy(col("source")).orderBy(col("g"))
+    val agg = gs.withColumn("rn", row_number().over(w))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_low"),
+        max(when(col("rn") === k, col("g"))).as("hk"))
+    // spine on DISTINCT sources (one tiny agg): a source whose every
+    // gram hash sits above the threshold must still report (n_low = 0,
+    // estimate 0) — the audit covers every source, not just survivors
+    df.select(col(srcCol).as("source")).distinct()
+      .join(agg, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_low"), lit(0L)).as("n_low"), col("hk"),
+        when(coalesce(col("n_low"), lit(0L)) >= k,
+          lit((k - 1).toDouble * P) / col("hk").cast("double"))
+          .otherwise(coalesce(col("n_low"), lit(0L)).cast("double") * invFrac)
+          .as("est_distinct"))
+  }
+
+  /** Per-source boilerplate line removal — the crawl-curation step CCNet
+    * (Wenzek et al. 2020 §4.1, per-shard line dedup) and RefinedWeb run
+    * before document dedup: navigation bars, cookie banners, and footer
+    * lines repeat across most pages of a source, and keeping them skews
+    * every downstream n-gram statistic. A line is BOILERPLATE within a
+    * source when it occurs in ≥ `minDf` DISTINCT documents of that
+    * source (within-doc repeats count once); boilerplate lines are
+    * removed from every document, in-doc order preserved. Emits per doc
+    * (id, n_lines, n_kept, clean_text).
+    *
+    * Scale design ([[Dedup.dupSpans]]' skeleton at line granularity):
+    * the (source, id, line)-distinct projection collapses within-doc
+    * repeats map-side; document frequency is a (source, line) hash agg
+    * with full map-side combine — a nav bar shared by 10⁶ pages of a
+    * source collapses per map task before the shuffle, so hot lines
+    * cannot skew it; marking is a LEFT-ANTI equi-join of the exploded
+    * line frame against the (tiny) boilerplate set; re-assembly is the
+    * sort-struct aggregate. No corpus-sized broadcast, no global sort,
+    * no per-token quadratic scan. */
+  def boilerplate(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, minDf: Int): DataFrame = {
+    require(minDf >= 2, "minDf must be at least 2")
+    val lines = df.select(col(idCol).as("id"), col(srcCol).as("source"),
+      posexplode(split(col(textCol), "\n")).as(Seq("li", "line")))
+    val bp = lines.select(col("source"), col("id"), col("line")).distinct()
+      .groupBy("source", "line").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("source", "line")
+    val kept = lines.join(bp, Seq("source", "line"), "left_anti")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("li"), col("line")))),
+          s => s.getField("line"))).as("clean_text"))
+    // a doc whose every line is boilerplate drops out of `kept`; the
+    // left join + coalesce restores it with empty clean_text
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** Cross-source n-gram overlap audit (the WIMBD "how much do my

@@ -89,6 +89,27 @@ object ExtQueries {
   // BPE merge-learning rounds (tokenizer-training step 2)
   private val BPE_ROUNDS = 6
 
+  // per-source boilerplate-line removal: a 12-word line is boilerplate
+  // within its source when ≥2 distinct docs of that source contain it
+  private val BP_MIN_DF = 2
+  // keep-rate threshold calibration target (keep the top 40% by score)
+  private val KEEP_RATE = 0.4
+  // content-defined chunking: 4-gram rolling-hash boundary, boundary
+  // probability 1/16 per position → mean chunk ≈ 16 tokens
+  private val CDC_N = 4
+  private val CDC_K = 16
+  // KMV distinct-gram sketch: bottom-32 of the 4-gram hashes surviving
+  // the g < P/16 threshold prefilter (invFrac sized so the sf0.01
+  // corpus — ~1.5k distinct grams/source — exercises the KMV path, not
+  // only the small-source inverse-probability fallback)
+  private val KMV_N = 4
+  private val KMV_K = 32
+  private val KMV_INV = 16
+  // margin-criterion mining: side split by vec_id parity, 4-NN
+  // neighborhoods, accept margin ≥ 1 (pair beats its neighborhoods)
+  private val MARGIN_K = 4
+  private val MARGIN_TAU = 1.0
+
   /** Unrolled BPE rounds for the DuckDB mirror: round i counts adjacent
     * pairs of state s{i-1}, picks the (cnt desc, l, r) top pair, and
     * rewrites the state with the same padded double-replace as
@@ -795,6 +816,68 @@ object ExtQueries {
         .orderBy("qid", "rn")
     }),
 
+    "text_boilerplate" -> ((s, dir) => {
+      // CCNet-style per-source boilerplate removal over the 12-word line
+      // segmentation: doc-frequency agg (map-side combine) → left-anti
+      // mark → sort-struct reassembly; no corpus broadcast, no sort
+      val seg = TextAnalysis.segmentLines(t(s, dir, "documents"), "doc_id",
+        "text", CLEAN_WPL, keep = Seq("source"))
+      TextAnalysis.boilerplate(seg, "id", "source", "text", BP_MIN_DF)
+        .orderBy("id")
+    }),
+    "text_contam_rate" -> ((s, dir) =>
+      // per-eval-doc contamination fraction (WIMBD §5): eval grams
+      // broadcast, 100 TB corpus scanned once and never shuffled on
+      // grams — only hits survive to the per-eval-doc count
+      Decontaminate.contaminationRate(t(s, dir, "documents"), "doc_id",
+          "text", id => id % DECON_MOD === 0, DECON_N)
+        .orderBy("id")),
+    "mix_keep_rate" -> ((s, dir) => {
+      // FineWeb-Edu-style gate tuning: exact score threshold for a 40%
+      // keep rate via a bounded score HISTOGRAM (≤1e6+1 bins) — no
+      // corpus sort, no top-K funnel, 1-row threshold broadcast back
+      val ws = split(col("text"), " ")
+      val score = round(lit(1e6) *
+        (size(array_distinct(ws)).cast("long") / size(ws).cast("long")))
+        .cast("long")
+      Mixture.thresholdByKeepRate(t(s, dir, "documents"), "doc_id", score,
+        KEEP_RATE).orderBy("id")
+    }),
+    "doc_cdc_chunks" -> ((s, dir) =>
+      // content-defined chunking (Rabin/FastCDC lineage): boundaries
+      // from the 4-gram rolling hash, all HOFs in one projection —
+      // zero shuffle, pipelines inside the scan
+      Chunking.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+          CDC_N, CDC_K)
+        .orderBy("id", "chunk_idx")),
+    "dedup_cdc_stats" -> ((s, dir) =>
+      // chunk-level dedup audit: global chunk-hash counts (map-side
+      // combine) marked back by equi-join → per-doc dup-chunk fraction
+      Chunking.cdcDedupStats(
+        Chunking.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+          CDC_N, CDC_K))
+        .orderBy("id")),
+    "text_distinct_kmv" -> ((s, dir) =>
+      // per-source distinct-gram KMV sketch: threshold prefilter drops
+      // 63/64 of gram occurrences map-side, bottom-k on the sliver
+      TextAnalysis.distinctKmv(t(s, dir, "documents"), "source", "text",
+          KMV_N, KMV_K, KMV_INV)
+        .orderBy("source")),
+    "dedup_cluster_stats" -> ((s, dir) =>
+      // cluster-size histogram audit over the shared jaccard clustering
+      // (two tiny aggs past the memoized pair pipeline)
+      Dedup.clusterStats(
+        Dedup.clusters(jaccardShared(s, dir), "da", "db"), "l")
+        .orderBy("cluster_size")),
+    "sim_margin_mining" -> ((s, dir) =>
+      // CCMatrix margin-criterion mining across the vec_id-parity split:
+      // integer-exact neighborhood sums, margin = one double division;
+      // disclosed brute pair generator (oracle-exact), production swaps
+      // in IVF candidate lists
+      Similarity.marginMining(t(s, dir, "embeddings"), "vec_id",
+          "embedding", id => id % 2 === 0, MARGIN_K, MARGIN_TAU)
+        .orderBy("qid")),
+
     // ---- similarity search ----
     "sim_topk_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -897,6 +980,25 @@ object ExtQueries {
   private def fxCte =
     s"""f AS (SELECT vec_id AS id, ${Similarity.fixedPointSql("embedding")} AS fx FROM embeddings),
        |n AS (SELECT id, fx, ${Similarity.nrmSql} AS nrm FROM f)""".stripMargin
+
+  /** Shared CDC-chunk CTE chain (mirrors [[graft.operators.Chunking
+    * .cdcChunks]]'s staged projections); `tail` is appended — the final
+    * SELECT for `doc_cdc_chunks`, extra CTEs + SELECT (with
+    * `tailIsCte = true`) for `dedup_cdc_stats`. Final CTE `ch` holds
+    * (id, ws, bnds, ci, chunk_hash) with ci the 1-based chunk index. */
+  private def cdcChunkSql(tail: String, extraCte: Boolean = false): String = {
+    val slice = s"whs[CAST(bnds[ci]+1 AS INT) : CAST(bnds[ci+1] AS INT)]"
+    s"""WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws, ${wordHashesSql()} AS whs FROM documents),
+       |g AS (SELECT id, ws, whs, ${MirrorHash.ngramHashesSql("whs", CDC_N)} AS gs FROM w),
+       |b AS (SELECT id, ws, whs,
+       |  CASE WHEN len(ws) >= ${CDC_N + 1} THEN list_filter(generate_series($CDC_N, len(ws)-1),
+       |    t -> (gs[CAST(t - ${CDC_N - 1} AS INT)] % $CDC_K) = 0) ELSE [] END AS cuts FROM g),
+       |b2 AS (SELECT id, ws, whs, list_concat(list_concat([0], cuts), [len(ws)]) AS bnds FROM b),
+       |e AS (SELECT id, ws, whs, bnds, unnest(generate_series(1, len(bnds)-1)) AS ci FROM b2),
+       |ch AS (SELECT id, ws, bnds, ci,
+       |  ${MirrorHash.fingerprintSql(slice)} AS chunk_hash FROM e)${if (extraCte) "," else ""}
+       |$tail""".stripMargin
+  }
 
   /** Hyperplane-LSH candidate generation + exact-cosine verify as CTEs
     * (appended after [[fxCte]]); final CTE `ep(va, vb, cos)` holds the
@@ -1575,6 +1677,106 @@ object ExtQueries {
          |  CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS acc
          |FROM b ORDER BY bin""".stripMargin,
 
+    "text_boilerplate" ->
+      s"""WITH w AS (SELECT doc_id AS id, source, string_split(text,' ') AS ws FROM documents),
+         |seg AS (SELECT id, source, list_transform(generate_series(0, (len(ws)+${CLEAN_WPL - 1})//$CLEAN_WPL - 1),
+         |    i -> array_to_string(ws[i*$CLEAN_WPL+1 : i*$CLEAN_WPL+$CLEAN_WPL], ' ')) AS lines FROM w),
+         |e0 AS (SELECT id, source, lines, unnest(generate_series(1, len(lines))) AS li FROM seg),
+         |e AS (SELECT id, source, li, lines[CAST(li AS INT)] AS line FROM e0),
+         |bp AS (SELECT source, line FROM (SELECT DISTINCT source, id, line FROM e) dd
+         |  GROUP BY source, line HAVING count(*) >= $BP_MIN_DF),
+         |k AS (SELECT e.id, e.li, e.line FROM e WHERE NOT EXISTS (
+         |  SELECT 1 FROM bp WHERE bp.source = e.source AND bp.line = e.line)),
+         |r AS (SELECT id, count(*) AS n_kept,
+         |  string_agg(line, chr(10) ORDER BY li) AS clean_text FROM k GROUP BY id)
+         |SELECT seg.id, CAST(len(seg.lines) AS BIGINT) AS n_lines,
+         |  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+         |  COALESCE(r.clean_text, '') AS clean_text
+         |FROM seg LEFT JOIN r ON r.id = seg.id ORDER BY seg.id""".stripMargin,
+    "text_contam_rate" ->
+      s"""WITH w AS (SELECT doc_id AS id, ${wordHashesSql()} AS whs FROM documents),
+         |g0 AS (SELECT id, ${MirrorHash.ngramHashesSql("whs", DECON_N)} AS gs FROM w),
+         |ge AS (SELECT id, unnest(gs) AS g FROM g0),
+         |g AS (SELECT DISTINCT id, g FROM ge),
+         |ev AS (SELECT * FROM g WHERE id % $DECON_MOD = 0),
+         |tr AS (SELECT DISTINCT g FROM g WHERE id % $DECON_MOD <> 0),
+         |h AS (SELECT ev.id, count(*) AS n_hit FROM ev JOIN tr ON ev.g = tr.g GROUP BY ev.id),
+         |tt AS (SELECT id, count(*) AS n_grams FROM ev GROUP BY id)
+         |SELECT tt.id, tt.n_grams,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) / CAST(tt.n_grams AS BIGINT) AS rate
+         |FROM tt LEFT JOIN h ON h.id = tt.id ORDER BY tt.id""".stripMargin,
+    "mix_keep_rate" ->
+      s"""WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
+         |q AS (SELECT id, CAST(round(1000000.0 *
+         |    (CAST(len(list_distinct(ws)) AS BIGINT) / CAST(len(ws) AS BIGINT))) AS BIGINT) AS score FROM w),
+         |h AS (SELECT score, count(*) AS cnt FROM q GROUP BY score),
+         |nn AS (SELECT sum(cnt) AS n FROM h),
+         |c AS (SELECT score, sum(cnt) OVER (ORDER BY score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+         |t AS (SELECT max(score) AS thr FROM c, nn
+         |  WHERE c.cum >= CAST(ceil($KEEP_RATE * nn.n) AS BIGINT))
+         |SELECT q.id, q.score, t.thr, CAST(q.score >= t.thr AS INT) AS keep
+         |FROM q, t ORDER BY id""".stripMargin,
+    "doc_cdc_chunks" -> cdcChunkSql(
+      """SELECT id, CAST(ci-1 AS BIGINT) AS chunk_idx,
+        |  CAST(bnds[ci] AS BIGINT) AS tok_from, CAST(bnds[ci+1] AS BIGINT) AS tok_to,
+        |  CAST(bnds[ci+1]-bnds[ci] AS BIGINT) AS n_tokens, chunk_hash,
+        |  array_to_string(ws[CAST(bnds[ci]+1 AS INT) : CAST(bnds[ci+1] AS INT)], ' ') AS chunk_text
+        |FROM ch ORDER BY id, chunk_idx""".stripMargin),
+    "dedup_cdc_stats" -> cdcChunkSql(
+      """cnt AS (SELECT chunk_hash, count(*) AS c FROM ch GROUP BY chunk_hash),
+        |st AS (SELECT ch.id, count(*) AS n_chunks,
+        |    CAST(sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+        |  FROM ch JOIN cnt USING(chunk_hash) GROUP BY ch.id)
+        |SELECT id, n_chunks, dup_chunks,
+        |  CAST(dup_chunks AS BIGINT) / CAST(n_chunks AS BIGINT) AS dup_frac
+        |FROM st ORDER BY id""".stripMargin, extraCte = true),
+    "text_distinct_kmv" ->
+      s"""WITH w AS (SELECT source, ${wordHashesSql()} AS whs FROM documents),
+         |g0 AS (SELECT source, ${MirrorHash.ngramHashesSql("whs", KMV_N)} AS gs FROM w),
+         |ge AS (SELECT source, unnest(gs) AS g FROM g0),
+         |gf AS (SELECT DISTINCT source, g FROM ge WHERE g < ${MirrorHash.P / KMV_INV}),
+         |r AS (SELECT source, g, row_number() OVER (PARTITION BY source ORDER BY g) AS rn FROM gf),
+         |a AS (SELECT source, count(*) AS n_low,
+         |    max(CASE WHEN rn = $KMV_K THEN g END) AS hk FROM r GROUP BY source),
+         |sp AS (SELECT DISTINCT source FROM documents)
+         |SELECT sp.source, CAST(COALESCE(a.n_low, 0) AS BIGINT) AS n_low, a.hk,
+         |  CASE WHEN COALESCE(a.n_low, 0) >= $KMV_K
+         |    THEN CAST(${(KMV_K - 1).toLong * MirrorHash.P} AS DOUBLE) / CAST(a.hk AS DOUBLE)
+         |    ELSE CAST(COALESCE(a.n_low, 0) AS DOUBLE) * $KMV_INV END AS est_distinct
+         |FROM sp LEFT JOIN a ON a.source = sp.source ORDER BY sp.source""".stripMargin,
+    "dedup_cluster_stats" ->
+      s"""WITH $distinctShingleCte,
+         |ex AS (SELECT id, nd, unnest(ds) AS h FROM d),
+         |pr AS (
+         |  SELECT a.id AS da, b.id AS db, count(*) AS common,
+         |    any_value(a.nd) AS na, any_value(b.nd) AS nb
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
+         |jp AS (SELECT da, db FROM pr WHERE common/(na+nb-common) >= $JACCARD_TAU),
+         |ed AS (SELECT da AS u, db AS v FROM jp UNION ALL SELECT db AS u, da AS v FROM jp),
+         |$clusterUnrollCtes,
+         |cs AS (SELECT l, count(*) AS sz FROM l$CLUSTER_ITERS GROUP BY l)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |  sz * count(*) AS n_docs
+         |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin,
+    "sim_margin_mining" ->
+      s"""WITH $fxCte,
+         |aa AS (SELECT id AS aid, fx AS fa, nrm AS na FROM n WHERE id % 2 = 0),
+         |bb AS (SELECT id AS bid, fx AS fb, nrm AS nb FROM n WHERE id % 2 <> 0),
+         |p AS (SELECT aid, bid, CAST(round(1000000.0 *
+         |    ${Similarity.cosineSql("fa", "fb", "na", "nb")}) AS BIGINT) AS c FROM aa, bb),
+         |r AS (SELECT aid, bid, c,
+         |  row_number() OVER (PARTITION BY aid ORDER BY c DESC, bid) AS ra,
+         |  row_number() OVER (PARTITION BY bid ORDER BY c DESC, aid) AS rb FROM p),
+         |sa AS (SELECT aid, sum(c) AS sa, count(*) AS ka FROM r WHERE ra <= $MARGIN_K GROUP BY aid),
+         |sb AS (SELECT bid, sum(c) AS sb, count(*) AS kb FROM r WHERE rb <= $MARGIN_K GROUP BY bid),
+         |m AS (SELECT r.aid, r.bid, r.c,
+         |    CAST(r.c * 2 * sa.ka * sb.kb AS DOUBLE)
+         |      / CAST(sa.sa * sb.kb + sb.sb * sa.ka AS DOUBLE) AS margin
+         |  FROM r JOIN sa ON sa.aid = r.aid JOIN sb ON sb.bid = r.bid WHERE r.ra = 1)
+         |SELECT aid AS qid, bid AS vec_id, c AS cos_micro, margin
+         |FROM m WHERE margin >= $MARGIN_TAU ORDER BY qid""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH $fxCte,
          |j AS (SELECT q.id AS qid, v.id AS vid,

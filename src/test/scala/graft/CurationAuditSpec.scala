@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Chunking, Decontaminate, Dedup, Mixture, Similarity, TextAnalysis}
+import graft.queries.Tables
+
+/** Contracts for the round-11 curation/audit operators: boilerplate
+  * removal, contamination rate, keep-rate threshold, CDC chunking,
+  * KMV distinct sketch, margin mining, cluster stats. */
+class CurationAuditSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs = Tables.t(spark, sf001, "documents")
+  private def embs = Tables.t(spark, sf001, "embeddings")
+
+  // ---- boilerplate ----
+
+  test("boilerplate: per-source df>=2 lines removed, other sources untouched") {
+    val df = Seq(
+      (1L, "s1", "cookie banner\nreal content one"),
+      (2L, "s1", "cookie banner\nreal content two"),
+      (3L, "s2", "cookie banner\nreal content three"),
+      (4L, "s1", "cookie banner\ncookie banner")
+    ).toDF("id", "src", "text")
+    val out = TextAnalysis.boilerplate(df, "id", "src", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // "cookie banner" appears in 3 distinct s1 docs → removed from s1
+    assert(out(1L) == ((2L, 1L, "real content one")))
+    assert(out(2L) == ((2L, 1L, "real content two")))
+    // s2 has it only once → kept there
+    assert(out(3L) == ((2L, 2L, "cookie banner\nreal content three")))
+    // a doc whose EVERY line is boilerplate survives with empty text
+    // (within-doc repeats count once toward df)
+    assert(out(4L) == ((2L, 0L, "")))
+  }
+
+  test("boilerplate: no line reaches min-df → identity on text") {
+    val seg = TextAnalysis.segmentLines(docs.limit(50), "doc_id", "text", 12,
+      keep = Seq("source"))
+    val out = TextAnalysis.boilerplate(seg, "id", "source", "text", 1000)
+    val joined = out.join(seg.select(col("id"), col("text").as("orig")), "id")
+    assert(joined.filter(col("clean_text") =!= col("orig")).count() == 0)
+    assert(joined.filter(col("n_kept") =!= col("n_lines")).count() == 0)
+  }
+
+  // ---- contamination rate ----
+
+  test("contaminationRate: contained eval doc rates 1.0, disjoint rates 0.0") {
+    val df = Seq(
+      (0L, "a b c d e f g h i j"), // eval (id % 2 == 0): inside train doc 1
+      (1L, "a b c d e f g h i j k l m n"),
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"), // eval: disjoint from train
+      (3L, "p q r s t u v w x y")
+    ).toDF("id", "text")
+    val out = Decontaminate.contaminationRate(df, "id", "text",
+        id => id % 2 === 0, n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out(0L)._1 == 3L && out(0L)._2 == 3L && out(0L)._3 == 1.0)
+    assert(out(2L)._1 == 2L && out(2L)._2 == 0L && out(2L)._3 == 0.0)
+    assert(out.keySet == Set(0L, 2L)) // training docs never emitted
+  }
+
+  test("contaminationRate: n_hit consistent with the contaminated flag set") {
+    // any eval doc with rate > 0 shares ≥1 gram with SOME train doc —
+    // cross-check against the production decontam operator run in the
+    // reverse orientation
+    val rates = Decontaminate.contaminationRate(docs, "doc_id", "text",
+      id => id % 17 === 0, n = 8)
+    val flagged = Decontaminate.contaminated(docs, "doc_id", "text",
+      id => id % 17 === 0, n = 8)
+    val anyHits = rates.filter(col("n_hit") > 0).count()
+    val anyFlagged = flagged.count()
+    // both sides agree on whether ANY overlap exists at all
+    assert((anyHits > 0) == (anyFlagged > 0))
+    rates.collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // n_hit <= n_grams
+    }
+  }
+
+  // ---- keep-rate threshold ----
+
+  test("thresholdByKeepRate: keeps at least ceil(rate*N), ties kept, exact kth") {
+    val scores = Seq(10L, 20L, 20L, 30L, 40L, 50L, 50L, 50L, 60L, 70L)
+    val df = scores.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    for (rate <- Seq(0.1, 0.3, 0.5, 0.9, 1.0)) {
+      val out = Mixture.thresholdByKeepRate(df, "id", col("s"), rate).collect()
+      val k = math.ceil(rate * scores.size).toLong
+      val kth = scores.sorted(Ordering[Long].reverse)(k.toInt - 1)
+      val kept = out.filter(_.getInt(3) == 1)
+      assert(out.forall(_.getLong(2) == kth), s"rate $rate: thr != $kth")
+      assert(kept.length >= k, s"rate $rate under-kept")
+      assert(kept.forall(_.getLong(1) >= kth))
+      // maximality: dropping to the next-higher distinct score would
+      // under-keep
+      val above = scores.count(_ > kth)
+      assert(above < k)
+    }
+  }
+
+  // ---- CDC chunking ----
+
+  test("cdcChunks: spans partition the doc and text reassembles") {
+    val out = Chunking.cdcChunks(docs.limit(100), "doc_id", "text", 4, 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(6)))
+    val texts = docs.limit(100).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.groupBy(_._1).foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(sorted.indices.map(_.toLong)))
+      assert(sorted.head._3 == 0L)
+      val n = texts(id).split(" ", -1).length.toLong
+      assert(sorted.last._4 == n)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._4) // contiguous spans
+        case _ => ()
+      }
+      sorted.foreach { case (_, _, f, t, nt, _) => assert(t - f == nt && nt > 0) }
+      assert(sorted.map(_._6).mkString(" ") == texts(id))
+    }
+  }
+
+  test("cdcChunks: an early edit shifts only its own chunk's identity") {
+    val base = docs.limit(60).select(col("doc_id").as("id"), col("text"))
+    // prepend one token — fixed-window chunking would re-key EVERY chunk
+    val edited = base.select(col("id"), concat(lit("zzedit "), col("text")).as("text"))
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      Chunking.cdcChunks(df, "id", "text", 4, 16)
+        .groupBy("id").agg(collect_set(col("chunk_hash")).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val h0 = hashes(base)
+    val h1 = hashes(edited)
+    // across the corpus, the vast majority of chunk identities survive
+    // the edit (only the first chunk of each doc can change)
+    val (kept, total) = h0.keys.foldLeft((0, 0)) { case ((k, t), id) =>
+      (k + (h0(id) & h1(id)).size, t + h0(id).size)
+    }
+    assert(kept >= (total * 0.5).toInt, s"only $kept/$total chunk ids survived")
+    // and every doc with ≥2 chunks keeps its final chunk
+    h0.foreach { case (id, hs) =>
+      if (hs.size >= 2) assert((hs & h1(id)).nonEmpty)
+    }
+  }
+
+  test("cdcDedupStats: duplicated doc pair → every chunk duplicated") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 4),
+      (2L, "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 4),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14 q15 q16 q17 q18")
+    ).toDF("id", "text")
+    val out = Chunking.cdcDedupStats(
+      Chunking.cdcChunks(df, "id", "text", 4, 16))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out(1L)._3 == 1.0) // twin docs: all chunks shared
+    assert(out(2L)._3 == 1.0)
+    // identical text → identical chunking on both twins
+    assert(out(1L)._1 == out(2L)._1)
+  }
+
+  // ---- KMV sketch ----
+
+  test("distinctKmv: estimate within 35% of exact distinct on real sources") {
+    val est = TextAnalysis.distinctKmv(docs, "source", "text", 4, 32, 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val exact = docs.select(col("source"),
+        explode(graft.functions.HashExpressions.ngram_hashes(
+          graft.functions.HashExpressions.word_hashes(col("text")), 4)).as("g"))
+      .distinct().groupBy("source").agg(count(lit(1)).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (s, d) =>
+      val e = est(s)
+      assert(math.abs(e - d) <= 0.35 * d, s"$s: est $e vs exact $d")
+    }
+  }
+
+  test("distinctKmv: tiny source takes the inverse-probability fallback") {
+    val df = Seq(("tiny", "a b c d e f"), ("tiny", "a b c d e f"))
+      .toDF("src", "text")
+    val out = TextAnalysis.distinctKmv(df, "src", "text", 4, 32, 16).collect()
+    // the source row survives even when every gram hash sits above the
+    // threshold (n_low may be 0) — audits cover every source
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) < 32) // below k → fallback
+    assert(r.isNullAt(2)) // hk null
+    assert(r.getDouble(3) == r.getLong(1).toDouble * 16)
+  }
+
+  // ---- margin mining ----
+
+  test("marginMining: one best match per left id, margin formula exact") {
+    val out = Similarity.marginMining(embs, "vec_id", "embedding",
+      id => id % 2 === 0, k = 4, tau = 0.0)
+    val rows = out.collect()
+    val qids = rows.map(_.getLong(0))
+    assert(qids.distinct.length == qids.length, "duplicate qid")
+    assert(qids.length == embs.filter(col("vec_id") % 2 === 0).count())
+    // recompute the margin for a few rows from the raw pair frame
+    val fx = Similarity.fixedPoint(embs, "vec_id", "embedding")
+    val a = fx.filter(col("id") % 2 === 0)
+      .select(col("id").as("aid"), col("fx").as("fa"), col("nrm").as("na"))
+    val b = fx.filter(col("id") % 2 =!= 0)
+      .select(col("id").as("bid"), col("fx").as("fb"), col("nrm").as("nb"))
+    val pairs = a.crossJoin(b).select(col("aid"), col("bid"),
+        round(lit(1e6) * (graft.functions.HashExpressions.fixed_dot(col("fa"), col("fb"))
+          / sqrt(col("na").cast("double") * col("nb").cast("double"))))
+          .cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byA = pairs.groupBy(_._1._1).map { case (aid, m) =>
+      aid -> m.values.toSeq.sorted(Ordering[Long].reverse).take(4) }
+    val byB = pairs.groupBy(_._1._2).map { case (bid, m) =>
+      bid -> m.values.toSeq.sorted(Ordering[Long].reverse).take(4) }
+    rows.take(20).foreach { r =>
+      val (qid, vid, c, m) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(pairs((qid, vid)) == c)
+      val sa = byA(qid); val sb = byB(vid)
+      val expect = (c.toDouble * 2 * sa.size * sb.size) /
+        (sa.sum * sb.size + sb.sum * sa.size).toDouble
+      assert(m == expect, s"margin $m != $expect for ($qid,$vid)")
+      // best match: c is the max cosine for qid (modulo tie-break on bid)
+      assert(c == byA(qid).head)
+    }
+  }
+
+  test("marginMining: tau filters and hub margins stay near 1") {
+    val all = Similarity.marginMining(embs, "vec_id", "embedding",
+      id => id % 2 === 0, k = 4, tau = 0.0).collect()
+    val cut = Similarity.marginMining(embs, "vec_id", "embedding",
+      id => id % 2 === 0, k = 4, tau = 1.0).collect()
+    assert(cut.length == all.count(_.getDouble(3) >= 1.0))
+    // a best match can never fall below its own neighborhood average on
+    // the left side alone; margins concentrate around ~1
+    assert(all.forall(r => r.getDouble(3) > 0.5 && r.getDouble(3) < 2.5))
+  }
+
+  // ---- cluster stats ----
+
+  test("clusterStats: histogram mass equals clustered node count") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L), (8L, 9L))
+      .toDF("da", "db")
+    val labels = Dedup.clusters(pairs, "da", "db")
+    val out = Dedup.clusterStats(labels, "l").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one 3-cluster + three 2-clusters
+    assert(out.toSet == Set((2L, 3L, 6L), (3L, 1L, 3L)))
+    assert(out.map(_._3).sum == labels.count())
+  }
+}
