@@ -384,6 +384,84 @@ class PlanAuditSpec extends SparkSpec {
     assert(r.getAs[Int]("acd_ok") == 1 && r.getAs[Int]("p50_ok") == 1, r)
   }
 
+  test("boilerplate: df agg partial, left-anti mark, no cartesian") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val seg = graft.operators.TextAnalysis.segmentLines(
+      docs, "doc_id", "text", 12, keep = Seq("source"))
+    val p = fmt(graft.operators.TextAnalysis.boilerplate(
+      seg, "id", "source", "text", 2))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("partial_count"), p) // doc-frequency map-side combine
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("contaminationRate: eval grams broadcast — corpus never shuffles on grams") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.Decontaminate.contaminationRate(
+      docs, "doc_id", "text", id => id % 17 === 0, 8))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // probe side = the corpus scan
+  }
+
+  test("thresholdByKeepRate: histogram aggregates partial; 1-row threshold broadcasts back") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.Mixture.thresholdByKeepRate(
+      docs, "doc_id", length(col("text")).cast("long"), 0.4))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p) // score histogram map-side combine
+    assert(p.contains("BroadcastExchange"), p) // the 1-row threshold
+    // no corpus-wide ordered limit — the exact quantile comes from the
+    // bounded histogram, never a TakeOrdered funnel or a global sort of
+    // the corpus
+    assert(!p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("cdcChunks: pure projection + Generate — zero shuffle") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.Chunking.cdcChunks(docs, "doc_id", "text", 4, 16))
+    assert(exchangeNodes(p) == 0, p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("cdcDedupStats: chunk-hash equi-join with map-side partial counts") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.Chunking.cdcDedupStats(
+      graft.operators.Chunking.cdcChunks(docs, "doc_id", "text", 4, 16)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("distinctKmv: threshold filter precedes the distinct; partial aggregation") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.TextAnalysis.distinctKmv(
+      docs, "source", "text", 4, 32, 16))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the (source, g) distinct takes map-side partials on the
+    // post-threshold sliver
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
+  test("marginMining: pair frame behind a checkpoint boundary; downstream equi-joins only") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val p = fmt(graft.operators.Similarity.marginMining(
+      emb, "vec_id", "embedding", id => id % 2 === 0, 4, 1.0))
+    // the disclosed brute pair generator sits behind the lazy
+    // localCheckpoint (ExistingRDD); the visible margin algebra is
+    // window + hash-agg + equi-joins with no nested loop
+    assert(p.contains("ExistingRDD"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("clusterStats: two bounded hash aggregates over the label frame") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
+    val p = fmt(graft.operators.Dedup.clusterStats(
+      graft.operators.Dedup.clusters(pairs, "da", "db"), "l"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("RAG capstone: chunk Generate pipelines into the scan; no corpus-side shuffle before postings") {
     val p = fmt(graft.queries.ExtQueries.queries("pipe_rag_retrieval")(spark, sf001))
     assert(p.contains("Generate"), p.take(2000))
