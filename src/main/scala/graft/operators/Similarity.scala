@@ -353,6 +353,74 @@ object Similarity {
         col("c").as("cos_micro"), col("margin"))
   }
 
+  /** Hard-negative mining — the contrastive-training data step (DPR,
+    * Karpukhin et al. 2020 §4.2; SimCSE; every dense-retriever recipe):
+    * for each query vector, the k most-similar corpus vectors whose
+    * label DIFFERS from the query's — near-misses that teach the encoder
+    * a boundary, where random negatives teach nothing. Same plan contract
+    * as [[bruteForceTopK]] (query side broadcast, exact cosine, window
+    * top-k — the DISCLOSED oracle-exact pair generator; at corpus scale
+    * the candidates come from IVF probe lists instead and the label
+    * filter is unchanged). Emits (qid, rn, vec_id, neg_label, cos). */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, isQuery: Column => Column, k: Int): DataFrame = {
+    val fx = fixedPoint(df, idCol, vecCol)
+      .join(df.select(col(idCol).as("id"), col(labelCol).as("lab")), "id")
+    val q = fx.filter(isQuery(col("id")))
+      .select(col("id").as("qid"), col("fx").as("fq"), col("nrm").as("nq"),
+        col("lab").as("qlab"))
+    val joined = broadcast(q).crossJoin(fx)
+      .filter(col("qid") =!= col("id") && col("lab") =!= col("qlab"))
+      .withColumn("cos", cosine(col("fq"), col("fx"), col("nq"), col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    joined.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("id").as("vec_id"),
+        col("lab").as("neg_label"), col("cos"))
+  }
+
+  /** kNN label-noise audit — the embedding-space mislabel detector
+    * (the Confident-Learning / deep-kNN family: a vector whose nearest
+    * neighbors overwhelmingly carry a DIFFERENT label is a labeling
+    * error candidate): for every vector, the fraction of its ≤ k
+    * nearest LSH-bucket-mates that disagree with its label. Bucketed on
+    * purpose — this audits EVERY row, so the brute n² frame is not an
+    * option; the hyperplane-LSH equi-join is the scale path (same
+    * candidate generator as [[bucketedTopK]]) and vectors alone in
+    * their bucket report n_nb = 0 rather than dropping out. Emits
+    * (id, label, n_nb, n_same, mismatch_frac).
+    *
+    * One bucket equi-join (never a cross join), one window over the
+    * per-id candidates, one agg; the bucketed frame feeds both sides of
+    * the join behind a lazy localCheckpoint ([[ivfAssign]] discipline). */
+  def labelNoise(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val b = hyperplaneBuckets(df, idCol, vecCol)
+      .join(df.select(col(idCol).as("id"), col(labelCol).as("lab")), "id")
+      .localCheckpoint(eager = false)
+    val cand = b.select(col("bucket"), col("id"), col("fx"), col("nrm"), col("lab"))
+      .join(b.select(col("bucket"), col("id").as("id2"), col("fx").as("fx2"),
+        col("nrm").as("nrm2"), col("lab").as("lab2")), Seq("bucket"))
+      .filter(col("id") =!= col("id2"))
+      .withColumn("cos", cosine(col("fx"), col("fx2"), col("nrm"), col("nrm2")))
+    val w = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("id2"))
+    val nn = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("id").agg(
+        count(lit(1)).as("n_nb"),
+        sum(when(col("lab2") === col("lab"), 1L).otherwise(0L)).as("n_same"))
+    b.select(col("id"), col("lab").as("label"))
+      .join(nn, Seq("id"), "left")
+      .select(col("id"), col("label"),
+        coalesce(col("n_nb"), lit(0L)).as("n_nb"),
+        coalesce(col("n_same"), lit(0L)).as("n_same"),
+        when(coalesce(col("n_nb"), lit(0L)) > 0,
+          (coalesce(col("n_nb"), lit(0L)) - coalesce(col("n_same"), lit(0L)))
+            / coalesce(col("n_nb"), lit(1L)))
+          .otherwise(lit(0.0)).as("mismatch_frac"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     fixedPoint(df, idCol, vecCol)
       // max|fx| as greatest(max, −min): same value as the HOF

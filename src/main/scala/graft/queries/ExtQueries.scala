@@ -109,6 +109,9 @@ object ExtQueries {
   // neighborhoods, accept margin ≥ 1 (pair beats its neighborhoods)
   private val MARGIN_K = 4
   private val MARGIN_TAU = 1.0
+  // hard-negative mining / kNN label-noise audit neighborhood size
+  private val HARDNEG_K = 5
+  private val NOISE_K = 5
 
   /** Unrolled BPE rounds for the DuckDB mirror: round i counts adjacent
     * pairs of state s{i-1}, picks the (cnt desc, l, r) top pair, and
@@ -878,6 +881,21 @@ object ExtQueries {
           "embedding", id => id % 2 === 0, MARGIN_K, MARGIN_TAU)
         .orderBy("qid")),
 
+    "sim_hard_negatives" -> ((s, dir) =>
+      // DPR-style hard-negative mining: per query, top-k most-similar
+      // OTHER-label vectors — broadcast query side, disclosed brute
+      // generator (IVF candidates at scale), label filter in the probe
+      Similarity.hardNegatives(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", id => id < 5, HARDNEG_K)
+        .orderBy("qid", "rn")),
+    "emb_label_noise" -> ((s, dir) =>
+      // embedding-space mislabel audit over EVERY row: LSH-bucket
+      // equi-join candidates (never n²), ≤k nearest bucket-mates vote;
+      // singleton-bucket vectors report n_nb = 0 instead of vanishing
+      Similarity.labelNoise(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", NOISE_K)
+        .orderBy("id")),
+
     // ---- similarity search ----
     "sim_topk_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -980,6 +998,22 @@ object ExtQueries {
   private def fxCte =
     s"""f AS (SELECT vec_id AS id, ${Similarity.fixedPointSql("embedding")} AS fx FROM embeddings),
        |n AS (SELECT id, fx, ${Similarity.nrmSql} AS nrm FROM f)""".stripMargin
+
+  /** Per-eval-doc contamination-rate mirror — shared verbatim by the
+    * batch query and the streaming twin (one oracle, no drift). */
+  private[queries] lazy val contamRateSql: String =
+    s"""WITH w AS (SELECT doc_id AS id, ${wordHashesSql()} AS whs FROM documents),
+       |g0 AS (SELECT id, ${MirrorHash.ngramHashesSql("whs", DECON_N)} AS gs FROM w),
+       |ge AS (SELECT id, unnest(gs) AS g FROM g0),
+       |g AS (SELECT DISTINCT id, g FROM ge),
+       |ev AS (SELECT * FROM g WHERE id % $DECON_MOD = 0),
+       |tr AS (SELECT DISTINCT g FROM g WHERE id % $DECON_MOD <> 0),
+       |h AS (SELECT ev.id, count(*) AS n_hit FROM ev JOIN tr ON ev.g = tr.g GROUP BY ev.id),
+       |tt AS (SELECT id, count(*) AS n_grams FROM ev GROUP BY id)
+       |SELECT tt.id, tt.n_grams,
+       |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) / CAST(tt.n_grams AS BIGINT) AS rate
+       |FROM tt LEFT JOIN h ON h.id = tt.id ORDER BY tt.id""".stripMargin
 
   /** Shared CDC-chunk CTE chain (mirrors [[graft.operators.Chunking
     * .cdcChunks]]'s staged projections); `tail` is appended — the final
@@ -1693,19 +1727,7 @@ object ExtQueries {
          |  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
          |  COALESCE(r.clean_text, '') AS clean_text
          |FROM seg LEFT JOIN r ON r.id = seg.id ORDER BY seg.id""".stripMargin,
-    "text_contam_rate" ->
-      s"""WITH w AS (SELECT doc_id AS id, ${wordHashesSql()} AS whs FROM documents),
-         |g0 AS (SELECT id, ${MirrorHash.ngramHashesSql("whs", DECON_N)} AS gs FROM w),
-         |ge AS (SELECT id, unnest(gs) AS g FROM g0),
-         |g AS (SELECT DISTINCT id, g FROM ge),
-         |ev AS (SELECT * FROM g WHERE id % $DECON_MOD = 0),
-         |tr AS (SELECT DISTINCT g FROM g WHERE id % $DECON_MOD <> 0),
-         |h AS (SELECT ev.id, count(*) AS n_hit FROM ev JOIN tr ON ev.g = tr.g GROUP BY ev.id),
-         |tt AS (SELECT id, count(*) AS n_grams FROM ev GROUP BY id)
-         |SELECT tt.id, tt.n_grams,
-         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
-         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) / CAST(tt.n_grams AS BIGINT) AS rate
-         |FROM tt LEFT JOIN h ON h.id = tt.id ORDER BY tt.id""".stripMargin,
+    "text_contam_rate" -> contamRateSql,
     "mix_keep_rate" ->
       s"""WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
          |q AS (SELECT id, CAST(round(1000000.0 *
@@ -1777,6 +1799,39 @@ object ExtQueries {
          |  FROM r JOIN sa ON sa.aid = r.aid JOIN sb ON sb.bid = r.bid WHERE r.ra = 1)
          |SELECT aid AS qid, bid AS vec_id, c AS cos_micro, margin
          |FROM m WHERE margin >= $MARGIN_TAU ORDER BY qid""".stripMargin,
+    "sim_hard_negatives" ->
+      s"""WITH $fxCte,
+         |nl AS (SELECT n.id, n.fx, n.nrm, e.label AS lab FROM n
+         |  JOIN embeddings e ON e.vec_id = n.id),
+         |q AS (SELECT id AS qid, fx AS fq, nrm AS nq, lab AS qlab FROM nl WHERE id < 5),
+         |j AS (SELECT q.qid, v.id AS vid, v.lab AS neg_label,
+         |    ${Similarity.cosineSql("q.fq", "v.fx", "q.nq", "v.nrm")} AS cos
+         |  FROM q JOIN nl v ON v.id <> q.qid AND v.lab <> q.qlab),
+         |r AS (SELECT qid, vid, neg_label, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rn
+         |  FROM j)
+         |SELECT qid, rn, vid AS vec_id, neg_label, cos FROM r
+         |WHERE rn <= $HARDNEG_K ORDER BY qid, rn""".stripMargin,
+    "emb_label_noise" ->
+      s"""WITH $fxCte,
+         |b AS (SELECT id, fx, nrm, ${Similarity.bucketSql()} AS bucket FROM n),
+         |nl AS (SELECT b.id, b.fx, b.nrm, b.bucket, e.label AS lab FROM b
+         |  JOIN embeddings e ON e.vec_id = b.id),
+         |c AS (SELECT x.id, x.lab, y.id AS id2, y.lab AS lab2,
+         |    ${Similarity.cosineSql("x.fx", "y.fx", "x.nrm", "y.nrm")} AS cos
+         |  FROM nl x JOIN nl y ON x.bucket = y.bucket AND x.id <> y.id),
+         |r AS (SELECT id, lab, lab2,
+         |    row_number() OVER (PARTITION BY id ORDER BY cos DESC, id2) AS rn FROM c),
+         |a AS (SELECT id, count(*) AS n_nb,
+         |    sum(CASE WHEN lab2 = lab THEN 1 ELSE 0 END) AS n_same
+         |  FROM r WHERE rn <= $NOISE_K GROUP BY id)
+         |SELECT nl.id, nl.lab AS label,
+         |  CAST(COALESCE(a.n_nb, 0) AS BIGINT) AS n_nb,
+         |  CAST(COALESCE(a.n_same, 0) AS BIGINT) AS n_same,
+         |  CASE WHEN COALESCE(a.n_nb, 0) > 0
+         |    THEN CAST(a.n_nb - a.n_same AS BIGINT) / CAST(a.n_nb AS BIGINT)
+         |    ELSE 0.0 END AS mismatch_frac
+         |FROM nl LEFT JOIN a ON a.id = nl.id ORDER BY nl.id""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH $fxCte,
          |j AS (SELECT q.id AS qid, v.id AS vid,

@@ -202,6 +202,13 @@ object StreamQueries {
       StreamOps.decontamOnce(s, dir, evalMod = ExtQueries.DECON_MOD,
         n = ExtQueries.DECON_N).orderBy("id")),
 
+    // ONLINE contamination-rate audit: eval examples stream against the
+    // static corpus gram inventory (stream-static left join), one
+    // complete-mode agg — shares the batch text_contam_rate oracle
+    "stream_contam_rate" -> ((s, dir) =>
+      StreamOps.contamRateOnce(s, dir, evalMod = ExtQueries.DECON_MOD,
+        n = ExtQueries.DECON_N).orderBy("id")),
+
     // ONLINE C4 line cleaning: pure per-row projection over the file
     // stream (append mode, zero state/shuffle) — the batch code path and
     // its oracle verbatim
@@ -413,6 +420,7 @@ object StreamQueries {
         |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "stream_decontam" -> ExtQueries.deconSql,
+    "stream_contam_rate" -> ExtQueries.contamRateSql,
     "stream_clean_lines" -> ExtQueries.cleanLinesSql,
     "stream_dsir_score" ->
       s"""WITH ${ExtQueries.dsirCtes}

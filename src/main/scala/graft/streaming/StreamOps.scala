@@ -303,6 +303,46 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming contamination-RATE twin — the "new benchmark arrives"
+    * orientation of `Decontaminate.contaminationRate`: eval examples
+    * stream in and each reports the fraction of its distinct n-grams
+    * already present in the (static) training corpus. The corpus gram
+    * inventory is the STATIC side of a stream-static left join (the
+    * static relation is re-read per micro-batch here; a production
+    * deployment materializes it once as a bucketed gram index), and the
+    * per-eval-doc (n_grams, n_hit) pair falls out of ONE complete-mode
+    * aggregate over the joined gram rows — n_grams counts all of the
+    * doc's gram rows, n_hit counts the ones the static side matched, so
+    * zero-hit docs never drop out and no second join is needed. State is
+    * bounded by |eval docs|. Oracle: the batch `text_contam_rate` SQL
+    * verbatim. */
+  def contamRateOnce(spark: SparkSession, dir: String, evalMod: Long, n: Int,
+      sinkName: String = "stream_contam_rate_sink"): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      graft.operators.Decontaminate.explodedGrams(df, "doc_id", "text", n)
+    val tmp = linkedDir(dir, "documents")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val tr = grams(spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % evalMod =!= 0))
+      .select(col("g")).distinct().withColumn("hit", lit(1L))
+    val src = spark.readStream.schema(schema).parquet(tmp)
+      .filter(col("doc_id") % evalMod === 0)
+    val agg = grams(src).join(tr, Seq("g"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_grams"),
+        count(col("hit")).as("n_hit"))
+      .withColumn("rate", col("n_hit") / col("n_grams"))
+    withHarnessConf(spark, "4") { ckpt =>
+      val q = agg.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Complete())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName)
+  }
+
   /** Streaming C4 line cleaning — the online-ingestion twin of
     * `TextAnalysis.cleanLines ∘ segmentLines`. Both are pure per-row
     * projections (no state, no watermark, no shuffle), so the streaming

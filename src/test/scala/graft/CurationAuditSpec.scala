@@ -241,6 +241,83 @@ class CurationAuditSpec extends SparkSpec {
     assert(all.forall(r => r.getDouble(3) > 0.5 && r.getDouble(3) < 2.5))
   }
 
+  // ---- hard negatives / label noise ----
+
+  test("hardNegatives: every mined negative carries a different label, ranks dense") {
+    val out = Similarity.hardNegatives(embs, "vec_id", "embedding", "label",
+      id => id < 5, k = 5).collect()
+    val labels = embs.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).sameElements((1 to sorted.length).map(_.toLong)))
+      sorted.foreach { r =>
+        assert(r.getInt(3) != labels(qid)) // neg_label differs
+        assert(r.getInt(3) == labels(r.getLong(2))) // and is the true label
+      }
+      // scores non-increasing in rank
+      sorted.map(_.getDouble(4)).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b)
+        case _ => ()
+      }
+    }
+  }
+
+  test("hardNegatives: equals bruteForceTopK restricted to other-label candidates") {
+    val k = 5
+    val hn = Similarity.hardNegatives(embs, "vec_id", "embedding", "label",
+      id => id < 3, k).select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val labels = embs.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // big-k brute top list, filtered to other-label, re-truncated to k
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+      id => id < 3, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSeq
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(_._3).filter(t => labels(t._2) != labels(qid)).take(k)
+          .map(t => (qid, t._2))
+      }.toSet
+    assert(hn == brute)
+  }
+
+  test("labelNoise: a planted mislabel is flagged, clean twins score 0") {
+    val dim = 64
+    def vec(sign: Double) = Array.tabulate(dim)(i => (if (i == 0) sign else 0.01f * (i % 3)).toFloat)
+    val rows =
+      (1L to 10L).map(i => (i, vec(1.0), 1)) ++ // cluster A, label 1
+      (11L to 20L).map(i => (i, vec(-1.0), 2)) ++ // cluster B, label 2
+      Seq((21L, vec(1.0), 2)) // A-shaped vector mislabeled as 2
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelNoise(df, "vec_id", "embedding", "label", 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.size == 21) // every row reports
+    // the planted mislabel: all its bucket-mates are label 1
+    assert(out(21L)._3 == 1.0, out(21L))
+    // clean members of A see mostly label-1 neighbors (the one impostor
+    // can appear among the 5); mismatch stays well under half
+    (1L to 10L).foreach { i => assert(out(i)._3 <= 0.2, s"$i: ${out(i)}") }
+    (11L to 20L).foreach { i => assert(out(i)._3 == 0.0, s"$i: ${out(i)}") }
+    out.values.foreach { case (nNb, nSame, frac) =>
+      assert(nSame <= nNb && nNb <= 5)
+      if (nNb > 0) assert(frac == (nNb - nSame).toDouble / nNb)
+    }
+  }
+
+  test("stream contamination-rate twin equals the batch operator") {
+    val batch = Decontaminate.contaminationRate(docs, "doc_id", "text",
+        id => id % 17 === 0, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val stream = graft.streaming.StreamOps.contamRateOnce(spark, sf001, 17, 8,
+        sinkName = "contam_rate_spec_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(stream == batch)
+  }
+
   // ---- cluster stats ----
 
   test("clusterStats: histogram mass equals clustered node count") {

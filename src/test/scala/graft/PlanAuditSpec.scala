@@ -453,6 +453,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("labelNoise: LSH-bucket equi-join candidates — never an n² cross join") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val p = fmt(graft.operators.Similarity.labelNoise(
+      emb, "vec_id", "embedding", "label", 5))
+    // the bucketed frame sits behind a lazy localCheckpoint; the visible
+    // candidate join is an equi-join on the bucket with no nested loop
+    assert(p.contains("ExistingRDD"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("hardNegatives: query side broadcasts; corpus scanned once") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val p = fmt(graft.operators.Similarity.hardNegatives(
+      emb, "vec_id", "embedding", "label", id => id < 5, 5))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+  }
+
   test("clusterStats: two bounded hash aggregates over the label frame") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
