@@ -81,6 +81,41 @@ object Ranking {
       .select(col("term"), col("rank"), col("id"), col("tf"), col("dl"), col("score"))
   }
 
+  /** Per-document top-k TF-IDF keywords — the metadata-tagging step
+    * (search indexing, topic labeling, dedup-explainability) every
+    * document store runs: score every (doc, token) by tf · idf and keep
+    * each doc's k best. The idf is the BM25-rational form kept ENTIRELY
+    * in integers until one final division — score = tf·(2(N−df)+1) ∕
+    * (2df+1) — so both engines compute the identical double (a log-based
+    * idf would expose libm differences); a corpus-wide stopword's idf
+    * shrinks toward 1∕(2N+1) (always positive — the rational form has no
+    * log to cross zero) so it ranks behind any rarer token at equal tf.
+    *
+    * Scale: tokenize+explode pipelines in the scan; tf is a (doc, token)
+    * hash agg with map-side combine; df aggregates the tf frame (rows ∝
+    * distinct doc-token pairs, already collapsed); the df table joins
+    * back by token equi-join; the only per-doc window partitions by doc.
+    * No global sort, no cross join, N broadcasts as one row. */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * (lit(2L) * (col("n") - col("df")) + 1L)).cast("double")
+          / (lit(2L) * col("df") + 1L).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score"))
+  }
+
   /** DuckDB mirror of [[bm25TopK]]: same postings construction, same
     * operation-ordered arithmetic. `source` is any relation producing
     * (id, text) — defaults to the `documents` table; the RAG capstone

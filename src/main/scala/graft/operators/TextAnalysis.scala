@@ -272,6 +272,29 @@ object TextAnalysis {
       .orderBy(col("c").desc, col("gram")).limit(k)
   }
 
+  /** Per-source PII exposure audit — the privacy report a curation run
+    * files before release (how many documents of each source trip each
+    * detector class, and how many raw hits): for every (source,
+    * pattern) pair, the count of documents with ≥1 match and the total
+    * match count. Patterns are (name, regex) with the same portable
+    * regex core as [[redact]] (both engines count non-overlapping
+    * matches identically). ONE projection evaluates every pattern per
+    * row, the stacked (pattern, hits) rows aggregate with map-side
+    * combine — shuffle ≤ |sources|·|patterns| rows, zero joins. */
+  def piiStats(df: DataFrame, srcCol: String, textCol: String,
+      patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    val hits = array(patterns.map { case (name, p) =>
+      struct(lit(name).as("pattern"),
+        regexp_count(col(textCol), lit(p)).cast("long").as("h"))
+    }: _*)
+    df.select(col(srcCol).as("source"), explode(hits).as("ph"))
+      .select(col("source"), col("ph.pattern").as("pattern"), col("ph.h").as("h"))
+      .groupBy("source", "pattern")
+      .agg(sum(when(col("h") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+        sum(col("h")).as("n_hits"))
+  }
+
   /** KMV (k-minimum-values) distinct n-gram estimator per source — the
     * corpus-diversity audit statistic ("how many distinct n-grams does
     * each source contribute?") computed WITHOUT a corpus-wide exact

@@ -112,6 +112,13 @@ object ExtQueries {
   // hard-negative mining / kNN label-noise audit neighborhood size
   private val HARDNEG_K = 5
   private val NOISE_K = 5
+  // per-doc TF-IDF keyword count
+  private val TFIDF_K = 5
+  // PII audit detector classes (portable regex core, see redact)
+  private val PII_PATTERNS = Seq(
+    "digits" -> "[0-9]+",
+    "long_digits" -> "[0-9]{4,}",
+    "alnum_id" -> "[a-z]+[0-9]+")
 
   /** Unrolled BPE rounds for the DuckDB mirror: round i counts adjacent
     * pairs of state s{i-1}, picks the (cnt desc, l, r) top pair, and
@@ -881,6 +888,38 @@ object ExtQueries {
           "embedding", id => id % 2 === 0, MARGIN_K, MARGIN_TAU)
         .orderBy("qid")),
 
+    "text_tfidf_keywords" -> ((s, dir) =>
+      // per-doc top-k TF-IDF tags: integer-rational idf (no libm), tf
+      // and df aggs both map-side combined, window partitions by doc
+      Ranking.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text",
+          TFIDF_K)
+        .orderBy("id", "rank")),
+    "text_pii_stats" -> ((s, dir) =>
+      // per-source PII exposure report: one projection evaluates every
+      // detector, stacked rows aggregate map-side — zero joins
+      TextAnalysis.piiStats(t(s, dir, "documents"), "source", "text",
+          PII_PATTERNS)
+        .orderBy("source", "pattern")),
+    "text_bpe_compression" -> ((s, dir) => {
+      // tokenizer-table DOMAIN-FIT audit: apply the learned merge table
+      // and report each source's compression (tokens-after / words) —
+      // sources far from the training distribution compress worse, the
+      // fertility-style mismatch signal tokenizer evals report
+      val docs = t(s, dir, "documents")
+      val ms = Bpe.learnMerges(docs, "text", BPE_ROUNDS)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = Bpe.applyMerges(docs, "doc_id", "text", ms)
+      docs.select(col("doc_id").as("id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+        .join(enc.select(col("id"), col("n_tokens")), "id")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .withColumn("compression", col("n_tokens") / col("n_words"))
+        .orderBy("source")
+    }),
     "sim_hard_negatives" -> ((s, dir) =>
       // DPR-style hard-negative mining: per query, top-k most-similar
       // OTHER-label vectors — broadcast query side, disclosed brute
@@ -1799,6 +1838,43 @@ object ExtQueries {
          |  FROM r JOIN sa ON sa.aid = r.aid JOIN sb ON sb.bid = r.bid WHERE r.ra = 1)
          |SELECT aid AS qid, bid AS vec_id, c AS cos_micro, margin
          |FROM m WHERE margin >= $MARGIN_TAU ORDER BY qid""".stripMargin,
+    "text_tfidf_keywords" ->
+      s"""WITH tk AS (SELECT doc_id AS id, unnest(string_split(text,' ')) AS token FROM documents),
+         |tf AS (SELECT id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT tf.id, tf.token, tf.tf, dfq.df,
+         |    CAST(tf.tf * (2*(nn.n - dfq.df) + 1) AS DOUBLE)
+         |      / CAST(2*dfq.df + 1 AS DOUBLE) AS score
+         |  FROM tf JOIN dfq USING(token), nn),
+         |r AS (SELECT id, token, tf, df, score,
+         |    CAST(row_number() OVER (PARTITION BY id ORDER BY score DESC, token) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT id, rank, token, tf, df, score FROM r
+         |WHERE rank <= $TFIDF_K ORDER BY id, rank""".stripMargin,
+    "text_pii_stats" -> {
+      val arms = PII_PATTERNS.map { case (name, p) =>
+        s"""SELECT source, '$name' AS pattern,
+           |  CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS h
+           |FROM documents""".stripMargin
+      }.mkString("\n UNION ALL ")
+      s"""WITH h AS ($arms)
+         |SELECT source, pattern,
+         |  CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+         |  CAST(sum(h) AS BIGINT) AS n_hits
+         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "text_bpe_compression" ->
+      s"""WITH ${bpeCtes(BPE_ROUNDS)},
+         |enc AS (SELECT doc_id, CAST(len(string_split(s,' ')) AS BIGINT) AS n_tokens
+         |  FROM s$BPE_ROUNDS),
+         |w AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words FROM documents)
+         |SELECT w.source, count(*) AS n_docs,
+         |  CAST(sum(w.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(e.n_tokens) AS BIGINT) / CAST(sum(w.n_words) AS BIGINT) AS compression
+         |FROM w JOIN enc e USING(doc_id) GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_hard_negatives" ->
       s"""WITH $fxCte,
          |nl AS (SELECT n.id, n.fx, n.nrm, e.label AS lab FROM n

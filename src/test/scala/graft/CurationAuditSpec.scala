@@ -318,6 +318,53 @@ class CurationAuditSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  // ---- tf-idf keywords / pii stats ----
+
+  test("tfidfKeywords: planted rare token outranks stopwords, ranks dense") {
+    val df = Seq(
+      (1L, "the the the zyzzyva the the"),
+      (2L, "the a of and is to in the"),
+      (3L, "the a of and is to in a")
+    ).toDF("id", "text")
+    val out = graft.operators.Ranking.tfidfKeywords(df, "id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // doc 1's top keyword is the corpus-unique token, despite tf 1 vs 5
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.head._3 == "zyzzyva", d1.toSeq)
+    assert(d1.head._5 == 1L) // df 1
+    // ranks dense from 1 per doc
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.sameElements((1 to rows.length).map(_.toLong)))
+    }
+    // "the" appears in all 3 docs → idf floor 1/(2N+1): positive (the
+    // rational form never crosses zero) but behind the unique token even
+    // at tf 5 vs 1
+    val theScore = d1.find(_._3 == "the").map(_._6)
+    assert(theScore.forall(s => s > 0 && s < d1.head._6), d1.toSeq)
+  }
+
+  test("piiStats: planted hits counted per source and pattern") {
+    val df = Seq(
+      ("s1", "call 5551234 or 42"),
+      ("s1", "no numbers here"),
+      ("s2", "user7 has id 99999")
+    ).toDF("src", "text")
+    val pats = Seq("digits" -> "[0-9]+", "long_digits" -> "[0-9]{4,}",
+      "alnum_id" -> "[a-z]+[0-9]+")
+    val out = graft.operators.TextAnalysis.piiStats(df, "src", "text", pats)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("s1", "digits")) == ((1L, 2L)))
+    assert(out(("s1", "long_digits")) == ((1L, 1L)))
+    assert(out(("s1", "alnum_id")) == ((0L, 0L)))
+    assert(out(("s2", "digits")) == ((1L, 2L))) // "7" inside user7 + 99999
+    assert(out(("s2", "long_digits")) == ((1L, 1L)))
+    assert(out(("s2", "alnum_id")) == ((1L, 1L)))
+    // every (source, pattern) cell reports, including zero cells
+    assert(out.size == 6)
+  }
+
   // ---- cluster stats ----
 
   test("clusterStats: histogram mass equals clustered node count") {

@@ -472,6 +472,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p.take(2000))
   }
 
+  test("tfidfKeywords: tf/df hash aggs partial; only the per-doc window shuffles by doc") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.Ranking.tfidfKeywords(docs, "doc_id", "text", 5))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastExchange"), p) // the 1-row N
+  }
+
+  test("piiStats: single projection + one bounded agg — zero joins") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.TextAnalysis.piiStats(docs, "source", "text",
+      Seq("d" -> "[0-9]+", "a" -> "[a-z]+[0-9]+")))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("Generate"), p) // the pattern stack explode
+  }
+
   test("clusterStats: two bounded hash aggregates over the label frame") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
