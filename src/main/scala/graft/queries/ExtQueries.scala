@@ -114,8 +114,9 @@ object ExtQueries {
   private val NOISE_K = 5
   // per-doc TF-IDF keyword count
   private val TFIDF_K = 5
-  // PII audit detector classes (portable regex core, see redact)
-  private val PII_PATTERNS = Seq(
+  // PII audit detector classes (portable regex core, see redact).
+  // private[queries]: the streaming twin must share these constants
+  private[queries] val PII_PATTERNS = Seq(
     "digits" -> "[0-9]+",
     "long_digits" -> "[0-9]{4,}",
     "alnum_id" -> "[a-z]+[0-9]+")
@@ -888,6 +889,50 @@ object ExtQueries {
           "embedding", id => id % 2 === 0, MARGIN_K, MARGIN_TAU)
         .orderBy("qid")),
 
+    "pipe_datasheet" -> ((s, dir) => {
+      // "datasheet for a dataset" capstone (Gebru et al. 2021): the
+      // per-source release report a curation run files — volume, KMV
+      // distinct-gram estimate, PII exposure, boilerplate pressure,
+      // benchmark contamination — composed from the audit operators as
+      // per-source MINI-FRAMES left-joined on source: every corpus-sized
+      // pass is one of the already-audited operator plans (map-side
+      // combined aggs, broadcast eval grams), the joins touch only
+      // |sources|-row frames
+      val docs = t(s, dir, "documents")
+      val base = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val kmv = TextAnalysis.distinctKmv(docs, "source", "text",
+          KMV_N, KMV_K, KMV_INV)
+        .select(col("source"), col("est_distinct"))
+      val pii = TextAnalysis.piiStats(docs, "source", "text",
+          Seq("digits" -> "[0-9]+"))
+        .select(col("source"), col("n_docs_hit").as("pii_docs"),
+          col("n_hits").as("pii_hits"))
+      val seg = TextAnalysis.segmentLines(docs, "doc_id", "text",
+        CLEAN_WPL, keep = Seq("source"))
+      val bl = seg.select(col("source"), col("id"),
+          explode(split(col("text"), "\n")).as("line"))
+        .distinct().groupBy("source", "line").agg(count(lit(1)).as("dfq"))
+        .filter(col("dfq") >= BP_MIN_DF)
+        .groupBy("source").agg(count(lit(1)).as("boiler_lines"))
+      val contam = Decontaminate.contaminated(docs, "doc_id", "text",
+          id => id % DECON_MOD === 0, DECON_N)
+        .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        .groupBy("source").agg(count(lit(1)).as("contam_docs"))
+      base.join(kmv, Seq("source"), "left")
+        .join(pii, Seq("source"), "left")
+        .join(bl, Seq("source"), "left")
+        .join(contam, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens") / col("n_docs")).as("avg_words"),
+          col("est_distinct"),
+          coalesce(col("pii_docs"), lit(0L)).as("pii_docs"),
+          coalesce(col("pii_hits"), lit(0L)).as("pii_hits"),
+          coalesce(col("boiler_lines"), lit(0L)).as("boiler_lines"),
+          coalesce(col("contam_docs"), lit(0L)).as("contam_docs"))
+        .orderBy("source")
+    }),
     "text_tfidf_keywords" -> ((s, dir) =>
       // per-doc top-k TF-IDF tags: integer-rational idf (no libm), tf
       // and df aggs both map-side combined, window partitions by doc
@@ -1838,6 +1883,55 @@ object ExtQueries {
          |  FROM r JOIN sa ON sa.aid = r.aid JOIN sb ON sb.bid = r.bid WHERE r.ra = 1)
          |SELECT aid AS qid, bid AS vec_id, c AS cos_micro, margin
          |FROM m WHERE margin >= $MARGIN_TAU ORDER BY qid""".stripMargin,
+    "pipe_datasheet" ->
+      s"""WITH w AS (SELECT doc_id AS id, source, string_split(text,' ') AS ws,
+         |    ${wordHashesSql()} AS whs FROM documents),
+         |base AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens FROM w GROUP BY 1),
+         |g0 AS (SELECT source, ${MirrorHash.ngramHashesSql("whs", KMV_N)} AS gs FROM w),
+         |ge AS (SELECT source, unnest(gs) AS g FROM g0),
+         |gf AS (SELECT DISTINCT source, g FROM ge WHERE g < ${MirrorHash.P / KMV_INV}),
+         |kr AS (SELECT source, g, row_number() OVER (PARTITION BY source ORDER BY g) AS rn FROM gf),
+         |ka AS (SELECT source, count(*) AS n_low,
+         |    max(CASE WHEN rn = $KMV_K THEN g END) AS hk FROM kr GROUP BY source),
+         |kmv AS (SELECT base.source,
+         |    CASE WHEN COALESCE(ka.n_low, 0) >= $KMV_K
+         |      THEN CAST(${(KMV_K - 1).toLong * MirrorHash.P} AS DOUBLE) / CAST(ka.hk AS DOUBLE)
+         |      ELSE CAST(COALESCE(ka.n_low, 0) AS DOUBLE) * $KMV_INV END AS est_distinct
+         |  FROM base LEFT JOIN ka ON ka.source = base.source),
+         |pii AS (SELECT source,
+         |    CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+         |    CAST(sum(h) AS BIGINT) AS pii_hits
+         |  FROM (SELECT source, CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS h
+         |    FROM documents) GROUP BY 1),
+         |seg AS (SELECT id, source, list_transform(generate_series(0, (len(ws)+${CLEAN_WPL - 1})//$CLEAN_WPL - 1),
+         |    i -> array_to_string(ws[i*$CLEAN_WPL+1 : i*$CLEAN_WPL+$CLEAN_WPL], ' ')) AS lines FROM w),
+         |le0 AS (SELECT id, source, lines, unnest(generate_series(1, len(lines))) AS li FROM seg),
+         |le AS (SELECT id, source, lines[CAST(li AS INT)] AS line FROM le0),
+         |bl AS (SELECT source, count(*) AS boiler_lines FROM (
+         |    SELECT source, line FROM (SELECT DISTINCT source, id, line FROM le) dd
+         |    GROUP BY source, line HAVING count(*) >= $BP_MIN_DF) GROUP BY 1),
+         |dg0 AS (SELECT id, ${MirrorHash.ngramHashesSql("whs", DECON_N)} AS gs FROM w),
+         |dge0 AS (SELECT id, unnest(gs) AS g FROM dg0),
+         |dge AS (SELECT DISTINCT id, g FROM dge0),
+         |ev AS (SELECT DISTINCT g FROM dge WHERE id % $DECON_MOD = 0),
+         |hits AS (SELECT DISTINCT dge.id FROM dge JOIN ev USING(g)
+         |  WHERE dge.id % $DECON_MOD <> 0),
+         |cont AS (SELECT w.source, count(*) AS contam_docs
+         |  FROM hits JOIN w ON w.id = hits.id GROUP BY 1)
+         |SELECT base.source, base.n_docs, base.n_tokens,
+         |  CAST(base.n_tokens AS BIGINT) / CAST(base.n_docs AS BIGINT) AS avg_words,
+         |  kmv.est_distinct,
+         |  CAST(COALESCE(pii.pii_docs, 0) AS BIGINT) AS pii_docs,
+         |  CAST(COALESCE(pii.pii_hits, 0) AS BIGINT) AS pii_hits,
+         |  CAST(COALESCE(bl.boiler_lines, 0) AS BIGINT) AS boiler_lines,
+         |  CAST(COALESCE(cont.contam_docs, 0) AS BIGINT) AS contam_docs
+         |FROM base
+         |LEFT JOIN kmv ON kmv.source = base.source
+         |LEFT JOIN pii ON pii.source = base.source
+         |LEFT JOIN bl ON bl.source = base.source
+         |LEFT JOIN cont ON cont.source = base.source
+         |ORDER BY base.source""".stripMargin,
     "text_tfidf_keywords" ->
       s"""WITH tk AS (SELECT doc_id AS id, unnest(string_split(text,' ')) AS token FROM documents),
          |tf AS (SELECT id, token, count(*) AS tf FROM tk GROUP BY 1, 2),

@@ -209,6 +209,12 @@ object StreamQueries {
       StreamOps.contamRateOnce(s, dir, evalMod = ExtQueries.DECON_MOD,
         n = ExtQueries.DECON_N).orderBy("id")),
 
+    // ONLINE PII dashboard: stateless detector projection + one
+    // complete-mode (source, pattern) agg — shares the batch oracle
+    "stream_pii_stats" -> ((s, dir) =>
+      StreamOps.piiStatsOnce(s, dir, ExtQueries.PII_PATTERNS)
+        .orderBy("source", "pattern")),
+
     // ONLINE C4 line cleaning: pure per-row projection over the file
     // stream (append mode, zero state/shuffle) — the batch code path and
     // its oracle verbatim
@@ -421,6 +427,7 @@ object StreamQueries {
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "stream_decontam" -> ExtQueries.deconSql,
     "stream_contam_rate" -> ExtQueries.contamRateSql,
+    "stream_pii_stats" -> ExtQueries.oracleSql("text_pii_stats"),
     "stream_clean_lines" -> ExtQueries.cleanLinesSql,
     "stream_dsir_score" ->
       s"""WITH ${ExtQueries.dsirCtes}

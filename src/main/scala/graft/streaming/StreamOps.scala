@@ -343,6 +343,30 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming PII exposure audit — `TextAnalysis.piiStats` over a live
+    * ingest: every detector evaluates in the stateless per-row
+    * projection, the (source, pattern) aggregate runs COMPLETE-mode
+    * with state bounded by |sources|·|patterns| — the privacy dashboard
+    * a compliance team watches during ingestion. Oracle: the batch
+    * `text_pii_stats` SQL verbatim. */
+  def piiStatsOnce(spark: SparkSession, dir: String,
+      patterns: Seq[(String, String)],
+      sinkName: String = "stream_pii_stats_sink"): DataFrame = {
+    val tmp = linkedDir(dir, "documents")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(schema).parquet(tmp)
+    val agg = graft.operators.TextAnalysis.piiStats(src, "source", "text", patterns)
+    withHarnessConf(spark, "4") { ckpt =>
+      val q = agg.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Complete())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName)
+  }
+
   /** Streaming C4 line cleaning — the online-ingestion twin of
     * `TextAnalysis.cleanLines ∘ segmentLines`. Both are pure per-row
     * projections (no state, no watermark, no shuffle), so the streaming

@@ -365,6 +365,18 @@ class CurationAuditSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("stream PII twin equals the batch operator") {
+    val pats = Seq("digits" -> "[0-9]+", "alnum_id" -> "[a-z]+[0-9]+")
+    val batch = TextAnalysis.piiStats(docs, "source", "text", pats)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val stream = graft.streaming.StreamOps.piiStatsOnce(spark, sf001, pats,
+        sinkName = "pii_spec_sink")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(stream == batch)
+  }
+
   // ---- cluster stats ----
 
   test("clusterStats: histogram mass equals clustered node count") {

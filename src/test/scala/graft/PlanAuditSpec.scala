@@ -489,6 +489,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // the pattern stack explode
   }
 
+  test("datasheet capstone: mini-frame joins only — no cartesian, no corpus self-join") {
+    val p = fmt(graft.queries.ExtQueries.queries("pipe_datasheet")(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // every corpus-sized pass is an audited operator plan; the final
+    // report joins |sources|-row frames (sort-merge or broadcast, never
+    // nested-loop over corpus data)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(3000))
+  }
+
   test("clusterStats: two bounded hash aggregates over the label frame") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
