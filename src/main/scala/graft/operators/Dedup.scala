@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.MirrorHash._
@@ -178,6 +179,51 @@ object Dedup {
       .withColumn("cos", col("dot") / sqrt(col("na").cast("double") * col("nb").cast("double")))
       .filter(col("cos") >= tau)
       .select("va", "vb", "cos")
+  }
+
+  /** Incremental EMBEDDING dedup — [[incrementalDedup]]'s shape on the
+    * vector side (the daily-ingest workflow: a new embedding batch
+    * against the already-curated reference store): flag each INCOMING
+    * vector whose cosine to some REFERENCE vector ≥ tau. Candidates
+    * come from the same multi-table hyperplane-LSH band join as
+    * [[embeddingPairs]], but restricted incoming×reference — the
+    * reference NEVER self-joins, so a daily batch against a 100 TB
+    * store costs ∝ |incoming| + cross-side band collisions. The
+    * signature pass runs over both sides (reference signatures are the
+    * store's index; persist them once in production). Emits per
+    * incoming id (near_dup flag, best matching reference id by (cos
+    * DESC, id), its cosine — null when no candidate verified). */
+  def incrementalEmbDedup(reference: DataFrame, incoming: DataFrame,
+      idCol: String, vecCol: String, tau: Double, tables: Int = 0,
+      planesPerBand: Int = 8, dims: Int = 64): DataFrame = {
+    val t = if (tables > 0) tables
+      else autoTables(reference.count() + incoming.count())
+    def sigs(df: DataFrame) = Similarity.fixedPoint(df, idCol, vecCol)
+      .withColumn("sig", hyperplane_sig(col("fx"), t, planesPerBand, dims))
+      .localCheckpoint(eager = false)
+    val r = sigs(reference)
+    val i = sigs(incoming)
+    def ex(d: DataFrame) =
+      d.select(col("id"), posexplode(col("sig")).as(Seq("bi", "bv")))
+    val cand = ex(i).as("x").join(ex(r).as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv"))
+      .select(col("x.id").as("ii"), col("y.id").as("ri")).distinct()
+    val iv = i.select(col("id").as("ii"), col("fx").as("fi"), col("nrm").as("ni"))
+    val rv = r.select(col("id").as("ri"), col("fx").as("fr"), col("nrm").as("nr"))
+    val verified = cand.join(iv, "ii").join(rv, "ri")
+      .withColumn("cos", fixed_dot(col("fi"), col("fr"))
+        / sqrt(col("ni").cast("double") * col("nr").cast("double")))
+      .filter(col("cos") >= tau)
+    val best = verified
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("ii")).orderBy(col("cos").desc, col("ri"))))
+      .filter(col("rn") === 1)
+      .select(col("ii").as("id"), col("ri").as("match_id"), col("cos"))
+    incoming.select(col(idCol).as("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id"),
+        when(col("match_id").isNotNull, 1).otherwise(0).as("near_dup"),
+        col("match_id"), col("cos"))
   }
 
   /** LSH table count for corpus size n: T = ⌈c·ln n⌉, anchored so the

@@ -889,6 +889,18 @@ object ExtQueries {
           "embedding", id => id % 2 === 0, MARGIN_K, MARGIN_TAU)
         .orderBy("qid")),
 
+    "dedup_emb_incremental" -> ((s, dir) => {
+      // daily-embedding-ingest workflow: flag incoming vectors (id%3==0)
+      // near-dup to the reference store — cross-side LSH band join only,
+      // the reference never self-joins; tables pinned for the static
+      // oracle (the operator defaults to autoTables)
+      val emb = t(s, dir, "embeddings")
+      Dedup.incrementalEmbDedup(
+        emb.filter(col("vec_id") % INC_MOD =!= 0),
+        emb.filter(col("vec_id") % INC_MOD === 0),
+        "vec_id", "embedding", COS_TAU, tables = LSH_TABLES)
+        .orderBy("id")
+    }),
     "pipe_datasheet" -> ((s, dir) => {
       // "datasheet for a dataset" capstone (Gebru et al. 2021): the
       // per-source release report a curation run files — volume, KMV
@@ -1122,7 +1134,10 @@ object ExtQueries {
     * (appended after [[fxCte]]); final CTE `ep(va, vb, cos)` holds the
     * verified pairs — shared by `dedup_embedding` and the embedding
     * dedup pipeline. */
-  private def embPairsCtes: String = {
+  /** Signature half of [[embPairsCtes]] (weights → per-vector LSH band
+    * values as CTE `sigs`) — shared with the incremental-embedding-dedup
+    * mirror, whose candidate join is cross-side instead of id<id. */
+  private def embSigCtes: String = {
     val planes = LSH_TABLES * LSH_PLANES
     val pow2 = (0 until LSH_PLANES).map(1L << _).mkString("[", ",", "]")
     s"""${graft.functions.PlaneHash.weightsCteSql(planes, 64)},
@@ -1131,7 +1146,11 @@ object ExtQueries {
        |  FROM el JOIN wts ON el.d = wts.d GROUP BY el.id, wts.j),
        |sigs AS (SELECT id, j//$LSH_PLANES AS bi,
        |    CAST(sum(CASE WHEN dot>=0 THEN ($pow2)[CAST(j%$LSH_PLANES AS INT)+1] ELSE 0 END) AS BIGINT) AS bv
-       |  FROM dots GROUP BY id, j//$LSH_PLANES),
+       |  FROM dots GROUP BY id, j//$LSH_PLANES)""".stripMargin
+  }
+
+  private def embPairsCtes: String = {
+    s"""$embSigCtes,
        |cand AS (SELECT DISTINCT x.id AS va, y.id AS vb
        |  FROM sigs x JOIN sigs y ON x.bi=y.bi AND x.bv=y.bv AND x.id<y.id),
        |ep AS MATERIALIZED (SELECT cand.va, cand.vb,
@@ -1883,6 +1902,24 @@ object ExtQueries {
          |  FROM r JOIN sa ON sa.aid = r.aid JOIN sb ON sb.bid = r.bid WHERE r.ra = 1)
          |SELECT aid AS qid, bid AS vec_id, c AS cos_micro, margin
          |FROM m WHERE margin >= $MARGIN_TAU ORDER BY qid""".stripMargin,
+    "dedup_emb_incremental" ->
+      s"""WITH $fxCte,
+         |$embSigCtes,
+         |cand AS (SELECT DISTINCT x.id AS ii, y.id AS ri
+         |  FROM sigs x JOIN sigs y ON x.bi = y.bi AND x.bv = y.bv
+         |  WHERE x.id % $INC_MOD = 0 AND y.id % $INC_MOD <> 0),
+         |v AS (SELECT cand.ii, cand.ri,
+         |    ${Similarity.cosineSql("a.fx", "b.fx", "a.nrm", "b.nrm")} AS cos
+         |  FROM cand JOIN n a ON a.id = cand.ii JOIN n b ON b.id = cand.ri
+         |  WHERE ${Similarity.cosineSql("a.fx", "b.fx", "a.nrm", "b.nrm")} >= $COS_TAU),
+         |bst AS (SELECT ii, ri, cos,
+         |    row_number() OVER (PARTITION BY ii ORDER BY cos DESC, ri) AS rn FROM v)
+         |SELECT i.id,
+         |  CAST(bst.ri IS NOT NULL AS INT) AS near_dup,
+         |  bst.ri AS match_id, bst.cos
+         |FROM (SELECT id FROM n WHERE id % $INC_MOD = 0) i
+         |LEFT JOIN bst ON bst.ii = i.id AND bst.rn = 1
+         |ORDER BY i.id""".stripMargin,
     "pipe_datasheet" ->
       s"""WITH w AS (SELECT doc_id AS id, source, string_split(text,' ') AS ws,
          |    ${wordHashesSql()} AS whs FROM documents),

@@ -377,6 +377,32 @@ class CurationAuditSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  // ---- incremental embedding dedup ----
+
+  test("incrementalEmbDedup: flags equal the cross-split slice of batch pairs") {
+    val ref = embs.filter(col("vec_id") % 3 =!= 0)
+    val inc = embs.filter(col("vec_id") % 3 === 0)
+    val out = graft.operators.Dedup.incrementalEmbDedup(
+        ref, inc, "vec_id", "embedding", 0.45, tables = 150)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out.size == inc.count())
+    // differential: the batch LSH pair operator on the FULL corpus,
+    // sliced to cross-split pairs, must flag the same incoming ids
+    val batch = graft.operators.Dedup.embeddingPairs(
+        embs, "vec_id", "embedding", 0.45, tables = 150)
+      .collect().flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        Seq(a -> b, b -> a)
+      }.filter { case (x, y) => x % 3 == 0 && y % 3 != 0 }
+      .groupBy(_._1)
+    out.foreach { case (id, (flag, _)) =>
+      assert((flag == 1) == batch.contains(id), s"id $id flag $flag")
+    }
+    // the reported match is the best (cos desc) verified candidate
+    batch.foreach { case (id, _) => assert(out(id)._1 == 1) }
+  }
+
   // ---- cluster stats ----
 
   test("clusterStats: histogram mass equals clustered node count") {

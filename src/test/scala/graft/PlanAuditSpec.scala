@@ -498,6 +498,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(3000))
   }
 
+  test("incrementalEmbDedup: cross-side band equi-join — reference never self-joins") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val p = fmt(graft.operators.Dedup.incrementalEmbDedup(
+      emb.filter(col("vec_id") % 3 =!= 0), emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", 0.45, tables = 64))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // both signature passes sit behind lazy localCheckpoints
+    assert(p.contains("ExistingRDD"), p.take(2000))
+  }
+
   test("clusterStats: two bounded hash aggregates over the label frame") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
