@@ -95,9 +95,10 @@ object ExtQueries {
   // keep-rate threshold calibration target (keep the top 40% by score)
   private val KEEP_RATE = 0.4
   // content-defined chunking: 4-gram rolling-hash boundary, boundary
-  // probability 1/16 per position → mean chunk ≈ 16 tokens
-  private val CDC_N = 4
-  private val CDC_K = 16
+  // probability 1/16 per position → mean chunk ≈ 16 tokens.
+  // private[queries]: the streaming twin shares these constants
+  private[queries] val CDC_N = 4
+  private[queries] val CDC_K = 16
   // KMV distinct-gram sketch: bottom-32 of the 4-gram hashes surviving
   // the g < P/16 threshold prefilter (invFrac sized so the sf0.01
   // corpus — ~1.5k distinct grams/source — exercises the KMV path, not

@@ -215,6 +215,13 @@ object StreamQueries {
       StreamOps.piiStatsOnce(s, dir, ExtQueries.PII_PATTERNS)
         .orderBy("source", "pattern")),
 
+    // ONLINE CDC chunk indexing: content-local boundaries make the op
+    // stateless under streaming (append mode, projection+Generate
+    // unchanged) — shares the batch doc_cdc_chunks oracle
+    "stream_cdc_chunks" -> ((s, dir) =>
+      StreamOps.cdcChunksOnce(s, dir, ExtQueries.CDC_N, ExtQueries.CDC_K)
+        .orderBy("id", "chunk_idx")),
+
     // ONLINE C4 line cleaning: pure per-row projection over the file
     // stream (append mode, zero state/shuffle) — the batch code path and
     // its oracle verbatim
@@ -428,6 +435,7 @@ object StreamQueries {
     "stream_decontam" -> ExtQueries.deconSql,
     "stream_contam_rate" -> ExtQueries.contamRateSql,
     "stream_pii_stats" -> ExtQueries.oracleSql("text_pii_stats"),
+    "stream_cdc_chunks" -> ExtQueries.oracleSql("doc_cdc_chunks"),
     "stream_clean_lines" -> ExtQueries.cleanLinesSql,
     "stream_dsir_score" ->
       s"""WITH ${ExtQueries.dsirCtes}

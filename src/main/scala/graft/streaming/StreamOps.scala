@@ -343,6 +343,31 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming content-defined chunking — `Chunking.cdcChunks` over a
+    * live ingest: boundaries are a pure function of local content, so
+    * the op is STATELESS under streaming (append mode, zero state, zero
+    * shuffle — the projection+Generate plan unchanged over a file
+    * source). The shape of a chunk-index builder running as documents
+    * arrive; CDC boundaries mean late re-ingestion of an edited doc
+    * re-keys only the edited chunk. Oracle: the batch `doc_cdc_chunks`
+    * SQL verbatim. */
+  def cdcChunksOnce(spark: SparkSession, dir: String, n: Int, modK: Int,
+      sinkName: String = "stream_cdc_chunks_sink"): DataFrame = {
+    val tmp = linkedDir(dir, "documents")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(schema).parquet(tmp)
+    val out = graft.operators.Chunking.cdcChunks(src, "doc_id", "text", n, modK)
+    withHarnessConf(spark, "4") { ckpt =>
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName)
+  }
+
   /** Streaming PII exposure audit — `TextAnalysis.piiStats` over a live
     * ingest: every detector evaluates in the stateless per-row
     * projection, the (source, pattern) aggregate runs COMPLETE-mode
