@@ -97,7 +97,17 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-        finally spark.catalog.clearCache()
+        finally {
+          // same sweep discipline as the timed loop's finally: drop the
+          // query's caches AND its orphaned localCheckpoint blocks, so
+          // the first timed query doesn't absorb a warm-pass-wide
+          // ContextCleaner backlog (memoized cross-query frames kept)
+          spark.catalog.clearCache()
+          val keep = queries.ExtQueries.memoizedRddIds
+          spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!keep.contains(id)) rdd.unpersist(blocking = false)
+          }
+        }
       }
       System.err.println(f"[bench] full codegen warm pass (sf0.001, all queries) " +
         f"in ${(System.nanoTime() - warmupT0) / 1e9}%.1fs")

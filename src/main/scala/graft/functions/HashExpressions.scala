@@ -26,16 +26,26 @@ import org.apache.spark.unsafe.types.UTF8String
 object HashExpressions {
   import MirrorHash.{P, NUM_PERMS, SIM_BITS}
 
+  // 131^k mod P — the per-position multipliers REDUCED mod P: with raw
+  // 131^k (up to ~6.6e14) the per-word accumulator overflowed a signed
+  // Long after ~650 characters of one unbroken token (base64 blobs and
+  // minified JS are routine in web crawl), going NEGATIVE — and a
+  // negative word hash breaks the [0,P) premise every downstream chain
+  // (gram packing injectivity, KMV uniformity, pmod-vs-% mirror parity)
+  // is built on. Mod-P multipliers + a running mod keep the accumulator
+  // in [0,P) for ANY token length.
   private val POW131: Array[Long] = {
     val a = new Array[Long](8); a(0) = 1L
-    (1 until 8).foreach(i => a(i) = a(i - 1) * 131L); a
+    (1 until 8).foreach(i => a(i) = a(i - 1) * 131L % P); a
   }
   private def permA(j: Int): Long = (654435761L * j + 150889L) % P
   private def permB(j: Int): Long = (253910941L * j + 982451653L) % P
 
   /** Word-hash array of a space-separated text (MirrorHash.wordHashes):
-    * h(word) = Σ ascii(c_i)·131^(i mod 8). One pass over the UTF-8
-    * bytes; ASCII inputs only need byte values (matches ascii()). */
+    * h(word) = Σ ascii(c_i)·(131^(i mod 8) mod P) mod P, maintained in
+    * [0,P) by a running mod (each addend ≤ 65535·(P−1) ≈ 6.6e13, so the
+    * pre-mod sum never overflows). One pass over the UTF-8 bytes; ASCII
+    * inputs only need byte values (matches ascii()). */
   case class WordHashArray(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def withNewChildInternal(c: Expression): WordHashArray = copy(c)
@@ -49,7 +59,7 @@ object HashExpressions {
       while (k < s.length) {
         val c = s.charAt(k)
         if (c == ' ') { out += h; h = 0L; ci = 0 }
-        else { h += c.toLong * POW131(ci % 8); ci += 1 }
+        else { h = (h + c.toLong * POW131(ci % 8)) % P; ci += 1 }
         k += 1
       }
       out += h // final word (split(text," ") always yields ≥1 token)
@@ -75,7 +85,7 @@ object HashExpressions {
            |for (int $k = 0; $k < $len; $k++) {
            |  char $c = $s.charAt($k);
            |  if ($c == ' ') { $out[$wi++] = $h; $h = 0L; $ci = 0; }
-           |  else { $h += (long) $c * $powRef[$ci % 8]; $ci++; }
+           |  else { $h = ($h + (long) $c * $powRef[$ci % 8]) % ${P}L; $ci++; }
            |}
            |$out[$wi] = $h;
            |${ev.value} = new $gad($out);

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * Pipeline (reference semantics: shingle→minhash→band→bucket-join, the
   * standard MinHash-LSH construction; SimHash per Charikar'02):
   *   words      = split(text, ' ')
-  *   wordHash   = Σ ascii(c_i)·131^(i mod 8)           (polynomial)
+  *   wordHash   = Σ ascii(c_i)·(131^(i mod 8) mod P) mod P  (polynomial, in [0,P))
   *   shingleH   = (wh_i·31 + wh_{i+1}·131 + wh_{i+2}·1313) mod P  (3-gram)
   *   minhash_j  = min over shingles of (a_j·h + b_j mod P)
   *   band_t     = (mh_{2t}·31 + mh_{2t+1}·131) mod P    (2-row bands)
@@ -32,7 +32,10 @@ object MirrorHash {
   val NUM_BANDS = 4 // LSH bands (2 rows per band)
   val SIM_BITS = 30 // simhash width (P < 2^30)
 
-  private val POW131: Seq[Long] = (0 until 8).scanLeft(1L)((a, _) => a * 131L).take(8)
+  // 131^k mod P — reduced multipliers; see HashExpressions.POW131 for
+  // why (raw powers overflow the per-word accumulator after ~650 chars
+  // of one unbroken token, breaking the [0,P) word-hash contract)
+  private val POW131: Seq[Long] = (0 until 8).scanLeft(1L)((a, _) => a * 131L % P).take(8)
   private val POW2: Seq[Long] = (0 until SIM_BITS).map(b => 1L << b)
 
   private def permA(j: Int): Long = (654435761L * j + 150889L) % P
@@ -43,12 +46,14 @@ object MirrorHash {
   private val pow131Arr: Column = array(POW131.map(lit): _*)
   private val pow2Arr: Column = array(POW2.map(lit): _*)
 
-  /** Polynomial hash of one word: Σ ascii(c_i)·131^(i mod 8). */
+  /** Polynomial hash of one word, in [0,P): Σ ascii(c_i)·(131^(i mod 8)
+    * mod P) mod P, maintained by a running mod (each addend ≤
+    * 65535·(P−1), so acc + addend never overflows at any word length). */
   def wordHash(w: Column): Column =
     aggregate(
       transform(split(w, ""), (c, i) =>
         ascii(c).cast("long") * element_at(pow131Arr, (i % 8) + 1)),
-      lit(0L), (acc, x) => acc + x)
+      lit(0L), (acc, x) => (acc + x) % P)
 
   /** Array of word hashes for a space-separated text column. */
   def wordHashes(text: Column): Column =
@@ -171,11 +176,19 @@ object MirrorHash {
   private val pow2Sql = POW2.mkString("[", ",", "]")
 
   /** SQL: array of word hashes of `text`. (DuckDB lambda index is
-    * 1-based, hence (i-1).) */
+    * 1-based, hence (i-1).) list_sum has no running mod, so the mirror
+    * reduces once at the end — exact (identical to the Spark running
+    * mod) while the pre-mod sum fits a BIGINT, i.e. words up to
+    * ~1.4·10⁵ characters; beyond that DuckDB raises an overflow error
+    * rather than silently diverging (the oracle gate runs on bounded
+    * fixtures). */
   def wordHashesSql(text: String = "text"): String =
+    // CAST the ascii side up front: the mod-P multipliers all fit INT32
+    // (unlike the raw 131^k), so without it DuckDB multiplies in INT32
+    // and overflows at the first 5-char word
     s"""list_transform(string_split($text,' '), w ->
        | CAST(list_sum(list_transform(string_split(w,''),
-       |   (c,i) -> ascii(c) * ($powSql)[((i-1)%8)+1])) AS BIGINT))""".stripMargin
+       |   (c,i) -> CAST(ascii(c) AS BIGINT) * ($powSql)[((i-1)%8)+1])) AS BIGINT) % $P)""".stripMargin
 
   /** SQL: shingle hashes from a word-hash array column named `whs`. */
   def shingleHashesSql(whs: String = "whs"): String =

@@ -196,8 +196,12 @@ object Dedup {
   def incrementalEmbDedup(reference: DataFrame, incoming: DataFrame,
       idCol: String, vecCol: String, tau: Double, tables: Int = 0,
       planesPerBand: Int = 8, dims: Int = 64): DataFrame = {
+    // ONE union-count job when auto-sizing (two separate counts would
+    // scan the 100 TB reference store twice per daily batch; production
+    // persists the reference count with its signature index anyway)
     val t = if (tables > 0) tables
-      else autoTables(reference.count() + incoming.count())
+      else autoTables(reference.select(col(idCol))
+        .unionByName(incoming.select(col(idCol))).count())
     def sigs(df: DataFrame) = Similarity.fixedPoint(df, idCol, vecCol)
       .withColumn("sig", hyperplane_sig(col("fx"), t, planesPerBand, dims))
       .localCheckpoint(eager = false)
@@ -479,8 +483,13 @@ object Dedup {
       .select(col("id"), explode(sequence(col("p"), col("p") + (n - 1))).as("ti"))
       .distinct()
     val cov = covered.groupBy("id").agg(count(lit(1)).as("dup_tokens"))
+    // lazily checkpointed: the token frame feeds BOTH the kept-token
+    // anti-join and the (id, n_tokens) spine below — without the
+    // boundary each consumer would re-scan df (the r11 review found the
+    // spine as a third full corpus read)
     val toks = df.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), " ")).as(Seq("ti", "tok")))
+        posexplode(split(col(textCol), " ")).as(Seq("ti", "tok")))
+      .localCheckpoint(eager = false)
     // docs whose every token is covered drop out of `kept` — the final
     // left join + coalesce('') restores them with empty clean_text
     val kept = toks.join(covered, Seq("id", "ti"), "left_anti")
@@ -488,8 +497,10 @@ object Dedup {
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("ti"), col("tok")))),
           s => s.getField("tok"))).as("clean_text"))
-    df.select(col(idCol).as("id"),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    // the (id, n_tokens) spine comes from the toks frame already scanned
+    // above — NOT a third full read of df; split always yields ≥1 token,
+    // so no doc drops out of the count
+    toks.groupBy("id").agg(count(lit(1)).as("n_tokens"))
       .join(cov, Seq("id"), "left")
       .join(kept, Seq("id"), "left")
       .select(col("id"), col("n_tokens"),

@@ -311,29 +311,11 @@ object Mixture {
     * label, pred, correct). */
   def nbPredict(df: DataFrame, idCol: String, textCol: String,
       classCol: String, model: Seq[(String, (Long, Seq[Long]))],
-      buckets: Int): DataFrame = {
-    require(model.nonEmpty, "model must have at least one class")
-    // classes sorted ASC; revRank = |C|-idx makes the struct ordering
-    // break score ties toward the lexicographically smallest class
-    val sorted = model.sortBy(_._1)
-    sorted.foreach { case (_, (_, tbl)) =>
-      require(tbl.length == buckets, s"table size ${tbl.length} != $buckets") }
-    val priors = sorted.map(_._2._1).toArray
-    val flat = sorted.iterator.flatMap(_._2._2).toArray
-    val scores = graft.functions.HashExpressions.class_scores(
-      graft.functions.HashExpressions.word_hashes(col(textCol)),
-      priors, flat, buckets)
-    val base = df.select(col(idCol).as("id"), col(classCol).as("cls"),
-      scores.as("__sc"))
-    val cands = sorted.zipWithIndex.map { case ((name, _), idx) =>
-      struct(element_at(col("__sc"), idx + 1).as("s"),
-        lit(sorted.size - idx).as("r"), lit(name).as("n"))
-    }
-    val best =
-      if (cands.size == 1) cands.head else greatest(cands: _*)
-    base.select(col("id"), col("cls"), best.getField("n").as("pred"))
-      .withColumn("correct", (col("cls") === col("pred")).cast("int"))
-  }
+      buckets: Int): DataFrame =
+    // one scoring implementation — the margin-carrying variant below —
+    // so the tie-break rule / model layout can never silently diverge
+    nbPredictScored(df, idCol, textCol, classCol, model, buckets)
+      .drop("margin")
 
   /** [[nbPredict]] with the prediction MARGIN carried: margin = best
     * score − second-best score (micro-nats, ≥ 0; 0 when the model has

@@ -1096,6 +1096,24 @@ object ExtQueries {
     s"""f AS (SELECT vec_id AS id, ${Similarity.fixedPointSql("embedding")} AS fx FROM embeddings),
        |n AS (SELECT id, fx, ${Similarity.nrmSql} AS nrm FROM f)""".stripMargin
 
+  /** KMV bottom-k CTE chain (reads CTE `w` = (source, whs, …)), shared
+    * by the standalone `text_distinct_kmv` oracle and the datasheet
+    * capstone — one generator, so a threshold/k tweak cannot split
+    * them. Final CTE `ka(source, n_low, hk)`. */
+  private def kmvCtes: String =
+    s"""g0 AS (SELECT source, ${MirrorHash.ngramHashesSql("whs", KMV_N)} AS gs FROM w),
+       |ge AS (SELECT source, unnest(gs) AS g FROM g0),
+       |gf AS (SELECT DISTINCT source, g FROM ge WHERE g < ${MirrorHash.P / KMV_INV}),
+       |kr AS (SELECT source, g, row_number() OVER (PARTITION BY source ORDER BY g) AS rn FROM gf),
+       |ka AS (SELECT source, count(*) AS n_low,
+       |    max(CASE WHEN rn = $KMV_K THEN g END) AS hk FROM kr GROUP BY source)""".stripMargin
+
+  /** The KMV estimate expression over [[kmvCtes]]' `ka` columns. */
+  private def kmvEstSql(nLow: String, hk: String): String =
+    s"""CASE WHEN COALESCE($nLow, 0) >= $KMV_K
+       |    THEN CAST(${(KMV_K - 1).toLong * MirrorHash.P} AS DOUBLE) / CAST($hk AS DOUBLE)
+       |    ELSE CAST(COALESCE($nLow, 0) AS DOUBLE) * $KMV_INV END""".stripMargin
+
   /** Per-eval-doc contamination-rate mirror — shared verbatim by the
     * batch query and the streaming twin (one oracle, no drift). */
   private[queries] lazy val contamRateSql: String =
@@ -1860,18 +1878,11 @@ object ExtQueries {
         |FROM st ORDER BY id""".stripMargin, extraCte = true),
     "text_distinct_kmv" ->
       s"""WITH w AS (SELECT source, ${wordHashesSql()} AS whs FROM documents),
-         |g0 AS (SELECT source, ${MirrorHash.ngramHashesSql("whs", KMV_N)} AS gs FROM w),
-         |ge AS (SELECT source, unnest(gs) AS g FROM g0),
-         |gf AS (SELECT DISTINCT source, g FROM ge WHERE g < ${MirrorHash.P / KMV_INV}),
-         |r AS (SELECT source, g, row_number() OVER (PARTITION BY source ORDER BY g) AS rn FROM gf),
-         |a AS (SELECT source, count(*) AS n_low,
-         |    max(CASE WHEN rn = $KMV_K THEN g END) AS hk FROM r GROUP BY source),
+         |$kmvCtes,
          |sp AS (SELECT DISTINCT source FROM documents)
-         |SELECT sp.source, CAST(COALESCE(a.n_low, 0) AS BIGINT) AS n_low, a.hk,
-         |  CASE WHEN COALESCE(a.n_low, 0) >= $KMV_K
-         |    THEN CAST(${(KMV_K - 1).toLong * MirrorHash.P} AS DOUBLE) / CAST(a.hk AS DOUBLE)
-         |    ELSE CAST(COALESCE(a.n_low, 0) AS DOUBLE) * $KMV_INV END AS est_distinct
-         |FROM sp LEFT JOIN a ON a.source = sp.source ORDER BY sp.source""".stripMargin,
+         |SELECT sp.source, CAST(COALESCE(ka.n_low, 0) AS BIGINT) AS n_low, ka.hk,
+         |  ${kmvEstSql("ka.n_low", "ka.hk")} AS est_distinct
+         |FROM sp LEFT JOIN ka ON ka.source = sp.source ORDER BY sp.source""".stripMargin,
     "dedup_cluster_stats" ->
       s"""WITH $distinctShingleCte,
          |ex AS (SELECT id, nd, unnest(ds) AS h FROM d),
@@ -1926,16 +1937,9 @@ object ExtQueries {
          |    ${wordHashesSql()} AS whs FROM documents),
          |base AS (SELECT source, count(*) AS n_docs,
          |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens FROM w GROUP BY 1),
-         |g0 AS (SELECT source, ${MirrorHash.ngramHashesSql("whs", KMV_N)} AS gs FROM w),
-         |ge AS (SELECT source, unnest(gs) AS g FROM g0),
-         |gf AS (SELECT DISTINCT source, g FROM ge WHERE g < ${MirrorHash.P / KMV_INV}),
-         |kr AS (SELECT source, g, row_number() OVER (PARTITION BY source ORDER BY g) AS rn FROM gf),
-         |ka AS (SELECT source, count(*) AS n_low,
-         |    max(CASE WHEN rn = $KMV_K THEN g END) AS hk FROM kr GROUP BY source),
+         |$kmvCtes,
          |kmv AS (SELECT base.source,
-         |    CASE WHEN COALESCE(ka.n_low, 0) >= $KMV_K
-         |      THEN CAST(${(KMV_K - 1).toLong * MirrorHash.P} AS DOUBLE) / CAST(ka.hk AS DOUBLE)
-         |      ELSE CAST(COALESCE(ka.n_low, 0) AS DOUBLE) * $KMV_INV END AS est_distinct
+         |    ${kmvEstSql("ka.n_low", "ka.hk")} AS est_distinct
          |  FROM base LEFT JOIN ka ON ka.source = base.source),
          |pii AS (SELECT source,
          |    CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,

@@ -25,6 +25,26 @@ class HashExprSpec extends SparkSpec {
     assertSame(HE.word_hashes(col("text")), MH.wordHashes(col("text")))
   }
 
+  test("word hash stays in [0,P) on arbitrarily long unbroken tokens") {
+    // regression (r11 review): raw 131^k multipliers overflowed the
+    // per-word accumulator NEGATIVE after ~650 chars of one token
+    // (base64/minified-JS shapes), breaking the [0,P) contract the gram
+    // packing injectivity and pmod-vs-% mirror parity rest on
+    import spark.implicits._
+    val long = Seq(
+      ("a" * 100000) + " tail",
+      "zq9" * 50000,
+      ("x" * 649) + " " + ("y" * 651)).toDF("text")
+    val rows = long.select(HE.word_hashes(col("text")).as("f"),
+        MH.wordHashes(col("text")).as("s"))
+      .collect()
+    rows.foreach { r =>
+      val f = r.getSeq[Long](0); val s = r.getSeq[Long](1)
+      assert(f == s)
+      f.foreach(h => assert(h >= 0 && h < MH.P, s"hash $h out of [0,P)"))
+    }
+  }
+
   test("shingle_hashes == MirrorHash.shingleHashes") {
     assertSame(HE.shingle_hashes(HE.word_hashes(col("text"))),
       MH.shingleHashes(MH.wordHashes(col("text"))))
