@@ -256,6 +256,26 @@ object ExtQueries {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", JACCARD_TAU)
         .localCheckpoint(true))
 
+  /** ONE NB model fit feeds classify, calibration, and the confidence
+    * gate — same memoization discipline as [[jaccardShared]] (the fit is
+    * a driver-side model artifact, |classes|·B longs); the bench books
+    * it on whichever consumer runs first (alphabetically
+    * `mix_nb_calibration`). */
+  private val nbModels = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(String, (Long, Seq[Long]))]]
+
+  private def nbModel(docs: DataFrame): Seq[(String, (Long, Seq[Long]))] = {
+    val key = (docs.sparkSession, docs.inputFiles.headOption.getOrElse(""))
+    nbModels.getOrElseUpdate(key, {
+      val rows = Mixture.nbTable(docs, "text", "source", NB_B).collect()
+      val tables = rows.groupBy(_.getString(0)).map { case (c, rs) =>
+        c -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+      val priors = Mixture.nbPriors(docs, "source").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      tables.map { case (c, tb) => c -> (priors(c), tb) }.toSeq
+    })
+  }
+
   /** ONE embedding-LSH pair pipeline feeds `dedup_embedding` AND the
     * embedding dedup pipeline — same memoization discipline as
     * [[jaccardShared]]; the bench books it on whichever runs first
@@ -786,13 +806,20 @@ object ExtQueries {
       // projection folds with the tables as plan literals — zero
       // shuffle, the corpus is read once for fit and once for predict
       val docs = t(s, dir, "documents")
-      val rows = Mixture.nbTable(docs, "text", "source", NB_B).collect()
-      val tables = rows.groupBy(_.getString(0)).map { case (c, rs) =>
-        c -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
-      val priors = Mixture.nbPriors(docs, "source").collect()
-        .map(r => r.getString(0) -> r.getLong(2)).toMap
-      val model = tables.map { case (c, tb) => c -> (priors(c), tb) }.toSeq
-      Mixture.nbPredict(docs, "doc_id", "text", "source", model, NB_B)
+      Mixture.nbPredict(docs, "doc_id", "text", "source", nbModel(docs), NB_B)
+        .orderBy("id")
+    }),
+
+    "pipe_confidence_gate" -> ((s, dir) => {
+      // FineWeb-Edu-shaped confidence gate capstone: score every doc
+      // with the NB domain classifier's margin (ONE ClassScoreArray
+      // pass), then calibrate the margin threshold that keeps the top
+      // 40% most-confidently-classified docs — the exact-histogram
+      // quantile, no corpus sort, no top-K funnel
+      val docs = t(s, dir, "documents")
+      val scored = Mixture.nbPredictScored(docs, "doc_id", "text", "source",
+        nbModel(docs), NB_B)
+      Mixture.thresholdByKeepRate(scored, "id", col("margin"), KEEP_RATE)
         .orderBy("id")
     }),
 
@@ -803,14 +830,8 @@ object ExtQueries {
       // confidence threshold. Same single-pass scorer as
       // mix_nb_classify plus one ≤10-group aggregate.
       val docs = t(s, dir, "documents")
-      val rows = Mixture.nbTable(docs, "text", "source", NB_B).collect()
-      val tables = rows.groupBy(_.getString(0)).map { case (c, rs) =>
-        c -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
-      val priors = Mixture.nbPriors(docs, "source").collect()
-        .map(r => r.getString(0) -> r.getLong(2)).toMap
-      val model = tables.map { case (c, tb) => c -> (priors(c), tb) }.toSeq
       val scored = Mixture.nbPredictScored(docs, "doc_id", "text", "source",
-        model, NB_B)
+        nbModel(docs), NB_B)
       Mixture.nbCalibration(scored, NB_CAL_W, NB_CAL_MAXBIN).orderBy("bin")
     }),
     "pipe_dense_retrieval" -> ((s, dir) => {
@@ -1113,6 +1134,21 @@ object ExtQueries {
     s"""CASE WHEN COALESCE($nLow, 0) >= $KMV_K
        |    THEN CAST(${(KMV_K - 1).toLong * MirrorHash.P} AS DOUBLE) / CAST($hk AS DOUBLE)
        |    ELSE CAST(COALESCE($nLow, 0) AS DOUBLE) * $KMV_INV END""".stripMargin
+
+  /** Histogram keep-rate threshold tail (reads CTE `q(id, score)`),
+    * shared by `mix_keep_rate` and the confidence-gate capstone —
+    * mirrors [[graft.operators.Mixture.thresholdByKeepRate]]. */
+  private def keepRateSql: String =
+    // kh/kn/kc/kt prefixes: this tail composes after arbitrary scoring
+    // CTE chains (the NB one already owns `nn`)
+    s"""kh AS (SELECT score, count(*) AS cnt FROM q GROUP BY score),
+       |kn AS (SELECT sum(cnt) AS n FROM kh),
+       |kc AS (SELECT score, sum(cnt) OVER (ORDER BY score DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM kh),
+       |kt AS (SELECT max(score) AS thr FROM kc, kn
+       |  WHERE kc.cum >= CAST(ceil($KEEP_RATE * kn.n) AS BIGINT))
+       |SELECT q.id, q.score, kt.thr, CAST(q.score >= kt.thr AS INT) AS keep
+       |FROM q, kt ORDER BY id""".stripMargin
 
   /** Per-eval-doc contamination-rate mirror — shared verbatim by the
     * batch query and the streaming twin (one oracle, no drift). */
@@ -1854,14 +1890,16 @@ object ExtQueries {
       s"""WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
          |q AS (SELECT id, CAST(round(1000000.0 *
          |    (CAST(len(list_distinct(ws)) AS BIGINT) / CAST(len(ws) AS BIGINT))) AS BIGINT) AS score FROM w),
-         |h AS (SELECT score, count(*) AS cnt FROM q GROUP BY score),
-         |nn AS (SELECT sum(cnt) AS n FROM h),
-         |c AS (SELECT score, sum(cnt) OVER (ORDER BY score DESC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
-         |t AS (SELECT max(score) AS thr FROM c, nn
-         |  WHERE c.cum >= CAST(ceil($KEEP_RATE * nn.n) AS BIGINT))
-         |SELECT q.id, q.score, t.thr, CAST(q.score >= t.thr AS INT) AS keep
-         |FROM q, t ORDER BY id""".stripMargin,
+         |$keepRateSql""".stripMargin,
+    // confidence-gate capstone mirror: NB scoring CTEs → per-doc margin
+    // → the shared histogram keep-rate threshold tail
+    "pipe_confidence_gate" ->
+      s"""WITH $nbScoreCte,
+         |mg AS (SELECT id,
+         |    max(CASE WHEN rn = 1 THEN score END) AS s1,
+         |    max(CASE WHEN rn = 2 THEN score END) AS s2 FROM rk GROUP BY id),
+         |q AS (SELECT id, CAST(COALESCE(s1 - s2, 0) AS BIGINT) AS score FROM mg),
+         |$keepRateSql""".stripMargin,
     "doc_cdc_chunks" -> cdcChunkSql(
       """SELECT id, CAST(ci-1 AS BIGINT) AS chunk_idx,
         |  CAST(bnds[ci] AS BIGINT) AS tok_from, CAST(bnds[ci+1] AS BIGINT) AS tok_to,
