@@ -47,6 +47,25 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
 
+  /** Packing-efficiency audit over [[packTexts]] output — the fill-rate
+    * histogram a training-infra team watches (underfull sequences waste
+    * context window; the per-bucket tail sequence is underfull by
+    * construction, and an overflowing tail document pushes its sequence
+    * past 10∕10): sequences bucketed by fill decile (n_tokens·10 ∕
+    * budget, capped at `maxDecile` for the overflow tail), with
+    * sequence/doc/token mass per decile. ONE bounded hash agg. */
+  def fillStats(packed: DataFrame, budget: Long,
+      maxDecile: Int = 15): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    packed
+      .withColumn("fill_decile",
+        least(expr(s"n_tokens * 10 DIV $budget"), lit(maxDecile.toLong)))
+      .groupBy("fill_decile")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+  }
+
   private def assign(df: DataFrame, idCol: String, textCol: String,
       budget: Long, buckets: Int): DataFrame = {
     require(budget >= 1 && buckets >= 1, s"need budget/buckets >= 1")

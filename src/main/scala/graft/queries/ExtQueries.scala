@@ -810,6 +810,22 @@ object ExtQueries {
         .orderBy("id")
     }),
 
+    "pack_fill_stats" -> ((s, dir) =>
+      // packing-efficiency histogram: sequences by fill decile with
+      // seq/doc/token mass — one bounded agg past the packing window
+      Packing.fillStats(
+        Packing.packTexts(t(s, dir, "documents"), "doc_id", "text",
+          PACK_BUDGET, PACK_BUCKETS).drop("seq_text"),
+        PACK_BUDGET)
+        .orderBy("fill_decile")),
+    "text_lang_mix" -> ((s, dir) =>
+      // per-source language distribution — the datasheet's language
+      // line: one projection (langIdCol) + one map-side-combined agg
+      t(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.langIdCol(col("text")).as("pred_lang"))
+        .groupBy("source", "pred_lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "pred_lang")),
     "pipe_confidence_gate" -> ((s, dir) => {
       // FineWeb-Edu-shaped confidence gate capstone: score every doc
       // with the NB domain classifier's margin (ONE ClassScoreArray
@@ -1891,6 +1907,25 @@ object ExtQueries {
          |q AS (SELECT id, CAST(round(1000000.0 *
          |    (CAST(len(list_distinct(ws)) AS BIGINT) / CAST(len(ws) AS BIGINT))) AS BIGINT) AS score FROM w),
          |$keepRateSql""".stripMargin,
+    "pack_fill_stats" ->
+      s"""WITH d AS (SELECT doc_id AS id, ${Sampling.rowHashSql("doc_id")} AS h,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+         |b AS (SELECT id, h, n_tokens, h % $PACK_BUCKETS AS bucket FROM d),
+         |c AS (SELECT id, h, n_tokens, bucket,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, id) AS cum FROM b),
+         |a AS (SELECT *, CAST(((cum - n_tokens) // $PACK_BUDGET) * $PACK_BUCKETS + bucket AS BIGINT) AS seq_id FROM c),
+         |sq AS (SELECT seq_id, count(*) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM a GROUP BY seq_id)
+         |SELECT LEAST(n_tokens * 10 // $PACK_BUDGET, 15) AS fill_decile,
+         |  count(*) AS n_seqs, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM sq GROUP BY 1 ORDER BY fill_decile""".stripMargin,
+    "text_lang_mix" ->
+      s"""WITH w AS (SELECT source, string_split(text,' ') AS ws FROM documents),
+         |sc AS (SELECT source, $langScoreSql FROM w)
+         |SELECT source, CASE $langCaseSql ELSE 'und' END AS pred_lang,
+         |  count(*) AS n_docs
+         |FROM sc GROUP BY 1, 2 ORDER BY source, pred_lang""".stripMargin,
     // confidence-gate capstone mirror: NB scoring CTEs → per-doc margin
     // → the shared histogram keep-rate threshold tail
     "pipe_confidence_gate" ->
