@@ -139,19 +139,150 @@ object Mixture {
     * LM; the CCNet filter drops the worst tail. Pure projection fold
     * with the table a plan literal — zero shuffle. */
   def perplexityScore(df: DataFrame, idCol: String, textCol: String,
-      table: Seq[Long], buckets: Int): DataFrame = {
+      table: Seq[Long], buckets: Int, carry: Seq[String] = Nil): DataFrame = {
     require(table.length == buckets, s"table size ${table.length} != $buckets")
     val la = lit(table.toArray)
     val wh = graft.functions.HashExpressions.word_hashes(col(textCol))
     val nllSum = aggregate(wh, lit(0L), (acc, w) =>
       acc - element_at(la, pmod(w, lit(buckets.toLong)).cast("int") + 1))
+    df.select(col(idCol).as("id") +: carry.map(col) :+
+      size(wh).cast("long").as("n_words") :+
+      nllSum.as("__s"): _*)
+      .select(col("id") +: carry.map(col) :+ col("n_words") :+
+        (col("__s").cast("double") / col("n_words").cast("double"))
+          .as("nll_micro_nats"): _*)
+      .filter(col("n_words") > 0)
+  }
+
+  /** Hashed-BIGRAM language-model table — the context-aware half of an
+    * interpolated n-gram LM (the KenLM 5-gram CCNet actually ships,
+    * truncated to order 2 and hashed so the table stays B-bounded):
+    * bigram bucket counts with add-one smoothing, emitted as integer
+    * micro-nat log-probabilities like [[unigramLmTable]]. The bigram
+    * key is the repo's standard rolling gram hash over the word-hash
+    * sequence (`ngram_hashes(wh, 2)` — the same chain the dedup/
+    * decontam operators mirror), so the DuckDB oracle shares it. One
+    * corpus pass, map-side combine, B-bounded shuffle. */
+  def bigramLmTable(df: DataFrame, textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val wh = graft.functions.HashExpressions.word_hashes(col(textCol))
+    val gh = graft.functions.HashExpressions.ngram_hashes(wh, 2)
+    val bc = df.select(explode(gh).as("g"))
+      .select(pmod(col("g"), lit(buckets.toLong)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val tot = bc.agg(sum(col("c")).as("t"))
+    val spine = df.sparkSession.range(buckets).select(col("id").as("bucket"))
+    spine.join(bc, Seq("bucket"), "left").crossJoin(tot)
+      .select(col("bucket"),
+        round(lit(1e6) * log(
+          (coalesce(col("c"), lit(0L)) + 1).cast("double")
+            / (coalesce(col("t"), lit(0L)) + buckets).cast("double")))
+          .cast("long").as("lp"))
+  }
+
+  /** Per-document perplexity under an INTERPOLATED unigram+bigram LM —
+    * the log-linear interpolation λ·lp₂ + (1−λ)·lp₁ per token position
+    * (position 0, which has no left context, scores lp₁ alone), with
+    * λ = lamNum∕lamDen kept RATIONAL so the whole sum stays BIGINT:
+    *
+    *   s = (D−L)·Σᵢ lp₁(wᵢ) + L·lp₁(w₀) + L·Σᵢ₌₁ lp₂(wᵢ₋₁wᵢ)
+    *   nll = −s ∕ (D·n)          (L = lamNum, D = lamDen)
+    *
+    * — algebraically identical to scoring position 0 by lp₁ and every
+    * later position by the interpolation, but computed from three whole-
+    * array folds (no per-position branching). ONE projection pass, both
+    * tables plan literals, zero shuffle; a single-word document
+    * degenerates to the unigram score exactly. */
+  def perplexityScoreInterp(df: DataFrame, idCol: String, textCol: String,
+      uniTable: Seq[Long], biTable: Seq[Long], buckets: Int,
+      lamNum: Int, lamDen: Int): DataFrame = {
+    require(uniTable.length == buckets && biTable.length == buckets,
+      "table sizes must equal buckets")
+    require(lamNum >= 0 && lamDen > 0 && lamNum <= lamDen,
+      s"lambda $lamNum/$lamDen not in [0,1]")
+    val la1 = lit(uniTable.toArray)
+    val la2 = lit(biTable.toArray)
+    val wh = graft.functions.HashExpressions.word_hashes(col(textCol))
+    val gh = graft.functions.HashExpressions.ngram_hashes(wh, 2)
+    def fold(arr: Column, tbl: Column): Column =
+      aggregate(arr, lit(0L), (acc, w) =>
+        acc + element_at(tbl, pmod(w, lit(buckets.toLong)).cast("int") + 1))
+    val s1 = fold(wh, la1)
+    val s2 = fold(gh, la2)
+    val first = element_at(la1,
+      pmod(element_at(wh, 1), lit(buckets.toLong)).cast("int") + 1)
+    val s = lit((lamDen - lamNum).toLong) * s1 +
+      lit(lamNum.toLong) * (first + s2)
     df.select(col(idCol).as("id"),
       size(wh).cast("long").as("n_words"),
-      nllSum.as("__s"))
-      .select(col("id"), col("n_words"),
-        (col("__s").cast("double") / col("n_words").cast("double"))
-          .as("nll_micro_nats"))
+      (-s).as("__s"))
       .filter(col("n_words") > 0)
+      .select(col("id"), col("n_words"),
+        (col("__s").cast("double")
+          / (lit(lamDen.toLong) * col("n_words")).cast("double"))
+          .as("nll_micro_nats"))
+  }
+
+  /** CCNet head/middle/tail quality buckets (Wenzek et al. 2020 §4.3) —
+    * the released CommonCrawl curation format: documents ranked by LM
+    * perplexity WITHIN THEIR LANGUAGE and cut at the terciles; "head"
+    * is the most-fluent third of each language, "tail" the least. The
+    * per-language rank is percent_rank over (nll, id) — a total order,
+    * so ties cannot straddle a cut — and the cuts are the IEEE doubles
+    * 1∕3 and 2∕3 both engines compute identically.
+    *
+    * Scale: the corpus is scored in [[perplexityScore]]'s zero-shuffle
+    * fold; the only shuffle is the per-LANGUAGE window. Partitions are
+    * per-language (the paper's semantics — a global window would be the
+    * scale-killer, a language partition is merely skewed); a corpus
+    * whose largest language outgrows an executor would swap the exact
+    * tercile for the keep-rate histogram threshold
+    * ([[thresholdByKeepRate]]) per language — disclosed trade. */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, table: Seq[Long], buckets: Int): DataFrame = {
+    val scored = perplexityScore(df, idCol, textCol, table, buckets,
+      carry = Seq(langCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("nll_micro_nats"), col("id"))
+    scored.withColumn("pct", percent_rank().over(w))
+      .withColumn("bucket",
+        when(col("pct") <= lit(1.0 / 3), "head")
+          .when(col("pct") <= lit(2.0 / 3), "middle")
+          .otherwise("tail"))
+      .select(col("id"), col(langCol), col("n_words"),
+        col("nll_micro_nats"), col("bucket"))
+  }
+
+  /** Curriculum staging by LM perplexity — the "easy-to-hard" data
+    * ordering of curriculum learning (Bengio et al. 2009; applied to LM
+    * pretraining data by e.g. DoCL / Rho-style selection): documents are
+    * assigned to one of `nStages` difficulty stages by their unigram-LM
+    * nll, stage 0 = most predictable (easiest). Stages are EQUI-WIDTH
+    * bins of the [min, max] nll span rather than quantiles: quantile
+    * staging needs a global rank (a total sort, or a single-task ntile
+    * window — the scale-killer this repo's window audit warns on), while
+    * min/max are order-independent one-row aggregates that BROADCAST
+    * back — the corpus is scored in one projection pass and binned in a
+    * second, shuffle-free except the 1-row extremes agg.
+    *
+    * Determinism: nll is a BIGINT micro-nat sum with one final IEEE
+    * division (see [[perplexityScore]]); the bin index is
+    * floor((nll−lo)∕(hi−lo)·S) with identical operation order in the SQL
+    * mirror, clamped to S−1 so the max lands in the last stage; a
+    * degenerate corpus (hi == lo) collapses to stage 0. */
+  def curriculumStages(df: DataFrame, idCol: String, textCol: String,
+      table: Seq[Long], buckets: Int, nStages: Int): DataFrame = {
+    require(nStages >= 1, "nStages must be positive")
+    val scored = perplexityScore(df, idCol, textCol, table, buckets)
+    val ext = scored.agg(min(col("nll_micro_nats")).as("lo"),
+      max(col("nll_micro_nats")).as("hi"))
+    scored.crossJoin(broadcast(ext))
+      .select(col("id"), col("n_words"), col("nll_micro_nats"),
+        when(col("hi") > col("lo"),
+          least(floor((col("nll_micro_nats") - col("lo"))
+              / (col("hi") - col("lo")) * nStages).cast("long"),
+            lit(nStages - 1L)))
+          .otherwise(0L).as("stage"))
   }
 
   /** Score every document against a collected importance table (the

@@ -116,6 +116,71 @@ object Ranking {
         col("df"), col("score"))
   }
 
+  /** Exact phrase search over a positional inverted index — the lookup
+    * every corpus-audit / retrieval pipeline runs ("which documents
+    * contain this exact phrase, and how often"), and the WIMBD §4
+    * "search" primitive (`wimbd/es.py` in the WIMBD toolkit does this
+    * against Elasticsearch; here the index is relational).
+    *
+    * Plan shape (the 100 TB path):
+    *  - ONE corpus pass builds the sparse posting list: tokenize +
+    *    `posexplode` pipelined in the scan, immediately filtered to the
+    *    phrase vocabulary (a tiny literal IN-set) — rows out ∝
+    *    occurrences of queried words, not corpus size; cached because
+    *    every phrase arm probes it (at production scale this frame IS
+    *    the pre-materialized inverted index, bucketed by token);
+    *  - a k-word phrase is k−1 EQUI-JOINS on (doc, position): the arm
+    *    for word j shifts its positions by −j, so a match is k postings
+    *    agreeing on the same (id, pos) key — the classic positional-
+    *    index intersection, never a string scan;
+    *  - per-doc match counts are a hash agg with map-side combine.
+    * No cross join, no window, no global sort; the only shuffles are
+    * keyed by (id, pos) over the SPARSE posting rows. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    val split2 = phrases.map(p => p -> p.split(" ").toSeq)
+    require(split2.forall(_._2.forall(_.nonEmpty)), "empty word in phrase")
+    val vocab = split2.flatMap(_._2).distinct
+    val postings = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+      .filter(col("token").isInCollection(vocab))
+      .cache() // sparse: rows ∝ phrase-vocab occurrences, not corpus size
+    val arms = split2.map { case (ph, ws) =>
+      val head = postings.filter(col("token") === ws.head)
+        .select(col("id"), col("pos"))
+      val matched = ws.zipWithIndex.drop(1).foldLeft(head) {
+        case (acc, (w, j)) =>
+          acc.join(postings.filter(col("token") === w)
+              .select(col("id"), (col("pos") - j).as("pos")),
+            Seq("id", "pos"))
+      }
+      matched.groupBy("id").agg(count(lit(1)).as("n_matches"))
+        .select(lit(ph).as("phrase"), col("id"), col("n_matches"))
+    }
+    arms.reduce(_.unionAll(_))
+  }
+
+  /** DuckDB mirror of [[phraseSearch]]: per phrase, count the start
+    * positions whose k-word window equals the phrase (1-based list
+    * indexing; `range` is empty when the doc is shorter than the
+    * phrase). */
+  def phraseSearchSql(phrases: Seq[String]): String = {
+    val arms = phrases.map { ph =>
+      val ws = ph.split(" ").toSeq
+      val esc = ph.replace("'", "''")
+      val conds = ws.zipWithIndex
+        .map { case (w, j) => s"ws[i+${j + 1}] = '${w.replace("'", "''")}'" }
+        .mkString(" AND ")
+      s"""SELECT '$esc' AS phrase, doc_id AS id,
+         |  CAST(len(list_filter(range(len(ws) - ${ws.size - 1}),
+         |    i -> $conds)) AS BIGINT) AS n_matches
+         |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""".stripMargin
+    }.mkString("\n UNION ALL ")
+    s"""SELECT phrase, id, n_matches FROM ($arms)
+       |WHERE n_matches > 0 ORDER BY phrase, id""".stripMargin
+  }
+
   /** DuckDB mirror of [[bm25TopK]]: same postings construction, same
     * operation-ordered arithmetic. `source` is any relation producing
     * (id, text) — defaults to the `documents` table; the RAG capstone

@@ -78,6 +78,19 @@ object Sampling {
     df.withColumn(out, expr0)
   }
 
+  /** Deterministic WEIGHTED Bernoulli sample: row kept iff
+    * hash(id) < w·M, where w ∈ [0,1] is a per-row keep probability
+    * (quality-proportional retention — e.g. SoftDedup-style weights or a
+    * classifier score used as a sampling rate instead of a loss weight).
+    * Membership is still a pure function of (id, w): reproducible across
+    * runs, layouts and engines, and MONOTONE in w — raising a document's
+    * weight can only add it, never evict it (the property a curriculum
+    * of progressively looser quality cuts needs). Plan: one codegen'd
+    * arithmetic filter, no shuffle, no state. The comparison is done in
+    * doubles (w·M is one IEEE multiply both engines round identically). */
+  def weighted(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    df.filter(rowHash(col(idCol)).cast("double") < weight * M)
+
   /** Deterministic EXACT-k sample: the k rows with the smallest id hash
     * (id as tiebreak). The hash order is a fixed uniform permutation of
     * the ids, so the selected set is reproducible across runs, layouts
@@ -87,6 +100,25 @@ object Sampling {
     * no shuffle of unselected rows. */
   def deterministicK(df: DataFrame, idCol: String, k: Int): DataFrame =
     df.orderBy(rowHash(col(idCol)), col(idCol)).limit(k)
+
+  /** Per-stratum deterministic EXACT-k sample — the balanced-eval-set
+    * draw (k docs per language/source/domain regardless of stratum
+    * size): within each stratum, the k rows with the smallest (hash(id),
+    * id). Same reproducibility and prefix-monotonicity as
+    * [[deterministicK]], per stratum — growing k only ADDS rows, and a
+    * stratum with fewer than k rows contributes all of them. Plan: one
+    * window rank partitioned by the stratum (hash order, never a global
+    * sort); stratum cardinality bounds the partition, the usual skew
+    * disclosure for per-group top-k applies. */
+  def stratifiedK(df: DataFrame, idCol: String, strataCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(rowHash(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 
   /** Deterministic corpus shuffle — the "global shuffle before packing/
     * training" step every LLM data pipeline runs: a pseudo-random but

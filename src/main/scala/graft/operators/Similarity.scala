@@ -183,7 +183,15 @@ object Similarity {
     * Assignment is one broadcast-centroid pass; the drop set is a
     * left-anti join. Returns the surviving (id, cid). */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      tau: Double, nCentroids: Int = 0): DataFrame = {
+      tau: Double, nCentroids: Int = 0): DataFrame =
+    semSurvivors(df, idCol, vecCol, tau, nCentroids)
+      .select(col("id"), col("cid"))
+
+  /** The SemDeDup survivor set WITH the centroid distance carried —
+    * shared core of [[semDedup]] (which projects it away) and
+    * [[d4Prune]] (which ranks on it). */
+  private def semSurvivors(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, nCentroids: Int): DataFrame = {
     val c = if (nCentroids > 0) nCentroids else autoCentroids(df.count())
     // localCheckpoint (lazy), NOT cache: the ranked membership feeds
     // THREE consumers (both prune sides + the survivor anti-join), and
@@ -204,7 +212,34 @@ object Similarity {
       .filter(col("ra") < col("rb") &&
         cosine(col("fa"), col("fb"), col("na"), col("nb")) >= tau)
       .select(col("ib").as("id")).distinct()
-    m.join(dropped, Seq("id"), "left_anti").select(col("id"), col("cid"))
+    m.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cid"), col("d2"))
+  }
+
+  /** D4 data selection (Tirumala et al. 2023, arXiv:2308.12284):
+    * SemDeDup, then additionally prune the most PROTOTYPICAL points —
+    * the paper's full recipe ("D4 = SemDeDup + SSL-prototypes"): after
+    * the near-dup prune, each cluster drops its ⌈protoFrac·|c|⌉ members
+    * CLOSEST to the centroid (the redundant "prototypes" that carry the
+    * least marginal information) and keeps the diverse remainder.
+    *
+    * Scale design inherits [[semDedup]]'s: the only quadratic term is
+    * within-cluster with √n-scaled cluster counts; the prototype prune
+    * adds ONE window pair (rank + size) partitioned by cluster — lists
+    * are ~√n so no partition outgrows an executor. Determinism: the
+    * prototype rank orders by the exact fixed-point integer L2 (d2, id);
+    * the cut ⌈protoFrac·|c|⌉ is one ceil of an exact small product.
+    * Returns survivors as (id, cid, proto_rank). */
+  def d4Prune(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, protoFrac: Double, nCentroids: Int = 0): DataFrame = {
+    require(protoFrac >= 0.0 && protoFrac < 1.0, s"protoFrac $protoFrac not in [0,1)")
+    val surv = semSurvivors(df, idCol, vecCol, tau, nCentroids)
+    val wp = Window.partitionBy(col("cid")).orderBy(col("d2"), col("id"))
+    val wc = Window.partitionBy(col("cid"))
+    surv.withColumn("pr", row_number().over(wp).cast("long"))
+      .withColumn("csz", count(lit(1)).over(wc))
+      .filter(col("pr") > ceil(lit(protoFrac) * col("csz")))
+      .select(col("id"), col("cid"), col("pr").as("proto_rank"))
   }
 
   /** √n cluster-count rule for [[semDedup]]'s coarse quantizer: C =

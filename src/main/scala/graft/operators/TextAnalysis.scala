@@ -295,6 +295,25 @@ object TextAnalysis {
         sum(col("h")).as("n_hits"))
   }
 
+  /** k-anonymity audit over quasi-identifier columns (Sweeney 2002) —
+    * the privacy-release check a curated corpus runs before publishing
+    * per-document metadata: every combination of quasi-identifiers
+    * (language, source, coarse length bucket, …) must be shared by ≥ k
+    * documents, else the combination singles documents out. Emits the
+    * full equivalence-class census with an at-risk flag (1 = class size
+    * < k), so both the risky classes and the anonymity distribution are
+    * in one result. Plan: ONE hash aggregate with map-side combine on
+    * the quasi-identifier key — output rows ∝ distinct QI combinations,
+    * never corpus-sized; no join, no window. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1, "k must be positive")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("at_risk",
+        when(col("n_docs") < k, 1L).otherwise(0L))
+  }
+
   /** KMV (k-minimum-values) distinct n-gram estimator per source — the
     * corpus-diversity audit statistic ("how many distinct n-grams does
     * each source contribute?") computed WITHOUT a corpus-wide exact

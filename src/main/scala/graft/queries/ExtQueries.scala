@@ -115,6 +115,20 @@ object ExtQueries {
   private val NOISE_K = 5
   // per-doc TF-IDF keyword count
   private val TFIDF_K = 5
+  // positional-index phrase search probes (2- and 3-word, present in data)
+  private val PHRASES = Seq("table hash", "customer join", "slow hash batch")
+  // curriculum staging: equi-width nll stages over the DSIR_B-bucket LM
+  private val CURR_STAGES = 4
+  // k-anonymity: minimum equivalence-class size and length-bucket width
+  private val K_ANON = 5L
+  private val K_ANON_LEN = 64L
+  // D4 prototype-prune fraction (exactly binary-representable)
+  private val D4_FRAC = 0.25
+  // interpolated bigram LM weight λ = 3/4 (rational — sum stays BIGINT)
+  private val LAM_NUM = 3
+  private val LAM_DEN = 4
+  // per-stratum exact-k draw size
+  private val STRATK_K = 20
   // PII audit detector classes (portable regex core, see redact).
   // private[queries]: the streaming twin must share these constants
   private[queries] val PII_PATTERNS = Seq(
@@ -613,6 +627,13 @@ object ExtQueries {
       Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
           COS_TAU)
         .orderBy("id")),
+    "dedup_d4" -> ((s, dir) =>
+      // D4 (Tirumala et al. 2023): SemDeDup + prototype prune — each
+      // cluster additionally drops its ⌈frac·|c|⌉ centroid-closest
+      // members; one extra window pair over ~√n-sized cluster lists
+      Similarity.d4Prune(t(s, dir, "embeddings"), "vec_id", "embedding",
+          COS_TAU, D4_FRAC)
+        .orderBy("id")),
     "pipe_embed_dedup" -> ((s, dir) => {
       // embedding dedup endgame: LSH candidate pairs → exact verify →
       // fixed-round clustering → keep ONE representative (the min id)
@@ -726,6 +747,37 @@ object ExtQueries {
         .orderBy(col("nll_micro_nats").desc, col("id")).limit(DSIR_K)
     }),
 
+    "text_perplexity_bigram" -> ((s, dir) => {
+      // interpolated unigram+bigram LM perplexity (the KenLM-family
+      // deepening of text_perplexity): both tables fit in one B-bounded
+      // pass each, scoring is one zero-shuffle projection fold with
+      // λ = 3/4 kept rational so the sum stays BIGINT
+      val docs = t(s, dir, "documents")
+      val t1 = Mixture.unigramLmTable(docs, "text", DSIR_B)
+        .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+      val t2 = Mixture.bigramLmTable(docs, "text", DSIR_B)
+        .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+      Mixture.perplexityScoreInterp(docs, "doc_id", "text", t1, t2,
+          DSIR_B, LAM_NUM, LAM_DEN)
+        .orderBy(col("nll_micro_nats").desc, col("id")).limit(DSIR_K)
+    }),
+    "text_ccnet_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail release buckets: per-LANGUAGE perplexity
+      // terciles — zero-shuffle scoring fold + one per-language window
+      val docs = t(s, dir, "documents")
+      val tbl = Mixture.unigramLmTable(docs, "text", DSIR_B)
+        .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+      Mixture.ccnetBuckets(docs, "doc_id", "text", "lang", tbl, DSIR_B)
+        .orderBy("id")
+    }),
+    "sample_strat_k" -> ((s, dir) =>
+      // balanced eval-set draw: k docs per source by smallest (hash, id)
+      // — prefix-monotone per stratum, one per-stratum window rank
+      Sampling.stratifiedK(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "doc_id", "source", STRATK_K)
+        .orderBy("doc_id")),
     "text_bpe_batched" -> ((s, dir) =>
       // the 100 TB BPE path: each corpus pass learns a BATCH of
       // symbol-disjoint merges (selection rule non-recursive so both
@@ -989,6 +1041,44 @@ object ExtQueries {
       Ranking.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text",
           TFIDF_K)
         .orderBy("id", "rank")),
+    "text_phrase_search" -> ((s, dir) =>
+      // positional-inverted-index phrase lookup (WIMBD search): one
+      // corpus pass builds the phrase-vocab posting sliver, a k-word
+      // phrase is k-1 equi-joins on (doc, position) — never a string scan
+      Ranking.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+          PHRASES)
+        .orderBy("phrase", "id")),
+    "mix_curriculum" -> ((s, dir) => {
+      // curriculum staging: fit the corpus unigram LM once (B-bounded
+      // agg), score every doc in a projection fold, bin into equi-width
+      // nll stages via a broadcast 1-row extremes agg — no global sort
+      val docs = t(s, dir, "documents")
+      val tbl = Mixture.unigramLmTable(docs, "text", DSIR_B)
+        .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+      Mixture.curriculumStages(docs, "doc_id", "text", tbl, DSIR_B,
+          CURR_STAGES)
+        .orderBy("id")
+    }),
+    "sample_weighted" -> ((s, dir) => {
+      // deterministic weighted Bernoulli retention: keep probability =
+      // the distinct-word quality ratio, membership a pure function of
+      // (doc_id, weight) — one codegen'd filter, no shuffle
+      val ws = split(col("text"), " ")
+      val w = (size(array_distinct(ws)).cast("long").cast("double")
+        / size(ws).cast("long").cast("double"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), w.as("keep_w"))
+      Sampling.weighted(docs, "doc_id", col("keep_w"))
+        .orderBy("doc_id")
+    }),
+    "text_k_anon" -> ((s, dir) =>
+      // k-anonymity census over (lang, source, length bucket): one
+      // map-side-combined hash agg, output rows ∝ distinct QI classes
+      TextAnalysis.kAnonymity(
+        t(s, dir, "documents").select(col("lang"), col("source"),
+          floor(col("n_chars") / K_ANON_LEN).cast("long").as("len_bucket")),
+        Seq("lang", "source", "len_bucket"), K_ANON)
+        .orderBy("lang", "source", "len_bucket")),
     "text_pii_stats" -> ((s, dir) =>
       // per-source PII exposure report: one projection evaluates every
       // detector, stacked rows aggregate map-side — zero joins
@@ -1132,6 +1222,29 @@ object ExtQueries {
   private def fxCte =
     s"""f AS (SELECT vec_id AS id, ${Similarity.fixedPointSql("embedding")} AS fx FROM embeddings),
        |n AS (SELECT id, fx, ${Similarity.nrmSql} AS nrm FROM f)""".stripMargin
+
+  /** SemDeDup CTE chain through the drop set `dr` (reads nothing but the
+    * embeddings table): shared by the `dedup_semantic` oracle and the
+    * `dedup_d4` prototype-prune tail — one generator, so a tau/seed
+    * tweak cannot split them. Final CTEs: `m(id, cid, d2)` = owning-list
+    * membership, `dr(id)` = near-dup drop set. */
+  private def semDedupCtes =
+    s"""$fxCte,
+       |c AS (SELECT id AS cid, fx AS cfx, nrm AS cnrm FROM (
+       |    SELECT *, row_number() OVER (
+       |      ORDER BY ${Similarity.seedHashSql("id")}, id) AS srn FROM n)
+       |  WHERE srn <= GREATEST(4,
+       |    CAST(ceil(sqrt(CAST((SELECT count(*) FROM n) AS DOUBLE))) AS BIGINT))),
+       |sc AS (SELECT n.id, c.cid,
+       |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c.cfx[i])) AS BIGINT) + c.cnrm AS d2
+       |  FROM n, c),
+       |rk AS (SELECT id, cid, d2, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS crn FROM sc),
+       |m AS (SELECT id, cid, d2 FROM rk WHERE crn = 1),
+       |pr AS (SELECT id, cid, row_number() OVER (PARTITION BY cid ORDER BY d2 DESC, id) AS rr FROM m),
+       |dr AS (SELECT DISTINCT b.id
+       |  FROM pr a JOIN pr b ON a.cid = b.cid AND a.rr < b.rr
+       |  JOIN n na ON na.id = a.id JOIN n nb ON nb.id = b.id
+       |  WHERE ${Similarity.cosineSql("na.fx", "nb.fx", "na.nrm", "nb.nrm")} >= $COS_TAU)""".stripMargin
 
   /** KMV bottom-k CTE chain (reads CTE `w` = (source, whs, …)), shared
     * by the standalone `text_distinct_kmv` oracle and the datasheet
@@ -1683,24 +1796,21 @@ object ExtQueries {
     // SemDeDup mirror: the sim_ivf_topk centroid/assignment CTEs with d2
     // carried, keep-priority rank (d2 DESC, id), pairwise prune
     "dedup_semantic" ->
-      s"""WITH $fxCte,
-         |c AS (SELECT id AS cid, fx AS cfx, nrm AS cnrm FROM (
-         |    SELECT *, row_number() OVER (
-         |      ORDER BY ${Similarity.seedHashSql("id")}, id) AS srn FROM n)
-         |  WHERE srn <= GREATEST(4,
-         |    CAST(ceil(sqrt(CAST((SELECT count(*) FROM n) AS DOUBLE))) AS BIGINT))),
-         |sc AS (SELECT n.id, c.cid,
-         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c.cfx[i])) AS BIGINT) + c.cnrm AS d2
-         |  FROM n, c),
-         |rk AS (SELECT id, cid, d2, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS crn FROM sc),
-         |m AS (SELECT id, cid, d2 FROM rk WHERE crn = 1),
-         |pr AS (SELECT id, cid, row_number() OVER (PARTITION BY cid ORDER BY d2 DESC, id) AS rr FROM m),
-         |dr AS (SELECT DISTINCT b.id
-         |  FROM pr a JOIN pr b ON a.cid = b.cid AND a.rr < b.rr
-         |  JOIN n na ON na.id = a.id JOIN n nb ON nb.id = b.id
-         |  WHERE ${Similarity.cosineSql("na.fx", "nb.fx", "na.nrm", "nb.nrm")} >= $COS_TAU)
+      s"""WITH $semDedupCtes
          |SELECT id, cid FROM m WHERE id NOT IN (SELECT id FROM dr)
          |ORDER BY id""".stripMargin,
+
+    // D4 mirror: the shared SemDeDup CTE chain + the prototype prune
+    // tail — survivors ranked centroid-closest-first, ⌈frac·|c|⌉ cut
+    "dedup_d4" ->
+      s"""WITH $semDedupCtes,
+         |surv AS (SELECT id, cid, d2 FROM m
+         |  WHERE id NOT IN (SELECT id FROM dr)),
+         |pp AS (SELECT id, cid, d2,
+         |    row_number() OVER (PARTITION BY cid ORDER BY d2, id) AS pr,
+         |    count(*) OVER (PARTITION BY cid) AS csz FROM surv)
+         |SELECT id, cid, CAST(pr AS BIGINT) AS proto_rank FROM pp
+         |WHERE pr > ceil($D4_FRAC * csz) ORDER BY id""".stripMargin,
 
     // sampling mirrors: the same Scala code (rowHashSql / threshold)
     // generates both engines' arithmetic, so membership is bit-identical
@@ -2061,6 +2171,130 @@ object ExtQueries {
          |  FROM sc)
          |SELECT id, rank, token, tf, df, score FROM r
          |WHERE rank <= $TFIDF_K ORDER BY id, rank""".stripMargin,
+
+    "text_phrase_search" -> Ranking.phraseSearchSql(PHRASES),
+
+    // interpolated-LM mirror: both table fits re-derived, the scoring
+    // sum s = (D−L)·Σlp₁ + L·(lp₁(w₀) + Σlp₂) all-BIGINT, one division
+    "text_perplexity_bigram" ->
+      s"""WITH wh AS (SELECT doc_id, ${MirrorHash.wordHashesSql()} AS whs FROM documents),
+         |gh AS (SELECT doc_id, ${MirrorHash.ngramHashesSql("whs", 2)} AS ghs FROM wh),
+         |e1 AS (SELECT unnest(whs) % $DSIR_B AS bucket FROM wh),
+         |b1 AS (SELECT bucket, count(*) AS c FROM e1 GROUP BY 1),
+         |t1 AS (SELECT sum(c) AS t FROM b1),
+         |e2 AS (SELECT unnest(ghs) % $DSIR_B AS bucket FROM gh),
+         |b2 AS (SELECT bucket, count(*) AS c FROM e2 GROUP BY 1),
+         |t2 AS (SELECT sum(c) AS t FROM b2),
+         |spine AS (SELECT unnest(generate_series(0, ${DSIR_B - 1})) AS bucket),
+         |l1 AS (SELECT spine.bucket,
+         |    CAST(round(1000000.0 * ln(
+         |      CAST(COALESCE(b1.c,0)+1 AS DOUBLE)
+         |      / CAST(t1.t+$DSIR_B AS DOUBLE))) AS BIGINT) AS lp
+         |  FROM spine LEFT JOIN b1 ON spine.bucket = b1.bucket, t1),
+         |l2 AS (SELECT spine.bucket,
+         |    CAST(round(1000000.0 * ln(
+         |      CAST(COALESCE(b2.c,0)+1 AS DOUBLE)
+         |      / CAST(COALESCE(t2.t,0)+$DSIR_B AS DOUBLE))) AS BIGINT) AS lp
+         |  FROM spine LEFT JOIN b2 ON spine.bucket = b2.bucket, t2),
+         |la1 AS (SELECT list(lp ORDER BY bucket) AS a1 FROM l1),
+         |la2 AS (SELECT list(lp ORDER BY bucket) AS a2 FROM l2),
+         |sc AS (SELECT wh.doc_id AS id,
+         |    CAST(len(whs) AS BIGINT) AS n_words,
+         |    CAST(-( ${LAM_DEN - LAM_NUM} * list_sum(list_transform(whs,
+         |        w -> a1[CAST(w % $DSIR_B AS INT) + 1]))
+         |      + $LAM_NUM * (a1[CAST(whs[1] % $DSIR_B AS INT) + 1]
+         |        + COALESCE(list_sum(list_transform(ghs,
+         |            g -> a2[CAST(g % $DSIR_B AS INT) + 1])), 0)) )
+         |      AS BIGINT) AS s
+         |  FROM wh JOIN gh USING (doc_id), la1, la2)
+         |SELECT id, n_words,
+         |  CAST(s AS DOUBLE) / CAST($LAM_DEN * n_words AS DOUBLE) AS nll_micro_nats
+         |FROM sc WHERE n_words > 0
+         |ORDER BY nll_micro_nats DESC, id LIMIT $DSIR_K""".stripMargin,
+
+    // CCNet-bucket mirror: shared LM-fit CTEs, per-language percent_rank
+    // over the total (nll, id) order, the same 1/3 and 2/3 IEEE cuts
+    "text_ccnet_buckets" ->
+      s"""WITH wh AS (SELECT doc_id, lang, ${MirrorHash.wordHashesSql()} AS whs FROM documents),
+         |e AS (SELECT unnest(whs) % $DSIR_B AS bucket FROM wh),
+         |bc AS (SELECT bucket, count(*) AS c FROM e GROUP BY 1),
+         |tot AS (SELECT sum(c) AS t FROM bc),
+         |spine AS (SELECT unnest(generate_series(0, ${DSIR_B - 1})) AS bucket),
+         |l AS (SELECT spine.bucket,
+         |    CAST(round(1000000.0 * ln(
+         |      CAST(COALESCE(bc.c,0)+1 AS DOUBLE)
+         |      / CAST(tot.t+$DSIR_B AS DOUBLE))) AS BIGINT) AS lp
+         |  FROM spine LEFT JOIN bc ON spine.bucket = bc.bucket, tot),
+         |la AS (SELECT list(lp ORDER BY bucket) AS a FROM l),
+         |sc AS (SELECT doc_id AS id, lang,
+         |    CAST(len(whs) AS BIGINT) AS n_words,
+         |    CAST(-list_sum(list_transform(whs,
+         |      w -> a[CAST(w % $DSIR_B AS INT) + 1])) AS BIGINT) AS s
+         |  FROM wh, la),
+         |p AS (SELECT id, lang, n_words,
+         |    CAST(s AS DOUBLE) / CAST(n_words AS DOUBLE) AS nll
+         |  FROM sc WHERE n_words > 0),
+         |r AS (SELECT id, lang, n_words, nll,
+         |    percent_rank() OVER (PARTITION BY lang ORDER BY nll, id) AS pct
+         |  FROM p)
+         |SELECT id, lang, n_words, nll AS nll_micro_nats,
+         |  CASE WHEN pct <= 1.0/3 THEN 'head'
+         |       WHEN pct <= 2.0/3 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM r ORDER BY id""".stripMargin,
+
+    "sample_strat_k" ->
+      s"""SELECT doc_id, source, n_chars FROM (
+         |  SELECT doc_id, source, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${Sampling.rowHashSql("doc_id")}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= $STRATK_K ORDER BY doc_id""".stripMargin,
+
+    // curriculum mirror: same LM fit as text_perplexity, same micro-nat
+    // arithmetic, equi-width staging with identical operation order
+    "mix_curriculum" ->
+      s"""WITH wh AS (SELECT doc_id, ${MirrorHash.wordHashesSql()} AS whs FROM documents),
+         |e AS (SELECT unnest(whs) % $DSIR_B AS bucket FROM wh),
+         |bc AS (SELECT bucket, count(*) AS c FROM e GROUP BY 1),
+         |tot AS (SELECT sum(c) AS t FROM bc),
+         |spine AS (SELECT unnest(generate_series(0, ${DSIR_B - 1})) AS bucket),
+         |l AS (SELECT spine.bucket,
+         |    CAST(round(1000000.0 * ln(
+         |      CAST(COALESCE(bc.c,0)+1 AS DOUBLE)
+         |      / CAST(tot.t+$DSIR_B AS DOUBLE))) AS BIGINT) AS lp
+         |  FROM spine LEFT JOIN bc ON spine.bucket = bc.bucket, tot),
+         |la AS (SELECT list(lp ORDER BY bucket) AS a FROM l),
+         |sc AS (SELECT doc_id AS id, CAST(len(whs) AS BIGINT) AS n_words,
+         |    CAST(-list_sum(list_transform(whs,
+         |      w -> a[CAST(w % $DSIR_B AS INT) + 1])) AS BIGINT) AS s
+         |  FROM wh, la),
+         |p AS (SELECT id, n_words,
+         |    CAST(s AS DOUBLE) / CAST(n_words AS DOUBLE) AS nll
+         |  FROM sc WHERE n_words > 0),
+         |ext AS (SELECT min(nll) AS lo, max(nll) AS hi FROM p)
+         |SELECT id, n_words, nll AS nll_micro_nats,
+         |  CAST(CASE WHEN hi > lo
+         |    THEN least(CAST(floor((nll - lo) / (hi - lo) * $CURR_STAGES)
+         |      AS BIGINT), ${CURR_STAGES - 1})
+         |    ELSE 0 END AS BIGINT) AS stage
+         |FROM p, ext ORDER BY id""".stripMargin,
+
+    "sample_weighted" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)
+         |    / CAST(len(string_split(text,' ')) AS BIGINT) AS keep_w
+         |  FROM documents)
+         |SELECT doc_id, source, keep_w FROM q
+         |WHERE ${Sampling.rowHashSql("doc_id")} < keep_w * ${Sampling.M}
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_k_anon" ->
+      s"""SELECT lang, source,
+         |  CAST(floor(n_chars / $K_ANON_LEN) AS BIGINT) AS len_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(CASE WHEN count(*) < $K_ANON THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+         |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "text_pii_stats" -> {
       val arms = PII_PATTERNS.map { case (name, p) =>
         s"""SELECT source, '$name' AS pattern,

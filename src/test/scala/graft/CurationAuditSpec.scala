@@ -403,6 +403,73 @@ class CurationAuditSpec extends SparkSpec {
     batch.foreach { case (id, _) => assert(out(id)._1 == 1) }
   }
 
+  // ---- phrase search ----
+
+  test("phraseSearch: counts equal a brute sliding-window recount") {
+    val phrases = Seq("table hash", "customer join", "slow hash batch")
+    val got = graft.operators.Ranking
+      .phraseSearch(docs, "doc_id", "text", phrases)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = docs.select("doc_id", "text").collect().flatMap { r =>
+      val (id, ws) = (r.getLong(0), r.getString(1).split(" "))
+      phrases.flatMap { ph =>
+        val p = ph.split(" ")
+        val n = ws.sliding(p.length).count(_.sameElements(p))
+        if (n > 0) Some((ph, id) -> n.toLong) else None
+      }
+    }.toMap
+    assert(want.nonEmpty, "probe phrases must occur in the fixture corpus")
+    assert(got === want)
+  }
+
+  test("phraseSearch: overlapping matches and repeated words count per start") {
+    val df = Seq((1L, "a a a b a a"), (2L, "b b b"), (3L, "a b")).toDF("id", "text")
+    val out = graft.operators.Ranking.phraseSearch(df, "id", "text", Seq("a a", "a b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // "a a a" has TWO overlapping starts; doc 2 contains neither phrase
+    assert(out === Map(("a a", 1L) -> 3L, ("a b", 1L) -> 1L, ("a b", 3L) -> 1L))
+  }
+
+  // ---- curriculum staging ----
+
+  test("curriculumStages: stages ordered by nll, bounded, extremes pinned") {
+    val tbl = Mixture.unigramLmTable(docs, "text", 512)
+      .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+    val out = Mixture.curriculumStages(docs, "doc_id", "text", tbl, 512, 4)
+      .collect().map(r => (r.getDouble(2), r.getLong(3)))
+    assert(out.forall { case (_, s) => s >= 0 && s <= 3 })
+    // monotone: stage never decreases as nll grows
+    val byNll = out.sortBy(_._1)
+    assert(byNll.zip(byNll.tail).forall { case ((_, a), (_, b)) => a <= b })
+    // the most predictable doc sits in stage 0, the most surprising in 3
+    assert(byNll.head._2 == 0L && byNll.last._2 == 3L)
+  }
+
+  test("curriculumStages: degenerate corpus (hi == lo) collapses to stage 0") {
+    val df = Seq((1L, "x y"), (2L, "x y")).toDF("id", "text")
+    val tbl = Mixture.unigramLmTable(df, "text", 64)
+      .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+    val out = Mixture.curriculumStages(df, "id", "text", tbl, 64, 4)
+      .collect().map(_.getLong(3))
+    assert(out.forall(_ == 0L))
+  }
+
+  // ---- k-anonymity ----
+
+  test("kAnonymity: census counts and the at-risk flag") {
+    val df = Seq(
+      ("en", "s1"), ("en", "s1"), ("en", "s1"),
+      ("en", "s2"), ("zh", "s1")
+    ).toDF("lang", "src")
+    val out = TextAnalysis.kAnonymity(df, Seq("lang", "src"), 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(
+      ("en", "s1") -> (3L, 0L),
+      ("en", "s2") -> (1L, 1L),
+      ("zh", "s1") -> (1L, 1L)))
+  }
+
   // ---- cluster stats ----
 
   test("clusterStats: histogram mass equals clustered node count") {

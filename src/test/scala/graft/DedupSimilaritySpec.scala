@@ -436,4 +436,32 @@ class DedupSimilaritySpec extends SparkSpec {
     val kept = Similarity.semDedup(emb, "vec_id", "embedding", 1.1, 4).count()
     assert(kept == all)
   }
+
+  test("d4Prune: survivors are a subset of semDedup's; frac 0 is identity") {
+    val sem = Similarity.semDedup(emb, "vec_id", "embedding", 0.45, 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val d4 = Similarity.d4Prune(emb, "vec_id", "embedding", 0.45, 0.25, 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(d4.subsetOf(sem) && d4.size < sem.size)
+    val d0 = Similarity.d4Prune(emb, "vec_id", "embedding", 0.45, 0.0, 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(d0 == sem)
+  }
+
+  test("d4Prune: each cluster drops exactly ceil(frac*|c|) centroid-closest members") {
+    val sem = Similarity.semDedup(emb, "vec_id", "embedding", 0.45, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val d4 = Similarity.d4Prune(emb, "vec_id", "embedding", 0.45, 0.25, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val semBy = sem.groupBy(_._2).view.mapValues(_.length).toMap
+    val d4By = d4.groupBy(_._2).view.mapValues(_.length).toMap
+    semBy.foreach { case (cid, n) =>
+      val cut = math.ceil(0.25 * n).toInt
+      assert(d4By.getOrElse(cid, 0) == n - cut, s"cid $cid: $n -> ${d4By.getOrElse(cid, 0)}")
+    }
+    // proto_rank of every survivor exceeds its cluster's cut
+    d4.foreach { case (_, cid, pr) =>
+      assert(pr > math.ceil(0.25 * semBy(cid)).toLong)
+    }
+  }
 }

@@ -265,4 +265,74 @@ class MixtureSpec extends SparkSpec {
     val out = Mixture.nbPredict(df, "doc_id", "text", "source", model, 16).head()
     assert(out.getString(2) == "alpha")
   }
+
+  test("interpolated perplexity: λ=0 reduces exactly to the unigram score") {
+    val docs = graft.queries.Tables.t(spark, sf001, "documents")
+    val B = 256
+    val t1 = Mixture.unigramLmTable(docs, "text", B)
+      .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+    val t2 = Mixture.bigramLmTable(docs, "text", B)
+      .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+    val uni = Mixture.perplexityScore(docs, "doc_id", "text", t1, B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val interp0 = Mixture.perplexityScoreInterp(docs, "doc_id", "text",
+        t1, t2, B, 0, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(interp0 == uni)
+  }
+
+  test("interpolated perplexity: single-word doc degenerates to unigram at ANY λ") {
+    import spark.implicits._
+    val df = Seq((1L, "hello"), (2L, "world")).toDF("id", "text")
+    val B = 64
+    val t1 = Mixture.unigramLmTable(df, "text", B)
+      .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+    val t2 = Mixture.bigramLmTable(df, "text", B)
+      .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+    val uni = Mixture.perplexityScore(df, "id", "text", t1, B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val i34 = Mixture.perplexityScoreInterp(df, "id", "text", t1, t2, B, 3, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(i34 == uni)
+  }
+
+  test("interpolated perplexity: repeated-bigram doc scores lower nll than shuffled twin") {
+    import spark.implicits._
+    // same unigram bag, different bigram structure: the repetitive doc's
+    // bigrams dominate the corpus bigram table and must win under λ=3/4
+    val df = Seq(
+      (1L, "a b a b a b a b a b a b"),
+      (2L, "a a b b a b b a a b a b")).toDF("id", "text")
+    val B = 512
+    val t1 = Mixture.unigramLmTable(df, "text", B)
+      .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+    val t2 = Mixture.bigramLmTable(df, "text", B)
+      .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+    val out = Mixture.perplexityScoreInterp(df, "id", "text", t1, t2, B, 3, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) < out(2L))
+  }
+
+  test("ccnetBuckets: per-language terciles, head holds each language's lowest nll") {
+    val docs = graft.queries.Tables.t(spark, sf001, "documents")
+    val B = 256
+    val t1 = Mixture.unigramLmTable(docs, "text", B)
+      .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+    val out = Mixture.ccnetBuckets(docs, "doc_id", "text", "lang", t1, B)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getString(4)))
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.length
+      val byNll = rows.sortBy(r => (r._3, r._1))
+      // bucket labels are monotone head <= middle <= tail along the nll order
+      val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+      val seq = byNll.map(r => order(r._4))
+      assert(seq.zip(seq.tail).forall { case (a, b) => a <= b }, s"$lang not monotone")
+      // tercile sizes: each bucket holds between floor(n/3) and ceil(n/3)+1
+      val sizes = seq.groupBy(identity).view.mapValues(_.length).toMap
+      if (n >= 3) Seq(0, 1, 2).foreach { b =>
+        val s = sizes.getOrElse(b, 0)
+        assert(s >= n / 3 - 1 && s <= n / 3 + 2, s"$lang bucket $b size $s of $n")
+      }
+    }
+  }
 }

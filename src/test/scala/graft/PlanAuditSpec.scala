@@ -317,6 +317,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("d4Prune: inherits semDedup's shape — equi-joins only, prototype tail adds no nested loop") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val p = fmt(graft.operators.Similarity.d4Prune(
+      emb, "vec_id", "embedding", 0.45, 0.25, 8))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    // the prototype cut is a window pair partitioned by cluster
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("interpolated perplexity: both literal tables fold in one projection — zero shuffle") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val t0 = Seq.fill(64)(-1000000L)
+    val p = fmt(graft.operators.Mixture.perplexityScoreInterp(
+      docs, "doc_id", "text", t0, t0, 64, 3, 4))
+    assert(exchangeNodes(p) == 0, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("ccnetBuckets: scoring shuffle-free; the only window partitions by language") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val t0 = Seq.fill(64)(-1000000L)
+    val p = fmt(graft.operators.Mixture.ccnetBuckets(
+      docs, "doc_id", "text", "lang", t0, 64))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    assert(p.contains("hashpartitioning(lang"), p.take(2000))
+  }
+
+  test("stratifiedK: per-stratum window rank, never a global sort") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.Sampling.stratifiedK(docs, "doc_id", "source", 10))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    assert(p.contains("hashpartitioning(source"), p.take(2000))
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+  }
+
   test("NB predict: literal tables fold in a projection — zero shuffle, zero join") {
     val docs = Tables.t(spark, sf001, "documents")
     val model = Seq("a" -> (0L, Seq.fill(64)(1L)), "b" -> (0L, Seq.fill(64)(2L)))
@@ -478,6 +516,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_count"), p)
     assert(p.contains("BroadcastExchange"), p) // the 1-row N
+  }
+
+  test("phraseSearch: vocab filter precedes the joins; every join keyed (id,pos)") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.Ranking.phraseSearch(docs, "doc_id", "text",
+      Seq("table hash", "slow hash batch")))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // posting-intersection arms are equi-joins; per-doc counts partial-agg
+    assert(p.contains("partial_count"), p.take(3000))
+    // the sparse posting sliver is reused across arms via the cache
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+      p.take(3000))
+  }
+
+  test("curriculumStages: one corpus scoring pass; extremes broadcast back") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val tbl = Seq.fill(64)(-1000000L)
+    val p = fmt(graft.operators.Mixture.curriculumStages(
+      docs, "doc_id", "text", tbl, 64, 4))
+    // the 1-row min/max agg rejoins as a broadcast, never a shuffle join
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // binning is a projection over the scored frame — no window, no sort
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("weighted sampling: one codegen'd filter, no shuffle") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.Sampling.weighted(
+      docs, "doc_id", org.apache.spark.sql.functions.lit(0.5)))
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("codegen id"), p.take(2000))
+  }
+
+  test("kAnonymity: one map-side-combined hash agg, no join") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.TextAnalysis.kAnonymity(
+      docs, Seq("lang", "source"), 5L))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000))
   }
 
   test("piiStats: single projection + one bounded agg — zero joins") {

@@ -92,6 +92,60 @@ class SamplingSpec extends SparkSpec {
       == out.map(_.getAs[Long]("id")).toSeq)
   }
 
+  test("weighted: mirror-exact membership, monotone in w, layout-invariant") {
+    import spark.implicits._
+    val d = (0L until 400L).map(i => (i, (i % 5).toDouble / 4.0))
+      .toDF("id", "w")
+    val got = Sampling.weighted(d, "id", col("w"))
+      .select("id").collect().map(_.getLong(0)).sorted
+    // driver mirror: hash(id) < w·M, the exact filter arithmetic
+    val want = (0L until 400L)
+      .filter(i => Sampling.rowHashLong(i).toDouble
+        < (i % 5).toDouble / 4.0 * Sampling.M)
+      .sorted
+    assert(got.toSeq === want)
+    // w=0 never keeps, w=1 always keeps (hash < M holds for every hash)
+    assert(got.forall(_ % 5 != 0))
+    assert((0L until 400L).filter(_ % 5 == 4).forall(got.contains))
+    // monotone: raising every weight only ADDS rows
+    val raised = Sampling.weighted(
+        d.withColumn("w", least(col("w") + 0.25, lit(1.0))), "id", col("w"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.toSet.subsetOf(raised))
+    // layout-invariant
+    val re = Sampling.weighted(d.repartition(11), "id", col("w"))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(re.sameElements(got))
+  }
+
+  test("stratifiedK: per-stratum exact min(k,n), prefix-monotone, equals per-stratum deterministicK") {
+    val out = Sampling.stratifiedK(docs, "doc_id", "source", 10)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSrc = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    totals.foreach { case (src, n) =>
+      assert(perSrc.getOrElse(src, Set()).size == math.min(10L, n),
+        s"$src drew ${perSrc.getOrElse(src, Set()).size} of $n")
+    }
+    // equals the global exact-k draw restricted to each stratum
+    totals.keys.foreach { src =>
+      val direct = Sampling.deterministicK(
+          docs.filter(col("source") === src), "doc_id", 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(perSrc(src) == direct, s"$src differs from deterministicK")
+    }
+    // prefix property per stratum: k=4 is a subset of k=10
+    val k4 = Sampling.stratifiedK(docs, "doc_id", "source", 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k4.subsetOf(out.map(_._1).toSet))
+    // layout-invariant
+    val re = Sampling.stratifiedK(docs.repartition(13), "doc_id", "source", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(re == out.map(_._1).toSet)
+  }
+
   test("stratified: per-stratum thresholds compose with the id hash") {
     val out = Sampling.stratified(docs, "doc_id", "source",
       Map("src0" -> 1.0, "src1" -> 0.4), default = 0.0)
