@@ -271,18 +271,20 @@ object Mixture {
     * mirror, clamped to S−1 so the max lands in the last stage; a
     * degenerate corpus (hi == lo) collapses to stage 0. */
   def curriculumStages(df: DataFrame, idCol: String, textCol: String,
-      table: Seq[Long], buckets: Int, nStages: Int): DataFrame = {
+      table: Seq[Long], buckets: Int, nStages: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(nStages >= 1, "nStages must be positive")
-    val scored = perplexityScore(df, idCol, textCol, table, buckets)
+    val scored = perplexityScore(df, idCol, textCol, table, buckets, carry)
     val ext = scored.agg(min(col("nll_micro_nats")).as("lo"),
       max(col("nll_micro_nats")).as("hi"))
     scored.crossJoin(broadcast(ext))
-      .select(col("id"), col("n_words"), col("nll_micro_nats"),
+      .select(col("id") +: carry.map(col) :+ col("n_words") :+
+        col("nll_micro_nats") :+
         when(col("hi") > col("lo"),
           least(floor((col("nll_micro_nats") - col("lo"))
               / (col("hi") - col("lo")) * nStages).cast("long"),
             lit(nStages - 1L)))
-          .otherwise(0L).as("stage"))
+          .otherwise(0L).as("stage"): _*)
   }
 
   /** Score every document against a collected importance table (the

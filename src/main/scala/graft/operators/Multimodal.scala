@@ -227,6 +227,48 @@ object Multimodal {
     }(Encoders.row(ahashSchema))
   }
 
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("dh_lo", LongType),
+    StructField("dh_hi", LongType)))
+
+  /** Perceptual difference-hash (dHash — the gradient-based sibling of
+    * [[averageHash]], more robust to global brightness shifts because
+    * each bit compares ADJACENT pixels instead of pixel-vs-mean): REAL
+    * decode, a 9×8 nearest-neighbor sample grid (sx = c·w ∕ 9, sy =
+    * r·h ∕ 8), bit r·8+c set iff px(r, c+1) > px(r, c). All integer
+    * decisions over genuine codec output; the oracle predicts the
+    * 64-bit hash exactly from the generation rule. Same two-positive-
+    * halves packing and banding compatibility as aHash. */
+  def differenceHash(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](blobIdx)))
+        val (w, h) = (img.getWidth, img.getHeight)
+        // 9 columns × 8 rows; bit (r, c) compares columns c and c+1
+        val px = Array.tabulate(8, 9) { (row, colI) =>
+          val sx = colI * w / 9
+          val sy = row * h / 8
+          ((img.getRGB(sx, sy) >> 16) & 0xff).toLong
+        }
+        var lo = 0L; var hi = 0L
+        var k = 0
+        while (k < 64) {
+          val (row, c) = (k / 8, k % 8)
+          if (px(row)(c + 1) > px(row)(c)) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        Row(id, lo, hi)
+      }
+    }(Encoders.row(dhashSchema))
+  }
+
   /** Visual near-duplicate pairs from the perceptual hash — the image
     * analog of SimHash dedup: the 64-bit average-hash splits into four
     * 16-bit bands, candidates come from a band equi-join (pigeonhole:

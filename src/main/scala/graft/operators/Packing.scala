@@ -47,6 +47,34 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
 
+  /** LENGTH-bucketed sequence packing — the "sorted batching" layout
+    * SFT/finetuning pipelines use to cut padding waste: documents pack
+    * among similar-length neighbors (bucket = min(maxBucket, n_tokens ∕
+    * lenWidth)), so a sequence's underfull tail is bounded by its
+    * band's length spread instead of the corpus-wide spread. Inside
+    * each band the order is still (hash, id) — deterministic,
+    * layout-invariant, the same window/seq_id algebra as [[packTokens]]
+    * with the band count as the interleave multiplier. One
+    * band-partitioned window; band population is the skew knob
+    * (length distributions are heavy-tailed — lenWidth sizes the
+    * bands, maxBucket caps the tail band). */
+  def packTokensByLength(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, lenWidth: Long, maxBucket: Int): DataFrame = {
+    require(budget >= 1 && lenWidth >= 1 && maxBucket >= 0,
+      "need budget/lenWidth >= 1 and maxBucket >= 0")
+    val w = expressions.Window.partitionBy(col("bucket"))
+      .orderBy(col("h"), col("id"))
+    df.select(col(idCol).as("id"),
+        Sampling.rowHash(col(idCol)).as("h"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        least(lit(maxBucket.toLong), expr(s"n_tokens DIV $lenWidth")))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id",
+        expr(s"(cum - n_tokens) DIV $budget") * (maxBucket + 1) + col("bucket"))
+      .select(col("id"), col("bucket"), col("n_tokens"), col("seq_id"))
+  }
+
   /** Packing-efficiency audit over [[packTexts]] output — the fill-rate
     * histogram a training-infra team watches (underfull sequences waste
     * context window; the per-bucket tail sequence is underfull by

@@ -138,6 +138,19 @@ object Ranking {
     * keyed by (id, pos) over the SPARSE posting rows. */
   def phraseSearch(df: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): DataFrame = {
+    val arms = matchPositions(df, idCol, textCol, phrases).map {
+      case (ph, _, matched) =>
+        matched.groupBy("id").agg(count(lit(1)).as("n_matches"))
+          .select(lit(ph).as("phrase"), col("id"), col("n_matches"))
+    }
+    arms.reduce(_.unionAll(_))
+  }
+
+  /** Shared posting-intersection core of [[phraseSearch]] and
+    * [[phraseContexts]]: per phrase, the (id, pos) start positions of
+    * every exact match, plus the phrase length. */
+  private def matchPositions(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): Seq[(String, Int, DataFrame)] = {
     require(phrases.nonEmpty, "need at least one phrase")
     val split2 = phrases.map(p => p -> p.split(" ").toSeq)
     require(split2.forall(_._2.forall(_.nonEmpty)), "empty word in phrase")
@@ -146,7 +159,7 @@ object Ranking {
         posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
       .filter(col("token").isInCollection(vocab))
       .cache() // sparse: rows ∝ phrase-vocab occurrences, not corpus size
-    val arms = split2.map { case (ph, ws) =>
+    split2.map { case (ph, ws) =>
       val head = postings.filter(col("token") === ws.head)
         .select(col("id"), col("pos"))
       val matched = ws.zipWithIndex.drop(1).foldLeft(head) {
@@ -155,10 +168,55 @@ object Ranking {
               .select(col("id"), (col("pos") - j).as("pos")),
             Seq("id", "pos"))
       }
-      matched.groupBy("id").agg(count(lit(1)).as("n_matches"))
-        .select(lit(ph).as("phrase"), col("id"), col("n_matches"))
+      (ph, ws.size, matched)
     }
+  }
+
+  /** KWIC (keyword-in-context) extraction — the audit view behind every
+    * phrase hit (WIMBD's "show the contexts of this n-gram"): for each
+    * exact match, the surrounding `ctx` tokens on both sides. Match
+    * positions come from the same positional-index intersection as
+    * [[phraseSearch]]; the context slice is ONE equi-join of the sparse
+    * match set back to the corpus tokens (the corpus never self-joins,
+    * rows out = match occurrences). Output (phrase, id, pos, context),
+    * pos the 0-based start token index. */
+  def phraseContexts(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], ctx: Int): DataFrame = {
+    require(ctx >= 0, "ctx must be non-negative")
+    val toks = df.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("__ws"))
+    val arms = matchPositions(df, idCol, textCol, phrases).map {
+      case (ph, k, matched) =>
+        matched.select(lit(ph).as("phrase"), col("id"),
+          col("pos").cast("long").as("pos"), lit(k).as("__k"))
+    }
+    val s = greatest(lit(1L), col("pos") + 1L - ctx)
+    val e = least(size(col("__ws")).cast("long"), col("pos") + col("__k") + ctx)
     arms.reduce(_.unionAll(_))
+      .join(toks, Seq("id"))
+      .select(col("phrase"), col("id"), col("pos"),
+        array_join(slice(col("__ws"), s, e - s + lit(1L)), " ").as("context"))
+  }
+
+  /** DuckDB mirror of [[phraseContexts]]. */
+  def phraseContextsSql(phrases: Seq[String], ctx: Int): String = {
+    val arms = phrases.map { ph =>
+      val ws = ph.split(" ").toSeq
+      val esc = ph.replace("'", "''")
+      val k = ws.size
+      val conds = ws.zipWithIndex
+        .map { case (w, j) => s"ws[i+${j + 1}] = '${w.replace("'", "''")}'" }
+        .mkString(" AND ")
+      s"""SELECT '$esc' AS phrase, doc_id AS id, CAST(p AS BIGINT) AS pos,
+         |  array_to_string(list_slice(ws,
+         |    greatest(1, p + 1 - $ctx),
+         |    least(len(ws), p + $k + $ctx)), ' ') AS context
+         |FROM (SELECT doc_id, ws,
+         |    unnest(list_filter(range(len(ws) - ${k - 1}), i -> $conds)) AS p
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))""".stripMargin
+    }.mkString("\n UNION ALL ")
+    s"""SELECT phrase, id, pos, context FROM ($arms)
+       |ORDER BY phrase, id, pos""".stripMargin
   }
 
   /** DuckDB mirror of [[phraseSearch]]: per phrase, count the start

@@ -85,6 +85,9 @@ object ExtQueries {
   // packing streams (≈ docs of ~54 tokens → ~9 docs per sequence)
   private val PACK_BUDGET = 512L
   private val PACK_BUCKETS = 8
+  // length-bucketed packing: 16-token bands, tail band at >= 7*16 tokens
+  private val PACK_LEN_WIDTH = 16L
+  private val PACK_LEN_MAXB = 7
 
   // BPE merge-learning rounds (tokenizer-training step 2)
   private val BPE_ROUNDS = 6
@@ -117,6 +120,10 @@ object ExtQueries {
   private val TFIDF_K = 5
   // positional-index phrase search probes (2- and 3-word, present in data)
   private val PHRASES = Seq("table hash", "customer join", "slow hash batch")
+  // KWIC context window (tokens each side)
+  private val PHRASE_CTX = 3
+  // curriculum capstone keeps stages 0..1 (the easy half)
+  private val CURR_EASY_MAX = 1L
   // curriculum staging: equi-width nll stages over the DSIR_B-bucket LM
   private val CURR_STAGES = 4
   // k-anonymity: minimum equivalence-class size and length-bucket width
@@ -471,6 +478,12 @@ object ExtQueries {
       // sort; assignment a pure function of the id set)
       Packing.packTokens(t(s, dir, "documents"), "doc_id", "text",
         PACK_BUDGET, PACK_BUCKETS).orderBy("id")),
+    "pack_by_length" -> ((s, dir) =>
+      // sorted batching: pack among similar-length neighbors so the
+      // underfull tail is bounded by the band's spread — one
+      // band-partitioned window, assignment a pure function of the ids
+      Packing.packTokensByLength(t(s, dir, "documents"), "doc_id", "text",
+        PACK_BUDGET, PACK_LEN_WIDTH, PACK_LEN_MAXB).orderBy("id")),
     "pipe_pack_texts" -> ((s, dir) =>
       // the materialized packed sequences a training job reads: text
       // concatenated in packing order, one hash aggregate on seq_id
@@ -1059,6 +1072,26 @@ object ExtQueries {
           CURR_STAGES)
         .orderBy("id")
     }),
+    "text_phrase_ctx" -> ((s, dir) =>
+      // KWIC contexts for every phrase hit: same posting-intersection
+      // match positions, one sparse-to-corpus equi-join for the slice
+      Ranking.phraseContexts(t(s, dir, "documents"), "doc_id", "text",
+          PHRASES, PHRASE_CTX)
+        .orderBy("phrase", "id", "pos")),
+    "pipe_curriculum_pack" -> ((s, dir) => {
+      // curriculum phase-1 corpus construction: stage the corpus by LM
+      // nll (text carried — no join-back), keep the easy half, pack it
+      // into training sequences; wide ops = the 1-row extremes agg +
+      // ONE bucket-partitioned packing window
+      val docs = t(s, dir, "documents")
+      val tbl = Mixture.unigramLmTable(docs, "text", DSIR_B)
+        .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+      val easy = Mixture.curriculumStages(docs, "doc_id", "text", tbl,
+          DSIR_B, CURR_STAGES, carry = Seq("text"))
+        .filter(col("stage") <= CURR_EASY_MAX)
+      Packing.packTokens(easy, "id", "text", PACK_BUDGET, PACK_BUCKETS)
+        .orderBy("id")
+    }),
     "sample_weighted" -> ((s, dir) => {
       // deterministic weighted Bernoulli retention: keep probability =
       // the distinct-word quality ratio, membership a pure function of
@@ -1245,6 +1278,39 @@ object ExtQueries {
        |  FROM pr a JOIN pr b ON a.cid = b.cid AND a.rr < b.rr
        |  JOIN n na ON na.id = a.id JOIN n nb ON nb.id = b.id
        |  WHERE ${Similarity.cosineSql("na.fx", "nb.fx", "na.nrm", "nb.nrm")} >= $COS_TAU)""".stripMargin
+
+  /** Curriculum-staging CTE chain (reads only the documents table):
+    * the text_perplexity LM fit + scoring, equi-width staging over the
+    * broadcast [min, max] nll span — shared by the `mix_curriculum`
+    * oracle and the `pipe_curriculum_pack` capstone so a stage-count or
+    * smoothing tweak cannot split them. Final CTE
+    * `stg(id, n_words, nll_micro_nats, stage)`. */
+  private def curriculumCtes =
+    s"""wh AS (SELECT doc_id, ${MirrorHash.wordHashesSql()} AS whs FROM documents),
+       |e AS (SELECT unnest(whs) % $DSIR_B AS bucket FROM wh),
+       |bc AS (SELECT bucket, count(*) AS c FROM e GROUP BY 1),
+       |tot AS (SELECT sum(c) AS t FROM bc),
+       |spine AS (SELECT unnest(generate_series(0, ${DSIR_B - 1})) AS bucket),
+       |l AS (SELECT spine.bucket,
+       |    CAST(round(1000000.0 * ln(
+       |      CAST(COALESCE(bc.c,0)+1 AS DOUBLE)
+       |      / CAST(tot.t+$DSIR_B AS DOUBLE))) AS BIGINT) AS lp
+       |  FROM spine LEFT JOIN bc ON spine.bucket = bc.bucket, tot),
+       |la AS (SELECT list(lp ORDER BY bucket) AS a FROM l),
+       |sc AS (SELECT doc_id AS id, CAST(len(whs) AS BIGINT) AS n_words,
+       |    CAST(-list_sum(list_transform(whs,
+       |      w -> a[CAST(w % $DSIR_B AS INT) + 1])) AS BIGINT) AS s
+       |  FROM wh, la),
+       |p AS (SELECT id, n_words,
+       |    CAST(s AS DOUBLE) / CAST(n_words AS DOUBLE) AS nll
+       |  FROM sc WHERE n_words > 0),
+       |ext AS (SELECT min(nll) AS lo, max(nll) AS hi FROM p),
+       |stg AS (SELECT id, n_words, nll AS nll_micro_nats,
+       |  CAST(CASE WHEN hi > lo
+       |    THEN least(CAST(floor((nll - lo) / (hi - lo) * $CURR_STAGES)
+       |      AS BIGINT), ${CURR_STAGES - 1})
+       |    ELSE 0 END AS BIGINT) AS stage
+       |  FROM p, ext)""".stripMargin
 
   /** KMV bottom-k CTE chain (reads CTE `w` = (source, whs, …)), shared
     * by the standalone `text_distinct_kmv` oracle and the datasheet
@@ -1443,6 +1509,16 @@ object ExtQueries {
          |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, id) AS cum FROM b)
          |SELECT id, bucket, n_tokens,
          |  CAST(((cum - n_tokens) // $PACK_BUDGET) * $PACK_BUCKETS + bucket AS BIGINT) AS seq_id
+         |FROM c ORDER BY id""".stripMargin,
+    "pack_by_length" ->
+      s"""WITH d AS (SELECT doc_id AS id, ${Sampling.rowHashSql("doc_id")} AS h,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+         |b AS (SELECT id, h, n_tokens,
+         |    least($PACK_LEN_MAXB, n_tokens // $PACK_LEN_WIDTH) AS bucket FROM d),
+         |c AS (SELECT id, bucket, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, id) AS cum FROM b)
+         |SELECT id, bucket, n_tokens,
+         |  CAST(((cum - n_tokens) // $PACK_BUDGET) * ${PACK_LEN_MAXB + 1} + bucket AS BIGINT) AS seq_id
          |FROM c ORDER BY id""".stripMargin,
     "pipe_pack_texts" ->
       s"""WITH d AS (SELECT doc_id AS id, ${Sampling.rowHashSql("doc_id")} AS h,
@@ -2254,31 +2330,27 @@ object ExtQueries {
     // curriculum mirror: same LM fit as text_perplexity, same micro-nat
     // arithmetic, equi-width staging with identical operation order
     "mix_curriculum" ->
-      s"""WITH wh AS (SELECT doc_id, ${MirrorHash.wordHashesSql()} AS whs FROM documents),
-         |e AS (SELECT unnest(whs) % $DSIR_B AS bucket FROM wh),
-         |bc AS (SELECT bucket, count(*) AS c FROM e GROUP BY 1),
-         |tot AS (SELECT sum(c) AS t FROM bc),
-         |spine AS (SELECT unnest(generate_series(0, ${DSIR_B - 1})) AS bucket),
-         |l AS (SELECT spine.bucket,
-         |    CAST(round(1000000.0 * ln(
-         |      CAST(COALESCE(bc.c,0)+1 AS DOUBLE)
-         |      / CAST(tot.t+$DSIR_B AS DOUBLE))) AS BIGINT) AS lp
-         |  FROM spine LEFT JOIN bc ON spine.bucket = bc.bucket, tot),
-         |la AS (SELECT list(lp ORDER BY bucket) AS a FROM l),
-         |sc AS (SELECT doc_id AS id, CAST(len(whs) AS BIGINT) AS n_words,
-         |    CAST(-list_sum(list_transform(whs,
-         |      w -> a[CAST(w % $DSIR_B AS INT) + 1])) AS BIGINT) AS s
-         |  FROM wh, la),
-         |p AS (SELECT id, n_words,
-         |    CAST(s AS DOUBLE) / CAST(n_words AS DOUBLE) AS nll
-         |  FROM sc WHERE n_words > 0),
-         |ext AS (SELECT min(nll) AS lo, max(nll) AS hi FROM p)
-         |SELECT id, n_words, nll AS nll_micro_nats,
-         |  CAST(CASE WHEN hi > lo
-         |    THEN least(CAST(floor((nll - lo) / (hi - lo) * $CURR_STAGES)
-         |      AS BIGINT), ${CURR_STAGES - 1})
-         |    ELSE 0 END AS BIGINT) AS stage
-         |FROM p, ext ORDER BY id""".stripMargin,
+      s"""WITH $curriculumCtes
+         |SELECT id, n_words, nll_micro_nats, stage FROM stg
+         |ORDER BY id""".stripMargin,
+
+    "text_phrase_ctx" -> Ranking.phraseContextsSql(PHRASES, PHRASE_CTX),
+
+    // curriculum→pack capstone mirror: shared staging CTEs, easy-half
+    // join-back for the text, then the pipe_pack_sequences pack chain
+    "pipe_curriculum_pack" ->
+      s"""WITH $curriculumCtes,
+         |easy AS (SELECT s.id, d0.text FROM stg s
+         |  JOIN documents d0 ON d0.doc_id = s.id
+         |  WHERE s.stage <= $CURR_EASY_MAX),
+         |d AS (SELECT id, ${Sampling.rowHashSql("id")} AS h,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM easy),
+         |b AS (SELECT id, h, n_tokens, h % $PACK_BUCKETS AS bucket FROM d),
+         |c AS (SELECT id, bucket, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, id) AS cum FROM b)
+         |SELECT id, bucket, n_tokens,
+         |  CAST(((cum - n_tokens) // $PACK_BUDGET) * $PACK_BUCKETS + bucket AS BIGINT) AS seq_id
+         |FROM c ORDER BY id""".stripMargin,
 
     "sample_weighted" ->
       s"""WITH q AS (SELECT doc_id, source,

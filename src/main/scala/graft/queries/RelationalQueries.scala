@@ -516,6 +516,47 @@ object RelationalQueries {
         .orderBy("n_name")
     }),
 
+    // TPC-H Q7-style "volume shipping": revenue between a nation PAIR by
+    // ship year — the fact table joins its two dimension chains
+    // (supplier-nation, orders-customer-nation) with every dimension
+    // broadcast; the symmetric pair filter runs in the join output and
+    // the single shuffle is the final (n1, n2, year) aggregate.
+    "rel_q7_volume" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val n1 = n.select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = n.select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q14-style "promotion effect": the percentage of revenue from
+    // PROMO parts in one ship-month — two conditional decimal sums over
+    // ONE fact pass (part broadcast), a single final IEEE division.
+    "rel_q14_promo" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(year(col("l_shipdate")) === 1995 && month(col("l_shipdate")) === 3)
+        .agg(
+          dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))).as("promo_rev"),
+          dsum(rev).as("total_rev"))
+        .select(
+          (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_pct"),
+          col("promo_rev"), col("total_rev"))
+    }),
+
     // TPC-H Q18-style "large volume customer": HAVING over a fact-table
     // aggregate, then a join back to orders/customer for the detail. The
     // qualifying-key set is tiny after the filter, so the detail joins
@@ -949,6 +990,28 @@ object RelationalQueries {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "rel_q7_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(*) AS n
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "rel_q14_promo" ->
+      s"""SELECT
+         |  100.0 * ${dsumSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+         |    / ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS promo_pct,
+         |  ${dsumSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_rev,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_rev
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE year(l_shipdate) = 1995 AND month(l_shipdate) = 3""".stripMargin,
     "rel_q18_topcust" ->
       s"""WITH big AS (
          |  SELECT l_orderkey, ${dsumSql("l_quantity")} AS sum_qty

@@ -66,6 +66,15 @@ object StreamQueries {
       Multimodal.resizeImages(docs, "doc_id", "img", tw = 16, th = 8).orderBy("id")
     }),
 
+    // multimodal: difference-hash (gradient perceptual hash) — same
+    // codec roundtrip, adjacent-pixel comparisons on a 9x8 grid
+    "mm_dhash" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val docs = Multimodal.withPngBlob(ids, "doc_id")
+      Multimodal.differenceHash(docs, "doc_id", "img").orderBy("id")
+    }),
+
     // multimodal: batch featurizer (fixed-size vector), exact milli units
     "mm_ahash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded pixels (8x8 NN grid,
@@ -230,6 +239,13 @@ object StreamQueries {
         ExtQueries.CLEAN_MIN_WORDS, ExtQueries.CLEAN_MIN_LINES,
         ExtQueries.CLEAN_BAD).orderBy("id")),
 
+    // ONLINE weighted admission control: hash(id) < w·M with the quality
+    // weight computed inline — stateless codegen'd filter, append mode;
+    // membership is a pure function of (id, w) so it shares the batch
+    // sample_weighted oracle verbatim
+    "stream_weighted" -> ((s, dir) =>
+      StreamOps.weightedSampleOnce(s, dir).orderBy("doc_id")),
+
     // ONLINE importance/quality scoring: the DSIR table is fitted batch-
     // side (a model artifact), then every streaming doc is scored in a
     // stateless projection fold — append mode, zero state, the shape of
@@ -302,6 +318,22 @@ object StreamQueries {
     "mm_ahash" ->
       s"""WITH $ahashCtes
          |SELECT id, ah_lo, ah_hi FROM ah ORDER BY id""".stripMargin,
+    // dHash mirror: same predicted pixel rule on the 9x8 grid, bit set
+    // iff the right neighbor strictly exceeds the left
+    "mm_dhash" -> {
+      val pow2 = (0 to 31).map(k => 1L << k).mkString("[", ",", "]")
+      def pxl(cExpr: String) =
+        s"(id + 7*(($cExpr)*w//9) + 13*((k//8)*h//8)) % 256"
+      val cond = s"${pxl("k%8+1")} > ${pxl("k%8")}"
+      s"""WITH g AS (SELECT doc_id AS id, 1 + doc_id%48 AS w, 1 + doc_id%32 AS h FROM documents),
+         |dh AS (SELECT id,
+         |  CAST(list_sum(list_transform(generate_series(0,31), k ->
+         |    CASE WHEN $cond THEN ($pow2)[k+1] ELSE 0 END)) AS BIGINT) AS dh_lo,
+         |  CAST(list_sum(list_transform(generate_series(32,63), k ->
+         |    CASE WHEN $cond THEN ($pow2)[k-31] ELSE 0 END)) AS BIGINT) AS dh_hi
+         |  FROM g)
+         |SELECT id, dh_lo, dh_hi FROM dh ORDER BY id""".stripMargin
+    },
     // visual near-dup mirror: same predicted hashes, OR-of-bands
     // candidate rule (equivalent result set to the banded equi-join),
     // exact 64-bit hamming verify
@@ -437,6 +469,7 @@ object StreamQueries {
     "stream_pii_stats" -> ExtQueries.oracleSql("text_pii_stats"),
     "stream_cdc_chunks" -> ExtQueries.oracleSql("doc_cdc_chunks"),
     "stream_clean_lines" -> ExtQueries.cleanLinesSql,
+    "stream_weighted" -> ExtQueries.oracleSql("sample_weighted"),
     "stream_dsir_score" ->
       s"""WITH ${ExtQueries.dsirCtes}
          |SELECT id, score FROM sc ORDER BY id""".stripMargin,

@@ -445,6 +445,35 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming weighted retention — admission control at ingestion
+    * time: every arriving document is kept iff hash(id) < w·M, the
+    * per-document quality weight (distinct-word ratio) computed inline.
+    * One stateless codegen'd filter — append mode, zero state, zero
+    * shuffle; membership is IDENTICAL to the batch
+    * [[graft.operators.Sampling.weighted]] because it is a pure function
+    * of (id, w), so the twin shares the batch oracle verbatim. */
+  def weightedSampleOnce(spark: SparkSession, dir: String,
+      sinkName: String = "stream_weighted_sink"): DataFrame = {
+    val tmp = linkedDir(dir, "documents")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(schema).parquet(tmp)
+    val ws = split(col("text"), " ")
+    val w = size(array_distinct(ws)).cast("long").cast("double") /
+      size(ws).cast("long").cast("double")
+    val out = graft.operators.Sampling.weighted(
+      src.select(col("doc_id"), col("source"), w.as("keep_w")),
+      "doc_id", col("keep_w"))
+    withHarnessConf(spark, "4") { ckpt =>
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName)
+  }
+
   /** Streaming vocabulary: COMPLETE-mode running token counts over a
     * parquet file source — the streaming twin of `TextAnalysis.vocab`
     * (the missing output mode in the suite: resample/sessionize are

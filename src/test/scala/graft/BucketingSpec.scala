@@ -49,4 +49,28 @@ class BucketingSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(l_orderkey"), p.take(3000))
     assert(!p.contains("hashpartitioning(o_orderkey"), p.take(3000))
   }
+
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    import org.apache.spark.sql.functions._
+    // partition the fact by a derived key (at 100 TB: date/shard — the
+    // layout every warehouse fact table ships with), then join against
+    // a FILTERED dim on that key: Catalyst must inject a runtime
+    // dynamicpruning subquery into the fact scan, so only the matching
+    // partitions are read — the other 7/8ths of the corpus never leave
+    // the object store
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.queries.Tables.t(spark, sf001, "lineitem")
+      .withColumn("part_key", pmod(col("l_orderkey"), lit(8)))
+      .write.mode("overwrite").partitionBy("part_key").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.range(8).select(col("id").as("part_key"),
+      (col("id") * 2).as("v")).filter(col("v") === 4)
+    val q = fact.join(dim, "part_key").agg(sum(col("l_quantity")).as("s"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(3000))
+    // and the pruned result equals the static-filter equivalent
+    val got = q.head.getDouble(0)
+    val want = fact.filter(col("part_key") === 2).agg(sum(col("l_quantity"))).head.getDouble(0)
+    assert(got == want)
+  }
 }

@@ -318,6 +318,20 @@ class CurationAuditSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("stream weighted-retention twin equals the batch operator") {
+    val ws = split(col("text"), " ")
+    val w = size(array_distinct(ws)).cast("long").cast("double") /
+      size(ws).cast("long").cast("double")
+    val batch = graft.operators.Sampling.weighted(
+        docs.select(col("doc_id"), col("source"), w.as("keep_w")),
+        "doc_id", col("keep_w"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val stream = graft.streaming.StreamOps.weightedSampleOnce(spark, sf001,
+        sinkName = "stream_weighted_spec_sink")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(stream == batch)
+  }
+
   // ---- tf-idf keywords / pii stats ----
 
   test("tfidfKeywords: planted rare token outranks stopwords, ranks dense") {
@@ -428,6 +442,38 @@ class CurationAuditSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     // "a a a" has TWO overlapping starts; doc 2 contains neither phrase
     assert(out === Map(("a a", 1L) -> 3L, ("a b", 1L) -> 1L, ("a b", 3L) -> 1L))
+  }
+
+  test("phraseContexts: window slices clamp at doc edges, pos is the match start") {
+    val df = Seq((1L, "x a b y z"), (2L, "a b"), (3L, "q a b")).toDF("id", "text")
+    val out = graft.operators.Ranking
+      .phraseContexts(df, "id", "text", Seq("a b"), 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(out === Set(
+      (1L, 1L, "x a b y z"),   // 2 tokens both sides, clamped to the doc
+      (2L, 0L, "a b"),          // phrase == doc
+      (3L, 1L, "q a b")))       // left side clamped at 1 token
+  }
+
+  test("phraseContexts: one row per occurrence, context holds the phrase") {
+    val out = graft.operators.Ranking
+      .phraseContexts(docs, "doc_id", "text", Seq("table hash"), 3)
+      .collect()
+    val counts = graft.operators.Ranking
+      .phraseSearch(docs, "doc_id", "text", Seq("table hash"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out.length == counts.values.sum)
+    out.foreach { r => assert(r.getString(3).contains("table hash")) }
+  }
+
+  test("pipe_curriculum_pack packs exactly the stage<=1 docs of mix_curriculum") {
+    val spark0 = spark
+    val stages = graft.queries.ExtQueries.queries("mix_curriculum")(spark0, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val packed = graft.queries.ExtQueries.queries("pipe_curriculum_pack")(spark0, sf001)
+      .collect().map(_.getLong(0)).toSet
+    val easy = stages.filter(_._2 <= 1L).keySet
+    assert(packed == easy && easy.nonEmpty && easy.size < stages.size)
   }
 
   // ---- curriculum staging ----

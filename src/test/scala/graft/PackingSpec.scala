@@ -61,4 +61,30 @@ class PackingSpec extends SparkSpec {
     val one = Packing.packTokens(docs, "doc_id", "text", 1L, 2)
     assert(one.select(col("seq_id")).distinct().count() === one.count())
   }
+
+  test("length-bucketed packing: sequences are band-homogeneous and cut padding spread") {
+    val out = Packing.packTokensByLength(docs, "doc_id", "text", 512L, 16L, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // band rule: bucket = min(7, n_tokens/16), and every doc in a
+    // sequence shares the band (seq ids interleave by band)
+    out.foreach { case (_, b, n, seq) =>
+      assert(b == math.min(7L, n / 16L))
+      assert(seq % 8 == b)
+    }
+    // non-tail-band sequences have doc lengths within one 16-token band
+    out.groupBy(_._4).foreach { case (_, rows) =>
+      if (rows.head._2 < 7L) {
+        val lens = rows.map(_._3)
+        assert(lens.max - lens.min < 16L)
+      }
+    }
+    // conservation: every doc exactly once
+    assert(out.map(_._1).toSet.size == out.length)
+    assert(out.length == docs.count())
+    // layout-invariant
+    val re = Packing.packTokensByLength(docs.repartition(9), "doc_id", "text",
+        512L, 16L, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(re == out.map(r => (r._1, r._4)).toSet)
+  }
 }

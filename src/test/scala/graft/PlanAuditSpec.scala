@@ -531,6 +531,23 @@ class PlanAuditSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("phraseContexts: sparse match set equi-joins back to tokens — no nested loop") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.Ranking.phraseContexts(
+      docs, "doc_id", "text", Seq("table hash"), 3))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("curriculum pack capstone: one packing window, no corpus join") {
+    val p = fmt(graft.queries.ExtQueries.queries("pipe_curriculum_pack")(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // text carried through the staging projection — no join-back of the
+    // corpus to itself; the only joins are the broadcast 1-row extremes
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
   test("curriculumStages: one corpus scoring pass; extremes broadcast back") {
     val docs = Tables.t(spark, sf001, "documents")
     val tbl = Seq.fill(64)(-1000000L)

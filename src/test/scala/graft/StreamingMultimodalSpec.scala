@@ -197,6 +197,29 @@ class StreamingMultimodalSpec extends SparkSpec {
       s"missing=${brute -- banded} extra=${banded -- brute}")
   }
 
+  test("dHash is invariant to a global brightness shift; aHash generally is not") {
+    import spark.implicits._
+    // hand-built PNGs: a gradient image and its uniformly brighter twin
+    def png(shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val g = math.min(255, x * 13 + shift)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, png(0)), (2L, png(40))).toDF("id", "img")
+    val dh = Multimodal.differenceHash(df, "id", "img").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // adjacent-pixel ORDER survives a constant shift (short of clipping)
+    assert(dh(1L) == dh(2L))
+    // and the hash sees real gradients: a monotone row sets rising bits
+    assert(dh(1L) != ((0L, 0L)))
+  }
+
   test("multimodal frame sampling and featurizer shapes") {
     val docs = Multimodal.withBlob(Tables.t(spark, sf001, "documents"), "text")
     val frames = Multimodal.frameSample(docs, "blob", n = 4)
