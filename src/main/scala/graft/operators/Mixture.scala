@@ -141,10 +141,12 @@ object Mixture {
   def perplexityScore(df: DataFrame, idCol: String, textCol: String,
       table: Seq[Long], buckets: Int, carry: Seq[String] = Nil): DataFrame = {
     require(table.length == buckets, s"table size ${table.length} != $buckets")
-    val la = lit(table.toArray)
     val wh = graft.functions.HashExpressions.word_hashes(col(textCol))
-    val nllSum = aggregate(wh, lit(0L), (acc, w) =>
-      acc - element_at(la, pmod(w, lit(buckets.toLong)).cast("int") + 1))
+    // the fold runs in the codegen'd ClassScoreArray (one class, zero
+    // prior) — not an interpreted `aggregate` HOF; BIGINT addition is
+    // order-free so the value is identical to the lambda form
+    val nllSum = -element_at(graft.functions.HashExpressions.class_scores(
+      wh, Array(0L), table.toArray, buckets), 1)
     df.select(col(idCol).as("id") +: carry.map(col) :+
       size(wh).cast("long").as("n_words") :+
       nllSum.as("__s"): _*)
@@ -200,16 +202,16 @@ object Mixture {
       "table sizes must equal buckets")
     require(lamNum >= 0 && lamDen > 0 && lamNum <= lamDen,
       s"lambda $lamNum/$lamDen not in [0,1]")
-    val la1 = lit(uniTable.toArray)
-    val la2 = lit(biTable.toArray)
     val wh = graft.functions.HashExpressions.word_hashes(col(textCol))
     val gh = graft.functions.HashExpressions.ngram_hashes(wh, 2)
-    def fold(arr: Column, tbl: Column): Column =
-      aggregate(arr, lit(0L), (acc, w) =>
-        acc + element_at(tbl, pmod(w, lit(buckets.toLong)).cast("int") + 1))
-    val s1 = fold(wh, la1)
-    val s2 = fold(gh, la2)
-    val first = element_at(la1,
+    // both folds run in the codegen'd ClassScoreArray (one class, zero
+    // prior) — no interpreted HOF in the scoring path
+    def fold(arr: Column, tbl: Seq[Long]): Column =
+      element_at(graft.functions.HashExpressions.class_scores(
+        arr, Array(0L), tbl.toArray, buckets), 1)
+    val s1 = fold(wh, uniTable)
+    val s2 = fold(gh, biTable)
+    val first = element_at(lit(uniTable.toArray),
       pmod(element_at(wh, 1), lit(buckets.toLong)).cast("int") + 1)
     val s = lit((lamDen - lamNum).toLong) * s1 +
       lit(lamNum.toLong) * (first + s2)
@@ -296,11 +298,11 @@ object Mixture {
   def importanceScore(df: DataFrame, idCol: String, textCol: String,
       table: Seq[Long], buckets: Int): DataFrame = {
     require(table.length == buckets, s"table size ${table.length} != $buckets")
-    val la = lit(table.toArray)
     val wh = graft.functions.HashExpressions.word_hashes(col(textCol))
+    // codegen'd one-class ClassScoreArray fold — not an interpreted HOF
     df.select(col(idCol).as("id"),
-      aggregate(wh, lit(0L), (acc, w) =>
-        acc + element_at(la, pmod(w, lit(buckets.toLong)).cast("int") + 1))
+      element_at(graft.functions.HashExpressions.class_scores(
+        wh, Array(0L), table.toArray, buckets), 1)
         .as("score"))
   }
 

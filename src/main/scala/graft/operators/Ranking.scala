@@ -155,10 +155,16 @@ object Ranking {
     val split2 = phrases.map(p => p -> p.split(" ").toSeq)
     require(split2.forall(_._2.forall(_.nonEmpty)), "empty word in phrase")
     val vocab = split2.flatMap(_._2).distinct
+    // lazy localCheckpoint, NOT cache: the sliver feeds every phrase
+    // arm (Σ words consumers) and checkpoint blocks are reclaimed by
+    // the ContextCleaner when it goes out of scope — cache() entries
+    // accumulate in the CacheManager until an unpersist no caller here
+    // is positioned to issue (the Similarity.ivfAssign discipline).
+    // Sparse by construction: rows ∝ phrase-vocab occurrences.
     val postings = df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
       .filter(col("token").isInCollection(vocab))
-      .cache() // sparse: rows ∝ phrase-vocab occurrences, not corpus size
+      .localCheckpoint(eager = false)
     split2.map { case (ph, ws) =>
       val head = postings.filter(col("token") === ws.head)
         .select(col("id"), col("pos"))
