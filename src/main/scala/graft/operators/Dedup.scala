@@ -252,6 +252,45 @@ object Dedup {
     * even mid-convergence). At 100 TB scale swap the plain propagation
     * for alternating large-star/small-star contractions; the per-round
     * plan (edge⋈label equi-join + min groupBy) is identical. */
+  /** Deterministic integer PageRank over an undirected pair frame — the
+    * hub statistic of a near-dup graph ("which documents sit at the
+    * center of a duplication web": boilerplate templates and mirror
+    * hubs rank highest; the audit complement of [[clusterStats]]).
+    * Ranks are MILLI-units, all arithmetic BIGINT floor division so
+    * both engines agree bit-for-bit: r₀ = 1000 per node; per round,
+    * each node sends r DIV deg along every incident edge and
+    * r' = 150 + (850 · Σ incoming) DIV 1000 — the damping-0.85 power
+    * iteration with the divisions floored. Fixed `iters` rounds (the
+    * oracle unrolls the same rounds).
+    *
+    * Scale: the pair list symmetrizes behind a checkpoint; per round,
+    * ONE equi-join of edges to ranks + one map-side-combined sum per
+    * target node — the standard distributed PR shape (edge partitioning
+    * is the skew knob for hub nodes at 100 TB); ranks checkpoint per
+    * round so lineage stays flat. */
+  def pageRank(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val half = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .localCheckpoint(true)
+    val ed = half.unionAll(half.select(col("v").as("u"), col("u").as("v")))
+    val deg = ed.groupBy("u").agg(count(lit(1)).as("deg"))
+    val edd = ed.join(deg, "u").localCheckpoint(true)
+    var pr = deg.select(col("u").as("n"), lit(1000L).as("r"))
+    for (i <- 1 to iters) {
+      pr = edd.join(pr, edd("u") === pr("n"))
+        .select(col("v"), expr("r DIV deg").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("s"))
+        .select(col("v").as("n"),
+          (lit(150L) + expr("850 * s DIV 1000")).as("r"))
+      // checkpoint BETWEEN rounds (flat lineage); the final round is
+      // consumed exactly once by the caller, so its checkpoint would
+      // only cost a materialization
+      if (i < iters) pr = pr.localCheckpoint(true)
+    }
+    pr.select(col("n").as("id"), col("r").as("rank_milli"))
+  }
+
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
       iters: Int = 4): DataFrame = {
     // checkpoint the pair list BEFORE symmetrizing: the union references

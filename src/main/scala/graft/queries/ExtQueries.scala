@@ -118,8 +118,9 @@ object ExtQueries {
   private val NOISE_K = 5
   // per-doc TF-IDF keyword count
   private val TFIDF_K = 5
-  // positional-index phrase search probes (2- and 3-word, present in data)
-  private val PHRASES = Seq("table hash", "customer join", "slow hash batch")
+  // positional-index phrase search probes (2- and 3-word, present in
+  // data). private[queries]: the streaming phrase-hits twin shares them
+  private[queries] val PHRASES = Seq("table hash", "customer join", "slow hash batch")
   // KWIC context window (tokens each side)
   private val PHRASE_CTX = 3
   // curriculum capstone keeps stages 0..1 (the easy half)
@@ -131,6 +132,8 @@ object ExtQueries {
   private val K_ANON_LEN = 64L
   // D4 prototype-prune fraction (exactly binary-representable)
   private val D4_FRAC = 0.25
+  // PageRank power-iteration rounds (oracle unrolls the same count)
+  private val PR_ITERS = 3
   // interpolated bigram LM weight λ = 3/4 (rational — sum stays BIGINT)
   private val LAM_NUM = 3
   private val LAM_DEN = 4
@@ -600,6 +603,12 @@ object ExtQueries {
         .orderBy("da", "db")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDocs(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
+    "graph_pagerank" -> ((s, dir) =>
+      // near-dup-graph hub ranking: integer PageRank (milli-units,
+      // floored divisions) over the shared jaccard pair frame — one
+      // edge->rank equi-join + target-keyed sum per round
+      Dedup.pageRank(jaccardShared(s, dir), "da", "db", PR_ITERS)
+        .orderBy("id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", SIMHASH_HD)
         .orderBy("da", "db")),
@@ -825,6 +834,19 @@ object ExtQueries {
         .orderBy(col("score").desc, col("id")).limit(DSIR_K)
     }),
 
+    "pipe_temperature_mix" -> ((s, dir) => {
+      // the multilingual mixture loop CLOSED end-to-end: temperature
+      // plan (α=1/2) → fractional-epoch resample — the plan collects as
+      // a |sources|-row model artifact (the NB-fit discipline), the
+      // resample is the zero-shuffle replication generator
+      val docs = t(s, dir, "documents")
+      val rates = Mixture.temperaturePlan(docs, "source", "text",
+          MIX_MAX_EPOCHS)
+        .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+      Mixture.resample(docs, "doc_id", "source", rates, 0.0)
+        .select("doc_id", "source", "copy_idx")
+        .orderBy("doc_id", "copy_idx")
+    }),
     "mix_temperature" -> ((s, dir) =>
       // XLM/mT5 temperature mixture planning at α=1/2 (sqrt is IEEE-
       // correctly-rounded in every engine, pow is not): per-source
@@ -1656,6 +1678,28 @@ object ExtQueries {
          |SELECT da, db, common, na, nb, common/(na+nb-common) AS j
          |FROM pairs WHERE common/(na+nb-common) >= $JACCARD_TAU
          |ORDER BY da, db""".stripMargin,
+    // integer-PageRank mirror: same jaccard pair CTEs, the same fixed
+    // rounds unrolled with identical floored-division arithmetic
+    "graph_pagerank" -> {
+      val rounds = (1 to PR_ITERS).map { i =>
+        s"""p$i AS (SELECT edd.v AS n,
+           |    CAST(150 + (850 * sum(p${i - 1}.r // edd.deg)) // 1000 AS BIGINT) AS r
+           |  FROM edd JOIN p${i - 1} ON edd.u = p${i - 1}.n GROUP BY edd.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $distinctShingleCte,
+         |ex AS (SELECT id, nd, unnest(ds) AS h FROM d),
+         |pr AS (
+         |  SELECT a.id AS da, b.id AS db, count(*) AS common,
+         |    any_value(a.nd) AS na, any_value(b.nd) AS nb
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
+         |jp AS (SELECT da, db FROM pr WHERE common/(na+nb-common) >= $JACCARD_TAU),
+         |ed AS (SELECT da AS u, db AS v FROM jp UNION ALL SELECT db AS u, da AS v FROM jp),
+         |dg AS (SELECT u, count(*) AS deg FROM ed GROUP BY 1),
+         |edd AS (SELECT ed.u, ed.v, dg.deg FROM ed JOIN dg ON ed.u = dg.u),
+         |p0 AS (SELECT u AS n, CAST(1000 AS BIGINT) AS r FROM dg),
+         |$rounds
+         |SELECT n AS id, r AS rank_milli FROM p$PR_ITERS ORDER BY id""".stripMargin
+    },
     // unrolled min-label propagation (same fixed rounds as Dedup.clusters)
     "dedup_clusters" ->
       s"""WITH $distinctShingleCte,
@@ -1830,6 +1874,26 @@ object ExtQueries {
          |SELECT min(id) AS id, count(*) AS n,
          |  CAST(len(ct) AS BIGINT) AS canon_len
          |FROM c GROUP BY ct ORDER BY id""".stripMargin,
+    // temperature→resample capstone mirror: the rate is DATA-derived
+    // (sqrt ratio, IEEE-identical), then the exact epochPlan floor
+    // arithmetic inline — whole = floor(rate), extra iff
+    // hash < floor(frac·M)
+    "pipe_temperature_mix" ->
+      s"""WITH b AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |m AS (SELECT max(n_tokens) AS mt FROM b),
+         |rt AS (SELECT source,
+         |    sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(mt AS DOUBLE)) * $MIX_MAX_EPOCHS AS rate
+         |  FROM b, m),
+         |c AS (SELECT d.doc_id, d.source,
+         |    CAST(floor(rt.rate) AS BIGINT)
+         |    + CASE WHEN ${Sampling.rowHashSql("d.doc_id")}
+         |        < CAST(floor((rt.rate - floor(rt.rate)) * ${Sampling.M}) AS BIGINT)
+         |      THEN 1 ELSE 0 END AS n
+         |  FROM documents d JOIN rt ON d.source = rt.source)
+         |SELECT doc_id, source, unnest(range(n)) AS copy_idx
+         |FROM c WHERE n > 0 ORDER BY doc_id, copy_idx""".stripMargin,
     "mix_temperature" ->
       s"""WITH b AS (SELECT source, count(*) AS n_docs,
          |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens

@@ -516,6 +516,112 @@ object RelationalQueries {
         .orderBy("n_name")
     }),
 
+    // Time-weighted average (TWAP) per user: each observation holds
+    // until the next one, so its weight is the gap to the successor
+    // (the last observation holds nothing — weight 0). Values
+    // integerize to exact milli-units and weights are exact integer
+    // microseconds, so the weighted sum is BIGINT and the single final
+    // division is the only IEEE step. One per-user window (lead) + one
+    // aggregate.
+    "rel_twap" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 1000).cast("long").as("v_milli"),
+          epochUs(col("ts")).as("t_us"))
+        .withColumn("dt_us",
+          coalesce(lead(col("t_us"), 1).over(w) - col("t_us"), lit(0L)))
+        .groupBy(col("user_id"))
+        .agg(sum(col("v_milli") * col("dt_us")).as("wsum"),
+          sum(col("dt_us")).as("total_us"))
+        .filter(col("total_us") > 0)
+        .select(col("user_id"),
+          (col("wsum").cast("double") / col("total_us").cast("double")
+            / lit(1000.0)).as("twap"),
+          col("total_us"))
+        .orderBy("user_id")
+    }),
+
+    // Funnel analysis (view → click → purchase): the product-analytics
+    // staple — per user, the earliest view, the earliest click AFTER
+    // that view, the earliest purchase after the click. Three stage
+    // aggregates chained by user-keyed equi-joins (each stage's frame
+    // shrinks to qualifying users); timestamps are exact integer
+    // microseconds so stage ordering is engine-identical. Missing
+    // stages report -1 (hash-stable across engines).
+    "rel_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(epochUs(col("ts"))).as("t1_us"))
+      val cl = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(epochUs(col("ts")) > col("t1_us"))
+        .groupBy(col("user_id"), col("t1_us"))
+        .agg(min(epochUs(col("ts"))).as("t2_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(cl.select(col("user_id"), col("t2_us")), "user_id")
+        .filter(epochUs(col("ts")) > col("t2_us"))
+        .groupBy(col("user_id")).agg(min(epochUs(col("ts"))).as("t3_us"))
+      v.join(cl.select(col("user_id"), col("t2_us")), Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1_us"),
+          coalesce(col("t2_us"), lit(-1L)).as("t2_us"),
+          coalesce(col("t3_us"), lit(-1L)).as("t3_us"))
+        .orderBy("user_id")
+    }),
+
+    // Cohort retention: users grouped by their first-event week, the
+    // activity matrix (cohort_week, week_offset) → distinct active
+    // users — the other product-analytics staple. Two aggregates and
+    // one user-keyed join; week arithmetic is integer floor division
+    // of epoch microseconds, identical in both engines.
+    "rel_cohort" -> ((s, dir) => {
+      val weekUs = 7L * 24 * 3600 * 1000000L
+      val ev = t(s, dir, "events")
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(epochUs(col("ts"))).as("t0_us"))
+        .select(col("user_id"), expr(s"t0_us DIV $weekUs").as("cohort_week"))
+      ev.select(col("user_id"), epochUs(col("ts")).as("e_us"))
+        .select(col("user_id"), expr(s"e_us DIV $weekUs").as("wk"))
+        .join(first, "user_id")
+        .select(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Entity resolution: dirty-string lookup against the part catalog —
+    // a tiny probe list (typo'd names) broadcasts, BLOCKING on (first
+    // two chars, ±1 length band) prunes the catalog BEFORE the
+    // edit-distance verify (never an all-pairs distance), and each
+    // probe keeps its best match (min distance, then key). The classic
+    // blocked fuzzy join, corpus cost ∝ block collisions.
+    "rel_fuzzy_join" -> ((s, dir) => {
+      val probes = Seq("smal ring", "red widgot", "blue blot", "hot gearr")
+      val s2 = s
+      import s2.implicits._
+      val pr = probes.toDF("probe")
+        .select(col("probe"), substring(col("probe"), 1, 2).as("blk"),
+          length(col("probe")).as("plen"))
+      val cat = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          substring(col("p_name"), 1, 2).as("blk"),
+          length(col("p_name")).as("clen"))
+      val cand = broadcast(pr).join(cat, Seq("blk"))
+        .filter(abs(col("plen") - col("clen")) <= 1)
+        .withColumn("dist", levenshtein(col("probe"), col("p_name")).cast("long"))
+        .filter(col("dist") <= 2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe")).orderBy(col("dist"), col("p_partkey"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("probe"), col("p_partkey"), col("p_name"), col("dist"))
+        .orderBy("probe")
+    }),
+
     // TPC-H Q7-style "volume shipping": revenue between a nation PAIR by
     // ship year — the fact table joins its two dimension chains
     // (supplier-nation, orders-customer-nation) with every dimension
@@ -990,6 +1096,65 @@ object RelationalQueries {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "rel_twap" ->
+      """WITH o AS (SELECT user_id, event_id,
+        |    CAST(round(value * 1000) AS BIGINT) AS v_milli,
+        |    epoch_us(ts) AS t_us,
+        |    COALESCE(lead(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts),
+        |      0) AS dt_us
+        |  FROM events),
+        |a AS (SELECT user_id,
+        |    CAST(sum(v_milli * dt_us) AS BIGINT) AS wsum,
+        |    CAST(sum(dt_us) AS BIGINT) AS total_us
+        |  FROM o GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(wsum AS DOUBLE) / CAST(total_us AS DOUBLE) / 1000.0 AS twap,
+        |  total_us
+        |FROM a WHERE total_us > 0 ORDER BY user_id""".stripMargin,
+    "rel_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1_us
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |cl AS (SELECT e.user_id, v.t1_us, min(epoch_us(e.ts)) AS t2_us
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1_us
+        |  GROUP BY 1, 2),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us
+        |  FROM events e JOIN cl ON e.user_id = cl.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > cl.t2_us
+        |  GROUP BY 1)
+        |SELECT v.user_id, v.t1_us,
+        |  COALESCE(cl.t2_us, -1) AS t2_us, COALESCE(p.t3_us, -1) AS t3_us
+        |FROM v LEFT JOIN cl ON v.user_id = cl.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+    "rel_cohort" -> {
+      val weekUs = 7L * 24 * 3600 * 1000000L
+      s"""WITH first AS (SELECT user_id,
+         |    min(epoch_us(ts)) // $weekUs AS cohort_week
+         |  FROM events GROUP BY 1),
+         |act AS (SELECT DISTINCT f.cohort_week,
+         |    epoch_us(e.ts) // $weekUs - f.cohort_week AS week_offset,
+         |    e.user_id
+         |  FROM events e JOIN first f ON e.user_id = f.user_id)
+         |SELECT cohort_week, week_offset, count(*) AS n_active
+         |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "rel_fuzzy_join" -> {
+      val probeRows = Seq("smal ring", "red widgot", "blue blot", "hot gearr")
+        .map(p => s"('$p')").mkString(", ")
+      s"""WITH pr(probe) AS (VALUES $probeRows),
+         |cand AS (SELECT pr.probe, p.p_partkey, p.p_name,
+         |    CAST(levenshtein(pr.probe, p.p_name) AS BIGINT) AS dist
+         |  FROM pr JOIN part p
+         |    ON substr(pr.probe, 1, 2) = substr(p.p_name, 1, 2)
+         |   AND abs(len(pr.probe) - len(p.p_name)) <= 1
+         |  WHERE levenshtein(pr.probe, p.p_name) <= 2),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY probe ORDER BY dist, p_partkey) AS rn FROM cand)
+         |SELECT probe, p_partkey, p_name, dist FROM r WHERE rn = 1
+         |ORDER BY probe""".stripMargin
+    },
     "rel_q7_volume" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  CAST(year(l_shipdate) AS BIGINT) AS l_year,

@@ -239,6 +239,14 @@ object StreamQueries {
         ExtQueries.CLEAN_MIN_WORDS, ExtQueries.CLEAN_MIN_LINES,
         ExtQueries.CLEAN_BAD).orderBy("id")),
 
+    // ONLINE phrase watchlist: per-doc occurrence counts from one
+    // stateless projection (per-doc-local start-position filter) —
+    // identical counts to the batch positional-index search, so the
+    // twin shares text_phrase_search's oracle verbatim
+    "stream_phrase_hits" -> ((s, dir) =>
+      StreamOps.phraseHitsOnce(s, dir, graft.queries.ExtQueries.PHRASES)
+        .orderBy("phrase", "id")),
+
     // ONLINE weighted admission control: hash(id) < w·M with the quality
     // weight computed inline — stateless codegen'd filter, append mode;
     // membership is a pure function of (id, w) so it shares the batch
@@ -470,6 +478,7 @@ object StreamQueries {
     "stream_cdc_chunks" -> ExtQueries.oracleSql("doc_cdc_chunks"),
     "stream_clean_lines" -> ExtQueries.cleanLinesSql,
     "stream_weighted" -> ExtQueries.oracleSql("sample_weighted"),
+    "stream_phrase_hits" -> ExtQueries.oracleSql("text_phrase_search"),
     "stream_dsir_score" ->
       s"""WITH ${ExtQueries.dsirCtes}
          |SELECT id, score FROM sc ORDER BY id""".stripMargin,

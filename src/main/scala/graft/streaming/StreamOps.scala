@@ -445,6 +445,47 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming phrase-hit counting — the live watchlist audit ("alert
+    * on documents containing these exact phrases") over an ingest:
+    * per arriving doc, each phrase's occurrence count from ONE
+    * stateless projection (a start-position filter over the token
+    * array — per-doc local, no state, append mode). The batch
+    * [[graft.operators.Ranking.phraseSearch]] builds a positional
+    * inverted index for corpus-scale search; the streaming twin trades
+    * the index for a per-row scan with IDENTICAL counts, so it shares
+    * the batch oracle verbatim. */
+  def phraseHitsOnce(spark: SparkSession, dir: String, phrases: Seq[String],
+      sinkName: String = "stream_phrase_sink"): DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    val tmp = linkedDir(dir, "documents")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(schema).parquet(tmp)
+    val ws = split(col("text"), " ")
+    val hits = array(phrases.map { ph =>
+      val pw = ph.split(" ")
+      val k = pw.length
+      val n = when(size(ws) >= k,
+        size(filter(sequence(lit(0), size(ws) - k), i =>
+          pw.zipWithIndex.map { case (w, j) =>
+            element_at(ws, i + (j + 1)) === w
+          }.reduce(_ && _))))
+        .otherwise(0).cast("long")
+      struct(lit(ph).as("phrase"), n.as("n_matches"))
+    }: _*)
+    val out = src.select(col("doc_id").as("id"), explode(hits).as("ph"))
+      .select(col("ph.phrase").as("phrase"), col("id"), col("ph.n_matches").as("n_matches"))
+      .filter(col("n_matches") > 0)
+    withHarnessConf(spark, "4") { ckpt =>
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName)
+  }
+
   /** Streaming weighted retention — admission control at ingestion
     * time: every arriving document is kept iff hash(id) < w·M, the
     * per-document quality weight (distinct-word ratio) computed inline.

@@ -318,6 +318,42 @@ class CurationAuditSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("stream phrase-hits twin equals the batch positional-index search") {
+    val phrases = Seq("table hash", "customer join", "slow hash batch")
+    val batch = graft.operators.Ranking
+      .phraseSearch(docs, "doc_id", "text", phrases)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val stream = graft.streaming.StreamOps.phraseHitsOnce(spark, sf001, phrases,
+        sinkName = "stream_phrase_spec_sink")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && stream == batch)
+  }
+
+  test("temperature-mix capstone: per-doc copies bracket the source's epoch rate") {
+    val rates = Mixture.temperaturePlan(docs, "source", "text", 4.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val out = graft.queries.ExtQueries.queries("pipe_temperature_mix")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val perDoc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    perDoc.foreach { case (id, n) =>
+      val rate = rates(srcOf(id))
+      assert(n == math.floor(rate).toLong || n == math.floor(rate).toLong + 1,
+        s"doc $id: $n copies at rate $rate")
+    }
+    // the largest source runs at exactly maxEpochs (rel_weight = 1)
+    val largest = rates.maxBy(_._2)._1
+    assert(math.abs(rates(largest) - 4.0) < 1e-12)
+    // and per-source replication mass tracks the rate within the
+    // Bernoulli tolerance
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val nDocs = srcOf.values.count(_ == src)
+      val mean = rows.size.toDouble / nDocs
+      assert(math.abs(mean - rates(src)) < 0.5, s"$src mean $mean rate ${rates(src)}")
+    }
+  }
+
   test("stream weighted-retention twin equals the batch operator") {
     val ws = split(col("text"), " ")
     val w = size(array_distinct(ws)).cast("long").cast("double") /

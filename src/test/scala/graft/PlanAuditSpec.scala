@@ -357,6 +357,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), p.take(2000))
   }
 
+  test("pageRank: per-round edge equi-join + partial sum behind checkpoints") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
+    val p = fmt(graft.operators.Dedup.pageRank(pairs, "da", "db", 2))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // prior rounds sit behind localCheckpoint boundaries — flat lineage
+    assert(p.contains("ExistingRDD"), p.take(2000))
+    assert(p.contains("partial_sum"), p.take(2000))
+  }
+
+  test("twap: one per-user window + one agg — no single-partition collapse") {
+    val p = fmt(graft.queries.RelationalQueries.queries("rel_twap")(spark, sf001))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    assert(p.contains("hashpartitioning(user_id"), p.take(2000))
+  }
+
   test("NB predict: literal tables fold in a projection — zero shuffle, zero join") {
     val docs = Tables.t(spark, sf001, "documents")
     val model = Seq("a" -> (0L, Seq.fill(64)(1L)), "b" -> (0L, Seq.fill(64)(2L)))
