@@ -834,6 +834,21 @@ object ExtQueries {
         .orderBy(col("score").desc, col("id")).limit(DSIR_K)
     }),
 
+    "pipe_ccnet_filter" -> ((s, dir) => {
+      // CCNet end-to-end (Wenzek et al. 2020): language-ID every doc in
+      // one projection, fit the unigram LM once (B-bounded), bucket per
+      // PREDICTED language by perplexity terciles, keep head+middle —
+      // the released CommonCrawl recipe as one declarative plan
+      // (corpus-wide LM: a disclosed simplification of the paper's
+      // per-language KenLMs; the bucket cut is still per-language)
+      val docs = t(s, dir, "documents")
+      val tagged = docs.withColumn("pl", TextAnalysis.langIdCol(col("text")))
+      val tbl = Mixture.unigramLmTable(docs, "text", DSIR_B)
+        .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+      Mixture.ccnetBuckets(tagged, "doc_id", "text", "pl", tbl, DSIR_B)
+        .filter(col("bucket") =!= "tail")
+        .orderBy("id")
+    }),
     "pipe_temperature_mix" -> ((s, dir) => {
       // the multilingual mixture loop CLOSED end-to-end: temperature
       // plan (α=1/2) → fractional-epoch resample — the plan collects as
@@ -1874,6 +1889,43 @@ object ExtQueries {
          |SELECT min(id) AS id, count(*) AS n,
          |  CAST(len(ct) AS BIGINT) AS canon_len
          |FROM c GROUP BY ct ORDER BY id""".stripMargin,
+    // CCNet capstone mirror: lang-ID CASE + the shared LM-fit chain +
+    // per-predicted-language percent_rank terciles, tail dropped
+    "pipe_ccnet_filter" ->
+      s"""WITH w0 AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents),
+         |sc0 AS (SELECT doc_id, text, $langScoreSql FROM w0),
+         |tag AS (SELECT doc_id, text,
+         |    CASE $langCaseSql ELSE 'und' END AS pl FROM sc0),
+         |wh AS (SELECT doc_id, pl, ${MirrorHash.wordHashesSql()} AS whs FROM tag),
+         |e AS (SELECT unnest(whs) % $DSIR_B AS bucket FROM wh),
+         |bc AS (SELECT bucket, count(*) AS c FROM e GROUP BY 1),
+         |tot AS (SELECT sum(c) AS t FROM bc),
+         |spine AS (SELECT unnest(generate_series(0, ${DSIR_B - 1})) AS bucket),
+         |l AS (SELECT spine.bucket,
+         |    CAST(round(1000000.0 * ln(
+         |      CAST(COALESCE(bc.c,0)+1 AS DOUBLE)
+         |      / CAST(tot.t+$DSIR_B AS DOUBLE))) AS BIGINT) AS lp
+         |  FROM spine LEFT JOIN bc ON spine.bucket = bc.bucket, tot),
+         |la AS (SELECT list(lp ORDER BY bucket) AS a FROM l),
+         |sc AS (SELECT doc_id AS id, pl,
+         |    CAST(len(whs) AS BIGINT) AS n_words,
+         |    CAST(-list_sum(list_transform(whs,
+         |      w -> a[CAST(w % $DSIR_B AS INT) + 1])) AS BIGINT) AS s
+         |  FROM wh, la),
+         |p AS (SELECT id, pl, n_words,
+         |    CAST(s AS DOUBLE) / CAST(n_words AS DOUBLE) AS nll
+         |  FROM sc WHERE n_words > 0),
+         |r AS (SELECT id, pl, n_words, nll,
+         |    percent_rank() OVER (PARTITION BY pl ORDER BY nll, id) AS pct
+         |  FROM p),
+         |b AS (SELECT id, pl, n_words, nll AS nll_micro_nats,
+         |    CASE WHEN pct <= 1.0/3 THEN 'head'
+         |         WHEN pct <= 2.0/3 THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM r)
+         |SELECT id, pl, n_words, nll_micro_nats, bucket FROM b
+         |WHERE bucket <> 'tail' ORDER BY id""".stripMargin,
+
     // temperature→resample capstone mirror: the rate is DATA-derived
     // (sqrt ratio, IEEE-identical), then the exact epochPlan floor
     // arithmetic inline — whole = floor(rate), extra iff

@@ -318,6 +318,23 @@ class CurationAuditSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("ccnet capstone: keeps exactly the non-tail two-thirds of each predicted language") {
+    val out = graft.queries.ExtQueries.queries("pipe_ccnet_filter")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(4)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._3 != "tail"))
+    // per predicted language, the kept share is ~2/3 (tercile cuts)
+    val tagged = TextAnalysis.langId(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.groupBy(_._2).foreach { case (pl, rows) =>
+      val total = tagged.values.count(_ == pl)
+      if (total >= 6) {
+        val share = rows.length.toDouble / total
+        assert(share > 0.55 && share < 0.8, s"$pl kept $share of $total")
+      }
+    }
+  }
+
   test("stream phrase-hits twin equals the batch positional-index search") {
     val phrases = Seq("table hash", "customer join", "slow hash batch")
     val batch = graft.operators.Ranking
