@@ -100,6 +100,43 @@ object ScaleSmokeSelect {
       }
       e.unpersist()
     }
+
+    // analytics family over replicated events (distinct users per copy,
+    // so per-user frames stay bounded — the production shape)
+    val events = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    def repEvents(n: Int): DataFrame = (0 until n).map(k =>
+      events.select((col("event_id") + lit(k * 10000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(k * 1000000L)).as("user_id"),
+        col("event_type"), col("value"))).reduce(_ union _)
+    Seq(1, 4, 16).foreach { m =>
+      val ev = repEvents(m).repartition(32).cache()
+      ev.count()
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_ss_ev$m").toString
+      ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      time(s"funnel x$m (${100000L * m} events)") {
+        noop(graft.queries.RelationalQueries.queries("rel_funnel")(spark, dir))
+      }
+      time(s"cohort x$m") {
+        noop(graft.queries.RelationalQueries.queries("rel_cohort")(spark, dir))
+      }
+      time(s"twap x$m") {
+        noop(graft.queries.RelationalQueries.queries("rel_twap")(spark, dir))
+      }
+      ev.unpersist()
+    }
+
+    // PageRank over the near-dup graph of replicated docs: edges GROW
+    // with replication (every copy pairs with every other copy of its
+    // near-dup set) — the adversarial direction for the edge joins
+    Seq(1, 2, 4).foreach { m =>
+      val d = repDocs(m).repartition(32).cache()
+      d.count()
+      time(s"pagerank x$m (${5000L * m} docs)") {
+        val pairs = graft.operators.Dedup.jaccardPairs(d, "doc_id", "text", 0.6)
+        noop(graft.operators.Dedup.pageRank(pairs, "da", "db", 3))
+      }
+      d.unpersist()
+    }
     spark.stop()
   }
 }

@@ -239,6 +239,13 @@ object StreamQueries {
         ExtQueries.CLEAN_MIN_WORDS, ExtQueries.CLEAN_MIN_LINES,
         ExtQueries.CLEAN_BAD).orderBy("id")),
 
+    // STATEFUL streaming funnel: per-user (t1, t2, t3) funnel front
+    // advanced by a mapGroupsWithState machine — three longs of state
+    // per user, Update mode; on the bounded replay the final rows
+    // equal batch rel_funnel, whose oracle it shares
+    "stream_funnel" -> ((s, dir) =>
+      StreamOps.funnelOnce(s, dir).orderBy("user_id")),
+
     // ONLINE phrase watchlist: per-doc occurrence counts from one
     // stateless projection (per-doc-local start-position filter) —
     // identical counts to the batch positional-index search, so the
@@ -479,6 +486,7 @@ object StreamQueries {
     "stream_clean_lines" -> ExtQueries.cleanLinesSql,
     "stream_weighted" -> ExtQueries.oracleSql("sample_weighted"),
     "stream_phrase_hits" -> ExtQueries.oracleSql("text_phrase_search"),
+    "stream_funnel" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_dsir_score" ->
       s"""WITH ${ExtQueries.dsirCtes}
          |SELECT id, score FROM sc ORDER BY id""".stripMargin,

@@ -445,6 +445,58 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming funnel attribution — the STATEFUL streaming shape for
+    * multi-stage conversion tracking: per-user state is the funnel
+    * front (t1, t2, t3 = earliest view / click-after-view /
+    * purchase-after-click, −1 = not reached), advanced by a
+    * `mapGroupsWithState` state machine as events arrive. Events are
+    * folded in (ts, event_id) order within each batch; state is THREE
+    * longs per user — bounded however long the stream runs (a TTL/
+    * timeout would retire converted or idle users in production, the
+    * sessionize event-time-expiry pattern). Update-mode memory sink;
+    * on a bounded one-batch replay the final per-user rows equal the
+    * batch `rel_funnel`, so the twin shares its oracle verbatim. */
+  def funnelOnce(spark: SparkSession, dir: String,
+      sinkName: String = "stream_funnel_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("event_id"))
+      .as[(Long, Long, String, Long)].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Long)]
+    ms.addData(recs.toIndexedSeq)
+    val src = ms.toDF().toDF("user_id", "ts_us", "event_type", "event_id")
+    val out = src.as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (user, events, state) =>
+          var (t1, t2, t3) =
+            if (state.exists) state.get else (-1L, -1L, -1L)
+          // fold in event order: the funnel only advances FORWARD
+          events.toSeq.sortBy(e => (e._2, e._4)).foreach { case (_, ts, tpe, _) =>
+            if (tpe == "view" && t1 < 0) t1 = ts
+            else if (tpe == "click" && t1 >= 0 && ts > t1 && t2 < 0) t2 = ts
+            else if (tpe == "purchase" && t2 >= 0 && ts > t2 && t3 < 0) t3 = ts
+          }
+          state.update((t1, t2, t3))
+          (user, t1, t2, t3)
+      }
+      .toDF("user_id", "t1_us", "t2_us", "t3_us")
+      .filter(col("t1_us") >= 0)
+    withHarnessConf(spark, "8") { ckpt =>
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName)
+  }
+
   /** Streaming phrase-hit counting — the live watchlist audit ("alert
     * on documents containing these exact phrases") over an ingest:
     * per arriving doc, each phrase's occurrence count from ONE

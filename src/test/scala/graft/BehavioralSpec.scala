@@ -40,6 +40,27 @@ class BehavioralSpec extends SparkSpec {
     assert(out(3L) == ((true, false, false)))
   }
 
+  test("streaming funnel twin equals batch rel_funnel, incl. out-of-order stages") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 01:00:00"), 1L, "click"),
+      (3L, ts("2024-01-01 02:00:00"), 1L, "purchase"),
+      (4L, ts("2024-01-01 00:30:00"), 2L, "click"), // click precedes view
+      (5L, ts("2024-01-01 01:30:00"), 2L, "view"),
+      (6L, ts("2024-01-01 00:00:00"), 3L, "view"),
+      (7L, ts("2024-01-01 01:00:00"), 3L, "purchase"), // no click stage
+      (8L, ts("2024-01-01 00:00:00"), 4L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfunnel").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = rows(graft.queries.RelationalQueries.queries("rel_funnel")(spark, dir))
+    val stream = rows(graft.streaming.StreamOps.funnelOnce(spark, dir,
+      sinkName = "stream_funnel_spec_sink"))
+    assert(batch.nonEmpty && stream == batch)
+  }
+
   test("cohort: offsets are whole weeks from each user's first-event week") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L, "view"), // cohort week W
