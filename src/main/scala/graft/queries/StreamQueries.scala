@@ -246,6 +246,12 @@ object StreamQueries {
     "stream_funnel" -> ((s, dir) =>
       StreamOps.funnelOnce(s, dir).orderBy("user_id")),
 
+    // the SAME funnel on Spark 4's transformWithState arbitrary-state
+    // API (named typed ValueState, RocksDB provider) — modern-API twin,
+    // same oracle
+    "stream_funnel_tws" -> ((s, dir) =>
+      StreamOps.funnelOnceTws(s, dir).orderBy("user_id")),
+
     // ONLINE phrase watchlist: per-doc occurrence counts from one
     // stateless projection (per-doc-local start-position filter) —
     // identical counts to the batch positional-index search, so the
@@ -487,6 +493,7 @@ object StreamQueries {
     "stream_weighted" -> ExtQueries.oracleSql("sample_weighted"),
     "stream_phrase_hits" -> ExtQueries.oracleSql("text_phrase_search"),
     "stream_funnel" -> RelationalQueries.oracleSql("rel_funnel"),
+    "stream_funnel_tws" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_dsir_score" ->
       s"""WITH ${ExtQueries.dsirCtes}
          |SELECT id, score FROM sc ORDER BY id""".stripMargin,

@@ -497,6 +497,77 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Per-user funnel front as a Spark 4 `transformWithState`
+    * StatefulProcessor — the modern arbitrary-state API twin of
+    * [[funnelOnce]]: a named ValueState holds (t1, t2, t3) per user
+    * (typed, TTL-configurable, RocksDB-backed — the production state
+    * store), the handler folds each batch's events in (ts, event_id)
+    * order and emits the updated front. Same state machine, same
+    * bounded-replay contract, same shared `rel_funnel` oracle. */
+  private class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, String, Long), (Long, Long, Long, Long)] {
+    @transient private var front:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      front = getHandle.getValueState[(Long, Long, Long)]("front",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, String, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long)] = {
+      var (t1, t2, t3) = if (front.exists()) front.get() else (-1L, -1L, -1L)
+      rows.toSeq.sortBy(e => (e._2, e._4)).foreach { case (_, ts, tpe, _) =>
+        if (tpe == "view" && t1 < 0) t1 = ts
+        else if (tpe == "click" && t1 >= 0 && ts > t1 && t2 < 0) t2 = ts
+        else if (tpe == "purchase" && t2 >= 0 && ts > t2 && t3 < 0) t3 = ts
+      }
+      front.update((t1, t2, t3))
+      Iterator.single((user, t1, t2, t3))
+    }
+  }
+
+  /** [[funnelOnce]] on the `transformWithState` path: RocksDB state
+    * store provider (the API requires it — and it is the provider a
+    * production deployment runs for state larger than executor heap),
+    * Update mode, bounded replay. */
+  def funnelOnceTws(spark: SparkSession, dir: String,
+      sinkName: String = "stream_funnel_tws_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("event_id"))
+      .as[(Long, Long, String, Long)].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Long)]
+    ms.addData(recs.toIndexedSeq)
+    val out = ms.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF("user_id", "t1_us", "t2_us", "t3_us")
+      .filter(col("t1_us") >= 0)
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withHarnessConf(spark, "8") { ckpt =>
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    spark.table(sinkName)
+  }
+
   /** Streaming phrase-hit counting — the live watchlist audit ("alert
     * on documents containing these exact phrases") over an ingest:
     * per arriving doc, each phrase's occurrence count from ONE

@@ -59,6 +59,10 @@ class BehavioralSpec extends SparkSpec {
     val stream = rows(graft.streaming.StreamOps.funnelOnce(spark, dir,
       sinkName = "stream_funnel_spec_sink"))
     assert(batch.nonEmpty && stream == batch)
+    // and the Spark 4 transformWithState (RocksDB ValueState) twin agrees
+    val tws = rows(graft.streaming.StreamOps.funnelOnceTws(spark, dir,
+      sinkName = "stream_funnel_tws_spec_sink"))
+    assert(tws == batch)
   }
 
   test("cohort: offsets are whole weeks from each user's first-event week") {

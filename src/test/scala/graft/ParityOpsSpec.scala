@@ -154,4 +154,39 @@ class ParityOpsSpec extends SparkSpec {
       .select("c").collect().map(_.getDouble(0))
     assert(out.toSeq == Seq(0.5, 1.5, 2.0, 0.0))
   }
+
+  test("observe: pipeline telemetry rides the job — no second pass over the corpus") {
+    // the production pattern for quality dashboards at 100 TB: metrics
+    // (rows kept, tokens, PII hits) are OBSERVED during the one job that
+    // writes the output, instead of re-scanning the corpus to count
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Tables.t(spark, sf001, "documents")
+    val gated = docs
+      .filter(length(col("text")) >= 50)
+      .observe("curation_metrics",
+        count(lit(1)).as("docs_kept"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens_kept"))
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var metrics: Option[org.apache.spark.sql.Row] = None
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.get("curation_metrics").foreach(r => metrics = Some(r))
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val written = gated.count()
+      // listener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (listener.metrics.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      // the observed metrics equal an explicit recount
+      val m = listener.metrics.getOrElse(fail("no observed metrics delivered"))
+      assert(m.getAs[Long]("docs_kept") == written)
+      val expectTokens = docs.filter(length(col("text")) >= 50)
+        .agg(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+      assert(m.getAs[Long]("tokens_kept") == expectTokens)
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
