@@ -80,6 +80,39 @@ object Dedup {
       .select("da", "db", "common", "na", "nb", "j")
   }
 
+  /** Shingle-set CONTAINMENT pairs (Broder 1997's second resemblance
+    * measure, |A∩B| ∕ |A|) — the asymmetric relation Jaccard misses: a
+    * short document quoted whole inside a long one has tiny Jaccard but
+    * containment ≈ 1. The dedup policy move is "drop the contained
+    * copy, keep the container" (quote/extension collapse). Emits one
+    * DIRECTIONAL row per (contained, container) with containment ≥
+    * tau; a pair similar in both directions yields two rows.
+    *
+    * Scale: identical inverted-shingle-index candidate generation to
+    * [[jaccardPairs]] (equi-join on the shingle hash, optional
+    * hot-shingle cap — never all-pairs); the direction split is a
+    * projection over the counted candidate frame. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      tau: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
+    val docs = shingleDocs(df, idCol, textCol).cache()
+    val inv0 = docs.select(col("id"), col("nd"), explode(col("ds")).as("h"))
+    val inv = maxShingleFreq.fold(inv0) { cap =>
+      val hot = inv0.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("h")
+      inv0.join(broadcast(hot), Seq("h"), "left_anti")
+    }
+    val a = inv.select(col("id").as("da"), col("nd").as("na"), col("h"))
+    val b = inv.select(col("id").as("db"), col("nd").as("nb"), col("h"))
+    val counted = a.join(b, Seq("h")).filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("common"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+    val fwd = counted.select(col("da").as("contained"), col("db").as("container"),
+      col("common"), (col("common") / col("na")).as("containment"))
+    val rev = counted.select(col("db").as("contained"), col("da").as("container"),
+      col("common"), (col("common") / col("nb")).as("containment"))
+    fwd.unionAll(rev).filter(col("containment") >= tau)
+  }
+
   /** MinHash signatures: id, mh0..mh{NUM_PERMS-1}. The signature is one
     * single-pass aggregate (minhashSig); element extraction happens in a
     * separate projection so CollapseProject cannot duplicate it. */

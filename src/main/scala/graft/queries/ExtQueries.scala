@@ -134,6 +134,8 @@ object ExtQueries {
   private val D4_FRAC = 0.25
   // PageRank power-iteration rounds (oracle unrolls the same count)
   private val PR_ITERS = 3
+  // containment threshold (|A∩B|/|A| — asymmetric)
+  private val CONTAIN_TAU = 0.7
   // interpolated bigram LM weight λ = 3/4 (rational — sum stays BIGINT)
   private val LAM_NUM = 3
   private val LAM_DEN = 4
@@ -603,6 +605,13 @@ object ExtQueries {
         .orderBy("da", "db")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDocs(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
+    "dedup_containment" -> ((s, dir) =>
+      // Broder containment (|A∩B|/|A|): the asymmetric quote/extension
+      // relation — same inverted-index candidates as dedup_jaccard,
+      // directional rows where the contained side clears tau
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          CONTAIN_TAU)
+        .orderBy("contained", "container")),
     "graph_pagerank" -> ((s, dir) =>
       // near-dup-graph hub ranking: integer PageRank (milli-units,
       // floored divisions) over the shared jaccard pair frame — one
@@ -1693,6 +1702,25 @@ object ExtQueries {
          |SELECT da, db, common, na, nb, common/(na+nb-common) AS j
          |FROM pairs WHERE common/(na+nb-common) >= $JACCARD_TAU
          |ORDER BY da, db""".stripMargin,
+    // containment mirror: same shingle inverted index, directional
+    // common/n ratios with the UNION of both directions
+    "dedup_containment" ->
+      s"""WITH $distinctShingleCte,
+         |ex AS (SELECT id, nd, unnest(ds) AS h FROM d),
+         |pr AS (
+         |  SELECT a.id AS da, b.id AS db, count(*) AS common,
+         |    any_value(a.nd) AS na, any_value(b.nd) AS nb
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
+         |dirs AS (
+         |  SELECT da AS contained, db AS container, common,
+         |    common / na AS containment FROM pr
+         |  UNION ALL
+         |  SELECT db AS contained, da AS container, common,
+         |    common / nb AS containment FROM pr)
+         |SELECT contained, container, common, containment FROM dirs
+         |WHERE containment >= $CONTAIN_TAU
+         |ORDER BY contained, container""".stripMargin,
+
     // integer-PageRank mirror: same jaccard pair CTEs, the same fixed
     // rounds unrolled with identical floored-division arithmetic
     "graph_pagerank" -> {

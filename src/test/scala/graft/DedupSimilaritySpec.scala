@@ -437,6 +437,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == all)
   }
 
+  test("containment: a quoted-whole short doc clears tau where Jaccard cannot") {
+    import spark.implicits._
+    val short0 = "alpha beta gamma delta epsilon zeta eta theta"
+    val long0 = short0 + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, short0), (2L, long0), (3L, "unrelated words only here")
+    ).toDF("id", "text")
+    val cont = graft.operators.Dedup.containmentPairs(df, "id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // doc 1's shingles all appear in doc 2 → containment 1.0, one
+    // direction only; doc 3 pairs with nobody
+    assert(cont.keySet == Set((1L, 2L)))
+    assert(cont((1L, 2L)) == 1.0)
+    // the symmetric Jaccard at the same tau misses the pair entirely
+    val jac = graft.operators.Dedup.jaccardPairs(df, "id", "text", 0.7).count()
+    assert(jac == 0L)
+  }
+
   test("d4Prune: survivors are a subset of semDedup's; frac 0 is identity") {
     val sem = Similarity.semDedup(emb, "vec_id", "embedding", 0.45, 8)
       .select("id").collect().map(_.getLong(0)).toSet
