@@ -252,6 +252,11 @@ object StreamQueries {
     "stream_funnel_tws" -> ((s, dir) =>
       StreamOps.funnelOnceTws(s, dir).orderBy("user_id")),
 
+    // streaming cohort matrix: per-user first-week ValueState (one long)
+    // emits activity cells; bounded replay == batch rel_cohort
+    "stream_cohort" -> ((s, dir) =>
+      StreamOps.cohortOnceTws(s, dir).orderBy("cohort_week", "week_offset")),
+
     // ONLINE phrase watchlist: per-doc occurrence counts from one
     // stateless projection (per-doc-local start-position filter) —
     // identical counts to the batch positional-index search, so the
@@ -494,6 +499,7 @@ object StreamQueries {
     "stream_phrase_hits" -> ExtQueries.oracleSql("text_phrase_search"),
     "stream_funnel" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_funnel_tws" -> RelationalQueries.oracleSql("rel_funnel"),
+    "stream_cohort" -> RelationalQueries.oracleSql("rel_cohort"),
     "stream_dsir_score" ->
       s"""WITH ${ExtQueries.dsirCtes}
          |SELECT id, score FROM sc ORDER BY id""".stripMargin,

@@ -529,6 +529,75 @@ object StreamOps {
     }
   }
 
+  /** Per-user FIRST-WEEK state for streaming cohort attribution: a
+    * `transformWithState` processor whose ValueState is one long (the
+    * user's earliest event week — min-folded, so batch processing order
+    * is irrelevant); each batch emits the user's distinct (cohort_week,
+    * week_offset) activity cells. One long of state per user. */
+  private class CohortProcessor(weekUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var firstWk:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      firstWk = getHandle.getValueState[Long]("firstWk",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      val wks = rows.map(_._2 / weekUs).toSeq
+      val first = math.min(
+        if (firstWk.exists()) firstWk.get() else Long.MaxValue, wks.min)
+      firstWk.update(first)
+      wks.map(w => (first, w - first, user)).distinct.iterator
+    }
+  }
+
+  /** Streaming cohort matrix on the `transformWithState` path (RocksDB
+    * provider): per-user first-week state feeds per-batch activity-cell
+    * emissions; the bounded-replay final table aggregates to EXACTLY
+    * the batch `rel_cohort`, whose oracle it shares. (Cross-batch
+    * out-of-order arrivals could mislabel a cohort until the earlier
+    * event arrives — the bounded-replay disclosure shared with the
+    * funnel twins; production would gate on the watermark.) */
+  def cohortOnceTws(spark: SparkSession, dir: String,
+      sinkName: String = "stream_cohort_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    val recs = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    ms.addData(recs.toIndexedSeq)
+    val out = ms.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new CohortProcessor(weekUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF("cohort_week", "week_offset", "user_id")
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withHarnessConf(spark, "8") { ckpt =>
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    spark.table(sinkName).distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** [[funnelOnce]] on the `transformWithState` path: RocksDB state
     * store provider (the API requires it — and it is the provider a
     * production deployment runs for state larger than executor heap),

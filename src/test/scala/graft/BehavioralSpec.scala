@@ -81,6 +81,11 @@ class BehavioralSpec extends SparkSpec {
     assert(out == Map(
       (w0, 0L) -> 1L, (w0, 1L) -> 1L, (w0, 2L) -> 1L,
       (w0 + 1L, 0L) -> 1L))
+    // the transformWithState streaming twin produces the same matrix
+    val stream = graft.streaming.StreamOps.cohortOnceTws(spark, dir,
+        sinkName = "stream_cohort_spec_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(stream == out)
   }
 
   test("pageRank: hand-computed chain graph, hub ranks highest") {
