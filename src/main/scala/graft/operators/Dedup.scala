@@ -62,8 +62,23 @@ object Dedup {
     * index self-join (no cross join). `maxShingleFreq` drops shingles
     * appearing in more docs than the cap from candidate generation. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      tau: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
-    val docs = shingleDocs(df, idCol, textCol).cache()
+      tau: Double, maxShingleFreq: Option[Int] = None): DataFrame =
+    shingleCandidateCounts(df, idCol, textCol, maxShingleFreq)
+      .withColumn("j", col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("j") >= tau)
+      .select("da", "db", "common", "na", "nb", "j")
+
+  /** Shared inverted-shingle-index candidate core of [[jaccardPairs]]
+    * and [[containmentPairs]]: per unordered candidate pair (da < db),
+    * the common-shingle count plus both set sizes — the sufficient
+    * statistics for EVERY set-resemblance measure. Equi-join on the
+    * shingle hash (optional hot-shingle cap), never all-pairs. The
+    * shingle frame sits behind a lazy localCheckpoint (two consumers:
+    * the index and the hot-shingle census) — reclaimable, unlike a
+    * CacheManager entry no caller is positioned to unpersist. */
+  private def shingleCandidateCounts(df: DataFrame, idCol: String,
+      textCol: String, maxShingleFreq: Option[Int]): DataFrame = {
+    val docs = shingleDocs(df, idCol, textCol).localCheckpoint(eager = false)
     val inv0 = docs.select(col("id"), col("nd"), explode(col("ds")).as("h"))
     val inv = maxShingleFreq.fold(inv0) { cap =>
       val hot = inv0.groupBy("h").agg(count(lit(1)).as("df"))
@@ -75,9 +90,6 @@ object Dedup {
     a.join(b, Seq("h")).filter(col("da") < col("db"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("common"), first(col("na")).as("na"), first(col("nb")).as("nb"))
-      .withColumn("j", col("common") / (col("na") + col("nb") - col("common")))
-      .filter(col("j") >= tau)
-      .select("da", "db", "common", "na", "nb", "j")
   }
 
   /** Shingle-set CONTAINMENT pairs (Broder 1997's second resemblance
@@ -94,18 +106,10 @@ object Dedup {
     * projection over the counted candidate frame. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       tau: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
-    val docs = shingleDocs(df, idCol, textCol).cache()
-    val inv0 = docs.select(col("id"), col("nd"), explode(col("ds")).as("h"))
-    val inv = maxShingleFreq.fold(inv0) { cap =>
-      val hot = inv0.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") > cap).select("h")
-      inv0.join(broadcast(hot), Seq("h"), "left_anti")
-    }
-    val a = inv.select(col("id").as("da"), col("nd").as("na"), col("h"))
-    val b = inv.select(col("id").as("db"), col("nd").as("nb"), col("h"))
-    val counted = a.join(b, Seq("h")).filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("common"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+    // both direction arms read the counted frame — checkpoint so the
+    // candidate pipeline runs once (the clusters() union discipline)
+    val counted = shingleCandidateCounts(df, idCol, textCol, maxShingleFreq)
+      .localCheckpoint(eager = false)
     val fwd = counted.select(col("da").as("contained"), col("db").as("container"),
       col("common"), (col("common") / col("na")).as("containment"))
     val rev = counted.select(col("db").as("contained"), col("da").as("container"),

@@ -116,19 +116,32 @@ object Mixture {
     * L_b = round(10⁶ · ln((c_b+1)∕(total+B))) with add-one smoothing.
     * One corpus pass, map-side combine, B-bounded shuffle — the same
     * fit shape as [[importanceTable]]. */
-  def unigramLmTable(df: DataFrame, textCol: String, buckets: Int): DataFrame = {
+  def unigramLmTable(df: DataFrame, textCol: String, buckets: Int): DataFrame =
+    lmTableFromHashes(df,
+      graft.functions.HashExpressions.word_hashes(col(textCol)),
+      buckets, coalesceTotal = false)
+
+  /** Shared add-one-smoothed micro-nat LM fit over ANY hashed-token
+    * array column (unigram word hashes, bigram gram hashes): one
+    * B-bounded bucket agg, spine left-join, round(10⁶·ln((c+1)∕(t+B))).
+    * `coalesceTotal` guards the zero-token corpus — reachable for a
+    * BIGRAM fit when every doc is single-word, whereas a unigram fit of
+    * a nonempty corpus always has tokens and its oracle mirror does not
+    * coalesce; the flag keeps each table bit-matched to ITS mirror. */
+  private def lmTableFromHashes(df: DataFrame, hashes: Column, buckets: Int,
+      coalesceTotal: Boolean): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val wh = graft.functions.HashExpressions.word_hashes(col(textCol))
-    val bc = df.select(explode(wh).as("w"))
-      .select(pmod(col("w"), lit(buckets.toLong)).as("bucket"))
+    val bc = df.select(explode(hashes).as("g"))
+      .select(pmod(col("g"), lit(buckets.toLong)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))
     val tot = bc.agg(sum(col("c")).as("t"))
     val spine = df.sparkSession.range(buckets).select(col("id").as("bucket"))
+    val tCol = if (coalesceTotal) coalesce(col("t"), lit(0L)) else col("t")
     spine.join(bc, Seq("bucket"), "left").crossJoin(tot)
       .select(col("bucket"),
         round(lit(1e6) * log(
           (coalesce(col("c"), lit(0L)) + 1).cast("double")
-            / (col("t") + buckets).cast("double")))
+            / (tCol + buckets).cast("double")))
           .cast("long").as("lp"))
   }
 
@@ -165,22 +178,11 @@ object Mixture {
     * sequence (`ngram_hashes(wh, 2)` — the same chain the dedup/
     * decontam operators mirror), so the DuckDB oracle shares it. One
     * corpus pass, map-side combine, B-bounded shuffle. */
-  def bigramLmTable(df: DataFrame, textCol: String, buckets: Int): DataFrame = {
-    require(buckets > 0, "buckets must be positive")
-    val wh = graft.functions.HashExpressions.word_hashes(col(textCol))
-    val gh = graft.functions.HashExpressions.ngram_hashes(wh, 2)
-    val bc = df.select(explode(gh).as("g"))
-      .select(pmod(col("g"), lit(buckets.toLong)).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("c"))
-    val tot = bc.agg(sum(col("c")).as("t"))
-    val spine = df.sparkSession.range(buckets).select(col("id").as("bucket"))
-    spine.join(bc, Seq("bucket"), "left").crossJoin(tot)
-      .select(col("bucket"),
-        round(lit(1e6) * log(
-          (coalesce(col("c"), lit(0L)) + 1).cast("double")
-            / (coalesce(col("t"), lit(0L)) + buckets).cast("double")))
-          .cast("long").as("lp"))
-  }
+  def bigramLmTable(df: DataFrame, textCol: String, buckets: Int): DataFrame =
+    lmTableFromHashes(df,
+      graft.functions.HashExpressions.ngram_hashes(
+        graft.functions.HashExpressions.word_hashes(col(textCol)), 2),
+      buckets, coalesceTotal = true)
 
   /** Per-document perplexity under an INTERPOLATED unigram+bigram LM —
     * the log-linear interpolation λ·lp₂ + (1−λ)·lp₁ per token position

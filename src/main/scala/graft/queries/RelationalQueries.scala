@@ -574,16 +574,20 @@ object RelationalQueries {
     // Cohort retention: users grouped by their first-event week, the
     // activity matrix (cohort_week, week_offset) → distinct active
     // users — the other product-analytics staple. Two aggregates and
-    // one user-keyed join; week arithmetic is integer floor division
-    // of epoch microseconds, identical in both engines.
+    // one user-keyed join. Week arithmetic is true FLOOR division
+    // (subtract the non-negative pmod remainder, then DIV the exact
+    // multiple): Spark's DIV truncates toward zero, which would
+    // disagree with DuckDB's flooring // on pre-epoch timestamps.
     "rel_cohort" -> ((s, dir) => {
       val weekUs = 7L * 24 * 3600 * 1000000L
+      def floorWeek(c: String) =
+        expr(s"($c - pmod($c, $weekUs)) DIV $weekUs")
       val ev = t(s, dir, "events")
       val first = ev.groupBy(col("user_id"))
         .agg(min(epochUs(col("ts"))).as("t0_us"))
-        .select(col("user_id"), expr(s"t0_us DIV $weekUs").as("cohort_week"))
+        .select(col("user_id"), floorWeek("t0_us").as("cohort_week"))
       ev.select(col("user_id"), epochUs(col("ts")).as("e_us"))
-        .select(col("user_id"), expr(s"e_us DIV $weekUs").as("wk"))
+        .select(col("user_id"), floorWeek("e_us").as("wk"))
         .join(first, "user_id")
         .select(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"),
           col("user_id"))

@@ -445,6 +445,38 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Run `body` with the RocksDB state-store provider (required by the
+    * transformWithState API, and the production provider for state
+    * larger than executor heap), restoring the previous provider conf
+    * afterwards — shared by every transformWithState harness. */
+  private def withRocksDbProvider[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** The funnel advance rule, shared by BOTH streaming twins (they
+    * share one oracle — a drift between their folds would silently
+    * break that contract): fold `events` = (ts, event_id, type) rows in
+    * (ts, event_id) order over the front (t1, t2, t3), each stage
+    * advancing only strictly after the previous one. */
+  private def advanceFunnel(front: (Long, Long, Long),
+      events: Seq[(Long, Long, String)]): (Long, Long, Long) = {
+    var (t1, t2, t3) = front
+    events.sortBy(e => (e._1, e._2)).foreach { case (ts, _, tpe) =>
+      if (tpe == "view" && t1 < 0) t1 = ts
+      else if (tpe == "click" && t1 >= 0 && ts > t1 && t2 < 0) t2 = ts
+      else if (tpe == "purchase" && t2 >= 0 && ts > t2 && t3 < 0) t3 = ts
+    }
+    (t1, t2, t3)
+  }
+
   /** Streaming funnel attribution — the STATEFUL streaming shape for
     * multi-stage conversion tracking: per-user state is the funnel
     * front (t1, t2, t3 = earliest view / click-after-view /
@@ -473,16 +505,11 @@ object StreamOps {
       .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
         case (user, events, state) =>
-          var (t1, t2, t3) =
-            if (state.exists) state.get else (-1L, -1L, -1L)
-          // fold in event order: the funnel only advances FORWARD
-          events.toSeq.sortBy(e => (e._2, e._4)).foreach { case (_, ts, tpe, _) =>
-            if (tpe == "view" && t1 < 0) t1 = ts
-            else if (tpe == "click" && t1 >= 0 && ts > t1 && t2 < 0) t2 = ts
-            else if (tpe == "purchase" && t2 >= 0 && ts > t2 && t3 < 0) t3 = ts
-          }
-          state.update((t1, t2, t3))
-          (user, t1, t2, t3)
+          val next = advanceFunnel(
+            if (state.exists) state.get else (-1L, -1L, -1L),
+            events.map(e => (e._2, e._4, e._3)).toSeq)
+          state.update(next)
+          (user, next._1, next._2, next._3)
       }
       .toDF("user_id", "t1_us", "t2_us", "t3_us")
       .filter(col("t1_us") >= 0)
@@ -518,14 +545,11 @@ object StreamOps {
         rows: Iterator[(Long, Long, String, Long)],
         timers: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[(Long, Long, Long, Long)] = {
-      var (t1, t2, t3) = if (front.exists()) front.get() else (-1L, -1L, -1L)
-      rows.toSeq.sortBy(e => (e._2, e._4)).foreach { case (_, ts, tpe, _) =>
-        if (tpe == "view" && t1 < 0) t1 = ts
-        else if (tpe == "click" && t1 >= 0 && ts > t1 && t2 < 0) t2 = ts
-        else if (tpe == "purchase" && t2 >= 0 && ts > t2 && t3 < 0) t3 = ts
-      }
-      front.update((t1, t2, t3))
-      Iterator.single((user, t1, t2, t3))
+      val next = advanceFunnel(
+        if (front.exists()) front.get() else (-1L, -1L, -1L),
+        rows.map(e => (e._2, e._4, e._3)).toSeq)
+      front.update(next)
+      Iterator.single((user, next._1, next._2, next._3))
     }
   }
 
@@ -547,7 +571,9 @@ object StreamOps {
     override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
         timers: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[(Long, Long, Long)] = {
-      val wks = rows.map(_._2 / weekUs).toSeq
+      // floorDiv, not /: truncation would disagree with the batch
+      // (and DuckDB) floor semantics on pre-epoch timestamps
+      val wks = rows.map(r => Math.floorDiv(r._2, weekUs)).toSeq
       val first = math.min(
         if (firstWk.exists()) firstWk.get() else Long.MaxValue, wks.min)
       firstWk.update(first)
@@ -579,19 +605,15 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
       .toDF("cohort_week", "week_offset", "user_id")
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try withHarnessConf(spark, "8") { ckpt =>
-      val q = out.writeStream.format("memory").queryName(sinkName)
-        .option("checkpointLocation", ckpt)
-        .outputMode(OutputMode.Update())
-        .start()
-      q.processAllAvailable()
-      q.stop()
-    } finally prevProvider match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    withRocksDbProvider(spark) {
+      withHarnessConf(spark, "8") { ckpt =>
+        val q = out.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update())
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
     }
     spark.table(sinkName).distinct()
       .groupBy(col("cohort_week"), col("week_offset"))
@@ -620,19 +642,15 @@ object StreamOps {
         OutputMode.Update())
       .toDF("user_id", "t1_us", "t2_us", "t3_us")
       .filter(col("t1_us") >= 0)
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try withHarnessConf(spark, "8") { ckpt =>
-      val q = out.writeStream.format("memory").queryName(sinkName)
-        .option("checkpointLocation", ckpt)
-        .outputMode(OutputMode.Update())
-        .start()
-      q.processAllAvailable()
-      q.stop()
-    } finally prevProvider match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    withRocksDbProvider(spark) {
+      withHarnessConf(spark, "8") { ckpt =>
+        val q = out.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update())
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
     }
     spark.table(sinkName)
   }
