@@ -48,7 +48,10 @@ object ScaleSmokeSelect {
     noop(docs.groupBy("source").count())
 
     val B = 4096
-    Seq(1, 4, 16).foreach { m =>
+    // SPARK_GRAFT_SMOKE_MULTS=1,4,16,64 deepens the doc curve on demand
+    val docMults = sys.env.get("SPARK_GRAFT_SMOKE_MULTS")
+      .map(_.split(',').map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
+    docMults.foreach { m =>
       val d = repDocs(m).repartition(32).cache()
       d.count()
       val nd = 5000L * m
