@@ -248,6 +248,82 @@ object HashExpressions {
     }
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003 §4 — the MOSS local document fingerprint): over a
+    * gram-hash array, slide a window of `w` consecutive hashes and
+    * select each window's minimum (LEFTMOST position on ties — a fixed,
+    * engine-mirrorable tie-break; the paper's "robust" rightmost rule
+    * differs only in which duplicate hash is kept). The selected set is
+    * returned as packed `pos·P + hash` longs in increasing-position
+    * order (hash < P, so packing is injective for any pos < 2^63∕P ≈
+    * 9·10⁹ grams — far beyond any document). Guarantee: two documents
+    * sharing a word-gram run of ≥ w+k−1 words share ≥1 selected
+    * fingerprint hash, with expected density 2∕(w+1) — a local,
+    * position-robust alternative to MinHash for substring-level match.
+    *
+    * Single O(m) pass via a monotonic ascending deque (indices whose
+    * hashes increase; pop-back on strict `>` keeps the earliest minimum
+    * = leftmost tie-break); the O(m·w) per-window HOF form
+    * ([[MirrorHash.winnowSelect]]) is the executable spec and the DuckDB
+    * oracle mirror. Documents with fewer than w grams winnow their
+    * single full window (standard short-doc convention); empty gram
+    * arrays select nothing. */
+  case class WinnowArray(child: Expression, w: Int) extends UnaryExpression {
+    require(w >= 1, s"winnow window must be >= 1, got $w")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(c: Expression): WinnowArray =
+      copy(child = c)
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData].toLongArray()
+      val m = hs.length
+      if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+      val dq = new Array[Int](m)
+      var head = 0; var tail = 0
+      val sel = new Array[Long](m)
+      var nSel = 0; var last = -1
+      var i = 0
+      while (i < m) {
+        while (tail > head && hs(dq(tail - 1)) > hs(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (i >= w - 1 || i == m - 1) {
+          while (dq(head) < i - w + 1) head += 1
+          val p = dq(head)
+          if (p != last) { sel(nSel) = p.toLong * P + hs(p); nSel += 1; last = p }
+        }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(sel, nSel))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val gad = classOf[GenericArrayData].getName
+      nullSafeCodeGen(ctx, ev, in => {
+        val m = ctx.freshName("m"); val dq = ctx.freshName("dq")
+        val head = ctx.freshName("head"); val tail = ctx.freshName("tail")
+        val sel = ctx.freshName("sel"); val nSel = ctx.freshName("nSel")
+        val last = ctx.freshName("last"); val i = ctx.freshName("i")
+        val p = ctx.freshName("p")
+        s"""
+           |int $m = $in.numElements();
+           |int[] $dq = new int[$m];
+           |long[] $sel = new long[$m];
+           |int $head = 0, $tail = 0, $nSel = 0, $last = -1;
+           |for (int $i = 0; $i < $m; $i++) {
+           |  while ($tail > $head && $in.getLong($dq[$tail - 1]) > $in.getLong($i)) $tail--;
+           |  $dq[$tail++] = $i;
+           |  if ($i >= $w - 1 || $i == $m - 1) {
+           |    while ($dq[$head] < $i - $w + 1) $head++;
+           |    int $p = $dq[$head];
+           |    if ($p != $last) { $sel[$nSel++] = (long) $p * ${P}L + $in.getLong($p); $last = $p; }
+           |  }
+           |}
+           |${ev.value} = new $gad(java.util.Arrays.copyOf($sel, $nSel));
+         """.stripMargin
+      })
+    }
+  }
+
   /** MinHash signature (MirrorHash.minhashSig): NUM_PERMS mins in one pass. */
   case class MinHashSig(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -668,6 +744,7 @@ object HashExpressions {
       buckets: Int): Column =
     column(ClassScoreArray(expression(whs), priors, table, buckets))
   def minhash_sig(shs: Column): Column = column(MinHashSig(expression(shs)))
+  def winnow(hs: Column, w: Int): Column = column(WinnowArray(expression(hs), w))
   def simhash30(shs: Column): Column = column(SimHash30(expression(shs)))
   def fixed_dot(a: Column, b: Column): Column = column(FixedDot(expression(a), expression(b)))
   def fixed_dot_sq(a: Column, b: Column): Column = column(FixedDotSq(expression(a), expression(b)))

@@ -164,6 +164,39 @@ object MirrorHash {
     }: _*)
   }
 
+  /** Winnowing fingerprint selection over a gram-hash array — the O(m·w)
+    * per-window HOF executable spec of
+    * [[graft.functions.HashExpressions.WinnowArray]] (Schleimer et al.
+    * 2003 §4): every w-window's leftmost minimum, deduplicated, as packed
+    * pos·P + hash longs sorted by position. Docs with 1 ≤ m < w winnow
+    * the single full window; empty gram arrays select nothing. */
+  def winnowSelect(hs: Column, w: Int): Column = {
+    require(w >= 1, s"winnow window must be >= 1, got $w")
+    val m = size(hs)
+    // leftmost argmin of window [j, min(j+w-1, m-1)]: strict < keeps the
+    // earliest min; acc seeds at (P, -1) and P exceeds every hash
+    val packed = transform(sequence(lit(0), greatest(m - w, lit(0))), j =>
+      aggregate(sequence(j, least(j + w - 1, m - 1)),
+        struct(lit(P).as("h"), lit(-1L).as("p")),
+        (acc, i) => when(element_at(hs, i + 1) < acc.getField("h"),
+            struct(element_at(hs, i + 1).as("h"), i.cast("long").as("p")))
+          .otherwise(acc),
+        acc => acc.getField("p") * P + acc.getField("h")))
+    when(m >= 1, array_sort(array_distinct(packed)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** SQL mirror of [[winnowSelect]] (DuckDB slices are 1-based inclusive
+    * and clamp at the list end; list_position returns the FIRST match =
+    * the leftmost-min tie-break). */
+  def winnowSelectSql(hs: String, w: Int): String =
+    s"""CASE WHEN len($hs) >= 1 THEN
+       | list_sort(list_distinct(list_transform(
+       |   generate_series(1, greatest(len($hs)-${w - 1}, 1)),
+       |   j -> CAST(j-2+list_position($hs[j:j+${w - 1}], list_min($hs[j:j+${w - 1}])) AS BIGINT)*$P
+       |        + list_min($hs[j:j+${w - 1}]))))
+       | ELSE [] END""".stripMargin
+
   /** Position-weighted document fingerprint: Σ (wh_i mod P)·((i mod 64)+1) mod P. */
   def fingerprint(whs: Column): Column =
     aggregate(

@@ -117,6 +117,39 @@ object Dedup {
     fwd.unionAll(rev).filter(col("containment") >= tau)
   }
 
+  /** Winnowed-fingerprint overlap pairs (Schleimer et al. 2003 §5): the
+    * substring-level dual of [[jaccardPairs]]. Each document contributes
+    * only its winnowed fingerprint set (expected 2∕(w+1) of its grams,
+    * selected by the codegen'd O(grams) [[graft.operators.TextAnalysis.winnow]]
+    * pass), and candidate pairs come from an equi-join on the fingerprint
+    * hash — never all-pairs. Any shared word run of ≥ w+2 words is
+    * guaranteed to surface (the winnowing guarantee), so `minShared`
+    * thresholds evidence strength, not recall of long overlaps. The
+    * optional hot-gram cap drops boilerplate fingerprints from candidate
+    * generation exactly like jaccard's hot-shingle cap.
+    *
+    * Scale: the join carries the sparse fingerprint frame (~0.4× gram
+    * rows at w=4); the pair aggregate does map-side partial counts; the
+    * cap bounds the worst single-hash fanout at `cap²` rows. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String, w: Int,
+      minShared: Long, maxGramFreq: Option[Int] = None): DataFrame = {
+    // distinct (id, gh): the same hash winnowed at several positions is
+    // one piece of evidence. Two consumers when capped -> lazy checkpoint
+    val fps0 = TextAnalysis.winnow(df, idCol, textCol, w)
+      .select(col("id"), col("gh")).distinct()
+    val fps = maxGramFreq.fold(fps0) { cap =>
+      val f = fps0.localCheckpoint(eager = false)
+      val hot = f.groupBy("gh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("gh")
+      f.join(broadcast(hot), Seq("gh"), "left_anti")
+    }
+    val a = fps.select(col("id").as("da"), col("gh"))
+    val b = fps.select(col("id").as("db"), col("gh"))
+    a.join(b, Seq("gh")).filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** MinHash signatures: id, mh0..mh{NUM_PERMS-1}. The signature is one
     * single-pass aggregate (minhashSig); element extraction happens in a
     * separate projection so CollapseProject cannot duplicate it. */

@@ -197,6 +197,24 @@ object Mixture {
     * array folds (no per-position branching). ONE projection pass, both
     * tables plan literals, zero shuffle; a single-word document
     * degenerates to the unigram score exactly. */
+  /** Shared unigram/bigram LM sum core: (word-hash array, Σ lp₁ over
+    * all positions, lp₁(w₀) + Σ lp₂ over later positions) — the
+    * sufficient BIGINT statistics every interpolated-LM consumer
+    * ([[perplexityScoreInterp]], [[doremiPlan]]) scores from, factored
+    * so the twins cannot drift. Folds run in the codegen'd
+    * ClassScoreArray (one class, zero prior) — no interpreted HOF. */
+  private def lmSums(textCol: String, uniTable: Seq[Long],
+      biTable: Seq[Long], buckets: Int): (Column, Column, Column) = {
+    val wh = graft.functions.HashExpressions.word_hashes(col(textCol))
+    val gh = graft.functions.HashExpressions.ngram_hashes(wh, 2)
+    def fold(arr: Column, tbl: Seq[Long]): Column =
+      element_at(graft.functions.HashExpressions.class_scores(
+        arr, Array(0L), tbl.toArray, buckets), 1)
+    val first = element_at(lit(uniTable.toArray),
+      pmod(element_at(wh, 1), lit(buckets.toLong)).cast("int") + 1)
+    (wh, fold(wh, uniTable), first + fold(gh, biTable))
+  }
+
   def perplexityScoreInterp(df: DataFrame, idCol: String, textCol: String,
       uniTable: Seq[Long], biTable: Seq[Long], buckets: Int,
       lamNum: Int, lamDen: Int): DataFrame = {
@@ -204,19 +222,8 @@ object Mixture {
       "table sizes must equal buckets")
     require(lamNum >= 0 && lamDen > 0 && lamNum <= lamDen,
       s"lambda $lamNum/$lamDen not in [0,1]")
-    val wh = graft.functions.HashExpressions.word_hashes(col(textCol))
-    val gh = graft.functions.HashExpressions.ngram_hashes(wh, 2)
-    // both folds run in the codegen'd ClassScoreArray (one class, zero
-    // prior) — no interpreted HOF in the scoring path
-    def fold(arr: Column, tbl: Seq[Long]): Column =
-      element_at(graft.functions.HashExpressions.class_scores(
-        arr, Array(0L), tbl.toArray, buckets), 1)
-    val s1 = fold(wh, uniTable)
-    val s2 = fold(gh, biTable)
-    val first = element_at(lit(uniTable.toArray),
-      pmod(element_at(wh, 1), lit(buckets.toLong)).cast("int") + 1)
-    val s = lit((lamDen - lamNum).toLong) * s1 +
-      lit(lamNum.toLong) * (first + s2)
+    val (wh, s1, sbi) = lmSums(textCol, uniTable, biTable, buckets)
+    val s = lit((lamDen - lamNum).toLong) * s1 + lit(lamNum.toLong) * sbi
     df.select(col(idCol).as("id"),
       size(wh).cast("long").as("n_words"),
       (-s).as("__s"))
@@ -225,6 +232,56 @@ object Mixture {
         (col("__s").cast("double")
           / (lit(lamDen.toLong) * col("n_words")).cast("double"))
           .as("nll_micro_nats"))
+  }
+
+  /** DoReMi-style domain reweighting plan (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * the Group-DRO exponentiated-gradient step that upweights domains
+    * where a stronger model improves most over a weaker one. The
+    * published method measures per-domain EXCESS LOSS (proxy minus
+    * reference model); this deterministic stand-in uses the repo's two
+    * corpus LMs — excess = unigram NLL − interpolated-bigram NLL per
+    * document (both BIGINT micro-nat sums from [[lmSums]], so the
+    * statistic is bit-exact cross-engine) — and takes one EG step from
+    * the baseline token distribution:
+    *
+    *   L_d      = Σ_docs max(0, nll₁ − nll₂) div Σ_docs tokens   (µnats/tok)
+    *   score_d  = round(10⁶ · exp(L_d ∕ 10⁶))                    (η = 1)
+    *   weight_d = tokens_d·score_d ∕ Σ_e tokens_e·score_e
+    *
+    * The only transcendental is one exp per DOMAIN (≈20 rows), rounded
+    * to integer micro-units — the same final-ulp-then-round exposure as
+    * the LM tables' ln, negligible and disclosed.
+    *
+    * Scale: corpus cost is one zero-shuffle scoring projection (both
+    * LM tables are plan literals) + one |domains|-row aggregate; the
+    * normalizer joins back as a broadcast 1-row frame. */
+  def doremiPlan(df: DataFrame, srcCol: String, textCol: String,
+      uniTable: Seq[Long], biTable: Seq[Long], buckets: Int): DataFrame = {
+    require(uniTable.length == buckets && biTable.length == buckets,
+      "table sizes must equal buckets")
+    val (wh, s1, sbi) = lmSums(textCol, uniTable, biTable, buckets)
+    // lp sums are negative; nll₁ − nll₂ = (−s1) − (−sbi) = sbi − s1
+    val perDoc = df.select(col(srcCol).as("source"),
+        size(wh).cast("long").as("__n"),
+        greatest(lit(0L), sbi - s1).as("__ex"))
+      .filter(col("__n") > 0)
+    // |domains| rows feed two consumers (normalizer + output) — lazy
+    // checkpoint so the corpus scoring pass runs once
+    val agg = perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens"),
+        sum(col("__ex")).as("__ex_sum"))
+      .withColumn("excess_micro", expr("__ex_sum div n_tokens"))
+      .withColumn("eg_score",
+        round(lit(1e6) * exp(col("excess_micro").cast("double") / lit(1e6)))
+          .cast("long"))
+      .localCheckpoint(eager = false)
+    val total = agg.agg(sum(col("n_tokens") * col("eg_score")).as("__tot"))
+    agg.join(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("excess_micro"), col("eg_score"),
+        ((col("n_tokens") * col("eg_score")) / col("__tot")).as("weight"))
   }
 
   /** CCNet head/middle/tail quality buckets (Wenzek et al. 2020 §4.3) —

@@ -91,6 +91,29 @@ object TextAnalysis {
     df.select(col(idCol).as("id"),
       MirrorHash.fingerprint(graft.functions.HashExpressions.word_hashes(col(textCol))).as("fp"))
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): 3-word shingle hashes winnowed
+    * with window `w` to the per-window leftmost-minimum set, exploded to
+    * one row per selected (position, gram-hash). Unlike the global
+    * MinHash signature, winnowed fingerprints are LOCAL — any shared
+    * word run of ≥ w+2 words between two documents is guaranteed to
+    * share a selected hash — so an equi-join on `gh` finds substring-
+    * level overlap (plagiarism / quote detection) with expected density
+    * 2∕(w+1) of the gram count. The selection runs as one codegen'd
+    * O(grams) pass per document ([[graft.functions.HashExpressions.WinnowArray]],
+    * monotonic-deque sliding minimum) inside the scan projection: zero
+    * shuffle, embarrassingly parallel at any corpus scale, and the
+    * downstream join carries only the ~2∕(w+1)-dense fingerprint rows
+    * rather than every gram. */
+  def winnow(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val he = graft.functions.HashExpressions
+    df.select(col(idCol).as("id"),
+        explode(he.winnow(he.shingle_hashes(he.word_hashes(col(textCol))), w)).as("__p"))
+      .select(col("id"),
+        expr(s"__p div ${MirrorHash.P}").as("pos"),
+        (col("__p") % MirrorHash.P).as("gh"))
+  }
+
   /** Corpus vocabulary: top-k tokens by frequency (the first step of any
     * tokenizer/BPE training run). Explode pipelines inside the scan stage;
     * the hash aggregate does map-side partials so the shuffle carries one
@@ -100,6 +123,87 @@ object TextAnalysis {
     df.select(explode(words(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(k)
+
+  /** EXACT corpus heavy hitters in two passes — every token whose count
+    * is ≥ ⌈n∕share⌉ with its exact count, without ever shuffling the
+    * full distinct-token frame (the WIMBD/vocab shape shuffles one row
+    * per distinct token per partition; at web scale the token
+    * vocabulary is billions of rows of long-tail noise).
+    *
+    * Pass 1 runs a Misra-Gries summary (Misra & Gries 1982; merge bound
+    * per Agarwal et al., PODS 2012) with `counters` slots per partition
+    * in one mapPartitions scan (bounded state, amortized O(1) per token
+    * — each decrement retires counters+1 count units, so total decrement
+    * work is O(n)). Each partition also emits its token total as a
+    * null-token sentinel row, so one scan yields both the candidate
+    * summaries and n. Plain summation of per-partition summaries keeps
+    * the MG guarantee: each partition undercounts any token by at most
+    * n_i∕(counters+1), so the summed undercount is < n∕(counters+1) —
+    * any token with true count ≥ ⌈n∕share⌉ > n∕(counters+1) (enforced:
+    * counters ≥ share) survives with a positive summed count. Candidates
+    * are therefore a guaranteed SUPERSET of the answer, at most
+    * partitions×counters rows.
+    *
+    * Pass 2 broadcast-semi-joins the token stream against the candidate
+    * set and exact-counts only those tokens (map-side partial combine
+    * collapses the hot tokens per partition, so the shuffle is ≤
+    * |candidates| rows per partition). The output is EXACT and
+    * partition-layout-invariant even though the intermediate summaries
+    * are not — mapPartitions is justified here as genuine bounded-state
+    * per-partition imperative logic (the same clause as Multimodal's
+    * codec pipelining). */
+  def heavyHitters(df: DataFrame, textCol: String, counters: Int,
+      share: Int): DataFrame = {
+    require(counters >= share,
+      s"need counters >= share for the MG superset guarantee ($counters < $share)")
+    val sess = df.sparkSession
+    import sess.implicits._
+    val texts = df.select(col(textCol).cast("string")).as[String]
+    val summary = texts.mapPartitions { it =>
+      val mg = new java.util.HashMap[String, Long](counters * 2)
+      var nTok = 0L
+      it.foreach { text =>
+        if (text != null) {
+          // tokenization == split(text, ' ') limit -1 (keeps empties,
+          // incl. the single "" token of an empty document)
+          var from = 0
+          while (from <= text.length) {
+            val sp = text.indexOf(' ', from)
+            val end = if (sp < 0) text.length else sp
+            val tok = text.substring(from, end)
+            nTok += 1
+            val cur = mg.getOrDefault(tok, 0L)
+            if (cur > 0L) mg.put(tok, cur + 1L) // stored counts are always >= 1
+            else if (mg.size < counters) mg.put(tok, 1L)
+            else { // decrement-all: retires counters+1 units of count
+              val e = mg.entrySet().iterator()
+              while (e.hasNext) {
+                val kv = e.next()
+                if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1L)
+              }
+            }
+            from = end + 1
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Option[String], Long)]
+      out += ((None, nTok)) // null-token sentinel: this partition's token total
+      mg.forEach((k, v) => out += ((Some(k), v)))
+      out.iterator
+    }.toDF("token", "c").localCheckpoint(eager = false)
+    val n = summary.filter(col("token").isNull)
+      .agg(sum(col("c")).as("n"))
+    val cands = summary.filter(col("token").isNotNull).select("token").distinct()
+    // ceil(n/share) in INTEGER arithmetic (Column./ is IEEE division);
+    // both operands positive, so Spark `div` == DuckDB `//`
+    val thresh = n.select(expr(s"(n + ${share - 1}) div $share").as("t"))
+    df.select(explode(split(col(textCol), " ")).as("token"))
+      .join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(thresh))
+      .filter(col("c") >= col("t"))
+      .select(col("token"), col("c"))
+  }
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A.1.1, the
     * repetition-removal filters): per document, the share of words taken

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dimensional-warehouse operators over change-event streams: SCD
+  * Type-2 version building (Kimball & Ross, The Data Warehouse Toolkit
+  * ch. 5 — the standard "effective_from / effective_to / is_current"
+  * versioned dimension) and multi-touch conversion attribution (the
+  * last-touch and linear credit models every marketing-analytics stack
+  * ships).
+  *
+  * Both are pure per-key window algebra: the event frame shuffles once
+  * on its natural key and every derivation is a lag/lead/carry within
+  * the partition — no self-joins, no driver state, linear in events at
+  * any scale with per-key state bounded by one partition's slice.
+  */
+object Warehouse {
+
+  /** SCD Type-2 dimension build from a change log: per `keyCol` ordered
+    * by (ts, tie-break id), collapse consecutive duplicate values of
+    * `attrCol` (only real changes version), then stamp each version with
+    * effective_from = its change timestamp, effective_to = the NEXT
+    * change's timestamp (null while current) and an is_current flag.
+    *
+    * One shuffle: both windows partition on the key, and the change
+    * filter preserves ordering, so Catalyst reuses the first exchange
+    * for the lead() pass (plan-audited). */
+  def scd2(events: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val changes = events
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+    changes
+      .withColumn("eff_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(attrCol).as("attr"),
+        col(tsCol).as("eff_from"), col("eff_to"),
+        col("eff_to").isNull.cast("int").as("is_current"))
+  }
+
+  /** Multi-touch conversion attribution: every touch event (types in
+    * `touchTypes`) is credited to the NEXT conversion event (type
+    * `convType`) of the same key, under both standard models at once —
+    * last-touch (the final touch before the conversion takes the full
+    * conversion value) and linear (the value splits evenly across the
+    * conversion's touches; integer micro-unit floor division, the
+    * remainder disclosed by n_touches·linear ≤ value).
+    *
+    * The touch→conversion assignment is a REVERSE carry (`last` with
+    * ignoreNulls over the descending-ordered per-key frame), not a
+    * range join — each key's events shuffle once and the carry is a
+    * linear scan; the per-conversion touch counts and ranks are
+    * windows on the (key, conversion) sub-key, which Catalyst serves
+    * from the SAME key-hash exchange with a re-sort (plan-audited: one
+    * hashpartitioning in the whole query). Unattributed touches (no
+    * later conversion) drop, matching the business rule. */
+  def attribution(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, idCol: String, valCol: String,
+      touchTypes: Seq[String], convType: String): DataFrame = {
+    val isConv = col(typeCol) === convType
+    val wDesc = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vMicro = (col(valCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      * lit(1000000L)).cast("long")
+    val carried = events
+      .withColumn("__conv_id", last(when(isConv, col(idCol)), ignoreNulls = true).over(wDesc))
+      .withColumn("__conv_vm", last(when(isConv, vMicro), ignoreNulls = true).over(wDesc))
+      .filter(col(typeCol).isInCollection(touchTypes) && col("__conv_id").isNotNull)
+    val wConv = Window.partitionBy(col(keyCol), col("__conv_id"))
+    val wConvOrd = wConv.orderBy(col(tsCol).desc, col(idCol).desc)
+    carried
+      .withColumn("n_touches", count(lit(1)).over(wConv))
+      .withColumn("__rn", row_number().over(wConvOrd))
+      .select(col(keyCol), col(idCol).as("touch_id"),
+        col("__conv_id").as("conv_id"), col("n_touches"),
+        expr("__conv_vm div n_touches").as("linear_micro"),
+        when(col("__rn") === 1, col("__conv_vm")).otherwise(lit(0L))
+          .as("last_touch_micro"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.MirrorHash
-import graft.operators.{Binning, Bpe, Chunking, Decontaminate, Multimodal, Dedup, Mixture, Packing, Ranking, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Binning, Bpe, Chunking, Decontaminate, Multimodal, Dedup, Layout, Mixture, Packing, Ranking, Sampling, Similarity, TextAnalysis}
 import Tables._
 
 /** Training-data-pipeline extension queries (north star in BASELINE.json):
@@ -14,7 +14,7 @@ import Tables._
   * MirrorHash arithmetic, so both engines compute bit-identical results.
   */
 object ExtQueries {
-  import MirrorHash.{P, wordHashesSql, shingleHashesSql, minhashSql, simhashSql, simhashBandsSql, bandsSql, minhashSigSql, fingerprintSql}
+  import MirrorHash.{P, wordHashesSql, shingleHashesSql, minhashSql, simhashSql, simhashBandsSql, bandsSql, minhashSigSql, fingerprintSql, winnowSelectSql}
 
   private val JACCARD_TAU = 0.6
   // deterministic-sampling query config (mirrored literally in the oracle)
@@ -69,6 +69,16 @@ object ExtQueries {
   // rounded in both engines, so the derived integer always agrees)
   // WIMBD duplicated-n-gram audit length
   private val DUPNG_N = 4
+  // exact two-pass heavy hitters: MG counters per partition and the
+  // count threshold share (tokens with count >= ceil(n/HH_SHARE));
+  // counters >= share is the candidate-superset guarantee
+  private val HH_COUNTERS = 1000
+  private val HH_SHARE = 500
+  // winnowing (MOSS) fingerprints: window over 3-word shingle hashes
+  // (guarantee length w+2 = 6 words; expected density 2/(w+1) = 0.4)
+  // and the shared-fingerprint evidence floor for overlap pairs
+  private val WINNOW_W = 4
+  private val WINNOW_MIN_SHARED = 2L
   // temperature mixture planning: epochs granted to the largest source
   private val MIX_MAX_EPOCHS = 4.0
   // UniMax water-filling: per-source epoch cap and total token budget,
@@ -389,6 +399,27 @@ object ExtQueries {
       TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
+    "text_heavy_hitters" -> ((s, dir) =>
+      // exact heavy hitters in two passes: bounded Misra-Gries candidate
+      // generation (no distinct-token shuffle), then exact counts of the
+      // broadcast candidate set only — output is exact and layout-
+      // invariant even though the intermediate summaries are not
+      TextAnalysis.heavyHitters(t(s, dir, "documents"), "text",
+          HH_COUNTERS, HH_SHARE)
+        .orderBy(col("c").desc, col("token"))),
+    "text_winnowing" -> ((s, dir) =>
+      // MOSS winnowed fingerprints: codegen'd O(grams) monotonic-deque
+      // sliding-minimum selection pipelined inside the scan projection —
+      // zero shuffle, ~2/(w+1) of grams survive per document
+      TextAnalysis.winnow(t(s, dir, "documents"), "doc_id", "text", WINNOW_W)
+        .orderBy("id", "pos")),
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      // substring-overlap pairs from winnowed fingerprints: equi-join on
+      // the fingerprint hash (never all-pairs), any shared >= w+2-word
+      // run guaranteed to surface
+      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text", WINNOW_W,
+          WINNOW_MIN_SHARED)
+        .orderBy("da", "db")),
     "doc_chunks" -> ((s, dir) =>
       // context-window chunking with overlap — shuffle-free posexplode
       Chunking.chunk(t(s, dir, "documents"), "doc_id", "text", CHUNK_W, CHUNK_OV)
@@ -426,6 +457,18 @@ object ExtQueries {
       // pandas cut + value_counts: fixed-edge binning, one hash aggregate
       Binning.valueCounts(t(s, dir, "lineitem"),
         Binning.cut(col("l_extendedprice"), CUT_EDGES, CUT_LABELS))),
+    "layout_zorder" -> ((s, dir) => {
+      // Z-order layout audit over (price in micro-units, partkey): the
+      // per-bucket min/max table a Morton-sorted parquet layout hands a
+      // 2-D range scan for file skipping. Price spans ~2^36 so the
+      // power-of-two quantizer's shift path is exercised; partkey spans
+      // <2^16 and quantizes by identity
+      val li = t(s, dir, "lineitem").select(
+        (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(20, 6))
+          * lit(1000000L)).cast("long").as("price_micro"),
+        col("l_partkey").cast("long").as("pk"))
+      Layout.zorderStats(li, "price_micro", "pk", 8).orderBy("bucket")
+    }),
     "text_vocab" -> ((s, dir) =>
       // tokenizer/BPE step 1: corpus top-k vocabulary — explode pipelined
       // in the scan, map-side partial counts, TakeOrderedAndProject
@@ -791,6 +834,19 @@ object ExtQueries {
       Mixture.perplexityScoreInterp(docs, "doc_id", "text", t1, t2,
           DSIR_B, LAM_NUM, LAM_DEN)
         .orderBy(col("nll_micro_nats").desc, col("id")).limit(DSIR_K)
+    }),
+    "mix_doremi" -> ((s, dir) => {
+      // DoReMi EG domain reweighting: per-domain excess loss between
+      // the corpus's weaker (unigram) and stronger (bigram-interp) LM,
+      // one exponentiated-gradient step from the token baseline —
+      // corpus cost is ONE zero-shuffle scoring projection
+      val docs = t(s, dir, "documents")
+      val t1 = Mixture.unigramLmTable(docs, "text", DSIR_B)
+        .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+      val t2 = Mixture.bigramLmTable(docs, "text", DSIR_B)
+        .orderBy("bucket").collect().map(_.getLong(1)).toSeq
+      Mixture.doremiPlan(docs, "source", "text", t1, t2, DSIR_B)
+        .orderBy("source")
     }),
     "text_ccnet_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail release buckets: per-LANGUAGE perplexity
@@ -1491,6 +1547,40 @@ object ExtQueries {
     "text_fingerprint" ->
       s"""WITH $whsCte
          |SELECT id, ${fingerprintSql()} AS fp FROM w ORDER BY id""".stripMargin,
+    "layout_zorder" ->
+      s"""WITH d AS (SELECT
+         |    CAST(CAST(l_extendedprice AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS x,
+         |    CAST(l_partkey AS BIGINT) AS y FROM lineitem),
+         |b AS (SELECT min(x) AS xmin, max(x) AS xmax,
+         |    min(y) AS ymin, max(y) AS ymax FROM d),
+         |bd AS (SELECT *, ${Layout.shiftUpSql("xmax - xmin")} AS tx,
+         |    ${Layout.shiftDownSql("xmax - xmin")} AS sx,
+         |    ${Layout.shiftUpSql("ymax - ymin")} AS ty,
+         |    ${Layout.shiftDownSql("ymax - ymin")} AS sy FROM b),
+         |q AS (SELECT x, y, ${Layout.quantizeSql("x", "xmin", "tx", "sx")} AS qx,
+         |    ${Layout.quantizeSql("y", "ymin", "ty", "sy")} AS qy FROM d, bd),
+         |z AS (SELECT x, y, ${Layout.interleaveSql("qx", "qy")} AS zv FROM q)
+         |SELECT zv >> 24 AS bucket, count(*) AS n,
+         |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "text_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+         |n AS (SELECT count(*) AS n FROM w),
+         |c AS (SELECT token, count(*) AS c FROM w GROUP BY 1)
+         |SELECT token, c FROM c, n WHERE c >= (n.n + ${HH_SHARE - 1}) // $HH_SHARE
+         |ORDER BY c DESC, token""".stripMargin,
+    "text_winnowing" ->
+      s"""WITH $shsCte,
+         |f AS (SELECT id, unnest(${winnowSelectSql("shs", WINNOW_W)}) AS p FROM s)
+         |SELECT id, p // $P AS pos, p % $P AS gh FROM f ORDER BY id, pos""".stripMargin,
+    "dedup_winnow_pairs" ->
+      s"""WITH $shsCte,
+         |g AS (SELECT id, unnest(${winnowSelectSql("shs", WINNOW_W)}) % $P AS gh FROM s),
+         |f AS (SELECT DISTINCT id, gh FROM g),
+         |pr AS (SELECT a.id AS da, b.id AS db, count(*) AS shared
+         |  FROM f a JOIN f b ON a.gh = b.gh AND a.id < b.id GROUP BY 1, 2)
+         |SELECT da, db, shared FROM pr WHERE shared >= $WINNOW_MIN_SHARED
+         |ORDER BY da, db""".stripMargin,
     "doc_chunks" -> Chunking.chunkSql(CHUNK_W, CHUNK_OV),
     "text_bm25" -> Ranking.bm25Sql(BM25_TERMS, BM25_K),
     // chunk expansion feeds the BM25 mirror as its source relation
@@ -2431,6 +2521,49 @@ object ExtQueries {
          |  CAST(s AS DOUBLE) / CAST($LAM_DEN * n_words AS DOUBLE) AS nll_micro_nats
          |FROM sc WHERE n_words > 0
          |ORDER BY nll_micro_nats DESC, id LIMIT $DSIR_K""".stripMargin,
+
+    // DoReMi mirror: the text_perplexity_bigram LM-fit CTE chain with
+    // source carried, doc-level BIGINT excess sums, one exp per domain
+    "mix_doremi" ->
+      s"""WITH wh AS (SELECT doc_id, source, ${MirrorHash.wordHashesSql()} AS whs FROM documents),
+         |gh AS (SELECT doc_id, ${MirrorHash.ngramHashesSql("whs", 2)} AS ghs FROM wh),
+         |e1 AS (SELECT unnest(whs) % $DSIR_B AS bucket FROM wh),
+         |b1 AS (SELECT bucket, count(*) AS c FROM e1 GROUP BY 1),
+         |t1 AS (SELECT sum(c) AS t FROM b1),
+         |e2 AS (SELECT unnest(ghs) % $DSIR_B AS bucket FROM gh),
+         |b2 AS (SELECT bucket, count(*) AS c FROM e2 GROUP BY 1),
+         |t2 AS (SELECT sum(c) AS t FROM b2),
+         |spine AS (SELECT unnest(generate_series(0, ${DSIR_B - 1})) AS bucket),
+         |l1 AS (SELECT spine.bucket,
+         |    CAST(round(1000000.0 * ln(
+         |      CAST(COALESCE(b1.c,0)+1 AS DOUBLE)
+         |      / CAST(t1.t+$DSIR_B AS DOUBLE))) AS BIGINT) AS lp
+         |  FROM spine LEFT JOIN b1 ON spine.bucket = b1.bucket, t1),
+         |l2 AS (SELECT spine.bucket,
+         |    CAST(round(1000000.0 * ln(
+         |      CAST(COALESCE(b2.c,0)+1 AS DOUBLE)
+         |      / CAST(COALESCE(t2.t,0)+$DSIR_B AS DOUBLE))) AS BIGINT) AS lp
+         |  FROM spine LEFT JOIN b2 ON spine.bucket = b2.bucket, t2),
+         |la1 AS (SELECT list(lp ORDER BY bucket) AS a1 FROM l1),
+         |la2 AS (SELECT list(lp ORDER BY bucket) AS a2 FROM l2),
+         |sc AS (SELECT wh.source, CAST(len(whs) AS BIGINT) AS n,
+         |    greatest(0, (a1[CAST(whs[1] % $DSIR_B AS INT) + 1]
+         |        + COALESCE(CAST(list_sum(list_transform(ghs,
+         |            g -> a2[CAST(g % $DSIR_B AS INT) + 1])) AS BIGINT), 0))
+         |      - CAST(list_sum(list_transform(whs,
+         |          w -> a1[CAST(w % $DSIR_B AS INT) + 1])) AS BIGINT)) AS ex
+         |  FROM wh JOIN gh USING (doc_id), la1, la2 WHERE len(whs) > 0),
+         |ag AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n) AS BIGINT) AS n_tokens,
+         |    CAST(sum(ex) AS BIGINT) AS exs FROM sc GROUP BY 1),
+         |w2 AS (SELECT source, n_docs, n_tokens, exs // n_tokens AS excess_micro,
+         |    CAST(round(1000000.0 * exp(
+         |      CAST(exs // n_tokens AS DOUBLE) / 1000000.0)) AS BIGINT) AS eg_score
+         |  FROM ag),
+         |tt AS (SELECT CAST(sum(n_tokens * eg_score) AS BIGINT) AS tot FROM w2)
+         |SELECT source, n_docs, n_tokens, excess_micro, eg_score,
+         |  CAST(n_tokens * eg_score AS DOUBLE) / CAST(tot AS DOUBLE) AS weight
+         |FROM w2, tt ORDER BY source""".stripMargin,
 
     // CCNet-bucket mirror: shared LM-fit CTEs, per-language percent_rank
     // over the total (nll, id) order, the same 1/3 and 2/3 IEEE cuts

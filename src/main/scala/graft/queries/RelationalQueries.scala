@@ -597,6 +597,30 @@ object RelationalQueries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // SCD Type-2 dimension build (Kimball ch.5): per-user change log →
+    // versioned rows with effective_from/to and is_current. One shuffle
+    // (both windows share the user partitioning; the change filter
+    // preserves it). Timestamps surface as epoch-µs BIGINTs with -1 for
+    // the open current version, the funnel convention.
+    "rel_scd2" -> ((s, dir) =>
+      graft.operators.Warehouse.scd2(t(s, dir, "events"),
+          "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("attr"),
+          epochUs(col("eff_from")).as("from_us"),
+          coalesce(epochUs(col("eff_to")), lit(-1L)).as("to_us"),
+          col("is_current"))
+        .orderBy("user_id", "from_us", "attr")),
+
+    // Multi-touch attribution: click/view touches credited to the NEXT
+    // purchase of the same user — last-touch and linear models in one
+    // pass. Reverse ignoreNulls carry assigns touch→conversion (a per-
+    // user window scan, never a range join); micro-unit integer credit.
+    "rel_attribution" -> ((s, dir) =>
+      graft.operators.Warehouse.attribution(t(s, dir, "events"),
+          "user_id", "event_type", "ts", "event_id", "value",
+          Seq("click", "view"), "purchase")
+        .orderBy("user_id", "touch_id")),
+
     // Entity resolution: dirty-string lookup against the part catalog —
     // a tiny probe list (typo'd names) broadcasts, BLOCKING on (first
     // two chars, ±1 length band) prunes the catalog BEFORE the
@@ -1144,6 +1168,40 @@ object RelationalQueries {
          |SELECT cohort_week, week_offset, count(*) AS n_active
          |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    "rel_scd2" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type AS attr, ts AS eff_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+        |  FROM c)
+        |SELECT user_id, attr, epoch_us(eff_from) AS from_us,
+        |  COALESCE(epoch_us(eff_to), -1) AS to_us,
+        |  CAST(eff_to IS NULL AS INT) AS is_current
+        |FROM v ORDER BY user_id, from_us, attr""".stripMargin,
+    "rel_attribution" ->
+      """WITH m AS (SELECT user_id, event_id, event_type, ts,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_id,
+        |    last_value(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_vm
+        |  FROM events),
+        |tch AS (SELECT * FROM m
+        |  WHERE event_type IN ('click', 'view') AND conv_id IS NOT NULL),
+        |r AS (SELECT user_id, event_id AS touch_id, conv_id, conv_vm,
+        |    count(*) OVER (PARTITION BY user_id, conv_id) AS n_touches,
+        |    row_number() OVER (PARTITION BY user_id, conv_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM tch)
+        |SELECT user_id, touch_id, conv_id, n_touches,
+        |  conv_vm // n_touches AS linear_micro,
+        |  CASE WHEN rn = 1 THEN conv_vm ELSE 0 END AS last_touch_micro
+        |FROM r ORDER BY user_id, touch_id""".stripMargin,
     "rel_fuzzy_join" -> {
       val probeRows = Seq("smal ring", "red widgot", "blue blot", "hot gearr")
         .map(p => s"('$p')").mkString(", ")

@@ -50,6 +50,61 @@ class HashExprSpec extends SparkSpec {
       MH.shingleHashes(MH.wordHashes(col("text"))))
   }
 
+  test("winnow == MirrorHash.winnowSelect across window sizes") {
+    // materialize the gram arrays FIRST: element_at inside the HOF spec
+    // re-evaluates its input expression per access once CollapseProject
+    // inlines it (the simhash 340s lesson) — the spec compares the
+    // winnowing step, not the hash pipeline (covered above)
+    val grams = docs
+      .select(HE.shingle_hashes(HE.word_hashes(col("text"))).as("hs"))
+      .localCheckpoint(true)
+    Seq(1, 2, 4, 7).foreach { w =>
+      val diff = grams.select(HE.winnow(col("hs"), w).as("a"),
+          MH.winnowSelect(col("hs"), w).as("b"))
+        .filter(not(col("a") <=> col("b"))).count()
+      assert(diff == 0, s"w=$w")
+    }
+  }
+
+  test("winnow edge cases: empty, short-doc single window, all-equal ties") {
+    import spark.implicits._
+    val cases = Seq(
+      "",                       // no words -> no grams -> empty selection
+      "a b",                    // < 3 words -> no grams
+      "a b c",                  // one gram, m < w
+      "a b c d e",              // 3 grams, m < w=4: single full window
+      "x x x x x x x x x x")    // all-equal gram hashes: leftmost ties
+      .toDF("text")
+    val out = cases.select(
+        HE.winnow(HE.shingle_hashes(HE.word_hashes(col("text"))), 4).as("a"),
+        MH.winnowSelect(MH.shingleHashes(MH.wordHashes(col("text"))), 4).as("b"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+    // all-equal hashes: every window's leftmost min is its start index,
+    // so the selection is every window-start position 0..m-w
+    val ties = cases.filter(col("text").startsWith("x"))
+      .select(HE.winnow(HE.shingle_hashes(HE.word_hashes(col("text"))), 4).as("a"))
+      .head().getSeq[Long](0)
+    assert(ties.map(p => p / MH.P) == (0L to 4L), ties.toString) // 8 grams, w=4
+  }
+
+  test("winnowing guarantee: a shared >= w+k-1-word run shares a fingerprint hash") {
+    import spark.implicits._
+    // k=3 shingles, w=4 windows -> guarantee length 6 words; the run
+    // below is planted inside unrelated prefixes/suffixes at different
+    // positions in each document
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $run four five"),
+      (2L, s"$run nine ten eleven twelve thirteen fourteen")).toDF("doc_id", "text")
+    val fps = graft.operators.TextAnalysis.winnow(docs, "doc_id", "text", 4)
+    val shared = fps.filter(col("id") === 1).select("gh")
+      .intersect(fps.filter(col("id") === 2).select("gh")).count()
+    assert(shared >= 1)
+  }
+
   test("minhash_sig == MirrorHash.minhashSig") {
     assertSame(HE.minhash_sig(HE.shingle_hashes(HE.word_hashes(col("text")))),
       MH.minhashSig(MH.shingleHashes(MH.wordHashes(col("text")))))

@@ -207,6 +207,58 @@ class PlanAuditSpec extends SparkSpec {
   private def exchangeNodes(p: String): Int =
     """\(\d+\) Exchange""".r.findAllIn(p).size
 
+  test("winnowing: selection pipelines in the scan, zero shuffle before the sort") {
+    val p = fmt(graft.queries.ExtQueries.queries("text_winnowing")(spark, sf001))
+    // codegen'd winnow + explode run inside the scan stage; the single
+    // exchange is the output ORDER BY
+    assert(p.contains("Generate"), p)
+    assert(exchangeNodes(p) == 1, p)
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("z-order audit: 1-row bounds broadcast, partial+final agg, codegen'd z") {
+    val p = fmt(graft.queries.ExtQueries.queries("layout_zorder")(spark, sf001))
+    // the bounds frame joins in as a broadcast (1 row) — the fact scan
+    // never shuffles before its aggregate
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("heavy hitters: bounded-summary broadcast semi-join, partial agg") {
+    val p = fmt(graft.queries.ExtQueries.queries("text_heavy_hitters")(spark, sf001))
+    // pass 2: candidate semi-join broadcasts, exact counts agg partial+final
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("SCD2: both windows share ONE user-key shuffle (exchange reused)") {
+    val p = plan("rel_scd2")
+    // lag pass + lead pass partition identically and the change filter
+    // preserves ordering -> exactly one hash exchange; the second
+    // Exchange is the output ORDER BY
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p) // versioning is pure window algebra
+  }
+
+  test("attribution: reverse carry + per-conversion stats, no range join") {
+    val p = plan("rel_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // ONE user-key shuffle serves all four windows: the (user, conv)
+    // stats windows only re-SORT — user-hash distribution already
+    // satisfies their partitioning requirement
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("winnow pairs: fingerprint equi-join, partial agg, no cross join") {
+    val p = fmt(graft.queries.ExtQueries.queries("dedup_winnow_pairs")(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("melt: Expand generator, no shuffle before the output sort") {
     val p = plan("rel_melt")
     assert(p.contains("Expand"), p)
