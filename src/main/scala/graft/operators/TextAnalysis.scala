@@ -156,47 +156,72 @@ object TextAnalysis {
       share: Int): DataFrame = {
     require(counters >= share,
       s"need counters >= share for the MG superset guarantee ($counters < $share)")
+    val summary = mgSummary(df, textCol, counters).localCheckpoint(eager = false)
+    val n = summary.filter(col("token").isNull)
+      .agg(sum(col("c")).as("n"))
+    val cands = summary.filter(col("token").isNotNull).select("token").distinct()
+    exactOverCandidates(df, textCol, cands, n, share)
+  }
+
+  /** Pass 1 of [[heavyHitters]]: one mapPartitions scan emitting each
+    * partition's Misra-Gries summary rows (token, mgCount) plus a
+    * null-token sentinel carrying the partition's token total. The
+    * shared [[mgUpdate]] fold is also the streaming twin's state
+    * transition — one definition, the twins cannot drift. */
+  def mgSummary(df: DataFrame, textCol: String, counters: Int): DataFrame = {
     val sess = df.sparkSession
     import sess.implicits._
-    val texts = df.select(col(textCol).cast("string")).as[String]
-    val summary = texts.mapPartitions { it =>
+    df.select(col(textCol).cast("string")).as[String].mapPartitions { it =>
       val mg = new java.util.HashMap[String, Long](counters * 2)
       var nTok = 0L
-      it.foreach { text =>
-        if (text != null) {
-          // tokenization == split(text, ' ') limit -1 (keeps empties,
-          // incl. the single "" token of an empty document)
-          var from = 0
-          while (from <= text.length) {
-            val sp = text.indexOf(' ', from)
-            val end = if (sp < 0) text.length else sp
-            val tok = text.substring(from, end)
-            nTok += 1
-            val cur = mg.getOrDefault(tok, 0L)
-            if (cur > 0L) mg.put(tok, cur + 1L) // stored counts are always >= 1
-            else if (mg.size < counters) mg.put(tok, 1L)
-            else { // decrement-all: retires counters+1 units of count
-              val e = mg.entrySet().iterator()
-              while (e.hasNext) {
-                val kv = e.next()
-                if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1L)
-              }
-            }
-            from = end + 1
-          }
-        }
-      }
+      it.foreach { text => nTok += mgUpdate(mg, counters, text) }
       val out = scala.collection.mutable.ArrayBuffer.empty[(Option[String], Long)]
       out += ((None, nTok)) // null-token sentinel: this partition's token total
       mg.forEach((k, v) => out += ((Some(k), v)))
       out.iterator
-    }.toDF("token", "c").localCheckpoint(eager = false)
-    val n = summary.filter(col("token").isNull)
-      .agg(sum(col("c")).as("n"))
-    val cands = summary.filter(col("token").isNotNull).select("token").distinct()
+    }.toDF("token", "c")
+  }
+
+  /** Fold one document into a Misra-Gries summary (Misra & Gries 1982);
+    * returns the number of tokens consumed. Tokenization matches
+    * `split(text, ' ')` limit −1 exactly (keeps empties, incl. the
+    * single "" token of an empty document). The decrement-all step
+    * retires counters+1 count units, so total decrement work is O(n). */
+  def mgUpdate(mg: java.util.HashMap[String, Long], counters: Int,
+      text: String): Long = {
+    var nTok = 0L
+    if (text != null) {
+      var from = 0
+      while (from <= text.length) {
+        val sp = text.indexOf(' ', from)
+        val end = if (sp < 0) text.length else sp
+        val tok = text.substring(from, end)
+        nTok += 1
+        val cur = mg.getOrDefault(tok, 0L)
+        if (cur > 0L) mg.put(tok, cur + 1L) // stored counts are always >= 1
+        else if (mg.size < counters) mg.put(tok, 1L)
+        else {
+          val e = mg.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1L)
+          }
+        }
+        from = end + 1
+      }
+    }
+    nTok
+  }
+
+  /** Pass 2 of [[heavyHitters]] (shared with the streaming twin): exact
+    * counts of the broadcast candidate set only, thresholded at
+    * ⌈n∕share⌉ from the 1-row `nDf` total. Output is exact and
+    * independent of HOW the candidate superset was produced. */
+  def exactOverCandidates(df: DataFrame, textCol: String, cands: DataFrame,
+      nDf: DataFrame, share: Int): DataFrame = {
     // ceil(n/share) in INTEGER arithmetic (Column./ is IEEE division);
     // both operands positive, so Spark `div` == DuckDB `//`
-    val thresh = n.select(expr(s"(n + ${share - 1}) div $share").as("t"))
+    val thresh = nDf.select(expr(s"(n + ${share - 1}) div $share").as("t"))
     df.select(explode(split(col(textCol), " ")).as("token"))
       .join(broadcast(cands), Seq("token"), "left_semi")
       .groupBy("token").agg(count(lit(1)).as("c"))

@@ -72,8 +72,8 @@ object ExtQueries {
   // exact two-pass heavy hitters: MG counters per partition and the
   // count threshold share (tokens with count >= ceil(n/HH_SHARE));
   // counters >= share is the candidate-superset guarantee
-  private val HH_COUNTERS = 1000
-  private val HH_SHARE = 500
+  private[queries] val HH_COUNTERS = 1000
+  private[queries] val HH_SHARE = 500
   // winnowing (MOSS) fingerprints: window over 3-word shingle hashes
   // (guarantee length w+2 = 6 words; expected density 2/(w+1) = 0.4)
   // and the shared-fingerprint evidence floor for overlap pairs

@@ -21,6 +21,11 @@ import Tables._
   */
 object RelationalQueries {
 
+  // Holt smoothing decay parameters (level / trend); W derives from
+  // their quantized coefficient support (~40 rows at these values)
+  private val HOLT_ALPHA = 0.5
+  private val HOLT_BETA = 0.3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: the flagship aggregate
     "rel_q1_pricing" -> ((s, dir) => {
@@ -597,6 +602,15 @@ object RelationalQueries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Holt double exponential smoothing (level + one-step forecast) as
+    // bounded-window fixed-point algebra: impulse-precomputed micro
+    // coefficient tables, one codegen'd integer dot per row per output
+    "ts_holt" -> ((s, dir) =>
+      graft.operators.TimeSeries.holt(t(s, dir, "events"),
+          "user_id", "ts", "event_id", "value", HOLT_ALPHA, HOLT_BETA)
+        .select(col("event_id"), col("level"), col("forecast"))
+        .orderBy("event_id")),
+
     // SCD Type-2 dimension build (Kimball ch.5): per-user change log →
     // versioned rows with effective_from/to and is_current. One shuffle
     // (both windows share the user partitioning; the change filter
@@ -1167,6 +1181,29 @@ object RelationalQueries {
          |  FROM events e JOIN first f ON e.user_id = f.user_id)
          |SELECT cohort_week, week_offset, count(*) AS n_active
          |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    // Holt mirror: the SAME driver-side coefficient tables as literal
+    // nested lists, the same kept-null list() + list_filter frame and
+    // single-division order as the ewm mirrors
+    "ts_holt" -> {
+      val (lTab, bTab) = graft.operators.TimeSeries.holtTables(HOLT_ALPHA, HOLT_BETA)
+      val lSql = graft.operators.TimeSeries.tableSql(lTab)
+      val bSql = graft.operators.TimeSeries.tableSql(bTab)
+      s"""WITH v AS (SELECT event_id, user_id, ts,
+         |    CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS vm FROM events),
+         |l0 AS (SELECT event_id, list(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN ${lTab.length - 1} PRECEDING AND CURRENT ROW) AS vs0 FROM v),
+         |lf AS (SELECT event_id, list_filter(vs0, x -> x IS NOT NULL) AS vs FROM l0),
+         |d AS (SELECT event_id, len(vs) AS m,
+         |    CAST(list_sum(list_transform(generate_series(1, len(vs)),
+         |        i -> vs[i] * ($lSql)[len(vs)][i])) AS BIGINT) AS dl,
+         |    CAST(list_sum(list_transform(generate_series(1, len(vs)),
+         |        i -> vs[i] * ($bSql)[len(vs)][i])) AS BIGINT) AS db
+         |  FROM lf)
+         |SELECT event_id,
+         |  CASE WHEN m >= 2 THEN CAST(dl AS DOUBLE)/1000000000000.0 END AS level,
+         |  CASE WHEN m >= 2 THEN CAST(dl + db AS DOUBLE)/1000000000000.0 END AS forecast
+         |FROM d ORDER BY event_id""".stripMargin
     },
     "rel_scd2" ->
       """WITH o AS (SELECT user_id, event_type, ts, event_id,

@@ -197,6 +197,15 @@ object StreamQueries {
     "stream_vocab" -> ((s, dir) =>
       StreamOps.vocabOnce(s, dir, k = 50)),
 
+    // STREAMING heavy hitters: shard-keyed bounded Misra-Gries state
+    // (transformWithState, RocksDB) tracks candidates online; one batch
+    // pass exact-counts the streamed candidate set — output EXACT ==
+    // the batch text_heavy_hitters, whose oracle it shares
+    "stream_heavy_hitters" -> ((s, dir) =>
+      StreamOps.heavyHittersOnce(s, dir, ExtQueries.HH_COUNTERS,
+          ExtQueries.HH_SHARE, shards = 8)
+        .orderBy(col("c").desc, col("token"))),
+
     // the batch OHLC aggregate unchanged under streaming state —
     // min_by/max_by are declarative aggs, so the engine maintains them
     // incrementally; oracle == batch OHLC
@@ -496,6 +505,7 @@ object StreamQueries {
     "stream_cdc_chunks" -> ExtQueries.oracleSql("doc_cdc_chunks"),
     "stream_clean_lines" -> ExtQueries.cleanLinesSql,
     "stream_weighted" -> ExtQueries.oracleSql("sample_weighted"),
+    "stream_heavy_hitters" -> ExtQueries.oracleSql("text_heavy_hitters"),
     "stream_phrase_hits" -> ExtQueries.oracleSql("text_phrase_search"),
     "stream_funnel" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_funnel_tws" -> RelationalQueries.oracleSql("rel_funnel"),

@@ -655,6 +655,96 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** SHARD-keyed streaming Misra-Gries state: each shard's ValueState
+    * holds one bounded MG summary ((tokens, counts) pair lists ≤
+    * `counters` entries — the per-shard memory bound no matter how long
+    * the stream runs), advanced per batch by the SAME
+    * [[graft.operators.TextAnalysis.mgUpdate]] fold the batch pass-1
+    * runs, and each batch emits the shard's current candidate tokens.
+    * Sharding by token hash keeps every token's full count inside one
+    * shard, so the merged undercount bound n_shard∕(counters+1) <
+    * n∕share preserves the candidate-superset guarantee. */
+  private class MgProcessor(counters: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), String] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[(Seq[String], Seq[Long])] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Seq[String], Seq[Long])]("mg",
+        org.apache.spark.sql.Encoders.product[(Seq[String], Seq[Long])],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(shard: Long,
+        rows: Iterator[(Long, String)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[String] = {
+      val mg = new java.util.HashMap[String, Long](counters * 2)
+      if (state.exists()) {
+        val (ks, vs) = state.get()
+        ks.zip(vs).foreach { case (k, v) => mg.put(k, v) }
+      }
+      // one token per row: the same fold as the batch pass (a token
+      // never contains ' ', so mgUpdate consumes it as one token)
+      rows.foreach { case (_, tok) =>
+        graft.operators.TextAnalysis.mgUpdate(mg, counters, tok)
+      }
+      val ks = scala.collection.mutable.ArrayBuffer.empty[String]
+      val vs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      mg.forEach((k, v) => { ks += k; vs += v })
+      state.update((ks.toSeq, vs.toSeq))
+      ks.iterator
+    }
+  }
+
+  /** Streaming heavy hitters: candidates stream through shard-keyed
+    * bounded Misra-Gries state ([[MgProcessor]], transformWithState on
+    * RocksDB), then ONE batch pass exact-counts the streamed candidate
+    * set — the production split (cheap online candidate tracking,
+    * periodic exact reconciliation). The final output is EXACT, equal
+    * to the batch [[graft.operators.TextAnalysis.heavyHitters]], so the
+    * twin shares the `text_heavy_hitters` oracle verbatim. */
+  def heavyHittersOnce(spark: SparkSession, dir: String, counters: Int,
+      share: Int, shards: Int, batches: Int = 3,
+      sinkName: String = "stream_hh_sink"): DataFrame = {
+    require(counters >= share, "counters >= share (superset guarantee)")
+    require(batches >= 1, "need at least one replay batch")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+    val toks = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .select(pmod(hash(col("token")), lit(shards)).cast("long").as("shard"),
+        col("token"))
+      .as[(Long, String)].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // replay in several batches so the MG ValueState genuinely carries
+    // and merges across micro-batches (each batch emits its shard's
+    // current candidates; the union across batches stays a superset)
+    val per = math.max(1, (toks.length + batches - 1) / batches)
+    toks.grouped(per).foreach(chunk => ms.addData(chunk.toIndexedSeq))
+    val out = ms.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new MgProcessor(counters),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF("token")
+    withRocksDbProvider(spark) {
+      withHarnessConf(spark, "8") { ckpt =>
+        val q = out.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update())
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+    }
+    val cands = spark.table(sinkName).select("token").distinct()
+    val n = docs.select(explode(split(col("text"), " ")).as("token"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.TextAnalysis.exactOverCandidates(
+      docs, "text", cands, n, share)
+  }
+
   /** Streaming phrase-hit counting — the live watchlist audit ("alert
     * on documents containing these exact phrases") over an ingest:
     * per arriving doc, each phrase's occurrence count from ONE
