@@ -361,6 +361,49 @@ object Dedup {
     pr.select(col("n").as("id"), col("r").as("rank_milli"))
   }
 
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected pair frame (aCol < bCol) — the graph-density audit of a
+    * near-dup web: a high coefficient marks template/boilerplate cliques
+    * (every copy matches every copy), a low one marks chain-like
+    * spurious matches, the signal that separates "true duplicate
+    * cluster" from "hub accident" before committing a keep-one policy.
+    *
+    * Shape: the classic forward-edge algorithm — triangles a<b<c found
+    * by joining the oriented edge list to itself on the middle vertex
+    * and verifying the closing edge with a second equi-join; per-node
+    * counts explode the triangle's three corners; coefficient =
+    * 2·tri ∕ (deg·(deg−1)) with integer operands and ONE double
+    * division (engine-identical). No cartesian anywhere; join fanout is
+    * Σ out·in per vertex. At 100 TB the skew hardening is
+    * degree-ordered orientation (point each edge at the higher-degree
+    * endpoint) — same plan, different orientation rule; id-orientation
+    * is kept here so the oracle mirrors the arithmetic verbatim on a
+    * tau-thresholded (sparse, near-clique) graph. */
+  def triangles(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // two consumers (triangle join ×3 + degrees) — truncate lineage so
+    // the upstream candidate pipeline runs once
+    val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .distinct().localCheckpoint(eager = false)
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(col("u").as("id"))
+      .unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clustering",
+        when(col("deg") >= 2,
+            (col("n_tri") * 2) / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)))
+  }
+
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
       iters: Int = 4): DataFrame = {
     // checkpoint the pair list BEFORE symmetrizing: the union references

@@ -76,6 +76,39 @@ object Similarity {
         col("fx"), 1, NUM_PLANES, dims), 1))
   }
 
+  /** Johnson–Lindenstrauss random projection (Johnson & Lindenstrauss
+    * 1984; database-friendly integer variant per Achlioptas 2003): the
+    * embedding reduced to `k` integer coordinates p_j = Σ_d fx_d·w(j,d)
+    * over the SAME [[graft.functions.PlaneHash]] weight family the LSH
+    * buckets sign — the buckets are exactly `sign(p_j)`, so projection
+    * and bucketing stay one coherent geometry. Each output coordinate
+    * is an exact BIGINT (micro-unit components × |w| ≤ 48 over 64 dims
+    * ≈ 3·10⁹, far inside Long), bit-identical in the DuckDB mirror.
+    *
+    * Use: an 8-int sketch of a 64-float vector — distance computations
+    * on the sketch cost k∕dims of the original (with JL-bounded
+    * distortion), the standard prefilter before an exact re-rank.
+    * Scale: one codegen'd projection pass, zero shuffle. */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, dims: Int = 64): DataFrame = {
+    require(k >= 1 && k <= 64, s"k in [1,64]: $k")
+    val w = graft.functions.PlaneHash.table(k, dims)
+    val fx = fixedPoint(df, idCol, vecCol)
+    fx.select(col("id") +: (0 until k).map { j =>
+      graft.functions.HashExpressions.fixed_dot(col("fx"),
+        typedlit(w.slice(j * dims, (j + 1) * dims).toSeq)).as(s"p$j")
+    }: _*)
+  }
+
+  /** SQL mirror of [[randomProjection]]'s coordinate j (over a
+    * fixed-point vector column named `fx`). */
+  def randomProjectionSql(j: Int, k: Int, dims: Int = 64): String = {
+    val w = graft.functions.PlaneHash.table(k, dims)
+    val wj = w.slice(j * dims, (j + 1) * dims).mkString("[", ",", "]")
+    s"""CAST(list_sum(list_transform(generate_series(1, $dims),
+       | i -> fx[i] * ($wj)[i])) AS BIGINT)""".stripMargin
+  }
+
   /** ANN top-k: candidates restricted to the query's bucket, ranked by
     * exact cosine. Equi-join on bucket — the scale path. */
   def bucketedTopK(df: DataFrame, idCol: String, vecCol: String,

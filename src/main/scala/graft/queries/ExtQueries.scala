@@ -46,6 +46,8 @@ object ExtQueries {
   // embedding-LSH config, PINNED for the static DuckDB mirror (the
   // operator itself defaults to auto-sized tables — Dedup.autoTables)
   private val LSH_TABLES = 150
+  // JL random-projection sketch width (the LSH planes' pre-sign dots)
+  private val RP_K = 8
   private val LSH_PLANES = 8
   // decontamination config: 8-gram collisions (the published convention),
   // every 17th doc is the held-out "benchmark" set. private[queries]:
@@ -619,6 +621,13 @@ object ExtQueries {
         .select(col("doc_id"), col("cl").as("cluster"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    "emb_rand_proj" -> ((s, dir) =>
+      // JL random projection: 8 integer coordinates from the PlaneHash
+      // weight family (the LSH buckets are these dots' signs) — one
+      // codegen'd projection pass, zero shuffle
+      Similarity.randomProjection(t(s, dir, "embeddings"), "vec_id",
+          "embedding", RP_K)
+        .orderBy("id")),
     "emb_quantize" -> ((s, dir) =>
       // symmetric int8 embedding quantization, exploded to scalar rows
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -661,6 +670,11 @@ object ExtQueries {
       // edge->rank equi-join + target-keyed sum per round
       Dedup.pageRank(jaccardShared(s, dir), "da", "db", PR_ITERS)
         .orderBy("id")),
+    "graph_triangles" -> ((s, dir) =>
+      // near-dup graph density audit: per-node triangles + clustering
+      // coefficient over the shared jaccard pair frame — forward-edge
+      // join, never all-pairs
+      Dedup.triangles(jaccardShared(s, dir), "da", "db").orderBy("id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", SIMHASH_HD)
         .orderBy("da", "db")),
@@ -1752,6 +1766,17 @@ object ExtQueries {
         |  FROM s)
         |SELECT l_orderkey, l_linenumber, (l_quantity - mu)/sigma AS z
         |FROM m, st ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // JL projection mirror: same fixed-point cast, same PlaneHash
+    // weight rows as integer literals, pure BIGINT dots
+    "emb_rand_proj" -> {
+      val cols = (0 until RP_K)
+        .map(j => s"${Similarity.randomProjectionSql(j, RP_K)} AS p$j")
+        .mkString(",\n|  ")
+      s"""WITH f AS (SELECT vec_id AS id, ${Similarity.fixedPointSql("embedding")} AS fx FROM embeddings)
+         |SELECT id,
+         |  $cols
+         |FROM f ORDER BY id""".stripMargin
+    },
     // int8 quantization mirror: identical integer rounding arithmetic —
     // both DIV branches see non-negative operands, so Spark's trunc DIV
     // and DuckDB's floor // agree
@@ -1833,6 +1858,28 @@ object ExtQueries {
          |$rounds
          |SELECT n AS id, r AS rank_milli FROM p$PR_ITERS ORDER BY id""".stripMargin
     },
+    // triangle mirror: same jaccard pair CTEs, forward-edge 3-join with
+    // the identical integer-then-one-division coefficient arithmetic
+    "graph_triangles" ->
+      s"""WITH $distinctShingleCte,
+         |ex AS (SELECT id, nd, unnest(ds) AS h FROM d),
+         |pr AS (
+         |  SELECT a.id AS da, b.id AS db, count(*) AS common,
+         |    any_value(a.nd) AS na, any_value(b.nd) AS nb
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
+         |jp AS (SELECT da, db FROM pr WHERE common/(na+nb-common) >= $JACCARD_TAU),
+         |ed AS (SELECT da AS u, db AS v FROM jp UNION ALL SELECT db AS u, da AS v FROM jp),
+         |tr AS (SELECT e1.da AS a, e1.db AS b, e2.db AS c
+         |  FROM jp e1 JOIN jp e2 ON e1.db = e2.da
+         |  JOIN jp e3 ON e3.da = e1.da AND e3.db = e2.db),
+         |tn AS (SELECT id, count(*) AS n_tri
+         |  FROM (SELECT unnest([a, b, c]) AS id FROM tr) GROUP BY 1),
+         |dg AS (SELECT u AS id, count(*) AS deg FROM ed GROUP BY 1)
+         |SELECT dg.id, dg.deg, COALESCE(tn.n_tri, 0) AS n_tri,
+         |  CASE WHEN dg.deg >= 2
+         |    THEN (COALESCE(tn.n_tri, 0) * 2) / (dg.deg * (dg.deg - 1))
+         |    ELSE 0.0 END AS clustering
+         |FROM dg LEFT JOIN tn ON dg.id = tn.id ORDER BY dg.id""".stripMargin,
     // unrolled min-label propagation (same fixed rounds as Dedup.clusters)
     "dedup_clusters" ->
       s"""WITH $distinctShingleCte,

@@ -234,6 +234,19 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("JL projection: pure projection pass, zero shuffle before the sort") {
+    val p = fmt(graft.queries.ExtQueries.queries("emb_rand_proj")(spark, sf001))
+    assert(exchangeNodes(p) == 1, p)
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("triangles: forward-edge equi-joins, never a cross join") {
+    val p = fmt(graft.queries.ExtQueries.queries("graph_triangles")(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("SCD2: both windows share ONE user-key shuffle (exchange reused)") {
     val p = plan("rel_scd2")
     // lag pass + lead pass partition identically and the change filter
