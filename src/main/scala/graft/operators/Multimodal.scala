@@ -227,6 +227,101 @@ object Multimodal {
     }(Encoders.row(ahashSchema))
   }
 
+  val phashSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("ph_lo", LongType),
+    StructField("ph_hi", LongType)))
+
+  /** Integer DCT-II basis table for [[perceptualHash]]:
+    * ct(u·32 + x) = round(1024·cos((2x+1)·u·π∕64)), u,x ∈ [0,32). The
+    * rounding happens ONCE here at table build; the SQL mirror embeds
+    * the same integers as a literal ([[dctTableSql]]), so cross-engine
+    * agreement never depends on cos() — the Holt-coefficient pattern. */
+  val dctTable: Array[Long] = {
+    val t = new Array[Long](32 * 32)
+    var u = 0
+    while (u < 32) {
+      var x = 0
+      while (x < 32) {
+        t(u * 32 + x) = math.round(1024.0 * math.cos((2 * x + 1) * u * math.Pi / 64))
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  def dctTableSql: String = dctTable.mkString("[", ",", "]")
+
+  /** Perceptual DCT hash (pHash — the frequency-domain member of the
+    * visual-fingerprint family; aHash thresholds brightness, dHash
+    * thresholds gradients, pHash thresholds the image's low-frequency
+    * SPECTRUM, making it the most robust of the three to rescaling and
+    * smoothing): REAL decode, 32×32 nearest-neighbor sample grid, an
+    * integer separable 2-D DCT-II against [[dctTable]] (row transform
+    * then column transform — pure BIGINT sums, |coef| ≤ 255·1024·32² ≈
+    * 2.7·10¹¹), keep the 8×8 low-frequency block, drop the DC term,
+    * and set bit k−1 iff coefficient k strictly exceeds the lower
+    * median of the 63 — all integer decisions, so the oracle predicts
+    * the hash exactly from the generation rule. Same two-positive-
+    * halves packing and banding compatibility as aHash/dHash. */
+  def perceptualHash(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](blobIdx)))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = new Array[Long](32 * 32) // row-major (y, x)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            px(y * 32 + x) = ((img.getRGB(x * w / 32, y * h / 32) >> 16) & 0xff).toLong
+            x += 1
+          }
+          y += 1
+        }
+        // separable DCT: rows then columns (integer sums — order-free)
+        val rr = new Array[Long](32 * 32) // (u, y)
+        var u = 0
+        while (u < 32) {
+          y = 0
+          while (y < 32) {
+            var s = 0L; var x = 0
+            while (x < 32) { s += px(y * 32 + x) * dctTable(u * 32 + x); x += 1 }
+            rr(u * 32 + y) = s
+            y += 1
+          }
+          u += 1
+        }
+        val cf = new Array[Long](64) // (u, v) u,v in [0,8), k = u*8+v
+        var k = 0
+        while (k < 64) {
+          var s = 0L; var yy = 0
+          while (yy < 32) {
+            s += rr((k / 8) * 32 + yy) * dctTable((k % 8) * 32 + yy)
+            yy += 1
+          }
+          cf(k) = s
+          k += 1
+        }
+        val med = cf.slice(1, 64).sorted.apply(31) // lower median of 63
+        var lo = 0L; var hi = 0L
+        k = 1
+        while (k < 64) {
+          if (cf(k) > med) {
+            if (k <= 32) lo |= 1L << (k - 1) else hi |= 1L << (k - 33)
+          }
+          k += 1
+        }
+        Row(id, lo, hi)
+      }
+    }(Encoders.row(phashSchema))
+  }
+
   val dhashSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("dh_lo", LongType),

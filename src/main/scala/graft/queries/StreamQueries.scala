@@ -86,6 +86,15 @@ object StreamQueries {
       Multimodal.averageHash(docs, "doc_id", "img").orderBy("id")
     }),
 
+    // multimodal: DCT perceptual hash — frequency-domain fingerprint,
+    // integer separable DCT over the 32x32 sampled grid
+    "mm_phash" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val docs = Multimodal.withPngBlob(ids, "doc_id")
+      Multimodal.perceptualHash(docs, "doc_id", "img").orderBy("id")
+    }),
+
     "mm_neardup_pairs" -> ((s, dir) => {
       // visual near-dup: aHash bands -> candidate equi-join -> exact
       // hamming verify (recall exact for hd<=3 by pigeonhole)
@@ -353,6 +362,39 @@ object StreamQueries {
     "mm_ahash" ->
       s"""WITH $ahashCtes
          |SELECT id, ah_lo, ah_hi FROM ah ORDER BY id""".stripMargin,
+    // pHash mirror: predicted 32x32 grid -> the SAME integer DCT table
+    // as a literal (cos rounded once at table build, engines never call
+    // cos), separable row/column sums, lower-median threshold
+    "mm_phash" -> {
+      val pow2 = (0 to 31).map(k => 1L << k).mkString("[", ",", "]")
+      // the DCT table and row transform go through CTE COLUMNS (ctt.ct,
+      // unnested per-(u,y) row sums), NOT inline list literals inside
+      // nested lambdas — a literal referenced in a lambda body is
+      // re-materialized per element evaluation (measured: the inline
+      // form ran >4 min for 500 rows; this shape runs in seconds)
+      val ct = Multimodal.dctTableSql
+      s"""WITH ctt AS (SELECT $ct AS ct),
+         |g AS (SELECT doc_id AS id, 1 + doc_id%48 AS w, 1 + doc_id%32 AS h FROM documents),
+         |rj AS (SELECT id, j,
+         |    CAST(list_sum(list_transform(generate_series(0,31), x ->
+         |      ((id + 7*((x*w)//32) + 13*(((j%32)*h)//32)) % 256)
+         |        * ct[(j//32)*32 + x + 1])) AS BIGINT) AS s
+         |  FROM g, ctt, generate_series(0,1023) t(j)
+         |  WHERE j//32 < 8),
+         |r AS (SELECT id, list(s ORDER BY j) AS rr FROM rj GROUP BY id),
+         |c AS (SELECT id, list_transform(generate_series(0,63), k ->
+         |    CAST(list_sum(list_transform(generate_series(0,31), y ->
+         |      rr[(k//8)*32 + y + 1] * ct[(k%8)*32 + y + 1])) AS BIGINT)) AS cf
+         |  FROM r, ctt),
+         |m AS (SELECT id, cf, list_sort(cf[2:64])[32] AS med FROM c),
+         |ph AS (SELECT id,
+         |  CAST(list_sum(list_transform(generate_series(1,32), k ->
+         |    CASE WHEN cf[k+1] > med THEN ($pow2)[k] ELSE 0 END)) AS BIGINT) AS ph_lo,
+         |  CAST(list_sum(list_transform(generate_series(33,63), k ->
+         |    CASE WHEN cf[k+1] > med THEN ($pow2)[k-32] ELSE 0 END)) AS BIGINT) AS ph_hi
+         |  FROM m)
+         |SELECT id, ph_lo, ph_hi FROM ph ORDER BY id""".stripMargin
+    },
     // dHash mirror: same predicted pixel rule on the 9x8 grid, bit set
     // iff the right neighbor strictly exceeds the left
     "mm_dhash" -> {
