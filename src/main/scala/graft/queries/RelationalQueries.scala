@@ -602,6 +602,38 @@ object RelationalQueries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Data-quality constraint suite (the Deequ/Great-Expectations shape
+    // as ONE aggregate): completeness, key uniqueness, domain
+    // cardinality, and range checks computed in a single partial+final
+    // agg pass over the fact table, unpivoted to one row per check.
+    // Every metric is a BIGINT or a BIGINT/BIGINT ratio — engine-exact
+    "rel_data_checks" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.agg(
+        count(lit(1)).as("n"),
+        count(col("l_returnflag")).as("n_rf"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_key"),
+        countDistinct(col("l_returnflag")).as("n_rf_vals"),
+        min(col("l_quantity")).as("q_min"),
+        max(col("l_quantity")).as("q_max"))
+      val checks = Seq(
+        ("completeness_returnflag", col("n_rf") / col("n"),
+          col("n_rf") === col("n")),
+        ("unique_orderkey_linenumber", col("n_key") / col("n"),
+          col("n_key") === col("n")),
+        ("returnflag_domain_3", col("n_rf_vals").cast("double"),
+          col("n_rf_vals") === 3),
+        ("quantity_min_ge_1", col("q_min").cast("double"), col("q_min") >= 1),
+        ("quantity_max_le_50", col("q_max").cast("double"), col("q_max") <= 50))
+      // ONE agg evaluation: the checks explode out of a struct array
+      // (a per-check select would rescan the fact table five times)
+      a.select(explode(array(checks.map { case (name, metric, passed) =>
+          struct(lit(name).as("check"), metric.as("metric"),
+            passed.cast("int").as("passed"))
+        }: _*)).as("c"))
+        .select(col("c.*")).orderBy("check")
+    }),
+
     // Holt double exponential smoothing (level + one-step forecast) as
     // bounded-window fixed-point algebra: impulse-precomputed micro
     // coefficient tables, one codegen'd integer dot per row per output
@@ -634,6 +666,17 @@ object RelationalQueries {
           "user_id", "event_type", "ts", "event_id", "value",
           Seq("click", "view"), "purchase")
         .orderBy("user_id", "touch_id")),
+
+    // Fellegi-Sunter probabilistic record linkage: blocked candidate
+    // pairs scored by per-field micro-nat log match-weights, with the
+    // u-probabilities estimated EXACTLY from the data's value counts
+    "rel_record_linkage" -> ((s, dir) =>
+      graft.operators.Linkage.fellegiSunter(t(s, dir, "part"),
+          "p_partkey", "p_size",
+          Seq("brand" -> col("p_brand"), "type" -> col("p_type"),
+            "price_band" -> floor(col("p_retailprice") / 100.0).cast("long")),
+          m = 0.9)
+        .orderBy("ka", "kb")),
 
     // Entity resolution: dirty-string lookup against the part catalog —
     // a tiny probe list (typo'd names) broadcasts, BLOCKING on (first
@@ -1182,6 +1225,24 @@ object RelationalQueries {
          |SELECT cohort_week, week_offset, count(*) AS n_active
          |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    "rel_data_checks" ->
+      """WITH a AS (SELECT count(*) AS n, count(l_returnflag) AS n_rf,
+        |    count(DISTINCT (l_orderkey, l_linenumber)) AS n_key,
+        |    count(DISTINCT l_returnflag) AS n_rf_vals,
+        |    min(l_quantity) AS q_min, max(l_quantity) AS q_max FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'completeness_returnflag' AS "check",
+        |    CAST(n_rf AS BIGINT)/CAST(n AS BIGINT) AS metric,
+        |    CAST(n_rf = n AS INT) AS passed FROM a
+        |  UNION ALL SELECT 'unique_orderkey_linenumber',
+        |    CAST(n_key AS BIGINT)/CAST(n AS BIGINT), CAST(n_key = n AS INT) FROM a
+        |  UNION ALL SELECT 'returnflag_domain_3',
+        |    CAST(n_rf_vals AS DOUBLE), CAST(n_rf_vals = 3 AS INT) FROM a
+        |  UNION ALL SELECT 'quantity_min_ge_1',
+        |    CAST(q_min AS DOUBLE), CAST(q_min >= 1 AS INT) FROM a
+        |  UNION ALL SELECT 'quantity_max_le_50',
+        |    CAST(q_max AS DOUBLE), CAST(q_max <= 50 AS INT) FROM a)
+        |ORDER BY "check"""".stripMargin,
     // Holt mirror: the SAME driver-side coefficient tables as literal
     // nested lists, the same kept-null list() + list_filter frame and
     // single-division order as the ewm mirrors
@@ -1239,6 +1300,37 @@ object RelationalQueries {
         |  conv_vm // n_touches AS linear_micro,
         |  CASE WHEN rn = 1 THEN conv_vm ELSE 0 END AS last_touch_micro
         |FROM r ORDER BY user_id, touch_id""".stripMargin,
+    // FS-linkage mirror: identical u estimation (exact BIGINT ratios),
+    // identical weight arithmetic — note (1 - 0.9), NOT 0.1: the Scala
+    // side computes 1 − m in doubles and 0.1's bit pattern differs
+    "rel_record_linkage" -> {
+      def uSql(expr: String) =
+        s"(SELECT CAST(sum(c*(c-1)) AS BIGINT) AS s FROM (SELECT count(*) AS c FROM part GROUP BY $expr))"
+      def wPair(uCte: String, tag: String) =
+        s"""CAST(round(1000000*ln(0.9 / (CAST($uCte.s AS DOUBLE) / CAST(nn.n*(nn.n-1) AS DOUBLE)))) AS BIGINT) AS w${tag}_a,
+           |CAST(round(1000000*ln((1 - 0.9) / (1 - CAST($uCte.s AS DOUBLE) / CAST(nn.n*(nn.n-1) AS DOUBLE)))) AS BIGINT) AS w${tag}_d""".stripMargin
+      val band = (p: String) => s"CAST(floor($p.p_retailprice/100.0) AS BIGINT)"
+      s"""WITH nn AS (SELECT count(*) AS n FROM part),
+         |ub AS ${uSql("p_brand")},
+         |ut AS ${uSql("p_type")},
+         |up AS ${uSql("CAST(floor(p_retailprice/100.0) AS BIGINT)")},
+         |w AS (SELECT
+         |  ${wPair("ub", "b")},
+         |  ${wPair("ut", "t")},
+         |  ${wPair("up", "p")}
+         |  FROM ub, ut, up, nn),
+         |p2 AS (SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+         |    CAST(CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END
+         |      + CASE WHEN a.p_type = b.p_type THEN 2 ELSE 0 END
+         |      + CASE WHEN ${band("a")} = ${band("b")} THEN 4 ELSE 0 END AS BIGINT) AS pattern,
+         |    (CASE WHEN a.p_brand = b.p_brand THEN w.wb_a ELSE w.wb_d END
+         |      + CASE WHEN a.p_type = b.p_type THEN w.wt_a ELSE w.wt_d END
+         |      + CASE WHEN ${band("a")} = ${band("b")} THEN w.wp_a ELSE w.wp_d END) AS score_micro
+         |  FROM part a JOIN part b
+         |    ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey, w)
+         |SELECT ka, kb, pattern, score_micro FROM p2
+         |WHERE score_micro > 0 ORDER BY ka, kb""".stripMargin
+    },
     "rel_fuzzy_join" -> {
       val probeRows = Seq("smal ring", "red widgot", "blue blot", "hot gearr")
         .map(p => s"('$p')").mkString(", ")
