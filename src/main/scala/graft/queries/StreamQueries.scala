@@ -206,6 +206,13 @@ object StreamQueries {
     "stream_vocab" -> ((s, dir) =>
       StreamOps.vocabOnce(s, dir, k = 50)),
 
+    // STREAMING Holt smoothing: the exact unbounded fixed-point integer
+    // recursion online (constant state per key), multi-batch replay;
+    // oracle replays the identical floor-div arithmetic as a recursive
+    // CTE — all-BIGINT, no tolerance anywhere
+    "stream_holt" -> ((s, dir) =>
+      StreamOps.holtOnce(s, dir).orderBy("event_id")),
+
     // STREAMING heavy hitters: shard-keyed bounded Misra-Gries state
     // (transformWithState, RocksDB) tracks candidates online; one batch
     // pass exact-counts the streamed candidate set — output EXACT ==
@@ -548,6 +555,23 @@ object StreamQueries {
     "stream_clean_lines" -> ExtQueries.cleanLinesSql,
     "stream_weighted" -> ExtQueries.oracleSql("sample_weighted"),
     "stream_heavy_hitters" -> ExtQueries.oracleSql("text_heavy_hitters"),
+    "stream_holt" ->
+      """WITH RECURSIVE ev AS (SELECT user_id, event_id,
+        |    CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS vm,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |st AS (
+        |  SELECT e2.user_id, CAST(2 AS BIGINT) AS rn, e2.event_id,
+        |    e2.vm AS l, e2.vm - e1.vm AS b
+        |  FROM ev e1 JOIN ev e2 ON e1.user_id = e2.user_id
+        |    AND e1.rn = 1 AND e2.rn = 2
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.event_id,
+        |    (e.vm + st.l + st.b)//2 AS l,
+        |    (3*((e.vm + st.l + st.b)//2 - st.l) + 7*st.b)//10 AS b
+        |  FROM st JOIN ev e ON e.user_id = st.user_id AND e.rn = st.rn + 1)
+        |SELECT event_id, l AS level_micro, l + b AS forecast_micro
+        |FROM st ORDER BY event_id""".stripMargin,
     "stream_phrase_hits" -> ExtQueries.oracleSql("text_phrase_search"),
     "stream_funnel" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_funnel_tws" -> RelationalQueries.oracleSql("rel_funnel"),

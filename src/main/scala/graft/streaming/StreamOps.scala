@@ -695,6 +695,93 @@ object StreamOps {
     }
   }
 
+  /** Per-key Holt recursion state for the streaming smoother: (events
+    * seen, first value, level, trend) in micro-units. The recursion is
+    * FIXED-POINT INTEGER — α = 1∕2 and β = 3∕10 kept rational, each
+    * step two TRUNCATING divisions:
+    *   l' = (y + l + b) div 2
+    *   b' = (3·(l' − l) + 7·b) div 10
+    * so state and emissions are exact BIGINTs and the oracle replays
+    * the identical arithmetic as a recursive CTE. Java's long `/`
+    * truncates toward zero and so does DuckDB's integer `//`
+    * (measured: −7∕∕2 = −3) — the trend operands go negative, so a
+    * floorDiv here WOULD diverge by one micro on negative odd sums
+    * (caught by the gate on first run). Unlike the batch
+    * [[graft.operators.TimeSeries.holt]]
+    * (trailing-window convolution), the stream maintains the TRUE
+    * unbounded recursion — constant state per key makes that free
+    * online, which is exactly why the streaming formulation exists. */
+  private class HoltProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Long), (Long, Long, Long)] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)]("holt",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long, Long)], // (user, ts_us, event_id, vm)
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      var (n, y1, l, b) =
+        if (st.exists()) st.get() else (0L, 0L, 0L, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, _, id, vm) =>
+        n += 1
+        if (n == 1) y1 = vm
+        else if (n == 2) { l = vm; b = vm - y1 }
+        else {
+          val nl = (vm + l + b) / 2L // truncating, == DuckDB //
+          b = (3L * (nl - l) + 7L * b) / 10L
+          l = nl
+        }
+        if (n >= 2) out += ((id, l, l + b))
+      }
+      st.update((n, y1, l, b))
+      out.iterator
+    }
+  }
+
+  /** Streaming Holt smoothing: the exact unbounded recursion online —
+    * see [[HoltProcessor]]. Bounded multi-batch replay; emits one
+    * (event_id, level_micro, forecast_micro) row per event past the
+    * two-value initialization. */
+  def holtOnce(spark: SparkSession, dir: String, batches: Int = 3,
+      sinkName: String = "stream_holt_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(20, 6))
+          * lit(1000000L)).cast("long").as("vm"))
+      .orderBy("ts_us", "event_id") // replay in event-time order
+      .as[(Long, Long, Long, Long)].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, Long)]
+    val per = math.max(1, (recs.length + batches - 1) / batches)
+    recs.grouped(per).foreach(chunk => ms.addData(chunk.toIndexedSeq))
+    val out = ms.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new HoltProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF("event_id", "level_micro", "forecast_micro")
+    withRocksDbProvider(spark) {
+      withHarnessConf(spark, "8") { ckpt =>
+        val q = out.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update())
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+    }
+    spark.table(sinkName)
+  }
+
   /** Streaming heavy hitters: candidates stream through shard-keyed
     * bounded Misra-Gries state ([[MgProcessor]], transformWithState on
     * RocksDB), then ONE batch pass exact-counts the streamed candidate
