@@ -109,6 +109,52 @@ object Similarity {
        | i -> fx[i] * ($wj)[i])) AS BIGINT)""".stripMargin
   }
 
+  /** Sketch-prefiltered exact rerank — the production two-stage ANN
+    * pattern [[randomProjection]] exists for: stage 1 scans the corpus
+    * with the 8-int JL sketch only (each coordinate down-shifted by
+    * 1024 via TRUNCATING div — Spark `div` == DuckDB `//`, and the
+    * shrink keeps Σ(Δ)² inside a Long), keeping each query's
+    * `candidates` nearest by sketch L2²; stage 2 reranks only those by
+    * EXACT fixed-point cosine and emits the top `k`. Both stages are
+    * deterministic integer/total-order decisions, so the output is
+    * oracle-exact — the sketch changes WHICH candidates reach the
+    * exact stage, never the arithmetic of the final ranking.
+    *
+    * Scale: the corpus-wide pass costs k∕dims of a full-vector scan
+    * (the sketch is why); queries broadcast; the rerank join is an
+    * equi-join on the ≤ |queries|·candidates id set. */
+  def projectedRerank(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, candidates: Int, k: Int,
+      sketchK: Int = 8): DataFrame = {
+    val w = graft.functions.PlaneHash.table(sketchK, 64)
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    val sk = fx.select(col("id") +: (0 until sketchK).map { j =>
+        graft.functions.HashExpressions.fixed_dot(col("fx"),
+          typedlit(w.slice(j * 64, (j + 1) * 64).toSeq)).as(s"p$j")
+      }: _*)
+      .select(col("id") +: (0 until sketchK).map(j =>
+        expr(s"p$j div 1024").as(s"s$j")): _*)
+    val q = sk.filter(isQuery(col("id")))
+      .select(col("id").as("qid") +: (0 until sketchK).map(j =>
+        col(s"s$j").as(s"q$j")): _*)
+    val d2 = (0 until sketchK).map(j =>
+      (col(s"q$j") - col(s"s$j")) * (col(s"q$j") - col(s"s$j"))).reduce(_ + _)
+    val wC = Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))
+    val cand = broadcast(q).join(sk, col("qid") =!= col("id"))
+      .withColumn("d2", d2)
+      .withColumn("crn", row_number().over(wC))
+      .filter(col("crn") <= candidates)
+      .select("qid", "id")
+    val qfx = fx.select(col("id").as("qid"), col("fx").as("fq"),
+      col("nrm").as("nq"))
+    val wK = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    cand.join(fx, "id").join(broadcast(qfx), "qid")
+      .withColumn("cos", cosine(col("fq"), col("fx"), col("nq"), col("nrm")))
+      .withColumn("rn", row_number().over(wK).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("id").as("vec_id"), col("cos"))
+  }
+
   /** ANN top-k: candidates restricted to the query's bucket, ranked by
     * exact cosine. Equi-join on bucket — the scale path. */
   def bucketedTopK(df: DataFrame, idCol: String, vecCol: String,

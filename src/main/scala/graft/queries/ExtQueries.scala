@@ -459,6 +459,21 @@ object ExtQueries {
       // pandas cut + value_counts: fixed-edge binning, one hash aggregate
       Binning.valueCounts(t(s, dir, "lineitem"),
         Binning.cut(col("l_extendedprice"), CUT_EDGES, CUT_LABELS))),
+    "feat_equidepth" -> ((s, dir) => {
+      // pandas qcut (equi-depth binning): ntile over the TOTAL order
+      // (value, key-pair tiebreak) — deterministic, engine-identical
+      // bin assignment; per-bin support stats in one agg. One global
+      // rank is the disclosed cost (qcut's semantics ARE a global
+      // rank); the keep-rate histogram threshold is the scale-out
+      // alternative when a sample-based cut suffices
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("bin", ntile(10).over(w).cast("long"))
+        .groupBy("bin").agg(count(lit(1)).as("n"),
+          min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+        .orderBy("bin")
+    }),
     "layout_zorder" -> ((s, dir) => {
       // Z-order layout audit over (price in micro-units, partkey): the
       // per-bucket min/max table a Morton-sorted parquet layout hands a
@@ -1279,6 +1294,13 @@ object ExtQueries {
     "sim_ann_topk" -> ((s, dir) =>
       Similarity.bucketedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         id => id < 5, k = 3).orderBy("qid", "rn")),
+    "sim_proj_rerank" -> ((s, dir) =>
+      // two-stage ANN: corpus scanned with the 8-int JL sketch only,
+      // top-60 sketch-L2 candidates per query reranked by EXACT cosine
+      // — deterministic integer decisions end-to-end, so oracle-exact
+      Similarity.projectedRerank(t(s, dir, "embeddings"), "vec_id",
+          "embedding", _ < 5, candidates = 60, k = 10)
+        .orderBy("qid", "rn")),
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         id => id < 5, k = 3, nCentroids = 16, nprobe = 2).orderBy("qid", "rn")),
@@ -1605,6 +1627,14 @@ object ExtQueries {
       s"""SELECT ${Binning.cutSql("l_extendedprice", CUT_EDGES, CUT_LABELS)} AS bin,
          |  count(*) AS n
          |FROM lineitem GROUP BY 1 ORDER BY n DESC, bin""".stripMargin,
+    "feat_equidepth" ->
+      """WITH r AS (SELECT l_extendedprice,
+        |    CAST(ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+        |      l_linenumber) AS BIGINT) AS bin
+        |  FROM lineitem)
+        |SELECT bin, count(*) AS n, min(l_extendedprice) AS lo,
+        |  max(l_extendedprice) AS hi
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
     "text_vocab" ->
       s"""SELECT token, count(*) AS n
          |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
@@ -2759,6 +2789,32 @@ object ExtQueries {
     "sim_ann_buckets" ->
       s"""WITH $fxCte
          |SELECT id, ${Similarity.bucketSql()} AS bucket FROM n ORDER BY id""".stripMargin,
+    // sketch-rerank mirror: the same shifted projections, (d2, vid)
+    // candidate order, exact-cosine final order
+    "sim_proj_rerank" -> {
+      val sCols = (0 until 8)
+        .map(j => s"${Similarity.randomProjectionSql(j, 8)} // 1024 AS s$j")
+        .mkString(",\n|    ")
+      val d2 = (0 until 8)
+        .map(j => s"(q.s$j - v.s$j)*(q.s$j - v.s$j)").mkString(" + ")
+      s"""WITH $fxCte,
+         |p AS (SELECT id,
+         |    $sCols
+         |  FROM f),
+         |c AS (SELECT q.id AS qid, v.id AS vid, $d2 AS d2
+         |  FROM p q JOIN p v ON q.id < 5 AND v.id <> q.id),
+         |cr AS (SELECT qid, vid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d2, vid) AS crn FROM c),
+         |cand AS (SELECT qid, vid FROM cr WHERE crn <= 60),
+         |jn AS (SELECT cand.qid, cand.vid,
+         |    ${Similarity.cosineSql("q.fx", "v.fx", "q.nrm", "v.nrm")} AS cos
+         |  FROM cand JOIN n q ON q.id = cand.qid JOIN n v ON v.id = cand.vid),
+         |r AS (SELECT qid, vid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rn
+         |  FROM jn)
+         |SELECT qid, rn, vid AS vec_id, cos FROM r WHERE rn <= 10
+         |ORDER BY qid, rn""".stripMargin
+    },
     "sim_ivf_topk" ->
       s"""WITH $fxCte,
          |c AS (SELECT id AS cid, fx AS cfx, nrm AS cnrm FROM n
