@@ -404,6 +404,41 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** Label-propagation communities (Raghavan et al. 2007, synchronous
+    * variant with deterministic tie-break) — the graph-clustering
+    * complement of [[clusters]]: connected components answer "what is
+    * transitively linked", LPA answers "which DENSE region does each
+    * node sit in" (a giant weakly-linked component splits into its
+    * template cliques). Labels start as node ids; each round every
+    * node adopts the most frequent label among its NEIGHBORS, ties to
+    * the smallest label — a total order, so fixed `iters` rounds are
+    * engine-mirrorable (the oracle unrolls the same rounds, the
+    * pageRank discipline).
+    *
+    * Scale: per round ONE edge→label equi-join + a map-side-combined
+    * (node, label) count + one per-node window rank; labels checkpoint
+    * per round (flat lineage). Edge partitioning is the hub-skew knob,
+    * as for pageRank. */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val half = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .localCheckpoint(true)
+    val ed = half.unionAll(half.select(col("v").as("u"), col("u").as("v")))
+    var lbl = ed.select(col("u").as("n")).distinct()
+      .select(col("n"), col("n").as("l"))
+    val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("l"))
+    for (i <- 1 to iters) {
+      lbl = ed.join(lbl, ed("u") === lbl("n"))
+        .groupBy(col("v"), col("l")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v").as("n"), col("l"))
+      if (i < iters) lbl = lbl.localCheckpoint(true)
+    }
+    lbl.select(col("n").as("id"), col("l").as("community"))
+  }
+
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
       iters: Int = 4): DataFrame = {
     // checkpoint the pair list BEFORE symmetrizing: the union references

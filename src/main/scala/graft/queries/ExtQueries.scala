@@ -76,6 +76,8 @@ object ExtQueries {
   // counters >= share is the candidate-superset guarantee
   private[queries] val HH_COUNTERS = 1000
   private[queries] val HH_SHARE = 500
+  // label-propagation rounds (synchronous, min-label tie-break)
+  private val LP_ITERS = 3
   // winnowing (MOSS) fingerprints: window over 3-word shingle hashes
   // (guarantee length w+2 = 6 words; expected density 2/(w+1) = 0.4)
   // and the shared-fingerprint evidence floor for overlap pairs
@@ -684,6 +686,12 @@ object ExtQueries {
       // floored divisions) over the shared jaccard pair frame — one
       // edge->rank equi-join + target-keyed sum per round
       Dedup.pageRank(jaccardShared(s, dir), "da", "db", PR_ITERS)
+        .orderBy("id")),
+    "graph_communities" -> ((s, dir) =>
+      // LPA community detection over the shared jaccard pair frame:
+      // fixed synchronous rounds, (count desc, label) tie-break —
+      // dense template cliques separate from weakly-linked bridges
+      Dedup.labelPropagation(jaccardShared(s, dir), "da", "db", LP_ITERS)
         .orderBy("id")),
     "graph_triangles" -> ((s, dir) =>
       // near-dup graph density audit: per-node triangles + clustering
@@ -1887,6 +1895,28 @@ object ExtQueries {
          |p0 AS (SELECT u AS n, CAST(1000 AS BIGINT) AS r FROM dg),
          |$rounds
          |SELECT n AS id, r AS rank_milli FROM p$PR_ITERS ORDER BY id""".stripMargin
+    },
+    // LPA mirror: same jaccard pair CTEs, the same fixed rounds
+    // unrolled with the identical (count desc, label) window tie-break
+    "graph_communities" -> {
+      val rounds = (1 to LP_ITERS).map { i =>
+        s"""c$i AS (SELECT ed.v, l${i - 1}.l, count(*) AS c
+           |  FROM ed JOIN l${i - 1} ON ed.u = l${i - 1}.n GROUP BY 1, 2),
+           |l$i AS (SELECT v AS n, l FROM (
+           |  SELECT v, l, row_number() OVER (PARTITION BY v ORDER BY c DESC, l) AS rn
+           |  FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $distinctShingleCte,
+         |ex AS (SELECT id, nd, unnest(ds) AS h FROM d),
+         |pr AS (
+         |  SELECT a.id AS da, b.id AS db, count(*) AS common,
+         |    any_value(a.nd) AS na, any_value(b.nd) AS nb
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
+         |jp AS (SELECT da, db FROM pr WHERE common/(na+nb-common) >= $JACCARD_TAU),
+         |ed AS (SELECT da AS u, db AS v FROM jp UNION ALL SELECT db AS u, da AS v FROM jp),
+         |l0 AS (SELECT DISTINCT u AS n, u AS l FROM ed),
+         |$rounds
+         |SELECT n AS id, l AS community FROM l$LP_ITERS ORDER BY id""".stripMargin
     },
     // triangle mirror: same jaccard pair CTEs, forward-edge 3-join with
     // the identical integer-then-one-division coefficient arithmetic

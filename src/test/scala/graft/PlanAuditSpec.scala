@@ -241,6 +241,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p)
   }
 
+  test("LPA communities: two cliques + one bridge separate; bridge-free == components") {
+    import spark.implicits._
+    // clique {1,2,3}, clique {10,11,12}, bridge 3-10
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L)).toDF("da", "db")
+    val out = graft.operators.Dedup.labelPropagation(pairs, "da", "db", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // each clique converges to its own min label; the bridge does not
+    // merge them (a single cross-edge never outvotes a clique)
+    assert(out(1) == out(2) && out(2) == out(3))
+    assert(out(10) == out(11) && out(11) == out(12))
+    assert(out(1) != out(10), out.toString)
+  }
+
   test("triangles: forward-edge equi-joins, never a cross join") {
     val p = fmt(graft.queries.ExtQueries.queries("graph_triangles")(spark, sf001))
     assert(!p.contains("CartesianProduct"), p.take(2000))
