@@ -206,6 +206,12 @@ object StreamQueries {
     "stream_vocab" -> ((s, dir) =>
       StreamOps.vocabOnce(s, dir, k = 50)),
 
+    // STREAMING SCD2: per-key open-version ValueState closes/opens
+    // versions as attribute changes arrive; the bounded replay
+    // reconstructs the batch version table and shares its oracle
+    "stream_scd2" -> ((s, dir) =>
+      StreamOps.scd2Once(s, dir).orderBy("user_id", "from_us", "attr")),
+
     // STREAMING Holt smoothing: the exact unbounded fixed-point integer
     // recursion online (constant state per key), multi-batch replay;
     // oracle replays the identical floor-div arithmetic as a recursive
@@ -573,6 +579,7 @@ object StreamQueries {
         |SELECT event_id, l AS level_micro, l + b AS forecast_micro
         |FROM st ORDER BY event_id""".stripMargin,
     "stream_phrase_hits" -> ExtQueries.oracleSql("text_phrase_search"),
+    "stream_scd2" -> RelationalQueries.oracleSql("rel_scd2"),
     "stream_funnel" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_funnel_tws" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_cohort" -> RelationalQueries.oracleSql("rel_cohort"),

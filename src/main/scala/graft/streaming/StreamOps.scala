@@ -655,6 +655,91 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming SCD Type-2 state: per key, the open version (attr,
+    * eff_from µs). Each batch folds its events in (ts, event_id)
+    * order; an attribute CHANGE emits the closed previous version
+    * (eff_to = change ts) and opens a new one; the currently-open
+    * version is (re-)emitted with eff_to = −1 every batch it changes,
+    * so the sink's latest row per (key, from) is the version's final
+    * state — closed rows supersede their own open emission via
+    * max(to). Constant state per key; the bounded replay reconstructs
+    * exactly the batch [[graft.operators.Warehouse.scd2]] version
+    * table, whose oracle the twin shares. Disclosed aliasing edge: the
+    * reconstruction keys versions by (key, attr, eff_from), so an
+    * A→B→A flip within ONE microsecond would merge the two A versions
+    * — impossible on µs-unique (key, ts) streams (the testdata has no
+    * such collision; the batch path is exact regardless). */
+  private class Scd2Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String), (Long, String, Long, Long)] {
+    @transient private var open:
+        org.apache.spark.sql.streaming.ValueState[(String, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[(String, Long)]("open",
+        org.apache.spark.sql.Encoders.product[(String, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long, String)], // (user, ts_us, event_id, attr)
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long, Long)] = {
+      var cur: (String, Long) = if (open.exists()) open.get() else null
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+      var openDirty = false
+      rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, ts, _, attr) =>
+        if (cur == null) { cur = (attr, ts); openDirty = true }
+        else if (cur._1 != attr) {
+          out += ((user, cur._1, cur._2, ts)) // close the previous version
+          cur = (attr, ts); openDirty = true
+        }
+      }
+      if (cur != null) { open.update(cur) }
+      if (openDirty) out += ((user, cur._1, cur._2, -1L)) // (re-)emit open
+      out.iterator
+    }
+  }
+
+  /** Streaming SCD2 build — see [[Scd2Processor]]. The sink holds one
+    * row per emitted version state; the final SELECT keeps each
+    * (key, from)'s max(to) (a closed version supersedes its own open
+    * emission) and derives is_current. */
+  def scd2Once(spark: SparkSession, dir: String, batches: Int = 3,
+      sinkName: String = "stream_scd2_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .orderBy("ts_us", "event_id")
+      .as[(Long, Long, Long, String)].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    val per = math.max(1, (recs.length + batches - 1) / batches)
+    recs.grouped(per).foreach(chunk => ms.addData(chunk.toIndexedSeq))
+    val out = ms.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new Scd2Processor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF("user_id", "attr", "from_us", "to_raw")
+    withRocksDbProvider(spark) {
+      withHarnessConf(spark, "8") { ckpt =>
+        val q = out.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update())
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+    }
+    spark.table(sinkName)
+      .groupBy("user_id", "attr", "from_us")
+      .agg(max(col("to_raw")).as("__to"))
+      .select(col("user_id"), col("attr"), col("from_us"),
+        when(col("__to") >= 0, col("__to")).otherwise(lit(-1L)).as("to_us"),
+        (col("__to") < 0).cast("int").as("is_current"))
+  }
+
   /** SHARD-keyed streaming Misra-Gries state: each shard's ValueState
     * holds one bounded MG summary ((tokens, counts) pair lists ≤
     * `counters` entries — the per-shard memory bound no matter how long
