@@ -105,7 +105,104 @@ object TextExpressions {
     UTF8String.fromString(sb.toString) // trailing space never emitted = trim
   }
 
+  /** The FULL Gopher repetition-removal profile (Rae et al. 2021
+    * Table A1) in one pass per document: char mass of the single most
+    * frequent word 2-∕3-∕4-gram (count × gram chars) and char mass of
+    * the UNION of token positions covered by any DUPLICATED
+    * 5-∕6-∕7-∕8-gram, plus the total token char mass. All integer
+    * decisions: gram ties break (count desc, gram binary-UTF8 asc) —
+    * UTF8String comparison here == DuckDB's binary VARCHAR order, so
+    * the oracle picks the same gram; char lengths are CODE POINTS
+    * (Java codePointCount == DuckDB length()). Char mass counts token
+    * characters only (the ' ' delimiters are layout, not content) —
+    * the disclosed word-level reading of the paper's character
+    * fractions. */
+  case class GopherProfile(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_chars", LongType, nullable = false),
+      StructField("top2_mass", LongType, nullable = false),
+      StructField("top3_mass", LongType, nullable = false),
+      StructField("top4_mass", LongType, nullable = false),
+      StructField("dup5_mass", LongType, nullable = false),
+      StructField("dup6_mass", LongType, nullable = false),
+      StructField("dup7_mass", LongType, nullable = false),
+      StructField("dup8_mass", LongType, nullable = false)))
+    override protected def withNewChildInternal(c: Expression): GopherProfile =
+      copy(child = c)
+
+    override def nullSafeEval(input: Any): Any =
+      TextExpressions.computeGopher(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in =>
+        s"${ev.value} = graft.functions.TextExpressions.computeGopher($in);")
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def computeGopher(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    val lens = new Array[Long](n)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      toks(i) = s
+      lens(i) = s.codePointCount(0, s.length).toLong
+      total += lens(i)
+      i += 1
+    }
+    def gramAt(j: Int, ng: Int): String = {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < ng) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(j + k))
+        k += 1
+      }
+      sb.toString
+    }
+    def counts(ng: Int): java.util.HashMap[String, Int] = {
+      val m = new java.util.HashMap[String, Int]()
+      var j = 0
+      while (j + ng <= n) { m.merge(gramAt(j, ng), 1, (a, b) => a + b); j += 1 }
+      m
+    }
+    def topMass(ng: Int): Long = {
+      if (n < ng) return 0L
+      val m = counts(ng)
+      var bestC = 0; var bestG: String = null
+      m.forEach { (g, c) =>
+        if (c > bestC || (c == bestC && (bestG == null ||
+            UTF8String.fromString(g).compareTo(UTF8String.fromString(bestG)) < 0)))
+          { bestC = c; bestG = g }
+      }
+      // gram char mass = joined code points minus the ng−1 spaces
+      bestC.toLong * (bestG.codePointCount(0, bestG.length) - (ng - 1))
+    }
+    def dupMass(ng: Int): Long = {
+      if (n < ng) return 0L
+      val m = counts(ng)
+      val covered = new Array[Boolean](n)
+      var j = 0
+      while (j + ng <= n) {
+        if (m.get(gramAt(j, ng)) >= 2) {
+          var k = 0
+          while (k < ng) { covered(j + k) = true; k += 1 }
+        }
+        j += 1
+      }
+      var s = 0L; var p = 0
+      while (p < n) { if (covered(p)) s += lens(p); p += 1 }
+      s
+    }
+    new GenericInternalRow(Array[Any](total,
+      topMass(2), topMass(3), topMass(4),
+      dupMass(5), dupMass(6), dupMass(7), dupMass(8)))
+  }
+
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def repetition_stats(tokens: Column): Column = column(RepetitionStats(expression(tokens)))
   def canonical_text(text: Column): Column = column(CanonicalText(expression(text)))
+  def gopher_profile(tokens: Column): Column = column(GopherProfile(expression(tokens)))
 }

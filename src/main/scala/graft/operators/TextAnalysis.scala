@@ -248,6 +248,34 @@ object TextAnalysis {
         .otherwise(lit(0.0)).as("dup_bigram_frac"))
   }
 
+  /** The FULL Gopher repetition profile (Rae et al. 2021 Table A1 —
+    * every repetition filter the paper applies): per document, the
+    * char fraction held by the single most frequent 2-∕3-∕4-gram and
+    * the char fraction covered by duplicated 5-∕6-∕7-∕8-grams, from
+    * ONE codegen'd pass ([[graft.functions.TextExpressions.GopherProfile]])
+    * — zero shuffle, embarrassingly parallel; fractions are
+    * BIGINT∕BIGINT divisions. Completes [[repetition]]'s top-word +
+    * dup-bigram pair into the paper's whole suite. */
+  def repetitionFull(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val prof = graft.functions.TextExpressions.gopher_profile(words(col(textCol)))
+    // explode(array(struct)) is a Generate barrier: CollapseProject
+    // cannot inline the profile into its 9 consumers, so the one-pass
+    // expression truly runs once per row
+    val st = df.select(col(idCol).as("id"),
+      explode(array(prof)).as("st"))
+    def frac(f: String) =
+      when(col("st.n_chars") > 0, col(s"st.$f") / col("st.n_chars"))
+        .otherwise(lit(0.0))
+    st.select(col("id"), col("st.n_chars").as("n_chars"),
+      frac("top2_mass").as("top2_frac"),
+      frac("top3_mass").as("top3_frac"),
+      frac("top4_mass").as("top4_frac"),
+      frac("dup5_mass").as("dup5_frac"),
+      frac("dup6_mass").as("dup6_frac"),
+      frac("dup7_mass").as("dup7_frac"),
+      frac("dup8_mass").as("dup8_frac"))
+  }
+
   /** The composite pretraining quality gate: language, length and both
     * Gopher repetition signals evaluated in ONE projection pass (no
     * self-joins, no shuffle — every signal is a per-row fold), each doc

@@ -505,6 +505,12 @@ object ExtQueries {
       // fraction, pure per-row folds, zero shuffle
       TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
+    "text_repetition_full" -> ((s, dir) =>
+      // the whole Gopher Table-A1 repetition suite in one codegen'd
+      // pass per doc: top 2/3/4-gram char fractions + duplicated
+      // 5/6/7/8-gram coverage fractions
+      TextAnalysis.repetitionFull(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")),
     "text_clean_lines" -> ((s, dir) =>
       // C4 §2.2 line-level cleaning over a deterministic 12-word line
       // segmentation of the flat-word corpus: min-words floor, badword
@@ -1673,6 +1679,54 @@ object ExtQueries {
         |    1.0 - CAST(len(list_distinct(bg)) AS BIGINT)/CAST(len(bg) AS BIGINT)
         |  ELSE 0.0 END AS dup_bigram_frac
         |FROM b ORDER BY id""".stripMargin,
+    // full-Gopher mirror: relational per-n chains — top gram by
+    // (count desc, gram binary asc) window, duplicated-gram coverage as
+    // a DISTINCT position union joined to per-token lengths; char
+    // lengths are code points == the expression's codePointCount
+    "text_repetition_full" -> {
+      val topCtes = (2 to 4).map { n =>
+        s"""g$n AS (SELECT id, unnest(list_transform(generate_series(1, len(ws)-${n - 1}),
+           |    i -> array_to_string(ws[i:i+${n - 1}], ' '))) AS gram
+           |  FROM w WHERE len(ws) >= $n),
+           |c$n AS (SELECT id, gram, count(*) AS c FROM g$n GROUP BY 1, 2),
+           |t$n AS (SELECT id, CAST(c AS BIGINT) * (length(gram) - ${n - 1}) AS mass
+           |  FROM (SELECT id, gram, c, row_number() OVER (
+           |      PARTITION BY id ORDER BY c DESC, gram) AS rn FROM c$n)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val dupCtes = (5 to 8).map { n =>
+        s"""gp$n AS (SELECT id, unnest(generate_series(1, len(ws)-${n - 1})) AS i,
+           |  unnest(list_transform(generate_series(1, len(ws)-${n - 1}),
+           |    i -> array_to_string(ws[i:i+${n - 1}], ' '))) AS gram
+           |  FROM w WHERE len(ws) >= $n),
+           |dd$n AS (SELECT id, gram FROM (
+           |  SELECT id, gram, count(*) AS c FROM gp$n GROUP BY 1, 2) WHERE c >= 2),
+           |cv$n AS (SELECT DISTINCT g.id, g.i + k AS pos
+           |  FROM gp$n g JOIN dd$n d ON g.id = d.id AND g.gram = d.gram,
+           |  generate_series(0, ${n - 1}) v$n(k)),
+           |m$n AS (SELECT c.id, CAST(sum(le.l) AS BIGINT) AS mass
+           |  FROM cv$n c JOIN le ON le.id = c.id AND le.i = c.pos GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      def fr(cte: String) =
+        s"CASE WHEN tot.total > 0 THEN CAST(COALESCE($cte.mass, 0) AS BIGINT) / tot.total ELSE 0.0 END"
+      s"""WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
+         |tot AS (SELECT id, CAST(list_sum(list_transform(ws, t -> length(t))) AS BIGINT) AS total FROM w),
+         |le AS (SELECT id, unnest(generate_series(1, len(ws))) AS i,
+         |  unnest(list_transform(ws, t -> CAST(length(t) AS BIGINT))) AS l FROM w),
+         |$topCtes,
+         |$dupCtes
+         |SELECT tot.id, tot.total AS n_chars,
+         |  ${fr("t2")} AS top2_frac, ${fr("t3")} AS top3_frac,
+         |  ${fr("t4")} AS top4_frac, ${fr("m5")} AS dup5_frac,
+         |  ${fr("m6")} AS dup6_frac, ${fr("m7")} AS dup7_frac,
+         |  ${fr("m8")} AS dup8_frac
+         |FROM tot
+         |LEFT JOIN t2 ON t2.id = tot.id LEFT JOIN t3 ON t3.id = tot.id
+         |LEFT JOIN t4 ON t4.id = tot.id LEFT JOIN m5 ON m5.id = tot.id
+         |LEFT JOIN m6 ON m6.id = tot.id LEFT JOIN m7 ON m7.id = tot.id
+         |LEFT JOIN m8 ON m8.id = tot.id
+         |ORDER BY tot.id""".stripMargin
+    },
     // 12-word line segmentation CTE shared by the two C4 mirrors below —
     // same slice arithmetic as TextAnalysis.segmentLines
     "text_clean_lines" -> cleanLinesSql,
