@@ -105,6 +105,26 @@ class HashExprSpec extends SparkSpec {
     assert(shared >= 1)
   }
 
+  test("gopher profile: planted duplicates hit every mass field (hand-computed)") {
+    import spark.implicits._
+    // "a b c d e f a b c d e f": the 6-gram repeats at 0 and 6, so
+    // every 5/6-gram duplicates and coverage is all 12 tokens; 7/8-grams
+    // are all distinct; top-2-gram "a b" (count 2, binary-min tie) has
+    // char mass 2*2
+    val out = graft.operators.TextAnalysis.repetitionFull(
+        Seq((1L, "a b c d e f a b c d e f")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .head()
+    assert(out.getLong(1) == 12L) // n_chars
+    assert(out.getDouble(2) == 4.0 / 12) // top2
+    assert(out.getDouble(3) == 6.0 / 12) // top3 "a b c" x2, mass 2*3
+    assert(out.getDouble(4) == 8.0 / 12) // top4
+    assert(out.getDouble(5) == 1.0) // dup5 covers everything
+    assert(out.getDouble(6) == 1.0) // dup6
+    assert(out.getDouble(7) == 0.0) // 7-grams distinct
+    assert(out.getDouble(8) == 0.0)
+  }
+
   test("minhash_sig == MirrorHash.minhashSig") {
     assertSame(HE.minhash_sig(HE.shingle_hashes(HE.word_hashes(col("text")))),
       MH.minhashSig(MH.shingleHashes(MH.wordHashes(col("text")))))
