@@ -693,6 +693,19 @@ object ExtQueries {
       // edge->rank equi-join + target-keyed sum per round
       Dedup.pageRank(jaccardShared(s, dir), "da", "db", PR_ITERS)
         .orderBy("id")),
+    "pipe_graph_audit" -> ((s, dir) => {
+      // the dedup-graph governance report, one row per matched doc:
+      // centrality (integer PageRank), density (triangles + clustering
+      // coefficient), community label — the three lenses a keep-one
+      // policy review needs, all off the SHARED jaccard pair frame
+      // (computed once per session); three node-keyed equi-joins of
+      // |matched-docs|-sized frames
+      val pairs = jaccardShared(s, dir)
+      Dedup.pageRank(pairs, "da", "db", PR_ITERS)
+        .join(Dedup.triangles(pairs, "da", "db"), "id")
+        .join(Dedup.labelPropagation(pairs, "da", "db", LP_ITERS), "id")
+        .orderBy("id")
+    }),
     "graph_communities" -> ((s, dir) =>
       // LPA community detection over the shared jaccard pair frame:
       // fixed synchronous rounds, (count desc, label) tie-break —
@@ -1949,6 +1962,53 @@ object ExtQueries {
          |p0 AS (SELECT u AS n, CAST(1000 AS BIGINT) AS r FROM dg),
          |$rounds
          |SELECT n AS id, r AS rank_milli FROM p$PR_ITERS ORDER BY id""".stripMargin
+    },
+    // graph-audit mirror: ONE CTE chain — shared pair/edge/degree CTEs
+    // feeding the pagerank rounds, the triangle join and the LPA
+    // rounds, final 3-way node join
+    "pipe_graph_audit" -> {
+      val prRounds = (1 to PR_ITERS).map { i =>
+        s"""p$i AS (SELECT edd.v AS n,
+           |    CAST(150 + (850 * sum(p${i - 1}.r // edd.deg)) // 1000 AS BIGINT) AS r
+           |  FROM edd JOIN p${i - 1} ON edd.u = p${i - 1}.n GROUP BY edd.v)""".stripMargin
+      }.mkString(",\n")
+      val lpRounds = (1 to LP_ITERS).map { i =>
+        s"""cc$i AS (SELECT ed.v, l${i - 1}.l, count(*) AS c
+           |  FROM ed JOIN l${i - 1} ON ed.u = l${i - 1}.n GROUP BY 1, 2),
+           |l$i AS (SELECT v AS n, l FROM (
+           |  SELECT v, l, row_number() OVER (PARTITION BY v ORDER BY c DESC, l) AS rn
+           |  FROM cc$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $distinctShingleCte,
+         |ex AS (SELECT id, nd, unnest(ds) AS h FROM d),
+         |pr AS (
+         |  SELECT a.id AS da, b.id AS db, count(*) AS common,
+         |    any_value(a.nd) AS na, any_value(b.nd) AS nb
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
+         |jp AS (SELECT da, db FROM pr WHERE common/(na+nb-common) >= $JACCARD_TAU),
+         |ed AS (SELECT da AS u, db AS v FROM jp UNION ALL SELECT db AS u, da AS v FROM jp),
+         |dg AS (SELECT u, count(*) AS deg FROM ed GROUP BY 1),
+         |edd AS (SELECT ed.u, ed.v, dg.deg FROM ed JOIN dg ON ed.u = dg.u),
+         |p0 AS (SELECT u AS n, CAST(1000 AS BIGINT) AS r FROM dg),
+         |$prRounds,
+         |tr AS (SELECT e1.da AS a, e1.db AS b, e2.db AS c
+         |  FROM jp e1 JOIN jp e2 ON e1.db = e2.da
+         |  JOIN jp e3 ON e3.da = e1.da AND e3.db = e2.db),
+         |tn AS (SELECT id, count(*) AS n_tri
+         |  FROM (SELECT unnest([a, b, c]) AS id FROM tr) GROUP BY 1),
+         |l0 AS (SELECT u AS n, u AS l FROM dg),
+         |$lpRounds
+         |SELECT p$PR_ITERS.n AS id, p$PR_ITERS.r AS rank_milli, dg.deg,
+         |  COALESCE(tn.n_tri, 0) AS n_tri,
+         |  CASE WHEN dg.deg >= 2
+         |    THEN (COALESCE(tn.n_tri, 0) * 2) / (dg.deg * (dg.deg - 1))
+         |    ELSE 0.0 END AS clustering,
+         |  l$LP_ITERS.l AS community
+         |FROM p$PR_ITERS
+         |JOIN dg ON dg.u = p$PR_ITERS.n
+         |LEFT JOIN tn ON tn.id = p$PR_ITERS.n
+         |JOIN l$LP_ITERS ON l$LP_ITERS.n = p$PR_ITERS.n
+         |ORDER BY id""".stripMargin
     },
     // LPA mirror: same jaccard pair CTEs, the same fixed rounds
     // unrolled with the identical (count desc, label) window tie-break
