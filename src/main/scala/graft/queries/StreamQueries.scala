@@ -206,6 +206,12 @@ object StreamQueries {
     "stream_vocab" -> ((s, dir) =>
       StreamOps.vocabOnce(s, dir, k = 50)),
 
+    // STREAMING attribution: pending-touch ListState credits the whole
+    // list at conversion arrival (the online form of the batch reverse
+    // carry); append mode — emissions are final; shares rel_attribution
+    "stream_attribution" -> ((s, dir) =>
+      StreamOps.attributionOnce(s, dir).orderBy("user_id", "touch_id")),
+
     // STREAMING SCD2: per-key open-version ValueState closes/opens
     // versions as attribute changes arrive; the bounded replay
     // reconstructs the batch version table and shares its oracle
@@ -580,6 +586,7 @@ object StreamQueries {
         |FROM st ORDER BY event_id""".stripMargin,
     "stream_phrase_hits" -> ExtQueries.oracleSql("text_phrase_search"),
     "stream_scd2" -> RelationalQueries.oracleSql("rel_scd2"),
+    "stream_attribution" -> RelationalQueries.oracleSql("rel_attribution"),
     "stream_funnel" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_funnel_tws" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_cohort" -> RelationalQueries.oracleSql("rel_cohort"),

@@ -655,6 +655,91 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming multi-touch attribution state: per key, the PENDING
+    * touch list (ts_us, event_id) — a `ListState` (the appendable
+    * arbitrary-state primitive; state size = touches since the last
+    * conversion, the quantity the business rule itself bounds). Touches
+    * append; a conversion credits the whole pending list — last-touch
+    * full value to the most recent touch, linear value div n to each —
+    * and clears it. Credits are emitted AT CONVERSION TIME (the online
+    * form of the batch reverse carry); touches with no later conversion
+    * stay pending, exactly the batch drop rule, so the bounded replay
+    * equals [[graft.operators.Warehouse.attribution]] and shares its
+    * oracle verbatim. */
+  private class AttributionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String, Long), (Long, Long, Long, Long, Long, Long)] {
+    @transient private var pending:
+        org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      pending = getHandle.getListState[(Long, Long)]("pending",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long, String, Long)], // (user, ts, id, type, vm)
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long, Long, Long)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val it = pending.get()
+      while (it.hasNext) buf += it.next()
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long, Long)]
+      rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, ts, id, tpe, vm) =>
+        if (tpe == "click" || tpe == "view") buf += ((ts, id))
+        else if (tpe == "purchase" && buf.nonEmpty) {
+          val n = buf.length.toLong
+          val lastId = buf.maxBy(identity)._2 // most recent (ts, id)
+          buf.foreach { case (_, tid) =>
+            out += ((user, tid, id, n, vm / n,
+              if (tid == lastId) vm else 0L))
+          }
+          buf.clear()
+        }
+      }
+      // the store rejects empty list writes — an empty pending set is
+      // expressed by clearing the state
+      if (buf.isEmpty) pending.clear() else pending.put(buf.toArray)
+      out.iterator
+    }
+  }
+
+  /** Streaming attribution — see [[AttributionProcessor]]. */
+  def attributionOnce(spark: SparkSession, dir: String, batches: Int = 3,
+      sinkName: String = "stream_attr_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(20, 6))
+          * lit(1000000L)).cast("long").as("vm"))
+      .orderBy("ts_us", "event_id")
+      .as[(Long, Long, Long, String, Long)].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String, Long)]
+    val per = math.max(1, (recs.length + batches - 1) / batches)
+    recs.grouped(per).foreach(chunk => ms.addData(chunk.toIndexedSeq))
+    val out = ms.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new AttributionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF("user_id", "touch_id", "conv_id", "n_touches",
+        "linear_micro", "last_touch_micro")
+    withRocksDbProvider(spark) {
+      withHarnessConf(spark, "8") { ckpt =>
+        val q = out.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+    }
+    spark.table(sinkName)
+  }
+
   /** Streaming SCD Type-2 state: per key, the open version (attr,
     * eff_from µs). Each batch folds its events in (ts, event_id)
     * order; an attribute CHANGE emits the closed previous version
