@@ -150,6 +150,35 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** INCREMENTAL winnowed-overlap detection — the daily-batch form of
+    * [[winnowPairs]]: arriving documents probe the HISTORICAL
+    * fingerprint index by a cross-side equi-join on the fingerprint
+    * hash (the reference corpus never self-joins — cost ∝ |incoming|
+    * + cross-side hash collisions, the incremental-dedup discipline of
+    * [[incrementalDedup]]/[[incrementalEmbDedup]]); every incoming doc
+    * emits its verdict with its best-evidenced historical match
+    * (shared desc, id asc). At 100 TB the reference fingerprint index
+    * is the persisted artifact — ~2∕(w+1) of its gram volume. */
+  def incrementalWinnow(reference: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, w: Int, minShared: Long): DataFrame = {
+    def fps(df: DataFrame) = TextAnalysis.winnow(df, idCol, textCol, w)
+      .select(col("id"), col("gh")).distinct()
+    val r = fps(reference).select(col("id").as("ri"), col("gh"))
+    val i = fps(incoming).select(col("id").as("ii"), col("gh"))
+    val shared = i.join(r, "gh")
+      .groupBy("ii", "ri").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    val best = shared.withColumn("rn", row_number().over(
+        Window.partitionBy(col("ii")).orderBy(col("shared").desc, col("ri"))))
+      .filter(col("rn") === 1)
+      .select(col("ii").as("id"), col("ri").as("match_id"), col("shared"))
+    incoming.select(col(idCol).as("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id"),
+        when(col("match_id").isNotNull, 1).otherwise(0).as("overlap"),
+        col("match_id"), coalesce(col("shared"), lit(0L)).as("shared"))
+  }
+
   /** MinHash signatures: id, mh0..mh{NUM_PERMS-1}. The signature is one
     * single-pass aggregate (minhashSig); element extraction happens in a
     * separate projection so CollapseProject cannot duplicate it. */

@@ -373,22 +373,38 @@ object Multimodal {
     * join — the shuffle carries band collisions, exactly the
     * [[Dedup.simhashPairs]] scale story applied to images. */
   def nearDupPairs(df: DataFrame, idCol: String, blobCol: String,
+      maxHd: Int): DataFrame =
+    bandedHammingPairs(averageHash(df, idCol, blobCol), "ah_lo", "ah_hi", maxHd)
+
+  /** pHash variant of [[nearDupPairs]] — same 16-bit banding and exact
+    * hamming verify over the DCT spectrum hash: catches rescaled∕
+    * smoothed near-dups whose brightness grid (aHash) already drifted,
+    * the frequency-domain leg of a cross-hash visual dedup. */
+  def nearDupPairsPhash(df: DataFrame, idCol: String, blobCol: String,
+      maxHd: Int): DataFrame =
+    bandedHammingPairs(perceptualHash(df, idCol, blobCol), "ph_lo", "ph_hi", maxHd)
+
+  /** Shared banding+verify core over any (id, lo, hi) 64-bit hash
+    * frame: four 16-bit bands, candidate band equi-join (pigeonhole:
+    * hd < 4 shares an intact band → EXACT recall for maxHd ≤ 3), exact
+    * hamming verify. One definition — the aHash and pHash pair makers
+    * cannot drift. */
+  private def bandedHammingPairs(h: DataFrame, loCol: String, hiCol: String,
       maxHd: Int): DataFrame = {
     require(maxHd >= 0 && maxHd <= 3,
       s"4 bands guarantee recall only for hamming <= 3, got $maxHd")
-    val h = averageHash(df, idCol, blobCol)
-    val banded = h.select(col("id"), col("ah_lo"), col("ah_hi"),
+    val banded = h.select(col("id"), col(loCol), col(hiCol),
       explode(array(
-        struct(lit(0).as("bi"), col("ah_lo").bitwiseAND(lit(65535L)).as("bv")),
-        struct(lit(1).as("bi"), shiftright(col("ah_lo"), 16).as("bv")),
-        struct(lit(2).as("bi"), col("ah_hi").bitwiseAND(lit(65535L)).as("bv")),
-        struct(lit(3).as("bi"), shiftright(col("ah_hi"), 16).as("bv")))).as("b"))
-      .select(col("id"), col("ah_lo"), col("ah_hi"),
+        struct(lit(0).as("bi"), col(loCol).bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(1).as("bi"), shiftright(col(loCol), 16).as("bv")),
+        struct(lit(2).as("bi"), col(hiCol).bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(3).as("bi"), shiftright(col(hiCol), 16).as("bv")))).as("b"))
+      .select(col("id"), col(loCol), col(hiCol),
         col("b.bi").as("bi"), col("b.bv").as("bv"))
-    val a = banded.select(col("id").as("da"), col("ah_lo").as("la"),
-      col("ah_hi").as("ha"), col("bi"), col("bv"))
-    val b = banded.select(col("id").as("db"), col("ah_lo").as("lb"),
-      col("ah_hi").as("hb"), col("bi"), col("bv"))
+    val a = banded.select(col("id").as("da"), col(loCol).as("la"),
+      col(hiCol).as("ha"), col("bi"), col("bv"))
+    val b = banded.select(col("id").as("db"), col(loCol).as("lb"),
+      col(hiCol).as("hb"), col("bi"), col("bv"))
     a.join(b, Seq("bi", "bv")).filter(col("da") < col("db"))
       .select(col("da"), col("db"),
         (bit_count(col("la").bitwiseXOR(col("lb")))

@@ -81,7 +81,7 @@ object ExtQueries {
   // winnowing (MOSS) fingerprints: window over 3-word shingle hashes
   // (guarantee length w+2 = 6 words; expected density 2/(w+1) = 0.4)
   // and the shared-fingerprint evidence floor for overlap pairs
-  private val WINNOW_W = 4
+  private[queries] val WINNOW_W = 4
   private val WINNOW_MIN_SHARED = 2L
   // temperature mixture planning: epochs granted to the largest source
   private val MIX_MAX_EPOCHS = 4.0
@@ -417,6 +417,17 @@ object ExtQueries {
       // zero shuffle, ~2/(w+1) of grams survive per document
       TextAnalysis.winnow(t(s, dir, "documents"), "doc_id", "text", WINNOW_W)
         .orderBy("id", "pos")),
+    "dedup_winnow_incremental" -> ((s, dir) => {
+      // daily-batch winnow overlap: arrivals (id % INC_MOD == 0) probe
+      // the historical fingerprint index cross-side only — the
+      // reference corpus never self-joins
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalWinnow(
+        docs.filter(col("doc_id") % INC_MOD =!= 0),
+        docs.filter(col("doc_id") % INC_MOD === 0),
+        "doc_id", "text", WINNOW_W, WINNOW_MIN_SHARED)
+        .orderBy("id")
+    }),
     "dedup_winnow_pairs" -> ((s, dir) =>
       // substring-overlap pairs from winnowed fingerprints: equi-join on
       // the fingerprint hash (never all-pairs), any shared >= w+2-word
@@ -1636,6 +1647,23 @@ object ExtQueries {
       s"""WITH $shsCte,
          |f AS (SELECT id, unnest(${winnowSelectSql("shs", WINNOW_W)}) AS p FROM s)
          |SELECT id, p // $P AS pos, p % $P AS gh FROM f ORDER BY id, pos""".stripMargin,
+    "dedup_winnow_incremental" ->
+      s"""WITH $shsCte,
+         |fp AS (SELECT id, unnest(${winnowSelectSql("shs", WINNOW_W)}) % $P AS gh FROM s),
+         |fd AS (SELECT DISTINCT id, gh FROM fp),
+         |i AS (SELECT id AS ii, gh FROM fd WHERE id % $INC_MOD = 0),
+         |r AS (SELECT id AS ri, gh FROM fd WHERE id % $INC_MOD <> 0),
+         |sh AS (SELECT ii, ri, count(*) AS shared FROM i JOIN r USING (gh)
+         |  GROUP BY 1, 2 HAVING count(*) >= $WINNOW_MIN_SHARED),
+         |b AS (SELECT ii AS id, ri AS match_id, shared FROM (
+         |  SELECT ii, ri, shared, row_number() OVER (
+         |    PARTITION BY ii ORDER BY shared DESC, ri) AS rn FROM sh)
+         |  WHERE rn = 1)
+         |SELECT d.doc_id AS id,
+         |  CASE WHEN b.match_id IS NOT NULL THEN 1 ELSE 0 END AS overlap,
+         |  b.match_id, COALESCE(b.shared, 0) AS shared
+         |FROM documents d LEFT JOIN b ON b.id = d.doc_id
+         |WHERE d.doc_id % $INC_MOD = 0 ORDER BY id""".stripMargin,
     "dedup_winnow_pairs" ->
       s"""WITH $shsCte,
          |g AS (SELECT id, unnest(${winnowSelectSql("shs", WINNOW_W)}) % $P AS gh FROM s),

@@ -18,6 +18,39 @@ object StreamQueries {
   private val ND_MOD = 3L
   private val ND_TAU = 0.6
 
+  /** Predicted DCT perceptual-hash CTEs — the pixel-rule prediction of
+    * [[graft.operators.Multimodal.perceptualHash]]; yields
+    * `ph(id, ph_lo, ph_hi)`. The DCT table and the row transform go
+    * through CTE COLUMNS (ctt.ct, per-(u,y) row-sum rows regrouped to a
+    * list), NOT inline list literals inside nested lambdas — a literal
+    * referenced in a lambda body re-materializes per element evaluation
+    * (measured: the inline form ran >4 min for 500 rows; this shape
+    * runs in ~1 s). Shared by the mm_phash and mm_phash_pairs mirrors. */
+  private[queries] val phashCtes: String = {
+    val pow2 = (0 to 31).map(k => 1L << k).mkString("[", ",", "]")
+    val ct = Multimodal.dctTableSql
+    s"""ctt AS (SELECT $ct AS ct),
+       |g AS (SELECT doc_id AS id, 1 + doc_id%48 AS w, 1 + doc_id%32 AS h FROM documents),
+       |rj AS (SELECT id, j,
+       |    CAST(list_sum(list_transform(generate_series(0,31), x ->
+       |      ((id + 7*((x*w)//32) + 13*(((j%32)*h)//32)) % 256)
+       |        * ct[(j//32)*32 + x + 1])) AS BIGINT) AS s
+       |  FROM g, ctt, generate_series(0,1023) t(j)
+       |  WHERE j//32 < 8),
+       |r AS (SELECT id, list(s ORDER BY j) AS rr FROM rj GROUP BY id),
+       |c AS (SELECT id, list_transform(generate_series(0,63), k ->
+       |    CAST(list_sum(list_transform(generate_series(0,31), y ->
+       |      rr[(k//8)*32 + y + 1] * ct[(k%8)*32 + y + 1])) AS BIGINT)) AS cf
+       |  FROM r, ctt),
+       |m AS (SELECT id, cf, list_sort(cf[2:64])[32] AS med FROM c),
+       |ph AS (SELECT id,
+       |  CAST(list_sum(list_transform(generate_series(1,32), k ->
+       |    CASE WHEN cf[k+1] > med THEN ($pow2)[k] ELSE 0 END)) AS BIGINT) AS ph_lo,
+       |  CAST(list_sum(list_transform(generate_series(33,63), k ->
+       |    CASE WHEN cf[k+1] > med THEN ($pow2)[k-32] ELSE 0 END)) AS BIGINT) AS ph_hi
+       |  FROM m)""".stripMargin
+  }
+
   /** Predicted average-hash CTEs (the synthetic PNG pixel rule is known,
     * so the oracle computes the hash the real decoder will produce) —
     * shared by the mm_ahash and mm_neardup_pairs mirrors; yields
@@ -93,6 +126,16 @@ object StreamQueries {
         .repartition(s.sparkContext.defaultParallelism)
       val docs = Multimodal.withPngBlob(ids, "doc_id")
       Multimodal.perceptualHash(docs, "doc_id", "img").orderBy("id")
+    }),
+
+    "mm_phash_pairs" -> ((s, dir) => {
+      // frequency-domain visual near-dup: pHash through the SHARED
+      // banding+verify core (exact recall hd<=3 by pigeonhole)
+      val ids = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val docs = Multimodal.withPngBlob(ids, "doc_id")
+      Multimodal.nearDupPairsPhash(docs, "doc_id", "img", maxHd = 3)
+        .orderBy("da", "db")
     }),
 
     "mm_neardup_pairs" -> ((s, dir) => {
@@ -205,6 +248,12 @@ object StreamQueries {
     // the batch top-k (the oracle)
     "stream_vocab" -> ((s, dir) =>
       StreamOps.vocabOnce(s, dir, k = 50)),
+
+    // STREAMING winnowing: the codegen'd fingerprint selection as a
+    // stateless append-mode projection over the ingest — shares the
+    // batch text_winnowing oracle
+    "stream_winnow" -> ((s, dir) =>
+      StreamOps.winnowOnce(s, dir, ExtQueries.WINNOW_W).orderBy("id", "pos")),
 
     // STREAMING attribution: pending-touch ListState credits the whole
     // list at conversion arrival (the online form of the batch reverse
@@ -384,36 +433,21 @@ object StreamQueries {
     // pHash mirror: predicted 32x32 grid -> the SAME integer DCT table
     // as a literal (cos rounded once at table build, engines never call
     // cos), separable row/column sums, lower-median threshold
-    "mm_phash" -> {
-      val pow2 = (0 to 31).map(k => 1L << k).mkString("[", ",", "]")
-      // the DCT table and row transform go through CTE COLUMNS (ctt.ct,
-      // unnested per-(u,y) row sums), NOT inline list literals inside
-      // nested lambdas — a literal referenced in a lambda body is
-      // re-materialized per element evaluation (measured: the inline
-      // form ran >4 min for 500 rows; this shape runs in seconds)
-      val ct = Multimodal.dctTableSql
-      s"""WITH ctt AS (SELECT $ct AS ct),
-         |g AS (SELECT doc_id AS id, 1 + doc_id%48 AS w, 1 + doc_id%32 AS h FROM documents),
-         |rj AS (SELECT id, j,
-         |    CAST(list_sum(list_transform(generate_series(0,31), x ->
-         |      ((id + 7*((x*w)//32) + 13*(((j%32)*h)//32)) % 256)
-         |        * ct[(j//32)*32 + x + 1])) AS BIGINT) AS s
-         |  FROM g, ctt, generate_series(0,1023) t(j)
-         |  WHERE j//32 < 8),
-         |r AS (SELECT id, list(s ORDER BY j) AS rr FROM rj GROUP BY id),
-         |c AS (SELECT id, list_transform(generate_series(0,63), k ->
-         |    CAST(list_sum(list_transform(generate_series(0,31), y ->
-         |      rr[(k//8)*32 + y + 1] * ct[(k%8)*32 + y + 1])) AS BIGINT)) AS cf
-         |  FROM r, ctt),
-         |m AS (SELECT id, cf, list_sort(cf[2:64])[32] AS med FROM c),
-         |ph AS (SELECT id,
-         |  CAST(list_sum(list_transform(generate_series(1,32), k ->
-         |    CASE WHEN cf[k+1] > med THEN ($pow2)[k] ELSE 0 END)) AS BIGINT) AS ph_lo,
-         |  CAST(list_sum(list_transform(generate_series(33,63), k ->
-         |    CASE WHEN cf[k+1] > med THEN ($pow2)[k-32] ELSE 0 END)) AS BIGINT) AS ph_hi
-         |  FROM m)
-         |SELECT id, ph_lo, ph_hi FROM ph ORDER BY id""".stripMargin
-    },
+    "mm_phash" ->
+      s"""WITH $phashCtes
+         |SELECT id, ph_lo, ph_hi FROM ph ORDER BY id""".stripMargin,
+    // pHash-pair mirror: shared phashCtes + the aHash pair maker's
+    // OR-band join and exact hamming verify
+    "mm_phash_pairs" ->
+      s"""WITH $phashCtes
+         |SELECT da, db, hd FROM (
+         |  SELECT a.id AS da, b.id AS db,
+         |    CAST(bit_count(xor(a.ph_lo, b.ph_lo))
+         |       + bit_count(xor(a.ph_hi, b.ph_hi)) AS BIGINT) AS hd
+         |  FROM ph a JOIN ph b ON a.id < b.id AND (
+         |    a.ph_lo % 65536 = b.ph_lo % 65536 OR a.ph_lo // 65536 = b.ph_lo // 65536
+         |    OR a.ph_hi % 65536 = b.ph_hi % 65536 OR a.ph_hi // 65536 = b.ph_hi // 65536))
+         |WHERE hd <= 3 ORDER BY da, db""".stripMargin,
     // dHash mirror: same predicted pixel rule on the 9x8 grid, bit set
     // iff the right neighbor strictly exceeds the left
     "mm_dhash" -> {
@@ -567,6 +601,7 @@ object StreamQueries {
     "stream_clean_lines" -> ExtQueries.cleanLinesSql,
     "stream_weighted" -> ExtQueries.oracleSql("sample_weighted"),
     "stream_heavy_hitters" -> ExtQueries.oracleSql("text_heavy_hitters"),
+    "stream_winnow" -> ExtQueries.oracleSql("text_winnowing"),
     "stream_holt" ->
       """WITH RECURSIVE ev AS (SELECT user_id, event_id,
         |    CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS vm,

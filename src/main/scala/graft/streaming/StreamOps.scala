@@ -419,6 +419,30 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming winnowed-fingerprint extraction — live fingerprint
+    * indexing at ingestion (the feed side of a plagiarism/near-dup
+    * watch): the codegen'd O(grams) WinnowArray selection runs as a
+    * stateless projection over the arriving documents — append mode,
+    * zero state, zero shuffle — so the twin emits exactly the batch
+    * [[graft.operators.TextAnalysis.winnow]] rows and shares the
+    * `text_winnowing` oracle verbatim. */
+  def winnowOnce(spark: SparkSession, dir: String, w: Int,
+      sinkName: String = "stream_winnow_sink"): DataFrame = {
+    val tmp = linkedDir(dir, "documents")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val src = spark.readStream.schema(schema).parquet(tmp)
+    val out = graft.operators.TextAnalysis.winnow(src, "doc_id", "text", w)
+    withHarnessConf(spark, "4") { ckpt =>
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName)
+  }
+
   /** Streaming importance/quality scoring — model APPLICATION at
     * ingestion time: a fitted hashed-linear table (the batch artifact of
     * `Mixture.importanceTable`, or any trained quality classifier) ships
