@@ -252,6 +252,29 @@ final class SwiftRolling(sw: Swift, spec: WindowSpec, minPeriods: Int) {
     sw.df.withColumn(out, when(n >= math.max(minPeriods, 1), res))
   }
 
+  /** Rolling median absolute deviation — the robust dispersion measure
+    * (pandas idiom `rolling.apply(lambda s: (s - s.median()).abs()
+    * .median())`): deviations computed against 2×median (lo+hi of the
+    * sorted micro frame) so EVERYTHING stays integer — |2x − (lo+hi)|
+    * is in 2-micro units and the deviation median's own midpoint sum is
+    * in 4-micro units, ONE final division by 4·10⁶. Same sorted window
+    * frame as [[median]] (the engine computes the window list once; the
+    * two medians are projections over it). */
+  def mad(valueCol: String, out: String): DataFrame = {
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    val xm = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      * lit(1000000L)).cast("long")
+    val sorted = sort_array(collect_list(xm).over(spec))
+    val n = size(sorted)
+    def mid2(arr: Column): Column =
+      element_at(arr, ((n + lit(1)) / lit(2)).cast("int")) +
+        element_at(arr, (n / lit(2)).cast("int") + lit(1))
+    val m2 = mid2(sorted) // 2×median, micro units
+    val devs = sort_array(transform(sorted, x => abs(x * 2 - m2)))
+    val res = mid2(devs).cast("double") / lit(4000000.0)
+    sw.df.withColumn(out, when(n >= math.max(minPeriods, 1), res))
+  }
+
   /** pandas `rolling.quantile(q, interpolation='linear')` for a RATIONAL
     * q = num∕den — the type-7 position q·(n−1) = num·(n−1)∕den splits
     * into integer k = ⌊·⌋ and remainder, so the interpolated value
@@ -842,6 +865,27 @@ final class SwiftResample(sw: Swift, rule: String, tsCol: String,
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(base, Seq("bucket"), "left")
       .withColumn(out, last(col("__v"), ignoreNulls = true).over(wOrd))
+      .withColumn("n", coalesce(col("__n"), lit(0L)))
+      .select(col("bucket"), col(out), col("n"))
+  }
+
+  /** pandas `resample(rule).agg(...).bfill()` — the backward twin of
+    * [[aggFfill]]: gap buckets take the NEXT populated bucket's value
+    * (a `first` ignoreNulls over the unbounded-FOLLOWING frame). Same
+    * single-series window note as [[aggFfill]]. */
+  def aggBfill(aggExpr: Column, out: String,
+      post: Column => Column = identity): DataFrame = {
+    require(partitionBy.isEmpty,
+      "bfill is the single-series form; partition per series upstream")
+    sw.lastStrategy = SwiftStrategy.Vectorized
+    val base = bucketed.groupBy(col("__bucket").as("bucket"))
+      .agg(post(aggExpr).as("__v"), count(lit(1)).as("__n"))
+    val spine = base.agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+      .select(explode(expr(s"sequence(__mn, __mx, interval $rule)")).as("bucket"))
+    val wOrd = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(base, Seq("bucket"), "left")
+      .withColumn(out, first(col("__v"), ignoreNulls = true).over(wOrd))
       .withColumn("n", coalesce(col("__n"), lit(0L)))
       .select(col("bucket"), col(out), col("n"))
   }

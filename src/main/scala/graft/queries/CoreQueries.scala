@@ -472,6 +472,17 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // O5 — rolling MAD (robust dispersion): deviations against 2×median
+    // keep everything integer; one final division by 4e6
+    "o5_rolling_mad" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).rolling(5, orderBy = Seq("ts", "event_id"),
+          partitionBy = Seq("user_id"))
+        .mad("value", "mad")
+        .select(col("event_id"), col("mad"))
+        .orderBy("event_id")
+    }),
+
     // O5 — pandas rolling(5).quantile(0.25): type-7 linear interpolation
     // with rational q — all-integer until the final division
     "o5_rolling_quantile" -> ((s, dir) => {
@@ -700,6 +711,16 @@ object CoreQueries {
       val ev = t(s, dir, "events").filter(col("event_type") === "error")
       Swift(ev).resample("1 hour", "ts")
         .aggFfill(sum(col("value").cast(DecimalType(20, 6))), "hr_sum", _.cast("double"))
+        .select(epochUs(col("bucket")).as("bucket_us"), col("hr_sum"), col("n"))
+        .orderBy("bucket_us")
+    }),
+
+    // O6 — resample().bfill(): gap buckets take the NEXT populated
+    // bucket's value (the backward twin of ffill)
+    "o6_resample_bfill" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("event_type") === "error")
+      Swift(ev).resample("1 hour", "ts")
+        .aggBfill(sum(col("value").cast(DecimalType(20, 6))), "hr_sum", _.cast("double"))
         .select(epochUs(col("bucket")).as("bucket_us"), col("hr_sum"), col("n"))
         .orderBy("bucket_us")
     }),
@@ -1095,6 +1116,28 @@ object CoreQueries {
         |     + CAST(vs[CAST(len(vs)//2 AS INT) + 1] AS DOUBLE)) / 2000000.0
         |  END AS med
         |FROM l ORDER BY event_id""".stripMargin,
+    // MAD mirror: same sorted frame, deviations vs 2x-median in 2-micro
+    // units, the deviation median's midpoint sum in 4-micro units
+    "o5_rolling_mad" ->
+      """WITH m AS (SELECT event_id, user_id, ts,
+        |    CAST(CAST(value AS DECIMAL(20,6))*1000000 AS BIGINT) AS xm FROM events),
+        |l AS (SELECT event_id, list_sort(list_filter(list(xm) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), v -> v IS NOT NULL)) AS vs
+        |  FROM m),
+        |d AS (SELECT event_id, vs,
+        |    vs[CAST((len(vs)+1)//2 AS INT)] + vs[CAST(len(vs)//2 AS INT) + 1] AS m2
+        |  FROM l),
+        |e AS (SELECT event_id, len(vs) AS n,
+        |    list_sort(list_transform(vs, x -> abs(x*2 - m2))) AS ds
+        |  FROM d)
+        |SELECT event_id,
+        |  CASE WHEN n >= 5 THEN
+        |    CAST(ds[CAST((n+1)//2 AS INT)] + ds[CAST(n//2 AS INT) + 1] AS DOUBLE)
+        |    / 4000000.0
+        |  END AS mad
+        |FROM e ORDER BY event_id""".stripMargin,
+
     // quantile(1/4) mirror: type-7 split into integer k/rem, all-integer
     // interpolation, one final division
     "o5_rolling_quantile" ->
@@ -1284,6 +1327,19 @@ object CoreQueries {
          |SELECT epoch_us(sp.bucket) AS bucket_us,
          |  last_value(b.hr_sum IGNORE NULLS) OVER (ORDER BY sp.bucket
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hr_sum,
+         |  coalesce(b.n, 0) AS n
+         |FROM sp LEFT JOIN b USING (bucket)
+         |ORDER BY bucket_us""".stripMargin,
+    "o6_resample_bfill" ->
+      s"""WITH b AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         |    ${dsumSql("value")} AS hr_sum, count(*) AS n
+         |  FROM events WHERE event_type = 'error' GROUP BY 1),
+         |sp AS (SELECT unnest(generate_series(
+         |  (SELECT min(bucket) FROM b), (SELECT max(bucket) FROM b),
+         |  INTERVAL 1 HOUR)) AS bucket)
+         |SELECT epoch_us(sp.bucket) AS bucket_us,
+         |  first_value(b.hr_sum IGNORE NULLS) OVER (ORDER BY sp.bucket
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS hr_sum,
          |  coalesce(b.n, 0) AS n
          |FROM sp LEFT JOIN b USING (bucket)
          |ORDER BY bucket_us""".stripMargin,

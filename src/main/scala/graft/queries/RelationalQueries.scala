@@ -393,6 +393,22 @@ object RelationalQueries {
         .orderBy("doc_id")
     }),
 
+    // SCHEMA EVOLUTION roundtrip: two parquet batches with different
+    // column sets (a column added mid-stream — the routine ingest drift
+    // at 100 TB) read back with mergeSchema: old rows surface the new
+    // column as NULL, the production contract for additive evolution
+    "src_evolving_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val out = cachedTempDir("graft_evolve", dir)
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "source")
+        .write.mode("overwrite").parquet(s"$out/b1")
+      d.filter(col("doc_id") % 2 =!= 0).select("doc_id", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$out/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // parquet → JSON-lines sink → JSON source, same exactness contract
     "src_json_roundtrip" -> ((s, dir) => {
       val r = t(s, dir, "region").select("r_regionkey", "r_name")
@@ -1130,6 +1146,11 @@ object RelationalQueries {
     "src_partitioned_roundtrip" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE source IN ('src0', 'src1') ORDER BY doc_id""".stripMargin,
+    // evolving-schema mirror: old-batch rows surface NULL n_chars
+    "src_evolving_roundtrip" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id % 2 <> 0 THEN n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "rel_explode" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents WHERE doc_id % 50 = 0)
