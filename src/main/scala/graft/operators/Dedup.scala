@@ -403,16 +403,39 @@ object Dedup {
     * counts explode the triangle's three corners; coefficient =
     * 2·tri ∕ (deg·(deg−1)) with integer operands and ONE double
     * division (engine-identical). No cartesian anywhere; join fanout is
-    * Σ out·in per vertex. At 100 TB the skew hardening is
-    * degree-ordered orientation (point each edge at the higher-degree
-    * endpoint) — same plan, different orientation rule; id-orientation
-    * is kept here so the oracle mirrors the arithmetic verbatim on a
-    * tau-thresholded (sparse, near-clique) graph. */
-  def triangles(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // two consumers (triangle join ×3 + degrees) — truncate lineage so
-    // the upstream candidate pipeline runs once
-    val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    * Σ out·in per vertex, and `orientByDegree = true` (the production
+    * default at scale) bounds it by degree-ordering — see the inline
+    * note; the declared query keeps id-orientation so the oracle
+    * mirrors the joins verbatim, with a differential spec proving both
+    * orientations emit identical output. */
+  def triangles(pairs: DataFrame, aCol: String, bCol: String,
+      orientByDegree: Boolean = false): DataFrame = {
+    // multiple consumers (orientation + triangle join ×3 + degrees) —
+    // truncate lineage so the upstream candidate pipeline runs once
+    val e0 = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .distinct().localCheckpoint(eager = false)
+    val deg0 = e0.select(col("u").as("id"))
+      .unionAll(e0.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // the 100 TB skew hardening: each edge points at the larger
+    // (deg, id) endpoint, bounding out-degrees by O(√m)
+    // (Chiba–Nishizeki) so a hot hub cannot explode the middle join;
+    // the OUTPUT is orientation-invariant (each triangle counts once
+    // under ANY acyclic orientation — differential-spec'd), so the
+    // oracle keeps the id form
+    val e = if (!orientByDegree) e0 else {
+      val du = deg0.select(col("id").as("u"), col("deg").as("du"))
+      val dv = deg0.select(col("id").as("v"), col("deg").as("dv"))
+      e0.join(du, "u").join(dv, "v")
+        .select(
+          when(col("du") < col("dv")
+              || (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("fu"), col("v").as("fv")))
+            .otherwise(struct(col("v").as("fu"), col("u").as("fv"))).as("e"))
+        .select(col("e.fu").as("u"), col("e.fv").as("v"))
+        .localCheckpoint(eager = false)
+    }
+    val deg = deg0
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.v") === col("e2.u"))
       .join(e.as("e3"),
@@ -421,9 +444,6 @@ object Dedup {
     val perNode = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
-    val deg = e.select(col("u").as("id"))
-      .unionAll(e.select(col("v").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
     deg.join(perNode, Seq("id"), "left")
       .select(col("id"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))

@@ -255,6 +255,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(out(1) != out(10), out.toString)
   }
 
+  test("triangles: degree-ordered orientation == id orientation (incl. hot star)") {
+    import spark.implicits._
+    def run(pairs: org.apache.spark.sql.DataFrame, byDeg: Boolean) =
+      graft.operators.Dedup.triangles(pairs, "da", "db", orientByDegree = byDeg)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    // hot star (hub 100 with 20 spokes) + a clique hanging off a spoke
+    val star = (1L to 20L).map(s => (math.min(s, 100L), math.max(s, 100L)))
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 100L))
+    val pairs = (star ++ clique).distinct.toDF("da", "db")
+    assert(run(pairs, byDeg = true) == run(pairs, byDeg = false))
+    // and on the real jaccard graph
+    val jp = graft.operators.Dedup.jaccardPairs(
+      Tables.t(spark, sf001, "documents"), "doc_id", "text", 0.6)
+    assert(run(jp, byDeg = true) == run(jp, byDeg = false))
+  }
+
   test("triangles: forward-edge equi-joins, never a cross join") {
     val p = fmt(graft.queries.ExtQueries.queries("graph_triangles")(spark, sf001))
     assert(!p.contains("CartesianProduct"), p.take(2000))
