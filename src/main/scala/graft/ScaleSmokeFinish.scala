@@ -119,6 +119,16 @@ object ScaleSmokeFinish {
           graft.operators.Dedup.jaccardPairs(d, "doc_id", "text", 0.6),
           "da", "db"))
       }
+      time(s"winnow_incremental x$m (${5000L * m} docs)") {
+        noop(graft.operators.Dedup.incrementalWinnow(
+          d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", 4, 2L))
+      }
+      time(s"phash_pairs x$m (${5000L * m} images)") {
+        noop(graft.operators.Multimodal.nearDupPairsPhash(
+          graft.operators.Multimodal.withPngBlob(d.select("doc_id"), "doc_id"),
+          "doc_id", "img", maxHd = 3))
+      }
       d.unpersist(blocking = false)
       val p = rep(part, "p_partkey", m).repartition(32).cache(); p.count()
       time(s"fs_linkage x$m (${20000L * m} parts)") {
