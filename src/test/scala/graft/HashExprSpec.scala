@@ -105,6 +105,25 @@ class HashExprSpec extends SparkSpec {
     assert(shared >= 1)
   }
 
+  test("winnowPairs hot-gram cap: capped pairs lose only hot-hash evidence") {
+    import spark.implicits._
+    val docs2 = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def pairs(cap: Option[Int]) =
+      graft.operators.Dedup.winnowPairs(docs2, "doc_id", "text", 4, 1L, cap)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val un = pairs(None)
+    val capped = pairs(Some(2)) // drop fingerprints shared by > 2 docs
+    // the cap can only REMOVE evidence: every capped pair exists
+    // uncapped with at least as much shared weight
+    capped.foreach { case (k, s) =>
+      assert(un.contains(k) && un(k) >= s, s"$k: capped $s vs ${un.get(k)}")
+    }
+    assert(capped.size <= un.size)
+    // and with an infinite cap the result is identical to uncapped
+    assert(pairs(Some(Int.MaxValue)) == un)
+  }
+
   test("gopher profile: planted duplicates hit every mass field (hand-computed)") {
     import spark.implicits._
     // "a b c d e f a b c d e f": the 6-gram repeats at 0 and 6, so
