@@ -722,7 +722,8 @@ object HashExpressions {
         val b = ctx.freshName("b")
         s"""
            |int $n = $in.numElements();
-           |long[] $out = ($pRef).clone();
+           |long[] $out = new long[$nc];
+           |System.arraycopy($pRef, 0, $out, 0, $nc);
            |for (int $i = 0; $i < $n; $i++) {
            |  int $b = (int) ((($in.getLong($i) % $buckets) + $buckets) % $buckets);
            |  for (int $c = 0; $c < $nc; $c++) $out[$c] += $tRef[$c * $buckets + $b];
