@@ -77,7 +77,11 @@ object Bench {
         "text_quality", "mm_ahash")
       .foreach { q =>
         SparkEntry.queries.get(q).foreach { fn =>
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          try fn(spark, warmDir).count()
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warmup query $q failed: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
         }
       }
 
@@ -94,9 +98,16 @@ object Bench {
     val warmupT0 = System.nanoTime()
     val warmAll = sys.env.getOrElse("SPARK_GRAFT_WARM_ALL", "1") != "0"
     if (warmAll) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        // NonFatal only: an OOM/StackOverflow here is a real crash, not a
+        // warm-up hiccup, and must not be swallowed; non-fatal failures
+        // are logged so "plan never codegen-compiled before its timer"
+        // can't happen invisibly (it skews that query's first timing)
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warm pass failed for $name: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         finally {
           // same sweep discipline as the timed loop's finally: drop the
           // query's caches AND its orphaned localCheckpoint blocks, so
