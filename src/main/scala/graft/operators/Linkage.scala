@@ -35,8 +35,16 @@ object Linkage {
     (s, n * (n - 1))
   }
 
-  /** Micro-nat agreement / disagreement weights for one field. */
+  /** Micro-nat agreement / disagreement weights for one field.
+    *
+    * Requires 0 < s < d: s = 0 (every value distinct) gives u = 0 so
+    * ln(m∕u) = +Inf and `math.round` silently yields Long.MaxValue,
+    * wrapping the subsequent BIGINT score sums; s = d (a single-valued
+    * field) gives u = 1 so the disagreement weight divides by zero. */
   def fsWeightPair(s: Long, d: Long, m: Double): (Long, Long) = {
+    require(d > 0 && s > 0 && s < d,
+      s"degenerate u-probability (s=$s, d=$d): the field needs both " +
+        "repeated and distinct values to carry a finite log-weight")
     val u = s.toDouble / d.toDouble
     (math.round(1e6 * math.log(m / u)),
       math.round(1e6 * math.log((1 - m) / (1 - u))))
@@ -50,8 +58,13 @@ object Linkage {
   def fellegiSunter(df: DataFrame, keyCol: String, blockCol: String,
       fields: Seq[(String, Column)], m: Double): DataFrame = {
     require(fields.nonEmpty && m > 0 && m < 1, "need fields and 0<m<1")
-    val weights = fields.map { case (_, c) =>
+    val weights = fields.map { case (name, c) =>
       val (s, d) = uProb(df, c)
+      require(d > 0, s"fellegiSunter: need >= 2 rows to estimate u-probabilities (field '$name')")
+      require(s > 0 && s < d,
+        s"fellegiSunter: field '$name' has a degenerate u-probability " +
+          s"(s=$s, d=$d): an all-distinct (u=0) or single-valued (u=1) " +
+          "field cannot be weighted — drop it or coarsen its comparator")
       fsWeightPair(s, d, m)
     }
     val base = df.select(col(keyCol).as("k") +: col(blockCol).as("blk") +:
