@@ -204,9 +204,14 @@ object Similarity {
     * exist in real corpora — that's what Dedup is for), every vector ties
     * them on d2 and the lower cid wins, so the higher-cid twin owns an
     * empty list. Harmless for recall (probes tie the same way); costs one
-    * wasted centroid slot, which √n-scaled nCentroids absorbs. */
+    * wasted centroid slot, which √n-scaled nCentroids absorbs.
+    *
+    * `nCentroids = 0` (the default) derives C = max(4, ⌈√n⌉) from one
+    * count — the classic IVF sizing, so list size ≈ √n stays bounded as
+    * the corpus grows instead of every list scaling with n∕16. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int): DataFrame = {
+      nCentroids: Int = 0): DataFrame = {
+    val c = if (nCentroids > 0) nCentroids else autoCentroids(df.count())
     // fx feeds two consumers (centroid pick + scoring join). localCheckpoint
     // (not cache) so the corpus-wide fixed-point transform runs once AND the
     // blocks are reclaimed by the ContextCleaner when fx goes out of scope —
@@ -218,7 +223,7 @@ object Similarity {
     // two-consumer scratch table; a multi-tenant deployment would persist
     // with MEMORY_AND_DISK_2 + managed unpersist instead.
     val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
-    rankByCentroids(fx, seedCentroids(fx, nCentroids))
+    rankByCentroids(fx, seedCentroids(fx, c))
   }
 
   /** The k lowest (seedHash, id) rows as centroids: TakeOrderedAndProject,
@@ -365,9 +370,10 @@ object Similarity {
     * quantizer then has one fewer centroid, identically in both engines. */
   def ivfTopKRefined(df: DataFrame, idCol: String, vecCol: String,
       isQuery: Column => Column, k: Int,
-      nCentroids: Int = 16, nprobe: Int = 2, dims: Int = 64): DataFrame = {
+      nCentroids: Int = 0, nprobe: Int = 2, dims: Int = 64): DataFrame = {
+    val c = if (nCentroids > 0) nCentroids else autoCentroids(df.count())
     val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
-    val asg0 = rankByCentroids(fx, seedCentroids(fx, nCentroids))
+    val asg0 = rankByCentroids(fx, seedCentroids(fx, c))
       .filter(col("crn") === 1)
     val sumCols = (0 until dims).map(d => sum(element_at(col("fx"), d + 1)).as(s"__s$d"))
     val sums = asg0.groupBy(col("cid"))
@@ -396,7 +402,9 @@ object Similarity {
     * corpus (see IvfBalanceSpec for the id-correlated adversarial case). */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       isQuery: Column => Column, k: Int,
-      nCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+      nCentroids: Int = 0, nprobe: Int = 2): DataFrame = {
+    // nCentroids = 0 → C = max(4, ⌈√n⌉) (see ivfAssign): probed work per
+    // query stays ≈ nprobe·√n instead of nprobe·n∕16 at 100 TB
     val ranked = ivfAssign(df, idCol, vecCol, nCentroids).cache()
     probeLists(ranked, isQuery, k, nprobe)
   }

@@ -631,7 +631,10 @@ object ExtQueries {
         .select("da", "db")
       val labels = Dedup.clustersConverged(
         textPairs.union(visPairs).distinct(), "da", "db")
-      docs.join(broadcast(labels), docs("doc_id") === labels("n"), "left")
+      // no forced broadcast: |labels| scales with the DUP MASS, not a
+      // constant — AQE broadcasts when the runtime size is small and
+      // falls back to a shuffle join on a dup-heavy 100 TB corpus
+      docs.join(labels, docs("doc_id") === labels("n"), "left")
         .withColumn("cluster", coalesce(col("l"), col("doc_id")))
         .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
         .select(col("cluster").as("doc_id"), col("n_members"))
@@ -643,11 +646,12 @@ object ExtQueries {
       // to its cluster (singletons to themselves), the LONGEST doc
       // (n_chars, min-id tie-break) kept per cluster — the production
       // selection rule (keep the most complete copy, not the first).
-      // Reuses the shared pair pipeline; one broadcast-size label join +
-      // one window over clusters
+      // Reuses the shared pair pipeline; the label join is UNHINTED —
+      // |labels| scales with the dup mass, so AQE picks broadcast only
+      // when the runtime size allows — + one window over clusters
       val docs = t(s, dir, "documents")
       val labels = Dedup.clusters(jaccardShared(s, dir), "da", "db")
-      val labeled = docs.join(broadcast(labels), docs("doc_id") === labels("n"), "left")
+      val labeled = docs.join(labels, docs("doc_id") === labels("n"), "left")
         .withColumn("cl", coalesce(col("l"), col("doc_id")))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cl"))
         .orderBy(col("n_chars").desc, col("doc_id"))
@@ -822,11 +826,12 @@ object ExtQueries {
       // hash of the doc's near-dup CLUSTER representative, so every
       // member of a jaccard cluster lands on the same side — a plain
       // doc-id split would scatter near-copies of a val doc into train
-      // (test-set contamination). Reuses the shared pair pipeline; one
-      // broadcast label join + the usual pure-hash filter.
+      // (test-set contamination). Reuses the shared pair pipeline; the
+      // label join is unhinted (|labels| ∝ dup mass — AQE broadcasts
+      // only when the runtime size allows) + the usual pure-hash filter.
       val docs = t(s, dir, "documents")
       val labels = Dedup.clusters(jaccardShared(s, dir), "da", "db")
-      val labeled = docs.join(broadcast(labels), docs("doc_id") === labels("n"), "left")
+      val labeled = docs.join(labels, docs("doc_id") === labels("n"), "left")
         .withColumn("cl", coalesce(col("l"), col("doc_id")))
       Sampling.split(labeled, "cl", SPLIT_WEIGHTS, SPLIT_LABELS)
         .select(col("doc_id"), col("cl").as("cluster"), col("split"))
