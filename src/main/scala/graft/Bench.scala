@@ -11,6 +11,73 @@ import org.apache.spark.sql.SparkSession
   * processes (examples/swifter_speed_comparison.ipynb).
   */
 object Bench {
+
+  /** Counting appender for Spark's codegen-fallback WARNs. A Janino
+    * compile failure is invisible to every correctness gate (Spark
+    * falls back to interpreted eval and answers stay exact), so the
+    * bench artifact counts the WARNs per query — an interpreted-mode
+    * regression self-identifies the same way majflt made host paging
+    * self-identifying (round-11 verdict task: ClassScoreArray shipped
+    * a whole round of silent interpreted eval this way). */
+  private final class FallbackCounter extends
+      org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-codegen-fallbacks", null, null, true,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+    val count = new java.util.concurrent.atomic.AtomicLong(0)
+    override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+      val m = e.getMessage.getFormattedMessage
+      if (m.contains("falling back to interpreter") ||
+          m.contains("Whole-stage codegen disabled") ||
+          m.contains("Failed to compile the generated Java code"))
+        count.incrementAndGet()
+    }
+  }
+
+  /** Attach [[FallbackCounter]] to the codegen loggers at WARN (the
+    * bench runs the root logger at ERROR, which would swallow the
+    * fallback WARNs before any appender sees them). Returns a counter
+    * read, or a constant -1 if log4j2 wiring fails. Must run AFTER
+    * `setLogLevel` — that call rewrites the root config level. */
+  private def installFallbackCounter(): () => Long = try {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val conf = ctx.getConfiguration
+    val app = new FallbackCounter
+    app.start()
+    conf.addAppender(app)
+    // package logger covers CodeGeneratorWithInterpretedFallback +
+    // CodeGenerator; WholeStageCodegenExec logs its own disable WARN
+    Seq("org.apache.spark.sql.catalyst.expressions.codegen",
+        "org.apache.spark.sql.execution.WholeStageCodegenExec").foreach { ln =>
+      val lc = Option(conf.getLoggers.get(ln)).getOrElse {
+        val c = new LoggerConfig(ln, Level.WARN, false)
+        conf.addLogger(ln, c); c
+      }
+      lc.setLevel(Level.WARN)
+      lc.addAppender(app, Level.WARN, null)
+    }
+    ctx.updateLoggers()
+    // wiring self-test: route one probe WARN through a child logger of
+    // the package config — if it isn't counted, the counter would report
+    // a false all-clear, so surface -1 ("unavailable") instead of 0
+    LogManager.getLogger(
+      "org.apache.spark.sql.catalyst.expressions.codegen.GraftWiringProbe")
+      .warn("probe: falling back to interpreter (bench wiring self-test)")
+    if (app.count.get() == 0) {
+      System.err.println("[bench] fallback counter wiring self-test FAILED")
+      () => -1L
+    } else {
+      app.count.set(0)
+      () => app.count.get()
+    }
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] fallback counter unavailable: ${e.getMessage}")
+      () => -1L
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir0 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,6 +90,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val cgFallbacks = installFallbackCounter()
 
     // The driver-generated parquet has ONE row group per table (checked
     // r9: lineitem sf0.1 = 1×600k rows), and parquet tasks cannot split
@@ -209,6 +277,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val gcByQuery = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     val mfByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val cgByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     // Failed queries record their error's first line in the artifact:
     // a -1 with the message only in a truncated stderr tail once cost a
     // full round of diagnosis (the ts-encoding drift).
@@ -216,7 +285,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val (gc0, sp0, mf0) = (gcMs(), safepointMs(), majFlt())
+      val (gc0, sp0, mf0, cg0) = (gcMs(), safepointMs(), majFlt(), cgFallbacks())
       val t0 = System.nanoTime()
       inFlight.set((name, t0))
       try {
@@ -237,6 +306,7 @@ object Bench {
         // instrumentation exists for
         gcByQuery(name) = (gcMs() - gc0, safepointMs() - sp0)
         mfByQuery(name) = majFlt() - mf0
+        cgByQuery(name) = cgFallbacks() - cg0
         inFlight.set(null)
         // Drop Dataset caches the query pinned (cache() without unpersist
         // is the normal single-query idiom here) and the query's orphaned
@@ -263,7 +333,10 @@ object Bench {
     // re-run, same commit, same box). Carrying both passes makes a
     // degraded-host artifact self-adjudicating instead of costing a
     // judge session. Not part of `total` — a diagnostic side channel.
-    val retimeN = sys.env.getOrElse("SPARK_GRAFT_RETIME_N", "8").toInt
+    // 16, not 8: the r11 driver tail showed warm-up noise reaching ~rank
+    // 12 (o5_rolling_mad 2.94s, dedup_emb_incremental 2.84s had no
+    // second timing) — 16 makes the artifact fully self-adjudicating
+    val retimeN = sys.env.getOrElse("SPARK_GRAFT_RETIME_N", "16").toInt
     val secondPass = results.filter(_._2 >= 0).sortBy(-_._2).take(retimeN)
       .map { case (name, _) =>
         val t0 = System.nanoTime()
@@ -294,13 +367,18 @@ object Bench {
       .mkString("{", ",", "}")
     val mfMap = mfByQuery.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
+    // nonzero entries only (healthy state is all-zero; the total field
+    // still proves the counter ran — -1 per query means wiring failed)
+    val cgTotal = cgByQuery.values.filter(_ > 0).sum
+    val cgMap = cgByQuery.filter(_._2 != 0).map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
     val p2Map = secondPass.map { case (k, v) => f""""$k":$v%.4f""" }
       .mkString("{", ",", "}")
     def jq(s: String): String = queries.Tables.jsonEscape(s)
     val errMap = errByQuery.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
       .mkString("{", ",", "}")
     val full = toJson(results,
-      f""","respool_sec":$respoolSec%.1f,"warmup_sec":$warmupSec%.1f,"gc_by_query":$gcMap,"majflt_by_query":$mfMap,"second_pass":$p2Map,"errors":$errMap""")
+      f""","respool_sec":$respoolSec%.1f,"warmup_sec":$warmupSec%.1f,"gc_by_query":$gcMap,"majflt_by_query":$mfMap,"codegen_fallbacks":$cgTotal,"codegen_fallbacks_by_query":$cgMap,"second_pass":$p2Map,"errors":$errMap""")
     // The driver captures only a ~2KB stdout TAIL: with 100+ queries the
     // full line (~2.7KB) gets its head cut and fails to parse (r4–r6 all
     // recorded parsed:null). Print the full line first for humans, then a
