@@ -198,33 +198,39 @@ object Multimodal {
     val blobIdx = df.schema.fieldIndex(blobCol)
     df.mapPartitions { it =>
       it.map { r =>
-        val id = r.getLong(idIdx)
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](blobIdx)))
-        val (w, h) = (img.getWidth, img.getHeight)
-        val px = new Array[Long](64)
-        var k = 0
-        while (k < 64) {
-          val sx = (k % 8) * w / 8
-          val sy = (k / 8) * h / 8
-          px(k) = ((img.getRGB(sx, sy) >> 16) & 0xff).toLong
-          k += 1
-        }
-        // the 64-bit hash travels as two positive 32-bit halves so the
-        // integer arithmetic (and the SQL mirror) never touches the
-        // BIGINT sign bit
-        val mean = px.sum / 64
-        var lo = 0L; var hi = 0L
-        k = 0
-        while (k < 64) {
-          if (px(k) >= mean) {
-            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
-          }
-          k += 1
-        }
-        Row(id, lo, hi)
+        val (lo, hi) = ahashOf(img)
+        Row(r.getLong(idIdx), lo, hi)
       }
     }(Encoders.row(ahashSchema))
+  }
+
+  /** aHash kernel over an already-decoded image — shared by
+    * [[averageHash]] and the one-decode [[fingerprints]]. */
+  private def ahashOf(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      val sx = (k % 8) * w / 8
+      val sy = (k / 8) * h / 8
+      px(k) = ((img.getRGB(sx, sy) >> 16) & 0xff).toLong
+      k += 1
+    }
+    // the 64-bit hash travels as two positive 32-bit halves so the
+    // integer arithmetic (and the SQL mirror) never touches the
+    // BIGINT sign bit
+    val mean = px.sum / 64
+    var lo = 0L; var hi = 0L
+    k = 0
+    while (k < 64) {
+      if (px(k) >= mean) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (lo, hi)
   }
 
   val phashSchema: StructType = StructType(Seq(
@@ -270,56 +276,62 @@ object Multimodal {
     val blobIdx = df.schema.fieldIndex(blobCol)
     df.mapPartitions { it =>
       it.map { r =>
-        val id = r.getLong(idIdx)
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](blobIdx)))
-        val (w, h) = (img.getWidth, img.getHeight)
-        val px = new Array[Long](32 * 32) // row-major (y, x)
-        var y = 0
-        while (y < 32) {
-          var x = 0
-          while (x < 32) {
-            px(y * 32 + x) = ((img.getRGB(x * w / 32, y * h / 32) >> 16) & 0xff).toLong
-            x += 1
-          }
-          y += 1
-        }
-        // separable DCT: rows then columns (integer sums — order-free)
-        val rr = new Array[Long](32 * 32) // (u, y)
-        var u = 0
-        while (u < 32) {
-          y = 0
-          while (y < 32) {
-            var s = 0L; var x = 0
-            while (x < 32) { s += px(y * 32 + x) * dctTable(u * 32 + x); x += 1 }
-            rr(u * 32 + y) = s
-            y += 1
-          }
-          u += 1
-        }
-        val cf = new Array[Long](64) // (u, v) u,v in [0,8), k = u*8+v
-        var k = 0
-        while (k < 64) {
-          var s = 0L; var yy = 0
-          while (yy < 32) {
-            s += rr((k / 8) * 32 + yy) * dctTable((k % 8) * 32 + yy)
-            yy += 1
-          }
-          cf(k) = s
-          k += 1
-        }
-        val med = cf.slice(1, 64).sorted.apply(31) // lower median of 63
-        var lo = 0L; var hi = 0L
-        k = 1
-        while (k < 64) {
-          if (cf(k) > med) {
-            if (k <= 32) lo |= 1L << (k - 1) else hi |= 1L << (k - 33)
-          }
-          k += 1
-        }
-        Row(id, lo, hi)
+        val (lo, hi) = phashOf(img)
+        Row(r.getLong(idIdx), lo, hi)
       }
     }(Encoders.row(phashSchema))
+  }
+
+  /** pHash kernel over an already-decoded image — shared by
+    * [[perceptualHash]] and the one-decode [[fingerprints]]. */
+  private def phashOf(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = new Array[Long](32 * 32) // row-major (y, x)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        px(y * 32 + x) = ((img.getRGB(x * w / 32, y * h / 32) >> 16) & 0xff).toLong
+        x += 1
+      }
+      y += 1
+    }
+    // separable DCT: rows then columns (integer sums — order-free)
+    val rr = new Array[Long](32 * 32) // (u, y)
+    var u = 0
+    while (u < 32) {
+      y = 0
+      while (y < 32) {
+        var s = 0L; var x = 0
+        while (x < 32) { s += px(y * 32 + x) * dctTable(u * 32 + x); x += 1 }
+        rr(u * 32 + y) = s
+        y += 1
+      }
+      u += 1
+    }
+    val cf = new Array[Long](64) // (u, v) u,v in [0,8), k = u*8+v
+    var k = 0
+    while (k < 64) {
+      var s = 0L; var yy = 0
+      while (yy < 32) {
+        s += rr((k / 8) * 32 + yy) * dctTable((k % 8) * 32 + yy)
+        yy += 1
+      }
+      cf(k) = s
+      k += 1
+    }
+    val med = cf.slice(1, 64).sorted.apply(31) // lower median of 63
+    var lo = 0L; var hi = 0L
+    k = 1
+    while (k < 64) {
+      if (cf(k) > med) {
+        if (k <= 32) lo |= 1L << (k - 1) else hi |= 1L << (k - 33)
+      }
+      k += 1
+    }
+    (lo, hi)
   }
 
   val dhashSchema: StructType = StructType(Seq(
@@ -340,28 +352,64 @@ object Multimodal {
     val blobIdx = df.schema.fieldIndex(blobCol)
     df.mapPartitions { it =>
       it.map { r =>
-        val id = r.getLong(idIdx)
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](blobIdx)))
-        val (w, h) = (img.getWidth, img.getHeight)
-        // 9 columns × 8 rows; bit (r, c) compares columns c and c+1
-        val px = Array.tabulate(8, 9) { (row, colI) =>
-          val sx = colI * w / 9
-          val sy = row * h / 8
-          ((img.getRGB(sx, sy) >> 16) & 0xff).toLong
-        }
-        var lo = 0L; var hi = 0L
-        var k = 0
-        while (k < 64) {
-          val (row, c) = (k / 8, k % 8)
-          if (px(row)(c + 1) > px(row)(c)) {
-            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
-          }
-          k += 1
-        }
-        Row(id, lo, hi)
+        val (lo, hi) = dhashOf(img)
+        Row(r.getLong(idIdx), lo, hi)
       }
     }(Encoders.row(dhashSchema))
+  }
+
+  /** dHash kernel over an already-decoded image — shared by
+    * [[differenceHash]] and the one-decode [[fingerprints]]. */
+  private def dhashOf(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    // 9 columns × 8 rows; bit (r, c) compares columns c and c+1
+    val px = Array.tabulate(8, 9) { (row, colI) =>
+      val sx = colI * w / 9
+      val sy = row * h / 8
+      ((img.getRGB(sx, sy) >> 16) & 0xff).toLong
+    }
+    var lo = 0L; var hi = 0L
+    var k = 0
+    while (k < 64) {
+      val (row, c) = (k / 8, k % 8)
+      if (px(row)(c + 1) > px(row)(c)) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (lo, hi)
+  }
+
+  val fingerprintSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("ah_lo", LongType), StructField("ah_hi", LongType),
+    StructField("dh_lo", LongType), StructField("dh_hi", LongType),
+    StructField("ph_lo", LongType), StructField("ph_hi", LongType)))
+
+  /** One-decode multi-fingerprint: aHash + dHash + pHash from a SINGLE
+    * codec pass per row. The three hashes are projections of the same
+    * decoded raster, but calling the single-hash operators in one
+    * pipeline decodes the payload three times — and the codec, not the
+    * hash arithmetic, is the dominant per-row cost (the r11 verdict's
+    * one-decode task). At 100 TB the decode is the whole bill for a
+    * curation pass wanting the full visual fingerprint family; this op
+    * pays it once. Bit-identical to the single-hash operators by
+    * construction (shared kernels — see MultimodalSpec's differential). */
+  def fingerprints(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](blobIdx)))
+        val (alo, ahi) = ahashOf(img)
+        val (dlo, dhi) = dhashOf(img)
+        val (plo, phi) = phashOf(img)
+        Row(r.getLong(idIdx), alo, ahi, dlo, dhi, plo, phi)
+      }
+    }(Encoders.row(fingerprintSchema))
   }
 
   /** Visual near-duplicate pairs from the perceptual hash — the image

@@ -69,6 +69,23 @@ object StreamQueries {
        |  FROM m)""".stripMargin
   }
 
+  /** Predicted difference-hash CTEs (9×8 grid, right-neighbor strictly
+    * greater) — shared by the mm_dhash and mm_fingerprints mirrors;
+    * yields `dh(id, dh_lo, dh_hi)`. */
+  private[queries] val dhashCtes: String = {
+    val pow2 = (0 to 31).map(k => 1L << k).mkString("[", ",", "]")
+    def pxl(cExpr: String) =
+      s"(id + 7*(($cExpr)*w//9) + 13*((k//8)*h//8)) % 256"
+    val cond = s"${pxl("k%8+1")} > ${pxl("k%8")}"
+    s"""g AS (SELECT doc_id AS id, 1 + doc_id%48 AS w, 1 + doc_id%32 AS h FROM documents),
+       |dh AS (SELECT id,
+       |  CAST(list_sum(list_transform(generate_series(0,31), k ->
+       |    CASE WHEN $cond THEN ($pow2)[k+1] ELSE 0 END)) AS BIGINT) AS dh_lo,
+       |  CAST(list_sum(list_transform(generate_series(32,63), k ->
+       |    CASE WHEN $cond THEN ($pow2)[k-31] ELSE 0 END)) AS BIGINT) AS dh_hi
+       |  FROM g)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // multimodal: binary payload → batch decode via mapPartitions
     "mm_decode_stub" -> ((s, dir) => {
@@ -126,6 +143,16 @@ object StreamQueries {
         .repartition(s.sparkContext.defaultParallelism)
       val docs = Multimodal.withPngBlob(ids, "doc_id")
       Multimodal.perceptualHash(docs, "doc_id", "img").orderBy("id")
+    }),
+
+    // multimodal: the full visual fingerprint family (aHash + dHash +
+    // pHash) from ONE decode per row — the codec is the dominant
+    // per-row cost, so a curation pass wanting all three pays it once
+    "mm_fingerprints" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val docs = Multimodal.withPngBlob(ids, "doc_id")
+      Multimodal.fingerprints(docs, "doc_id", "img").orderBy("id")
     }),
 
     "mm_phash_pairs" -> ((s, dir) => {
@@ -450,20 +477,18 @@ object StreamQueries {
          |WHERE hd <= 3 ORDER BY da, db""".stripMargin,
     // dHash mirror: same predicted pixel rule on the 9x8 grid, bit set
     // iff the right neighbor strictly exceeds the left
-    "mm_dhash" -> {
-      val pow2 = (0 to 31).map(k => 1L << k).mkString("[", ",", "]")
-      def pxl(cExpr: String) =
-        s"(id + 7*(($cExpr)*w//9) + 13*((k//8)*h//8)) % 256"
-      val cond = s"${pxl("k%8+1")} > ${pxl("k%8")}"
-      s"""WITH g AS (SELECT doc_id AS id, 1 + doc_id%48 AS w, 1 + doc_id%32 AS h FROM documents),
-         |dh AS (SELECT id,
-         |  CAST(list_sum(list_transform(generate_series(0,31), k ->
-         |    CASE WHEN $cond THEN ($pow2)[k+1] ELSE 0 END)) AS BIGINT) AS dh_lo,
-         |  CAST(list_sum(list_transform(generate_series(32,63), k ->
-         |    CASE WHEN $cond THEN ($pow2)[k-31] ELSE 0 END)) AS BIGINT) AS dh_hi
-         |  FROM g)
-         |SELECT id, dh_lo, dh_hi FROM dh ORDER BY id""".stripMargin
-    },
+    "mm_dhash" ->
+      s"""WITH $dhashCtes
+         |SELECT id, dh_lo, dh_hi FROM dh ORDER BY id""".stripMargin,
+    // one-decode fingerprint mirror: the three predicted hashes joined
+    // on id — each subquery carries its own WITH so the shared CTE
+    // names (g, m) never collide
+    "mm_fingerprints" ->
+      s"""SELECT id, ah_lo, ah_hi, dh_lo, dh_hi, ph_lo, ph_hi
+         |FROM (WITH $ahashCtes SELECT id, ah_lo, ah_hi FROM ah) a
+         |JOIN (WITH $dhashCtes SELECT id, dh_lo, dh_hi FROM dh) d USING (id)
+         |JOIN (WITH $phashCtes SELECT id, ph_lo, ph_hi FROM ph) p USING (id)
+         |ORDER BY id""".stripMargin,
     // visual near-dup mirror: same predicted hashes, OR-of-bands
     // candidate rule (equivalent result set to the banded equi-join),
     // exact 64-bit hamming verify

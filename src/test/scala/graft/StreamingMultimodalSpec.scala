@@ -197,6 +197,26 @@ class StreamingMultimodalSpec extends SparkSpec {
       s"missing=${brute -- banded} extra=${banded -- brute}")
   }
 
+  test("one-decode fingerprints == each single-hash operator (differential)") {
+    val docs = Multimodal.withPngBlob(
+      Tables.t(spark, sf001, "documents").select("doc_id").limit(200), "doc_id")
+    val fp = Multimodal.fingerprints(docs, "doc_id", "img").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val ah = Multimodal.averageHash(docs, "doc_id", "img").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dh = Multimodal.differenceHash(docs, "doc_id", "img").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ph = Multimodal.perceptualHash(docs, "doc_id", "img").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fp.nonEmpty && fp.keySet == ah.keySet)
+    fp.foreach { case (id, (alo, ahi, dlo, dhi, plo, phi)) =>
+      assert((alo, ahi) == ah(id), s"aHash diverges for $id")
+      assert((dlo, dhi) == dh(id), s"dHash diverges for $id")
+      assert((plo, phi) == ph(id), s"pHash diverges for $id")
+    }
+  }
+
   test("dHash is invariant to a global brightness shift; aHash generally is not") {
     import spark.implicits._
     // hand-built PNGs: a gradient image and its uniformly brighter twin
