@@ -409,6 +409,49 @@ object RelationalQueries {
         .orderBy("doc_id")
     }),
 
+    // WRITE-side schema evolution: append a batch with a DIFFERENT
+    // column set (new column, dropped column, reordered) into the SAME
+    // table path — parquet files carry their own schemas, so the append
+    // itself never rewrites old files (the 100 TB additive-ingest
+    // contract: evolution must be O(new batch), not O(table)). The
+    // mergeSchema read surfaces each side's missing column as NULL.
+    "src_evolving_append" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val out = cachedTempDir("graft_evapp", dir)
+      // overwrite resets the path, so repeated runs stay deterministic
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "source")
+        .write.mode("overwrite").parquet(out)
+      d.filter(col("doc_id") % 2 =!= 0).select("n_chars", "doc_id")
+        .write.mode("append").parquet(out)
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Dynamic partition overwrite: rewrite ONE ingest partition in place
+    // (the routine backfill at 100 TB — a bad source re-lands) while
+    // every other partition's files are untouched; partitionOverwriteMode
+    // =dynamic replaces only the partitions present in the written frame,
+    // where static mode would TRUNCATE the whole table first
+    "src_partition_backfill" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val out = cachedTempDir("graft_backfill", dir)
+      d.write.mode("overwrite").partitionBy("source").parquet(out)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        d.filter(col("source") === "src0")
+          .withColumn("n_chars", col("n_chars") + 1000000L)
+          .write.mode("overwrite").partitionBy("source").parquet(out)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(out)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // parquet → JSON-lines sink → JSON source, same exactness contract
     "src_json_roundtrip" -> ((s, dir) => {
       val r = t(s, dir, "region").select("r_regionkey", "r_name")
@@ -1150,6 +1193,18 @@ object RelationalQueries {
     "src_evolving_roundtrip" ->
       """SELECT doc_id, source,
         |  CASE WHEN doc_id % 2 <> 0 THEN n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // write-side evolution mirror: the appended batch carries n_chars
+    // but dropped source, so each side NULLs the other's column
+    "src_evolving_append" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN source END AS source,
+        |  CASE WHEN doc_id % 2 <> 0 THEN n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // backfill mirror: only the src0 partition's rows were rewritten
+    "src_partition_backfill" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN source = 'src0' THEN n_chars + 1000000 ELSE n_chars END AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "rel_explode" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -20,6 +20,21 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     fmt(RelationalQueries.queries(name)(spark, sf001))
 
+  test("dup-cluster label joins carry NO static broadcast hint") {
+    // |labels| scales with the corpus dup mass (billions of rows on web
+    // data) — a pinned broadcast(labels) OOMs the driver at 100 TB. AQE
+    // may still broadcast at runtime when the actual size is small; the
+    // audit only forbids the STATIC hint (r11 verdict task 3).
+    Seq("pipe_text_dedup", "pipe_mm_dedup", "split_leak_safe").foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, sf001)
+      val hints = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.isEmpty,
+        s"$q pins ${hints.size} static join hint(s): ${hints.map(_.hints)}")
+    }
+  }
+
   test("filter + projection push down to the parquet scan") {
     val p = plan("rel_filter_pushdown")
     assert(p.contains("PushedFilters: ["), p)
