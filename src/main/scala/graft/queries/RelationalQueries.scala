@@ -853,6 +853,342 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // TPC-H Q2-style minimum-cost supplier: for each part in a
+    // size/type band, the EUROPE supplier(s) offering the lowest unit
+    // price (this schema has no partsupp, so the offer = min unit price
+    // over the pair's lineitems). The correlated min becomes ONE window
+    // over the per-pair aggregate — no per-part re-scan; suppliers and
+    // the filtered part list broadcast, the fact table shuffles once on
+    // the (part, supplier) grouping.
+    "rel_q2_mincost" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+        .select("p_partkey")
+      val eu = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val offers = li
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"), col("n_name"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+      val w = Window.partitionBy(col("p_partkey"))
+      offers.withColumn("__min", min(col("cost")).over(w))
+        .filter(col("cost") === col("__min"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+    }),
+
+    // TPC-H Q4-style order-priority check: EXISTS becomes a LEFT SEMI
+    // join — the order row survives if ANY of its lineitems shipped
+    // after the order date; lineitem never duplicates orders (no
+    // join-then-distinct), counts group on the tiny priority domain
+    "rel_q4_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1996 && quarter(col("o_orderdate")) === 3)
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(li, col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q6 forecasting-revenue change: the pure-scan aggregate —
+    // zero joins, every predicate pushed to the parquet scan, one
+    // partial+final agg; the canonical "is pushdown working" probe
+    "rel_q6_forecast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1996
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24.0)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // TPC-H Q8-style national market share: NATION_3's fraction of
+    // ECONOMY-part revenue delivered into AMERICA, by order year — the
+    // two-level conditional-share aggregate: ONE fact pass, both sums
+    // conditional/total accumulate in the same groupBy, one final IEEE
+    // division; all five dimensions broadcast
+    "rel_q8_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val amCust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val supN = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(o.filter(year(col("o_orderdate")).isin(1995, 1996)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(amCust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          dsum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0.0)))
+            .as("nation_rev"),
+          dsum(rev).as("total_rev"))
+        .select(col("o_year"),
+          (col("nation_rev") / col("total_rev")).as("mkt_share"),
+          col("nation_rev"), col("total_rev"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9-style product-type profit: profit = revenue − cost with
+    // a deterministic cost stand-in (0.1·retail·qty — no partsupp
+    // table), parts chosen by the p_name LIKE prefix, rolled up by
+    // supplier nation × order year. The LIKE filter prunes parts BEFORE
+    // the broadcast; one fact pass, one rollup shuffle on the tiny
+    // (nation, year) domain.
+    "rel_q9_profit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val p = t(s, dir, "part").filter(col("p_name").startsWith("red"))
+        .select("p_partkey", "p_retailprice")
+      val supN = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.1) * col("p_retailprice") * col("l_quantity")
+      li.join(o.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(dsum(amount).as("sum_profit"), count(lit(1)).as("n"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11-style important stock: per-part value restricted to one
+    // nation's suppliers, kept where value exceeds a FRACTION of the
+    // global total — HAVING against a scalar subquery. The 1-row total
+    // broadcasts back (crossJoin of an aggregate — never a shuffle);
+    // at 100 TB both aggregates are partial+final over the same
+    // pre-filtered fact slice.
+    "rel_q11_stock" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val supN = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val slice = li.join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("v"))
+      val perPart = slice.groupBy(col("l_partkey")).agg(dsum(col("v")).as("value"))
+      val total = slice.agg(dsum(col("v")).as("__total"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value") > col("__total") * lit(0.001))
+        .select(col("l_partkey"), col("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q12-style shipping-priority check: lineitems shipped >90
+    // days after their order date in one year, split per returnflag
+    // into urgent/non-urgent order counts — the CASE-counting aggregate
+    // over one fact-fact join; the interval predicate rides the join
+    "rel_q12_shipmode" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      li.join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(year(col("l_shipdate")) === 1997
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q13 customer order-count distribution: LEFT OUTER join so
+    // zero-order customers survive with count 0, then a second groupBy
+    // over the counts — the double-aggregate histogram shape
+    "rel_q13_custdist" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 top supplier: quarterly revenue per supplier, keep the
+    // max — the view + scalar-max shape; the 1-row max broadcasts back
+    // against the tiny per-supplier aggregate, never a global sort
+    "rel_q15_topsupp" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997 && quarter(col("l_shipdate")) === 1)
+      val rev = li.groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("__max"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("__max"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q16-style supplier diversity: distinct suppliers per
+    // (brand, type, size) for non-excluded parts, minus complained-
+    // about suppliers (acctbal < 0 stands in for the complaint LIKE) —
+    // NOT IN becomes a LEFT ANTI join (the excluded set is provably
+    // non-null here, so anti-join and NOT IN agree); count distinct
+    // runs partial+final, never a collect
+    "rel_q16_suppcnt" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#4" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0.0)
+        .select(col("s_suppkey"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q17 small-quantity-order revenue: lineitems below 20% of
+    // their part's mean quantity — the correlated scalar average
+    // becomes a per-part aggregate JOINED back (one extra fact pass,
+    // no per-row subquery); the mean is the exact DECIMAL sum over an
+    // exact count, so the 0.2× threshold is bit-identical cross-engine
+    "rel_q17_smallqty" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#2")
+        .select("p_partkey")
+      val avgQ = li.groupBy(col("l_partkey").as("aq_key"))
+        .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(avgQ, col("l_partkey") === col("aq_key"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q19 discounted-revenue OR-of-ANDs: three disjoint
+    // brand/size/quantity bands OR'd into one predicate — the classic
+    // "does the optimizer keep a disjunctive filter on a broadcast
+    // join" probe; part prunes to the three brands before broadcast
+    "rel_q19_bands" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey", "p_brand", "p_size")
+      val band =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5)
+          && col("l_quantity").between(1.0, 11.0)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10)
+          && col("l_quantity").between(10.0, 20.0)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+          && col("l_quantity").between(20.0, 30.0))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(band)
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q20-style excess suppliers: the nested-IN chain — suppliers
+    // of 'red' parts who moved >30 units in the year, restricted to one
+    // nation. Each IN becomes a semi/equi join on a key set that only
+    // ever SHRINKS (parts → qualifying pairs → supplier keys), so the
+    // chain is a funnel of broadcasts, never a blow-up.
+    "rel_q20_excess" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val redParts = t(s, dir, "part").filter(col("p_name").startsWith("red"))
+        .select("p_partkey")
+      val movers = li.filter(year(col("l_shipdate")) === 1996)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 30.0)
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(movers), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q21-style waiting-orders: in finished multi-supplier orders,
+    // the supplier who shipped STRICTLY last (unique max ship date)
+    // kept everyone waiting. EXISTS/NOT-EXISTS become per-order
+    // aggregates joined back — supplier count, the max, and the count
+    // AT the max (ntop=1 ⇔ "no other supplier tied the last ship") —
+    // three partial+final aggs over one fact slice, zero correlated
+    // subqueries, no window over the raw fact table.
+    "rel_q21_waiting" -> ((s, dir) => {
+      val f = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("mx"))
+      val perOrder = f.groupBy(col("l_orderkey").as("po_key"))
+        .agg(count(lit(1)).as("nsupp"), max(col("mx")).as("top"))
+      val atTop = f.join(perOrder, col("l_orderkey") === col("po_key")
+          && col("mx") === col("top"))
+        .groupBy(col("l_orderkey").as("at_key"))
+        .agg(count(lit(1)).as("ntop"))
+      val supN = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_9")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      f.join(perOrder, col("l_orderkey") === col("po_key"))
+        .join(atTop, col("l_orderkey") === col("at_key"))
+        .filter(col("nsupp") >= 2 && col("ntop") === 1 && col("mx") === col("top"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+    }),
+
+    // TPC-H Q22-style dormant high-balance customers: customers with no
+    // RECENT order (NOT EXISTS → LEFT ANTI on the date-filtered orders)
+    // whose balance beats the positive-balance average (scalar subquery
+    // → 1-row broadcast), grouped into nation-key bands. The anti join
+    // broadcasts the distinct recent-customer keys; the fact table is
+    // only scanned for that key set.
+    "rel_q22_dormant" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("__avg"))
+      c.join(broadcast(recent), col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg"))
+        .groupBy((col("c_nationkey") % 5).as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
     // pandas describe(): per-column profile — count, exact mean, sample
     // std, min/max — ONE aggregate pass over the fact table. Values move
     // to micro-unit BIGINT; Σxm and Σxm² accumulate exactly (DECIMAL(38,0)
@@ -1469,6 +1805,181 @@ object RelationalQueries {
          |WHERE l_returnflag = 'R'
          |GROUP BY 1, 2
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // Q2 mirror: the window-min rewrite reads back as the classic
+    // correlated min over the same per-pair offer aggregate
+    "rel_q2_mincost" ->
+      """WITH eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+        |    min(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN eu ON l_suppkey = s_suppkey
+        |  WHERE p_size = 15 AND p_type = 'STANDARD'
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, cost
+        |FROM offers o
+        |WHERE cost = (SELECT min(cost) FROM offers i WHERE i.p_partkey = o.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+    "rel_q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE year(o_orderdate) = 1996 AND quarter(o_orderdate) = 3
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_q6_forecast" ->
+      s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue,
+         |  count(*) AS n
+         |FROM lineitem
+         |WHERE year(l_shipdate) = 1996
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24.0""".stripMargin,
+    "rel_q8_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  ${dsumSql("CASE WHEN sn.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+         |    / ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS mkt_share,
+         |  ${dsumSql("CASE WHEN sn.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS nation_rev,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_rev
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region ON cn.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE year(o_orderdate) IN (1995, 1996)
+         |  AND p_type = 'ECONOMY' AND r_name = 'AMERICA'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_q9_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount) - 0.1 * p_retailprice * l_quantity")} AS sum_profit,
+         |  count(*) AS n
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE 'red%'
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "rel_q11_stock" ->
+      s"""WITH slice AS (
+         |  SELECT l_partkey, l_extendedprice * (1.0 - l_discount) AS v
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_5')
+         |SELECT l_partkey, ${dsumSql("v")} AS value
+         |FROM slice
+         |GROUP BY 1
+         |HAVING ${dsumSql("v")} >
+         |  (SELECT ${dsumSql("v")} FROM slice) * 0.001
+         |ORDER BY value DESC, l_partkey""".stripMargin,
+    "rel_q12_shipmode" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE year(l_shipdate) = 1997
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders
+        |                   WHERE o_orderpriority <> '5-LOW') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "rel_q15_topsupp" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_rev
+         |  FROM lineitem
+         |  WHERE year(l_shipdate) = 1997 AND quarter(l_shipdate) = 1
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_rev
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "rel_q16_suppcnt" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "rel_q17_smallqty" ->
+      s"""WITH pq AS (
+         |  SELECT l_partkey AS aq_key,
+         |    ${dsumSql("l_quantity")} / count(*) AS avg_qty
+         |  FROM lineitem GROUP BY 1)
+         |SELECT ${dsumSql("l_extendedprice")} / 7.0 AS avg_yearly,
+         |  count(*) AS n
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN pq ON l_partkey = aq_key
+         |WHERE p_brand = 'Brand#2' AND l_quantity < 0.2 * avg_qty""".stripMargin,
+    "rel_q19_bands" ->
+      s"""SELECT ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1.0 AND 11.0)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10.0 AND 20.0)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
+    "rel_q20_excess" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE year(l_shipdate) = 1996
+        |      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |    GROUP BY l_partkey, l_suppkey
+        |    HAVING CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) > 30.0)
+        |ORDER BY s_suppkey""".stripMargin,
+    "rel_q21_waiting" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS mx
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2),
+        |po AS (SELECT l_orderkey, count(*) AS nsupp, max(mx) AS top
+        |       FROM f GROUP BY 1),
+        |at_top AS (SELECT f.l_orderkey, count(*) AS ntop
+        |           FROM f JOIN po ON f.l_orderkey = po.l_orderkey AND f.mx = po.top
+        |           GROUP BY 1)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM f
+        |JOIN po ON f.l_orderkey = po.l_orderkey
+        |JOIN at_top ON f.l_orderkey = at_top.l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE nsupp >= 2 AND ntop = 1 AND mx = top AND n_name = 'NATION_9'
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey""".stripMargin,
+    "rel_q22_dormant" ->
+      s"""SELECT c_nationkey % 5 AS cntrycode, count(*) AS numcust,
+         |  ${dsumSql("c_acctbal")} AS totacctbal
+         |FROM customer
+         |WHERE c_custkey NOT IN (
+         |    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+         |  AND c_acctbal > (
+         |    SELECT ${dsumSql("c_acctbal")} / count(*)
+         |    FROM customer WHERE c_acctbal > 0.0)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "o4_groupby_describe" ->
       """SELECT source, count(n_chars) AS n,
         |  CAST(sum(xm) AS DOUBLE)/(CAST(count(n_chars) AS DOUBLE)*1000000.0) AS mean,

@@ -35,6 +35,47 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("Q6: pure-scan aggregate — predicates pushed, zero joins") {
+    val p = plan("rel_q6_forecast")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount"), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("Q4: EXISTS runs as LeftSemi — no join-then-distinct") {
+    val p = plan("rel_q4_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("Distinct"), p)
+  }
+
+  test("Q19: brand filter pushed to the part scan under the OR-of-ANDs") {
+    val p = plan("rel_q19_bands")
+    assert(p.contains("In(p_brand"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("Q13: left outer survives into the double aggregate") {
+    val p = plan("rel_q13_custdist")
+    assert(p.contains("LeftOuter"), p)
+    // two aggregate levels, each partial+final
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("Q21: EXISTS/NOT-EXISTS as aggregates — no window over the raw fact, no nested loop") {
+    val p = plan("rel_q21_waiting")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("Q2: correlated min is ONE window over the per-pair aggregate, dims broadcast") {
+    val p = plan("rel_q2_mincost")
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("filter + projection push down to the parquet scan") {
     val p = plan("rel_filter_pushdown")
     assert(p.contains("PushedFilters: ["), p)
