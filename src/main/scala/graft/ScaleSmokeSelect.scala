@@ -104,6 +104,24 @@ object ScaleSmokeSelect {
       e.unpersist()
     }
 
+    // √n IVF default (r11 verdict task 4): nCentroids=0 derives
+    // C=⌈√n⌉, so probed candidates per query grow ~√n, not n∕16 —
+    // the curve should flatten vs the pinned-16 variant as n grows
+    Seq(1, 2, 4, 8).foreach { m =>
+      val e = repEmb(m).repartition(32).cache()
+      e.count()
+      val n = 2000 * m
+      time(s"ivf_topk auto-C x$m ($n vecs, C=${graft.operators.Similarity.autoCentroids(n)})") {
+        noop(graft.operators.Similarity.ivfTopK(
+          e, "vec_id", "embedding", id => id < 5, k = 3))
+      }
+      time(s"ivf_topk C=16 x$m ($n vecs)") {
+        noop(graft.operators.Similarity.ivfTopK(
+          e, "vec_id", "embedding", id => id < 5, k = 3, nCentroids = 16))
+      }
+      e.unpersist()
+    }
+
     // analytics family over replicated events (distinct users per copy,
     // so per-user frames stay bounded — the production shape)
     val events = spark.read.parquet("/root/testdata/sf0.1/events.parquet")

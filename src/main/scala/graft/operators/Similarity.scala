@@ -237,13 +237,21 @@ object Similarity {
     * crn = 1 the owning list. Broadcast of the tiny centroid set — one
     * corpus pass. */
   private def rankByCentroids(fx: DataFrame, cents: DataFrame): DataFrame = {
+    // the dot products evaluate map-side in the projection; the ranking
+    // window then shuffles ONLY (id, cid, d2) — carrying the 64-element
+    // fx array through an n×C window shuffle multiplied the payload by
+    // C (measured: 8.7s vs 1.1s at 8k vecs × 90 centroids). The vectors
+    // re-attach by id afterwards, and every consumer filters crn first
+    // (crn=1 owners, crn≤nprobe probes), so the filter pushes below the
+    // re-attach join and the fat rows stay ~n, never n×C.
     val scored = fx.crossJoin(broadcast(cents))
-      .withColumn("d2",
-        col("nrm") - lit(2L) * graft.functions.HashExpressions.fixed_dot(col("fx"), col("cfx"))
-          + col("cnrm"))
+      .select(col("id"), col("cid"),
+        (col("nrm") - lit(2L) * graft.functions.HashExpressions.fixed_dot(col("fx"), col("cfx"))
+          + col("cnrm")).as("d2"))
     val byDist = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
     scored
       .withColumn("crn", row_number().over(byDist))
+      .join(fx, "id")
       .select(col("id"), col("cid"), col("crn"), col("d2"), col("fx"), col("nrm"))
   }
 
@@ -382,7 +390,9 @@ object Similarity {
     val cents1 = sums.select(col("cid"), meanArr.as("cfx"))
       .withColumn("cnrm",
         graft.functions.HashExpressions.fixed_dot(col("cfx"), col("cfx")))
-    val ranked = rankByCentroids(fx, cents1).cache()
+    // same crn ≤ nprobe cache slice as ivfTopK — never n×C fat rows
+    val ranked = rankByCentroids(fx, cents1)
+      .filter(col("crn") <= math.max(1, nprobe)).cache()
     probeLists(ranked, isQuery, k, nprobe)
   }
 
@@ -404,8 +414,13 @@ object Similarity {
       isQuery: Column => Column, k: Int,
       nCentroids: Int = 0, nprobe: Int = 2): DataFrame = {
     // nCentroids = 0 → C = max(4, ⌈√n⌉) (see ivfAssign): probed work per
-    // query stays ≈ nprobe·√n instead of nprobe·n∕16 at 100 TB
-    val ranked = ivfAssign(df, idCol, vecCol, nCentroids).cache()
+    // query stays ≈ nprobe·√n instead of nprobe·n∕16 at 100 TB.
+    // Cache only the crn ≤ nprobe slice (owners crn=1 included) — both
+    // probeLists consumers filter inside it, and caching the full n×C
+    // ranking materializes C fat rows per vector for nothing (measured:
+    // 6.5s → 1.5s at 8k vecs × 90 centroids)
+    val ranked = ivfAssign(df, idCol, vecCol, nCentroids)
+      .filter(col("crn") <= math.max(1, nprobe)).cache()
     probeLists(ranked, isQuery, k, nprobe)
   }
 
