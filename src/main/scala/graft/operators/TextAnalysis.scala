@@ -471,6 +471,65 @@ object TextAnalysis {
         when(col("n_docs") < k, 1L).otherwise(0L))
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the companion
+    * check to [[kAnonymity]]: a QI class can be k-anonymous yet leak
+    * its members' sensitive value when everyone in it SHARES that
+    * value. Per quasi-identifier class: member count, number of
+    * DISTINCT sensitive values, and the at-risk flag (diversity < l).
+    * One map-side-combined aggregate (count-distinct runs
+    * partial+final); output rows ∝ distinct QI classes. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(l >= 1, "l must be positive")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col(sensitiveCol)).as("diversity"))
+      .withColumn("at_risk",
+        when(col("diversity") < l, 1L).otherwise(0L))
+  }
+
+  /** Collocation mining by PMI-ordered lift: adjacent word pairs
+    * occurring ≥ `minCount` times, ranked by lift = P(ab)∕(P(a)·P(b))
+    * = c_ab·N ∕ (c_a·c_b) with N the corpus bigram total — monotone in
+    * PMI (PMI = log lift), so ranking by the lift RATIO avoids the
+    * cross-engine log while ordering identically. Every ranked piece
+    * (c_ab, c_a, c_b, N) is an exact BIGINT; the only IEEE op is the
+    * final ratio division, mirrored verbatim by the oracle.
+    *
+    * Scale design: bigram and unigram counts are map-side-combined
+    * aggregates; the minCount filter shrinks the bigram side BEFORE
+    * the two unigram equi-joins (vocab-sized, shuffled — NOT broadcast:
+    * at web scale the vocabulary is billions of types); N is a 1-row
+    * broadcast; top-k is a TakeOrderedAndProject heap. */
+  def collocations(df: DataFrame, textCol: String,
+      minCount: Long, topK: Int): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "need minCount >= 1 and topK >= 1")
+    val toks = df.select(split(col(textCol), " ").as("__ws"))
+    val big = toks.filter(size(col("__ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__ws) - 1), i -> " +
+          "struct(element_at(__ws, i) AS w1, element_at(__ws, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = toks.select(explode(col("__ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nBig = big.agg(count(lit(1)).as("n_big"))
+    bc.join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(nBig))
+      .withColumn("lift",
+        (col("c_ab") * col("n_big")).cast("double")
+          / (col("c_a") * col("c_b")).cast("double"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** KMV (k-minimum-values) distinct n-gram estimator per source — the
     * corpus-diversity audit statistic ("how many distinct n-grams does
     * each source contribute?") computed WITHOUT a corpus-wide exact

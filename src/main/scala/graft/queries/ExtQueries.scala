@@ -144,6 +144,11 @@ object ExtQueries {
   // k-anonymity: minimum equivalence-class size and length-bucket width
   private val K_ANON = 5L
   private val K_ANON_LEN = 64L
+  // l-diversity floor over the sensitive stand-in (n_chars mod 10)
+  private val L_DIV = 3L
+  // collocation mining: min bigram support and report size
+  private val COLL_MIN = 5L
+  private val COLL_K = 50
   // D4 prototype-prune fraction (exactly binary-representable)
   private val D4_FRAC = 0.25
   // PageRank power-iteration rounds (oracle unrolls the same count)
@@ -1286,6 +1291,47 @@ object ExtQueries {
           floor(col("n_chars") / K_ANON_LEN).cast("long").as("len_bucket")),
         Seq("lang", "source", "len_bucket"), K_ANON)
         .orderBy("lang", "source", "len_bucket")),
+    "priv_l_diversity" -> ((s, dir) =>
+      // l-diversity companion to text_k_anon: same QI classes, plus the
+      // distinct-sensitive-value census (a k-anonymous class whose
+      // members all share the sensitive value still leaks it) — one
+      // map-side-combined agg with a partial+final count-distinct
+      TextAnalysis.lDiversity(
+        t(s, dir, "documents").select(col("lang"), col("source"),
+          floor(col("n_chars") / K_ANON_LEN).cast("long").as("len_bucket"),
+          (col("n_chars") % 10L).as("sensitive")),
+        Seq("lang", "source", "len_bucket"), "sensitive", L_DIV)
+        .orderBy("lang", "source", "len_bucket")),
+    "text_collocations" -> ((s, dir) =>
+      // PMI-ranked collocations: lift = c_ab*N/(c_a*c_b) orders like
+      // PMI without the cross-engine log; exact BIGINT pieces, one
+      // final IEEE division, vocab joins stay equi-joins (NOT
+      // broadcast — web-scale vocab is billions of types), top-k heap
+      TextAnalysis.collocations(t(s, dir, "documents"), "text",
+        COLL_MIN, COLL_K)),
+    "text_url_canon" -> ((s, dir) => {
+      // URL canonicalization + registrable domain over deterministic
+      // synthesized crawl URLs (mixed-case scheme/host, www, default
+      // port, trailing slash, unsorted + tracking params, fragment) —
+      // one codegen'd projection pass, zero shuffle, no regex
+      val d = t(s, dir, "documents")
+      val url = concat(
+        lit("HTTPS://WWW.Site"), (col("doc_id") % 50).cast("string"),
+        lit(".COM"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/P/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        lit("?b="), (col("doc_id") % 7).cast("string"),
+        lit("&utm_source=feed"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("&a="), (col("doc_id") % 3).cast("string")))
+          .otherwise(lit("")),
+        lit("#sec"))
+      val canon = graft.operators.Urls.canonicalize(url)
+      d.select(col("doc_id"), canon.as("url_canon"),
+          graft.operators.Urls.registrableDomain(canon).as("domain"))
+        .orderBy("doc_id")
+    }),
     "text_pii_stats" -> ((s, dir) =>
       // per-source PII exposure report: one projection evaluates every
       // detector, stacked rows aggregate map-side — zero joins
@@ -2898,6 +2944,67 @@ object ExtQueries {
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(CASE WHEN count(*) < $K_ANON THEN 1 ELSE 0 END AS BIGINT) AS at_risk
          |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "priv_l_diversity" ->
+      s"""SELECT lang, source,
+         |  CAST(floor(n_chars / $K_ANON_LEN) AS BIGINT) AS len_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT n_chars % 10) AS BIGINT) AS diversity,
+         |  CAST(CASE WHEN count(DISTINCT n_chars % 10) < $L_DIV THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+         |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "text_collocations" ->
+      s"""WITH tok AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |big AS (SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+         |        FROM tok WHERE len(ws) >= 2),
+         |bc AS (SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY 1, 2
+         |       HAVING count(*) >= $COLL_MIN),
+         |uni AS (SELECT w, count(*) AS c
+         |        FROM (SELECT unnest(ws) AS w FROM tok) GROUP BY 1),
+         |nb AS (SELECT count(*) AS n_big FROM big)
+         |SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+         |  CAST(c_ab * n_big AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS lift
+         |FROM bc JOIN uni a ON w1 = a.w JOIN uni b ON w2 = b.w, nb
+         |ORDER BY lift DESC, w1, w2 LIMIT $COLL_K""".stripMargin,
+    // URL canonicalization mirror: every step of Urls.canonicalize
+    // restated over the same synthesized URLs — fixed-delimiter
+    // split_part/substr only, byte-wise list_sort == Spark array_sort
+    "text_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://WWW.Site' || CAST(doc_id % 50 AS VARCHAR) || '.COM' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+        |  '/P/' || CAST(doc_id AS VARCHAR) ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+        |  '?b=' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  '&utm_source=feed' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '&a=' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END ||
+        |  '#sec' AS url FROM documents),
+        |s2 AS (SELECT doc_id, split_part(url, '#', 1) AS u1 FROM u),
+        |s3 AS (SELECT doc_id, u1,
+        |  lower(split_part(u1, '://', 1)) AS sch,
+        |  substr(u1, length(split_part(u1, '://', 1)) + 4) AS rest FROM s2),
+        |s4 AS (SELECT *, split_part(rest, '/', 1) AS hostport FROM s3),
+        |s5 AS (SELECT *, lower(split_part(hostport, ':', 1)) AS host0,
+        |  split_part(hostport, ':', 2) AS port FROM s4),
+        |s6 AS (SELECT *,
+        |  CASE WHEN starts_with(host0, 'www.') THEN substr(host0, 5) ELSE host0 END AS host,
+        |  CASE WHEN port = '' OR (sch = 'https' AND port = '443')
+        |         OR (sch = 'http' AND port = '80') THEN ''
+        |       ELSE ':' || port END AS keepport,
+        |  substr(rest, length(hostport) + 1) AS pq FROM s5),
+        |s7 AS (SELECT *, split_part(pq, '?', 1) AS path0,
+        |  split_part(pq, '?', 2) AS query FROM s6),
+        |s8 AS (SELECT *,
+        |  CASE WHEN ends_with(path0, '/') THEN substr(path0, 1, length(path0) - 1)
+        |       ELSE path0 END AS path,
+        |  list_sort(list_filter(string_split(query, '&'), p ->
+        |    p <> '' AND NOT starts_with(lower(p), 'utm_')
+        |    AND split_part(p, '=', 1) NOT IN ('fbclid', 'gclid'))) AS params
+        |  FROM s7)
+        |SELECT doc_id,
+        |  sch || '://' || host || keepport || path ||
+        |    CASE WHEN len(params) = 0 THEN ''
+        |         ELSE '?' || array_to_string(params, '&') END AS url_canon,
+        |  array_to_string(string_split(host, '.')[-2:], '.') AS domain
+        |FROM s8 ORDER BY doc_id""".stripMargin,
     "text_pii_stats" -> {
       val arms = PII_PATTERNS.map { case (name, p) =>
         s"""SELECT source, '$name' AS pattern,
