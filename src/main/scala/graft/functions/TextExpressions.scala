@@ -201,8 +201,76 @@ object TextExpressions {
       dupMass(5), dupMass(6), dupMass(7), dupMass(8)))
   }
 
+  /** Single-pass URL canonicalization (see
+    * [[graft.operators.Urls.canonicalize]] for the contract): one
+    * character walk instead of the ~40-node string-function tree the
+    * Column composition builds — that tree triplicated through
+    * `registrableDomain(canonicalize(url))` made Catalyst + codegen
+    * spend ~25s per plan (measured round 12). Semantics are pinned to
+    * the composition form by UrlTextOpsSpec's differential; fixed
+    * delimiters only, no regex. */
+  case class CanonicalUrl(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override protected def withNewChildInternal(c: Expression): CanonicalUrl =
+      copy(child = c)
+
+    override def nullSafeEval(input: Any): Any =
+      TextExpressions.computeCanonicalUrl(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in =>
+        s"${ev.value} = graft.functions.TextExpressions.computeCanonicalUrl($in);")
+  }
+
+  /** Shared by interpreted eval and generated code. Each step mirrors
+    * the split_part/substr Column form verbatim (same out-of-range
+    * behaviors: a missing delimiter yields the whole string for part 1
+    * and "" for part 2), so the differential holds on ANY input.
+    * Lowercasing goes through UTF8String (== `lower()`); the parameter
+    * sort compares UTF8String byte order (== `array_sort`). */
+  def computeCanonicalUrl(s0: UTF8String): UTF8String = {
+    def lower(s: String): String = UTF8String.fromString(s).toLowerCase.toString
+    def part1(s: String, d: String): String = {
+      val i = s.indexOf(d); if (i >= 0) s.substring(0, i) else s
+    }
+    def part2(s: String, d: String): String = {
+      val i = s.indexOf(d)
+      if (i < 0) "" else {
+        val r = s.substring(i + d.length)
+        val j = r.indexOf(d)
+        if (j >= 0) r.substring(0, j) else r
+      }
+    }
+    val u0 = s0.toString
+    val u1 = part1(u0, "#")
+    val sch = lower(part1(u1, "://"))
+    val rest = if (u1.indexOf("://") >= 0) u1.substring(part1(u1, "://").length + 3) else ""
+    val hostport = part1(rest, "/")
+    val host0 = lower(part1(hostport, ":"))
+    val port = part2(hostport, ":")
+    val host = if (host0.startsWith("www.")) host0.substring(4) else host0
+    val keepPort =
+      if (port.isEmpty || (sch == "https" && port == "443") ||
+        (sch == "http" && port == "80")) "" else ":" + port
+    val pq = rest.substring(hostport.length)
+    val path0 = part1(pq, "?")
+    val query = part2(pq, "?")
+    val path = if (path0.endsWith("/")) path0.substring(0, path0.length - 1) else path0
+    val params = query.split("&", -1).filter { p =>
+      p.nonEmpty && !lower(p).startsWith("utm_") && {
+        val name = part1(p, "=")
+        name != "fbclid" && name != "gclid"
+      }
+    }
+    java.util.Arrays.sort(params, (a: String, b: String) =>
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+    val qstr = if (params.isEmpty) "" else "?" + params.mkString("&")
+    UTF8String.fromString(sch + "://" + host + keepPort + path + qstr)
+  }
+
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def repetition_stats(tokens: Column): Column = column(RepetitionStats(expression(tokens)))
   def canonical_text(text: Column): Column = column(CanonicalText(expression(text)))
+  def canonical_url(url: Column): Column = column(CanonicalUrl(expression(url)))
   def gopher_profile(tokens: Column): Column = column(GopherProfile(expression(tokens)))
 }

@@ -120,6 +120,53 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Per-key quota — domain balancing for web corpora ("no domain
+    * contributes more than `cap` docs"): within each key, keep the top
+    * `cap` rows by the given priority columns (quality-first order,
+    * caller-supplied; append the id for a total order). The standard
+    * defense against a handful of template-heavy domains dominating a
+    * crawl. Plan: one window rank partitioned by the key — key
+    * cardinality bounds the partition, the usual per-group-top-k skew
+    * disclosure applies (a pathological single domain is exactly what
+    * the cap exists to bound, and its partition is capped reading too:
+    * rank short-circuits at cap only after the sort, so a truly
+    * degenerate hot key wants the salted two-phase variant). Keeps the
+    * rank as `key_rank` for audit. */
+  def capPerKey(df: DataFrame, keyCol: String, priority: Seq[Column],
+      cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be positive")
+    require(priority.nonEmpty, "need a priority order (append the id for totality)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(priority: _*)
+    df.withColumn("key_rank", row_number().over(w).cast("long"))
+      .filter(col("key_rank") <= cap)
+  }
+
+  /** Per-stratum rank quantile — cross-source score calibration: raw
+    * quality scores are not comparable across sources (different
+    * scales, different score models), but each doc's RANK within its
+    * source is. Emits q = (rank − 1)∕(n − 1) ∈ [0, 1] per stratum
+    * (q = 0 for a 1-row stratum), ranks ascending by (`valueCol`, id) —
+    * a total order, so q is reproducible and the only IEEE op is the
+    * final division of exact BIGINTs. Selecting q ≥ 0.75 everywhere
+    * then takes each source's own top quartile — quantile-matched
+    * sampling. Plan: one window per stratum + a 1-per-stratum count
+    * carried by the same window (no second shuffle). */
+  def strataQuantile(df: DataFrame, idCol: String, strataCol: String,
+      valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(valueCol), col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("q",
+        when(col("__n") === 1L, lit(0.0))
+          .otherwise((col("__rn") - 1L).cast("double")
+            / (col("__n") - 1L).cast("double")))
+      .drop("__rn", "__n")
+  }
+
   /** Deterministic corpus shuffle — the "global shuffle before packing/
     * training" step every LLM data pipeline runs: a pseudo-random but
     * REPRODUCIBLE permutation, realized as ORDER BY (hash(id), id) with

@@ -33,11 +33,24 @@ object Urls {
 
   /** Canonical URL per the contract above. Input must carry a
     * "scheme://" prefix (crawl records do); behavior on other shapes
-    * is whatever the fixed-delimiter steps produce. */
-  def canonicalize(url: Column): Column = {
+    * is whatever the fixed-delimiter steps produce.
+    *
+    * Implemented as the single-pass codegen'd
+    * [[graft.functions.TextExpressions.CanonicalUrl]] expression: the
+    * equivalent string-function composition ([[canonicalizeComposed]],
+    * kept as the executable spec) builds a ~40-node tree that
+    * TRIPLICATES through `registrableDomain(canonicalize(url))` —
+    * measured ~25s of Catalyst+codegen per plan at round 12. */
+  def canonicalize(url: Column): Column =
+    graft.functions.TextExpressions.canonical_url(url)
+
+  /** The Column-composition form of [[canonicalize]] — semantics
+    * reference for the differential spec; do not use in hot paths (see
+    * the tree-size note above). */
+  def canonicalizeComposed(url: Column): Column = {
     val u1 = split_part(url, lit("#"), lit(1))
     val sch = lower(split_part(u1, lit("://"), lit(1)))
-    val rest = u1.substr(length(sch) + lit(4), lit(BIG))
+    val rest = u1.substr(length(split_part(u1, lit("://"), lit(1))) + lit(4), lit(BIG))
     val hostport = split_part(rest, lit("/"), lit(1))
     val host0 = lower(split_part(hostport, lit(":"), lit(1)))
     val port = split_part(hostport, lit(":"), lit(2))

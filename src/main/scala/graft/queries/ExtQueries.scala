@@ -146,6 +146,13 @@ object ExtQueries {
   private val K_ANON_LEN = 64L
   // l-diversity floor over the sensitive stand-in (n_chars mod 10)
   private val L_DIV = 3L
+  // domain curation: per-domain doc quota and blocked domains
+  private val DOMAIN_CAP = 5
+  private val DOMAIN_BLOCKLIST = Seq("site7.com", "site13.com", "site21.com")
+  // temporal dedup window (abstract time units, t = doc_id mod 1000)
+  private val TEMPORAL_W = 10L
+  // cross-source quantile-matched selection cutoff (top quartile)
+  private val QUANTILE_CUT = 0.75
   // collocation mining: min bigram support and report size
   private val COLL_MIN = 5L
   private val COLL_K = 50
@@ -1332,6 +1339,47 @@ object ExtQueries {
           graft.operators.Urls.registrableDomain(canon).as("domain"))
         .orderBy("doc_id")
     }),
+    "pipe_domain_curation" -> ((s, dir) => {
+      // domain balancing capstone: canonical URL → registrable domain →
+      // blocklist filter → per-domain quota (cap docs per domain,
+      // longest-first) — the defense against template-heavy domains
+      // dominating a crawl. One projection + one per-domain window; the
+      // blocklist is a literal isin (a real list would broadcast-anti)
+      val d = t(s, dir, "documents")
+      val url = concat(lit("HTTPS://WWW.Site"),
+        (col("doc_id") % 50).cast("string"), lit(".COM/p/"),
+        col("doc_id").cast("string"))
+      val domain = graft.operators.Urls.registrableDomain(
+        graft.operators.Urls.canonicalize(url))
+      val tagged = d.select(col("doc_id"), col("n_chars"), domain.as("domain"))
+        .filter(!col("domain").isin(DOMAIN_BLOCKLIST: _*))
+      Sampling.capPerKey(tagged, "domain",
+          Seq(col("n_chars").desc, col("doc_id")), DOMAIN_CAP)
+        .select(col("doc_id"), col("domain"), col("key_rank"))
+        .orderBy("doc_id")
+    }),
+    "dedup_temporal" -> ((s, dir) =>
+      // temporally-windowed near-dup (news/crawl-snapshot dedup: only
+      // copies within W time units of each other count): the shared
+      // jaccard pair pipeline post-filtered on the pair's time gap —
+      // candidates still come from the gram inverted index; at a scale
+      // where the gap filter should prune candidates EARLIER, the
+      // time-bucket joins in as a second blocking key
+      jaccardShared(s, dir)
+        .filter(abs(col("da") % 1000 - col("db") % 1000) <= TEMPORAL_W)
+        .withColumn("dt", abs(col("da") % 1000 - col("db") % 1000).cast("long"))
+        .orderBy("da", "db")),
+    "mix_quantile_align" -> ((s, dir) =>
+      // quantile-matched cross-source selection: raw lengths/scores are
+      // not comparable across sources, per-source rank quantiles are —
+      // keep each source's own top quartile. One per-source window, the
+      // quantile an exact-BIGINT ratio
+      Sampling.strataQuantile(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "doc_id", "source", "n_chars")
+        .filter(col("q") >= QUANTILE_CUT)
+        .select(col("doc_id"), col("source"), col("q"))
+        .orderBy("doc_id")),
     "text_pii_stats" -> ((s, dir) =>
       // per-source PII exposure report: one projection evaluates every
       // detector, stacked rows aggregate map-side — zero joins
@@ -2944,6 +2992,43 @@ object ExtQueries {
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(CASE WHEN count(*) < $K_ANON THEN 1 ELSE 0 END AS BIGINT) AS at_risk
          |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "pipe_domain_curation" -> {
+      val blocked = DOMAIN_BLOCKLIST.map(d => s"'$d'").mkString(", ")
+      s"""WITH tagged AS (
+         |  SELECT doc_id, n_chars,
+         |    'site' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS domain
+         |  FROM documents
+         |  WHERE 'site' || CAST(doc_id % 50 AS VARCHAR) || '.com' NOT IN ($blocked)),
+         |r AS (SELECT doc_id, domain,
+         |  CAST(row_number() OVER (PARTITION BY domain
+         |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS key_rank
+         |  FROM tagged)
+         |SELECT doc_id, domain, key_rank FROM r
+         |WHERE key_rank <= $DOMAIN_CAP ORDER BY doc_id""".stripMargin
+    },
+    "dedup_temporal" ->
+      s"""WITH $distinctShingleCte,
+         |e AS (SELECT id, nd, unnest(ds) AS h FROM d),
+         |pairs AS (
+         |  SELECT a.id AS da, b.id AS db, count(*) AS common,
+         |    any_value(a.nd) AS na, any_value(b.nd) AS nb
+         |  FROM e a JOIN e b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2)
+         |SELECT da, db, common, na, nb, common/(na+nb-common) AS j,
+         |  CAST(abs(da % 1000 - db % 1000) AS BIGINT) AS dt
+         |FROM pairs WHERE common/(na+nb-common) >= $JACCARD_TAU
+         |  AND abs(da % 1000 - db % 1000) <= $TEMPORAL_W
+         |ORDER BY da, db""".stripMargin,
+    "mix_quantile_align" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+         |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  CASE WHEN n = 1 THEN 0.0
+         |       ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS q
+         |  FROM r)
+         |SELECT doc_id, source, q FROM q
+         |WHERE q >= $QUANTILE_CUT ORDER BY doc_id""".stripMargin,
     "priv_l_diversity" ->
       s"""SELECT lang, source,
          |  CAST(floor(n_chars / $K_ANON_LEN) AS BIGINT) AS len_bucket,

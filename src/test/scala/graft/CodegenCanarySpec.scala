@@ -63,6 +63,8 @@ class CodegenCanarySpec extends SparkSpec {
   // ---- text expressions (string input) ----------------------------------
   canary("WordHashArray", HE.WordHashArray(ref(StringType)), sampleText)
   canary("CanonicalText", TE.CanonicalText(ref(StringType)), sampleText)
+  canary("CanonicalUrl", TE.CanonicalUrl(ref(StringType)), UTF8String.fromString(
+    "HTTPS://WWW.Example.COM:443/Path/?b=2&utm_source=x&a=1#frag"))
 
   // RepetitionStats/GopherProfile consume the split-token array
   private val strArr = ArrayType(StringType, containsNull = false)

@@ -28,6 +28,26 @@ class UrlTextOpsSpec extends SparkSpec {
     assert(canon("https://e.com/p?z=1&UTM_campaign=c&a=2") === "https://e.com/p?a=2&z=1")
   }
 
+  test("single-pass CanonicalUrl == Column composition (differential)") {
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/Path/?b=2&utm_source=x&a=1#frag",
+      "http://example.com:8080/x?z=9&y=8&UTM_x=1",
+      "HTTP://example.com:80/x",
+      "https://A.B.com/",
+      "https://e.com/p?fbclid=123&gclid=9",
+      "https://e.com/p?z=1&UTM_campaign=c&a=2",
+      "https://site.org",
+      "https://w.www.org/a/b/c?one=1&one=1&two=",
+      "no-scheme-at-all", "https://h.com/#only-frag",
+      "https://h.com/??double=q")
+    val df = urls.toDF("u").select(
+      graft.operators.Urls.canonicalize(col("u")).as("fast"),
+      graft.operators.Urls.canonicalizeComposed(col("u")).as("composed"))
+    df.collect().zip(urls).foreach { case (r, u) =>
+      assert(r.getString(0) === r.getString(1), s"diverges on $u")
+    }
+  }
+
   test("registrableDomain: last two labels, port stripped") {
     val d = Seq("https://a.b.example.com:8080/p?x=1", "https://site.org")
       .toDF("u")
