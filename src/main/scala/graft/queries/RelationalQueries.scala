@@ -733,7 +733,7 @@ object RelationalQueries {
       graft.operators.Linkage.fellegiSunter(t(s, dir, "part"),
           "p_partkey", "p_size",
           Seq("brand" -> col("p_brand"), "type" -> col("p_type"),
-            "price_band" -> floor(col("p_retailprice") / 100.0).cast("long")),
+            "price_band" -> floor(col("p_retailprice") / 10.0).cast("long")),
           m = 0.9)
         .orderBy("ka", "kb")),
 
@@ -1721,11 +1721,11 @@ object RelationalQueries {
       def wPair(uCte: String, tag: String) =
         s"""CAST(round(1000000*ln(0.9 / (CAST($uCte.s AS DOUBLE) / CAST(nn.n*(nn.n-1) AS DOUBLE)))) AS BIGINT) AS w${tag}_a,
            |CAST(round(1000000*ln((1 - 0.9) / (1 - CAST($uCte.s AS DOUBLE) / CAST(nn.n*(nn.n-1) AS DOUBLE)))) AS BIGINT) AS w${tag}_d""".stripMargin
-      val band = (p: String) => s"CAST(floor($p.p_retailprice/100.0) AS BIGINT)"
+      val band = (p: String) => s"CAST(floor($p.p_retailprice/10.0) AS BIGINT)"
       s"""WITH nn AS (SELECT count(*) AS n FROM part),
          |ub AS ${uSql("p_brand")},
          |ut AS ${uSql("p_type")},
-         |up AS ${uSql("CAST(floor(p_retailprice/100.0) AS BIGINT)")},
+         |up AS ${uSql("CAST(floor(p_retailprice/10.0) AS BIGINT)")},
          |w AS (SELECT
          |  ${wPair("ub", "b")},
          |  ${wPair("ut", "t")},
