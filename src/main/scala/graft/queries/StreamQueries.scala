@@ -370,6 +370,13 @@ object StreamQueries {
     "stream_cohort" -> ((s, dir) =>
       StreamOps.cohortOnceTws(s, dir).orderBy("cohort_week", "week_offset")),
 
+    // ONLINE domain quota: per-domain ValueState kept-count, first-come
+    // admission in doc_id order across TWO replay batches — the crawl
+    // frontier's "stop a template-heavy domain the moment its quota
+    // fills" rule; equals the batch first-cap-by-id window
+    "stream_domain_cap" -> ((s, dir) =>
+      StreamOps.domainCapOnceTws(s, dir, cap = 5).orderBy("doc_id")),
+
     // ONLINE phrase watchlist: per-doc occurrence counts from one
     // stateless projection (per-doc-local start-position filter) —
     // identical counts to the batch positional-index search, so the
@@ -650,6 +657,15 @@ object StreamQueries {
     "stream_funnel" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_funnel_tws" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_cohort" -> RelationalQueries.oracleSql("rel_cohort"),
+    "stream_domain_cap" ->
+      """WITH tagged AS (SELECT doc_id,
+        |  'site' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS domain
+        |  FROM documents),
+        |r AS (SELECT doc_id, domain,
+        |  CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS BIGINT) AS key_rank
+        |  FROM tagged)
+        |SELECT doc_id, domain, key_rank FROM r
+        |WHERE key_rank <= 5 ORDER BY doc_id""".stripMargin,
     "stream_dsir_score" ->
       s"""WITH ${ExtQueries.dsirCtes}
          |SELECT id, score FROM sc ORDER BY id""".stripMargin,

@@ -679,6 +679,80 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Per-domain first-come quota state: ONE long per domain (docs kept
+    * so far). A doc is admitted iff the domain's kept-count is still
+    * below the cap — the ONLINE form of domain balancing (batch:
+    * [[graft.operators.Sampling.capPerKey]]): a crawl frontier admits
+    * pages as they arrive and must stop a template-heavy domain the
+    * moment its quota fills, without ever seeing the corpus. Admission
+    * order is doc_id (rows sort in-handler, replay feeds batches in
+    * doc_id order), so the kept set is exactly the batch
+    * first-cap-by-id rule and the oracle is one window. Emissions are
+    * append-only: each kept doc emits exactly once, with its admission
+    * rank — no cross-batch reconciliation needed. */
+  private class DomainCapProcessor(cap: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), (Long, String, Long)] {
+    @transient private var kept:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      kept = getHandle.getValueState[Long]("kept",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(domain: String,
+        rows: Iterator[(String, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long)] = {
+      var n = if (kept.exists()) kept.get() else 0L
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      // in-batch arrival order is the shuffle's, not the source's —
+      // sort by doc_id so admission is deterministic under re-planning
+      rows.map(_._2).toArray.sorted.foreach { id =>
+        if (n < cap) { n += 1; out += ((id, domain, n)) }
+      }
+      kept.update(n)
+      out.iterator
+    }
+  }
+
+  /** Streaming domain quota on the `transformWithState` path: bounded
+    * replay in TWO doc_id-ordered batches (state must carry the
+    * kept-counts across the batch boundary), RocksDB provider, Update
+    * mode. Equals the batch first-cap-by-id window; oracle shared. */
+  def domainCapOnceTws(spark: SparkSession, dir: String, cap: Int,
+      sinkName: String = "stream_domain_cap_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = graft.queries.Tables.t(spark, dir, "documents")
+      .select(concat(lit("site"), (col("doc_id") % 50).cast("string"),
+        lit(".com")).as("domain"), col("doc_id"))
+      .as[(String, Long)].collect().sortBy(_._2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val (b1, b2) = recs.splitAt(recs.length / 2)
+    ms.addData(b1.toIndexedSeq)
+    val out = ms.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new DomainCapProcessor(cap),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF("doc_id", "domain", "key_rank")
+    withRocksDbProvider(spark) {
+      withHarnessConf(spark, "8") { ckpt =>
+        val q = out.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update())
+          .start()
+        q.processAllAvailable()
+        ms.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+        q.stop()
+      }
+    }
+    spark.table(sinkName)
+  }
+
   /** Streaming multi-touch attribution state: per key, the PENDING
     * touch list (ts_us, event_id) — a `ListState` (the appendable
     * arbitrary-state primitive; state size = touches since the last

@@ -240,6 +240,27 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(dh(1L) != ((0L, 0L)))
   }
 
+  test("streaming domain cap == batch first-cap-by-id (state crosses batches)") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.StreamOps
+      .domainCapOnceTws(spark, sf001, cap = 3, sinkName = "sdc_spec_sink")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val docs = Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"),
+        concat(lit("site"), (col("doc_id") % 50).cast("string"), lit(".com")).as("domain"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("doc_id"))
+    val want = docs.withColumn("key_rank", row_number().over(w).cast("long"))
+      .filter(col("key_rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want, s"missing=${want -- got} extra=${got -- want}")
+    // every domain's quota fills inside batch 1 of the harness's
+    // doc_id-ordered two-batch replay (50 domains, cap*50 << half the
+    // corpus) — so the assertion above only holds if batch 2 admissions
+    // consult the state carried over, not a fresh count
+    assert(got.size === want.size)
+  }
+
   test("multimodal frame sampling and featurizer shapes") {
     val docs = Multimodal.withBlob(Tables.t(spark, sf001, "documents"), "text")
     val frames = Multimodal.frameSample(docs, "blob", n = 4)
