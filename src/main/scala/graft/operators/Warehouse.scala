@@ -80,4 +80,40 @@ object Warehouse {
         when(col("__rn") === 1, col("__conv_vm")).otherwise(lit(0L))
           .as("last_touch_micro"))
   }
+
+  /** MERGE INTO / CDC-batch apply — the lakehouse upsert every
+    * warehouse (Delta MERGE, Iceberg MERGE, Hudi upsert) ships: apply a
+    * change batch (`keyCol`, `seqCol` change order, `opCol` ∈
+    * {'upsert','delete'}, `valCol`) onto a target snapshot keyed by
+    * `keyCol`, producing the NEW table state plus a per-row `action`
+    * audit tag ('kept' | 'updated' | 'inserted'; deleted keys and
+    * deletes of absent keys vanish, the MERGE WHEN MATCHED DELETE /
+    * no-op rules).
+    *
+    * Shape: (1) the change batch collapses to its LAST event per key —
+    * one hash aggregate (`max_by` over the (seq, op, value) struct, a
+    * total order so ties cannot diverge across engines) with map-side
+    * combine, so a key churned 10⁶ times in one batch collapses per map
+    * task before the shuffle; (2) one full-outer equi-join against the
+    * target resolves the three MERGE arms as a projection. At 100 TB
+    * the common case is a small daily delta against a huge snapshot —
+    * the collapsed change frame is delta-sized, so AQE broadcasts it
+    * and the snapshot never shuffles; the physical lakehouse MERGE adds
+    * file pruning on top, but this is its relational core. */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keyCol: String,
+      valCol: String, seqCol: String, opCol: String): DataFrame = {
+    val latest = source.groupBy(col(keyCol))
+      .agg(max_by(struct(col(opCol).as("op"), col(valCol).as("v")),
+        struct(col(seqCol), col(opCol), col(valCol))).as("__c"))
+      .select(col(keyCol), col("__c.op").as("__op"), col("__c.v").as("__sv"))
+    target.select(col(keyCol), col(valCol).as("__tv"))
+      .join(latest, Seq(keyCol), "full_outer")
+      .filter(col("__op").isNull || col("__op") === "upsert")
+      .select(col(keyCol),
+        when(col("__op") === "upsert", col("__sv")).otherwise(col("__tv"))
+          .as("v"),
+        when(col("__op").isNull, lit("kept"))
+          .when(col("__tv").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("action"))
+  }
 }

@@ -21,6 +21,34 @@ import Tables._
   */
 object RelationalQueries {
 
+  /** Shared MERGE-apply CTE chain (rel_merge_upsert + the streaming
+    * twin): fixture change batch, last-event-per-key collapse (the
+    * row_number mirror of Spark's max_by over the (seq, op, v) struct —
+    * the same lexicographic total order), full-outer resolution frame. */
+  val mergeCtes: String =
+    """tgt AS (SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |src AS (
+      |  SELECT o_orderkey AS k, 1 AS seq,
+      |      CASE WHEN o_orderkey % 9 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+      |      CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 100 AS BIGINT) + 12345 AS v
+      |    FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL SELECT o_orderkey, 2, 'delete', 0
+      |    FROM orders WHERE o_orderkey % 9 = 3
+      |  UNION ALL SELECT o_orderkey + 100000000, 1, 'upsert',
+      |      CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 100 AS BIGINT) + 7
+      |    FROM orders WHERE o_orderkey % 3 = 1
+      |  UNION ALL SELECT o_orderkey + 200000000, 1, 'delete', 0
+      |    FROM orders WHERE o_orderkey % 9 = 5),
+      |latest AS (SELECT k, op, v FROM (
+      |    SELECT k, op, v,
+      |      row_number() OVER (PARTITION BY k
+      |        ORDER BY seq DESC, op DESC, v DESC) AS rn
+      |    FROM src) WHERE rn = 1),
+      |m AS (SELECT COALESCE(t.k, l.k) AS k, t.v AS tv, l.op AS op, l.v AS sv
+      |  FROM tgt t FULL OUTER JOIN latest l ON t.k = l.k)""".stripMargin
+
   // Holt smoothing decay parameters (level / trend); W derives from
   // their quantized coefficient support (~40 rows at these values)
   private val HOLT_ALPHA = 0.5
@@ -725,6 +753,35 @@ object RelationalQueries {
           "user_id", "event_type", "ts", "event_id", "value",
           Seq("click", "view"), "purchase")
         .orderBy("user_id", "touch_id")),
+
+    // MERGE INTO / CDC-batch apply (Delta-MERGE relational core): a
+    // change batch (upserts, deletes, a churn key with two events, new
+    // keys, a delete of an absent key) collapses to last-event-per-key
+    // in ONE map-side-combined aggregate, then a single full-outer join
+    // against the snapshot resolves the MERGE arms. At scale the
+    // collapsed delta is small → AQE broadcasts it; the snapshot never
+    // shuffles.
+    "rel_merge_upsert" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val k = col("o_orderkey")
+      def cents = (col("o_totalprice").cast(DecimalType(20, 6)) * 100)
+        .cast("long")
+      val target = ord.select(k.as("k"), cents.as("v"))
+      val upd = ord.filter(k % 3 === 0).select(k.as("k"),
+        lit(1L).as("seq"),
+        when(k % 9 === 0, lit("delete")).otherwise(lit("upsert")).as("op"),
+        (cents + 12345L).as("v"))
+      val redel = ord.filter(k % 9 === 3).select(k.as("k"),
+        lit(2L).as("seq"), lit("delete").as("op"), lit(0L).as("v"))
+      val ins = ord.filter(k % 3 === 1).select((k + 100000000L).as("k"),
+        lit(1L).as("seq"), lit("upsert").as("op"), (cents + 7L).as("v"))
+      val ghost = ord.filter(k % 9 === 5).select((k + 200000000L).as("k"),
+        lit(1L).as("seq"), lit("delete").as("op"), lit(0L).as("v"))
+      graft.operators.Warehouse.mergeUpsert(target,
+          upd.unionAll(redel).unionAll(ins).unionAll(ghost),
+          "k", "v", "seq", "op")
+        .orderBy("k")
+    }),
 
     // Fellegi-Sunter probabilistic record linkage: blocked candidate
     // pairs scored by per-field micro-nat log match-weights, with the
@@ -1715,6 +1772,14 @@ object RelationalQueries {
     // FS-linkage mirror: identical u estimation (exact BIGINT ratios),
     // identical weight arithmetic — note (1 - 0.9), NOT 0.1: the Scala
     // side computes 1 − m in doubles and 0.1's bit pattern differs
+    "rel_merge_upsert" ->
+      s"""WITH $mergeCtes
+         |SELECT k, CASE WHEN op = 'upsert' THEN sv ELSE tv END AS v,
+         |  CASE WHEN op IS NULL THEN 'kept'
+         |       WHEN tv IS NULL THEN 'inserted'
+         |       ELSE 'updated' END AS action
+         |FROM m WHERE op IS NULL OR op = 'upsert'
+         |ORDER BY k""".stripMargin,
     "rel_record_linkage" -> {
       def uSql(expr: String) =
         s"(SELECT CAST(sum(c*(c-1)) AS BIGINT) AS s FROM (SELECT count(*) AS c FROM part GROUP BY $expr))"

@@ -370,6 +370,13 @@ object StreamQueries {
     "stream_cohort" -> ((s, dir) =>
       StreamOps.cohortOnceTws(s, dir).orderBy("cohort_week", "week_offset")),
 
+    // ONLINE MERGE/CDC apply: per-key ValueState row value maintained
+    // from a change feed (materialized-view maintenance) — snapshot
+    // streams as seq-0 upserts, then the change batch, across three
+    // replay batches; final alive state == the batch mergeUpsert
+    "stream_merge" -> ((s, dir) =>
+      StreamOps.mergeOnceTws(s, dir).orderBy("k")),
+
     // ONLINE domain quota: per-domain ValueState kept-count, first-come
     // admission in doc_id order across TWO replay batches — the crawl
     // frontier's "stop a template-heavy domain the moment its quota
@@ -657,6 +664,11 @@ object StreamQueries {
     "stream_funnel" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_funnel_tws" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_cohort" -> RelationalQueries.oracleSql("rel_cohort"),
+    "stream_merge" ->
+      s"""WITH ${RelationalQueries.mergeCtes}
+         |SELECT k, CASE WHEN op = 'upsert' THEN sv ELSE tv END AS v
+         |FROM m WHERE op IS NULL OR op = 'upsert'
+         |ORDER BY k""".stripMargin,
     "stream_domain_cap" ->
       """WITH tagged AS (SELECT doc_id,
         |  'site' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS domain

@@ -716,6 +716,103 @@ object StreamOps {
     }
   }
 
+  /** Per-key MERGE/CDC state: the current row value, or no state when
+    * the key is deleted — the ONLINE form of the batch
+    * [[graft.operators.Warehouse.mergeUpsert]] (materialized-view
+    * maintenance: a CDC feed applied to a keyed snapshot as it
+    * arrives). Events fold in (seq, op, v) order — the SAME
+    * lexicographic total order the batch max_by collapses by, so the
+    * post-fold state equals the batch resolution whatever the batch
+    * boundaries. Each handled batch emits ONE row per touched key
+    * (its latest seq + resulting value + alive flag); the sink
+    * reconstruction keeps each key's max-seq emission, alive only —
+    * per-key seq is monotone across replay batches because the replay
+    * feeds events in global (seq, k) order. */
+  private class MergeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, String, Long), (Long, Long, Long, Int)] {
+    @transient private var cur:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cur = getHandle.getValueState[Long]("cur",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, String, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Int)] = {
+      var alive = cur.exists()
+      var v = if (alive) cur.get() else 0L
+      var lastSeq = Long.MinValue
+      rows.toSeq.sortBy(e => (e._2, e._3, e._4)).foreach { case (_, seq, op, sv) =>
+        lastSeq = seq
+        if (op == "delete") { alive = false; v = 0L }
+        else { alive = true; v = sv }
+      }
+      if (alive) cur.update(v) else cur.clear()
+      Iterator.single((key, lastSeq, v, if (alive) 1 else 0))
+    }
+  }
+
+  /** Streaming MERGE apply: the snapshot streams first as seq-0
+    * upserts, then the change batch, in global (seq, key) order across
+    * THREE replay batches (a churned key's upsert and its later delete
+    * can straddle a boundary — state must carry). RocksDB provider,
+    * Update mode; final table = per-key max-seq emission, alive rows
+    * only — equals the batch merge projected to (k, v). */
+  def mergeOnceTws(spark: SparkSession, dir: String, batches: Int = 3,
+      sinkName: String = "stream_merge_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ord = graft.queries.Tables.t(spark, dir, "orders")
+    val k = col("o_orderkey")
+    def cents = (col("o_totalprice").cast(DecimalType(20, 6)) * 100)
+      .cast("long")
+    val target = ord.select(k.as("k"), lit(0L).as("seq"),
+      lit("upsert").as("op"), cents.as("v"))
+    val upd = ord.filter(k % 3 === 0).select(k.as("k"), lit(1L).as("seq"),
+      when(k % 9 === 0, lit("delete")).otherwise(lit("upsert")).as("op"),
+      (cents + 12345L).as("v"))
+    val redel = ord.filter(k % 9 === 3).select(k.as("k"),
+      lit(2L).as("seq"), lit("delete").as("op"), lit(0L).as("v"))
+    val ins = ord.filter(k % 3 === 1).select((k + 100000000L).as("k"),
+      lit(1L).as("seq"), lit("upsert").as("op"), (cents + 7L).as("v"))
+    val ghost = ord.filter(k % 9 === 5).select((k + 200000000L).as("k"),
+      lit(1L).as("seq"), lit("delete").as("op"), lit(0L).as("v"))
+    val recs = target.unionAll(upd).unionAll(redel).unionAll(ins)
+      .unionAll(ghost)
+      .as[(Long, Long, String, Long)].collect()
+      .sortBy(e => (e._2, e._1))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Long)]
+    val out = ms.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new MergeProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF("k", "seq", "v", "alive")
+    val per = math.max(1, (recs.length + batches - 1) / batches)
+    withRocksDbProvider(spark) {
+      withHarnessConf(spark, "8") { ckpt =>
+        val q = out.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update())
+          .start()
+        recs.grouped(per).foreach { chunk =>
+          ms.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        q.stop()
+      }
+    }
+    spark.table(sinkName)
+      .groupBy("k")
+      .agg(max_by(struct(col("v"), col("alive")), col("seq")).as("__f"))
+      .filter(col("__f.alive") === 1)
+      .select(col("k"), col("__f.v").as("v"))
+  }
+
   /** Streaming domain quota on the `transformWithState` path: bounded
     * replay in TWO doc_id-ordered batches (state must carry the
     * kept-counts across the batch boundary), RocksDB provider, Update

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** MERGE/CDC apply semantics (graft.operators.Warehouse.mergeUpsert +
+  * the streaming ValueState twin's fold order): every MERGE arm on a
+  * hand-built change batch, keep-last collapse across a churned key,
+  * and the (seq, op, v) tie-break total order. */
+class WarehouseMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(target: Seq[(Long, Long)],
+      source: Seq[(Long, Long, String, Long)]): Map[Long, (Long, String)] =
+    graft.operators.Warehouse.mergeUpsert(
+        target.toDF("k", "v"), source.toDF("k", "seq", "op", "v"),
+        "k", "v", "seq", "op")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+
+  test("mergeUpsert resolves every MERGE arm") {
+    val out = run(
+      target = Seq(1L -> 10L, 2L -> 20L, 3L -> 30L, 6L -> 60L),
+      source = Seq(
+        (2L, 1L, "upsert", 21L),            // matched update
+        (3L, 1L, "delete", 0L),             // matched delete
+        (4L, 1L, "upsert", 40L),            // unmatched insert
+        (5L, 1L, "delete", 0L),             // delete of absent key: no-op
+        (6L, 1L, "upsert", 61L),            // churn: upsert then...
+        (6L, 2L, "delete", 0L),             // ...a later delete wins
+        (7L, 1L, "delete", 0L),             // churn on absent key:
+        (7L, 2L, "upsert", 70L)))           // ...a later upsert inserts
+    assert(out === Map(
+      1L -> ((10L, "kept")), 2L -> ((21L, "updated")),
+      4L -> ((40L, "inserted")), 7L -> ((70L, "inserted"))))
+  }
+
+  test("seq ties resolve by the (op, v) lexicographic tail — " +
+      "'upsert' > 'delete', then max value — in both engines' order") {
+    // same seq: upsert beats delete, and the larger value beats the
+    // smaller, because the collapse orders by struct(seq, op, v)
+    val out = run(
+      target = Seq(1L -> 10L),
+      source = Seq(
+        (1L, 1L, "delete", 0L), (1L, 1L, "upsert", 11L),
+        (2L, 1L, "upsert", 5L), (2L, 1L, "upsert", 9L)))
+    assert(out === Map(1L -> ((11L, "updated")), 2L -> ((9L, "inserted"))))
+  }
+
+  test("empty change batch keeps the snapshot verbatim") {
+    val out = run(target = Seq(1L -> 10L, 2L -> 20L),
+      source = Seq.empty)
+    assert(out === Map(1L -> ((10L, "kept")), 2L -> ((20L, "kept"))))
+  }
+
+  test("collapse aggregate keeps map-side partials (scale contract)") {
+    val plan = graft.operators.Warehouse.mergeUpsert(
+      Seq(1L -> 10L).toDF("k", "v"),
+      Seq((1L, 1L, "upsert", 11L)).toDF("k", "seq", "op", "v"),
+      "k", "v", "seq", "op").queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by") || plan.contains("partial_maxby")
+      || plan.toLowerCase.contains("partial"),
+      s"keep-last collapse must aggregate partially before the shuffle:\n$plan")
+  }
+}
