@@ -92,6 +92,60 @@ object Dedup {
       .agg(count(lit(1)).as("common"), first(col("na")).as("na"), first(col("nb")).as("nb"))
   }
 
+  /** Prefix-filtered exact Jaccard pairs (the PPJoin/All-Pairs candidate
+    * rule — Chaudhuri et al. 2006, Xiao et al. 2008): identical output
+    * to [[jaccardPairs]], but the inverted index posts ONLY each
+    * document's prefix under a global rarity order, shrinking the
+    * candidate join provably instead of lossily.
+    *
+    * Principle: J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉ (from c(1+t) ≥
+    * t(na+nb) and nb ≥ c), and two sets sharing ≥ α elements must, under
+    * ANY common total order, share one among the first n−α+1 of each
+    * (pigeonhole). So candidates come from an equi-join of prefixes of
+    * length n − ⌈t·n⌉ + 1 only, with EXACT recall — the provable form
+    * of [[jaccardPairs]]'s lossy hot-shingle cap. The threshold is a
+    * RATIONAL tauNum∕tauDen so ⌈t·n⌉ = (tauNum·n + tauDen − 1) div
+    * tauDen stays BIGINT-exact in both engines (an IEEE ceil can round
+    * a hair high and silently shorten the prefix below the guarantee).
+    *
+    * Scale: ordering tokens by ascending document frequency puts the
+    * corpus's hottest shingles (boilerplate) LAST, so they almost never
+    * enter a prefix — at t = 0.6 the index carries ~40% of postings and
+    * the hot-gram quadratic blowup disappears without losing a pair.
+    * Costs vs [[jaccardPairs]]: one extra bounded df aggregate
+    * (map-side combined, ≤ distinct shingles), one gram-keyed join to
+    * rank, one per-doc window; the verify step fetches the two shingle
+    * arrays by id equi-joins and intersects per candidate — never
+    * all-pairs anywhere. */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, s"need 0 < tau <= 1, got $tauNum/$tauDen")
+    val tau = tauNum.toDouble / tauDen
+    val docs = shingleDocs(df, idCol, textCol).localCheckpoint(eager = false)
+    val inv = docs.select(col("id"), col("nd"), explode(col("ds")).as("h"))
+    val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val pref = inv.join(dfreq, Seq("h"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <=
+        col("nd") - expr(s"($tauNum * nd + ${tauDen - 1}) div $tauDen") + 1)
+    val cand = pref.select(col("id").as("da"), col("h"))
+      .join(pref.select(col("id").as("db"), col("h")), Seq("h"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    cand
+      .join(docs.select(col("id").as("da"), col("nd").as("na"),
+        col("ds").as("__dsa")), Seq("da"))
+      .join(docs.select(col("id").as("db"), col("nd").as("nb"),
+        col("ds").as("__dsb")), Seq("db"))
+      .withColumn("common",
+        size(array_intersect(col("__dsa"), col("__dsb"))).cast("long"))
+      .withColumn("j", col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("j") >= tau)
+      .select("da", "db", "common", "na", "nb", "j")
+  }
+
   /** Shingle-set CONTAINMENT pairs (Broder 1997's second resemblance
     * measure, |A∩B| ∕ |A|) — the asymmetric relation Jaccard misses: a
     * short document quoted whole inside a long one has tiny Jaccard but

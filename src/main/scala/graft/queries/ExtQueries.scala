@@ -700,6 +700,14 @@ object ExtQueries {
         .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
     "dedup_jaccard" -> ((s, dir) =>
       jaccardShared(s, dir).orderBy("da", "db")),
+    // PPJoin prefix filtering: same pairs as dedup_jaccard, but the
+    // inverted index posts only each doc's rarity-ordered prefix —
+    // exact recall by the pigeonhole principle (rational ⌈t·n⌉, never
+    // an IEEE ceil), with the hottest boilerplate shingles provably
+    // excluded from candidate generation instead of lossily capped
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
+        3, 5).orderBy("da", "db")),
     "dedup_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
     "dedup_minhash_pairs" -> ((s, dir) =>
@@ -2048,6 +2056,26 @@ object ExtQueries {
          |  FROM e a JOIN e b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2)
          |SELECT da, db, common, na, nb, common/(na+nb-common) AS j
          |FROM pairs WHERE common/(na+nb-common) >= $JACCARD_TAU
+         |ORDER BY da, db""".stripMargin,
+    // PPJoin mirror: identical df-rarity prefix rule (integer ⌈3n∕5⌉ =
+    // (3n+4)//5), prefix-only self-join, exact list-intersect verify
+    "dedup_jaccard_prefix" ->
+      s"""WITH $distinctShingleCte,
+         |e AS (SELECT id, nd, unnest(ds) AS h FROM d),
+         |dfreq AS (SELECT h, count(*) AS df FROM e GROUP BY 1),
+         |pr AS (SELECT id, h FROM (
+         |    SELECT e.id, e.nd, e.h,
+         |      row_number() OVER (PARTITION BY e.id ORDER BY f.df, e.h) AS rn
+         |    FROM e JOIN dfreq f ON e.h = f.h)
+         |  WHERE rn <= nd - (3 * nd + 4) // 5 + 1),
+         |cand AS (SELECT DISTINCT a.id AS da, b.id AS db
+         |  FROM pr a JOIN pr b ON a.h = b.h AND a.id < b.id),
+         |v AS (SELECT c.da, c.db,
+         |    CAST(len(list_intersect(x.ds, y.ds)) AS BIGINT) AS common,
+         |    x.nd AS na, y.nd AS nb
+         |  FROM cand c JOIN d x ON c.da = x.id JOIN d y ON c.db = y.id)
+         |SELECT da, db, common, na, nb, common/(na+nb-common) AS j
+         |FROM v WHERE common/(na+nb-common) >= $JACCARD_TAU
          |ORDER BY da, db""".stripMargin,
     // containment mirror: same shingle inverted index, directional
     // common/n ratios with the UNION of both directions

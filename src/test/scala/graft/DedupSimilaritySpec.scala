@@ -22,6 +22,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(p.filter(col("da") >= col("db")).count() == 0)
   }
 
+  test("prefix-filtered jaccard == full inverted-index jaccard (exact recall)") {
+    // the PPJoin guarantee: prefix candidates lose NOTHING at any tau
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("da", "db", "common").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 0.6))
+    val pref = pairs(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 5))
+    assert(pref === full)
+    assert(full.nonEmpty, "fixture must exercise at least one pair")
+  }
+
+  test("prefix index posts strictly fewer postings than the full index") {
+    import spark.implicits._
+    val d = Dedup.shingleDocs(docs, "doc_id", "text")
+    val fullPostings = d.select(explode(col("ds"))).count()
+    // replicate the operator's prefix rule to measure its posting mass
+    val inv = d.select(col("id"), col("nd"), explode(col("ds")).as("h"))
+    val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val prefPostings = inv.join(dfreq, Seq("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("nd") - expr("(3 * nd + 4) div 5") + 1)
+      .count()
+    assert(prefPostings < fullPostings,
+      s"prefix index must shrink the join: $prefPostings vs $fullPostings")
+  }
+
+  test("prefix rule catches a pair exactly AT the threshold") {
+    import spark.implicits._
+    // two 5-shingle docs sharing 4 shingles + one noise doc:
+    // J = 4/(5+5-4) = 2/3 >= 3/5; at tau=2/3 exactly, still caught
+    val a = "w1 w2 w3 w4 w5 w6 w7"             // 5 3-gram shingles
+    val b = "w1 w2 w3 w4 w5 w6 zz"             // shares 4 of them
+    val c = "q1 q2 q3 q4 q5 q6 q7"
+    val lit3 = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsPrefix(lit3, "doc_id", "text", 2, 3)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L)))
+  }
+
   test("minhash-LSH pairs are a subset of exact jaccard pairs") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
