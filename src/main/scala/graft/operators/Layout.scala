@@ -104,6 +104,37 @@ object Layout {
         min("__y").as("y_min"), max("__y").as("y_max"))
   }
 
+  /** Small-file compaction plan — the bin-packing core of Delta
+    * `OPTIMIZE` / Iceberg `rewriteDataFiles`: assign a partition's
+    * files, scanned in file-id order, to target-size output groups.
+    * A file's group is `exclusive-cumulative-bytes div targetBytes` —
+    * the deterministic next-fit rule real compactors use (files are
+    * never split, so a group may overshoot the target by at most its
+    * last file; a file larger than the target advances the group
+    * counter past the ids it spans, leaving gaps — group ids are
+    * labels, not ordinals). Emits one row per planned output group
+    * with its file count, byte total, and id range — the rewrite
+    * manifest a compaction job executes.
+    *
+    * Scale: the input is the table's FILE INVENTORY (metadata: ~10⁶–10⁷
+    * rows for a 100 TB table), not its data. One window partitioned by
+    * the table partition (running sums never cross partitions, matching
+    * the compactor's partition-local rewrite rule) + one hash
+    * aggregate; output ∝ planned groups. */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(fileCol))
+      .rowsBetween(Long.MinValue, -1)
+    files
+      .withColumn("__pre", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("grp", expr(s"__pre div ${targetBytes}L"))
+      .groupBy(col(partCol).as("part"), col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col(sizeCol)).as("bytes"),
+        min(col(fileCol)).as("first_file"), max(col(fileCol)).as("last_file"))
+  }
+
   // ===================== DuckDB SQL mirror =====================
 
   private def spreadSql(v: String): String = {

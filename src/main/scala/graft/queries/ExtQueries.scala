@@ -511,6 +511,19 @@ object ExtQueries {
         col("l_partkey").cast("long").as("pk"))
       Layout.zorderStats(li, "price_micro", "pk", 8).orderBy("bucket")
     }),
+    "layout_compaction" -> ((s, dir) => {
+      // small-file compaction manifest: a synthetic file inventory
+      // (one "file" per order, size from the price, partitioned by
+      // priority) bin-packed to 1 MiB output groups by the next-fit
+      // exclusive-cumsum rule — per-partition window + one aggregate
+      val inv = t(s, dir, "orders").select(
+        col("o_orderpriority").as("part"),
+        col("o_orderkey").as("file_id"),
+        ((col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(20, 6))
+          * 100).cast("long") % 100000L + 1024L).as("bytes"))
+      Layout.compactionPlan(inv, "part", "file_id", "bytes", 1L << 20)
+        .orderBy("part", "grp")
+    }),
     "text_vocab" -> ((s, dir) =>
       // tokenizer/BPE step 1: corpus top-k vocabulary — explode pipelined
       // in the scan, map-side partial counts, TakeOrderedAndProject
@@ -1744,6 +1757,21 @@ object ExtQueries {
          |SELECT zv >> 24 AS bucket, count(*) AS n,
          |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
          |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // compaction mirror: identical exclusive running sum (1-row lookback
+    // window) and truncating group division
+    "layout_compaction" ->
+      """WITH inv AS (SELECT o_orderpriority AS part, o_orderkey AS file_id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 100 AS BIGINT) % 100000
+        |      + 1024 AS bytes
+        |  FROM orders),
+        |c AS (SELECT part, file_id, bytes,
+        |    COALESCE(sum(bytes) OVER (PARTITION BY part ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM inv)
+        |SELECT part, pre // 1048576 AS grp, count(*) AS n_files,
+        |  sum(bytes) AS bytes, min(file_id) AS first_file,
+        |  max(file_id) AS last_file
+        |FROM c GROUP BY 1, 2 ORDER BY part, grp""".stripMargin,
     "text_heavy_hitters" ->
       s"""WITH w AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
          |n AS (SELECT count(*) AS n FROM w),

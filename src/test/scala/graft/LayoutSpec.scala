@@ -69,4 +69,33 @@ class LayoutSpec extends SparkSpec {
     assert(maxBucketXSpan <= xSpan / 8,
       s"bucket x-span $maxBucketXSpan vs global $xSpan")
   }
+
+  test("compactionPlan: hand-built manifest, conservation, overshoot bound") {
+    import spark.implicits._
+    // partition A: 60+60+60 → group 0 holds files 1,2 (pre 0,60;
+    // file 3's pre=120 ≥ 100 → group 1); oversized 350-byte file 4
+    // lands alone in group 1's successor computed from its pre (180//100=1)
+    // and pushes file 5 to group 5 (pre 530//100)
+    val inv = Seq(
+      ("A", 1L, 60L), ("A", 2L, 60L), ("A", 3L, 60L),
+      ("A", 4L, 350L), ("A", 5L, 40L),
+      ("B", 10L, 10L), ("B", 11L, 10L)).toDF("part", "file_id", "bytes")
+    val plan = Layout.compactionPlan(inv, "part", "file_id", "bytes", 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(plan(("A", 0L)) === ((2L, 120L, 1L, 2L)))
+    assert(plan(("A", 1L)) === ((2L, 410L, 3L, 4L)))
+    assert(plan(("A", 5L)) === ((1L, 40L, 5L, 5L)))
+    assert(plan(("B", 0L)) === ((2L, 20L, 10L, 11L)))
+    // conservation: every file in exactly one group
+    assert(plan.values.map(_._2).sum == 60L + 60 + 60 + 350 + 40 + 10 + 10)
+    assert(plan.values.map(_._1).sum == 7L)
+    // next-fit bound: a group exceeds the target only via its LAST file
+    val sizes = Map(1L -> 60L, 2L -> 60L, 3L -> 60L, 4L -> 350L,
+      5L -> 40L, 10L -> 10L, 11L -> 10L)
+    plan.values.foreach { case (_, bytes, _, last) =>
+      assert(bytes - sizes(last) < 100L,
+        s"group holds $bytes with last file $last — pre-last mass must be under target")
+    }
+  }
 }
