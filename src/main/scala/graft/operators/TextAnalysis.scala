@@ -644,4 +644,56 @@ object TextAnalysis {
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("shared_grams"))
   }
+
+  /** Corpus novelty audit — the "what does this dump add?" statistic
+    * behind dataset-growth decisions (each CommonCrawl snapshot adds
+    * ever-less novel text; WIMBD §4 measures the dual, cross-source
+    * overlap): per document, the fraction of its DISTINCT n-grams whose
+    * corpus-wide FIRST occurrence (minimum doc id — the arrival-order
+    * proxy; feed real ingest timestamps as the id to audit by time) is
+    * this document. Near-duplicates and quotations score low, fresh
+    * text scores ~1; the per-source mean of `novelty` is the marginal
+    * value curve of continued crawling.
+    *
+    * Shape (the [[graft.operators.Dedup.softDedupWeights]] skeleton):
+    * grams are the collision-safe packed two-chain hash; first-seen =
+    * ONE min(id) aggregate with full map-side combine (a boilerplate
+    * gram repeated 10⁶× collapses per map task); mark-back is an
+    * equi-join on the gram hash; docs below n words report n_grams = 0
+    * with novelty 1.0 (no duplication evidence — the softDedup
+    * convention). Never all-pairs, never a sort. */
+  def novelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      explode(array_distinct(graft.functions.HashExpressions.ngram_hashes_wide(
+        graft.functions.HashExpressions.word_hashes(col(textCol)), n))).as("g"))
+    val firstSeen = grams.groupBy("g").agg(min(col("id")).as("first_id"))
+    val perDoc = grams.join(firstSeen, Seq("g")).groupBy("id").agg(
+      count(lit(1)).as("n_grams"),
+      sum((col("first_id") === col("id")).cast("long")).as("n_novel"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams").isNull, lit(1.0))
+          .otherwise(col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+  }
+
+  /** DuckDB mirror of [[novelty]]. */
+  def noveltySql(n: Int, docs: String = "documents",
+      idCol: String = "doc_id"): String =
+    s"""WITH w AS (SELECT $idCol AS id, ${MirrorHash.wordHashesSql()} AS whs FROM $docs),
+       |gr AS (SELECT DISTINCT id, g FROM (
+       |  SELECT id, unnest(${MirrorHash.ngramHashesWideSql("whs", n)}) AS g FROM w)),
+       |fs AS (SELECT g, min(id) AS first_id FROM gr GROUP BY g),
+       |pd AS (SELECT id, count(*) AS n_grams,
+       |    sum(CASE WHEN first_id = id THEN 1 ELSE 0 END) AS n_novel
+       |  FROM gr JOIN fs USING (g) GROUP BY id)
+       |SELECT w.id, coalesce(pd.n_grams, 0) AS n_grams,
+       |  CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel,
+       |  CASE WHEN pd.n_grams IS NULL THEN 1.0
+       |       ELSE CAST(pd.n_novel AS DOUBLE) / CAST(pd.n_grams AS DOUBLE) END
+       |    AS novelty
+       |FROM w LEFT JOIN pd USING (id) ORDER BY id""".stripMargin
 }

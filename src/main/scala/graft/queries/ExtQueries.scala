@@ -1071,6 +1071,13 @@ object ExtQueries {
       Dedup.softDedupWeights(t(s, dir, "documents"), "doc_id", "text",
           DECON_N)
         .orderBy("id")),
+    "text_novelty" -> ((s, dir) =>
+      // corpus novelty audit: fraction of each doc's distinct 8-grams
+      // first seen (min doc id) in that doc — the marginal-value-of-a-
+      // new-dump statistic; one min(id) gram aggregate + one equi-join
+      TextAnalysis.novelty(t(s, dir, "documents"), "doc_id", "text",
+          DECON_N)
+        .orderBy("id")),
     "mix_nb_classify" -> ((s, dir) => {
       // fastText-style domain classifier as multinomial Naive Bayes over
       // hashed unigrams: fit = ONE corpus pass (|classes|·B-bounded
@@ -2507,6 +2514,7 @@ object ExtQueries {
          |      END AS BIGINT) AS alloc_tokens
          |  FROM f, t) ORDER BY source""".stripMargin,
     "dedup_soft_weights" -> Dedup.softDedupWeightsSql(DECON_N),
+    "text_novelty" -> TextAnalysis.noveltySql(DECON_N),
     // SemDeDup mirror: the sim_ivf_topk centroid/assignment CTEs with d2
     // carried, keep-priority rank (d2 DESC, id), pairwise prune
     "dedup_semantic" ->

@@ -581,4 +581,35 @@ class CurationAuditSpec extends SparkSpec {
     assert(out.toSet == Set((2L, 3L, 6L), (3L, 1L, 3L)))
     assert(out.map(_._3).sum == labels.count())
   }
+
+  // ---- novelty ----
+
+  test("novelty: exact copy scores 0, fresh text 1, short doc defaults 1") {
+    val nine = (1 to 9).map(i => s"w$i").mkString(" ")       // 2 distinct 8-grams
+    val fresh = (1 to 9).map(i => s"q$i").mkString(" ")
+    val df = Seq(
+      (1L, nine),            // first occurrence of both grams
+      (2L, nine),            // exact copy: nothing novel
+      (3L, fresh),           // disjoint vocabulary: all novel
+      (4L, "too short"))     // < 8 words: no grams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.novelty(df, "doc_id", "text", 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) === ((2L, 2L, 1.0)))
+    assert(out(2L) === ((2L, 0L, 0.0)))
+    assert(out(3L) === ((2L, 2L, 1.0)))
+    assert(out(4L) === ((0L, 0L, 1.0)))
+  }
+
+  test("novelty counts DISTINCT grams — in-doc repetition cannot inflate") {
+    val rep = ((1 to 8) ++ (1 to 8)).map(i => s"w$i").mkString(" ")
+    val out = TextAnalysis.novelty(Seq((1L, rep)).toDF("doc_id", "text"),
+        "doc_id", "text", 8)
+      .collect().head
+    // 16 words → 9 gram positions, but the wrap repeats gram w1..w8
+    assert(out.getLong(1) < 9L, "distinct grams must dedup in-doc repeats")
+    assert(out.getDouble(3) === 1.0)
+  }
 }
