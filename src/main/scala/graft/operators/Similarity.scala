@@ -596,6 +596,85 @@ object Similarity {
     s"CAST(list_sum(list_transform(generate_series(1,64), i -> $fa[i]*$fb[i])) AS BIGINT)" +
       s" / sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
 
+  /** Greedy k-center / farthest-point selection (Gonzalez 1985) — the
+    * diversity-coreset draw data-curation uses to pick maximally-spread
+    * exemplars (seed centroids, eval probes, the diversity complement
+    * of [[d4Prune]]'s redundancy cut): start from the minimum id, then
+    * k−1 times add the point FARTHEST (max over points of the min
+    * squared distance to the chosen set — the classic 2-approximation
+    * of the optimal k-center cover). Emits (round, id, d2) where d2 is
+    * the selection-time coverage gap (non-increasing in round — the
+    * radius curve a curator reads to choose k); the seed reports −1.
+    *
+    * Determinism: distances are exact BIGINT sums of squared
+    * fixed-point differences (zip_with + aggregate, codegen'd), ties
+    * break (d2 DESC, id) — bit-identical to the oracle's unrolled
+    * round CTEs.
+    *
+    * Scale: k bounded driver rounds (the BPE/temperature model-fit
+    * discipline — k·1-row collects, never a corpus collect); each round
+    * is one scan with the chosen vectors as plan literals and a 1-row
+    * TakeOrdered (no global sort); the fixed-point frame sits behind a
+    * lazy localCheckpoint so the k scans reuse one materialization. */
+  def kCenter(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val spark = df.sparkSession
+    val fx = fixedPoint(df, idCol, vecCol).select("id", "fx")
+      .localCheckpoint(eager = false)
+    def d2To(vec: Seq[Long]): Column =
+      aggregate(
+        zip_with(col("fx"), array(vec.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    val seedRows = fx.orderBy("id").limit(1).collect()
+    require(seedRows.nonEmpty, "kCenter needs a non-empty input")
+    val seed = seedRows(0)
+    var chosen = Vector[Seq[Long]](seed.getSeq[Long](1))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](
+      (1L, seed.getLong(0), -1L))
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val minD = chosen.map(d2To).reduce(least(_, _))
+      val next = fx.select(col("id"), col("fx"), minD.as("d2"))
+        .filter(col("d2") > 0)             // already-chosen points re-rank at 0
+        .orderBy(col("d2").desc, col("id")).limit(1).collect()
+      if (next.isEmpty) exhausted = true
+      else {
+        chosen :+= next(0).getSeq[Long](1)
+        out += ((r.toLong, next(0).getLong(0), next(0).getLong(2)))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("round", "id", "d2")
+  }
+
+  /** DuckDB mirror of [[kCenter]] over the embeddings table: the greedy
+    * rounds unroll into a chain of (running-min distance, 1-row argmax)
+    * CTE pairs replaying the identical BIGINT arithmetic and (d2 DESC,
+    * id) tie-break. */
+  def kCenterSql(k: Int): String = {
+    def dd(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1,64), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"f AS (SELECT vec_id AS id, ${fixedPointSql("embedding")} AS fx FROM embeddings)",
+      "c1 AS (SELECT id, fx FROM f ORDER BY id LIMIT 1)",
+      s"m1 AS (SELECT f.id, f.fx, ${dd("f.fx", "c.fx")} AS md FROM f, c1 c)")
+    for (r <- 2 to k) {
+      ctes += s"c$r AS (SELECT id, fx, md FROM m${r - 1} WHERE md > 0 " +
+        "ORDER BY md DESC, id LIMIT 1)"
+      if (r < k)
+        ctes += s"m$r AS (SELECT m.id, m.fx, LEAST(m.md, ${dd("m.fx", "c.fx")}) " +
+          s"AS md FROM m${r - 1} m, c$r c)"
+    }
+    val sel = (Seq("SELECT CAST(1 AS BIGINT) AS round, id, CAST(-1 AS BIGINT) AS d2 FROM c1") ++
+      (2 to k).map(r => s"SELECT CAST($r AS BIGINT), id, md FROM c$r"))
+      .mkString("\nUNION ALL ")
+    s"WITH ${ctes.mkString(",\n")}\n$sel\nORDER BY round"
+  }
+
   /** SQL: hyperplane bucket from fixed-point list `fx` (DuckDB 1-based
     * lambda index compensated: dim d = i-1). */
   def bucketSql(fx: String = "fx"): String = {

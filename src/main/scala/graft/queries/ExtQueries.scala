@@ -127,6 +127,8 @@ object ExtQueries {
   // neighborhoods, accept margin ≥ 1 (pair beats its neighborhoods)
   private val MARGIN_K = 4
   private val MARGIN_TAU = 1.0
+  // greedy k-center diversity selection rounds
+  private val KCENTER_K = 4
   // hard-negative mining / kNN label-noise audit neighborhood size
   private val HARDNEG_K = 5
   private val NOISE_K = 5
@@ -1197,6 +1199,13 @@ object ExtQueries {
       Dedup.clusterStats(
         Dedup.clusters(jaccardShared(s, dir), "da", "db"), "l")
         .orderBy("cluster_size")),
+    "sim_kcenter" -> ((s, dir) =>
+      // greedy farthest-point diversity selection (Gonzalez 2-approx):
+      // k bounded 1-row-collect rounds, exact BIGINT distances, the
+      // per-round coverage-gap curve as output
+      Similarity.kCenter(t(s, dir, "embeddings"), "vec_id", "embedding",
+          KCENTER_K)
+        .orderBy("round")),
     "sim_margin_mining" -> ((s, dir) =>
       // CCMatrix margin-criterion mining across the vec_id-parity split:
       // integer-exact neighborhood sums, margin = one double division;
@@ -2802,6 +2811,7 @@ object ExtQueries {
          |SELECT sz AS cluster_size, count(*) AS n_clusters,
          |  sz * count(*) AS n_docs
          |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin,
+    "sim_kcenter" -> Similarity.kCenterSql(KCENTER_K),
     "sim_margin_mining" ->
       s"""WITH $fxCte,
          |aa AS (SELECT id AS aid, fx AS fa, nrm AS na FROM n WHERE id % 2 = 0),

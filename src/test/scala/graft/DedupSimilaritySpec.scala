@@ -63,6 +63,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  test("kCenter picks the farthest point each round (planted line)") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(10.0, 0.0)), (4L, Seq(10.001, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenter(pts, "vec_id", "embedding", 3)
+      .orderBy("round").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // seed = min id (1); round 2 = farthest from 1 (4 beats 3 by a
+    // hair); round 3 = the point with the largest min-distance to
+    // {1, 4}: 2 (d²=1) beats 3 (d² to 4 is ~1e-6)
+    assert(got.toSeq === Seq((1L, 1L), (2L, 4L), (3L, 2L)))
+  }
+
+  test("kCenter coverage gap is non-increasing and rounds are distinct ids") {
+    val sel = Similarity.kCenter(emb, "vec_id", "embedding", 6)
+      .orderBy("round").collect()
+    assert(sel.length == 6)
+    assert(sel.map(_.getLong(1)).distinct.length == 6)
+    val gaps = sel.drop(1).map(_.getLong(2))
+    assert(gaps.zip(gaps.tail).forall { case (a, b) => b <= a },
+      s"farthest-point gaps must not increase: ${gaps.mkString(",")}")
+  }
+
   test("minhash-LSH pairs are a subset of exact jaccard pairs") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
