@@ -188,4 +188,46 @@ object RangeJoin {
       .select((keys.map(col) :+ col("ea") :+ col("eb") :+
         (col("tb") - col("ta")).as("gap_us")): _*)
   }
+
+  /** Interval-OVERLAP equi-key join (intervals × intervals — the
+    * genomics/ads-session workhorse the point-in-range join above can't
+    * express): pairs with equal `keys` whose [s, e] intervals intersect
+    * (touching endpoints count), emitting the intersection and its
+    * length. Inputs are integer interval bounds (µs, positions — any
+    * unit), `bucketW` the grid width.
+    *
+    * Scale: BOTH sides replicate to every `bucketW` grid cell their
+    * interval spans (explode of a bounded `sequence`; replication
+    * factor ≈ length∕W + 1, so pick W near the typical interval
+    * length), the join is a pure EQUI-join on (keys, cell) — never a
+    * range-predicate nested loop — and each overlapping pair is
+    * counted exactly ONCE by the responsibility rule: only the cell
+    * containing the overlap's LEFT EDGE (trunc-div of max(sa, sb), a
+    * point both intervals necessarily cover) keeps the pair. Truncating
+    * division (Spark `div` == DuckDB `//`) keeps the grid identical in
+    * both engines at any sign. */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+      idL: String, sL: String, eL: String,
+      idR: String, sR: String, eR: String, bucketW: Long): DataFrame = {
+    require(bucketW > 0, s"bucketW must be positive: $bucketW")
+    def cells(df: DataFrame, id: String, s: String, e: String,
+        ida: String): DataFrame =
+      df.select(keys.map(col) :+ col(id).as(ida) :+
+          col(s).cast("long").as(s"__s_$ida") :+
+          col(e).cast("long").as(s"__e_$ida"): _*)
+        .withColumn("__bk", explode(sequence(
+          expr(s"__s_$ida div ${bucketW}L"), expr(s"__e_$ida div ${bucketW}L"))))
+    val a = cells(left, idL, sL, eL, "ida")
+    val b = cells(right, idR, sR, eR, "idb")
+    a.join(b, keys :+ "__bk")
+      .filter(col("__s_ida") <= col("__e_idb") &&
+        col("__s_idb") <= col("__e_ida"))
+      .filter(col("__bk") ===
+        expr(s"greatest(__s_ida, __s_idb) div ${bucketW}L"))
+      .select(keys.map(col) :+ col("ida") :+ col("idb") :+
+        greatest(col("__s_ida"), col("__s_idb")).as("ov_start") :+
+        least(col("__e_ida"), col("__e_idb")).as("ov_end") :+
+        (least(col("__e_ida"), col("__e_idb")) -
+          greatest(col("__s_ida"), col("__s_idb"))).as("ov_len"): _*)
+  }
 }

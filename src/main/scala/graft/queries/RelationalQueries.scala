@@ -383,6 +383,22 @@ object RelationalQueries {
         .orderBy("ea", "eb")
     }),
 
+    // Interval×interval overlap join: per-user event intervals (1-7h,
+    // derived from event_id) split by parity; both sides grid-replicate
+    // to 2h cells, one equi-join, responsibility-cell dedup — never a
+    // range-predicate nested loop
+    "rel_interval_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        epochUs(col("ts")).as("s"),
+        (epochUs(col("ts")) + (col("event_id") % 7 + 1) * 3600000000L).as("e"))
+      graft.operators.RangeJoin.intervalOverlap(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 =!= 0),
+          Seq("user_id"), "event_id", "s", "e", "event_id", "s", "e",
+          bucketW = 7200000000L)
+        .orderBy("user_id", "ida", "idb")
+    }),
+
     // Array/map scalar functions over the documents table
     "rel_array_funcs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1599,6 +1615,19 @@ object RelationalQueries {
       """SELECT doc_id, source,
         |  CASE WHEN source = 'src0' THEN n_chars + 1000000 ELSE n_chars END AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // overlap mirror: the declarative range predicate (DuckDB IEJoin)
+    // — set-identical to the grid-cell responsibility plan; all-integer
+    // bounds, no FP divergence possible
+    "rel_interval_overlap" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (event_id % 7 + 1) * 3600000000 AS e FROM events),
+        |a AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+        |b AS (SELECT * FROM ev WHERE event_id % 2 <> 0)
+        |SELECT a.user_id, a.event_id AS ida, b.event_id AS idb,
+        |  GREATEST(a.s, b.s) AS ov_start, LEAST(a.e, b.e) AS ov_end,
+        |  LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS ov_len
+        |FROM a JOIN b ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY 1, 2, 3""".stripMargin,
     "rel_explode" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents WHERE doc_id % 50 = 0)

@@ -86,4 +86,47 @@ class AsOfJoinNullSpec extends SparkSpec {
     assert(out(1).getAs[Long]("asof_qty") == 7L)
     assert(out(1).getAs[java.sql.Timestamp]("asof_rts") == ts(20_000_000L))
   }
+
+  test("intervalOverlap: planted grid — touching, containment, no dup " +
+      "across spanned cells, disjoint excluded") {
+    import spark.implicits._
+    val L = Seq(("u", 1L, 0L, 10L), ("u", 2L, 50L, 100L), ("v", 3L, 0L, 10L))
+      .toDF("k", "id", "s", "e")
+    val R = Seq(
+      ("u", 11L, 10L, 20L),   // touches id 1 at a point (ov_len 0)
+      ("u", 12L, 60L, 70L),   // contained in id 2
+      ("u", 13L, 0L, 95L),    // spans MANY 8-wide cells with both 1 and 2
+      ("u", 14L, 30L, 40L),   // disjoint from everything on u
+      ("v", 15L, 5L, 6L))     // other key
+      .toDF("k", "id", "s", "e")
+    val got = graft.operators.RangeJoin.intervalOverlap(
+        L, R, Seq("k"), "id", "s", "e", "id", "s", "e", bucketW = 8L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+    assert(got.length == got.map(_._1).distinct.length, "pair emitted once")
+    assert(got.toMap === Map(
+      (1L, 11L) -> ((10L, 10L)), (2L, 12L) -> ((60L, 70L)),
+      (1L, 13L) -> ((0L, 10L)), (2L, 13L) -> ((50L, 95L)),
+      (3L, 15L) -> ((5L, 6L))))
+  }
+
+  test("intervalOverlap == brute range-predicate join on real events") {
+    val ev = graft.queries.Tables.t(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + (col("event_id") % 7 + 1) * 3600000000L).as("e"))
+    val a = ev.filter(col("event_id") % 2 === 0)
+    val b = ev.filter(col("event_id") % 2 =!= 0)
+    def key(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val grid = graft.operators.RangeJoin.intervalOverlap(a, b, Seq("user_id"),
+        "event_id", "s", "e", "event_id", "s", "e", 7200000000L)
+      .select("user_id", "ida", "idb").collect().map(key).toSet
+    val brute = a.as("a").join(b.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.user_id"), col("a.event_id"), col("b.event_id"))
+      .collect().map(key).toSet
+    assert(grid === brute)
+    assert(brute.nonEmpty, "fixture must exercise overlaps")
+  }
 }
