@@ -116,4 +116,24 @@ object Warehouse {
           .when(col("__tv").isNull, lit("inserted"))
           .otherwise(lit("updated")).as("action"))
   }
+
+  /** Snapshot diff — the table-history audit every lakehouse exposes
+    * (Delta CDF "what changed between versions", Iceberg changelog
+    * scan): rows whose value differs between two keyed snapshots, as
+    * (key, old_v, new_v, change ∈ 'added'|'removed'|'changed');
+    * identical rows are omitted. One full-outer equi-join + a
+    * null-safe-equality filter — at 100 TB the diff of adjacent
+    * versions is delta-sized output from one key-partitioned join
+    * (physical lakehouse diffs additionally skip unchanged FILES by
+    * manifest; this is the row-level core they verify against). */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCol: String,
+      valCol: String): DataFrame =
+    before.select(col(keyCol), col(valCol).as("old_v"))
+      .join(after.select(col(keyCol), col(valCol).as("new_v")),
+        Seq(keyCol), "full_outer")
+      .filter(!(col("old_v") <=> col("new_v")))
+      .select(col(keyCol), col("old_v"), col("new_v"),
+        when(col("old_v").isNull, lit("added"))
+          .when(col("new_v").isNull, lit("removed"))
+          .otherwise(lit("changed")).as("change"))
 }

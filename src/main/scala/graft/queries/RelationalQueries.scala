@@ -799,6 +799,34 @@ object RelationalQueries {
         .orderBy("k")
     }),
 
+    // Snapshot diff (Delta-CDF/changelog core): the row-level diff of
+    // the merge fixture's before/after states in ONE declarative plan —
+    // the CDC batch flows through mergeUpsert into the diff's full-outer
+    // join; output is exactly the merge's non-kept actions re-derived
+    // from values alone
+    "rel_snapshot_diff" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val k = col("o_orderkey")
+      def cents = (col("o_totalprice").cast(DecimalType(20, 6)) * 100)
+        .cast("long")
+      val target = ord.select(k.as("k"), cents.as("v"))
+      val upd = ord.filter(k % 3 === 0).select(k.as("k"),
+        lit(1L).as("seq"),
+        when(k % 9 === 0, lit("delete")).otherwise(lit("upsert")).as("op"),
+        (cents + 12345L).as("v"))
+      val redel = ord.filter(k % 9 === 3).select(k.as("k"),
+        lit(2L).as("seq"), lit("delete").as("op"), lit(0L).as("v"))
+      val ins = ord.filter(k % 3 === 1).select((k + 100000000L).as("k"),
+        lit(1L).as("seq"), lit("upsert").as("op"), (cents + 7L).as("v"))
+      val ghost = ord.filter(k % 9 === 5).select((k + 200000000L).as("k"),
+        lit(1L).as("seq"), lit("delete").as("op"), lit(0L).as("v"))
+      val after = graft.operators.Warehouse.mergeUpsert(target,
+        upd.unionAll(redel).unionAll(ins).unionAll(ghost),
+        "k", "v", "seq", "op")
+      graft.operators.Warehouse.snapshotDiff(target, after, "k", "v")
+        .orderBy("k")
+    }),
+
     // Fellegi-Sunter probabilistic record linkage: blocked candidate
     // pairs scored by per-field micro-nat log match-weights, with the
     // u-probabilities estimated EXACTLY from the data's value counts
@@ -1808,6 +1836,19 @@ object RelationalQueries {
          |       WHEN tv IS NULL THEN 'inserted'
          |       ELSE 'updated' END AS action
          |FROM m WHERE op IS NULL OR op = 'upsert'
+         |ORDER BY k""".stripMargin,
+    // diff mirror: the merge resolution frame re-read as value deltas —
+    // added (no before), removed (matched delete), changed (upsert with
+    // a different value); equal-value upserts would be omitted like the
+    // operator's null-safe-equality filter omits them
+    "rel_snapshot_diff" ->
+      s"""WITH $mergeCtes
+         |SELECT k, tv AS old_v, sv AS new_v, 'changed' AS change
+         |  FROM m WHERE op = 'upsert' AND tv IS NOT NULL AND sv <> tv
+         |UNION ALL SELECT k, NULL, sv, 'added'
+         |  FROM m WHERE op = 'upsert' AND tv IS NULL
+         |UNION ALL SELECT k, tv, NULL, 'removed'
+         |  FROM m WHERE op = 'delete' AND tv IS NOT NULL
          |ORDER BY k""".stripMargin,
     "rel_record_linkage" -> {
       def uSql(expr: String) =

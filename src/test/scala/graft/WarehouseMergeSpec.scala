@@ -52,6 +52,29 @@ class WarehouseMergeSpec extends SparkSpec {
     assert(out === Map(1L -> ((10L, "kept")), 2L -> ((20L, "kept"))))
   }
 
+  test("snapshotDiff reports exactly the non-identical rows") {
+    val before = Seq(1L -> 10L, 2L -> 20L, 3L -> 30L).toDF("k", "v")
+    val after = Seq(1L -> 10L, 2L -> 21L, 4L -> 40L).toDF("k", "v")
+    val out = graft.operators.Warehouse.snapshotDiff(before, after, "k", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getString(3)))).toMap
+    assert(out === Map(
+      2L -> ((Some(20L), Some(21L), "changed")),
+      3L -> ((Some(30L), None, "removed")),
+      4L -> ((None, Some(40L), "added"))))
+  }
+
+  test("diff of a snapshot against its merged state == the merge's actions") {
+    val target = Seq(1L -> 10L, 2L -> 20L, 3L -> 30L).toDF("k", "v")
+    val source = Seq((2L, 1L, "upsert", 21L), (3L, 1L, "delete", 0L),
+      (4L, 1L, "upsert", 40L)).toDF("k", "seq", "op", "v")
+    val after = graft.operators.Warehouse.mergeUpsert(
+      target, source, "k", "v", "seq", "op")
+    val diff = graft.operators.Warehouse.snapshotDiff(target, after, "k", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(diff === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("collapse aggregate keeps map-side partials (scale contract)") {
     val plan = graft.operators.Warehouse.mergeUpsert(
       Seq(1L -> 10L).toDF("k", "v"),
