@@ -117,6 +117,30 @@ object Warehouse {
           .otherwise(lit("updated")).as("action"))
   }
 
+  /** Event-transition matrix — the product-analytics path report (and
+    * the fitted first-order Markov chain behind "next action"
+    * prediction): per key ordered by (ts, tie-break id), every adjacent
+    * (from_type → to_type) step, counted corpus-wide with the row
+    * probability p = n ∕ Σ n over each from_type. One per-key window
+    * (lead) on a single key shuffle, then one map-side-combined hash
+    * aggregate over ≤ |types|² rows; the probability divides two
+    * BIGINTs once at the end (numerator/denominator also emitted so
+    * the table re-aggregates exactly). */
+  def transitions(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val steps = events
+      .withColumn("__to", lead(col(typeCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    steps
+      .withColumn("n_from", sum(col("n")).over(wf))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+  }
+
   /** Snapshot diff — the table-history audit every lakehouse exposes
     * (Delta CDF "what changed between versions", Iceberg changelog
     * scan): rows whose value differs between two keyed snapshots, as

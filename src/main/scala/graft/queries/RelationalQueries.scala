@@ -799,6 +799,14 @@ object RelationalQueries {
         .orderBy("k")
     }),
 
+    // Event-transition matrix (first-order Markov path report): one
+    // per-user lead window + one ≤|types|² aggregate; probabilities
+    // divide two BIGINTs once
+    "rel_transitions" -> ((s, dir) =>
+      graft.operators.Warehouse.transitions(t(s, dir, "events"),
+          "user_id", "event_type", "ts", "event_id")
+        .orderBy("from_type", "to_type")),
+
     // Snapshot diff (Delta-CDF/changelog core): the row-level diff of
     // the merge fixture's before/after states in ONE declarative plan —
     // the CDC batch flows through mergeUpsert into the diff's full-outer
@@ -1837,6 +1845,18 @@ object RelationalQueries {
          |       ELSE 'updated' END AS action
          |FROM m WHERE op IS NULL OR op = 'upsert'
          |ORDER BY k""".stripMargin,
+    "rel_transitions" ->
+      """WITH s AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM s
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type)
+        |    AS DOUBLE) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     // diff mirror: the merge resolution frame re-read as value deltas —
     // added (no before), removed (matched delete), changed (upsert with
     // a different value); equal-value upserts would be omitted like the

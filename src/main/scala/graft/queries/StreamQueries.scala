@@ -370,6 +370,13 @@ object StreamQueries {
     "stream_cohort" -> ((s, dir) =>
       StreamOps.cohortOnceTws(s, dir).orderBy("cohort_week", "week_offset")),
 
+    // ONLINE transition matrix: per-key last-event ValueState emits
+    // (prev → cur) steps as events arrive; append-mode emissions are
+    // final and the sink aggregate equals the batch lead-window path
+    // report, whose oracle it shares
+    "stream_transitions" -> ((s, dir) =>
+      StreamOps.transitionsOnce(s, dir).orderBy("from_type", "to_type")),
+
     // ONLINE MERGE/CDC apply: per-key ValueState row value maintained
     // from a change feed (materialized-view maintenance) — snapshot
     // streams as seq-0 upserts, then the change batch, across three
@@ -664,6 +671,7 @@ object StreamQueries {
     "stream_funnel" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_funnel_tws" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_cohort" -> RelationalQueries.oracleSql("rel_cohort"),
+    "stream_transitions" -> RelationalQueries.oracleSql("rel_transitions"),
     "stream_merge" ->
       s"""WITH ${RelationalQueries.mergeCtes}
          |SELECT k, CASE WHEN op = 'upsert' THEN sv ELSE tv END AS v

@@ -716,6 +716,80 @@ object StreamOps {
     }
   }
 
+  /** Per-key transition state: the key's LAST event type (one string) —
+    * the online form of [[graft.operators.Warehouse.transitions]]: each
+    * arriving event emits the (previous → current) step and becomes the
+    * new state, so a batch boundary between two adjacent events loses
+    * nothing. In-batch rows sort by (ts, id) — the batch lead() order —
+    * and the replay feeds batches in global (ts, id) order, so the
+    * emitted step multiset equals the batch window's exactly. */
+  private class TransitionsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String), (String, String)] {
+    @transient private var last:
+        org.apache.spark.sql.streaming.ValueState[String] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[String]("last",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, String)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, String)] = {
+      var prev = if (last.exists()) last.get() else null
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, _, _, tpe) =>
+        if (prev != null) out += ((prev, tpe))
+        prev = tpe
+      }
+      if (prev != null) last.update(prev)
+      out.iterator
+    }
+  }
+
+  /** Streaming transition matrix: per-key last-event ValueState emits
+    * steps online; the sink aggregate (counts + per-from totals + one
+    * division) matches the batch tail, so the bounded (ts, id)-ordered
+    * replay shares rel_transitions' oracle verbatim. */
+  def transitionsOnce(spark: SparkSession, dir: String, batches: Int = 3,
+      sinkName: String = "stream_transitions_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .orderBy("ts_us", "event_id")
+      .as[(Long, Long, Long, String)].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    val per = math.max(1, (recs.length + batches - 1) / batches)
+    recs.grouped(per).foreach(chunk => ms.addData(chunk.toIndexedSeq))
+    val out = ms.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new TransitionsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF("from_type", "to_type")
+    withRocksDbProvider(spark) {
+      withHarnessConf(spark, "8") { ckpt =>
+        val q = out.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+    }
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    spark.table(sinkName)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(wf))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+  }
+
   /** Per-key MERGE/CDC state: the current row value, or no state when
     * the key is deleted — the ONLINE form of the batch
     * [[graft.operators.Warehouse.mergeUpsert]] (materialized-view

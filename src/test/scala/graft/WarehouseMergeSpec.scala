@@ -75,6 +75,23 @@ class WarehouseMergeSpec extends SparkSpec {
     assert(diff === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("transitions: adjacent steps per key, probabilities per from-type") {
+    val ev = Seq(
+      (1L, "A", 1L, 101L), (1L, "B", 2L, 102L),
+      (1L, "A", 3L, 103L), (1L, "C", 4L, 104L),
+      (2L, "A", 1L, 201L), (2L, "B", 2L, 202L),
+      (3L, "Z", 9L, 301L))  // single event: no step
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = graft.operators.Warehouse.transitions(
+        ev, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out === Map(
+      ("A", "B") -> ((2L, 3L, 2.0 / 3.0)),
+      ("A", "C") -> ((1L, 3L, 1.0 / 3.0)),
+      ("B", "A") -> ((1L, 1L, 1.0))))
+  }
+
   test("collapse aggregate keeps map-side partials (scale contract)") {
     val plan = graft.operators.Warehouse.mergeUpsert(
       Seq(1L -> 10L).toDF("k", "v"),
