@@ -542,6 +542,39 @@ object Dedup {
     lbl.select(col("n").as("id"), col("l").as("community"))
   }
 
+  /** k-core peeling (Seidman 1983) — the density lens between
+    * [[triangles]] (local) and [[labelPropagation]] (global): repeatedly
+    * delete nodes of degree < k; what survives is the graph's dense
+    * SKELETON. On a near-dup graph the 2-core separates genuine
+    * template cliques and mirror rings from the chain-like accidental
+    * bridges that inflate component sizes — the structure a keep-one
+    * policy review wants isolated. Fixed synchronous `rounds` mirrored
+    * by unrolled CTEs (the [[clusters]] fixed-round discipline; peeling
+    * converges in ≤ diameter rounds, and a spec pins convergence on the
+    * declared fixture). Emits surviving (id, deg in the peeled graph).
+    *
+    * Scale: per round one map-side-combined degree aggregate + two
+    * semi-joins of the edge list against the alive set — equi-joins
+    * only, O(E) per round; per-round localCheckpoint keeps the plan
+    * tree flat (each round reads the previous edges twice). */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int = 3): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1: $k, $rounds")
+    val half = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .localCheckpoint(true)
+    var ed = half.unionAll(half.select(col("v").as("u"), col("u").as("v")))
+    for (_ <- 1 to rounds) {
+      val alive = ed.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("u")
+      ed = ed.join(alive, Seq("u"), "left_semi")
+        .join(alive.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(true)
+    }
+    ed.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("id"), col("deg"))
+  }
+
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
       iters: Int = 4): DataFrame = {
     // checkpoint the pair list BEFORE symmetrizing: the union references

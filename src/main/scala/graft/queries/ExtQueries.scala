@@ -78,6 +78,9 @@ object ExtQueries {
   private[queries] val HH_SHARE = 500
   // label-propagation rounds (synchronous, min-label tie-break)
   private val LP_ITERS = 3
+  // k-core peeling: core order and fixed peel rounds
+  private val KCORE_K = 2
+  private val KCORE_ITERS = 3
   // winnowing (MOSS) fingerprints: window over 3-word shingle hashes
   // (guarantee length w+2 = 6 words; expected density 2/(w+1) = 0.4)
   // and the shared-fingerprint evidence floor for overlap pairs
@@ -767,6 +770,12 @@ object ExtQueries {
       // coefficient over the shared jaccard pair frame — forward-edge
       // join, never all-pairs
       Dedup.triangles(jaccardShared(s, dir), "da", "db").orderBy("id")),
+    "graph_kcore" -> ((s, dir) =>
+      // dense-skeleton audit: 2-core peeling strips chain-like bridges,
+      // leaving template cliques/rings — per round one degree agg + two
+      // alive-set semi-joins over the shared jaccard pair frame
+      Dedup.kCore(jaccardShared(s, dir), "da", "db", KCORE_K, KCORE_ITERS)
+        .orderBy("id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", SIMHASH_HD)
         .orderBy("da", "db")),
@@ -2142,6 +2151,28 @@ object ExtQueries {
 
     // integer-PageRank mirror: same jaccard pair CTEs, the same fixed
     // rounds unrolled with identical floored-division arithmetic
+    // k-core mirror: shared jaccard pair CTEs, then unrolled peel
+    // rounds — alive set = degree >= k, edge list filtered on both ends
+    "graph_kcore" -> {
+      val rounds = (1 to KCORE_ITERS).map { i =>
+        s"""a$i AS (SELECT u FROM (
+           |    SELECT u, count(*) AS c FROM e${i - 1} GROUP BY u)
+           |  WHERE c >= $KCORE_K),
+           |e$i AS (SELECT e.u, e.v FROM e${i - 1} e
+           |  JOIN a$i x ON e.u = x.u JOIN a$i y ON e.v = y.u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $distinctShingleCte,
+         |ex AS (SELECT id, nd, unnest(ds) AS h FROM d),
+         |pr AS (
+         |  SELECT a.id AS da, b.id AS db, count(*) AS common,
+         |    any_value(a.nd) AS na, any_value(b.nd) AS nb
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
+         |jp AS (SELECT da, db FROM pr WHERE common/(na+nb-common) >= $JACCARD_TAU),
+         |e0 AS (SELECT da AS u, db AS v FROM jp UNION ALL SELECT db AS u, da AS v FROM jp),
+         |$rounds
+         |SELECT u AS id, CAST(count(*) AS BIGINT) AS deg
+         |FROM e$KCORE_ITERS GROUP BY u ORDER BY id""".stripMargin
+    },
     "graph_pagerank" -> {
       val rounds = (1 to PR_ITERS).map { i =>
         s"""p$i AS (SELECT edd.v AS n,

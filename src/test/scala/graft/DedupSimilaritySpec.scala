@@ -63,6 +63,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  test("kCore peels a chain away and keeps the clique (planted graph)") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + a pendant chain 4-5-6-7: each peel round
+    // removes the chain's current endpoint, so 3 rounds are needed
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("da", "db")
+    val core = graft.operators.Dedup.kCore(pairs, "da", "db", 2, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore declared rounds reach the fixpoint on the jaccard fixture") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
+      .localCheckpoint(true)
+    def run(rounds: Int) = graft.operators.Dedup.kCore(pairs, "da", "db", 2, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(3) === run(4), "one more peel round must change nothing")
+  }
+
   test("kCenter picks the farthest point each round (planted line)") {
     import spark.implicits._
     val pts = Seq(
