@@ -73,4 +73,71 @@ object Binning {
       .withColumn(out, (col(valueCol) - col("__mu")) / col("__sigma"))
       .drop("__mu", "__sigma")
   }
+
+  /** Robust scaling (sklearn RobustScaler): (x − median) ∕ (Q3 − Q1) —
+    * the outlier-immune alternative to [[zscore]] (one wild value moves
+    * a mean/std arbitrarily; quartiles don't budge). ONE exact
+    * sort-based percentile aggregate (Spark's `percentile`, type-7
+    * linear interpolation — the `rel_percentiles`-proven DuckDB
+    * quantile_cont twin), the 1-row stats frame broadcast back, then a
+    * pure per-row projection; a constant-IQR column scales to 0.0
+    * rather than ±Inf. */
+  def robustScale(df: DataFrame, valueCol: String, out: String): DataFrame = {
+    val stats = df
+      .agg(expr(s"percentile($valueCol, array(0.25D, 0.5D, 0.75D))").as("__p"))
+      .select(element_at(col("__p"), 1).as("__q1"),
+        element_at(col("__p"), 2).as("__med"),
+        element_at(col("__p"), 3).as("__q3"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(out, when(col("__q3") === col("__q1"), lit(0.0))
+        .otherwise((col(valueCol) - col("__med")) / (col("__q3") - col("__q1"))))
+      .drop("__q1", "__med", "__q3")
+  }
+
+  /** Leave-one-out target encoding — the category feature every tabular
+    * training stack derives (replace a categorical with the mean target
+    * of its OTHER members; plain per-category means leak the row's own
+    * label): loo = (Σ_cat target − x) ∕ (n_cat − 1), null for
+    * singleton categories. Targets integerize to micro-units so the
+    * sums are exact BIGINTs and the one IEEE division per row is
+    * mirrored; the category stats come from ONE map-side-combined hash
+    * aggregate (|categories| rows) broadcast back — never a per-cat
+    * window, so a category holding half the corpus costs nothing extra. */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
+      out: String): DataFrame = {
+    val xm = (col(targetCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      * lit(1000000L)).cast("long")
+    val stats = df.groupBy(col(catCol))
+      .agg(sum(xm).as("__s"), count(lit(1)).as("__n"))
+    df.withColumn("__x", xm)
+      .join(broadcast(stats), Seq(catCol))
+      .withColumn(out, when(col("__n") === 1, lit(null).cast("double"))
+        .otherwise((col("__s") - col("__x")).cast("double") /
+          ((col("__n") - 1).cast("double") * lit(1e6))))
+      .drop("__s", "__n", "__x")
+  }
+
+  /** Histogram drift report between two populations sharing a bin rule
+    * (the training-data distribution monitor: yesterday's dump vs
+    * today's, source A vs source B): per bin, both counts and both
+    * micro-unit proportions plus their absolute gap — the L∞ drift
+    * statistic is the max `d_micro`, read off a ≤|bins|-row table. All
+    * INTEGER arithmetic (proportions by truncating micro division), so
+    * the report is engine-exact — no KL/PSI logarithm whose libm tails
+    * differ. ONE map-side-combined aggregate over (bin, side); empty
+    * bins on one side report zero via the conditional sums. */
+  def driftHist(df: DataFrame, sideCol: Column, binCol: Column): DataFrame = {
+    val agged = df
+      .select(sideCol.cast("boolean").as("__side"), binCol.as("bin"))
+      .groupBy("bin")
+      .agg(sum(when(col("__side"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__side"), 1L).otherwise(0L)).as("n_b"))
+    val tot = agged.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    agged.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        expr("(n_a * 1000000) div __ta").as("p_a_micro"),
+        expr("(n_b * 1000000) div __tb").as("p_b_micro"),
+        abs(expr("(n_a * 1000000) div __ta") -
+          expr("(n_b * 1000000) div __tb")).as("d_micro"))
+  }
 }

@@ -709,6 +709,28 @@ object ExtQueries {
       Binning.zscore(t(s, dir, "lineitem"), "l_quantity", "z")
         .select(col("l_orderkey"), col("l_linenumber"), col("z"))
         .orderBy("l_orderkey", "l_linenumber")),
+    "feat_robust_scale" -> ((s, dir) =>
+      // sklearn RobustScaler: exact sort-based quartiles broadcast back,
+      // (x - median)/IQR per row
+      Binning.robustScale(t(s, dir, "lineitem"), "l_quantity", "r")
+        .select(col("l_orderkey"), col("l_linenumber"), col("r"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "feat_target_encode" -> ((s, dir) =>
+      // leave-one-out target encoding: per-category exact micro sums
+      // (one map-side-combined agg, broadcast back), loo = (S-x)/(n-1)
+      Binning.targetEncodeLoo(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderpriority").as("cat"), col("o_totalprice")),
+          "cat", "o_totalprice", "loo")
+        .select(col("o_orderkey"), col("cat"), col("loo"))
+        .orderBy("o_orderkey")),
+    "feat_drift_hist" -> ((s, dir) =>
+      // distribution drift monitor: doc-length histogram of the even-id
+      // half vs the odd-id half, integer micro proportions and gaps —
+      // the L-infinity drift table, engine-exact (no PSI logarithm)
+      Binning.driftHist(t(s, dir, "documents"),
+          col("doc_id") % 2 === 0, expr("n_chars div 100"))
+        .orderBy("bin")),
 
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
@@ -2059,6 +2081,43 @@ object ExtQueries {
         |  FROM s)
         |SELECT l_orderkey, l_linenumber, (l_quantity - mu)/sigma AS z
         |FROM m, st ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // robust-scale mirror: quantile_cont == Spark percentile (type-7),
+    // identical (x - med)/(q3 - q1) per-row tail
+    "feat_robust_scale" ->
+      """WITH st AS (SELECT quantile_cont(l_quantity, 0.25) AS q1,
+        |    quantile_cont(l_quantity, 0.5) AS med,
+        |    quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN q3 = q1 THEN 0.0
+        |       ELSE (l_quantity - med) / (q3 - q1) END AS r
+        |FROM lineitem, st ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // LOO target-encoding mirror: identical micro-unit sums and the
+    // single (S - x)/((n - 1)*1e6) division
+    "feat_target_encode" ->
+      """WITH m AS (SELECT o_orderkey, o_orderpriority AS cat,
+        |    CAST(CAST(o_totalprice AS DECIMAL(20,6))*1000000 AS BIGINT) AS xm
+        |  FROM orders),
+        |st AS (SELECT cat, CAST(sum(xm) AS BIGINT) AS s, count(*) AS n
+        |  FROM m GROUP BY cat)
+        |SELECT o_orderkey, m.cat,
+        |  CASE WHEN n = 1 THEN NULL
+        |       ELSE CAST(s - xm AS DOUBLE) / (CAST(n - 1 AS DOUBLE) * 1000000.0)
+        |  END AS loo
+        |FROM m JOIN st ON m.cat = st.cat ORDER BY o_orderkey""".stripMargin,
+    // drift mirror: identical conditional counts and truncating micro
+    // proportion division
+    "feat_drift_hist" ->
+      """WITH c AS (SELECT n_chars // 100 AS bin,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |    CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+        |SELECT bin, n_a, n_b,
+        |  (n_a * 1000000) // ta AS p_a_micro,
+        |  (n_b * 1000000) // tb AS p_b_micro,
+        |  abs((n_a * 1000000) // ta - (n_b * 1000000) // tb) AS d_micro
+        |FROM c, t ORDER BY bin""".stripMargin,
     // JL projection mirror: same fixed-point cast, same PlaneHash
     // weight rows as integer literals, pure BIGINT dots
     "emb_rand_proj" -> {

@@ -125,6 +125,53 @@ class ParityOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("robustScale: planted quartiles, outlier immunity, constant -> 0") {
+    import spark.implicits._
+    // 1..9: q1=3, med=5, q3=7 under type-7 interpolation
+    val d = (1 to 9).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val r = Binning.robustScale(d, "x", "r").orderBy("id")
+      .collect().map(_.getDouble(2))
+    assert(r.head === (1.0 - 5.0) / 4.0 && r.last === 1.0)
+    // one wild outlier barely moves the scaling (vs zscore it would)
+    val d2 = ((1 to 9).map(i => (i.toLong, i.toDouble)) :+ (10L, 1e9))
+      .toDF("id", "x")
+    val r2 = Binning.robustScale(d2, "x", "r")
+      .filter(col("id") === 5L).head.getDouble(2)
+    assert(math.abs(r2) < 0.2, s"median row must stay near 0: $r2")
+    val const = Seq((1L, 4.0), (2L, 4.0), (3L, 4.0)).toDF("id", "x")
+    assert(Binning.robustScale(const, "x", "r").collect()
+      .forall(_.getDouble(2) == 0.0))
+  }
+
+  test("targetEncodeLoo: hand values, singleton category -> null") {
+    import spark.implicits._
+    val d = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 7.0)).toDF("id", "cat", "y")
+    val out = Binning.targetEncodeLoo(d, "cat", "y", "loo")
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Double]("loo")).map(_.doubleValue)).toMap
+    assert(out(1L).contains(25.0)) // (20+30)/2
+    assert(out(2L).contains(20.0)) // (10+30)/2
+    assert(out(3L).contains(15.0)) // (10+20)/2
+    assert(out(4L).isEmpty, "singleton category must encode null")
+  }
+
+  test("driftHist: planted gap surfaces, identical halves report zero") {
+    import spark.implicits._
+    // side A: 3 rows bin 0, 1 row bin 1; side B: 1 and 3
+    val d = Seq((true, 0L), (true, 0L), (true, 0L), (true, 1L),
+      (false, 0L), (false, 1L), (false, 1L), (false, 1L))
+      .toDF("side", "bin")
+    val out = Binning.driftHist(d, col("side"), col("bin"))
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(out.toSeq === Seq((0L, 3L, 1L, 500000L), (1L, 1L, 3L, 500000L)))
+    val same = Seq((true, 0L), (false, 0L), (true, 1L), (false, 1L))
+      .toDF("side", "bin")
+    assert(Binning.driftHist(same, col("side"), col("bin")).collect()
+      .forall(_.getLong(5) == 0L))
+  }
+
   test("zscore: exact beyond the BIGINT-square bound (|x| > 3037)") {
     // micro-unit values past ⌊√(2⁶³−1)⌋ wrap a Long square silently; the
     // gated decimal branch must keep Σxm² exact (a wrapped sxx skews σ,
