@@ -73,4 +73,44 @@ class BucketingSpec extends SparkSpec {
     val want = fact.filter(col("part_key") === 2).agg(sum(col("l_quantity"))).head.getDouble(0)
     assert(got == want)
   }
+
+  test("runtime bloom filter: a selective dim side injects a row-level " +
+      "filter into the fact scan side") {
+    import org.apache.spark.sql.functions._
+    // DPP prunes whole PARTITIONS; the runtime bloom filter is its
+    // row-level sibling for non-partition join keys — at 100 TB a
+    // selective dim filter should stop fact rows at the scan side of
+    // the shuffle, not after it. Force the shuffle path (no broadcast)
+    // and drop the injection thresholds so the optimizer's decision,
+    // not the fixture size, is under test.
+    val conf = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = graft.queries.Tables.t(spark, sf001, "lineitem")
+      val o = graft.queries.Tables.t(spark, sf001, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val q = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("s"))
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"expected a runtime bloom filter on the fact side:\n${p.take(3000)}")
+      // and it is transparent to results
+      val want = li.join(
+        graft.queries.Tables.t(spark, sf001, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity"))).head.getDouble(0)
+      assert(q.head.getDouble(0) == want)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
