@@ -441,6 +441,25 @@ object StreamQueries {
       Sessionize.sessionsSkewSafe(t(s, dir, "events"), gapMinutes = 30)
         .orderBy("user_id", "session_idx")),
 
+    // DYNAMIC-gap sessionization — session_window with a per-event gap
+    // expression (Spark's variable-timeout native form: a purchase
+    // closes its session after 5min, browsing after 30min). Sessions
+    // are merged half-open event intervals [ts, ts+gap); the oracle
+    // replays the interval sweep with a running-max-end window, so an
+    // early long-gap event correctly covers a later short-gap one
+    "sessionize_dynamic" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("user_id"), session_window(col("ts"),
+          when(col("event_type") === "purchase", "5 minutes")
+            .otherwise("30 minutes")))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          epochUs(col("session_window.start")).as("start_us"),
+          epochUs(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // native session_window sessionization — Spark's built-in session
     // operator (split when gap ≥ 30min; window end = last event + gap)
     "sessionize_native" -> ((s, dir) => {
@@ -604,6 +623,27 @@ object StreamQueries {
          |  ${dsumSql("value")} AS sess_sum,
          |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
          |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // dynamic-gap mirror: merged half-open intervals by the classic
+    // sweep — a row opens a new session iff its start reaches the
+    // running MAX end of every earlier interval in the key (not just
+    // the previous row's: an early long-gap event may cover a later
+    // short-gap one); session end = max member end
+    "sessionize_dynamic" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CASE WHEN event_type = 'purchase'
+        |      THEN 300000000 ELSE 1800000000 END AS e
+        |  FROM events),
+        |y AS (SELECT *, max(e) OVER (PARTITION BY user_id
+        |    ORDER BY s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM x),
+        |z AS (SELECT *, CASE WHEN pmax IS NULL OR s >= pmax
+        |    THEN 1 ELSE 0 END AS new_s FROM y),
+        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY s, event_id) AS sid FROM z)
+        |SELECT user_id, min(s) AS start_us, max(e) AS end_us,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     // identical to sessionize_native: the streaming engine must produce
     // exactly the batch session_window result once all sessions close
     "stream_sessionize_native" ->

@@ -74,4 +74,29 @@ class StreamSessionResumeSpec extends SparkSpec {
     ), uid = 1L, retentionMinutes = 60, sink = "retention_sink")
     assert(out == Seq((1L, 1L), (1L, 1L)), out.mkString(","))
   }
+
+  test("dynamic-gap session_window: a long-gap event covers a later " +
+      "short-gap one; session end is the max member end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val M = 60L * 1000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // view gap 30min, purchase gap 5min:
+    //   view@0 covers purchase@6min (its own 11min end is NOT the
+    //   session end); view@29min extends the session to 59min;
+    //   purchase@70min starts fresh and closes at 75min
+    val ev = Seq(
+      (1L, "view", ts(0)), (1L, "purchase", ts(6 * M)),
+      (1L, "view", ts(29 * M)), (1L, "purchase", ts(70 * M)))
+      .toDF("user_id", "event_type", "ts")
+    val out = ev.groupBy(col("user_id"), session_window(col("ts"),
+        when(col("event_type") === "purchase", "5 minutes")
+          .otherwise("30 minutes")))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("session_window.start")).as("s"),
+        unix_micros(col("session_window.end")).as("e"), col("n"))
+      .orderBy("s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0L, 59 * M, 3L), (70 * M, 75 * M, 1L)))
+  }
 }
