@@ -86,6 +86,29 @@ object StreamQueries {
        |  FROM g)""".stripMargin
   }
 
+  /** Dynamic-gap session mirror (batch query + streaming twin): merged
+    * half-open intervals by the classic sweep — a row opens a new
+    * session iff its start reaches the running MAX end of every earlier
+    * interval in the key (not just the previous row's: an early
+    * long-gap event may cover a later short-gap one); session end =
+    * max member end. */
+  private val dynSessionSql: String =
+    """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + CASE WHEN event_type = 'purchase'
+      |      THEN 300000000 ELSE 1800000000 END AS e
+      |  FROM events),
+      |y AS (SELECT *, max(e) OVER (PARTITION BY user_id
+      |    ORDER BY s, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM x),
+      |z AS (SELECT *, CASE WHEN pmax IS NULL OR s >= pmax
+      |    THEN 1 ELSE 0 END AS new_s FROM y),
+      |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY s, event_id) AS sid FROM z)
+      |SELECT user_id, min(s) AS start_us, max(e) AS end_us,
+      |  count(*) AS n_events
+      |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // multimodal: binary payload → batch decode via mapPartitions
     "mm_decode_stub" -> ((s, dir) => {
@@ -246,6 +269,13 @@ object StreamQueries {
       StreamOps.sessionizeOnceNative(s, dir, gapMinutes = 30)
         .orderBy("user_id", "start_us")
     }),
+
+    // DYNAMIC-gap streaming sessionization: the per-event-timeout
+    // session_window under readStream — engine merges variable-width
+    // half-open intervals in state; shares the batch dynamic oracle
+    "stream_sessionize_dynamic" -> ((s, dir) =>
+      StreamOps.sessionizeDynamicOnce(s, dir)
+        .orderBy("user_id", "start_us")),
 
     // multimodal: frame sampling — n equal-stride byte slices per blob
     // (video-frame-extraction stand-in); frames cast back to text so the
@@ -628,22 +658,8 @@ object StreamQueries {
     // running MAX end of every earlier interval in the key (not just
     // the previous row's: an early long-gap event may cover a later
     // short-gap one); session end = max member end
-    "sessionize_dynamic" ->
-      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS s,
-        |    epoch_us(ts) + CASE WHEN event_type = 'purchase'
-        |      THEN 300000000 ELSE 1800000000 END AS e
-        |  FROM events),
-        |y AS (SELECT *, max(e) OVER (PARTITION BY user_id
-        |    ORDER BY s, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-        |  FROM x),
-        |z AS (SELECT *, CASE WHEN pmax IS NULL OR s >= pmax
-        |    THEN 1 ELSE 0 END AS new_s FROM y),
-        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
-        |    ORDER BY s, event_id) AS sid FROM z)
-        |SELECT user_id, min(s) AS start_us, max(e) AS end_us,
-        |  count(*) AS n_events
-        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "stream_sessionize_dynamic" -> dynSessionSql,
+    "sessionize_dynamic" -> dynSessionSql,
     // identical to sessionize_native: the streaming engine must produce
     // exactly the batch session_window result once all sessions close
     "stream_sessionize_native" ->

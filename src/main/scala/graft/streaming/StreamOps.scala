@@ -1497,6 +1497,51 @@ object StreamOps {
         spark.table(natSink).filter(col("user_id") >= 0))
     })
 
+  /** DYNAMIC-gap native sessionization under streaming — the
+    * variable-timeout `session_window` (gap an expression of the event:
+    * purchases close in 5min, browsing in 30min) with engine-managed
+    * state merge and watermark eviction; the two-sentinel pattern (one
+    * riding in the data batch, one trailing batch) closes every real
+    * session deterministically, so the bounded replay shares the batch
+    * `sessionize_dynamic` oracle verbatim. */
+  def sessionizeDynamicOnce(spark: SparkSession, dir: String,
+      sinkName: String = "stream_sess_dyn_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("event_id"))
+      .as[(Long, Long, String, Long)].collect()
+    val maxUs = recs.iterator.map(_._2).max
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Long)]
+    ms.addData(recs.toIndexedSeq :+
+      ((-1L, maxUs + 365L * 86400L * 1000000L, "view", 0L)))
+    val src = ms.toDF().toDF("user_id", "ts_us", "event_type", "event_id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val out = src
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"),
+        when(col("event_type") === "purchase", "5 minutes")
+          .otherwise("30 minutes")))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+    withHarnessConf(spark, "8") { ckpt =>
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      ms.addData(Seq((-1L, maxUs + 2L * 365L * 86400L * 1000000L, "view", 1L)))
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName).filter(col("user_id") >= 0)
+  }
+
   /** Stream-stream INTERVAL JOIN: every left-type event paired with the
     * same user's right-type events inside [lts, lts + window] — the
     * impression→conversion attribution shape. Both sides carry an
