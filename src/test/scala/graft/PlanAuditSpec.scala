@@ -785,6 +785,35 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("prefix jaccard: equi-joins only — prefix posting join, no cartesian") {
+    val p = fmt(graft.queries.ExtQueries.queries("dedup_jaccard_prefix")(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the df-rank aggregate combines map-side before the gram shuffle
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
+  test("interval overlap: grid-cell equi-join, never a range nested loop") {
+    val p = plan("rel_interval_overlap")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // both sides Generate their cell replicas before the join
+    assert("Generate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("merge apply: keep-last collapse aggregates partially; one full-outer join") {
+    val p = plan("rel_merge_upsert")
+    assert(p.contains("FullOuter"), p.take(3000))
+    assert(p.contains("partial_max_by"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("target encoding: category stats broadcast back — no per-category window") {
+    val p = fmt(graft.queries.ExtQueries.queries("feat_target_encode")(spark, sf001))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("RAG capstone: chunk Generate pipelines into the scan; no corpus-side shuffle before postings") {
     val p = fmt(graft.queries.ExtQueries.queries("pipe_rag_retrieval")(spark, sf001))
     assert(p.contains("Generate"), p.take(2000))
