@@ -130,9 +130,14 @@ object Dedup {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <=
         col("nd") - expr(s"($tauNum * nd + ${tauDen - 1}) div $tauDen") + 1)
-    val cand = pref.select(col("id").as("da"), col("h"))
-      .join(pref.select(col("id").as("db"), col("h")), Seq("h"))
-      .filter(col("da") < col("db"))
+    // All-Pairs length filter (also exact): J >= t forces t·na <= nb and
+    // t·nb <= na (c <= min and c >= t·max), so mismatched-size pairs drop
+    // BEFORE the distinct/verify — integer cross-multiplied, no division
+    val cand = pref.select(col("id").as("da"), col("nd").as("__na"), col("h"))
+      .join(pref.select(col("id").as("db"), col("nd").as("__nb"), col("h")), Seq("h"))
+      .filter(col("da") < col("db") &&
+        col("__nb") * tauDen >= col("__na") * tauNum &&
+        col("__na") * tauDen >= col("__nb") * tauNum)
       .select("da", "db").distinct()
     cand
       .join(docs.select(col("id").as("da"), col("nd").as("na"),

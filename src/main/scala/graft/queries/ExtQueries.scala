@@ -2175,13 +2175,14 @@ object ExtQueries {
       s"""WITH $distinctShingleCte,
          |e AS (SELECT id, nd, unnest(ds) AS h FROM d),
          |dfreq AS (SELECT h, count(*) AS df FROM e GROUP BY 1),
-         |pr AS (SELECT id, h FROM (
+         |pr AS (SELECT id, nd, h FROM (
          |    SELECT e.id, e.nd, e.h,
          |      row_number() OVER (PARTITION BY e.id ORDER BY f.df, e.h) AS rn
          |    FROM e JOIN dfreq f ON e.h = f.h)
          |  WHERE rn <= nd - (3 * nd + 4) // 5 + 1),
          |cand AS (SELECT DISTINCT a.id AS da, b.id AS db
-         |  FROM pr a JOIN pr b ON a.h = b.h AND a.id < b.id),
+         |  FROM pr a JOIN pr b ON a.h = b.h AND a.id < b.id
+         |    AND b.nd * 5 >= a.nd * 3 AND a.nd * 5 >= b.nd * 3),
          |v AS (SELECT c.da, c.db,
          |    CAST(len(list_intersect(x.ds, y.ds)) AS BIGINT) AS common,
          |    x.nd AS na, y.nd AS nb
