@@ -580,6 +580,38 @@ object Dedup {
       .select(col("u").as("id"), col("deg"))
   }
 
+  /** [[kCore]] run to the FIXPOINT — the unknown-diameter production
+    * path (the [[clustersConverged]] discipline): peel until a round
+    * removes nothing, detected by the surviving-edge count (peeling is
+    * monotone decreasing, so an unchanged count IS convergence — no
+    * checksum needed). One cheap count job per round; rounds ≤ the
+    * longest pendant path, and each is the same degree-agg + semi-join
+    * pair as the fixed form. */
+  def kCoreConverged(pairs: DataFrame, aCol: String, bCol: String,
+      k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val half = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .localCheckpoint(true)
+    var ed = half.unionAll(half.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var n = ed.count()
+    var round = 0
+    var converged = n == 0
+    while (!converged && round < maxRounds) {
+      val alive = ed.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("u")
+      val next = ed.join(alive, Seq("u"), "left_semi")
+        .join(alive.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(true)
+      val m = next.count()
+      converged = m == n
+      ed = next; n = m; round += 1
+    }
+    ed.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("id"), col("deg"))
+  }
+
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
       iters: Int = 4): DataFrame = {
     // checkpoint the pair list BEFORE symmetrizing: the union references

@@ -141,6 +141,41 @@ object Warehouse {
         (col("n").cast("double") / col("n_from").cast("double")).as("p"))
   }
 
+  /** Incremental aggregate maintenance — the materialized-view refresh
+    * every incremental ETL runs: fold a delta batch into a persisted
+    * per-key aggregate STATE (count + exact micro-unit sum) without
+    * rescanning history. The delta aggregates first (map-side combine,
+    * |delta keys| rows), unions with the state table, and one re-agg
+    * merges — cost ∝ |delta| + |touched keys|, never ∝ history. Sums
+    * are BIGINT micro-units (count/sum are the classic self-mergeable
+    * partials — min/max/decimal sums slot into the same shape); the
+    * derived mean divides once at the end. Refreshing from state ==
+    * recomputing from all rows, which is exactly what the oracle
+    * checks. */
+  def incrementalAgg(state: DataFrame, delta: DataFrame, keyCol: String,
+      valCol: String): DataFrame = {
+    val xm = (col(valCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      * lit(1000000L)).cast("long")
+    val deltaAgg = delta.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"), sum(xm).as("sum_micro"))
+    state.select(col(keyCol), col("cnt"), col("sum_micro"))
+      .unionAll(deltaAgg)
+      .groupBy(col(keyCol))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_micro")).as("sum_micro"))
+      .withColumn("mean",
+        col("sum_micro").cast("double") / (col("cnt").cast("double") * lit(1e6)))
+  }
+
+  /** Builds the state table [[incrementalAgg]] consumes — the same
+    * (count, exact micro sum) partials from a full history scan, run
+    * once at bootstrap. */
+  def aggState(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val xm = (col(valCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
+      * lit(1000000L)).cast("long")
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"), sum(xm).as("sum_micro"))
+  }
+
   /** Snapshot diff — the table-history audit every lakehouse exposes
     * (Delta CDF "what changed between versions", Iceberg changelog
     * scan): rows whose value differs between two keyed snapshots, as

@@ -799,6 +799,20 @@ object RelationalQueries {
         .orderBy("k")
     }),
 
+    // Incremental aggregate maintenance (materialized-view refresh):
+    // bootstrap state from 2/3 of orders, fold the remaining third in
+    // as a delta — the refreshed view must equal the full recompute,
+    // which is what the oracle does directly; cost of the refresh is
+    // delta-sized, history never rescans
+    "rel_incr_agg" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val state = graft.operators.Warehouse.aggState(
+        ord.filter(col("o_orderkey") % 3 =!= 0), "o_orderpriority", "o_totalprice")
+      graft.operators.Warehouse.incrementalAgg(state,
+          ord.filter(col("o_orderkey") % 3 === 0), "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderpriority")
+    }),
+
     // Event-transition matrix (first-order Markov path report): one
     // per-user lead window + one ≤|types|² aggregate; probabilities
     // divide two BIGINTs once
@@ -1845,6 +1859,14 @@ object RelationalQueries {
          |       ELSE 'updated' END AS action
          |FROM m WHERE op IS NULL OR op = 'upsert'
          |ORDER BY k""".stripMargin,
+    // incremental-agg mirror: the full recompute the refresh must equal
+    "rel_incr_agg" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+        |    AS BIGINT) AS sum_micro,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 1000000 AS BIGINT))
+        |    AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_transitions" ->
       """WITH s AS (SELECT event_type AS from_type,
         |    lead(event_type) OVER (PARTITION BY user_id

@@ -80,6 +80,23 @@ class DedupSimilaritySpec extends SparkSpec {
     def run(rounds: Int) = graft.operators.Dedup.kCore(pairs, "da", "db", 2, rounds)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(run(3) === run(4), "one more peel round must change nothing")
+    // and the converged form agrees with the settled fixed-round form
+    val conv = graft.operators.Dedup.kCoreConverged(pairs, "da", "db", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(conv === run(3))
+  }
+
+  test("kCoreConverged peels a LONG pendant chain a fixed 3 rounds misses") {
+    import spark.implicits._
+    // triangle {1,2,3} + a 6-node pendant chain: needs 6 peel rounds
+    val pairs = (Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++
+      (3L to 8L).map(i => (i, i + 1))).toDF("da", "db")
+    val fixed3 = graft.operators.Dedup.kCore(pairs, "da", "db", 2, 3)
+      .collect().map(_.getLong(0)).toSet
+    val conv = graft.operators.Dedup.kCoreConverged(pairs, "da", "db", 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(conv === Set(1L, 2L, 3L))
+    assert(fixed3 !== conv, "the fixture must demonstrate why convergence matters")
   }
 
   test("kCenter picks the farthest point each round (planted line)") {

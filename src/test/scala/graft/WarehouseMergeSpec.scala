@@ -92,6 +92,25 @@ class WarehouseMergeSpec extends SparkSpec {
       ("B", "A") -> ((1L, 1L, 1.0))))
   }
 
+  test("incrementalAgg: refresh from state == full recompute; delta-only keys appear") {
+    val hist = Seq(("a", 1.5), ("a", 2.5), ("b", 10.0)).toDF("k", "v")
+    val delta = Seq(("a", 6.0), ("c", 1.0)).toDF("k", "v")
+    val state = graft.operators.Warehouse.aggState(hist, "k", "v")
+    val out = graft.operators.Warehouse.incrementalAgg(state, delta, "k", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val full = graft.operators.Warehouse.aggState(hist.unionAll(delta), "k", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.view.mapValues(t => (t._1, t._2)).toMap === full)
+    assert(out("a") === ((3L, 10000000L, 10.0 / 3.0)))
+    assert(out("c") === ((1L, 1000000L, 1.0)))
+    // empty delta: refresh is the state itself
+    val id = graft.operators.Warehouse.incrementalAgg(state,
+        delta.filter(lit(false)), "k", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(id === Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("collapse aggregate keeps map-side partials (scale contract)") {
     val plan = graft.operators.Warehouse.mergeUpsert(
       Seq(1L -> 10L).toDF("k", "v"),
