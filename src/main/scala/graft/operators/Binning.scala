@@ -117,6 +117,55 @@ object Binning {
       .drop("__s", "__n", "__x")
   }
 
+  /** Pairwise Pearson correlation matrix — the data-profiling staple
+    * (feature-redundancy screen before training): every column pair's
+    * r = (n·Σxy − Σx·Σy) ∕ (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) from ONE
+    * aggregate pass. All sums are exact DECIMAL(38,0) micro-unit
+    * integers (order-independent — the rel_describe moment discipline;
+    * cross-products go through the decimal cast so micro² can't wrap a
+    * Long), and each cell pays exactly three IEEE steps (cast, two
+    * sqrts, one division) in oracle-mirrored order. Output is
+    * |cols|·(|cols|−1)∕2 rows exploded from the single stats row. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.length >= 2, "corrMatrix needs at least two columns")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def xm(c: String) =
+      (col(c).cast(org.apache.spark.sql.types.DecimalType(20, 6))
+        * lit(1000000L)).cast("long")
+    val aggs = scala.collection.mutable.ArrayBuffer[Column](
+      count(lit(1)).as("n"))
+    for (c <- cols) {
+      aggs += sum(xm(c)).cast(dec).as(s"s_$c")
+      aggs += sumSquaresExact(xm(c)).as(s"q_$c")
+    }
+    for (Seq(a, b) <- cols.combinations(2))
+      aggs += sum(xm(a).cast(dec) * xm(b)).as(s"p_${a}_$b")
+    val st = df.agg(aggs.head, aggs.tail.toSeq: _*)
+    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        ((col(s"p_${a}_$b") * col("n") - col(s"s_$a") * col(s"s_$b")).cast("double") /
+          (sqrt((col(s"q_$a") * col("n") - col(s"s_$a") * col(s"s_$a")).cast("double")) *
+            sqrt((col(s"q_$b") * col("n") - col(s"s_$b") * col(s"s_$b")).cast("double"))))
+          .as("r"))
+    }
+    st.select(col("n"), explode(array(pairs: _*)).as("__pr"))
+      .select(col("__pr.col_a"), col("__pr.col_b"), col("n"), col("__pr.r"))
+  }
+
+  /** Last-observation-carried-forward imputation (pandas
+    * `ffill`/sklearn time-series imputers): nulls take the key's most
+    * recent non-null value in (orderCol, tie idCol) order; nulls before
+    * a key's first observation stay null (no leakage from the future).
+    * One per-key window — the key shuffle is the whole cost, and the
+    * running `last(ignoreNulls)` is a linear frame scan. */
+  def imputeLocf(df: DataFrame, keyCol: String, orderCol: String,
+      idCol: String, valCol: String, out: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(orderCol), col(idCol))
+      .rowsBetween(Long.MinValue, 0)
+    df.withColumn(out, last(col(valCol), ignoreNulls = true).over(w))
+  }
+
   /** Histogram drift report between two populations sharing a bin rule
     * (the training-data distribution monitor: yesterday's dump vs
     * today's, source A vs source B): per bin, both counts and both

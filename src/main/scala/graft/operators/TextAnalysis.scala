@@ -645,6 +645,23 @@ object TextAnalysis {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
+  /** Per-source top-k terms — the datasheet's "what is each source
+    * about" line (WIMBD summary statistics): token counts per (source,
+    * token) with full map-side combine, then one window over the
+    * BOUNDED aggregated frame (≤ |sources|·|vocab| rows — never the
+    * corpus) ranked (count DESC, token). */
+  def topTermsBySource(df: DataFrame, srcCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val counts = df.select(col(srcCol).as("source"),
+        explode(split(col(textCol), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("token"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("source", "rk", "token", "c")
+  }
+
   /** Corpus novelty audit — the "what does this dump add?" statistic
     * behind dataset-growth decisions (each CommonCrawl snapshot adds
     * ever-less novel text; WIMBD §4 measures the dual, cross-source

@@ -1104,6 +1104,12 @@ object ExtQueries {
       Dedup.softDedupWeights(t(s, dir, "documents"), "doc_id", "text",
           DECON_N)
         .orderBy("id")),
+    "text_top_terms" -> ((s, dir) =>
+      // datasheet "what is each source about": per-source top-15 terms —
+      // map-side-combined counts, one window over the bounded agg frame
+      TextAnalysis.topTermsBySource(t(s, dir, "documents"), "source",
+          "text", 15)
+        .orderBy("source", "rk")),
     "text_novelty" -> ((s, dir) =>
       // corpus novelty audit: fraction of each doc's distinct 8-grams
       // first seen (min doc id) in that doc — the marginal-value-of-a-
@@ -2615,6 +2621,16 @@ object ExtQueries {
          |  FROM f, t) ORDER BY source""".stripMargin,
     "dedup_soft_weights" -> Dedup.softDedupWeightsSql(DECON_N),
     "text_novelty" -> TextAnalysis.noveltySql(DECON_N),
+    "text_top_terms" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, count(*) AS c FROM w GROUP BY 1, 2),
+        |r AS (SELECT source, token, c,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, token) AS BIGINT) AS rk
+        |  FROM c)
+        |SELECT source, rk, token, c FROM r WHERE rk <= 15
+        |ORDER BY source, rk""".stripMargin,
     // SemDeDup mirror: the sim_ivf_topk centroid/assignment CTEs with d2
     // carried, keep-priority rank (d2 DESC, id), pairwise prune
     "dedup_semantic" ->

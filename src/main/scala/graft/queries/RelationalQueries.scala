@@ -799,6 +799,27 @@ object RelationalQueries {
         .orderBy("k")
     }),
 
+    // Pairwise Pearson correlation matrix over three lineitem measures:
+    // ONE exact-moment aggregate pass, three IEEE steps per cell
+    "rel_corr_matrix" -> ((s, dir) =>
+      graft.operators.Binning.corrMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_a", "col_b")),
+
+    // LOCF imputation: planted nulls (event_id % 7) take the user's
+    // most recent non-null value in (ts, event_id) order; leading
+    // nulls stay null — one per-key window
+    "feat_impute_locf" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"),
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      graft.operators.Binning.imputeLocf(ev, "user_id", "ts", "event_id",
+          "v", "v_filled")
+        .select(col("event_id"), col("v"), col("v_filled"))
+        .orderBy("event_id")
+    }),
+
     // Incremental aggregate maintenance (materialized-view refresh):
     // bootstrap state from 2/3 of orders, fold the remaining third in
     // as a delta — the refreshed view must equal the full recompute,
@@ -1859,6 +1880,41 @@ object RelationalQueries {
          |       ELSE 'updated' END AS action
          |FROM m WHERE op IS NULL OR op = 'upsert'
          |ORDER BY k""".stripMargin,
+    // corr-matrix mirror: identical HUGEINT moment algebra, identical
+    // three-IEEE-step tail per cell
+    "rel_corr_matrix" -> {
+      def cell(a: Int, b: Int, an: String, bn: String) =
+        s"""SELECT '$an' AS col_a, '$bn' AS col_b, n,
+           |  CAST(p$a$b*n - s$a*s$b AS DOUBLE) /
+           |    (sqrt(CAST(q$a*n - s$a*s$a AS DOUBLE)) *
+           |     sqrt(CAST(q$b*n - s$b*s$b AS DOUBLE))) AS r FROM s""".stripMargin
+      s"""WITH m AS (SELECT
+         |    CAST(CAST(l_quantity AS DECIMAL(20,6))*1000000 AS BIGINT) AS c1,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(20,6))*1000000 AS BIGINT) AS c2,
+         |    CAST(CAST(l_discount AS DECIMAL(20,6))*1000000 AS BIGINT) AS c3
+         |  FROM lineitem),
+         |s AS (SELECT count(*) AS n,
+         |    CAST(sum(c1) AS HUGEINT) AS s1, CAST(sum(c2) AS HUGEINT) AS s2,
+         |    CAST(sum(c3) AS HUGEINT) AS s3,
+         |    sum(CAST(c1 AS HUGEINT)*c1) AS q1, sum(CAST(c2 AS HUGEINT)*c2) AS q2,
+         |    sum(CAST(c3 AS HUGEINT)*c3) AS q3,
+         |    sum(CAST(c1 AS HUGEINT)*c2) AS p12, sum(CAST(c1 AS HUGEINT)*c3) AS p13,
+         |    sum(CAST(c2 AS HUGEINT)*c3) AS p23
+         |  FROM m)
+         |${cell(1, 2, "l_quantity", "l_extendedprice")}
+         |UNION ALL ${cell(1, 3, "l_quantity", "l_discount")}
+         |UNION ALL ${cell(2, 3, "l_extendedprice", "l_discount")}
+         |ORDER BY col_a, col_b""".stripMargin
+    },
+    "feat_impute_locf" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM e ORDER BY event_id""".stripMargin,
     // incremental-agg mirror: the full recompute the refresh must equal
     "rel_incr_agg" ->
       """SELECT o_orderpriority, count(*) AS cnt,

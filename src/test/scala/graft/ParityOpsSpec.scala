@@ -172,6 +172,36 @@ class ParityOpsSpec extends SparkSpec {
       .forall(_.getLong(5) == 0L))
   }
 
+  test("corrMatrix: planted perfect, anti, and near-zero correlations") {
+    import spark.implicits._
+    val d = Seq((1.0, 2.0, -1.0, 3.0), (2.0, 4.0, -2.0, 1.0),
+      (3.0, 6.0, -3.0, 3.5), (4.0, 8.0, -4.0, 0.5))
+      .toDF("x", "y2x", "negx", "w")
+    val out = Binning.corrMatrix(d, Seq("x", "y2x", "negx", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    assert(math.abs(out(("x", "y2x")) - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "negx")) + 1.0) < 1e-12)
+    assert(math.abs(out(("x", "w"))) < 1.0)
+    assert(out.size == 6, "4 columns -> 6 pairs")
+  }
+
+  test("imputeLocf: carries the last observation, leading nulls stay null") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 1L, Option.empty[Double]),  // leading null: stays null
+      (1L, 2L, Some(5.0)), (1L, 3L, None), (1L, 4L, None),
+      (1L, 5L, Some(7.0)), (2L, 1L, Some(9.0)), (2L, 2L, None))
+      .toDF("k", "t", "v")
+    val out = Binning.imputeLocf(d, "k", "t", "t", "v", "f")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        Option(r.getAs[java.lang.Double]("f")).map(_.doubleValue)).toMap
+    assert(out((1L, 1L)).isEmpty)
+    assert(out((1L, 3L)).contains(5.0) && out((1L, 4L)).contains(5.0))
+    assert(out((1L, 5L)).contains(7.0))
+    assert(out((2L, 2L)).contains(9.0), "fills never cross keys")
+  }
+
   test("zscore: exact beyond the BIGINT-square bound (|x| > 3037)") {
     // micro-unit values past ⌊√(2⁶³−1)⌋ wrap a Long square silently; the
     // gated decimal branch must keep Σxm² exact (a wrapped sxx skews σ,
