@@ -89,6 +89,10 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
   def sampleSeed(n: Long): Swift = withCfg(cfg.copy(sampleSeed = n))
   /** K6 — pandas `convert_dtype=` (see [[SwiftConfig.convertDtype]]). */
   def convertDtype(b: Boolean): Swift = withCfg(cfg.copy(convertDtype = b))
+  /** Strict mode: throw instead of warn when a rolling/ewm window is
+    * built without partitionBy (see [[SwiftConfig.failOnGlobalWindow]]). */
+  def failOnGlobalWindow(b: Boolean = true): Swift =
+    withCfg(cfg.copy(failOnGlobalWindow = b))
 
   /** Row count, needed by the K3 cost model. For file sources Spark
     * answers count() from footer metadata + columnar batch counts — no
@@ -429,6 +433,21 @@ final class Swift(val df: DataFrame, val cfg: SwiftConfig) {
 
   /** O4 — groupBy(...).apply(func) (swifter/swifter.py:523-639). */
   def groupBy(by: String*): SwiftGroupBy = new SwiftGroupBy(this, by.toSeq, None)
+
+  /** O4 — grouping BY THE INDEX, the reference's
+    * `df.swifter.groupby(df.index)` form (swifter/swifter.py:579, tests
+    * swifter_tests.py:801-813). Under the explicit-index convention
+    * (SURVEY §1.1 / [[SwiftIndex]]) the pandas index is a column, so
+    * this is groupBy on that column; when the frame does not carry one
+    * yet, a stable 0-based row index is attached first (each row then
+    * forms its own group — exactly pandas groupby(df.index) on a unique
+    * RangeIndex). */
+  def groupByIndex(indexCol: String = "index"): SwiftGroupBy = {
+    val base =
+      if (df.columns.contains(indexCol)) this
+      else new Swift(SwiftIndex.withRowIndex(df, indexCol), cfg)
+    new SwiftGroupBy(base, Seq(indexCol), None)
+  }
 
   /** O5 — rolling count-window (swifter/swifter.py:140-172,710-763);
     * `center=true` uses the pandas centering convention. */

@@ -41,6 +41,14 @@ final case class SwiftConfig(
     /** O4 — groupBy stays local at or below this many rows (reference
       * GROUPBY_MAX_ROWS_PANDAS_DEFAULT=5000, swifter/swifter.py:31). */
     groupbyLocalMaxRows: Long = 5000L,
+    /** Strict mode for unpartitioned windows: a rolling/ewm/expanding
+      * window built WITHOUT `partitionBy` over a distributed input sorts
+      * the whole dataset in ONE task — at 100 TB that is an executor OOM,
+      * not a slow query. Default false preserves the pandas-parity
+      * behavior (warn on stderr, proceed — small frames are legitimate);
+      * true turns the warning into an [[IllegalArgumentException]] at
+      * plan-build time, BEFORE any job is launched. */
+    failOnGlobalWindow: Boolean = false,
     /** K6 — pandas `Series.apply(convert_dtype=)`
       * (swifter/swifter.py:287, pandas passthrough at 225-237). True
       * (default): infer the result DataType from the probe sample. False:

@@ -645,12 +645,19 @@ object SwiftRolling {
     * .checkUnique). Driver-local inputs stay silent. */
   private[core] def warnIfGlobal(sw: Swift, partitionBy: Seq[String],
       what: String): Unit =
-    if (partitionBy.isEmpty && !isLocalInput(sw.df))
-      Console.err.println(
-        s"[swift] WARNING: $what built without partitionBy over a " +
-          "distributed input — the whole dataset sorts in ONE task; " +
-          "partition the window (or pre-filter to one series) before " +
-          "running at scale")
+    if (partitionBy.isEmpty && !isLocalInput(sw.df)) {
+      val msg =
+        s"$what built without partitionBy over a distributed input — " +
+          "the whole dataset sorts in ONE task; partition the window " +
+          "(or pre-filter to one series) before running at scale"
+      // strict mode (SwiftConfig.failOnGlobalWindow): at 100 TB a global
+      // window is an executor OOM, not a slow query — fail at plan-build
+      // time, before any job launches, when the user opted in
+      if (sw.cfg.failOnGlobalWindow)
+        throw new IllegalArgumentException(s"[swift] $msg " +
+          "(failOnGlobalWindow=true)")
+      Console.err.println(s"[swift] WARNING: $msg")
+    }
 
   /** Centered count window `rolling(n, center=True)`: ⌊(n-1)/2⌋ rows
     * before through ⌊n/2⌋ rows after (pandas centering convention).

@@ -102,16 +102,21 @@ object Binning {
     * sums are exact BIGINTs and the one IEEE division per row is
     * mirrored; the category stats come from ONE map-side-combined hash
     * aggregate (|categories| rows) broadcast back — never a per-cat
-    * window, so a category holding half the corpus costs nothing extra. */
+    * window, so a category holding half the corpus costs nothing extra.
+    * Null handling (r12 ADVICE): `__n` counts NON-NULL targets only (a
+    * null target must not deflate its category-mates' loo mean), a
+    * null-target row's own loo is null (its `__x` is null), and rows
+    * with a null CATEGORY survive via the left join with a null
+    * encoding rather than being silently dropped. */
   def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
       out: String): DataFrame = {
     val xm = (col(targetCol).cast(org.apache.spark.sql.types.DecimalType(20, 6))
       * lit(1000000L)).cast("long")
     val stats = df.groupBy(col(catCol))
-      .agg(sum(xm).as("__s"), count(lit(1)).as("__n"))
+      .agg(sum(xm).as("__s"), count(xm).as("__n"))
     df.withColumn("__x", xm)
-      .join(broadcast(stats), Seq(catCol))
-      .withColumn(out, when(col("__n") === 1, lit(null).cast("double"))
+      .join(broadcast(stats), Seq(catCol), "left")
+      .withColumn(out, when(col("__n") <= 1, lit(null).cast("double"))
         .otherwise((col("__s") - col("__x")).cast("double") /
           ((col("__n") - 1).cast("double") * lit(1e6))))
       .drop("__s", "__n", "__x")

@@ -117,19 +117,36 @@ object Dedup {
     * rank, one per-doc window; the verify step fetches the two shingle
     * arrays by id equi-joins and intersects per candidate — never
     * all-pairs anywhere. */
+  /** The df-ascending prefix slice of the shingle postings: each doc's
+    * first nd − ⌈t·nd⌉ + 1 shingles under the global
+    * document-frequency order. Split out of [[jaccardPairsPrefix]] so
+    * its plan (map-side partial_count on the df aggregate, equi-joins
+    * only) stays auditable — inside the operator the frame sits behind
+    * a localCheckpoint, which renders downstream as an RDD scan. */
+  private[graft] def prefixPostings(docs: DataFrame, tauNum: Int,
+      tauDen: Int): DataFrame = {
+    val inv = docs.select(col("id"), col("nd"), explode(col("ds")).as("h"))
+    val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("h"))
+    inv.join(dfreq, Seq("h"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <=
+        col("nd") - expr(s"($tauNum * nd + ${tauDen - 1}) div $tauDen") + 1)
+      .select(col("id"), col("nd"), col("h"))
+  }
+
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, s"need 0 < tau <= 1, got $tauNum/$tauDen")
     val tau = tauNum.toDouble / tauDen
     val docs = shingleDocs(df, idCol, textCol).localCheckpoint(eager = false)
-    val inv = docs.select(col("id"), col("nd"), explode(col("ds")).as("h"))
-    val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df"), col("h"))
-    val pref = inv.join(dfreq, Seq("h"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <=
-        col("nd") - expr(s"($tauNum * nd + ${tauDen - 1}) div $tauDen") + 1)
+    // the prefix postings feed BOTH sides of the candidate self-join —
+    // checkpoint so the explode + df-join + rank window pipeline runs
+    // ONCE, not once per join side (measured 4.1s -> ~2s at sf0.1; the
+    // frame is the ~40%-of-postings prefix slice, bounded)
+    val pref = prefixPostings(docs, tauNum, tauDen)
+      .localCheckpoint(eager = false)
     // All-Pairs length filter (also exact): J >= t forces t·na <= nb and
     // t·nb <= na (c <= min and c >= t·max), so mismatched-size pairs drop
     // BEFORE the distinct/verify — integer cross-multiplied, no division

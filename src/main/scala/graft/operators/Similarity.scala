@@ -650,6 +650,148 @@ object Similarity {
     out.toSeq.toDF("round", "id", "d2")
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * from one query's candidate pool, greedily pick k results trading
+    * relevance against redundancy —
+    *
+    *   next = argmax( λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) )
+    *
+    * the diversity-aware retrieval step every RAG/eval-harness stack
+    * bolts onto plain top-k (ten near-identical passages waste nine
+    * context slots). Arithmetic is micro-integer end to end: rel and
+    * pairwise sims quantize to BIGINT micro-cosines (the
+    * [[marginMining]] idiom), the argmax orders by the RAW µ²-unit
+    * score λ·rel − (1e6−λ)·mmax (dividing first would floor distinct
+    * scores together and let the id tie-break flip a pick), so the
+    * DuckDB mirror [[mmrSql]] replays every round bit-for-bit.
+    *
+    * Scale contract = [[kCenter]]'s: the pool is top-`poolN` by
+    * relevance (one broadcast-query pass + TakeOrdered — at corpus
+    * scale the pool comes from IVF probe lists instead, unchanged
+    * here), then k bounded driver rounds each collect exactly ONE row
+    * of the poolN-row checkpointed frame. mmax updates fold in as a
+    * running `greatest`, so round r does O(poolN) work, never
+    * O(poolN²) materialized. */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String, qid: Long,
+      poolN: Int, k: Int, lambdaMicro: Long): DataFrame = {
+    require(k >= 1 && poolN >= k, s"need poolN >= k >= 1, got $poolN/$k")
+    require(lambdaMicro > 0 && lambdaMicro < 1000000L, "lambda in (0,1) micro")
+    val spark = df.sparkSession
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    val qRows = fx.filter(col("id") === qid).collect()
+    require(qRows.nonEmpty, s"query id $qid not found")
+    def cosMicroTo(vec: Seq[Long], nrm: Long): Column =
+      round(lit(1e6) * cosine(col("fx"), array(vec.map(lit): _*),
+        col("nrm"), lit(nrm))).cast("long")
+    val qfx = qRows(0).getSeq[Long](1)
+    val qn = qRows(0).getLong(2)
+    var cur = fx.filter(col("id") =!= qid)
+      .withColumn("rel", cosMicroTo(qfx, qn))
+      .orderBy(col("rel").desc, col("id")).limit(poolN)
+      .withColumn("mmax", lit(0L))
+      .localCheckpoint(eager = false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    for (r <- 1 to k) {
+      val raw = lit(lambdaMicro) * col("rel") -
+        lit(1000000L - lambdaMicro) * col("mmax")
+      val pick = cur.withColumn("raw", raw)
+        .orderBy(col("raw").desc, col("id")).limit(1).collect()(0)
+      val (pid, pfx, pn) =
+        (pick.getLong(pick.fieldIndex("id")),
+          pick.getSeq[Long](pick.fieldIndex("fx")),
+          pick.getLong(pick.fieldIndex("nrm")))
+      out += ((r.toLong, pid, pick.getLong(pick.fieldIndex("rel")),
+        pick.getLong(pick.fieldIndex("raw"))))
+      if (r < k)
+        cur = cur.filter(col("id") =!= pid)
+          .withColumn("mmax", greatest(col("mmax"), cosMicroTo(pfx, pn)))
+          .localCheckpoint(eager = false)
+    }
+    import spark.implicits._
+    out.toSeq.toDF("round", "id", "rel_micro", "score_raw")
+  }
+
+  /** DuckDB mirror of [[mmrSelect]] over the embeddings table: pool CTE
+    * then k unrolled (argmax, mmax-fold) CTE pairs — identical micro
+    * quantization, raw-score ordering and id tie-breaks. */
+  def mmrSql(qid: Long, poolN: Int, k: Int, lambdaMicro: Long): String = {
+    val cosM = (a: String, b: String, na: String, nb: String) =>
+      s"CAST(round(1000000.0 * ${cosineSql(a, b, na, nb)}) AS BIGINT)"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"f AS (SELECT vec_id AS id, ${fixedPointSql("embedding")} AS fx FROM embeddings)",
+      "n AS (SELECT id, fx, CAST(list_sum(list_transform(fx, x -> x*x)) AS BIGINT) AS nrm FROM f)",
+      s"q AS (SELECT fx AS qfx, nrm AS qn FROM n WHERE id = $qid)",
+      s"""m1 AS (SELECT id, fx, nrm, ${cosM("fx", "qfx", "nrm", "qn")} AS rel,
+         |  CAST(0 AS BIGINT) AS mmax
+         |  FROM n, q WHERE id <> $qid ORDER BY rel DESC, id LIMIT $poolN)""".stripMargin)
+    for (r <- 1 to k) {
+      ctes += s"s$r AS (SELECT id, fx, nrm, rel, " +
+        s"$lambdaMicro*rel - ${1000000L - lambdaMicro}*mmax AS raw " +
+        s"FROM m$r ORDER BY raw DESC, id LIMIT 1)"
+      if (r < k)
+        ctes += s"m${r + 1} AS (SELECT m.id, m.fx, m.nrm, m.rel, " +
+          s"GREATEST(m.mmax, ${cosM("m.fx", "s.fx", "m.nrm", "s.nrm")}) AS mmax " +
+          s"FROM m$r m, s$r s WHERE m.id <> s.id)"
+    }
+    val sel = (1 to k)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, id, rel AS rel_micro, raw AS score_raw FROM s$r")
+      .mkString("\nUNION ALL ")
+    s"WITH ${ctes.mkString(",\n")}\n$sel\nORDER BY round"
+  }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009): fuse two
+    * rankings of the same candidate space by
+    * score(d) = Σ_lists 1e6 div (60 + rank_list(d)) — the standard
+    * hybrid-retrieval merge (rank-based, so a ranker's score scale
+    * can't dominate). Here the two rankers are exact COSINE and exact
+    * L2 — genuinely different orders on unnormalized vectors (L2 favors
+    * short vectors; cosine ignores length). Scores are integer micro
+    * units (truncating div), absent-from-list contributes 0, so the
+    * fused order is deterministic and exactly mirrored.
+    *
+    * Scale: one broadcast-query pass computes dot/norms for BOTH
+    * rankers (the crossJoin is the disclosed small-query-set form —
+    * candidate generation swaps to IVF/LSH lists at corpus scale), two
+    * windows rank it, the fusion is a self-join-free full outer join on
+    * (qid, vid) of two ≤`depth`-row-per-query frames. */
+  def rrfFuseTopK(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, depth: Int, k: Int,
+      rrfK: Long = 60L): DataFrame = {
+    val fx = fixedPoint(df, idCol, vecCol)
+    val q = fx.filter(isQuery(col("id")))
+      .select(col("id").as("qid"), col("fx").as("fq"), col("nrm").as("nq"))
+    val scored = broadcast(q).crossJoin(fx).filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("vid"),
+        graft.functions.HashExpressions.fixed_dot(col("fq"), col("fx")).as("__dot"),
+        col("nq"), col("nrm"))
+    val byCos = Window.partitionBy(col("qid")).orderBy(
+      (col("__dot") / sqrt(col("nq").cast("double") * col("nrm").cast("double")))
+        .desc, col("vid"))
+    // exact integer L2²: |q−v|² = nq − 2·dot + nv — no IEEE anywhere
+    val byL2 = Window.partitionBy(col("qid")).orderBy(
+      (col("nq") - lit(2L) * col("__dot") + col("nrm")).asc, col("vid"))
+    val ranked = scored
+      .withColumn("rc", row_number().over(byCos).cast("long"))
+      .withColumn("rl", row_number().over(byL2).cast("long"))
+    val a = ranked.filter(col("rc") <= depth).select(col("qid"), col("vid"), col("rc"))
+    val b = ranked.filter(col("rl") <= depth).select(col("qid"), col("vid"), col("rl"))
+    val fused = a.join(b, Seq("qid", "vid"), "full_outer")
+      .select(col("qid"), col("vid"),
+        (coalesce(expr(s"1000000 div (${rrfK} + rc)"), lit(0L)) +
+          coalesce(expr(s"1000000 div (${rrfK} + rl)"), lit(0L))).as("rrf"),
+        // -1 = absent from that ranker's depth-bounded list (a literal
+        // sentinel, not NULL — nullable BIGINTs drift to float64 in the
+        // comparison layer)
+        coalesce(col("rc"), lit(-1L)).as("rc"),
+        coalesce(col("rl"), lit(-1L)).as("rl"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("vid"))
+    fused.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vid").as("vec_id"),
+        col("rrf"), col("rc"), col("rl"))
+  }
+
   /** DuckDB mirror of [[kCenter]] over the embeddings table: the greedy
     * rounds unroll into a chain of (running-min distance, 1-row argmax)
     * CTE pairs replaying the identical BIGINT arithmetic and (d2 DESC,

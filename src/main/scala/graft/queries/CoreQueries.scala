@@ -220,6 +220,25 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    // O4 — grouping BY THE INDEX (reference swifter/swifter.py:579, tests
+    // swifter_tests.py:801-813): under the explicit-index convention the
+    // frame's index is a column (here o_custkey standing as a non-unique
+    // index), so groupByIndex routes through the same flatMapGroups
+    // machinery; the per-group fn sums micro-units so the one IEEE step
+    // is the final /1e6 division, mirrored in the oracle
+    "o4_groupby_by_index" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(col("o_custkey").as("idx"),
+        (col("o_totalprice").cast(DecimalType(20, 6)) * lit(1000000L))
+          .cast("long").as("pm"))
+      val schema = StructType(Seq(StructField("idx", LongType),
+        StructField("n", LongType), StructField("sum_price", DoubleType)))
+      Swift(ord).groupByIndex("idx").apply(schema) { (k, it) =>
+        var n = 0L; var sm = 0L
+        it.foreach { r => n += 1; sm += r.getLong(1) }
+        Iterator(Row(k.getLong(0), n, sm.toDouble / 1e6))
+      }.orderBy("idx")
+    }),
+
     // O5 — rolling count window (rolling(5)) per user, native window agg;
     // min_periods defaults to the window size (pandas integer-window
     // convention), so the first 4 frames per user are null
@@ -900,6 +919,15 @@ object CoreQueries {
          |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
          |  count(*) AS n
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // groupby-on-index mirror: same micro-unit BIGINT sum, one final
+    // IEEE division
+    "o4_groupby_by_index" ->
+      """WITH m AS (SELECT o_custkey AS idx,
+        |    CAST(CAST(o_totalprice AS DECIMAL(20,6))*1000000 AS BIGINT) AS pm
+        |  FROM orders)
+        |SELECT idx, count(*) AS n,
+        |  CAST(sum(pm) AS BIGINT) / 1000000.0 AS sum_price
+        |FROM m GROUP BY idx ORDER BY idx""".stripMargin,
     "o5_rolling_count" ->
       """SELECT event_id,
         |  CASE WHEN count(*) OVER w >= 5

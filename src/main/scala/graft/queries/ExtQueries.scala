@@ -132,6 +132,17 @@ object ExtQueries {
   private val MARGIN_TAU = 1.0
   // greedy k-center diversity selection rounds
   private val KCENTER_K = 4
+  // MMR diversification: query vector, relevance pool, picks, lambda
+  private val MMR_QID = 2L
+  private val MMR_POOL = 16
+  private val MMR_K = 6
+  private val MMR_LAMBDA = 700000L
+  // RRF hybrid fusion: per-ranker list depth and fused top-k
+  private val RRF_DEPTH = 10
+  private val RRF_TOPK = 5
+  // ANN evaluation: ground-truth/candidate list size (matches the
+  // sim_ivf_topk configuration so the recall row audits that query)
+  private val RECALL_K = 3
   // hard-negative mining / kNN label-noise audit neighborhood size
   private val HARDNEG_K = 5
   private val NOISE_K = 5
@@ -1519,7 +1530,42 @@ object ExtQueries {
       // one Lloyd round on the coarse quantizer (integer-mean centroids,
       // exact trunc division — mirrored bit-for-bit by the oracle)
       Similarity.ivfTopKRefined(t(s, dir, "embeddings"), "vec_id", "embedding",
-        id => id < 5, k = 3, nCentroids = 16, nprobe = 2).orderBy("qid", "rn"))
+        id => id < 5, k = 3, nCentroids = 16, nprobe = 2).orderBy("qid", "rn")),
+
+    "sim_mmr" -> ((s, dir) =>
+      // diversity-aware retrieval (Maximal Marginal Relevance): greedy
+      // λ·rel − (1−λ)·redundancy picks over the top-relevance pool,
+      // micro-integer scores, k bounded 1-row driver rounds (the
+      // kCenter contract)
+      Similarity.mmrSelect(t(s, dir, "embeddings"), "vec_id", "embedding",
+        MMR_QID, MMR_POOL, MMR_K, MMR_LAMBDA).orderBy("round")),
+
+    "sim_rrf_fusion" -> ((s, dir) =>
+      // hybrid-retrieval rank fusion (RRF): exact-cosine and exact-L2
+      // rankings of the same query set fused by Σ 1e6 div (60+rank) —
+      // integer scores, full-outer list merge, fused top-k per query
+      Similarity.rrfFuseTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        id => id < 5, RRF_DEPTH, RRF_TOPK).orderBy("qid", "rn")),
+
+    "sim_recall_at_k" -> ((s, dir) => {
+      // ANN quality evaluation: recall@k of the IVF index against the
+      // exact brute-force ground truth, per query — the metric every
+      // index-tuning loop optimizes; one (qid, vec_id) equi-join of two
+      // k-row-per-query frames
+      val emb = t(s, dir, "embeddings")
+      val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        id => id < 5, RECALL_K).select(col("qid"), col("vec_id"))
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        id => id < 5, k = RECALL_K, nCentroids = 16, nprobe = 2)
+        .select(col("qid"), col("vec_id"), lit(1L).as("__hit"))
+      truth.join(approx, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+        .select(col("qid"), col("hits"),
+          (col("hits").cast("double") / lit(RECALL_K).cast("double"))
+            .as("recall"))
+        .orderBy("qid")
+    })
   )
 
   // shared SQL prefixes
@@ -1821,8 +1867,8 @@ object ExtQueries {
         |    COALESCE(sum(bytes) OVER (PARTITION BY part ORDER BY file_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
         |  FROM inv)
-        |SELECT part, pre // 1048576 AS grp, count(*) AS n_files,
-        |  sum(bytes) AS bytes, min(file_id) AS first_file,
+        |SELECT part, CAST(pre // 1048576 AS BIGINT) AS grp, count(*) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes, min(file_id) AS first_file,
         |  max(file_id) AS last_file
         |FROM c GROUP BY 1, 2 ORDER BY part, grp""".stripMargin,
     "text_heavy_hitters" ->
@@ -2103,13 +2149,13 @@ object ExtQueries {
       """WITH m AS (SELECT o_orderkey, o_orderpriority AS cat,
         |    CAST(CAST(o_totalprice AS DECIMAL(20,6))*1000000 AS BIGINT) AS xm
         |  FROM orders),
-        |st AS (SELECT cat, CAST(sum(xm) AS BIGINT) AS s, count(*) AS n
+        |st AS (SELECT cat, CAST(sum(xm) AS BIGINT) AS s, count(xm) AS n
         |  FROM m GROUP BY cat)
         |SELECT o_orderkey, m.cat,
-        |  CASE WHEN n = 1 THEN NULL
+        |  CASE WHEN n <= 1 THEN NULL
         |       ELSE CAST(s - xm AS DOUBLE) / (CAST(n - 1 AS DOUBLE) * 1000000.0)
         |  END AS loo
-        |FROM m JOIN st ON m.cat = st.cat ORDER BY o_orderkey""".stripMargin,
+        |FROM m LEFT JOIN st ON m.cat = st.cat ORDER BY o_orderkey""".stripMargin,
     // drift mirror: identical conditional counts and truncating micro
     // proportion division
     "feat_drift_hist" ->
@@ -2919,6 +2965,68 @@ object ExtQueries {
          |  sz * count(*) AS n_docs
          |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "sim_kcenter" -> Similarity.kCenterSql(KCENTER_K),
+    "sim_mmr" -> Similarity.mmrSql(MMR_QID, MMR_POOL, MMR_K, MMR_LAMBDA),
+    // RRF mirror: one dot/norm pass, two rank windows (cosine DESC /
+    // integer L2 ASC, vid tie-breaks), integer 1e6//(60+rank) fusion
+    "sim_rrf_fusion" ->
+      s"""WITH $fxCte,
+         |qs AS (SELECT id AS qid, fx AS fq, nrm AS nq FROM n WHERE id < 5),
+         |sc AS (SELECT qid, n.id AS vid,
+         |    CAST(list_sum(list_transform(generate_series(1,64), i -> fq[i]*n.fx[i])) AS BIGINT) AS dot,
+         |    nq, n.nrm AS nv
+         |  FROM qs, n WHERE n.id <> qid),
+         |rk AS (SELECT qid, vid,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY CAST(dot AS DOUBLE)/sqrt(CAST(nq AS DOUBLE)*CAST(nv AS DOUBLE)) DESC, vid) AS BIGINT) AS rc,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY nq - 2*dot + nv, vid) AS BIGINT) AS rl
+         |  FROM sc),
+         |a AS (SELECT qid, vid, rc FROM rk WHERE rc <= $RRF_DEPTH),
+         |b AS (SELECT qid, vid, rl FROM rk WHERE rl <= $RRF_DEPTH),
+         |fu AS (SELECT COALESCE(a.qid, b.qid) AS qid, COALESCE(a.vid, b.vid) AS vid,
+         |    COALESCE(1000000 // (60 + a.rc), 0) + COALESCE(1000000 // (60 + b.rl), 0) AS rrf,
+         |    COALESCE(a.rc, -1) AS rc, COALESCE(b.rl, -1) AS rl
+         |  FROM a FULL OUTER JOIN b ON a.qid = b.qid AND a.vid = b.vid),
+         |r AS (SELECT qid, vid, rrf, rc, rl,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, vid) AS BIGINT) AS rn
+         |  FROM fu)
+         |SELECT qid, rn, vid AS vec_id, CAST(rrf AS BIGINT) AS rrf, rc, rl
+         |FROM r WHERE rn <= $RRF_TOPK ORDER BY qid, rn""".stripMargin,
+    // recall@k mirror: brute-force ground truth (k=$RECALL_K) left-joined
+    // with the sim_ivf_topk CTE chain's candidate list, hits counted per
+    // query, one IEEE division for the rate
+    "sim_recall_at_k" ->
+      s"""WITH $fxCte,
+         |bj AS (SELECT q.id AS qid, v.id AS vid,
+         |    ${Similarity.cosineSql("q.fx", "v.fx", "q.nrm", "v.nrm")} AS cos
+         |  FROM n q JOIN n v ON q.id < 5 AND v.id <> q.id),
+         |br AS (SELECT qid, vid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+         |  FROM bj),
+         |tr AS (SELECT qid, vid FROM br WHERE rn <= $RECALL_K),
+         |c AS (SELECT id AS cid, fx AS cfx, nrm AS cnrm FROM n
+         |  ORDER BY ${Similarity.seedHashSql("id")}, id LIMIT 16),
+         |sc AS (SELECT n.id, c.cid,
+         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c.cfx[i])) AS BIGINT) + c.cnrm AS d2
+         |  FROM n, c),
+         |rk AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS crn FROM sc),
+         |lists AS (SELECT rk.cid, rk.id, n.fx, n.nrm FROM rk JOIN n USING(id) WHERE crn = 1),
+         |probes AS (SELECT rk.id AS qid, rk.cid, n.fx AS fq, n.nrm AS nq
+         |  FROM rk JOIN n USING(id) WHERE rk.id < 5 AND crn <= 2),
+         |ij AS (SELECT p.qid, l.id AS vid,
+         |    ${Similarity.cosineSql("p.fq", "l.fx", "p.nq", "l.nrm")} AS cos
+         |  FROM probes p JOIN lists l ON p.cid = l.cid AND l.id <> p.qid),
+         |ir AS (SELECT qid, vid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+         |  FROM ij),
+         |iv AS (SELECT qid, vid FROM ir WHERE rn <= $RECALL_K),
+         |g AS (SELECT tr.qid,
+         |    CAST(sum(CASE WHEN iv.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |  FROM tr LEFT JOIN iv ON tr.qid = iv.qid AND tr.vid = iv.vid
+         |  GROUP BY tr.qid)
+         |SELECT qid, hits,
+         |  CAST(hits AS DOUBLE) / CAST($RECALL_K AS DOUBLE) AS recall
+         |FROM g ORDER BY qid""".stripMargin,
     "sim_margin_mining" ->
       s"""WITH $fxCte,
          |aa AS (SELECT id AS aid, fx AS fa, nrm AS na FROM n WHERE id % 2 = 0),

@@ -414,6 +414,15 @@ object StreamQueries {
     "stream_merge" -> ((s, dir) =>
       StreamOps.mergeOnceTws(s, dir).orderBy("k")),
 
+    // the SAME MERGE/CDC apply over the production NO-COLLECT ingest
+    // path: each seq wave is its own parquet file, readStream +
+    // maxFilesPerTrigger=1 replays the waves as genuine microbatches
+    // (no row visits the driver), RocksDB ValueState carries across —
+    // proves the file-source end of the stateful pipeline the
+    // MemoryStream harness twins only approximate (r12 verdict item 7)
+    "stream_merge_file" -> ((s, dir) =>
+      StreamOps.mergeOnceFile(s, dir).orderBy("k")),
+
     // ONLINE domain quota: per-domain ValueState kept-count, first-come
     // admission in doc_id order across TWO replay batches — the crawl
     // frontier's "stop a template-heavy domain the moment its quota
@@ -729,6 +738,11 @@ object StreamQueries {
     "stream_cohort" -> RelationalQueries.oracleSql("rel_cohort"),
     "stream_transitions" -> RelationalQueries.oracleSql("rel_transitions"),
     "stream_merge" ->
+      s"""WITH ${RelationalQueries.mergeCtes}
+         |SELECT k, CASE WHEN op = 'upsert' THEN sv ELSE tv END AS v
+         |FROM m WHERE op IS NULL OR op = 'upsert'
+         |ORDER BY k""".stripMargin,
+    "stream_merge_file" ->
       s"""WITH ${RelationalQueries.mergeCtes}
          |SELECT k, CASE WHEN op = 'upsert' THEN sv ELSE tv END AS v
          |FROM m WHERE op IS NULL OR op = 'upsert'

@@ -764,7 +764,6 @@ object StreamOps {
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, Long, String)]
     val per = math.max(1, (recs.length + batches - 1) / batches)
-    recs.grouped(per).foreach(chunk => ms.addData(chunk.toIndexedSeq))
     val out = ms.toDS()
       .groupByKey(_._1)
       .transformWithState(new TransitionsProcessor,
@@ -777,7 +776,14 @@ object StreamOps {
           .option("checkpointLocation", ckpt)
           .outputMode(OutputMode.Append())
           .start()
-        q.processAllAvailable()
+        // interleave addData with processAllAvailable so each chunk is
+        // its OWN microbatch — pre-start addData would drain every chunk
+        // in one batch and the documented cross-batch ValueState carry
+        // would never actually be exercised (r12 ADVICE)
+        recs.grouped(per).foreach { chunk =>
+          ms.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
         q.stop()
       }
     }
@@ -835,10 +841,10 @@ object StreamOps {
     * can straddle a boundary — state must carry). RocksDB provider,
     * Update mode; final table = per-key max-seq emission, alive rows
     * only — equals the batch merge projected to (k, v). */
-  def mergeOnceTws(spark: SparkSession, dir: String, batches: Int = 3,
-      sinkName: String = "stream_merge_sink"): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  /** The CDC feed both merge twins replay: a seq-0 snapshot wave, then
+    * change waves 1 and 2 (updates, deletes, inserts, a re-delete and a
+    * ghost delete — every MERGE edge case). One frame, (k, seq, op, v). */
+  private def mergeFeed(spark: SparkSession, dir: String): DataFrame = {
     val ord = graft.queries.Tables.t(spark, dir, "orders")
     val k = col("o_orderkey")
     def cents = (col("o_totalprice").cast(DecimalType(20, 6)) * 100)
@@ -854,8 +860,14 @@ object StreamOps {
       lit(1L).as("seq"), lit("upsert").as("op"), (cents + 7L).as("v"))
     val ghost = ord.filter(k % 9 === 5).select((k + 200000000L).as("k"),
       lit(1L).as("seq"), lit("delete").as("op"), lit(0L).as("v"))
-    val recs = target.unionAll(upd).unionAll(redel).unionAll(ins)
-      .unionAll(ghost)
+    target.unionAll(upd).unionAll(redel).unionAll(ins).unionAll(ghost)
+  }
+
+  def mergeOnceTws(spark: SparkSession, dir: String, batches: Int = 3,
+      sinkName: String = "stream_merge_sink"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = mergeFeed(spark, dir)
       .as[(Long, Long, String, Long)].collect()
       .sortBy(e => (e._2, e._1))
     val ms = org.apache.spark.sql.execution.streaming.runtime
@@ -877,6 +889,71 @@ object StreamOps {
           ms.addData(chunk.toIndexedSeq)
           q.processAllAvailable()
         }
+        q.stop()
+      }
+    }
+    spark.table(sinkName)
+      .groupBy("k")
+      .agg(max_by(struct(col("v"), col("alive")), col("seq")).as("__f"))
+      .filter(col("__f.alive") === 1)
+      .select(col("k"), col("__f.v").as("v"))
+  }
+
+  /** FILE-SOURCE twin of [[mergeOnceTws]]: the MemoryStream harness
+    * replays a driver collect (documented test-harness pattern); this
+    * variant proves the production no-collect ingest path END TO END —
+    * each seq wave lands as its own parquet file, `readStream` +
+    * `maxFilesPerTrigger=1` makes each wave its own microbatch (file
+    * order = modification time, pinned explicitly), and the RocksDB
+    * ValueState carries across the three genuine microbatches. No row
+    * ever visits the driver; the sink reconstruction and oracle are
+    * mergeOnceTws's verbatim. */
+  def mergeOnceFile(spark: SparkSession, dir: String,
+      sinkName: String = "stream_merge_file_sink"): DataFrame = {
+    import spark.implicits._
+    val feed = mergeFeed(spark, dir)
+    val schema = feed.schema
+    val tmp = java.nio.file.Files.createTempDirectory("stream_merge_src")
+    graft.queries.Tables.deleteOnExit(tmp)
+    (0L to 2L).foreach { wave =>
+      val stage = tmp.resolve(s"__stage$wave")
+      feed.filter(col("seq") === wave).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator()
+      val it = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
+      val src = it.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      require(src.size == 1, s"expected one part file per wave, got $src")
+      val dst = tmp.resolve(f"wave$wave%02d.parquet")
+      java.nio.file.Files.move(src.head, dst)
+      // strictly increasing mtimes pin FileStreamSource's default
+      // oldest-first file order to seq order whatever the write timing
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + wave * 60000L))
+      // drop the staging dir (SUCCESS markers etc.) so the glob sees
+      // only waveNN.parquet files
+      val walk = java.nio.file.Files.walk(stage)
+      try {
+        val files = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(walk.iterator()).asScala.toSeq
+        files.reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+    val out = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString)
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new MergeProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF("k", "seq", "v", "alive")
+    withRocksDbProvider(spark) {
+      withHarnessConf(spark, "8") { ckpt =>
+        val q = out.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update())
+          .start()
+        q.processAllAvailable()
         q.stop()
       }
     }
@@ -988,7 +1065,6 @@ object StreamOps {
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, Long, String, Long)]
     val per = math.max(1, (recs.length + batches - 1) / batches)
-    recs.grouped(per).foreach(chunk => ms.addData(chunk.toIndexedSeq))
     val out = ms.toDS()
       .groupByKey(_._1)
       .transformWithState(new AttributionProcessor,
@@ -1002,7 +1078,11 @@ object StreamOps {
           .option("checkpointLocation", ckpt)
           .outputMode(OutputMode.Append())
           .start()
-        q.processAllAvailable()
+        // per-chunk microbatches — see transitionsOnce (r12 ADVICE)
+        recs.grouped(per).foreach { chunk =>
+          ms.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
         q.stop()
       }
     }
@@ -1069,7 +1149,6 @@ object StreamOps {
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, Long, String)]
     val per = math.max(1, (recs.length + batches - 1) / batches)
-    recs.grouped(per).foreach(chunk => ms.addData(chunk.toIndexedSeq))
     val out = ms.toDS()
       .groupByKey(_._1)
       .transformWithState(new Scd2Processor,
@@ -1082,7 +1161,11 @@ object StreamOps {
           .option("checkpointLocation", ckpt)
           .outputMode(OutputMode.Update())
           .start()
-        q.processAllAvailable()
+        // per-chunk microbatches — see transitionsOnce (r12 ADVICE)
+        recs.grouped(per).foreach { chunk =>
+          ms.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
         q.stop()
       }
     }
@@ -1201,7 +1284,6 @@ object StreamOps {
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, Long, Long)]
     val per = math.max(1, (recs.length + batches - 1) / batches)
-    recs.grouped(per).foreach(chunk => ms.addData(chunk.toIndexedSeq))
     val out = ms.toDS()
       .groupByKey(_._1)
       .transformWithState(new HoltProcessor,
@@ -1214,7 +1296,11 @@ object StreamOps {
           .option("checkpointLocation", ckpt)
           .outputMode(OutputMode.Update())
           .start()
-        q.processAllAvailable()
+        // per-chunk microbatches — see transitionsOnce (r12 ADVICE)
+        recs.grouped(per).foreach { chunk =>
+          ms.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
         q.stop()
       }
     }
@@ -1247,7 +1333,6 @@ object StreamOps {
     // and merges across micro-batches (each batch emits its shard's
     // current candidates; the union across batches stays a superset)
     val per = math.max(1, (toks.length + batches - 1) / batches)
-    toks.grouped(per).foreach(chunk => ms.addData(chunk.toIndexedSeq))
     val out = ms.toDS()
       .groupByKey(_._1)
       .transformWithState(new MgProcessor(counters),
@@ -1260,7 +1345,11 @@ object StreamOps {
           .option("checkpointLocation", ckpt)
           .outputMode(OutputMode.Update())
           .start()
-        q.processAllAvailable()
+        // per-chunk microbatches — see transitionsOnce (r12 ADVICE)
+        toks.grouped(per).foreach { chunk =>
+          ms.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
         q.stop()
       }
     }

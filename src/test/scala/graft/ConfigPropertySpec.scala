@@ -107,6 +107,47 @@ class ConfigPropertySpec extends SparkSpec {
     assert(captureErr { Swift(local).ewm(0.5, Seq("id")) }.isEmpty)
   }
 
+  test("O5 strict mode: failOnGlobalWindow turns the guard into a plan-time throw") {
+    val ev = queries.Tables.t(spark, sf001, "events")
+    // strict: unpartitioned window over a distributed input throws at
+    // plan-build time (100 TB = executor OOM, not a slow query) — BEFORE
+    // any job launches
+    val e = intercept[IllegalArgumentException] {
+      Swift(ev).failOnGlobalWindow().rolling(3, Seq("ts", "event_id"))
+    }
+    assert(e.getMessage.contains("failOnGlobalWindow"))
+    intercept[IllegalArgumentException] {
+      Swift(ev).failOnGlobalWindow().ewm(0.5, Seq("ts", "event_id"))
+    }
+    // a partitioned window under strict mode still plans fine
+    Swift(ev).failOnGlobalWindow()
+      .rolling(3, Seq("ts", "event_id"), partitionBy = Seq("user_id"))
+    // local inputs stay exempt even under strict mode (pandas-sized data
+    // is exactly where a global order is legitimate)
+    val local = (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    Swift(local).failOnGlobalWindow().rolling(3, Seq("id"))
+  }
+
+  test("O4: groupByIndex groups by the explicit index column; attaches one when absent") {
+    // frame already carrying an index column: grouped by it directly
+    val withIdx = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0))
+      .toDF("index", "x")
+    val g = Swift(withIdx).groupByIndex().agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(g.toSeq == Seq((1L, 2L), (2L, 1L)))
+    // frame WITHOUT an index: a stable 0-based row index is attached —
+    // every row forms its own group (pandas groupby on a unique
+    // RangeIndex), so each group counts exactly 1
+    val noIdx = Seq(3.0, 4.0, 5.0).toDF("x")
+    val g2 = Swift(noIdx).groupByIndex().agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(g2.toSeq == Seq((0L, 1L), (1L, 1L), (2L, 1L)))
+  }
+
   test("K6: applyAuto schema probe draws from the K1 sample, not a per-key re-scan") {
     val li = queries.Tables.t(spark, sf001, "lineitem")
     @volatile var jobs = 0
