@@ -140,16 +140,22 @@ object Dedup {
       tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, s"need 0 < tau <= 1, got $tauNum/$tauDen")
     val tau = tauNum.toDouble / tauDen
-    val docs = shingleDocs(df, idCol, textCol).localCheckpoint(eager = false)
-    // the prefix postings feed BOTH sides of the candidate self-join —
-    // checkpoint so the explode + df-join + rank window pipeline runs
-    // ONCE, not once per join side (measured 4.1s -> ~2s at sf0.1; the
-    // frame is the ~40%-of-postings prefix slice, bounded)
+    // cache, NOT localCheckpoint: the shingle frame has three consumers
+    // (prefix postings + both verify sides), and a checkpointed RDD scan
+    // loses size stats — AQE then planned the verify joins as SMJ,
+    // SHUFFLING every candidate pair's two gram arrays (~600 MB at
+    // sf0.1, 7.5s of the 4.1s-total budget); the InMemoryRelation keeps
+    // measured sizes, so the per-doc array frame broadcasts and the
+    // arrays never move (measured 7.1s -> ~2s warm at sf0.1)
+    val docs = shingleDocs(df, idCol, textCol).cache()
     val pref = prefixPostings(docs, tauNum, tauDen)
-      .localCheckpoint(eager = false)
     // All-Pairs length filter (also exact): J >= t forces t·na <= nb and
     // t·nb <= na (c <= min and c >= t·max), so mismatched-size pairs drop
-    // BEFORE the distinct/verify — integer cross-multiplied, no division
+    // BEFORE the distinct/verify — integer cross-multiplied, no division.
+    // (Measured alternatives for the pref-computed-twice rename join:
+    // localCheckpoint/cache destabilize AQE stats and a per-gram
+    // collect_list + HOF pair expansion runs 2x SLOWER than the join —
+    // the codegen'd equi-join wins despite the double pipeline.)
     val cand = pref.select(col("id").as("da"), col("nd").as("__na"), col("h"))
       .join(pref.select(col("id").as("db"), col("nd").as("__nb"), col("h")), Seq("h"))
       .filter(col("da") < col("db") &&
