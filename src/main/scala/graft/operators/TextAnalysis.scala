@@ -124,6 +124,30 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(k)
 
+  /** Out-of-vocabulary rate per group — the tokenizer-coverage audit a
+    * mixture designer runs per source/language before fixing a vocab
+    * (a source whose tokens fall outside the shared top-k vocabulary
+    * will fragment into byte-level pieces and quietly eat the token
+    * budget). The closed set is the corpus [[vocab]] top-k ((count
+    * DESC, token) tie-break, deterministic); per group the rate is one
+    * IEEE division over exact BIGINT counts.
+    *
+    * Scale: vocab is a TakeOrdered over map-side-combined counts and
+    * broadcasts (k rows); the token stream joins it map-side and
+    * aggregates partially — the corpus shuffles once, by group key. */
+  def oovRate(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = df.select(col(groupCol), explode(words(col(textCol))).as("token"))
+    val voc = vocab(df, textCol, k).select(col("token"), lit(1L).as("__in"))
+    toks.join(broadcast(voc), Seq("token"), "left")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, lit(1L)).otherwise(lit(0L))).as("n_oov"))
+      .select(col(groupCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+
   /** EXACT corpus heavy hitters in two passes — every token whose count
     * is ≥ ⌈n∕share⌉ with its exact count, without ever shuffling the
     * full distinct-token frame (the WIMBD/vocab shape shuffles one row

@@ -544,6 +544,12 @@ object ExtQueries {
       // tokenizer/BPE step 1: corpus top-k vocabulary — explode pipelined
       // in the scan, map-side partial counts, TakeOrderedAndProject
       TextAnalysis.vocab(t(s, dir, "documents"), "text", VOCAB_K)),
+    "text_oov_rate" -> ((s, dir) =>
+      // tokenizer-coverage audit: per-source fraction of tokens outside
+      // the corpus top-k vocabulary — broadcast vocab join, one source-
+      // keyed aggregate, exact counts + one mirrored division
+      TextAnalysis.oovRate(t(s, dir, "documents"), "source", "text", VOCAB_K)
+        .orderBy("source")),
     "text_ngrams" -> ((s, dir) =>
       // top-k word bigrams — the array zipped with its own tail, one pass
       TextAnalysis.bigrams(t(s, dir, "documents"), "text", VOCAB_K)),
@@ -1928,6 +1934,19 @@ object ExtQueries {
       s"""SELECT token, count(*) AS n
          |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
          |GROUP BY 1 ORDER BY n DESC, token LIMIT $VOCAB_K""".stripMargin,
+    // OOV mirror: identical top-k vocabulary (count DESC, token) and
+    // one final division over exact BIGINT counts
+    "text_oov_rate" ->
+      s"""WITH w AS (SELECT source, unnest(string_split(text,' ')) AS token
+         |  FROM documents),
+         |v AS (SELECT token FROM (SELECT token, count(*) AS c FROM w GROUP BY 1)
+         |  ORDER BY c DESC, token LIMIT $VOCAB_K),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN w.token IN (SELECT token FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+         |  FROM w GROUP BY source)
+         |SELECT source, n_tokens, n_oov,
+         |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+         |FROM g ORDER BY source""".stripMargin,
     "text_ngrams" ->
       s"""WITH w AS (SELECT string_split(text,' ') AS ws FROM documents),
          |b AS (SELECT unnest(list_transform(generate_series(1, len(ws)-1),

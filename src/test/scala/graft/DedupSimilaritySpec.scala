@@ -582,4 +582,73 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(pr > math.ceil(0.25 * semBy(cid)).toLong)
     }
   }
+
+  test("mmrSelect: first pick is argmax relevance; later picks trade rel for diversity") {
+    val sel = Similarity.mmrSelect(emb, "vec_id", "embedding",
+      qid = 2L, poolN = 16, k = 6, lambdaMicro = 700000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(sel.length == 6)
+    assert(sel.map(_._2).distinct.length == 6, "picks are distinct")
+    assert(!sel.map(_._2).contains(2L), "query never selects itself")
+    // round 1 == plain top-1 by relevance (mmax is 0 everywhere)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      id => id === 2L, k = 1).collect()
+    assert(sel.head._2 == brute.head.getLong(2), "first pick = argmax rel")
+    // raw score = lambda*rel - (1-lambda)*mmax <= lambda*rel, with
+    // equality on round 1; rounds are non-increasing in raw score ONLY
+    // if relevance dominates — not guaranteed — but every round's raw
+    // must be <= lambda * (its own rel)
+    sel.foreach { case (_, _, rel, raw) => assert(raw <= 700000L * rel) }
+    assert(sel.head._4 == 700000L * sel.head._3)
+  }
+
+  test("mmrSelect diversifies: the duplicated top hit's clone loses to a diverse vector") {
+    import spark.implicits._
+    // query q = e0; candidates: a (id 1) and its exact clone a' (id 2)
+    // are the most relevant (cos 1/sqrt(2) ~ 0.707); b (id 3) is slightly
+    // less relevant (cos 2/3) but far from a (cos(a,b) ~ 0.471). Plain
+    // top-2 takes BOTH clones; at lambda=0.7, round 2 must score
+    // raw(a') = .7*707107 - .3*1000000 < raw(b) = .7*666667 - .3*471405
+    // and pick the diverse b.
+    def vec(entries: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      entries.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    val v = Seq(
+      (0L, vec(0 -> 1.0f)),
+      (1L, vec(0 -> 1.0f, 1 -> 1.0f)),
+      (2L, vec(0 -> 1.0f, 1 -> 1.0f)),
+      (3L, vec(0 -> 1.0f, 2 -> 1.0f, 3 -> 0.5f))
+    ).toDF("vec_id", "embedding")
+    val sel = Similarity.mmrSelect(v, "vec_id", "embedding",
+      qid = 0L, poolN = 3, k = 3, lambdaMicro = 700000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(sel(0)._2 == 1L, "round 1 = most relevant (lowest id of the tied clones)")
+    assert(sel(1)._2 == 3L, "round 2 skips the redundant clone for the diverse vector")
+    assert(sel(2)._2 == 2L, "round 3 takes the remaining clone")
+  }
+
+  test("rrfFuseTopK: fused scores match hand-computed reciprocal ranks") {
+    val fused = Similarity.rrfFuseTopK(emb, "vec_id", "embedding",
+      id => id < 3, depth = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(fused.nonEmpty)
+    fused.foreach { case (_, _, _, rrf, rc, rl) =>
+      val expect = (if (rc > 0) 1000000L / (60 + rc) else 0L) +
+        (if (rl > 0) 1000000L / (60 + rl) else 0L)
+      assert(rrf == expect, s"rrf $rrf != $expect for rc=$rc rl=$rl")
+      assert(rc == -1 || (rc >= 1 && rc <= 10))
+      assert(rl == -1 || (rl >= 1 && rl <= 10))
+      assert(rc != -1 || rl != -1, "a fused row must appear in some list")
+    }
+    // per query the fused list is rn=1..5 with non-increasing scores
+    fused.groupBy(_._1).foreach { case (_, rows) =>
+      val byRn = rows.sortBy(_._2)
+      assert(byRn.map(_._2).toSeq == (1L to byRn.length))
+      assert(byRn.map(_._4).toSeq.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
 }
