@@ -616,17 +616,21 @@ object Dedup {
     val half = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .localCheckpoint(true)
     var ed = half.unionAll(half.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false) // materialized by the count below
     var n = ed.count()
     var round = 0
     var converged = n == 0
     while (!converged && round < maxRounds) {
       val alive = ed.groupBy("u").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("u")
+      // LAZY checkpoint + count: the count() action materializes the
+      // checkpoint, so each peel round runs ONE job, not a separate
+      // eager-checkpoint job plus the count (halves round overhead —
+      // loop cost is round-count × job latency, not data volume)
       val next = ed.join(alive, Seq("u"), "left_semi")
         .join(alive.select(col("u").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
       val m = next.count()
       converged = m == n
       ed = next; n = m; round += 1
@@ -714,7 +718,7 @@ object Dedup {
     // upstream pair pipeline twice otherwise
     val half = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .localCheckpoint(true)
-    var e = sym(half).localCheckpoint(true)
+    var e = sym(half).localCheckpoint(eager = false) // materialized by checksum
     var prev = checksum(e)
     var round = 0
     var done = false
@@ -732,7 +736,11 @@ object Dedup {
       val small = eL.join(mS, "u").filter(col("v") <= col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(mS.select(col("u"), col("m").as("v")))
-      e = sym(small).localCheckpoint(true)
+      // LAZY checkpoint: the checksum aggregate is the materializing
+      // action, so each contraction round runs ONE job instead of an
+      // eager-checkpoint job plus the checksum (round overhead halves;
+      // the persisted blocks still truncate lineage for the next round)
+      e = sym(small).localCheckpoint(eager = false)
       val cur = checksum(e)
       done = cur == prev
       prev = cur
