@@ -260,6 +260,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p) // no global sort
   }
 
+  test("oov rate: vocab broadcasts to the token stream, no cartesian, partial agg") {
+    val p = fmt(graft.queries.ExtQueries.queries("text_oov_rate")(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), p) // k-row vocab never shuffles the corpus
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // vocab top-k is a heap
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // both aggs partial+final
+  }
+
+  test("rrf fusion: one scored pass feeds both rank windows; only the disclosed broadcast cross") {
+    val p = fmt(graft.queries.ExtQueries.queries("sim_rrf_fusion")(spark, sf001))
+    // the query side is broadcast (disclosed small-query-set crossJoin,
+    // same contract as sim_topk_brute) — never a shuffled cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    // two rank windows (cosine, L2) + the final fused-topk window
+    assert("Window".r.findAllIn(p).size >= 3, p)
+  }
+
   private def exchangeNodes(p: String): Int =
     """\(\d+\) Exchange""".r.findAllIn(p).size
 
