@@ -174,6 +174,48 @@ object Dedup {
       .select("da", "db", "common", "na", "nb", "j")
   }
 
+  /** WEIGHTED (multiset) Jaccard pairs — Σ min(cₐ,c_b) ∕ Σ max(cₐ,c_b)
+    * over per-doc shingle MULTIPLICITIES (Σmax = nₐ + n_b − Σmin). The
+    * set form treats a doc that repeats a template 50× and one that
+    * contains it once as identical; the multiset form is the dedup
+    * measure for templated/boilerplate-heavy corpora where repetition
+    * IS the signal (spam mirrors, log dumps, scraped pagination).
+    *
+    * Arithmetic: gram counts and totals are exact BIGINTs, the single
+    * IEEE division is the final ratio — mirrored verbatim. Candidate
+    * generation is the family's inverted-index self-join keyed on the
+    * gram hash (never all-pairs), with [[jaccardPairs]]'s optional
+    * hot-gram cap; the per-pair Σmin folds map-side in the pair
+    * aggregate, so no gram array ever moves to a pair row.
+    *
+    * Scale: the counted-gram frame has three consumers (totals + both
+    * join sides) — cache(), not localCheckpoint, so AQE keeps measured
+    * sizes for the join strategy (see SCALING.md round 13). */
+  def jaccardWeightedPairs(df: DataFrame, idCol: String, textCol: String,
+      tau: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+        explode(shingle_hashes(word_hashes(col(textCol)))).as("h"))
+      .groupBy("id", "h").agg(count(lit(1)).as("c"))
+      .cache()
+    val totals = grams.groupBy("id").agg(sum(col("c")).as("n"))
+    val inv = maxShingleFreq.fold(grams: DataFrame) { cap =>
+      val hot = grams.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("h")
+      grams.join(broadcast(hot), Seq("h"), "left_anti")
+    }
+    val a = inv.select(col("id").as("da"), col("h"), col("c").as("ca"))
+    val b = inv.select(col("id").as("db"), col("h"), col("c").as("cb"))
+    a.join(b, Seq("h")).filter(col("da") < col("db"))
+      .groupBy("da", "db")
+      .agg(sum(least(col("ca"), col("cb"))).as("wcommon"))
+      .join(totals.select(col("id").as("da"), col("n").as("na")), Seq("da"))
+      .join(totals.select(col("id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("wj",
+        col("wcommon") / (col("na") + col("nb") - col("wcommon")))
+      .filter(col("wj") >= tau)
+      .select("da", "db", "wcommon", "na", "nb", "wj")
+  }
+
   /** Shingle-set CONTAINMENT pairs (Broder 1997's second resemblance
     * measure, |A∩B| ∕ |A|) — the asymmetric relation Jaccard misses: a
     * short document quoted whole inside a long one has tiny Jaccard but

@@ -17,6 +17,9 @@ object ExtQueries {
   import MirrorHash.{P, wordHashesSql, shingleHashesSql, minhashSql, simhashSql, simhashBandsSql, bandsSql, minhashSigSql, fingerprintSql, winnowSelectSql}
 
   private val JACCARD_TAU = 0.6
+  // weighted (multiset) jaccard threshold — lower than the set form
+  // because multiplicity mismatches depress the ratio on the fixture
+  private val WJACCARD_TAU = 0.5
   // deterministic-sampling query config (mirrored literally in the oracle)
   private val SAMPLE_FRAC = 0.3
   private val SPLIT_WEIGHTS = Seq(0.8, 0.1, 0.1)
@@ -757,6 +760,13 @@ object ExtQueries {
         .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
     "dedup_jaccard" -> ((s, dir) =>
       jaccardShared(s, dir).orderBy("da", "db")),
+    // multiset Jaccard: Σmin/Σmax over gram MULTIPLICITIES — the form
+    // that distinguishes "contains the template once" from "is 50
+    // copies of the template"; exact BIGINT counts, one final division
+    "dedup_jaccard_weighted" -> ((s, dir) =>
+      Dedup.jaccardWeightedPairs(t(s, dir, "documents"), "doc_id", "text",
+          WJACCARD_TAU)
+        .orderBy("da", "db")),
     // PPJoin prefix filtering: same pairs as dedup_jaccard, but the
     // inverted index posts only each doc's rarity-ordered prefix —
     // exact recall by the pigeonhole principle (rational ⌈t·n⌉, never
@@ -2239,6 +2249,21 @@ object ExtQueries {
          |  FROM e a JOIN e b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2)
          |SELECT da, db, common, na, nb, common/(na+nb-common) AS j
          |FROM pairs WHERE common/(na+nb-common) >= $JACCARD_TAU
+         |ORDER BY da, db""".stripMargin,
+    // weighted-jaccard mirror: identical gram multiplicities (no
+    // list_distinct), Σmin pair fold, exact totals, one division
+    "dedup_jaccard_weighted" ->
+      s"""WITH $shsCte,
+         |g AS (SELECT id, unnest(shs) AS h FROM s),
+         |gc AS (SELECT id, h, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+         |tt AS (SELECT id, CAST(sum(c) AS BIGINT) AS n FROM gc GROUP BY 1),
+         |p AS (SELECT a.id AS da, b.id AS db,
+         |    CAST(sum(LEAST(a.c, b.c)) AS BIGINT) AS wcommon
+         |  FROM gc a JOIN gc b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2)
+         |SELECT da, db, wcommon, ta.n AS na, tb.n AS nb,
+         |  wcommon/(ta.n + tb.n - wcommon) AS wj
+         |FROM p JOIN tt ta ON ta.id = da JOIN tt tb ON tb.id = db
+         |WHERE wcommon/(ta.n + tb.n - wcommon) >= $WJACCARD_TAU
          |ORDER BY da, db""".stripMargin,
     // PPJoin mirror: identical df-rarity prefix rule (integer ⌈3n∕5⌉ =
     // (3n+4)//5), prefix-only self-join, exact list-intersect verify

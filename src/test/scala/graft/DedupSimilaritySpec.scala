@@ -651,4 +651,25 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(byRn.map(_._4).toSeq.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
     }
   }
+
+  test("weighted jaccard: repetition-blind set form vs multiplicity-aware multiset form") {
+    import spark.implicits._
+    val template = "x y z w v"
+    val d = Seq(
+      (1L, Seq.fill(10)(template).mkString(" ")), // the template 10x
+      (2L, template),                             // the template once
+      (3L, Seq.fill(10)(template).mkString(" "))  // exact copy of 1
+    ).toDF("doc_id", "text")
+    // SET jaccard can't tell 10 copies from 1 copy apart beyond the
+    // repetition-boundary grams (j = 3/5 here)...
+    val setJ = Dedup.jaccardPairs(d, "doc_id", "text", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(math.abs(setJ((1L, 2L)) - 0.6) < 1e-9, setJ.toString)
+    // ...the MULTISET form collapses the ratio (sum-min 3 vs sum-max 48)
+    val wJ = Dedup.jaccardWeightedPairs(d, "doc_id", "text", 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(wJ((1L, 3L)) == 1.0, "exact copies score 1.0")
+    assert(wJ((1L, 2L)) < 0.1, s"template-once vs template-10x must collapse: ${wJ((1L, 2L))}")
+    assert(math.abs(wJ((1L, 2L)) - 3.0 / 48.0) < 1e-9, wJ.toString)
+  }
 }
