@@ -650,6 +650,71 @@ object Similarity {
     out.toSeq.toDF("round", "id", "d2")
   }
 
+  /** Product-quantization ANN (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search") — the memory-side of
+    * the classic ANN stack this library already carries (LSH buckets,
+    * IVF lists): vectors compress to M sub-space code IDs (here 4×16
+    * dims, K codes each → 4 small ints per vector instead of 64
+    * floats), and query distance is ADC — the sum of the query's exact
+    * per-subspace distances to each assigned codeword, read from a
+    * (M·K)-entry table instead of touching the vector.
+    *
+    * Determinism discipline: codewords are the `codebookK` lowest
+    * (seedHash, id) corpus vectors' subvectors (the [[ivfTopK]] seeding
+    * rule — no iterative k-means, so both engines derive the identical
+    * codebook), every distance is an exact BIGINT fixed-point subvector
+    * L2, assignment ties break on the lower codeword id and ranking
+    * ties on the lower vector id. ADC is therefore bit-reproducible and
+    * the DuckDB mirror replays it verbatim.
+    *
+    * Scale: encoding is one corpus pass against a broadcast codebook
+    * (M·K rows); the ranking window shuffles only (id, m, cid, d2)
+    * skinny rows — the PQ promise that the 100 TB corpus is visited
+    * once to encode and never again per query. The ADC join is
+    * (qid, m, cid)-keyed against the broadcast query table; accuracy is
+    * approximate BY DESIGN (quantization error) — pair with
+    * [[bruteForceTopK]] ground truth via a recall query to tune M/K. */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int, subspaces: Int = 4,
+      codebookK: Int = 16, dims: Int = 64): DataFrame = {
+    require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
+    val sub = dims / subspaces
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    val cb = fx.orderBy(seedHash(col("id")), col("id")).limit(codebookK)
+      .select(col("id").as("cid"), col("fx").as("cfx"))
+      .crossJoin(spark_range_m(df, subspaces))
+      .select(col("m"), col("cid"),
+        expr(s"slice(cfx, m * $sub + 1, $sub)").as("cvec"))
+    def subD2(vecCol: Column): Column =
+      aggregate(zip_with(vecCol, col("cvec"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    // encode: every corpus vector -> its nearest codeword per subspace
+    val enc0 = fx.crossJoin(broadcast(cb))
+      .select(col("id"), col("m"), col("cid"),
+        subD2(expr(s"slice(fx, m * $sub + 1, $sub)")).as("d2"))
+    val wEnc = Window.partitionBy(col("id"), col("m"))
+      .orderBy(col("d2"), col("cid"))
+    val codes = enc0.withColumn("__rn", row_number().over(wEnc))
+      .filter(col("__rn") === 1).select("id", "m", "cid")
+    // ADC table: the query's EXACT distance to every codeword
+    val qd = fx.filter(isQuery(col("id")))
+      .select(col("id").as("qid"), col("fx").as("qfx"))
+      .crossJoin(broadcast(cb))
+      .select(col("qid"), col("m"), col("cid"),
+        subD2(expr(s"slice(qfx, m * $sub + 1, $sub)")).as("qd2"))
+    val adc = codes.join(broadcast(qd), Seq("m", "cid"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy("qid", "id").agg(sum(col("qd2")).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("id"))
+    adc.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("id").as("vec_id"), col("adc"))
+  }
+
+  /** A tiny (0..m-1) frame for subspace expansion — one literal range. */
+  private def spark_range_m(df: DataFrame, m: Int): DataFrame =
+    df.sparkSession.range(m).select(col("id").cast("int").as("m"))
+
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
     * from one query's candidate pool, greedily pick k results trading
     * relevance against redundancy —

@@ -1548,6 +1548,14 @@ object ExtQueries {
       Similarity.ivfTopKRefined(t(s, dir, "embeddings"), "vec_id", "embedding",
         id => id < 5, k = 3, nCentroids = 16, nprobe = 2).orderBy("qid", "rn")),
 
+    "sim_pq_topk" -> ((s, dir) =>
+      // product-quantization ANN (ADC): vectors compress to 4 subspace
+      // codes against a hash-seeded codebook; query distance = sum of
+      // exact per-subspace BIGINT distances to the assigned codewords —
+      // one encode pass, broadcast codebook/ADC table, skinny shuffles
+      Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        id => id < 5, k = 3).orderBy("qid", "rn")),
+
     "sim_mmr" -> ((s, dir) =>
       // diversity-aware retrieval (Maximal Marginal Relevance): greedy
       // λ·rel − (1−λ)·redundancy picks over the top-relevance pool,
@@ -3010,6 +3018,33 @@ object ExtQueries {
          |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "sim_kcenter" -> Similarity.kCenterSql(KCENTER_K),
     "sim_mmr" -> Similarity.mmrSql(MMR_QID, MMR_POOL, MMR_K, MMR_LAMBDA),
+    // PQ/ADC mirror: identical hash-seeded codebook, per-subspace exact
+    // BIGINT L2 assignment ((d2, cid) ties), ADC sum, (adc, vid) rank
+    "sim_pq_topk" ->
+      s"""WITH $fxCte,
+         |cb0 AS (SELECT id AS cid, fx AS cfx FROM n
+         |  ORDER BY ${Similarity.seedHashSql("id")}, id LIMIT 16),
+         |ms AS (SELECT unnest(generate_series(0, 3)) AS m),
+         |cb AS (SELECT m, cid, cfx[m*16+1 : m*16+16] AS cvec FROM cb0, ms),
+         |enc0 AS (SELECT n.id, cb.m, cb.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (n.fx[cb.m*16+i] - cb.cvec[i]) * (n.fx[cb.m*16+i] - cb.cvec[i]))) AS BIGINT) AS d2
+         |  FROM n, cb),
+         |codes AS (SELECT id, m, cid FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
+         |  FROM enc0) WHERE rn = 1),
+         |qd AS (SELECT q.id AS qid, cb.m, cb.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (q.fx[cb.m*16+i] - cb.cvec[i]) * (q.fx[cb.m*16+i] - cb.cvec[i]))) AS BIGINT) AS qd2
+         |  FROM n q, cb WHERE q.id < 5),
+         |adc AS (SELECT qd.qid, codes.id AS vid, CAST(sum(qd.qd2) AS BIGINT) AS adc
+         |  FROM codes JOIN qd ON codes.m = qd.m AND codes.cid = qd.cid
+         |  WHERE codes.id <> qd.qid GROUP BY 1, 2),
+         |r AS (SELECT qid, vid, adc,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS BIGINT) AS rn
+         |  FROM adc)
+         |SELECT qid, rn, vid AS vec_id, adc FROM r WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
     // RRF mirror: one dot/norm pass, two rank windows (cosine DESC /
     // integer L2 ASC, vid tie-breaks), integer 1e6//(60+rank) fusion
     "sim_rrf_fusion" ->

@@ -672,4 +672,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(wJ((1L, 2L)) < 0.1, s"template-once vs template-10x must collapse: ${wJ((1L, 2L))}")
     assert(math.abs(wJ((1L, 2L)) - 3.0 / 48.0) < 1e-9, wJ.toString)
   }
+
+  test("pqTopK: with every vector a codeword, ADC degenerates to exact L2 order") {
+    import spark.implicits._
+    // 16 distinct one-hot-scaled vectors with codebookK=16: the seed
+    // draw takes ALL of them, each encodes to itself (zero subspace
+    // distance), so ADC(q,v) == exact L2^2(q,v) and the PQ ranking must
+    // equal the brute L2 ranking: for query i, neighbors in id order
+    // (distance (i+1)^2 + (j+1)^2 is increasing in j)
+    val v = (0 until 16).map { i =>
+      val a = Array.fill(64)(0.0f); a(i) = (i + 1).toFloat; (i.toLong, a)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(v, "vec_id", "embedding", id => id < 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L),
+      (1L, 1L, 0L), (1L, 2L, 2L), (1L, 3L, 3L)), got.toSeq.toString)
+  }
+
+  test("pqTopK on the fixture: k rows per query, ADC non-decreasing, approximate recall > 0") {
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", id => id < 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pq.groupBy(_._1).forall(_._2.length == 3))
+    pq.groupBy(_._1).foreach { case (_, rows) =>
+      val byRn = rows.sortBy(_._2).map(_._4)
+      assert(byRn.zip(byRn.tail).forall { case (a, b) => a <= b })
+    }
+    // PQ is approximate BY DESIGN; on the fixed fixture it must still
+    // find at least one true (brute cosine) top-3 neighbor overall
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", _ < 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = pq.count(p => truth((p._1, p._3)))
+    assert(hits >= 1, s"PQ found $hits of ${truth.size} true neighbors")
+  }
 }
