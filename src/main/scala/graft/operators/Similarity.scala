@@ -680,28 +680,9 @@ object Similarity {
     require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
     val sub = dims / subspaces
     val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
-    val cb = fx.orderBy(seedHash(col("id")), col("id")).limit(codebookK)
-      .select(col("id").as("cid"), col("fx").as("cfx"))
-      .crossJoin(spark_range_m(df, subspaces))
-      .select(col("m"), col("cid"),
-        expr(s"slice(cfx, m * $sub + 1, $sub)").as("cvec"))
-    def subD2(vecCol: Column): Column =
-      aggregate(zip_with(vecCol, col("cvec"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
-    // encode: every corpus vector -> its nearest codeword per subspace
-    val enc0 = fx.crossJoin(broadcast(cb))
-      .select(col("id"), col("m"), col("cid"),
-        subD2(expr(s"slice(fx, m * $sub + 1, $sub)")).as("d2"))
-    val wEnc = Window.partitionBy(col("id"), col("m"))
-      .orderBy(col("d2"), col("cid"))
-    val codes = enc0.withColumn("__rn", row_number().over(wEnc))
-      .filter(col("__rn") === 1).select("id", "m", "cid")
-    // ADC table: the query's EXACT distance to every codeword
-    val qd = fx.filter(isQuery(col("id")))
-      .select(col("id").as("qid"), col("fx").as("qfx"))
-      .crossJoin(broadcast(cb))
-      .select(col("qid"), col("m"), col("cid"),
-        subD2(expr(s"slice(qfx, m * $sub + 1, $sub)")).as("qd2"))
+    val cb = pqCodebook(fx, subspaces, codebookK, sub)
+    val codes = pqCodes(fx, cb, sub)
+    val qd = pqAdcTable(fx, isQuery, cb, sub)
     val adc = codes.join(broadcast(qd), Seq("m", "cid"))
       .filter(col("id") =!= col("qid"))
       .groupBy("qid", "id").agg(sum(col("qd2")).as("adc"))
@@ -711,9 +692,85 @@ object Similarity {
       .select(col("qid"), col("rn"), col("id").as("vec_id"), col("adc"))
   }
 
-  /** A tiny (0..m-1) frame for subspace expansion — one literal range. */
-  private def spark_range_m(df: DataFrame, m: Int): DataFrame =
-    df.sparkSession.range(m).select(col("id").cast("int").as("m"))
+  /** IVF-PQ (Jégou et al. 2011 §IV) — THE production ANN architecture
+    * at corpus scale: IVF probe lists bound WHICH vectors a query
+    * touches (≈ nprobe·√n instead of n), PQ codes bound WHAT is read
+    * per touched vector (M small ints instead of the raw vector). The
+    * deterministic building blocks are exactly [[ivfTopK]]'s seeded
+    * coarse quantizer and [[pqTopK]]'s seeded codebook + exact-BIGINT
+    * ADC, so the composition stays bit-reproducible and oracle-exact.
+    *
+    * Plan shape: one corpus pass assigns lists (broadcast centroids),
+    * one encodes codes (broadcast codebook); per query the candidate
+    * set is the probe-list join and scoring is a broadcast (m, cid)
+    * table lookup — the raw vectors are never revisited after indexing. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int, nCentroids: Int = 16,
+      nprobe: Int = 2, subspaces: Int = 4, codebookK: Int = 16,
+      dims: Int = 64): DataFrame = {
+    require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
+    val sub = dims / subspaces
+    val ranked = ivfAssign(df, idCol, vecCol, nCentroids)
+      .filter(col("crn") <= math.max(1, nprobe)).cache()
+    val lists = ranked.filter(col("crn") === 1).select(col("cid"), col("id"))
+    val probes = ranked.filter(isQuery(col("id")))
+      .select(col("id").as("qid"), col("cid"))
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    val cb = pqCodebook(fx, subspaces, codebookK, sub)
+    val codes = pqCodes(fx, cb, sub)
+      .select(col("id"), col("m"), col("cid").as("code"))
+    val qd = pqAdcTable(fx, isQuery, cb, sub)
+      .select(col("qid"), col("m"), col("cid").as("code"), col("qd2"))
+    val cand = broadcast(probes).join(lists, Seq("cid"))
+      .filter(col("qid") =!= col("id")).select("qid", "id")
+    val adc = cand.join(codes, Seq("id"))
+      .join(broadcast(qd), Seq("qid", "m", "code"))
+      .groupBy("qid", "id").agg(sum(col("qd2")).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("id"))
+    adc.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("id").as("vec_id"), col("adc"))
+  }
+
+  /** PQ codebook: the `codebookK` lowest (seedHash, id) vectors'
+    * subvectors, one row per (m, cid) — broadcast-sized. private[graft]:
+    * the streaming encode twin fits it batch-side as its model artifact. */
+  private[graft] def pqCodebook(fx: DataFrame, subspaces: Int, codebookK: Int,
+      sub: Int): DataFrame =
+    fx.orderBy(seedHash(col("id")), col("id")).limit(codebookK)
+      .select(col("id").as("cid"), col("fx").as("cfx"))
+      .crossJoin(fx.sparkSession.range(subspaces)
+        .select(col("id").cast("int").as("m")))
+      .select(col("m"), col("cid"),
+        expr(s"slice(cfx, m * $sub + 1, $sub)").as("cvec"))
+
+  /** Exact BIGINT L2² between a subvector expression and the codebook
+    * row's `cvec`. */
+  private def pqSubD2(vecCol: Column): Column =
+    aggregate(zip_with(vecCol, col("cvec"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** PQ encoding: every vector's nearest codeword per subspace —
+    * (id, m, cid), ties to the lower cid. */
+  private def pqCodes(fx: DataFrame, cb: DataFrame, sub: Int): DataFrame = {
+    val enc0 = fx.crossJoin(broadcast(cb))
+      .select(col("id"), col("m"), col("cid"),
+        pqSubD2(expr(s"slice(fx, m * $sub + 1, $sub)")).as("d2"))
+    val wEnc = Window.partitionBy(col("id"), col("m"))
+      .orderBy(col("d2"), col("cid"))
+    enc0.withColumn("__rn", row_number().over(wEnc))
+      .filter(col("__rn") === 1).select("id", "m", "cid")
+  }
+
+  /** ADC table: each query's EXACT distance to every codeword —
+    * (qid, m, cid, qd2), M·K rows per query. */
+  private def pqAdcTable(fx: DataFrame, isQuery: Column => Column,
+      cb: DataFrame, sub: Int): DataFrame =
+    fx.filter(isQuery(col("id")))
+      .select(col("id").as("qid"), col("fx").as("qfx"))
+      .crossJoin(broadcast(cb))
+      .select(col("qid"), col("m"), col("cid"),
+        pqSubD2(expr(s"slice(qfx, m * $sub + 1, $sub)")).as("qd2"))
 
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
     * from one query's candidate pool, greedily pick k results trading

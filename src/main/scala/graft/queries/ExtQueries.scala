@@ -1548,6 +1548,15 @@ object ExtQueries {
       Similarity.ivfTopKRefined(t(s, dir, "embeddings"), "vec_id", "embedding",
         id => id < 5, k = 3, nCentroids = 16, nprobe = 2).orderBy("qid", "rn")),
 
+    "sim_ivfpq_topk" -> ((s, dir) =>
+      // IVF-PQ, the production corpus-scale ANN: probe lists bound WHICH
+      // vectors a query touches, PQ codes bound WHAT is read per touched
+      // vector; seeded coarse quantizer + seeded codebook keep the whole
+      // composition exact-BIGINT deterministic
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        id => id < 5, k = 3, nCentroids = 16, nprobe = 2)
+        .orderBy("qid", "rn")),
+
     "sim_pq_topk" -> ((s, dir) =>
       // product-quantization ANN (ADC): vectors compress to 4 subspace
       // codes against a hash-seeded codebook; query distance = sum of
@@ -3018,6 +3027,44 @@ object ExtQueries {
          |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "sim_kcenter" -> Similarity.kCenterSql(KCENTER_K),
     "sim_mmr" -> Similarity.mmrSql(MMR_QID, MMR_POOL, MMR_K, MMR_LAMBDA),
+    // IVF-PQ mirror: the sim_ivf_topk coarse-quantizer CTEs (probe-list
+    // candidates) composed with the sim_pq_topk codebook/codes/ADC CTEs
+    "sim_ivfpq_topk" ->
+      s"""WITH $fxCte,
+         |c AS (SELECT id AS ccid, fx AS ccfx, nrm AS ccnrm FROM n
+         |  ORDER BY ${Similarity.seedHashSql("id")}, id LIMIT 16),
+         |sc AS (SELECT n.id, c.ccid,
+         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c.ccfx[i])) AS BIGINT) + c.ccnrm AS d2
+         |  FROM n, c),
+         |rk AS (SELECT id, ccid, row_number() OVER (PARTITION BY id ORDER BY d2, ccid) AS crn FROM sc),
+         |il AS (SELECT ccid, id FROM rk WHERE crn = 1),
+         |pr AS (SELECT id AS qid, ccid FROM rk WHERE id < 5 AND crn <= 2),
+         |cand AS (SELECT pr.qid, il.id FROM pr JOIN il ON pr.ccid = il.ccid
+         |  WHERE il.id <> pr.qid),
+         |cb0 AS (SELECT id AS cid, fx AS cfx FROM n
+         |  ORDER BY ${Similarity.seedHashSql("id")}, id LIMIT 16),
+         |ms AS (SELECT unnest(generate_series(0, 3)) AS m),
+         |cb AS (SELECT m, cid, cfx[m*16+1 : m*16+16] AS cvec FROM cb0, ms),
+         |enc0 AS (SELECT n.id, cb.m, cb.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (n.fx[cb.m*16+i] - cb.cvec[i]) * (n.fx[cb.m*16+i] - cb.cvec[i]))) AS BIGINT) AS d2
+         |  FROM n, cb),
+         |codes AS (SELECT id, m, cid FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
+         |  FROM enc0) WHERE rn = 1),
+         |qd AS (SELECT q.id AS qid, cb.m, cb.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (q.fx[cb.m*16+i] - cb.cvec[i]) * (q.fx[cb.m*16+i] - cb.cvec[i]))) AS BIGINT) AS qd2
+         |  FROM n q, cb WHERE q.id < 5),
+         |adc AS (SELECT cand.qid, cand.id AS vid, CAST(sum(qd.qd2) AS BIGINT) AS adc
+         |  FROM cand JOIN codes ON codes.id = cand.id
+         |  JOIN qd ON qd.qid = cand.qid AND qd.m = codes.m AND qd.cid = codes.cid
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, vid, adc,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS BIGINT) AS rn
+         |  FROM adc)
+         |SELECT qid, rn, vid AS vec_id, adc FROM r WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
     // PQ/ADC mirror: identical hash-seeded codebook, per-subspace exact
     // BIGINT L2 assignment ((d2, cid) ties), ADC sum, (adc, vid) rank
     "sim_pq_topk" ->

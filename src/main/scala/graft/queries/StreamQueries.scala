@@ -423,6 +423,14 @@ object StreamQueries {
     "stream_merge_file" -> ((s, dir) =>
       StreamOps.mergeOnceFile(s, dir).orderBy("k")),
 
+    // ONLINE PQ index maintenance: the batch-fit codebook ships as plan
+    // literals and every arriving vector encodes to its M nearest
+    // codewords in one stateless projection (exact-BIGINT distances,
+    // lower-cid ties) — append mode, zero state; rows == the batch
+    // PQ codes, so the oracle is the codes CTE chain verbatim
+    "stream_pq_encode" -> ((s, dir) =>
+      StreamOps.pqEncodeOnce(s, dir).orderBy("id", "m")),
+
     // ONLINE domain quota: per-domain ValueState kept-count, first-come
     // admission in doc_id order across TWO replay batches — the crawl
     // frontier's "stop a template-heavy domain the moment its quota
@@ -747,6 +755,23 @@ object StreamQueries {
          |SELECT k, CASE WHEN op = 'upsert' THEN sv ELSE tv END AS v
          |FROM m WHERE op IS NULL OR op = 'upsert'
          |ORDER BY k""".stripMargin,
+    "stream_pq_encode" ->
+      s"""WITH f AS (SELECT vec_id AS id,
+         |    ${graft.operators.Similarity.fixedPointSql("embedding")} AS fx
+         |  FROM embeddings),
+         |cb0 AS (SELECT id AS cid, fx AS cfx FROM f
+         |  ORDER BY ${graft.operators.Similarity.seedHashSql("id")}, id LIMIT 16),
+         |ms AS (SELECT unnest(generate_series(0, 3)) AS m),
+         |cb AS (SELECT m, cid, cfx[m*16+1 : m*16+16] AS cvec FROM cb0, ms),
+         |enc0 AS (SELECT f.id, cb.m, cb.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (f.fx[cb.m*16+i] - cb.cvec[i]) * (f.fx[cb.m*16+i] - cb.cvec[i]))) AS BIGINT) AS d2
+         |  FROM f, cb),
+         |codes AS (SELECT id, m, cid FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
+         |  FROM enc0) WHERE rn = 1)
+         |SELECT id, CAST(m AS BIGINT) AS m, cid FROM codes
+         |ORDER BY id, m""".stripMargin,
     "stream_domain_cap" ->
       """WITH tagged AS (SELECT doc_id,
         |  'site' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS domain

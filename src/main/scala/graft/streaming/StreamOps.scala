@@ -469,6 +469,57 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming PQ encoding — index MAINTENANCE at ingestion time: the
+    * product-quantization codebook is fitted batch-side (the model
+    * artifact, [[graft.operators.Similarity.pqCodebook]]'s seeded
+    * subvector table) and ships as plan literals; every arriving vector
+    * is encoded to its M nearest-codeword ids in one stateless
+    * projection — per subspace an `array_min` over (d2, cid) structs,
+    * so the (exact-BIGINT distance, lower-cid) tie rule is the batch
+    * rule verbatim. Append mode, zero state, zero shuffle: the
+    * production shape for keeping a PQ index current as a corpus
+    * ingests, and the twin emits exactly the batch code rows (shares
+    * the codes-CTE oracle). */
+  def pqEncodeOnce(spark: SparkSession, dir: String, subspaces: Int = 4,
+      codebookK: Int = 16, dims: Int = 64,
+      sinkName: String = "stream_pq_sink"): DataFrame = {
+    val sub = dims / subspaces
+    val batch = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cbRows = graft.operators.Similarity
+      .pqCodebook(graft.operators.Similarity.fixedPoint(
+        batch, "vec_id", "embedding"), subspaces, codebookK, sub)
+      .collect() // M·K rows — the bounded model artifact, like the DSIR table
+    val byM = cbRows.groupBy(_.getInt(0))
+    val tmp = linkedDir(dir, "embeddings")
+    val src = spark.readStream.schema(batch.schema).parquet(tmp)
+    val fx = graft.operators.Similarity.fixedPoint(src, "vec_id", "embedding")
+    val codeStructs = (0 until subspaces).map { m =>
+      val cands = byM(m).sortBy(_.getLong(1)).map { row =>
+        val cid = row.getLong(1)
+        val cvec = row.getSeq[Long](2)
+        val d2 = aggregate(
+          zip_with(expr(s"slice(fx, ${m * sub + 1}, $sub)"),
+            array(cvec.map(lit): _*), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+        struct(d2.as("d2"), lit(cid).as("cid"))
+      }
+      struct(lit(m.toLong).as("m"),
+        array_min(array(cands.toIndexedSeq: _*)).getField("cid").as("cid"))
+    }
+    val out = fx.select(col("id"),
+        explode(array(codeStructs.toIndexedSeq: _*)).as("p"))
+      .select(col("id"), col("p.m").as("m"), col("p.cid").as("cid"))
+    withHarnessConf(spark, "4") { ckpt =>
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName)
+  }
+
   /** Run `body` with the RocksDB state-store provider (required by the
     * transformWithState API, and the production provider for state
     * larger than executor heap), restoring the previous provider conf

@@ -706,4 +706,25 @@ class DedupSimilaritySpec extends SparkSpec {
     val hits = pq.count(p => truth((p._1, p._3)))
     assert(hits >= 1, s"PQ found $hits of ${truth.size} true neighbors")
   }
+
+  test("ivfPqTopK with nprobe covering every list degenerates to plain pqTopK") {
+    // candidates = whole corpus when every list is probed, and both
+    // paths share the seeded codebook + exact ADC, so the results must
+    // be IDENTICAL rows
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val full = rows(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      id => id < 3, k = 3, nCentroids = 4, nprobe = 4))
+    val pq = rows(Similarity.pqTopK(emb, "vec_id", "embedding",
+      id => id < 3, k = 3))
+    assert(full == pq, s"ivfpq(all-lists) ${full.toSeq.sorted} != pq ${pq.toSeq.sorted}")
+    // and with a REAL probe budget the candidates shrink: results are
+    // k rows per query, drawn only from probed lists (subset property
+    // checked implicitly by determinism vs the oracle; here just shape)
+    val pruned = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      id => id < 3, k = 3, nCentroids = 16, nprobe = 2)
+      .collect()
+    assert(pruned.groupBy(_.getLong(0)).forall(_._2.length == 3))
+  }
 }
