@@ -195,4 +195,32 @@ object Warehouse {
         when(col("old_v").isNull, lit("added"))
           .when(col("new_v").isNull, lit("removed"))
           .otherwise(lit("changed")).as("change"))
+
+  /** Join-key SKEW audit — the diagnostic that justifies (or rules out)
+    * salting before a big shuffle: the top-k heaviest keys with their
+    * share of the table and their skew factor cnt∕mean in micro units
+    * (cnt·n_keys·1e6 div total — all-BIGINT, truncating div, so both
+    * engines agree bit-for-bit). A skew_micro of 1 000 000 is a
+    * perfectly uniform key; AQE's skew-join splitter targets ~5× — keys
+    * above that are the salting candidates this report names.
+    *
+    * Scale: ONE map-side-combined count per key (the same aggregate the
+    * eventual join's shuffle would do), a 1-row total frame broadcast
+    * back, and TakeOrdered for the top-k — the corpus shuffles once,
+    * the report frame is k rows. */
+  def skewAudit(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be positive: $topK")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("cnt").desc, col(keyCol)).limit(topK)
+    // the rank window runs over the k-row top frame, not the key space
+    val w = Window.orderBy(col("cnt").desc, col(keyCol))
+    top.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col(keyCol), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_micro"),
+        expr("cnt * n_keys * 1000000 div total").as("skew_micro"),
+        col("n_keys"), col("total"))
+  }
 }

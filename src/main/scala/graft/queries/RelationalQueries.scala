@@ -705,6 +705,13 @@ object RelationalQueries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Join-key skew audit: top-10 heaviest user_ids with share and
+    // cnt/mean skew factor in exact micro units — the report that
+    // justifies (or rules out) salting before the shuffle
+    "rel_skew_audit" -> ((s, dir) =>
+      graft.operators.Warehouse.skewAudit(t(s, dir, "events"), "user_id", 10)
+        .orderBy("rank")),
+
     // Data-quality constraint suite (the Deequ/Great-Expectations shape
     // as ONE aggregate): completeness, key uniqueness, domain
     // cardinality, and range checks computed in a single partial+final
@@ -1794,6 +1801,21 @@ object RelationalQueries {
          |SELECT cohort_week, week_offset, count(*) AS n_active
          |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    // skew-audit mirror: identical per-key counts, (cnt DESC, key)
+    // rank, and all-BIGINT truncating micro divisions
+    "rel_skew_audit" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS n_keys FROM c),
+        |r AS (SELECT user_id, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT rank, user_id, cnt,
+        |  (cnt * 1000000) // total AS share_micro,
+        |  (cnt * n_keys * 1000000) // total AS skew_micro,
+        |  n_keys, total
+        |FROM r, t WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "rel_data_checks" ->
       """WITH a AS (SELECT count(*) AS n, count(l_returnflag) AS n_rf,
         |    count(DISTINCT (l_orderkey, l_linenumber)) AS n_key,

@@ -423,6 +423,13 @@ object StreamQueries {
     "stream_merge_file" -> ((s, dir) =>
       StreamOps.mergeOnceFile(s, dir).orderBy("k")),
 
+    // ONLINE tokenizer-coverage tagging: the batch-fit top-k vocabulary
+    // ships as a plan literal; each arriving doc is tagged with token /
+    // OOV counts in one stateless projection — the live feed of the
+    // batch text_oov_rate (its per-source aggregate reproduces it)
+    "stream_oov_tag" -> ((s, dir) =>
+      StreamOps.oovTagOnce(s, dir, 50).orderBy("id")),
+
     // ONLINE PQ index maintenance: the batch-fit codebook ships as plan
     // literals and every arriving vector encodes to its M nearest
     // codewords in one stateless projection (exact-BIGINT distances,
@@ -755,6 +762,16 @@ object StreamQueries {
          |SELECT k, CASE WHEN op = 'upsert' THEN sv ELSE tv END AS v
          |FROM m WHERE op IS NULL OR op = 'upsert'
          |ORDER BY k""".stripMargin,
+    "stream_oov_tag" ->
+      """WITH w AS (SELECT doc_id AS id, string_split(text,' ') AS ws FROM documents),
+        |v AS (SELECT token FROM (SELECT token, count(*) AS c
+        |    FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+        |    GROUP BY 1)
+        |  ORDER BY c DESC, token LIMIT 50),
+        |vl AS (SELECT list(token) AS vt FROM v)
+        |SELECT id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(ws, x -> NOT list_contains(vt, x))) AS BIGINT) AS n_oov
+        |FROM w, vl ORDER BY id""".stripMargin,
     "stream_pq_encode" ->
       s"""WITH f AS (SELECT vec_id AS id,
          |    ${graft.operators.Similarity.fixedPointSql("embedding")} AS fx

@@ -520,6 +520,38 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming OOV tagging — tokenizer-coverage monitoring at ingestion
+    * time: the corpus top-k vocabulary is fitted batch-side (the model
+    * artifact, same (count DESC, token) rule as
+    * [[graft.operators.TextAnalysis.vocab]]) and ships as a plan
+    * literal; every arriving document is tagged with its token and
+    * out-of-vocabulary counts in ONE stateless projection (a `filter`
+    * HOF against the literal array) — append mode, zero state, zero
+    * shuffle. The live feed of the batch [[graft.operators.TextAnalysis.oovRate]]:
+    * aggregating the emitted counts per source reproduces it exactly. */
+  def oovTagOnce(spark: SparkSession, dir: String, k: Int,
+      sinkName: String = "stream_oov_sink"): DataFrame = {
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+    val vocab = graft.operators.TextAnalysis.vocab(batch, "text", k)
+      .collect().map(_.getString(0)) // k strings — the bounded artifact
+    val tmp = linkedDir(dir, "documents")
+    val src = spark.readStream.schema(batch.schema).parquet(tmp)
+    val ws = split(col("text"), " ")
+    val vlit = array(vocab.toIndexedSeq.map(lit): _*)
+    val out = src.select(col("doc_id").as("id"),
+      size(ws).cast("long").as("n_tokens"),
+      size(filter(ws, w => !array_contains(vlit, w))).cast("long").as("n_oov"))
+    withHarnessConf(spark, "4") { ckpt =>
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName)
+  }
+
   /** Run `body` with the RocksDB state-store provider (required by the
     * transformWithState API, and the production provider for state
     * larger than executor heap), restoring the previous provider conf
