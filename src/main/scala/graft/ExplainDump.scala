@@ -68,7 +68,12 @@ object ExplainDump {
     // round 13
     "sim_mmr", "sim_rrf_fusion", "sim_recall_at_k", "text_oov_rate",
     "o4_groupby_by_index", "dedup_jaccard_weighted", "sim_pq_topk",
-    "sim_ivfpq_topk")
+    "sim_ivfpq_topk",
+    // round 14: the skew-audit relational query plus the five members
+    // of the r13 drift cluster not already frozen above — so the next
+    // round's diff can rule plan changes in or out in one look
+    "rel_skew_audit", "feat_one_hot", "feat_zscore", "mm_phash",
+    "layout_zorder", "mix_nb_classify")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

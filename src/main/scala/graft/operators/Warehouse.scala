@@ -219,8 +219,15 @@ object Warehouse {
     top.crossJoin(broadcast(tot))
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col(keyCol), col("cnt"),
-        expr("cnt * 1000000 div total").as("share_micro"),
-        expr("cnt * n_keys * 1000000 div total").as("skew_micro"),
+        // DECIMAL(38,0) intermediates: cnt·n_keys·1e6 wraps BIGINT once
+        // cnt·n_keys exceeds ~9.2e12 (a 1M-row hot key over 10M keys —
+        // inside the 100 TB envelope); the widened product div is still
+        // truncating and lands back in BIGINT, so the DuckDB mirror
+        // (HUGEINT product, // , CAST AS BIGINT) agrees bit-for-bit
+        expr("cast(cnt as decimal(38,0)) * 1000000 div total")
+          .as("share_micro"),
+        expr("cast(cnt as decimal(38,0)) * n_keys * 1000000 div total")
+          .as("skew_micro"),
         col("n_keys"), col("total"))
   }
 }

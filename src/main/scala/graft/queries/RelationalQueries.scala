@@ -1802,7 +1802,8 @@ object RelationalQueries {
          |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
     // skew-audit mirror: identical per-key counts, (cnt DESC, key)
-    // rank, and all-BIGINT truncating micro divisions
+    // rank, and widened (HUGEINT == Spark DECIMAL(38,0)) truncating
+    // micro divisions cast back to BIGINT
     "rel_skew_audit" ->
       """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
         |  FROM events GROUP BY 1),
@@ -1812,8 +1813,10 @@ object RelationalQueries {
         |  CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rank
         |  FROM c)
         |SELECT rank, user_id, cnt,
-        |  (cnt * 1000000) // total AS share_micro,
-        |  (cnt * n_keys * 1000000) // total AS skew_micro,
+        |  CAST((CAST(cnt AS HUGEINT) * 1000000) // total AS BIGINT)
+        |    AS share_micro,
+        |  CAST((CAST(cnt AS HUGEINT) * n_keys * 1000000) // total AS BIGINT)
+        |    AS skew_micro,
         |  n_keys, total
         |FROM r, t WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "rel_data_checks" ->

@@ -483,6 +483,8 @@ object StreamOps {
   def pqEncodeOnce(spark: SparkSession, dir: String, subspaces: Int = 4,
       codebookK: Int = 16, dims: Int = 64,
       sinkName: String = "stream_pq_sink"): DataFrame = {
+    require(dims % subspaces == 0,
+      s"dims ($dims) must divide evenly into subspaces ($subspaces)")
     val sub = dims / subspaces
     val batch = spark.read.parquet(s"$dir/embeddings.parquet")
     val cbRows = graft.operators.Similarity
@@ -1002,9 +1004,12 @@ object StreamOps {
       val stage = tmp.resolve(s"__stage$wave")
       feed.filter(col("seq") === wave).coalesce(1)
         .write.mode("overwrite").parquet(stage.toString)
-      val part = java.nio.file.Files.list(stage).iterator()
-      val it = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
-      val src = it.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      val listing = java.nio.file.Files.list(stage)
+      val src = try {
+        scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator())
+          .asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      } finally listing.close()
       require(src.size == 1, s"expected one part file per wave, got $src")
       val dst = tmp.resolve(f"wave$wave%02d.parquet")
       java.nio.file.Files.move(src.head, dst)
