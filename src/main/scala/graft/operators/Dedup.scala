@@ -122,7 +122,9 @@ object Dedup {
     * document-frequency order. Split out of [[jaccardPairsPrefix]] so
     * its plan (map-side partial_count on the df aggregate, equi-joins
     * only) stays auditable — inside the operator the frame sits behind
-    * a localCheckpoint, which renders downstream as an RDD scan. */
+    * a cache() (InMemoryRelation, which keeps the size stats AQE needs
+    * to broadcast the verify joins); this helper exposes the pre-cache
+    * plan. */
   private[graft] def prefixPostings(docs: DataFrame, tauNum: Int,
       tauDen: Int): DataFrame = {
     val inv = docs.select(col("id"), col("nd"), explode(col("ds")).as("h"))
@@ -133,7 +135,9 @@ object Dedup {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <=
         col("nd") - expr(s"($tauNum * nd + ${tauDen - 1}) div $tauDen") + 1)
-      .select(col("id"), col("nd"), col("h"))
+      // pos = the token's 1-based rank under the global (df, h) order —
+      // carried for the PPJoin positional filter downstream
+      .select(col("id"), col("nd"), col("h"), col("__rn").cast("long").as("pos"))
   }
 
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
@@ -156,11 +160,33 @@ object Dedup {
     // localCheckpoint/cache destabilize AQE stats and a per-gram
     // collect_list + HOF pair expansion runs 2x SLOWER than the join —
     // the codegen'd equi-join wins despite the double pipeline.)
-    val cand = pref.select(col("id").as("da"), col("nd").as("__na"), col("h"))
-      .join(pref.select(col("id").as("db"), col("nd").as("__nb"), col("h")), Seq("h"))
+    // POSITIONAL filter (Xiao et al.'s ppjoin refinement of All-Pairs):
+    // a token matched at 1-based ranks (pa, pb) under the shared global
+    // (df, h) order bounds the overlap EXACTLY — common tokens strictly
+    // before it number ≤ min(pa,pb)−1 (both docs are sorted by the same
+    // order), and common tokens from it on number ≤ min(na−pa, nb−pb)+1,
+    // so c ≤ min(pa,pb) + min(na−pa, nb−pb). J ≥ t ⇔ c·(num+den) ≥
+    // num·(na+nb), so a match whose bound falls below α := ⌈num·(na+nb)
+    // ∕ (num+den)⌉ cannot witness a qualifying pair and is dropped
+    // BEFORE the distinct — for a TRUE pair every matched token's bound
+    // ≥ c ≥ α, so recall stays exact; all-BIGINT cross-multiplied, no
+    // division. Applied per ROW, not as a per-pair min-aggregate: the
+    // min-agg form (group by pair, prune on the tightest bound) was
+    // measured 3× slower than distinct() for 0.03% extra pruning, while
+    // this row form is one codegen'd comparison inside the join stage
+    // (SCALING.md round 14: 193 244 → 190 549 candidates at sf0.1 —
+    // long-doc corpora give the prefix itself most of the pruning; the
+    // filter's value grows as docs shorten).
+    val cand = pref.select(col("id").as("da"), col("nd").as("__na"),
+        col("h"), col("pos").as("__pa"))
+      .join(pref.select(col("id").as("db"), col("nd").as("__nb"),
+        col("h"), col("pos").as("__pb")), Seq("h"))
       .filter(col("da") < col("db") &&
         col("__nb") * tauDen >= col("__na") * tauNum &&
         col("__na") * tauDen >= col("__nb") * tauNum)
+      .filter((least(col("__pa"), col("__pb")) +
+        least(col("__na") - col("__pa"), col("__nb") - col("__pb"))) *
+        (tauNum + tauDen) >= (col("__na") + col("__nb")) * tauNum)
       .select("da", "db").distinct()
     cand
       .join(docs.select(col("id").as("da"), col("nd").as("na"),

@@ -806,9 +806,9 @@ class PlanAuditSpec extends SparkSpec {
     val p = fmt(graft.queries.ExtQueries.queries("dedup_jaccard_prefix")(spark, sf001))
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
-    // the df-rank aggregate sits behind the postings localCheckpoint in
-    // the full query plan (renders as an RDD scan), so its map-side
-    // combine is audited on the exposed stage directly
+    // the df-rank aggregate sits behind the shingle-frame cache in the
+    // full query plan (renders as an InMemoryRelation), so its map-side
+    // combine is audited on the exposed pre-cache stage directly
     val docs = graft.operators.Dedup.shingleDocs(
       graft.queries.Tables.t(spark, sf001, "documents"), "doc_id", "text")
     val pp = fmt(graft.operators.Dedup.prefixPostings(docs, 3, 5))
