@@ -343,14 +343,24 @@ object Bench {
     // Second-pass retimes: on a healthy host pass 2 ≈ pass 1 (same plan,
     // warm JIT); on a decayed host the first-pass tail collapses (r10:
     // dedup_span 72.4s scraped vs 2.2s re-run, same commit, same box).
-    // Retime the N slowest PLUS every query over the 3s noise floor —
+    // Retime the N slowest PLUS every query over the noise floor —
     // r12 showed same-code first-pass walls disagreeing 27x on single
     // queries (o2_row_expand 0.98s vs 26.38s), so the noisy tail must be
-    // fully covered, not top-16-covered.
+    // fully covered, not top-16-covered. The floor dropped 3.0 → 1.0 in
+    // r14: the r13 "8-query drift cluster" verdict item traced to
+    // sub-3s queries whose single first-pass sample became the committed
+    // number (same-JVM reps of one such query walked 2.97–30.9 s;
+    // SCALING.md round 14) — any wall over the floor now buys itself a
+    // retime, so a noise spike on a small query self-corrects instead
+    // of shipping. Healthy sub-floor walls stay single-sample: a query
+    // that IS sub-second can't spike without crossing the floor.
     val retimeN = sys.env.getOrElse("SPARK_GRAFT_RETIME_N", "16").toInt
+    val retimeFloor =
+      sys.env.getOrElse("SPARK_GRAFT_RETIME_FLOOR", "1.0").toDouble
     val byWall = results.filter(_._2 >= 0).sortBy(-_._2)
     val retimeTargets =
-      byWall.take(retimeN) ++ byWall.drop(retimeN).takeWhile(_._2 > 3.0)
+      byWall.take(retimeN) ++
+        byWall.drop(retimeN).takeWhile(_._2 > retimeFloor)
     val secondPass = retimeTargets
       .map { case (name, _) =>
         val t0 = System.nanoTime()
