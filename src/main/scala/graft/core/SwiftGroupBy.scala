@@ -23,12 +23,29 @@ import org.apache.spark.sql.types._
   * logic can't accurately estimate groupby applies",
   * swifter/swifter.py:638).
   */
-final class SwiftGroupBy(sw: Swift, by: Seq[String], subset: Option[Seq[String]]) {
+final class SwiftGroupBy(sw: Swift, by: Seq[String], subset: Option[Seq[String]],
+    dropNulls: Boolean = false) {
   private def df: DataFrame = sw.df
 
   /** `groupby(by)[cols]` column-subset projection
     * (`__getitem__`, swifter/swifter.py:584-586). */
-  def select(cols: String*): SwiftGroupBy = new SwiftGroupBy(sw, by, Some(cols.toSeq))
+  def select(cols: String*): SwiftGroupBy =
+    new SwiftGroupBy(sw, by, Some(cols.toSeq), dropNulls)
+
+  /** pandas `groupby(by, dropna=...)` parity (the reference forwards the
+    * kwarg verbatim, swifter/swifter.py:523-534): pandas' DEFAULT
+    * dropna=True silently drops rows whose group key is NULL, while
+    * Spark keeps them as a NULL-key group — the one forwarded groupby
+    * kwarg a curation user actually hits (NULL join keys are routine in
+    * scraped data). `dropna(true)` filters NULL-key rows BEFORE the
+    * shuffle (the filter sits under the exchange, so dropped rows never
+    * move); the engine default stays Spark's keep-NULL semantics
+    * (= pandas dropna=False), matching the K4-style documented
+    * divergence. Applies to the grouped paths ([[apply]], [[applyAuto]],
+    * [[agg]]); [[transform]] is length-preserving by contract, so NULL
+    * keys there stay a window group, as in pandas transform output. */
+  def dropna(flag: Boolean = true): SwiftGroupBy =
+    new SwiftGroupBy(sw, by, subset, flag)
 
   /** pandas `groupby(by).rolling(n)`: a count window per group — sugar
     * over the O5 machinery with the group keys as the window partition. */
@@ -40,8 +57,12 @@ final class SwiftGroupBy(sw: Swift, by: Seq[String], subset: Option[Seq[String]]
   def resample(rule: String, tsCol: String): SwiftResample =
     sw.resample(rule, tsCol).by(by: _*)
 
-  private def inputDf: DataFrame =
-    subset.fold(df)(cols => df.select((by ++ cols).distinct.map(col).toIndexedSeq: _*))
+  private def inputDf: DataFrame = {
+    val base =
+      subset.fold(df)(cols => df.select((by ++ cols).distinct.map(col).toIndexedSeq: _*))
+    if (dropNulls) base.filter(by.map(col(_).isNotNull).reduce(_ && _))
+    else base
+  }
 
   /** Arbitrary per-group function: receives the key Row (fields = `by`)
     * and all rows of the group; may return any number of rows of

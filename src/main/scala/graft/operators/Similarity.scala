@@ -798,20 +798,34 @@ object Similarity {
       poolN: Int, k: Int, lambdaMicro: Long): DataFrame = {
     require(k >= 1 && poolN >= k, s"need poolN >= k >= 1, got $poolN/$k")
     require(lambdaMicro > 0 && lambdaMicro < 1000000L, "lambda in (0,1) micro")
-    val spark = df.sparkSession
     val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
     val qRows = fx.filter(col("id") === qid).collect()
     require(qRows.nonEmpty, s"query id $qid not found")
-    def cosMicroTo(vec: Seq[Long], nrm: Long): Column =
-      round(lit(1e6) * cosine(col("fx"), array(vec.map(lit): _*),
-        col("nrm"), lit(nrm))).cast("long")
     val qfx = qRows(0).getSeq[Long](1)
     val qn = qRows(0).getLong(2)
-    var cur = fx.filter(col("id") =!= qid)
+    val cur0 = fx.filter(col("id") =!= qid)
       .withColumn("rel", cosMicroTo(qfx, qn))
       .orderBy(col("rel").desc, col("id")).limit(poolN)
       .withColumn("mmax", lit(0L))
       .localCheckpoint(eager = false)
+    mmrRounds(cur0, k, lambdaMicro)
+  }
+
+  /** µ-cosine of the frame's (fx, nrm) columns against one literal
+    * vector — the quantization both MMR pools and rounds share. */
+  private def cosMicroTo(vec: Seq[Long], nrm: Long): Column =
+    round(lit(1e6) * cosine(col("fx"), array(vec.map(lit): _*),
+      col("nrm"), lit(nrm))).cast("long")
+
+  /** The greedy tail shared by [[mmrSelect]] and [[mmrSelectIvf]]:
+    * `cur0` carries (id, fx, nrm, rel, mmax = 0); k bounded driver
+    * rounds each collect exactly ONE row, mmax folds as a running
+    * greatest, every intermediate frame is a lazy localCheckpoint so a
+    * round is one job over O(poolN) rows. */
+  private def mmrRounds(cur0: DataFrame, k: Int,
+      lambdaMicro: Long): DataFrame = {
+    val spark = cur0.sparkSession
+    var cur = cur0
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     for (r <- 1 to k) {
       val raw = lit(lambdaMicro) * col("rel") -
@@ -833,6 +847,32 @@ object Similarity {
     out.toSeq.toDF("round", "id", "rel_micro", "score_raw")
   }
 
+  /** [[mmrSelect]] with the pool drawn from IVF PROBE LISTS — the
+    * corpus-scale wiring [[mmrSelect]]'s scaladoc promised: relevance
+    * candidates come from [[ivfTopK]]'s nprobe nearest inverted lists
+    * (per-query work ≈ nprobe·√n with auto centroid sizing, never a
+    * corpus pass), ranked by exact cosine and cut at poolN; the greedy
+    * micro-integer rounds then select k diverse results from that pool
+    * exactly as the brute-pooled form. rel quantizes from the probe
+    * cosine by the same single round of an identical double, so the
+    * DuckDB mirror [[mmrIvfSql]] replays pool membership AND every
+    * greedy round bit-for-bit. */
+  def mmrSelectIvf(df: DataFrame, idCol: String, vecCol: String, qid: Long,
+      poolN: Int, k: Int, lambdaMicro: Long, nCentroids: Int,
+      nprobe: Int): DataFrame = {
+    require(k >= 1 && poolN >= k, s"need poolN >= k >= 1, got $poolN/$k")
+    require(lambdaMicro > 0 && lambdaMicro < 1000000L, "lambda in (0,1) micro")
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    val pool = ivfTopK(df, idCol, vecCol, _ === qid, poolN, nCentroids, nprobe)
+      .select(col("vec_id").as("id"),
+        round(lit(1e6) * col("cos")).cast("long").as("rel"))
+    val cur0 = fx.join(pool, Seq("id"))
+      .select(col("id"), col("fx"), col("nrm"), col("rel"))
+      .withColumn("mmax", lit(0L))
+      .localCheckpoint(eager = false)
+    mmrRounds(cur0, k, lambdaMicro)
+  }
+
   /** DuckDB mirror of [[mmrSelect]] over the embeddings table: pool CTE
     * then k unrolled (argmax, mmax-fold) CTE pairs — identical micro
     * quantization, raw-score ordering and id tie-breaks. */
@@ -846,6 +886,49 @@ object Similarity {
       s"""m1 AS (SELECT id, fx, nrm, ${cosM("fx", "qfx", "nrm", "qn")} AS rel,
          |  CAST(0 AS BIGINT) AS mmax
          |  FROM n, q WHERE id <> $qid ORDER BY rel DESC, id LIMIT $poolN)""".stripMargin)
+    for (r <- 1 to k) {
+      ctes += s"s$r AS (SELECT id, fx, nrm, rel, " +
+        s"$lambdaMicro*rel - ${1000000L - lambdaMicro}*mmax AS raw " +
+        s"FROM m$r ORDER BY raw DESC, id LIMIT 1)"
+      if (r < k)
+        ctes += s"m${r + 1} AS (SELECT m.id, m.fx, m.nrm, m.rel, " +
+          s"GREATEST(m.mmax, ${cosM("m.fx", "s.fx", "m.nrm", "s.nrm")}) AS mmax " +
+          s"FROM m$r m, s$r s WHERE m.id <> s.id)"
+    }
+    val sel = (1 to k)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, id, rel AS rel_micro, raw AS score_raw FROM s$r")
+      .mkString("\nUNION ALL ")
+    s"WITH ${ctes.mkString(",\n")}\n$sel\nORDER BY round"
+  }
+
+  /** DuckDB mirror of [[mmrSelectIvf]]: the sim_ivf_topk coarse-quantizer
+    * CTE chain (seeded centroids, exact-BIGINT d2 assignment, nprobe
+    * probe lists, exact-cosine rank) builds the pool, then the SAME
+    * unrolled greedy CTE pairs as [[mmrSql]]. */
+  def mmrIvfSql(qid: Long, poolN: Int, k: Int, lambdaMicro: Long,
+      nCentroids: Int, nprobe: Int): String = {
+    val cosM = (a: String, b: String, na: String, nb: String) =>
+      s"CAST(round(1000000.0 * ${cosineSql(a, b, na, nb)}) AS BIGINT)"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"f AS (SELECT vec_id AS id, ${fixedPointSql("embedding")} AS fx FROM embeddings)",
+      "n AS (SELECT id, fx, CAST(list_sum(list_transform(fx, x -> x*x)) AS BIGINT) AS nrm FROM f)",
+      s"""c AS (SELECT id AS cid, fx AS cfx, nrm AS cnrm FROM n
+         |  ORDER BY ${seedHashSql("id")}, id LIMIT $nCentroids)""".stripMargin,
+      """sc AS (SELECT n.id, c.cid,
+        |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c.cfx[i])) AS BIGINT) + c.cnrm AS d2
+        |  FROM n, c)""".stripMargin,
+      "rk AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS crn FROM sc)",
+      "lists AS (SELECT rk.cid, rk.id, n.fx, n.nrm FROM rk JOIN n USING(id) WHERE crn = 1)",
+      s"""probes AS (SELECT rk.id AS qid, rk.cid, n.fx AS fq, n.nrm AS nq
+         |  FROM rk JOIN n USING(id) WHERE rk.id = $qid AND crn <= $nprobe)""".stripMargin,
+      s"""j AS (SELECT p.qid, l.id AS vid,
+         |    ${cosineSql("p.fq", "l.fx", "p.nq", "l.nrm")} AS cos
+         |  FROM probes p JOIN lists l ON p.cid = l.cid AND l.id <> p.qid)""".stripMargin,
+      "pr AS (SELECT vid, cos, row_number() OVER (ORDER BY cos DESC, vid) AS rn FROM j)",
+      s"""m1 AS (SELECT n.id, n.fx, n.nrm,
+         |  CAST(round(1000000.0 * pr.cos) AS BIGINT) AS rel,
+         |  CAST(0 AS BIGINT) AS mmax
+         |  FROM pr JOIN n ON n.id = pr.vid WHERE pr.rn <= $poolN)""".stripMargin)
     for (r <- 1 to k) {
       ctes += s"s$r AS (SELECT id, fx, nrm, rel, " +
         s"$lambdaMicro*rel - ${1000000L - lambdaMicro}*mmax AS raw " +

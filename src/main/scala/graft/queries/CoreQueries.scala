@@ -220,6 +220,21 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    // O4 — pandas groupby(dropna=True) parity (the reference forwards
+    // the kwarg, swifter/swifter.py:523-534): NULL group keys are
+    // dropped BEFORE the shuffle (Spark's native semantics keeps them
+    // as a NULL group = pandas dropna=False); the key is nulled on
+    // every 7th doc so the path is genuinely exercised
+    "o4_groupby_dropna" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        when(col("doc_id") % 7 === 0, lit(null: String))
+          .otherwise(col("lang")).as("k"),
+        col("n_chars"))
+      Swift(d).groupBy("k").dropna().agg(
+        count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("k")
+    }),
+
     // O4 — grouping BY THE INDEX (reference swifter/swifter.py:579, tests
     // swifter_tests.py:801-813): under the explicit-index convention the
     // frame's index is a column (here o_custkey standing as a non-unique
@@ -919,6 +934,13 @@ object CoreQueries {
          |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
          |  count(*) AS n
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // dropna mirror: the NULL-key filter is the WHERE; HUGEINT sum cast
+    // back to BIGINT
+    "o4_groupby_dropna" ->
+      """WITH d AS (SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS k,
+        |    n_chars FROM documents)
+        |SELECT k, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d WHERE k IS NOT NULL GROUP BY k ORDER BY k""".stripMargin,
     // groupby-on-index mirror: same micro-unit BIGINT sum, one final
     // IEEE division
     "o4_groupby_by_index" ->

@@ -1573,6 +1573,15 @@ object ExtQueries {
       Similarity.mmrSelect(t(s, dir, "embeddings"), "vec_id", "embedding",
         MMR_QID, MMR_POOL, MMR_K, MMR_LAMBDA).orderBy("round")),
 
+    "sim_mmr_ivf" -> ((s, dir) =>
+      // MMR at corpus scale: the pool comes from the IVF probe lists
+      // (nprobe nearest inverted lists, exact-cosine ranked, cut at
+      // poolN) instead of a brute relevance pass — the same greedy
+      // micro-integer rounds then run over that pool
+      Similarity.mmrSelectIvf(t(s, dir, "embeddings"), "vec_id", "embedding",
+        MMR_QID, MMR_POOL, MMR_K, MMR_LAMBDA, nCentroids = 16, nprobe = 2)
+        .orderBy("round")),
+
     "sim_rrf_fusion" -> ((s, dir) =>
       // hybrid-retrieval rank fusion (RRF): exact-cosine and exact-L2
       // rankings of the same query set fused by Σ 1e6 div (60+rank) —
@@ -1598,6 +1607,30 @@ object ExtQueries {
           (col("hits").cast("double") / lit(RECALL_K).cast("double"))
             .as("recall"))
         .orderBy("qid")
+    }),
+
+    "sim_recall_pq" -> ((s, dir) => {
+      // quantization-loss measurement for the PQ family: recall@k of
+      // flat PQ-ADC and of IVF-PQ (sim_pq_topk / sim_ivfpq_topk's exact
+      // configurations) against the brute-force ground truth — the
+      // number that prices the M/K (and nprobe) trade the same way
+      // sim_recall_at_k prices the coarse quantizer alone
+      val emb = t(s, dir, "embeddings")
+      val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        id => id < 5, RECALL_K).select(col("qid"), col("vec_id"))
+      def grade(name: String, approx: org.apache.spark.sql.DataFrame) =
+        truth.join(approx.select(col("qid"), col("vec_id"),
+            lit(1L).as("__hit")), Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+          .select(lit(name).as("variant"), col("qid"), col("hits"),
+            (col("hits").cast("double") / lit(RECALL_K).cast("double"))
+              .as("recall"))
+      grade("ivfpq", Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          id => id < 5, k = RECALL_K, nCentroids = 16, nprobe = 2))
+        .unionByName(grade("pq", Similarity.pqTopK(emb, "vec_id",
+          "embedding", id => id < 5, k = RECALL_K)))
+        .orderBy("variant", "qid")
     })
   )
 
@@ -3027,6 +3060,8 @@ object ExtQueries {
          |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "sim_kcenter" -> Similarity.kCenterSql(KCENTER_K),
     "sim_mmr" -> Similarity.mmrSql(MMR_QID, MMR_POOL, MMR_K, MMR_LAMBDA),
+    "sim_mmr_ivf" ->
+      Similarity.mmrIvfSql(MMR_QID, MMR_POOL, MMR_K, MMR_LAMBDA, 16, 2),
     // IVF-PQ mirror: the sim_ivf_topk coarse-quantizer CTEs (probe-list
     // candidates) composed with the sim_pq_topk codebook/codes/ADC CTEs
     "sim_ivfpq_topk" ->
@@ -3153,6 +3188,71 @@ object ExtQueries {
          |SELECT qid, hits,
          |  CAST(hits AS DOUBLE) / CAST($RECALL_K AS DOUBLE) AS recall
          |FROM g ORDER BY qid""".stripMargin,
+    // PQ-family recall mirror: brute ground truth (as sim_recall_at_k)
+    // graded against BOTH the sim_pq_topk ADC chain and the
+    // sim_ivfpq_topk probe-list+ADC chain — shared codebook/codes CTEs
+    "sim_recall_pq" ->
+      s"""WITH $fxCte,
+         |bj AS (SELECT q.id AS qid, v.id AS vid,
+         |    ${Similarity.cosineSql("q.fx", "v.fx", "q.nrm", "v.nrm")} AS cos
+         |  FROM n q JOIN n v ON q.id < 5 AND v.id <> q.id),
+         |br AS (SELECT qid, vid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+         |  FROM bj),
+         |tr AS (SELECT qid, vid FROM br WHERE rn <= $RECALL_K),
+         |cb0 AS (SELECT id AS cid, fx AS cfx FROM n
+         |  ORDER BY ${Similarity.seedHashSql("id")}, id LIMIT 16),
+         |ms AS (SELECT unnest(generate_series(0, 3)) AS m),
+         |cb AS (SELECT m, cid, cfx[m*16+1 : m*16+16] AS cvec FROM cb0, ms),
+         |enc0 AS (SELECT n.id, cb.m, cb.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (n.fx[cb.m*16+i] - cb.cvec[i]) * (n.fx[cb.m*16+i] - cb.cvec[i]))) AS BIGINT) AS d2
+         |  FROM n, cb),
+         |codes AS (SELECT id, m, cid FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
+         |  FROM enc0) WHERE rn = 1),
+         |qd AS (SELECT q.id AS qid, cb.m, cb.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (q.fx[cb.m*16+i] - cb.cvec[i]) * (q.fx[cb.m*16+i] - cb.cvec[i]))) AS BIGINT) AS qd2
+         |  FROM n q, cb WHERE q.id < 5),
+         |pqadc AS (SELECT qd.qid, codes.id AS vid, CAST(sum(qd.qd2) AS BIGINT) AS adc
+         |  FROM codes JOIN qd ON codes.m = qd.m AND codes.cid = qd.cid
+         |  WHERE codes.id <> qd.qid GROUP BY 1, 2),
+         |pqv AS (SELECT qid, vid FROM (SELECT qid, vid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS rn
+         |  FROM pqadc) WHERE rn <= $RECALL_K),
+         |c AS (SELECT id AS ccid, fx AS ccfx, nrm AS ccnrm FROM n
+         |  ORDER BY ${Similarity.seedHashSql("id")}, id LIMIT 16),
+         |sc AS (SELECT n.id, c.ccid,
+         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c.ccfx[i])) AS BIGINT) + c.ccnrm AS d2
+         |  FROM n, c),
+         |rk AS (SELECT id, ccid, row_number() OVER (PARTITION BY id ORDER BY d2, ccid) AS crn FROM sc),
+         |il AS (SELECT ccid, id FROM rk WHERE crn = 1),
+         |pr AS (SELECT id AS qid, ccid FROM rk WHERE id < 5 AND crn <= 2),
+         |cand AS (SELECT pr.qid, il.id FROM pr JOIN il ON pr.ccid = il.ccid
+         |  WHERE il.id <> pr.qid),
+         |ivadc AS (SELECT cand.qid, cand.id AS vid, CAST(sum(qd.qd2) AS BIGINT) AS adc
+         |  FROM cand JOIN codes ON codes.id = cand.id
+         |  JOIN qd ON qd.qid = cand.qid AND qd.m = codes.m AND qd.cid = codes.cid
+         |  GROUP BY 1, 2),
+         |ivv AS (SELECT qid, vid FROM (SELECT qid, vid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS rn
+         |  FROM ivadc) WHERE rn <= $RECALL_K),
+         |gpq AS (SELECT tr.qid,
+         |    CAST(sum(CASE WHEN pqv.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |  FROM tr LEFT JOIN pqv ON tr.qid = pqv.qid AND tr.vid = pqv.vid
+         |  GROUP BY tr.qid),
+         |giv AS (SELECT tr.qid,
+         |    CAST(sum(CASE WHEN ivv.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |  FROM tr LEFT JOIN ivv ON tr.qid = ivv.qid AND tr.vid = ivv.vid
+         |  GROUP BY tr.qid)
+         |SELECT * FROM (
+         |  SELECT 'ivfpq' AS variant, qid, hits,
+         |    CAST(hits AS DOUBLE) / CAST($RECALL_K AS DOUBLE) AS recall FROM giv
+         |  UNION ALL
+         |  SELECT 'pq', qid, hits,
+         |    CAST(hits AS DOUBLE) / CAST($RECALL_K AS DOUBLE) AS recall FROM gpq)
+         |ORDER BY variant, qid""".stripMargin,
     "sim_margin_mining" ->
       s"""WITH $fxCte,
          |aa AS (SELECT id AS aid, fx AS fa, nrm AS na FROM n WHERE id % 2 = 0),

@@ -136,6 +136,18 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Audit-DRIVEN salted join: skewAudit names the user_ids above the
+    // 5x AQE skew target, only THOSE keys salt k ways (cold keys join
+    // plain, the dim side replicates only under hot keys) — the
+    // diagnostic feeding the weapon; result == the plain equi-join
+    "pipe_skew_salted" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy(col("user_id")).agg(dsum(col("value")).as("user_total"))
+      graft.operators.SaltedJoin.joinByAudit(ev, dim, "user_id", k = 8)
+        .select(col("event_id"), col("user_total"))
+        .orderBy("event_id")
+    }),
+
     // Pivot: long→wide per-user event-type sums (groupBy().pivot() with
     // an explicit value list — one shuffle, map-side partials per cell)
     "rel_pivot" -> ((s, dir) => {
@@ -1562,6 +1574,15 @@ object RelationalQueries {
         |  ON c.user_id = e.user_id AND e.ts < c.ts
         |ORDER BY c.event_id""".stripMargin,
     "rel_join_salted" ->
+      s"""WITH dim AS (SELECT user_id, ${dsumSql("value")} AS user_total
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_id, d.user_total
+         |FROM events e JOIN dim d USING (user_id)
+         |ORDER BY e.event_id""".stripMargin,
+    // audit-driven salting is result-transparent: the oracle is the
+    // PLAIN equi-join — the differential proof that selective salt
+    // changes the shuffle, never the rows
+    "pipe_skew_salted" ->
       s"""WITH dim AS (SELECT user_id, ${dsumSql("value")} AS user_total
          |  FROM events GROUP BY 1)
          |SELECT e.event_id, d.user_total

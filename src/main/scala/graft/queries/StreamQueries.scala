@@ -324,6 +324,12 @@ object StreamQueries {
     "stream_scd2" -> ((s, dir) =>
       StreamOps.scd2Once(s, dir).orderBy("user_id", "from_us", "attr")),
 
+    // FILE-SOURCE SCD2 twin: the same state machine fed by the
+    // production no-collect path — time-range waves as parquet files,
+    // one genuine microbatch per wave, RocksDB state across them
+    "stream_scd2_file" -> ((s, dir) =>
+      StreamOps.scd2OnceFile(s, dir).orderBy("user_id", "from_us", "attr")),
+
     // STREAMING Holt smoothing: the exact unbounded fixed-point integer
     // recursion online (constant state per key), multi-batch replay;
     // oracle replays the identical floor-div arithmetic as a recursive
@@ -747,6 +753,7 @@ object StreamQueries {
         |FROM st ORDER BY event_id""".stripMargin,
     "stream_phrase_hits" -> ExtQueries.oracleSql("text_phrase_search"),
     "stream_scd2" -> RelationalQueries.oracleSql("rel_scd2"),
+    "stream_scd2_file" -> RelationalQueries.oracleSql("rel_scd2"),
     "stream_attribution" -> RelationalQueries.oracleSql("rel_attribution"),
     "stream_funnel" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_funnel_tws" -> RelationalQueries.oracleSql("rel_funnel"),

@@ -984,6 +984,44 @@ object StreamOps {
       .select(col("k"), col("__f.v").as("v"))
   }
 
+  /** Stage one parquet FILE per wave of `feed` under a temp dir, with
+    * strictly increasing mtimes so FileStreamSource's default
+    * oldest-first order replays waves in wave order whatever the write
+    * timing — the shared setup for the file-source streaming twins
+    * ([[mergeOnceFile]], [[scd2OnceFile]]). The wave column stays in
+    * the file iff the caller's schema includes it (filter is on
+    * `waveCol`; no columns are dropped here). */
+  private def stageWaveFiles(feed: DataFrame, waveCol: String,
+      waves: Seq[Long], prefix: String): java.nio.file.Path = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    graft.queries.Tables.deleteOnExit(tmp)
+    waves.foreach { wave =>
+      val stage = tmp.resolve(s"__stage$wave")
+      feed.filter(col(waveCol) === wave).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val listing = java.nio.file.Files.list(stage)
+      val src = try {
+        scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator())
+          .asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      } finally listing.close()
+      require(src.size == 1, s"expected one part file per wave, got $src")
+      val dst = tmp.resolve(f"wave$wave%02d.parquet")
+      java.nio.file.Files.move(src.head, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + wave * 60000L))
+      // drop the staging dir (SUCCESS markers etc.) so the glob sees
+      // only waveNN.parquet files
+      val walk = java.nio.file.Files.walk(stage)
+      try {
+        val files = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(walk.iterator()).asScala.toSeq
+        files.reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+    tmp
+  }
+
   /** FILE-SOURCE twin of [[mergeOnceTws]]: the MemoryStream harness
     * replays a driver collect (documented test-harness pattern); this
     * variant proves the production no-collect ingest path END TO END —
@@ -998,34 +1036,7 @@ object StreamOps {
     import spark.implicits._
     val feed = mergeFeed(spark, dir)
     val schema = feed.schema
-    val tmp = java.nio.file.Files.createTempDirectory("stream_merge_src")
-    graft.queries.Tables.deleteOnExit(tmp)
-    (0L to 2L).foreach { wave =>
-      val stage = tmp.resolve(s"__stage$wave")
-      feed.filter(col("seq") === wave).coalesce(1)
-        .write.mode("overwrite").parquet(stage.toString)
-      val listing = java.nio.file.Files.list(stage)
-      val src = try {
-        scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator())
-          .asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-      } finally listing.close()
-      require(src.size == 1, s"expected one part file per wave, got $src")
-      val dst = tmp.resolve(f"wave$wave%02d.parquet")
-      java.nio.file.Files.move(src.head, dst)
-      // strictly increasing mtimes pin FileStreamSource's default
-      // oldest-first file order to seq order whatever the write timing
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000L + wave * 60000L))
-      // drop the staging dir (SUCCESS markers etc.) so the glob sees
-      // only waveNN.parquet files
-      val walk = java.nio.file.Files.walk(stage)
-      try {
-        val files = scala.jdk.CollectionConverters
-          .IteratorHasAsScala(walk.iterator()).asScala.toSeq
-        files.reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
-      } finally walk.close()
-    }
+    val tmp = stageWaveFiles(feed, "seq", 0L to 2L, "stream_merge_src")
     val out = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(tmp.toString)
@@ -1254,6 +1265,62 @@ object StreamOps {
           ms.addData(chunk.toIndexedSeq)
           q.processAllAvailable()
         }
+        q.stop()
+      }
+    }
+    spark.table(sinkName)
+      .groupBy("user_id", "attr", "from_us")
+      .agg(max(col("to_raw")).as("__to"))
+      .select(col("user_id"), col("attr"), col("from_us"),
+        when(col("__to") >= 0, col("__to")).otherwise(lit(-1L)).as("to_us"),
+        (col("__to") < 0).cast("int").as("is_current"))
+  }
+
+  /** FILE-SOURCE twin of [[scd2Once]] — the production no-collect
+    * ingest path for the SCD2 state machine, [[mergeOnceFile]]'s
+    * contract: waves are THREE TIME-RANGE buckets of the event stream
+    * (bucket = (ts−t0)·3 div (t1−t0) from one min/max aggregate
+    * broadcast back — no driver collect of rows, no global window),
+    * each wave lands as its own mtime-pinned parquet file,
+    * `maxFilesPerTrigger=1` replays them as three genuine microbatches
+    * in time order, and the RocksDB open-version ValueState carries
+    * across the batch boundaries. Within a wave the processor's own
+    * (ts, event_id) sort orders events, exactly as the MemoryStream
+    * replay's chunking; sink reconstruction and oracle are
+    * [[scd2Once]]'s verbatim. */
+  def scd2OnceFile(spark: SparkSession, dir: String,
+      sinkName: String = "stream_scd2_file_sink"): DataFrame = {
+    import spark.implicits._
+    val feed0 = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+    val bounds = feed0.agg(min(col("ts_us")).as("__t0"),
+      (max(col("ts_us")) + 1L).as("__t1"))
+    val feed = feed0.crossJoin(broadcast(bounds))
+      .withColumn("__wave",
+        expr("(ts_us - __t0) * 3 div (__t1 - __t0)"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"), col("__wave"))
+    // the staged files carry __wave too; the declared 4-column read
+    // schema prunes it at the parquet scan
+    val tmp = stageWaveFiles(feed, "__wave", 0L to 2L, "stream_scd2_src")
+    val schema = feed0.schema
+    val out = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString)
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new Scd2Processor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF("user_id", "attr", "from_us", "to_raw")
+    withRocksDbProvider(spark) {
+      withHarnessConf(spark, "8") { ckpt =>
+        val q = out.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update())
+          .start()
+        q.processAllAvailable()
         q.stop()
       }
     }

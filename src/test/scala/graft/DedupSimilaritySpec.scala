@@ -630,6 +630,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sel(2)._2 == 2L, "round 3 takes the remaining clone")
   }
 
+
+  test("mmrSelectIvf == mmrSelect when every list is probed (degeneracy)") {
+    // nprobe = nCentroids probes the whole corpus, so the IVF pool is
+    // the global exact-cosine top-poolN — the brute pool — and the
+    // greedy rounds must replay identically (the IVF-PQ==PQ idiom)
+    val ivf = Similarity.mmrSelectIvf(emb, "vec_id", "embedding",
+      qid = 2L, poolN = 16, k = 6, lambdaMicro = 700000L,
+      nCentroids = 4, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val brute = Similarity.mmrSelect(emb, "vec_id", "embedding",
+      qid = 2L, poolN = 16, k = 6, lambdaMicro = 700000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ivf.sortBy(_._1).sameElements(brute.sortBy(_._1)))
+  }
+
+  test("mmrSelectIvf: picks come from the probe lists' candidates only") {
+    val poolIds = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      _ === 2L, k = 16, nCentroids = 16, nprobe = 2)
+      .collect().map(_.getLong(2)).toSet
+    val sel = Similarity.mmrSelectIvf(emb, "vec_id", "embedding",
+      qid = 2L, poolN = 16, k = 6, lambdaMicro = 700000L,
+      nCentroids = 16, nprobe = 2).collect().map(_.getLong(1))
+    assert(sel.length == 6 && sel.distinct.length == 6)
+    sel.foreach(id => assert(poolIds.contains(id),
+      s"pick $id outside the IVF pool"))
+  }
+
   test("rrfFuseTopK: fused scores match hand-computed reciprocal ranks") {
     val fused = Similarity.rrfFuseTopK(emb, "vec_id", "embedding",
       id => id < 3, depth = 10, k = 5).collect()

@@ -201,6 +201,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("__salt"), p.take(3000))
   }
 
+  test("audit-driven salted join == plain join on a pathologically hot key") {
+    // half the rows collapse onto key 7 (skew_micro >> 5e6, so the audit
+    // flags it); the rest keep distinct keys (cold, salt 0)
+    val ev = Tables.t(spark, sf001, "events")
+      .withColumn("user_id",
+        when(col("event_id") % 2 === 0, lit(7L)).otherwise(col("user_id") + 1000L))
+    val dim = ev.groupBy(col("user_id"))
+      .agg(sum(col("value")).as("user_total"))
+    val plain = ev.join(dim, "user_id")
+      .select(col("event_id"), col("user_total"))
+      .orderBy("event_id").collect()
+    val salted = graft.operators.SaltedJoin
+      .joinByAudit(ev, dim, "user_id", k = 8)
+      .select(col("event_id"), col("user_total"))
+      .orderBy("event_id").collect()
+    assert(salted.sameElements(plain))
+  }
+
+  test("audit-driven salted join: salt only on flagged keys — conditional replication, broadcast hot set") {
+    val p = plan("pipe_skew_salted")
+    // (the embedded skewAudit's 1-row total-frame broadcast is the
+    // codebase's disclosed legitimate BroadcastNestedLoopJoin, so only
+    // a cartesian is forbidden here)
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    // replication is a generator over a CONDITIONAL array — 1-element
+    // for cold keys, k for hot — never a blanket k-fold explode
+    assert(p.contains("Generate"), p.take(4000))
+    assert(p.contains("CASE WHEN"), p.take(4000))
+    // the <=topK hot-key set reaches both sides as a broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(4000))
+    assert(p.contains("__salt"), p.take(4000))
+  }
+
   test("cube: ONE Expand into partial+final aggregate, one hash shuffle") {
     val p = plan("rel_cube")
     // formatted mode names each node twice (tree + detail header) — count

@@ -287,4 +287,33 @@ class WindowGroupSpec extends SparkSpec {
     assert(a.sameElements(viaPar.orderBy("id").collect()))
     assert(a.sameElements(viaLocal.orderBy("id").collect()))
   }
+
+  test("O4 groupby dropna: NULL keys kept by default, dropped pre-shuffle with dropna()") {
+    val d = Seq((java.lang.Long.valueOf(1L), 10L), (null.asInstanceOf[java.lang.Long], 20L),
+      (java.lang.Long.valueOf(1L), 30L), (null.asInstanceOf[java.lang.Long], 40L),
+      (java.lang.Long.valueOf(2L), 50L)).toDF("k", "v")
+    // default = Spark/pandas-dropna=False semantics: NULL is a group
+    val kept = Swift(d).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(kept == Set((Some(1L), 2L, 40L), (Some(2L), 1L, 50L), (None, 2L, 60L)))
+    // dropna() = pandas default: NULL-key rows never enter the aggregate
+    val dropped = Swift(d).groupBy("k").dropna()
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dropped == Set((1L, 2L, 40L), (2L, 1L, 50L)))
+    // the filter sits UNDER the exchange: dropped rows never shuffle.
+    // (Asserted on the parquet-backed query — on a LocalRelation the
+    // optimizer folds the filter into the local scan at plan time.)
+    val p = graft.queries.CoreQueries.queries("o4_groupby_dropna")(spark,
+      sf001).queryExecution.executedPlan.toString
+    assert(p.contains("isnotnull"), p.take(2000))
+    // flatMapGroups path honors it too
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("n", LongType)))
+    val viaApply = Swift(d).groupBy("k").dropna().apply(schema) { (key, it) =>
+      Iterator.single(org.apache.spark.sql.Row(key.getLong(0), it.size.toLong))
+    }.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaApply == Set((1L, 2L), (2L, 1L)))
+  }
 }
