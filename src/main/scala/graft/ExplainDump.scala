@@ -69,11 +69,17 @@ object ExplainDump {
     "sim_mmr", "sim_rrf_fusion", "sim_recall_at_k", "text_oov_rate",
     "o4_groupby_by_index", "dedup_jaccard_weighted", "sim_pq_topk",
     "sim_ivfpq_topk",
-    // round 14: the skew-audit relational query plus the five members
-    // of the r13 drift cluster not already frozen above — so the next
+    // round 14: the skew-audit relational query plus the members of
+    // the r13 drift cluster not already frozen above — so the next
     // round's diff can rule plan changes in or out in one look
-    "rel_skew_audit", "feat_one_hot", "feat_zscore", "mm_phash",
-    "layout_zorder", "mix_nb_classify")
+    "rel_skew_audit", "feat_one_hot", "feat_zscore",
+    "layout_zorder", "mix_nb_classify",
+    // round 15: the five r14 queries (r14 verdict item 2), the r14
+    // weak-list member (its plan frozen so the drift adjudication can
+    // rule a plan change in/out), and this round's three new queries
+    "sim_mmr_ivf", "sim_recall_pq", "stream_scd2_file",
+    "o4_groupby_dropna", "pipe_skew_salted", "o5_rolling_hamming",
+    "o4_groupby_nosort", "pipe_skew_salted_left", "stream_hh_file")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -24,13 +24,13 @@ import org.apache.spark.sql.types._
   * swifter/swifter.py:638).
   */
 final class SwiftGroupBy(sw: Swift, by: Seq[String], subset: Option[Seq[String]],
-    dropNulls: Boolean = false) {
+    dropNulls: Boolean = false, appearanceIndex: Option[String] = None) {
   private def df: DataFrame = sw.df
 
   /** `groupby(by)[cols]` column-subset projection
     * (`__getitem__`, swifter/swifter.py:584-586). */
   def select(cols: String*): SwiftGroupBy =
-    new SwiftGroupBy(sw, by, Some(cols.toSeq), dropNulls)
+    new SwiftGroupBy(sw, by, Some(cols.toSeq), dropNulls, appearanceIndex)
 
   /** pandas `groupby(by, dropna=...)` parity (the reference forwards the
     * kwarg verbatim, swifter/swifter.py:523-534): pandas' DEFAULT
@@ -45,7 +45,23 @@ final class SwiftGroupBy(sw: Swift, by: Seq[String], subset: Option[Seq[String]]
     * [[agg]]); [[transform]] is length-preserving by contract, so NULL
     * keys there stay a window group, as in pandas transform output. */
   def dropna(flag: Boolean = true): SwiftGroupBy =
-    new SwiftGroupBy(sw, by, subset, flag)
+    new SwiftGroupBy(sw, by, subset, flag, appearanceIndex)
+
+  /** pandas `groupby(by, sort=False)` parity — the last forwarded
+    * groupby kwarg with observable output semantics
+    * (swifter/swifter.py:523-534 forwards it verbatim; pandas default
+    * sort=True orders result groups by key, sort=False by FIRST
+    * APPEARANCE in the frame). A distributed DataFrame has no implicit
+    * row order, so under the explicit-index convention (SURVEY §1.1)
+    * "first appearance" = min(index) over the group: `sort(false,
+    * indexCol)` makes [[agg]] prepend that position as `first_pos` and
+    * order the result by it — the group order pandas users observe,
+    * materialized as a column so it survives any downstream re-sort.
+    * One extra min() aggregate riding the SAME exchange: zero
+    * additional shuffles. */
+  def sort(flag: Boolean, indexCol: String = "index"): SwiftGroupBy =
+    new SwiftGroupBy(sw, by, subset, dropNulls,
+      if (flag) None else Some(indexCol))
 
   /** pandas `groupby(by).rolling(n)`: a count window per group — sugar
     * over the O5 machinery with the group keys as the window partition. */
@@ -146,7 +162,22 @@ final class SwiftGroupBy(sw: Swift, by: Seq[String], subset: Option[Seq[String]]
     * fully in Catalyst (partial aggregation map-side, codegen). */
   def agg(exprs: Column*): DataFrame = {
     sw.lastStrategy = SwiftStrategy.Vectorized
-    inputDf.groupBy(by.map(col).toIndexedSeq: _*).agg(exprs.head, exprs.tail: _*)
+    appearanceIndex match {
+      case None => inputDf.groupBy(by.map(col).toIndexedSeq: _*)
+        .agg(exprs.head, exprs.tail: _*)
+      case Some(idx) =>
+        // sort=False: first-appearance position as a column + result
+        // order; min(idx) is one more partial-aggregate on the same
+        // exchange as the user's aggregates.
+        val base =
+          if (dropNulls) df.filter(by.map(col(_).isNotNull).reduce(_ && _))
+          else df
+        val in = subset.fold(base)(cols =>
+          base.select((by ++ cols :+ idx).distinct.map(col).toIndexedSeq: _*))
+        in.groupBy(by.map(col).toIndexedSeq: _*)
+          .agg(min(col(idx)).as("first_pos"), exprs: _*)
+          .orderBy("first_pos")
+    }
   }
 
   /** pandas `groupby(by).transform(agg)`: the group aggregate broadcast

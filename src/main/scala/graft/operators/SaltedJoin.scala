@@ -9,25 +9,58 @@ import org.apache.spark.sql.functions._
   * because both sides are large).
   *
   * The skewed side gets a deterministic salt in [0, k) (hash of the
-  * whole row, so one hot key's rows spread over k reducers); the other
-  * side is replicated k times. Joining on (keys, salt) yields exactly
-  * the plain equi-join's rows — proven by the differential spec and the
-  * DuckDB oracle — while each reducer sees at most ~1/k of any hot key.
-  * Shuffle volume: |skewed| + k·|other| — choose k ≈ (hot-key rows) /
-  * (target partition rows), and keep the replicated side the smaller
-  * one.
+  * whole row plus a per-row unique id, so one hot key's rows spread over
+  * k reducers even when the rows are byte-identical duplicates); the
+  * other side is replicated k times. Joining on (keys, salt) yields
+  * exactly the plain equi-join's rows — proven by the differential spec
+  * and the DuckDB oracle — while each reducer sees at most ~1/k of any
+  * hot key. Shuffle volume: |skewed| + k·|other| — choose k ≈ (hot-key
+  * rows) / (target partition rows), and keep the replicated side the
+  * smaller one.
   */
 object SaltedJoin {
 
-  /** Inner equi-join of `skewed` (hot keys) with `other` on `keys`,
-    * salted k ways. */
+  /** The salt expression: row-content hash folded with
+    * `monotonically_increasing_id()`. The unique id matters when a hot
+    * key is dominated by fully-duplicate rows — hash(row) alone would
+    * put every duplicate on ONE salt value and the salt buys nothing
+    * (correctness is unaffected either way: each left row carries one
+    * salt and the right side is replicated to all salts). The id is
+    * per-partition-sequential, i.e. nondeterministic across
+    * recomputations — safe here because the salt only has to be
+    * CONSISTENT WITHIN the row (it is: one projected column), not
+    * across retries, and Spark recomputes whole partitions on retry. */
+  private def saltOf(cols: Seq[String], k: Int): Column =
+    pmod(hash(cols.map(col) :+ monotonically_increasing_id(): _*), lit(k))
+
+  /** Supported join types: the replicated-right trick is sound exactly
+    * when unmatched RIGHT rows never null-extend. A right/full outer
+    * join would emit each unmatched replicated right row k times — k−1
+    * spurious null-extended rows — so those types are rejected. For a
+    * right-skew problem, swap the sides and use "left". */
+  private val okTypes = Set("inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "left_anti", "leftanti")
+  private def checkType(joinType: String): Unit =
+    require(okTypes(joinType.toLowerCase),
+      s"SaltedJoin supports inner/left/left_semi/left_anti, got '$joinType': " +
+      "right/full outer would null-extend each unmatched REPLICATED right " +
+      "row k times; swap the sides and use 'left' instead")
+
+  /** Equi-join of `skewed` (hot keys) with `other` on `keys`, salted k
+    * ways. `joinType` ∈ {inner (default), left, left_semi, left_anti}:
+    * a left row with no right match null-extends exactly once (under its
+    * own salt), and semi/anti never duplicate the left side, so all four
+    * are result-transparent; see [[checkType]] for why right/full are
+    * not. */
   def join(skewed: DataFrame, other: DataFrame, keys: Seq[String],
-      k: Int): DataFrame = {
+      k: Int, joinType: String = "inner"): DataFrame = {
+    checkType(joinType)
     val saltedL = skewed.withColumn("__salt",
-      pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(k)))
+      saltOf(skewed.columns.toIndexedSeq, k))
     val replicatedR = other.withColumn("__salt",
       explode(array((0 until k).map(i => lit(i)): _*)))
-    saltedL.join(replicatedR, keys :+ "__salt").drop("__salt")
+    saltedL.join(replicatedR, (keys :+ "__salt").toIndexedSeq, joinType)
+      .drop("__salt")
   }
 
   /** AUDIT-DRIVEN selective salting: [[Warehouse.skewAudit]] names the
@@ -36,23 +69,31 @@ object SaltedJoin {
     * runtime splitter handles it, above it a fact-fact shuffle needs
     * the salt decided BEFORE the exchange), and ONLY those keys' rows
     * are salted: the hot-key set (≤ topK rows) broadcasts onto both
-    * sides, hot left rows take a k-way row-hash salt while cold rows
-    * keep salt 0, and the right side replicates k ways ONLY under hot
-    * keys (explode of a conditional 1-or-k array). Result rows are
+    * sides, hot left rows take a k-way salt ([[saltOf]]: row hash ×
+    * unique id, so duplicate-heavy hot keys still spread) while cold
+    * rows keep salt 0, and the right side replicates k ways ONLY under
+    * hot keys (explode of a conditional 1-or-k array). Result rows are
     * exactly the plain equi-join's (differential oracle); replication
     * volume drops from [[join]]'s k·|other| to k·|other ∩ hot| +
     * |other \ hot| — the difference between a diagnostic-guided salt
-    * and a blanket one at 100 TB. */
+    * and a blanket one at 100 TB.
+    *
+    * `joinType` follows [[join]]'s contract: inner (default), left,
+    * left_semi, left_anti. The hot-set probe joins stay "left" (they
+    * only TAG rows, never filter), so an unmatched left row reaches the
+    * final join with salt 0 and null-extends exactly once there. */
   def joinByAudit(skewed: DataFrame, other: DataFrame, keyCol: String,
-      k: Int, topK: Int = 10, thresholdMicro: Long = 5000000L): DataFrame = {
+      k: Int, topK: Int = 10, thresholdMicro: Long = 5000000L,
+      joinType: String = "inner"): DataFrame = {
     require(k >= 2, s"salting needs k >= 2, got $k")
+    checkType(joinType)
     val hot = broadcast(
       Warehouse.skewAudit(skewed, keyCol, topK)
         .filter(col("skew_micro") > thresholdMicro)
         .select(col(keyCol), lit(1).as("__hot")))
     val saltedL = skewed.join(hot, Seq(keyCol), "left")
       .withColumn("__salt", when(col("__hot") === 1,
-        pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(k)))
+        saltOf(skewed.columns.toIndexedSeq, k))
         .otherwise(lit(0)))
       .drop("__hot")
     val replicatedR = other.join(hot, Seq(keyCol), "left")
@@ -60,6 +101,6 @@ object SaltedJoin {
         array((0 until k).map(i => lit(i)): _*))
         .otherwise(array(lit(0)))))
       .drop("__hot")
-    saltedL.join(replicatedR, Seq(keyCol, "__salt")).drop("__salt")
+    saltedL.join(replicatedR, Seq(keyCol, "__salt"), joinType).drop("__salt")
   }
 }

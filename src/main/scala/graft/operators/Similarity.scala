@@ -751,8 +751,9 @@ object Similarity {
       lit(0L), (acc, v) => acc + v)
 
   /** PQ encoding: every vector's nearest codeword per subspace —
-    * (id, m, cid), ties to the lower cid. */
-  private def pqCodes(fx: DataFrame, cb: DataFrame, sub: Int): DataFrame = {
+    * (id, m, cid), ties to the lower cid. private[graft]: ScaleSmokeR15
+    * times the encode pass in isolation. */
+  private[graft] def pqCodes(fx: DataFrame, cb: DataFrame, sub: Int): DataFrame = {
     val enc0 = fx.crossJoin(broadcast(cb))
       .select(col("id"), col("m"), col("cid"),
         pqSubD2(expr(s"slice(fx, m * $sub + 1, $sub)")).as("d2"))
@@ -827,21 +828,33 @@ object Similarity {
     val spark = cur0.sparkSession
     var cur = cur0
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-    for (r <- 1 to k) {
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
       val raw = lit(lambdaMicro) * col("rel") -
         lit(1000000L - lambdaMicro) * col("mmax")
-      val pick = cur.withColumn("raw", raw)
-        .orderBy(col("raw").desc, col("id")).limit(1).collect()(0)
-      val (pid, pfx, pn) =
-        (pick.getLong(pick.fieldIndex("id")),
-          pick.getSeq[Long](pick.fieldIndex("fx")),
-          pick.getLong(pick.fieldIndex("nrm")))
-      out += ((r.toLong, pid, pick.getLong(pick.fieldIndex("rel")),
-        pick.getLong(pick.fieldIndex("raw"))))
-      if (r < k)
-        cur = cur.filter(col("id") =!= pid)
-          .withColumn("mmax", greatest(col("mmax"), cosMicroTo(pfx, pn)))
-          .localCheckpoint(eager = false)
+      val picks = cur.withColumn("raw", raw)
+        .orderBy(col("raw").desc, col("id")).limit(1).collect()
+      if (picks.isEmpty) {
+        // Pool drained before k rounds — reachable when the IVF probe
+        // lists hold fewer than k candidates (sparse lists, tiny corpora,
+        // skewed seeding). Return the rounds selected so far, the same
+        // graceful-exhaustion contract as kCenter's exhausted flag.
+        exhausted = true
+      } else {
+        val pick = picks(0)
+        val (pid, pfx, pn) =
+          (pick.getLong(pick.fieldIndex("id")),
+            pick.getSeq[Long](pick.fieldIndex("fx")),
+            pick.getLong(pick.fieldIndex("nrm")))
+        out += ((r.toLong, pid, pick.getLong(pick.fieldIndex("rel")),
+          pick.getLong(pick.fieldIndex("raw"))))
+        if (r < k)
+          cur = cur.filter(col("id") =!= pid)
+            .withColumn("mmax", greatest(col("mmax"), cosMicroTo(pfx, pn)))
+            .localCheckpoint(eager = false)
+        r += 1
+      }
     }
     import spark.implicits._
     out.toSeq.toDF("round", "id", "rel_micro", "score_raw")

@@ -254,6 +254,17 @@ object CoreQueries {
       }.orderBy("idx")
     }),
 
+    // O4 — pandas groupby(sort=False) parity (the reference forwards the
+    // kwarg, swifter/swifter.py:523-534): group order = FIRST APPEARANCE,
+    // which under the explicit-index convention is min(index) over the
+    // group, materialized as first_pos (one extra partial-agg on the
+    // same exchange) — here event_id stands as the frame index
+    "o4_groupby_nosort" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Swift(ev).groupBy("event_type").sort(false, "event_id").agg(
+        count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    }),
+
     // O5 — rolling count window (rolling(5)) per user, native window agg;
     // min_periods defaults to the window size (pandas integer-window
     // convention), so the first 4 frames per user are null
@@ -950,6 +961,12 @@ object CoreQueries {
         |SELECT idx, count(*) AS n,
         |  CAST(sum(pm) AS BIGINT) / 1000000.0 AS sum_price
         |FROM m GROUP BY idx ORDER BY idx""".stripMargin,
+    // sort=False mirror: first-appearance position = min(index); the
+    // ORDER BY first_pos is the observable group order
+    "o4_groupby_nosort" ->
+      s"""SELECT event_type, min(event_id) AS first_pos, count(*) AS n,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY first_pos""".stripMargin,
     "o5_rolling_count" ->
       """SELECT event_id,
         |  CASE WHEN count(*) OVER w >= 5

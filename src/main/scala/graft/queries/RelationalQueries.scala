@@ -148,6 +148,21 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Audit-driven salted LEFT join: the routine warehouse fact-dim
+    // shape — the dim side drops every 3rd user so unmatched fact rows
+    // must null-extend EXACTLY ONCE (each left row carries one salt;
+    // only matched right rows were replicated). Oracle = the plain
+    // LEFT join: salting changes the shuffle, never the rows
+    "pipe_skew_salted_left" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy(col("user_id")).agg(dsum(col("value")).as("user_total"))
+        .filter(col("user_id") % 3 =!= 0)
+      graft.operators.SaltedJoin.joinByAudit(ev, dim, "user_id", k = 8,
+          joinType = "left")
+        .select(col("event_id"), col("user_total"))
+        .orderBy("event_id")
+    }),
+
     // Pivot: long→wide per-user event-type sums (groupBy().pivot() with
     // an explicit value list — one shuffle, map-side partials per cell)
     "rel_pivot" -> ((s, dir) => {
@@ -1587,6 +1602,13 @@ object RelationalQueries {
          |  FROM events GROUP BY 1)
          |SELECT e.event_id, d.user_total
          |FROM events e JOIN dim d USING (user_id)
+         |ORDER BY e.event_id""".stripMargin,
+    // left-join form: unmatched fact rows null-extend exactly once
+    "pipe_skew_salted_left" ->
+      s"""WITH dim AS (SELECT user_id, ${dsumSql("value")} AS user_total
+         |  FROM events GROUP BY 1 HAVING user_id % 3 <> 0)
+         |SELECT e.event_id, d.user_total
+         |FROM events e LEFT JOIN dim d USING (user_id)
          |ORDER BY e.event_id""".stripMargin,
     "rel_pivot" -> {
       def cell(t: String) =

@@ -346,6 +346,15 @@ object StreamQueries {
           ExtQueries.HH_SHARE, shards = 8)
         .orderBy(col("c").desc, col("token"))),
 
+    // FILE-SOURCE twin of stream_heavy_hitters: doc_id-range waves →
+    // one parquet file each → maxFilesPerTrigger=1 microbatches; MG
+    // state carries across genuine batch boundaries, no row visits the
+    // driver; output EXACT == batch, oracle shared
+    "stream_hh_file" -> ((s, dir) =>
+      StreamOps.heavyHittersOnceFile(s, dir, ExtQueries.HH_COUNTERS,
+          ExtQueries.HH_SHARE, shards = 8)
+        .orderBy(col("c").desc, col("token"))),
+
     // the batch OHLC aggregate unchanged under streaming state —
     // min_by/max_by are declarative aggs, so the engine maintains them
     // incrementally; oracle == batch OHLC
@@ -733,6 +742,7 @@ object StreamQueries {
     "stream_clean_lines" -> ExtQueries.cleanLinesSql,
     "stream_weighted" -> ExtQueries.oracleSql("sample_weighted"),
     "stream_heavy_hitters" -> ExtQueries.oracleSql("text_heavy_hitters"),
+    "stream_hh_file" -> ExtQueries.oracleSql("text_heavy_hitters"),
     "stream_winnow" -> ExtQueries.oracleSql("text_winnowing"),
     "stream_holt" ->
       """WITH RECURSIVE ev AS (SELECT user_id, event_id,

@@ -1515,6 +1515,64 @@ object StreamOps {
       docs, "text", cands, n, share)
   }
 
+  /** FILE-SOURCE twin of [[heavyHittersOnce]] — the heaviest remaining
+    * MemoryStream replay moved onto the production no-collect ingest
+    * path ([[mergeOnceFile]]/[[scd2OnceFile]]'s contract): the token
+    * feed buckets into THREE doc_id-range waves from one min/max
+    * aggregate broadcast back (no driver collect of rows), each wave
+    * lands as its own mtime-pinned parquet file, `maxFilesPerTrigger=1`
+    * replays them as three genuine microbatches, and the shard-keyed
+    * Misra-Gries ValueState carries and merges across the batch
+    * boundaries. Wave ORDER is immaterial here (unlike SCD2): each
+    * batch emits its shard's current candidates and the cross-batch
+    * union stays a candidate SUPERSET, which the one exact batch pass
+    * then reconciles — output EXACT == the batch heavy hitters, oracle
+    * shared verbatim. */
+  def heavyHittersOnceFile(spark: SparkSession, dir: String, counters: Int,
+      share: Int, shards: Int,
+      sinkName: String = "stream_hh_file_sink"): DataFrame = {
+    require(counters >= share, "counters >= share (superset guarantee)")
+    import spark.implicits._
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+    val toks0 = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"),
+        pmod(hash(col("token")), lit(shards)).cast("long").as("shard"),
+        col("token"))
+    val bounds = toks0.agg(min(col("doc_id")).as("__d0"),
+      (max(col("doc_id")) + 1L).as("__d1"))
+    val feed = toks0.crossJoin(broadcast(bounds))
+      .withColumn("__wave", expr("(doc_id - __d0) * 3 div (__d1 - __d0)"))
+      .select(col("shard"), col("token"), col("__wave"))
+    val tmp = stageWaveFiles(feed, "__wave", 0L to 2L, "stream_hh_src")
+    // declared 2-column read schema prunes __wave at the parquet scan
+    val schema = feed.drop("__wave").schema
+    val out = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString)
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new MgProcessor(counters),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF("token")
+    withRocksDbProvider(spark) {
+      withHarnessConf(spark, "8") { ckpt =>
+        val q = out.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update())
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+    }
+    val cands = spark.table(sinkName).select("token").distinct()
+    val n = docs.select(explode(split(col("text"), " ")).as("token"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.TextAnalysis.exactOverCandidates(
+      docs, "text", cands, n, share)
+  }
+
   /** Streaming phrase-hit counting — the live watchlist audit ("alert
     * on documents containing these exact phrases") over an ingest:
     * per arriving doc, each phrase's occurrence count from ONE

@@ -631,6 +631,27 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
 
+  test("mmr rounds exhaust gracefully when the pool holds fewer than k rows") {
+    import spark.implicits._
+    // 4 vectors: the pool (everything but qid) is 3 rows < k=5 — the
+    // rounds must return the 3 reachable picks, not throw mid-round
+    // (r14 ADVICE: sparse IVF probe lists / tiny corpora)
+    def vec(i: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = 1.0f; a(0) = 1.0f; a
+    }
+    val v = (0L to 3L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val sel = Similarity.mmrSelect(v, "vec_id", "embedding",
+      qid = 0L, poolN = 5, k = 5, lambdaMicro = 700000L).collect()
+    assert(sel.length == 3)
+    assert(sel.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "rounds stay 1..3")
+    assert(sel.map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
+    // IVF form shares the guard via mmrRounds
+    val ivf = Similarity.mmrSelectIvf(v, "vec_id", "embedding",
+      qid = 0L, poolN = 5, k = 5, lambdaMicro = 700000L,
+      nCentroids = 2, nprobe = 2).collect()
+    assert(ivf.length <= 3 && ivf.nonEmpty)
+  }
+
   test("mmrSelectIvf == mmrSelect when every list is probed (degeneracy)") {
     // nprobe = nCentroids probes the whole corpus, so the IVF pool is
     // the global exact-cosine top-poolN — the brute pool — and the

@@ -219,6 +219,62 @@ class PlanAuditSpec extends SparkSpec {
     assert(salted.sameElements(plain))
   }
 
+  test("audit-driven salted LEFT join == plain left join (unmatched facts null-extend once)") {
+    // hot key 7 (audit flags it) + cold keys, and the dim side DROPS
+    // every key ≡ 0 mod 3 so unmatched left rows must null-extend
+    // exactly once whatever their salt
+    val ev = Tables.t(spark, sf001, "events")
+      .withColumn("user_id",
+        when(col("event_id") % 2 === 0, lit(7L)).otherwise(col("user_id") + 1000L))
+    val dim = ev.groupBy(col("user_id"))
+      .agg(sum(col("value")).as("user_total"))
+      .filter(col("user_id") % 3 =!= 0)
+    val plain = ev.join(dim, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_total"))
+      .orderBy("event_id").collect()
+    val salted = graft.operators.SaltedJoin
+      .joinByAudit(ev, dim, "user_id", k = 8, joinType = "left")
+      .select(col("event_id"), col("user_total"))
+      .orderBy("event_id").collect()
+    assert(salted.sameElements(plain))
+    // blanket form too, plus semi/anti partition the left side exactly
+    val saltedBlanket = graft.operators.SaltedJoin
+      .join(ev, dim, Seq("user_id"), k = 8, joinType = "left")
+      .select(col("event_id"), col("user_total"))
+      .orderBy("event_id").collect()
+    assert(saltedBlanket.sameElements(plain))
+    val nSemi = graft.operators.SaltedJoin
+      .join(ev, dim, Seq("user_id"), k = 8, joinType = "left_semi").count()
+    val nAnti = graft.operators.SaltedJoin
+      .join(ev, dim, Seq("user_id"), k = 8, joinType = "left_anti").count()
+    assert(nSemi + nAnti === ev.count())
+    assert(nSemi === ev.join(dim, Seq("user_id"), "left_semi").count())
+    // right/full outer would null-extend each unmatched REPLICATED right
+    // row k times — rejected up front with the swap-sides hint
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.SaltedJoin.join(ev, dim, Seq("user_id"), k = 8,
+        joinType = "full")
+    }
+    assert(err.getMessage.contains("swap the sides"))
+  }
+
+  test("salt spreads fully-duplicate hot-key rows across reducers") {
+    // 4096 byte-identical rows on one key: hash(row) alone would land
+    // them on ONE salt (the r14 ADVICE finding) — the folded-in unique
+    // id must spread them over all k salt values
+    val dup = spark.range(4096).select(lit(7L).as("k"), lit("same").as("v"))
+    val k = 8
+    val salts = dup.withColumn("__salt",
+        pmod(hash(col("k"), col("v"), monotonically_increasing_id()), lit(k)))
+      .select("__salt").distinct().count()
+    assert(salts === k.toLong)
+    // and through the public operator: a duplicate-heavy hot key joined
+    // salted still equals the plain join (salt is internal only)
+    val dim = spark.range(1).select(lit(7L).as("k"), lit(1L).as("t"))
+    val out = graft.operators.SaltedJoin.join(dup, dim, Seq("k"), k)
+    assert(out.count() === 4096L)
+  }
+
   test("audit-driven salted join: salt only on flagged keys — conditional replication, broadcast hot set") {
     val p = plan("pipe_skew_salted")
     // (the embedded skewAudit's 1-row total-frame broadcast is the

@@ -316,4 +316,27 @@ class WindowGroupSpec extends SparkSpec {
     }.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaApply == Set((1L, 2L), (2L, 1L)))
   }
+
+  test("O4 groupby sort=False: groups in first-appearance order via first_pos") {
+    // index 0..5; key 'b' appears first (pos 0), then 'a' (pos 1), 'c' (pos 4)
+    val d = Seq((0L, "b", 1L), (1L, "a", 2L), (2L, "b", 3L),
+      (3L, "a", 4L), (4L, "c", 5L), (5L, "b", 6L)).toDF("index", "k", "v")
+    val out = Swift(d).groupBy("k").sort(false)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // result order IS first-appearance order (pandas sort=False), and
+    // first_pos materializes it for any downstream re-sort
+    assert(out.toSeq == Seq(("b", 0L, 3L, 10L), ("a", 1L, 2L, 6L), ("c", 4L, 1L, 5L)))
+    // sort=true (default) keeps the plain agg shape — no first_pos column
+    val defCols = Swift(d).groupBy("k")
+      .agg(count(lit(1)).as("n")).columns.toSeq
+    assert(defCols == Seq("k", "n"))
+    // composes with dropna: NULL-key rows drop BEFORE first_pos is minned
+    val dn = Seq((0L, null.asInstanceOf[String], 1L), (1L, "a", 2L))
+      .toDF("index", "k", "v")
+    val dnOut = Swift(dn).groupBy("k").dropna().sort(false)
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(dnOut.toSeq == Seq(("a", 1L, 1L)))
+  }
 }
