@@ -63,7 +63,9 @@ object ScaleSmokeR15 {
     noop(emb.groupBy(col("vec_id") % 7).count()) // codegen/shuffle warmup
 
     val SUBS = 4; val CBK = 16; val SUB = 64 / SUBS // sim_pq_topk's M/K
-    Seq(1, 4, 16).foreach { m =>
+    val scales = if (args.nonEmpty) args(0).split(",").map(_.toInt).toSeq
+      else Seq(1, 4, 16)
+    scales.foreach { m =>
       val v = rep(emb, m).repartition(32).cache()
       val n = v.count()
       println(s"--- x$m: $n vectors ---")
