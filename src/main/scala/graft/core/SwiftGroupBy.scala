@@ -63,6 +63,24 @@ final class SwiftGroupBy(sw: Swift, by: Seq[String], subset: Option[Seq[String]]
     new SwiftGroupBy(sw, by, subset, dropNulls,
       if (flag) None else Some(indexCol))
 
+  // Remaining reference-forwarded groupby kwargs, DOCUMENTED DIVERGENCES
+  // (swifter/swifter.py:523-534 forwards them verbatim to pandas; the
+  // reference adds no logic of its own to any of them):
+  //  - `as_index`: pandas-only result PACKAGING (keys as index vs as
+  //    columns). Under the explicit-index convention a distributed
+  //    result always carries the keys as columns — i.e. the engine is
+  //    permanently `as_index=False`-shaped, and there is no second
+  //    observable behavior to implement.
+  //  - `observed`: meaningful only for pandas Categorical dtypes
+  //    (emit unobserved categories as empty groups). The engine has no
+  //    categorical dtype; groups are exactly the observed key values —
+  //    i.e. permanently `observed=True`-shaped.
+  //  - `sort`: the one kwarg with observable output semantics —
+  //    implemented above ([[sort]], first-appearance order as
+  //    `first_pos`).
+  //  - `dropna`: implemented ([[dropna]]) with the default divergence
+  //    disclosed there and in COVERAGE.md/README.md.
+
   /** pandas `groupby(by).rolling(n)`: a count window per group — sugar
     * over the O5 machinery with the group keys as the window partition. */
   def rolling(window: Int, orderBy: Seq[String], center: Boolean = false): SwiftRolling =

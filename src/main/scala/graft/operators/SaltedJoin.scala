@@ -46,6 +46,23 @@ object SaltedJoin {
       "right/full outer would null-extend each unmatched REPLICATED right " +
       "row k times; swap the sides and use 'left' instead")
 
+  /** Null-key pre-filter below the salt projection. The salt is
+    * NONDETERMINISTIC ([[saltOf]]'s unique id), which blocks Catalyst
+    * from pushing the equi-join's implied IsNotNull(key) through the
+    * projection to the scan (caught by the round-15 frozen-plan diff).
+    * For join types where a null-keyed left row can never contribute
+    * (inner, left_semi — null equals nothing) the filter is applied
+    * explicitly BELOW the salt so it reaches PushedFilters; for
+    * left/left_anti the null-keyed rows must SURVIVE (null-extend /
+    * count as anti-matches), so they are kept and simply ride salt
+    * hash with no match. */
+  private def preFilterNullKeys(df: DataFrame, keys: Seq[String],
+      joinType: String): DataFrame = joinType.toLowerCase match {
+    case "inner" | "left_semi" | "leftsemi" =>
+      df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    case _ => df
+  }
+
   /** Equi-join of `skewed` (hot keys) with `other` on `keys`, salted k
     * ways. `joinType` ∈ {inner (default), left, left_semi, left_anti}:
     * a left row with no right match null-extends exactly once (under its
@@ -55,8 +72,8 @@ object SaltedJoin {
   def join(skewed: DataFrame, other: DataFrame, keys: Seq[String],
       k: Int, joinType: String = "inner"): DataFrame = {
     checkType(joinType)
-    val saltedL = skewed.withColumn("__salt",
-      saltOf(skewed.columns.toIndexedSeq, k))
+    val saltedL = preFilterNullKeys(skewed, keys, joinType)
+      .withColumn("__salt", saltOf(skewed.columns.toIndexedSeq, k))
     val replicatedR = other.withColumn("__salt",
       explode(array((0 until k).map(i => lit(i)): _*)))
     saltedL.join(replicatedR, (keys :+ "__salt").toIndexedSeq, joinType)
@@ -91,7 +108,8 @@ object SaltedJoin {
       Warehouse.skewAudit(skewed, keyCol, topK)
         .filter(col("skew_micro") > thresholdMicro)
         .select(col(keyCol), lit(1).as("__hot")))
-    val saltedL = skewed.join(hot, Seq(keyCol), "left")
+    val saltedL = preFilterNullKeys(skewed, Seq(keyCol), joinType)
+      .join(hot, Seq(keyCol), "left")
       .withColumn("__salt", when(col("__hot") === 1,
         saltOf(skewed.columns.toIndexedSeq, k))
         .otherwise(lit(0)))

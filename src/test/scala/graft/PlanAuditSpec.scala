@@ -199,6 +199,11 @@ class PlanAuditSpec extends SparkSpec {
     // the salt participates in the join key, so a hot key spreads over
     // k reducers — the operator's whole point
     assert(p.contains("__salt"), p.take(3000))
+    // the NONDETERMINISTIC salt (unique-id fold) blocks Catalyst from
+    // pushing the inner join's implied IsNotNull(key) through the salt
+    // projection — the explicit pre-filter below the salt must restore
+    // the scan-level pushdown (r15 frozen-plan-diff catch)
+    assert(p.contains("PushedFilters: [IsNotNull(user_id)]"), p.take(3000))
   }
 
   test("audit-driven salted join == plain join on a pathologically hot key") {
