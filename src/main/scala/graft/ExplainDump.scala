@@ -79,7 +79,8 @@ object ExplainDump {
     // rule a plan change in/out), and this round's three new queries
     "sim_mmr_ivf", "sim_recall_pq", "stream_scd2_file",
     "o4_groupby_dropna", "pipe_skew_salted", "o5_rolling_hamming",
-    "o4_groupby_nosort", "pipe_skew_salted_left", "stream_hh_file")
+    "o4_groupby_nosort", "pipe_skew_salted_left", "stream_hh_file",
+    "dedup_incr_bloom")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

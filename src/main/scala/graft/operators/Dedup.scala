@@ -1010,17 +1010,65 @@ object Dedup {
     * work, not corpus-scale work. */
   def incrementalDedup(reference: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, tau: Double): DataFrame = {
-    def prep(df: DataFrame) = df.select(col(idCol).as("id"),
+    val ref = incPrep(reference, idCol, textCol)
+    val inc = incPrep(incoming, idCol, textCol)
+    val exactHits = inc.select(col("id"), col("h"))
+      .join(ref.select(col("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("id"))
+    incFlags(ref, inc, tau, exactHits)
+  }
+
+  /** [[incrementalDedup]] with the EXACT arm's reference-membership test
+    * behind a BLOOM prefilter — the [[Decontaminate.contaminatedBloom]]
+    * pattern applied to cross-corpus dedup. At 100 TB the reference's
+    * content-hash inventory is itself corpus-sized, so the plain
+    * LEFT-SEMI arm shuffles |incoming| + |reference| hash rows on every
+    * increment; here the reference hashes aggregate ONCE into a
+    * broadcast Bloom bitset (bits ∝ |ref|·ln(1∕fpp) — the bitset ships
+    * where a hash TABLE of a 100 TB corpus cannot), incoming rows probe
+    * it MAP-SIDE, and only Bloom-positives meet the reference in the
+    * exact verify semi-join, now sized by true dups + fpp·|incoming|
+    * instead of |reference|. False positives add verify probes, never
+    * output rows — the result is bit-identical to [[incrementalDedup]]
+    * (differential spec) and shares its oracle verbatim. The near arm
+    * (band equi-join + exact-Jaccard verify) is unchanged: its
+    * collision-bounded candidates are already incremental-sized.
+    * Driver cost: two actions over the reference HASH COLUMN only
+    * (count sizes the filter, bloomFilter folds it) — in a production
+    * increment loop both belong to the reference's build time, not the
+    * per-increment path (persist the bitset with the curated corpus). */
+  def incrementalDedupBloom(reference: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, tau: Double,
+      fpp: Double = 0.01): DataFrame = {
+    val ref = incPrep(reference, idCol, textCol)
+    val inc = incPrep(incoming, idCol, textCol)
+    val refH = ref.select(col("h")).persist() // 3 consumers: count/bloom/verify
+    val nRef = math.max(refH.count(), 1L)
+    val bloom = refH.stat.bloomFilter("h", nRef, fpp)
+    val bc = reference.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((h: String) => bc.value.mightContainString(h))
+    val exactHits = inc.select(col("id"), col("h"))
+      .filter(might(col("h")))
+      .join(refH.distinct(), Seq("h"), "left_semi")
+      .select(col("id"))
+    incFlags(ref, inc, tau, exactHits)
+  }
+
+  /** Shared (id, content hash, distinct shingles, MinHash bands)
+    * projection of the incremental-dedup arms. */
+  private def incPrep(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
         md5(col(textCol).cast("binary")).as("h"),
         array_distinct(shingle_hashes(word_hashes(col(textCol)))).as("ds"))
       .withColumn("nd", size(col("ds")).cast("long"))
       .withColumn("bands", bands(minhash_sig(col("ds"))))
       .localCheckpoint(eager = false) // 2–3 consumers each; see ivfAssign
-    val ref = prep(reference)
-    val inc = prep(incoming)
-    val exactHits = inc.select(col("id"), col("h"))
-      .join(ref.select(col("h")).distinct(), Seq("h"), "left_semi")
-      .select(col("id"))
+
+  /** The near arm + per-doc flag assembly shared by the plain and
+    * Bloom-prefiltered exact arms. */
+  private def incFlags(ref: DataFrame, inc: DataFrame, tau: Double,
+      exactHits: DataFrame): DataFrame = {
     val bi = inc.select(col("id"), posexplode(col("bands")).as(Seq("bi", "bv")))
     val br = ref.select(col("id").as("rid"), posexplode(col("bands")).as(Seq("bi", "bv")))
     val cand = bi.join(br, Seq("bi", "bv")).select(col("id"), col("rid")).distinct()

@@ -1111,6 +1111,18 @@ object ExtQueries {
         "doc_id", "text", JACCARD_TAU)
         .orderBy("id")
     }),
+    "dedup_incr_bloom" -> ((s, dir) => {
+      // the too-big-to-broadcast-reference form: exact arm behind a
+      // broadcast Bloom bitset of the reference hashes + exact verify
+      // semi-join on the survivors; FP adds probes, never rows —
+      // output == dedup_incremental, oracle shared verbatim
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalDedupBloom(
+        docs.filter(col("doc_id") % INC_MOD =!= 0),
+        docs.filter(col("doc_id") % INC_MOD === 0),
+        "doc_id", "text", JACCARD_TAU)
+        .orderBy("id")
+    }),
     "text_source_overlap" -> ((s, dir) =>
       // WIMBD cross-source overlap map: distinct shared 8-gram count
       // per source pair — gram-keyed equi-join, |sources|^2/2-row output
@@ -2592,6 +2604,31 @@ object ExtQueries {
     // on md5 for shuffle-width; the FLAGS are identical), near arm the
     // same sig/band/verify chain split incoming-vs-reference
     "dedup_incremental" ->
+      s"""WITH $distinctShingleCte,
+         |g AS (SELECT id, ds, nd, ${minhashSigSql("ds")} AS sig FROM d),
+         |bd AS (SELECT id, ds, nd, ${bandsSql("sig")} AS bands FROM g),
+         |ri AS (SELECT * FROM bd WHERE id % $INC_MOD <> 0),
+         |ii AS (SELECT * FROM bd WHERE id % $INC_MOD = 0),
+         |exh AS (SELECT DISTINCT a.doc_id AS id FROM documents a
+         |  JOIN documents b ON a.text = b.text
+         |  WHERE a.doc_id % $INC_MOD = 0 AND b.doc_id % $INC_MOD <> 0),
+         |xr AS (SELECT id, i AS bi, bands[i] AS bv FROM ri, UNNEST(generate_series(1, ${MirrorHash.NUM_BANDS})) AS u(i)),
+         |xi AS (SELECT id, i AS bi, bands[i] AS bv FROM ii, UNNEST(generate_series(1, ${MirrorHash.NUM_BANDS})) AS u(i)),
+         |cand AS (SELECT DISTINCT x.id AS iid, y.id AS rid
+         |  FROM xi x JOIN xr y ON x.bi = y.bi AND x.bv = y.bv),
+         |nh AS (SELECT DISTINCT c.iid AS id
+         |  FROM cand c JOIN bd a ON a.id = c.iid JOIN bd b ON b.id = c.rid
+         |  WHERE CAST(len(list_intersect(a.ds, b.ds)) AS BIGINT)
+         |    / (a.nd + b.nd - len(list_intersect(a.ds, b.ds))) >= $JACCARD_TAU)
+         |SELECT ii.id,
+         |  CAST(ii.id IN (SELECT id FROM exh) AS INT) AS exact_dup,
+         |  CAST(ii.id IN (SELECT id FROM nh) AS INT) AS near_dup,
+         |  CAST(ii.id NOT IN (SELECT id FROM exh)
+         |    AND ii.id NOT IN (SELECT id FROM nh) AS INT) AS kept
+         |FROM ii ORDER BY id""".stripMargin,
+    // Bloom prefilter + exact verify == the plain exact arm (FP adds
+    // probes, never rows) — the plain mirror proves it
+    "dedup_incr_bloom" ->
       s"""WITH $distinctShingleCte,
          |g AS (SELECT id, ds, nd, ${minhashSigSql("ds")} AS sig FROM d),
          |bd AS (SELECT id, ds, nd, ${bandsSql("sig")} AS bands FROM g),

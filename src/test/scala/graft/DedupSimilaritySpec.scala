@@ -381,6 +381,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(incNear == batchNear, s"missing=${batchNear -- incNear} extra=${incNear -- batchNear}")
   }
 
+  test("incrementalDedupBloom == incrementalDedup (Bloom prefilter adds probes, never rows)") {
+    // differential on real data at the query split, plus a high-fpp run:
+    // even a 50%-noise bitset must not change the output — the exact
+    // verify semi-join is the correctness gate, the bloom only prunes
+    val docsAll = graft.queries.Tables.t(spark, sf001, "documents")
+    val ref = docsAll.filter(col("doc_id") % 3 =!= 0)
+    val inc = docsAll.filter(col("doc_id") % 3 === 0)
+    val plain = Dedup.incrementalDedup(ref, inc, "doc_id", "text", 0.6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val bloom = Dedup.incrementalDedupBloom(ref, inc, "doc_id", "text", 0.6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(bloom == plain)
+    val noisy = Dedup.incrementalDedupBloom(ref, inc, "doc_id", "text", 0.6,
+        fpp = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(noisy == plain)
+    assert(plain.nonEmpty)
+    // the sf0.001 split plants no cross-split EXACT dup, so the bloom's
+    // positive path (probe hit → verify semi-join) is exercised on the
+    // planted frames: exact dup flagged, near-only and unique unchanged
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val pRef = Seq((10L, base),
+      (11L, "completely different reference words here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val pInc = Seq((20L, base), (21L, base + " lambda"),
+      (22L, "unique incoming document words that overlap with nothing else"))
+      .toDF("doc_id", "text")
+    val planted = Dedup.incrementalDedupBloom(pRef, pInc, "doc_id", "text", 0.6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(planted(20L) == ((1, 1, 0)))
+    assert(planted(21L) == ((0, 1, 0)))
+    assert(planted(22L) == ((0, 0, 1)))
+  }
+
   test("sourceOverlap: planted shared gram counted once, disjoint sources emit no row") {
     import spark.implicits._
     val shared = (1 to 8).map(i => s"s$i").mkString(" ")
