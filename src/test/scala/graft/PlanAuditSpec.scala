@@ -263,6 +263,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(err.getMessage.contains("swap the sides"))
   }
 
+  test("groupby sort=False: first_pos rides the user aggregate's exchange") {
+    // min(index) must be ONE more partial aggregate on the SAME shuffle
+    // as the user's aggs — exactly one hash exchange (plus the output
+    // orderBy's range exchange on the tiny grouped result), partial+final
+    val p = fmt(graft.queries.CoreQueries.queries("o4_groupby_nosort")(
+      spark, sf001))
+    assert("hashpartitioning\\(".r.findAllIn(p).size === 1, p.take(3000))
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size === 2, p.take(3000))
+    assert(p.contains("min(event_id"), p.take(3000))
+  }
+
+  test("bloom incremental dedup: map-side bloom probe, no cartesian, reference never self-joins") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val p = fmt(graft.operators.Dedup.incrementalDedupBloom(
+      docs.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", 0.6))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    // the broadcast bitset probes as a plain FILTER on the incoming side
+    // (UDF over the hash column), BELOW the exact verify semi-join
+    assert(p.contains("LeftSemi"), p.take(4000))
+    assert(p.toLowerCase.contains("mightcontain") || p.contains("UDF"),
+      p.take(4000))
+  }
+
   test("salt spreads fully-duplicate hot-key rows across reducers") {
     // 4096 byte-identical rows on one key: hash(row) alone would land
     // them on ONE salt (the r14 ADVICE finding) — the folded-in unique
