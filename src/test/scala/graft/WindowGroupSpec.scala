@@ -338,5 +338,15 @@ class WindowGroupSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(dnOut.toSeq == Seq(("a", 1L, 1L)))
+    // composes with the column-subset projection (the index column is
+    // re-attached for the min even when the subset omits it)
+    val sub = Swift(d).groupBy("k").select("v").sort(false)
+      .agg(sum(col("v")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sub.toSeq == Seq(("b", 0L, 10L), ("a", 1L, 6L), ("c", 4L, 5L)))
+    // sort(true) restores the plain shape after a sort(false)
+    val restored = Swift(d).groupBy("k").sort(false).sort(true, "index")
+      .agg(count(lit(1)).as("n")).columns.toSeq
+    assert(restored == Seq("k", "n"))
   }
 }
