@@ -80,7 +80,9 @@ object ExplainDump {
     "sim_mmr_ivf", "sim_recall_pq", "stream_scd2_file",
     "o4_groupby_dropna", "pipe_skew_salted", "o5_rolling_hamming",
     "o4_groupby_nosort", "pipe_skew_salted_left", "stream_hh_file",
-    "dedup_incr_bloom")
+    "dedup_incr_bloom",
+    // round 15 (cont.): Lloyd-trained PQ codebook family
+    "sim_pq_trained", "sim_recall_trained")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -681,6 +681,14 @@ object Similarity {
     val sub = dims / subspaces
     val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
     val cb = pqCodebook(fx, subspaces, codebookK, sub)
+    pqAdcTopK(fx, cb, sub, isQuery, k)
+  }
+
+  /** Flat PQ-ADC search tail shared by the seeded and trained codebook
+    * variants: encode the corpus, build the query ADC tables, rank by
+    * summed subspace distances ((adc, id) ties). */
+  private def pqAdcTopK(fx: DataFrame, cb: DataFrame, sub: Int,
+      isQuery: Column => Column, k: Int): DataFrame = {
     val codes = pqCodes(fx, cb, sub)
     val qd = pqAdcTable(fx, isQuery, cb, sub)
     val adc = codes.join(broadcast(qd), Seq("m", "cid"))
@@ -690,6 +698,74 @@ object Similarity {
     adc.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("id").as("vec_id"), col("adc"))
+  }
+
+  /** Lloyd-trained PQ codebook (Jégou et al. 2011 train their codebooks
+    * with k-means; [[pqCodebook]]'s seeded draw is the iteration-zero
+    * special case): starting from the seeded codewords, run `iters`
+    * Lloyd rounds PER SUBSPACE — assign every subvector to its nearest
+    * codeword (exact BIGINT L2, (d2, cid) ties), then move each codeword
+    * to the element-wise integer mean of its members. All `subspaces`
+    * codebooks train simultaneously: `m` rides along as a grouping key,
+    * so a round is ONE corpus pass (n·M·K skinny scored rows against
+    * the broadcast (M·K)-row codebook), one (id, m) arg-min aggregate,
+    * one re-attach join, and one (m, cid)-keyed mean aggregate with
+    * map-side partials — no per-cluster jobs, no driver loop over k.
+    *
+    * Exactness: the mean is [[ivfTopKRefined]]'s TRUNC-toward-zero
+    * integer division (Spark `div` == DuckDB `//`), so trained codewords
+    * stay in the 1e6 fixed-point domain and [[trainedCbCtes]] mirrors
+    * every element bit-for-bit. The arg-min is min(struct(d2, cid)) —
+    * lexicographic struct ordering = the (d2, cid) window tie-break,
+    * as a hash aggregate instead of a sort window. A codeword that
+    * loses all members drops out of the refined book (the disclosed
+    * [[ivfTopKRefined]] empty-list convention, identical both engines).
+    *
+    * Scale: iters·(2 shuffles + 1 broadcast pass); the scored frame
+    * never carries subvectors (they re-attach by (id, m) after the
+    * arg-min — the [[rankByCentroids]] skinny-shuffle discipline). */
+  private[graft] def pqCodebookTrained(fx: DataFrame, subspaces: Int,
+      codebookK: Int, sub: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be positive: $iters")
+    val sv = fx.crossJoin(fx.sparkSession.range(subspaces)
+        .select(col("id").cast("int").as("m")))
+      .select(col("id"), col("m"),
+        expr(s"slice(fx, m * $sub + 1, $sub)").as("svec"))
+      .localCheckpoint(eager = false)
+    var cb = pqCodebook(fx, subspaces, codebookK, sub)
+    for (_ <- 1 to iters) {
+      val scored = sv.join(broadcast(cb), Seq("m"))
+        .select(col("id"), col("m"), col("cid"),
+          pqSubD2(col("svec")).as("d2"))
+      val asg = scored.groupBy(col("id"), col("m"))
+        .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("cid"))
+        .join(sv, Seq("id", "m"))
+      val sumCols = (0 until sub).map(d =>
+        sum(element_at(col("svec"), d + 1)).as(s"__s$d"))
+      val grouped = asg.groupBy(col("m"), col("cid"))
+        .agg(count(lit(1)).as("cnt"), sumCols: _*)
+      val meanArr = array((0 until sub).map(d => expr(s"__s$d div cnt")): _*)
+      cb = grouped.select(col("m"), col("cid"), meanArr.as("cvec"))
+    }
+    cb
+  }
+
+  /** [[pqTopK]] with a Lloyd-trained codebook ([[pqCodebookTrained]],
+    * `iters` rounds) — the production PQ recipe: training moves each
+    * subspace's codewords to the data's mass, shrinking per-subspace
+    * quantization error, which SCALING.md's recall grid identifies as
+    * THE recall lever (M ≫ K ≫ nprobe once quantized). Search tail,
+    * determinism discipline, and plan shape are identical to the seeded
+    * variant; only the codebook differs. */
+  def pqTopKTrained(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int, subspaces: Int = 4,
+      codebookK: Int = 16, dims: Int = 64, iters: Int = 2): DataFrame = {
+    require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
+    val sub = dims / subspaces
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    val cb = pqCodebookTrained(fx, subspaces, codebookK, sub, iters)
+      .localCheckpoint(eager = false)
+    pqAdcTopK(fx, cb, sub, isQuery, k)
   }
 
   /** IVF-PQ (Jégou et al. 2011 §IV) — THE production ANN architecture
@@ -707,7 +783,28 @@ object Similarity {
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
       isQuery: Column => Column, k: Int, nCentroids: Int = 16,
       nprobe: Int = 2, subspaces: Int = 4, codebookK: Int = 16,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64): DataFrame =
+    ivfPqImpl(df, idCol, vecCol, isQuery, k, nCentroids, nprobe, subspaces,
+      codebookK, dims, cbIters = 0)
+
+  /** [[ivfPqTopK]] with a Lloyd-trained PQ codebook
+    * ([[pqCodebookTrained]], `iters` rounds). The coarse quantizer stays
+    * the seeded draw ON PURPOSE: SCALING.md's recall grid shows
+    * quantization loss dominating coarse-quantizer loss entirely, so
+    * training ONLY the codebook is the clean ablation — any recall lift
+    * over [[ivfPqTopK]] is attributable to the codebook (pair with
+    * [[ivfTopKRefined]] if the coarse side needs the same lever). */
+  def ivfPqTopKTrained(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int, nCentroids: Int = 16,
+      nprobe: Int = 2, subspaces: Int = 4, codebookK: Int = 16,
+      dims: Int = 64, iters: Int = 2): DataFrame =
+    ivfPqImpl(df, idCol, vecCol, isQuery, k, nCentroids, nprobe, subspaces,
+      codebookK, dims, cbIters = iters)
+
+  private def ivfPqImpl(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int, nCentroids: Int,
+      nprobe: Int, subspaces: Int, codebookK: Int,
+      dims: Int, cbIters: Int): DataFrame = {
     require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
     val sub = dims / subspaces
     val ranked = ivfAssign(df, idCol, vecCol, nCentroids)
@@ -716,7 +813,11 @@ object Similarity {
     val probes = ranked.filter(isQuery(col("id")))
       .select(col("id").as("qid"), col("cid"))
     val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
-    val cb = pqCodebook(fx, subspaces, codebookK, sub)
+    val cb =
+      if (cbIters > 0)
+        pqCodebookTrained(fx, subspaces, codebookK, sub, cbIters)
+          .localCheckpoint(eager = false)
+      else pqCodebook(fx, subspaces, codebookK, sub)
     val codes = pqCodes(fx, cb, sub)
       .select(col("id"), col("m"), col("cid").as("code"))
     val qd = pqAdcTable(fx, isQuery, cb, sub)
@@ -1033,6 +1134,41 @@ object Similarity {
       (2 to k).map(r => s"SELECT CAST($r AS BIGINT), id, md FROM c$r"))
       .mkString("\nUNION ALL ")
     s"WITH ${ctes.mkString(",\n")}\n$sel\nORDER BY round"
+  }
+
+  /** DuckDB mirror of [[pqCodebookTrained]] — appended after the shared
+    * `n(id, fx, nrm)` fixed-point CTE. Emits `ms` (subspace ids), `sv`
+    * (subvectors), `cbt0` (the seeded book) and one (assign, sum,
+    * update) CTE triple per Lloyd round, replaying the exact BIGINT
+    * subspace L2, (d2, cid) arg-min ties, and trunc-toward-zero integer
+    * means (`//` == Spark `div`). The final codebook CTE is
+    * `cbt<iters>(m, cid, cvec)`; empty codewords drop out via the inner
+    * GROUP BY, matching the engine's empty-list convention. */
+  def trainedCbCtes(subspaces: Int, codebookK: Int, sub: Int,
+      iters: Int): String = {
+    def d2(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1,$sub), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"ms AS (SELECT unnest(generate_series(0, ${subspaces - 1})) AS m)",
+      s"sv AS (SELECT id, m, fx[m*$sub+1 : m*$sub+$sub] AS svec FROM n, ms)",
+      s"""cbt0 AS (SELECT m, cid, cfx[m*$sub+1 : m*$sub+$sub] AS cvec
+         |  FROM (SELECT id AS cid, fx AS cfx FROM n
+         |    ORDER BY ${seedHashSql("id")}, id LIMIT $codebookK), ms)""".stripMargin)
+    for (t <- 1 to iters) {
+      parts += s"""a$t AS (SELECT id, m, cid FROM (SELECT sv.id, sv.m, cb.cid,
+         |    row_number() OVER (PARTITION BY sv.id, sv.m
+         |      ORDER BY ${d2("sv.svec", "cb.cvec")}, cb.cid) AS rn
+         |  FROM sv JOIN cbt${t - 1} cb USING (m)) WHERE rn = 1)""".stripMargin
+      parts += s"""s$t AS (SELECT a.m, a.cid, p.pos, SUM(sv.svec[p.pos]) AS sm,
+         |    COUNT(*) AS c
+         |  FROM a$t a JOIN sv ON sv.id = a.id AND sv.m = a.m
+         |  CROSS JOIN (SELECT unnest(generate_series(1,$sub)) AS pos) p
+         |  GROUP BY 1, 2, 3)""".stripMargin
+      parts += s"cbt$t AS (SELECT m, cid, list(CAST(sm // c AS BIGINT) " +
+        s"ORDER BY pos) AS cvec FROM s$t GROUP BY 1, 2)"
+    }
+    parts.mkString(",\n")
   }
 
   /** SQL: hyperplane bucket from fixed-point list `fx` (DuckDB 1-based

@@ -146,6 +146,9 @@ object ExtQueries {
   // ANN evaluation: ground-truth/candidate list size (matches the
   // sim_ivf_topk configuration so the recall row audits that query)
   private val RECALL_K = 3
+  /** Lloyd rounds for the trained-codebook PQ variants (shared by the
+    * Spark queries and their DuckDB mirrors). */
+  private val PQ_ITERS = 2
   // hard-negative mining / kNN label-noise audit neighborhood size
   private val HARDNEG_K = 5
   private val NOISE_K = 5
@@ -1642,6 +1645,41 @@ object ExtQueries {
           id => id < 5, k = RECALL_K, nCentroids = 16, nprobe = 2))
         .unionByName(grade("pq", Similarity.pqTopK(emb, "vec_id",
           "embedding", id => id < 5, k = RECALL_K)))
+        .orderBy("variant", "qid")
+    }),
+
+    "sim_pq_trained" -> ((s, dir) =>
+      // production PQ: the codebook trains with 2 exact-integer Lloyd
+      // rounds per subspace (all M books in one corpus pass per round)
+      // before the same encode/ADC tail as sim_pq_topk — the M/K recall
+      // lever SCALING.md's grid prices, now with the trained-codeword
+      // error reduction instead of the seeded draw
+      Similarity.pqTopKTrained(t(s, dir, "embeddings"), "vec_id",
+        "embedding", id => id < 5, k = 3, iters = PQ_ITERS)
+        .orderBy("qid", "rn")),
+
+    "sim_recall_trained" -> ((s, dir) => {
+      // the training payoff, measured: recall@k of Lloyd-trained flat
+      // PQ and trained-codebook IVF-PQ against the brute ground truth —
+      // same grading as sim_recall_pq, so the two queries read side by
+      // side as the seeded-vs-trained ablation (coarse quantizer held
+      // fixed; any lift is the codebook's)
+      val emb = t(s, dir, "embeddings")
+      val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        id => id < 5, RECALL_K).select(col("qid"), col("vec_id"))
+      def grade(name: String, approx: org.apache.spark.sql.DataFrame) =
+        truth.join(approx.select(col("qid"), col("vec_id"),
+            lit(1L).as("__hit")), Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+          .select(lit(name).as("variant"), col("qid"), col("hits"),
+            (col("hits").cast("double") / lit(RECALL_K).cast("double"))
+              .as("recall"))
+      grade("ivfpq_t", Similarity.ivfPqTopKTrained(emb, "vec_id",
+          "embedding", id => id < 5, k = RECALL_K, nCentroids = 16,
+          nprobe = 2, iters = PQ_ITERS))
+        .unionByName(grade("pq_t", Similarity.pqTopKTrained(emb, "vec_id",
+          "embedding", id => id < 5, k = RECALL_K, iters = PQ_ITERS)))
         .orderBy("variant", "qid")
     })
   )
@@ -3288,6 +3326,92 @@ object ExtQueries {
          |    CAST(hits AS DOUBLE) / CAST($RECALL_K AS DOUBLE) AS recall FROM giv
          |  UNION ALL
          |  SELECT 'pq', qid, hits,
+         |    CAST(hits AS DOUBLE) / CAST($RECALL_K AS DOUBLE) AS recall FROM gpq)
+         |ORDER BY variant, qid""".stripMargin,
+    // trained-PQ mirror: the trainedCbCtes Lloyd chain (cbt$PQ_ITERS =
+    // final codebook) feeding the sim_pq_topk encode/ADC tail verbatim
+    "sim_pq_trained" ->
+      s"""WITH $fxCte,
+         |${Similarity.trainedCbCtes(4, 16, 16, PQ_ITERS)},
+         |enc0 AS (SELECT sv.id, cb.m, cb.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (sv.svec[i] - cb.cvec[i]) * (sv.svec[i] - cb.cvec[i]))) AS BIGINT) AS d2
+         |  FROM sv JOIN cbt$PQ_ITERS cb USING (m)),
+         |codes AS (SELECT id, m, cid FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
+         |  FROM enc0) WHERE rn = 1),
+         |qd AS (SELECT sv.id AS qid, cb.m, cb.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (sv.svec[i] - cb.cvec[i]) * (sv.svec[i] - cb.cvec[i]))) AS BIGINT) AS qd2
+         |  FROM sv JOIN cbt$PQ_ITERS cb USING (m) WHERE sv.id < 5),
+         |adc AS (SELECT qd.qid, codes.id AS vid, CAST(sum(qd.qd2) AS BIGINT) AS adc
+         |  FROM codes JOIN qd ON codes.m = qd.m AND codes.cid = qd.cid
+         |  WHERE codes.id <> qd.qid GROUP BY 1, 2),
+         |r AS (SELECT qid, vid, adc,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS BIGINT) AS rn
+         |  FROM adc)
+         |SELECT qid, rn, vid AS vec_id, adc FROM r WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
+    // seeded-vs-trained ablation mirror: brute ground truth graded
+    // against the trained flat-PQ chain and the trained-codebook IVF-PQ
+    // chain (coarse quantizer CTEs identical to sim_recall_pq's)
+    "sim_recall_trained" ->
+      s"""WITH $fxCte,
+         |bj AS (SELECT q.id AS qid, v.id AS vid,
+         |    ${Similarity.cosineSql("q.fx", "v.fx", "q.nrm", "v.nrm")} AS cos
+         |  FROM n q JOIN n v ON q.id < 5 AND v.id <> q.id),
+         |br AS (SELECT qid, vid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+         |  FROM bj),
+         |tr AS (SELECT qid, vid FROM br WHERE rn <= $RECALL_K),
+         |${Similarity.trainedCbCtes(4, 16, 16, PQ_ITERS)},
+         |enc0 AS (SELECT sv.id, cb.m, cb.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (sv.svec[i] - cb.cvec[i]) * (sv.svec[i] - cb.cvec[i]))) AS BIGINT) AS d2
+         |  FROM sv JOIN cbt$PQ_ITERS cb USING (m)),
+         |codes AS (SELECT id, m, cid FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
+         |  FROM enc0) WHERE rn = 1),
+         |qd AS (SELECT sv.id AS qid, cb.m, cb.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (sv.svec[i] - cb.cvec[i]) * (sv.svec[i] - cb.cvec[i]))) AS BIGINT) AS qd2
+         |  FROM sv JOIN cbt$PQ_ITERS cb USING (m) WHERE sv.id < 5),
+         |pqadc AS (SELECT qd.qid, codes.id AS vid, CAST(sum(qd.qd2) AS BIGINT) AS adc
+         |  FROM codes JOIN qd ON codes.m = qd.m AND codes.cid = qd.cid
+         |  WHERE codes.id <> qd.qid GROUP BY 1, 2),
+         |pqv AS (SELECT qid, vid FROM (SELECT qid, vid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS rn
+         |  FROM pqadc) WHERE rn <= $RECALL_K),
+         |c AS (SELECT id AS ccid, fx AS ccfx, nrm AS ccnrm FROM n
+         |  ORDER BY ${Similarity.seedHashSql("id")}, id LIMIT 16),
+         |sc AS (SELECT n.id, c.ccid,
+         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c.ccfx[i])) AS BIGINT) + c.ccnrm AS d2
+         |  FROM n, c),
+         |rk AS (SELECT id, ccid, row_number() OVER (PARTITION BY id ORDER BY d2, ccid) AS crn FROM sc),
+         |il AS (SELECT ccid, id FROM rk WHERE crn = 1),
+         |pr AS (SELECT id AS qid, ccid FROM rk WHERE id < 5 AND crn <= 2),
+         |cand AS (SELECT pr.qid, il.id FROM pr JOIN il ON pr.ccid = il.ccid
+         |  WHERE il.id <> pr.qid),
+         |ivadc AS (SELECT cand.qid, cand.id AS vid, CAST(sum(qd.qd2) AS BIGINT) AS adc
+         |  FROM cand JOIN codes ON codes.id = cand.id
+         |  JOIN qd ON qd.qid = cand.qid AND qd.m = codes.m AND qd.cid = codes.cid
+         |  GROUP BY 1, 2),
+         |ivv AS (SELECT qid, vid FROM (SELECT qid, vid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS rn
+         |  FROM ivadc) WHERE rn <= $RECALL_K),
+         |gpq AS (SELECT tr.qid,
+         |    CAST(sum(CASE WHEN pqv.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |  FROM tr LEFT JOIN pqv ON tr.qid = pqv.qid AND tr.vid = pqv.vid
+         |  GROUP BY tr.qid),
+         |giv AS (SELECT tr.qid,
+         |    CAST(sum(CASE WHEN ivv.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |  FROM tr LEFT JOIN ivv ON tr.qid = ivv.qid AND tr.vid = ivv.vid
+         |  GROUP BY tr.qid)
+         |SELECT * FROM (
+         |  SELECT 'ivfpq_t' AS variant, qid, hits,
+         |    CAST(hits AS DOUBLE) / CAST($RECALL_K AS DOUBLE) AS recall FROM giv
+         |  UNION ALL
+         |  SELECT 'pq_t', qid, hits,
          |    CAST(hits AS DOUBLE) / CAST($RECALL_K AS DOUBLE) AS recall FROM gpq)
          |ORDER BY variant, qid""".stripMargin,
     "sim_margin_mining" ->

@@ -814,4 +814,75 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect()
     assert(pruned.groupBy(_.getLong(0)).forall(_._2.length == 3))
   }
+
+  test("pqCodebookTrained: singleton clusters are a Lloyd fixed point") {
+    import spark.implicits._
+    // 16 distinct vectors, codebookK=16: every vector is its own
+    // codeword, each cluster is a singleton, and the integer mean of a
+    // single member is the member itself — so ANY number of Lloyd
+    // rounds returns the seeded book unchanged and the trained search
+    // must equal the seeded search row-for-row
+    val v = (0 until 16).map { i =>
+      val a = Array.fill(64)(0.0f); a(i) = (i + 1).toFloat; (i.toLong, a)
+    }.toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val trained = rows(Similarity.pqTopKTrained(v, "vec_id", "embedding",
+      id => id < 2, k = 3, iters = 3))
+    val seeded = rows(Similarity.pqTopK(v, "vec_id", "embedding",
+      id => id < 2, k = 3))
+    assert(trained == seeded,
+      s"fixed point violated: $trained vs $seeded")
+  }
+
+  test("pqCodebookTrained: each Lloyd round reduces quantization error") {
+    // WCSS (total min subspace d2 over all (vector, subspace) cells)
+    // must not increase round over round: the assignment step is the
+    // arg-min and the update step moves codewords to (integer) means.
+    // Trunc-division displaces each coordinate < 1 micro-unit against
+    // 1e6-scale values, so the Lloyd descent dominates on this fixture.
+    val sub = 16
+    val fx = Similarity.fixedPoint(emb, "vec_id", "embedding")
+      .localCheckpoint(eager = false)
+    def wcss(cb: org.apache.spark.sql.DataFrame): Long =
+      fx.crossJoin(spark.range(4).select(col("id").cast("int").as("m")))
+        .select(col("id"), col("m"),
+          expr(s"slice(fx, m * $sub + 1, $sub)").as("svec"))
+        .join(broadcast(cb), Seq("m"))
+        .select(col("id"), col("m"),
+          aggregate(zip_with(col("svec"), col("cvec"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v).as("d2"))
+        .groupBy("id", "m").agg(min("d2").as("d"))
+        .agg(sum("d")).head.getLong(0)
+    val w0 = wcss(Similarity.pqCodebook(fx, 4, 16, sub))
+    val w1 = wcss(Similarity.pqCodebookTrained(fx, 4, 16, sub, 1))
+    val w2 = wcss(Similarity.pqCodebookTrained(fx, 4, 16, sub, 2))
+    assert(w1 <= w0, s"round 1 increased WCSS: $w0 -> $w1")
+    assert(w2 <= w1, s"round 2 increased WCSS: $w1 -> $w2")
+    assert(w1 < w0, s"training moved nothing on the fixture ($w0)")
+  }
+
+  test("pqTopKTrained/ivfPqTopKTrained on the fixture: shape and codebook bounds") {
+    val t = Similarity.pqTopKTrained(emb, "vec_id", "embedding",
+      id => id < 5, k = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(t.groupBy(_._1).forall(_._2.length == 3))
+    t.groupBy(_._1).foreach { case (_, rs) =>
+      val byRn = rs.sortBy(_._2).map(_._4)
+      assert(byRn.zip(byRn.tail).forall { case (a, b) => a <= b },
+        "ADC must be non-decreasing in rank")
+    }
+    assert(t.forall(r => r._1 != r._3), "self-matches excluded")
+    // trained book: at most M*K codewords, every subspace present,
+    // every codeword the right width
+    val fx = Similarity.fixedPoint(emb, "vec_id", "embedding")
+    val cb = Similarity.pqCodebookTrained(fx, 4, 16, 16, 2).collect()
+    assert(cb.length <= 4 * 16, s"book too large: ${cb.length}")
+    assert(cb.map(_.getInt(0)).toSet == Set(0, 1, 2, 3))
+    assert(cb.forall(_.getSeq[Long](2).length == 16))
+    val iv = Similarity.ivfPqTopKTrained(emb, "vec_id", "embedding",
+      id => id < 3, k = 3, nCentroids = 16, nprobe = 2, iters = 2).collect()
+    assert(iv.groupBy(_.getLong(0)).forall(_._2.length == 3))
+  }
 }
