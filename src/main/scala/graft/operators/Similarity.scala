@@ -716,8 +716,14 @@ object Similarity {
     * integer division (Spark `div` == DuckDB `//`), so trained codewords
     * stay in the 1e6 fixed-point domain and [[trainedCbCtes]] mirrors
     * every element bit-for-bit. The arg-min is min(struct(d2, cid)) —
-    * lexicographic struct ordering = the (d2, cid) window tie-break,
-    * as a hash aggregate instead of a sort window. A codeword that
+    * lexicographic struct ordering = the (d2, cid) window tie-break.
+    * It compiles to a partial+final SortAggregate (struct min-buffers
+    * aren't hash-aggregable), which keeps the map-side combine: the
+    * shuffle carries one row per (id, m) group, never the n·M·K scored
+    * rows a rank window would move. (The hash-friendly alternatives
+    * lose: packing (d2, cid) into one BIGINT overflows on
+    * data-dependent d2 ranges; min_by ties are nondeterministic — not
+    * oracle-safe.) A codeword that
     * loses all members drops out of the refined book (the disclosed
     * [[ivfTopKRefined]] empty-list convention, identical both engines).
     *

@@ -321,6 +321,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("__salt"), p.take(4000))
   }
 
+  test("trained PQ codebook: broadcast book scoring, combiner aggregates, no window/cartesian") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val fx = graft.operators.Similarity.fixedPoint(emb, "vec_id", "embedding")
+    val p = fmt(graft.operators.Similarity.pqCodebookTrained(fx, 4, 16, 16, 2))
+    // (the 4-row subspace-id crossJoin is the disclosed legitimate
+    // BroadcastNestedLoopJoin — only a true cartesian is forbidden)
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    // every Lloyd round scores subvectors against the BROADCAST book
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(4000))
+    // each round = arg-min aggregate (min(struct) -> partial+final
+    // SortAggregate; struct min-buffers aren't hash-aggregable, but the
+    // partial phase keeps the map-side combine so the shuffle carries
+    // one row per (id, m) group) + mean aggregate (partial+final
+    // HashAggregate): 2 rounds x 2 phases each — and NO rank window,
+    // which would shuffle all n·M·K scored rows
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size === 4, p.take(4000))
+    assert("""\(\d+\) SortAggregate""".r.findAllIn(p).size === 4, p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+  }
+
   test("cube: ONE Expand into partial+final aggregate, one hash shuffle") {
     val p = plan("rel_cube")
     // formatted mode names each node twice (tree + detail header) — count
