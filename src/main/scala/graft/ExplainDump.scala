@@ -81,8 +81,9 @@ object ExplainDump {
     "o4_groupby_dropna", "pipe_skew_salted", "o5_rolling_hamming",
     "o4_groupby_nosort", "pipe_skew_salted_left", "stream_hh_file",
     "dedup_incr_bloom",
-    // round 15 (cont.): Lloyd-trained PQ codebook family
-    "sim_pq_trained", "sim_recall_trained")
+    // round 15 (cont.): Lloyd-trained quantizer family + k-means
+    "sim_pq_trained", "sim_recall_trained", "sim_ivf_trained",
+    "sim_kmeans")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

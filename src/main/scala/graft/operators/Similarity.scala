@@ -396,6 +396,55 @@ object Similarity {
     probeLists(ranked, isQuery, k, nprobe)
   }
 
+  /** [[ivfTopK]] with a MULTI-round Lloyd-trained coarse quantizer —
+    * the generalization of [[ivfTopKRefined]] (whose single round is
+    * exactly `iters = 1`: assign to the seeded draw, move to integer
+    * means, re-assign — proven equal by spec). Training reuses
+    * [[pqCodebookTrained]] with ONE subspace spanning the full vector,
+    * so the coarse and product quantizers now share one Lloyd engine
+    * and one oracle mirror ([[trainedCbCtes]]). Empty seed lists drop
+    * out (the disclosed duplicate-seed convention); each round costs
+    * one broadcast-centroid corpus pass + two combiner aggregates. */
+  def ivfTopKTrained(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int, nCentroids: Int = 0,
+      nprobe: Int = 2, iters: Int = 2, dims: Int = 64): DataFrame = {
+    val c = if (nCentroids > 0) nCentroids else autoCentroids(df.count())
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    val cents = trainedCentroids(fx, c, dims, iters)
+    val ranked = rankByCentroids(fx, cents)
+      .filter(col("crn") <= math.max(1, nprobe)).cache()
+    probeLists(ranked, isQuery, k, nprobe)
+  }
+
+  /** Distributed Lloyd k-means as a first-class clustering operator —
+    * the cluster step data curation reaches for directly (SemDeDup-style
+    * cluster-then-prune, topic balancing, per-cluster sampling quotas),
+    * not just as ANN plumbing: `iters` exact-integer Lloyd rounds from
+    * the hash-spread seed draw, then one final assignment pass. Returns
+    * (id, cid, d2) — every input row labeled with its owning centroid
+    * and the exact BIGINT squared distance. Same determinism contract
+    * as the quantizer family ((d2, cid) ties, trunc-division means),
+    * same scale contract (broadcast centroids, combiner aggregates,
+    * one corpus pass per round + one to assign). */
+  def kMeansAssign(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2, dims: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    rankByCentroids(fx, trainedCentroids(fx, k, dims, iters))
+      .filter(col("crn") === 1)
+      .select(col("id"), col("cid"), col("d2"))
+  }
+
+  /** Full-vector Lloyd-trained centroids in [[rankByCentroids]]' shape:
+    * (cid, cfx, cnrm). One subspace = the whole vector. */
+  private def trainedCentroids(fx: DataFrame, k: Int, dims: Int,
+      iters: Int): DataFrame =
+    pqCodebookTrained(fx, 1, k, dims, iters)
+      .select(col("cid"), col("cvec").as("cfx"))
+      .withColumn("cnrm",
+        graft.functions.HashExpressions.fixed_dot(col("cfx"), col("cfx")))
+      .localCheckpoint(eager = false)
+
   /** IVF-flat ANN: coarse quantizer = `nCentroids` hash-spread seed
     * vectors (see [[seedHash]] — deterministic sampled seeding, the
     * kmeans++-seed step without Lloyd iterations, which keeps every

@@ -1563,6 +1563,21 @@ object ExtQueries {
       Similarity.ivfTopKRefined(t(s, dir, "embeddings"), "vec_id", "embedding",
         id => id < 5, k = 3, nCentroids = 16, nprobe = 2).orderBy("qid", "rn")),
 
+    "sim_ivf_trained" -> ((s, dir) =>
+      // multi-round Lloyd-trained coarse quantizer (iters=1 == the
+      // sim_ivf_refined single round, by spec): coarse and product
+      // quantizers now share one exact-integer Lloyd engine
+      Similarity.ivfTopKTrained(t(s, dir, "embeddings"), "vec_id",
+        "embedding", id => id < 5, k = 3, nCentroids = 16, nprobe = 2,
+        iters = PQ_ITERS).orderBy("qid", "rn")),
+
+    "sim_kmeans" -> ((s, dir) =>
+      // first-class distributed k-means (SemDeDup-style cluster step,
+      // topic balancing, per-cluster quotas): every vector labeled with
+      // its owning trained centroid + exact BIGINT squared distance
+      Similarity.kMeansAssign(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, iters = PQ_ITERS).orderBy("id")),
+
     "sim_ivfpq_topk" -> ((s, dir) =>
       // IVF-PQ, the production corpus-scale ANN: probe lists bound WHICH
       // vectors a query touches, PQ codes bound WHAT is read per touched
@@ -3904,6 +3919,42 @@ object ExtQueries {
     // Lloyd-refined IVF: seed assignment as sim_ivf_topk, element-wise
     // HUGEINT-safe integer-mean centroids (s // cnt truncates toward zero
     // exactly like Spark's div), re-assignment, then the shared probe tail
+    // trained coarse quantizer mirror: the shared Lloyd CTE chain over
+    // ONE whole-vector subspace, then the sim_ivf_refined probe tail
+    "sim_ivf_trained" ->
+      s"""WITH $fxCte,
+         |${Similarity.trainedCbCtes(1, 16, 64, PQ_ITERS)},
+         |cc AS (SELECT cid, cvec AS cfx,
+         |    CAST(list_sum(list_transform(cvec, x -> x*x)) AS BIGINT) AS cnrm
+         |  FROM cbt$PQ_ITERS),
+         |sc1 AS (SELECT n.id, cc.cid,
+         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*cc.cfx[i])) AS BIGINT) + cc.cnrm AS d2
+         |  FROM n, cc),
+         |rk1 AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS crn FROM sc1),
+         |lists AS (SELECT rk1.cid, rk1.id, n.fx, n.nrm FROM rk1 JOIN n USING(id) WHERE crn = 1),
+         |probes AS (SELECT rk1.id AS qid, rk1.cid, n.fx AS fq, n.nrm AS nq
+         |  FROM rk1 JOIN n USING(id) WHERE rk1.id < 5 AND crn <= 2),
+         |j AS (SELECT p.qid, l.id AS vid,
+         |    ${Similarity.cosineSql("p.fq", "l.fx", "p.nq", "l.nrm")} AS cos
+         |  FROM probes p JOIN lists l ON p.cid = l.cid AND l.id <> p.qid),
+         |r AS (SELECT qid, vid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rn
+         |  FROM j)
+         |SELECT qid, rn, vid AS vec_id, cos FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    // k-means mirror: same Lloyd chain (k=8 whole-vector centroids),
+    // final assignment = min (d2, cid) per vector, exact BIGINT d2
+    "sim_kmeans" ->
+      s"""WITH $fxCte,
+         |${Similarity.trainedCbCtes(1, 8, 64, PQ_ITERS)},
+         |cc AS (SELECT cid, cvec AS cfx,
+         |    CAST(list_sum(list_transform(cvec, x -> x*x)) AS BIGINT) AS cnrm
+         |  FROM cbt$PQ_ITERS),
+         |sc1 AS (SELECT n.id, cc.cid,
+         |  CAST(n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*cc.cfx[i])) AS BIGINT) + cc.cnrm AS BIGINT) AS d2
+         |  FROM n, cc)
+         |SELECT id, cid, d2 FROM (SELECT id, cid, d2,
+         |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |  FROM sc1) WHERE rn = 1 ORDER BY id""".stripMargin,
     "sim_ivf_refined" -> {
       val sumList = (1 to 64).map(i => s"sum(n.fx[$i])").mkString("[", ", ", "]")
       s"""WITH $fxCte,

@@ -815,6 +815,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pruned.groupBy(_.getLong(0)).forall(_._2.length == 3))
   }
 
+  test("ivfTopKTrained at iters=1 degenerates to ivfTopKRefined") {
+    // refined = assign to the seeded draw, move to integer means,
+    // re-assign and probe — exactly one Lloyd round. The shared-engine
+    // claim is that the generalization reproduces it bit-for-bit.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val one = rows(Similarity.ivfTopKTrained(emb, "vec_id", "embedding",
+      _ < 5, k = 3, nCentroids = 16, nprobe = 2, iters = 1))
+    val refined = rows(Similarity.ivfTopKRefined(emb, "vec_id", "embedding",
+      _ < 5, k = 3, nCentroids = 16, nprobe = 2))
+    assert(one == refined, s"$one vs $refined")
+  }
+
+  test("kMeansAssign: total assignment, valid labels, exact distances") {
+    val n = emb.count()
+    val a = Similarity.kMeansAssign(emb, "vec_id", "embedding",
+      k = 8, iters = 2).cache()
+    assert(a.count() == n, "every vector labeled exactly once")
+    assert(a.select("id").distinct().count() == n)
+    assert(a.select("cid").distinct().count() <= 8)
+    assert(a.filter(col("d2") < 0).count() == 0, "d2 is a squared norm")
+    // the label is the ARG-min: no trained centroid may sit strictly
+    // closer than the assigned one (recomputed via the zip_with form —
+    // same exact integers as the operator's nrm − 2·dot + cnrm)
+    val fx = Similarity.fixedPoint(emb, "vec_id", "embedding")
+    val cents = Similarity.pqCodebookTrained(fx, 1, 8, 64, 2)
+      .select(col("cid").as("ocid"), col("cvec"))
+    val beat = a.join(fx, Seq("id")).crossJoin(broadcast(cents))
+      .select(col("id"), col("d2"),
+        aggregate(zip_with(col("fx"), col("cvec"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (s, v) => s + v).as("od2"))
+      .filter(col("od2") < col("d2")).count()
+    assert(beat == 0, s"$beat (vector, centroid) cells beat the assignment")
+    a.unpersist()
+  }
+
   test("pqCodebookTrained: singleton clusters are a Lloyd fixed point") {
     import spark.implicits._
     // 16 distinct vectors, codebookK=16: every vector is its own
