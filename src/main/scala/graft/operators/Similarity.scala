@@ -435,6 +435,27 @@ object Similarity {
       .select(col("id"), col("cid"), col("d2"))
   }
 
+  /** Per-cluster prototype selection over [[kMeansAssign]]'s labeling:
+    * the `perCluster` MOST CENTRAL members of each trained cluster
+    * ((d2, id) ties) — the coreset draw curation uses after clustering
+    * (SemDeDup keeps one exemplar per semantic cluster; eval-probe and
+    * seed-set construction keep a few). Returns (cid, rn, id, d2).
+    *
+    * Plan: the labeling's crn=1 filter pushes below the per-cluster
+    * rank window, and the window partitions on cid — k partitions,
+    * each list-sized; at corpus scale the per-cluster top-q is a
+    * WindowGroupLimit (rank filter below the full sort), never a
+    * global sort. */
+  def kMeansPrototypes(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, perCluster: Int, iters: Int = 2, dims: Int = 64): DataFrame = {
+    require(perCluster >= 1, s"perCluster must be positive: $perCluster")
+    val w = Window.partitionBy(col("cid")).orderBy(col("d2"), col("id"))
+    kMeansAssign(df, idCol, vecCol, k, iters, dims)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= perCluster)
+      .select(col("cid"), col("rn"), col("id"), col("d2"))
+  }
+
   /** Full-vector Lloyd-trained centroids in [[rankByCentroids]]' shape:
     * (cid, cfx, cnrm). One subspace = the whole vector. */
   private def trainedCentroids(fx: DataFrame, k: Int, dims: Int,

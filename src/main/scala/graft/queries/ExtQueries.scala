@@ -1578,6 +1578,15 @@ object ExtQueries {
       Similarity.kMeansAssign(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, iters = PQ_ITERS).orderBy("id")),
 
+    "sim_kmeans_protos" -> ((s, dir) =>
+      // per-cluster prototype selection (SemDeDup's keep-one-exemplar /
+      // eval-probe draw): the 3 most central members of each trained
+      // cluster, (d2, id) ties — the rank filter pushes below the full
+      // per-cluster sort (WindowGroupLimit)
+      Similarity.kMeansPrototypes(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, perCluster = 3, iters = PQ_ITERS)
+        .orderBy("cid", "rn")),
+
     "sim_ivfpq_topk" -> ((s, dir) =>
       // IVF-PQ, the production corpus-scale ANN: probe lists bound WHICH
       // vectors a query touches, PQ codes bound WHAT is read per touched
@@ -3955,6 +3964,23 @@ object ExtQueries {
          |SELECT id, cid, d2 FROM (SELECT id, cid, d2,
          |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
          |  FROM sc1) WHERE rn = 1 ORDER BY id""".stripMargin,
+    // prototype mirror: the sim_kmeans labeling CTEs + a per-cluster
+    // (d2, id) rank window cut at 3
+    "sim_kmeans_protos" ->
+      s"""WITH $fxCte,
+         |${Similarity.trainedCbCtes(1, 8, 64, PQ_ITERS)},
+         |cc AS (SELECT cid, cvec AS cfx,
+         |    CAST(list_sum(list_transform(cvec, x -> x*x)) AS BIGINT) AS cnrm
+         |  FROM cbt$PQ_ITERS),
+         |sc1 AS (SELECT n.id, cc.cid,
+         |  CAST(n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*cc.cfx[i])) AS BIGINT) + cc.cnrm AS BIGINT) AS d2
+         |  FROM n, cc),
+         |asg AS (SELECT id, cid, d2 FROM (SELECT id, cid, d2,
+         |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |  FROM sc1) WHERE rn = 1)
+         |SELECT cid, rn, id, d2 FROM (SELECT cid, id, d2,
+         |    CAST(row_number() OVER (PARTITION BY cid ORDER BY d2, id) AS BIGINT) AS rn
+         |  FROM asg) WHERE rn <= 3 ORDER BY cid, rn""".stripMargin,
     "sim_ivf_refined" -> {
       val sumList = (1 to 64).map(i => s"sum(n.fx[$i])").mkString("[", ", ", "]")
       s"""WITH $fxCte,

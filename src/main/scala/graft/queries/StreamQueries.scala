@@ -453,6 +453,14 @@ object StreamQueries {
     "stream_pq_encode" -> ((s, dir) =>
       StreamOps.pqEncodeOnce(s, dir).orderBy("id", "m")),
 
+    // ONLINE k-means labeling: the batch Lloyd-fitted centroids ship as
+    // plan literals and every arriving vector labels itself with its
+    // nearest centroid in one stateless projection (exact-BIGINT
+    // distances, (d2, cid) ties) — append mode, zero state; rows == the
+    // batch sim_kmeans labeling, so its Lloyd-chain oracle is shared
+    "stream_kmeans" -> ((s, dir) =>
+      StreamOps.kMeansAssignOnce(s, dir).orderBy("id")),
+
     // ONLINE domain quota: per-domain ValueState kept-count, first-come
     // admission in doc_id order across TWO replay batches — the crawl
     // frontier's "stop a template-heavy domain the moment its quota
@@ -789,6 +797,24 @@ object StreamQueries {
         |SELECT id, CAST(len(ws) AS BIGINT) AS n_tokens,
         |  CAST(len(list_filter(ws, x -> NOT list_contains(vt, x))) AS BIGINT) AS n_oov
         |FROM w, vl ORDER BY id""".stripMargin,
+    // batch sim_kmeans mirror verbatim (the streaming rows == the batch
+    // labeling): shared Lloyd CTE chain, final (d2, cid) arg-min
+    "stream_kmeans" ->
+      s"""WITH f AS (SELECT vec_id AS id,
+         |    ${graft.operators.Similarity.fixedPointSql("embedding")} AS fx
+         |  FROM embeddings),
+         |n AS (SELECT id, fx,
+         |  CAST(list_sum(list_transform(fx, x -> x*x)) AS BIGINT) AS nrm FROM f),
+         |${graft.operators.Similarity.trainedCbCtes(1, 8, 64, 2)},
+         |cc AS (SELECT cid, cvec AS cfx,
+         |    CAST(list_sum(list_transform(cvec, x -> x*x)) AS BIGINT) AS cnrm
+         |  FROM cbt2),
+         |sc1 AS (SELECT n.id, cc.cid,
+         |  CAST(n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*cc.cfx[i])) AS BIGINT) + cc.cnrm AS BIGINT) AS d2
+         |  FROM n, cc)
+         |SELECT id, cid, d2 FROM (SELECT id, cid, d2,
+         |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |  FROM sc1) WHERE rn = 1 ORDER BY id""".stripMargin,
     "stream_pq_encode" ->
       s"""WITH f AS (SELECT vec_id AS id,
          |    ${graft.operators.Similarity.fixedPointSql("embedding")} AS fx

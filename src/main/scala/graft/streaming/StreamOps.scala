@@ -522,6 +522,50 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming k-means assignment — online cluster labeling at
+    * ingestion time: the centroids are Lloyd-fitted batch-side
+    * ([[graft.operators.Similarity.kMeansAssign]]'s training, the
+    * bounded ≤k-row model artifact — the [[pqEncodeOnce]] pattern) and
+    * ship as plan literals; every arriving vector labels itself with
+    * its nearest trained centroid in ONE stateless projection
+    * (exact-BIGINT distances via an array_min over (d2, cid) structs,
+    * lower-cid ties) — append mode, zero state, zero shuffle. Rows ==
+    * the batch labeling, so the `sim_kmeans` oracle applies verbatim. */
+  def kMeansAssignOnce(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2, dims: Int = 64,
+      sinkName: String = "stream_kmeans_sink"): DataFrame = {
+    val batch = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = graft.operators.Similarity
+      .pqCodebookTrained(graft.operators.Similarity.fixedPoint(
+        batch, "vec_id", "embedding"), 1, k, dims, iters)
+      .collect() // <= k rows — the bounded model artifact
+    val tmp = linkedDir(dir, "embeddings")
+    val src = spark.readStream.schema(batch.schema).parquet(tmp)
+    val fx = graft.operators.Similarity.fixedPoint(src, "vec_id", "embedding")
+    val cands = cents.sortBy(_.getLong(1)).map { row =>
+      val cid = row.getLong(1)
+      val cvec = row.getSeq[Long](2)
+      val d2 = aggregate(
+        zip_with(col("fx"), array(cvec.map(lit): _*),
+          (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+      struct(d2.as("d2"), lit(cid).as("cid"))
+    }
+    val out = fx
+      .withColumn("__best", array_min(array(cands.toIndexedSeq: _*)))
+      .select(col("id"), col("__best.cid").as("cid"),
+        col("__best.d2").as("d2"))
+    withHarnessConf(spark, "4") { ckpt =>
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName)
+  }
+
   /** Streaming OOV tagging — tokenizer-coverage monitoring at ingestion
     * time: the corpus top-k vocabulary is fitted batch-side (the model
     * artifact, same (count DESC, token) rule as

@@ -852,6 +852,27 @@ class DedupSimilaritySpec extends SparkSpec {
     a.unpersist()
   }
 
+  test("kMeansPrototypes: members of their cluster, most central first") {
+    val a = Similarity.kMeansAssign(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val p = Similarity.kMeansPrototypes(emb, "vec_id", "embedding",
+      k = 8, perCluster = 3, iters = 2).collect()
+    assert(p.groupBy(_.getLong(0)).forall(_._2.length <= 3))
+    p.foreach { r =>
+      val (cid, rn, id, d2) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      assert(a(id) == (cid, d2), s"prototype $id not labeled ($cid, $d2)")
+      assert(rn >= 1 && rn <= 3)
+    }
+    // rank 1 is the cluster's minimum assignment distance
+    val minByCluster = a.values.groupBy(_._1).view.mapValues(_.map(_._2).min)
+    p.filter(_.getLong(1) == 1L).foreach { r =>
+      assert(r.getLong(3) == minByCluster(r.getLong(0)),
+        s"cluster ${r.getLong(0)}: rank-1 d2 ${r.getLong(3)} != min")
+    }
+  }
+
   test("pqCodebookTrained: singleton clusters are a Lloyd fixed point") {
     import spark.implicits._
     // 16 distinct vectors, codebookK=16: every vector is its own

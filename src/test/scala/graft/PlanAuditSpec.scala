@@ -341,6 +341,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(4000))
   }
 
+  test("k-means prototypes: rank filter below the per-cluster window (WindowGroupLimit)") {
+    val p = fmt(graft.SparkEntry.queries("sim_kmeans_protos")(spark, sf001))
+    // top-3-per-cluster must prune under the window sort, never rank
+    // the full cluster membership and filter afterwards
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("cube: ONE Expand into partial+final aggregate, one hash shuffle") {
     val p = plan("rel_cube")
     // formatted mode names each node twice (tree + detail header) — count

@@ -11,6 +11,20 @@ import graft.streaming.StreamOps
 
 class StreamingMultimodalSpec extends SparkSpec {
 
+  test("streaming k-means labeling equals the batch assignment") {
+    // the centroids are the batch-fitted model artifact, so the online
+    // stateless projection must reproduce kMeansAssign row-for-row
+    val streamed = StreamOps.kMeansAssignOnce(spark, sf001,
+        sinkName = "kmeans_spec_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.Similarity.kMeansAssign(
+        spark.read.parquet(s"$sf001/embeddings.parquet"),
+        "vec_id", "embedding", k = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"stream/batch k-means drift: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
+
   test("streaming resample equals batch resample on a bounded source") {
     val batch = Tables.t(spark, sf001, "events")
       .groupBy(date_trunc("day", col("ts")).as("bucket"))
