@@ -83,7 +83,8 @@ object ExplainDump {
     "dedup_incr_bloom",
     // round 15 (cont.): Lloyd-trained quantizer family + k-means
     "sim_pq_trained", "sim_recall_trained", "sim_ivf_trained",
-    "sim_kmeans", "sim_kmeans_protos", "stream_kmeans")
+    "sim_kmeans", "sim_kmeans_protos", "stream_kmeans",
+    "sim_kmeans_elbow")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

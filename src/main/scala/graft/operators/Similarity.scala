@@ -456,15 +456,43 @@ object Similarity {
       .select(col("cid"), col("rn"), col("id"), col("d2"))
   }
 
+  /** WCSS elbow curve over candidate cluster counts — the k-selection
+    * diagnostic a curator reads before committing a clustering (the
+    * [[kCenter]] radius curve's k-means sibling): for each k in `ks`,
+    * train `iters` Lloyd rounds and emit (k, n_clusters, wcss) where
+    * wcss = Σ assignment d2 (exact BIGINT — the same quantity the
+    * WCSS-descent spec tracks) and n_clusters counts the non-empty
+    * trained clusters (duplicate seeds can drop below k). One training
+    * + one assignment pass per candidate k over the SHARED checkpointed
+    * fixed-point frame; |ks| is caller-bounded. */
+  def kMeansWcss(df: DataFrame, idCol: String, vecCol: String,
+      ks: Seq[Int], iters: Int = 2, dims: Int = 64): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be positive: $ks")
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    ks.map { k =>
+      rankByCentroids(fx, trainedCentroids(fx, k, dims, iters))
+        .filter(col("crn") === 1)
+        .agg(countDistinct(col("cid")).as("n_clusters"),
+          sum(col("d2")).as("wcss"))
+        .select(lit(k.toLong).as("k"), col("n_clusters"), col("wcss"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Full-vector Lloyd-trained centroids in [[rankByCentroids]]' shape:
-    * (cid, cfx, cnrm). One subspace = the whole vector. */
+    * (cid, cfx, cnrm). One subspace = the whole vector. No checkpoint:
+    * every consumer reads the centroid frame exactly ONCE (a single
+    * broadcast in rankByCentroids' crossJoin), so cutting the lineage
+    * would only serialize an extra job per k — measured on the elbow
+    * sweep: 4 lazy checkpoints serialized 4 training jobs ahead of the
+    * main action (5.5 s → without them the subtrees share one job).
+    * The PQ paths keep their checkpoint because the trained BOOK feeds
+    * two consumers (codes + query ADC tables). */
   private def trainedCentroids(fx: DataFrame, k: Int, dims: Int,
       iters: Int): DataFrame =
     pqCodebookTrained(fx, 1, k, dims, iters)
       .select(col("cid"), col("cvec").as("cfx"))
       .withColumn("cnrm",
         graft.functions.HashExpressions.fixed_dot(col("cfx"), col("cfx")))
-      .localCheckpoint(eager = false)
 
   /** IVF-flat ANN: coarse quantizer = `nCentroids` hash-spread seed
     * vectors (see [[seedHash]] — deterministic sampled seeding, the
@@ -1221,28 +1249,29 @@ object Similarity {
     * `cbt<iters>(m, cid, cvec)`; empty codewords drop out via the inner
     * GROUP BY, matching the engine's empty-list convention. */
   def trainedCbCtes(subspaces: Int, codebookK: Int, sub: Int,
-      iters: Int): String = {
+      iters: Int, prefix: String = ""): String = {
     def d2(a: String, b: String) =
       s"CAST(list_sum(list_transform(generate_series(1,$sub), " +
         s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    val P = prefix
     val parts = scala.collection.mutable.ArrayBuffer(
-      s"ms AS (SELECT unnest(generate_series(0, ${subspaces - 1})) AS m)",
-      s"sv AS (SELECT id, m, fx[m*$sub+1 : m*$sub+$sub] AS svec FROM n, ms)",
-      s"""cbt0 AS (SELECT m, cid, cfx[m*$sub+1 : m*$sub+$sub] AS cvec
+      s"${P}ms AS (SELECT unnest(generate_series(0, ${subspaces - 1})) AS m)",
+      s"${P}sv AS (SELECT id, m, fx[m*$sub+1 : m*$sub+$sub] AS svec FROM n, ${P}ms)",
+      s"""${P}cbt0 AS (SELECT m, cid, cfx[m*$sub+1 : m*$sub+$sub] AS cvec
          |  FROM (SELECT id AS cid, fx AS cfx FROM n
-         |    ORDER BY ${seedHashSql("id")}, id LIMIT $codebookK), ms)""".stripMargin)
+         |    ORDER BY ${seedHashSql("id")}, id LIMIT $codebookK), ${P}ms)""".stripMargin)
     for (t <- 1 to iters) {
-      parts += s"""a$t AS (SELECT id, m, cid FROM (SELECT sv.id, sv.m, cb.cid,
+      parts += s"""${P}a$t AS (SELECT id, m, cid FROM (SELECT sv.id, sv.m, cb.cid,
          |    row_number() OVER (PARTITION BY sv.id, sv.m
          |      ORDER BY ${d2("sv.svec", "cb.cvec")}, cb.cid) AS rn
-         |  FROM sv JOIN cbt${t - 1} cb USING (m)) WHERE rn = 1)""".stripMargin
-      parts += s"""s$t AS (SELECT a.m, a.cid, p.pos, SUM(sv.svec[p.pos]) AS sm,
+         |  FROM ${P}sv sv JOIN ${P}cbt${t - 1} cb USING (m)) WHERE rn = 1)""".stripMargin
+      parts += s"""${P}s$t AS (SELECT a.m, a.cid, p.pos, SUM(sv.svec[p.pos]) AS sm,
          |    COUNT(*) AS c
-         |  FROM a$t a JOIN sv ON sv.id = a.id AND sv.m = a.m
+         |  FROM ${P}a$t a JOIN ${P}sv sv ON sv.id = a.id AND sv.m = a.m
          |  CROSS JOIN (SELECT unnest(generate_series(1,$sub)) AS pos) p
          |  GROUP BY 1, 2, 3)""".stripMargin
-      parts += s"cbt$t AS (SELECT m, cid, list(CAST(sm // c AS BIGINT) " +
-        s"ORDER BY pos) AS cvec FROM s$t GROUP BY 1, 2)"
+      parts += s"${P}cbt$t AS (SELECT m, cid, list(CAST(sm // c AS BIGINT) " +
+        s"ORDER BY pos) AS cvec FROM ${P}s$t GROUP BY 1, 2)"
     }
     parts.mkString(",\n")
   }

@@ -1578,6 +1578,13 @@ object ExtQueries {
       Similarity.kMeansAssign(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, iters = PQ_ITERS).orderBy("id")),
 
+    "sim_kmeans_elbow" -> ((s, dir) =>
+      // k-selection diagnostic: the WCSS elbow over candidate k (one
+      // training + one assignment pass per k, shared fixed-point frame)
+      Similarity.kMeansWcss(t(s, dir, "embeddings"), "vec_id",
+        "embedding", ks = Seq(2, 4, 8, 16), iters = PQ_ITERS)
+        .orderBy("k")),
+
     "sim_kmeans_protos" -> ((s, dir) =>
       // per-cluster prototype selection (SemDeDup's keep-one-exemplar /
       // eval-probe draw): the 3 most central members of each trained
@@ -3964,6 +3971,29 @@ object ExtQueries {
          |SELECT id, cid, d2 FROM (SELECT id, cid, d2,
          |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
          |  FROM sc1) WHERE rn = 1 ORDER BY id""".stripMargin,
+    // elbow mirror: one prefixed Lloyd chain per candidate k (the
+    // trainedCbCtes prefix parameter exists for exactly this), each
+    // reduced to (k, non-empty clusters, exact BIGINT WCSS)
+    "sim_kmeans_elbow" -> {
+      val ks = Seq(2, 4, 8, 16)
+      val chains = ks.map(k =>
+        Similarity.trainedCbCtes(1, k, 64, PQ_ITERS, s"e${k}_")).mkString(",\n")
+      val per = ks.map { k =>
+        s"""e${k}cc AS (SELECT cid, cvec AS cfx,
+           |    CAST(list_sum(list_transform(cvec, x -> x*x)) AS BIGINT) AS cnrm
+           |  FROM e${k}_cbt$PQ_ITERS),
+           |e${k}a AS (SELECT id, cid, d2 FROM (SELECT id, cid, d2,
+           |    row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+           |  FROM (SELECT n.id, cc.cid,
+           |    CAST(n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*cc.cfx[i])) AS BIGINT) + cc.cnrm AS BIGINT) AS d2
+           |    FROM n, e${k}cc cc)) WHERE rn = 1),
+           |e${k}g AS (SELECT CAST($k AS BIGINT) AS k,
+           |    CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters,
+           |    CAST(sum(d2) AS BIGINT) AS wcss FROM e${k}a)""".stripMargin
+      }.mkString(",\n")
+      val sel = ks.map(k => s"SELECT * FROM e${k}g").mkString("\nUNION ALL ")
+      s"WITH $fxCte,\n$chains,\n$per\n$sel\nORDER BY k"
+    },
     // prototype mirror: the sim_kmeans labeling CTEs + a per-cluster
     // (d2, id) rank window cut at 3
     "sim_kmeans_protos" ->

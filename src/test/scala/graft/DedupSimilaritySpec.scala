@@ -873,6 +873,17 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kMeansWcss: elbow decreases in k on the fixture") {
+    // not a theorem under independent per-k training, but the seeded
+    // draws nest (k=2 seeds ⊂ k=4 seeds: same (seedHash, id) order), so
+    // on the frozen fixture the curve must read like an elbow
+    val r = Similarity.kMeansWcss(emb, "vec_id", "embedding",
+      Seq(2, 4, 8), iters = 2)
+      .orderBy("k").collect().map(x => (x.getLong(0), x.getLong(2)))
+    assert(r.map(_._1).toSeq == Seq(2L, 4L, 8L))
+    assert(r.sliding(2).forall(p => p(1)._2 <= p(0)._2), r.mkString(", "))
+  }
+
   test("pqCodebookTrained: singleton clusters are a Lloyd fixed point") {
     import spark.implicits._
     // 16 distinct vectors, codebookK=16: every vector is its own
