@@ -55,12 +55,57 @@ object ScaleSmokeTrained {
       println(f"  M=$m%2d K=$kk%3d  seeded=$r0%.3f  lloyd1=$r1%.3f  lloyd2=$r2%.3f")
     }
 
-    println("IVF-PQ (C=16, nprobe=2, M=4 K=16): seeded vs trained codebook")
+    println("IVF-PQ (C=16, nprobe=2, M=4 K=16): seeded vs trained vs residual")
     val iv0 = recall(Similarity.ivfPqTopK(emb, "vec_id", "embedding", _ < 5,
       K, nCentroids = 16, nprobe = 2))
     val iv2 = recall(Similarity.ivfPqTopKTrained(emb, "vec_id", "embedding",
       _ < 5, K, nCentroids = 16, nprobe = 2, iters = 2))
-    println(f"  seeded=$iv0%.3f  lloyd2=$iv2%.3f")
+    val ivr = recall(Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding",
+      _ < 5, K, nCentroids = 16, nprobe = 2, iters = 2))
+    println(f"  seeded=$iv0%.3f  lloyd2=$iv2%.3f  residual=$ivr%.3f")
+
+    println("residual IVF-PQ (C=16, nprobe=2): recall@3 over (M, K)")
+    for (m <- Seq(4, 8, 16); kk <- Seq(16, 64, 256)) {
+      val r = recall(Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding",
+        _ < 5, K, nCentroids = 16, nprobe = 2, subspaces = m,
+        codebookK = kk, iters = 2))
+      println(f"  M=$m%2d K=$kk%3d  recall@3=$r%.3f")
+    }
+
+    // residual encoding pays only when the coarse quantizer captures
+    // real structure — the synthetic sf corpus is near-isotropic, so
+    // build a CLUSTERED twin deterministically from it: 16 well-spread
+    // centers (the first 16 vectors, scaled 5x) + small per-point
+    // detail (0.3x the original vector), point j on center j % 16
+    println("clustered corpus (16 tight clusters): seeded vs trained vs residual IVF-PQ")
+    val centers = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("g"), col("embedding").as("cv"))
+    val clustered = emb.withColumn("g", col("vec_id") % 16)
+      .join(broadcast(centers), Seq("g"))
+      .select(col("vec_id"),
+        zip_with(col("cv"), col("embedding"),
+          (c, x) => c * lit(5.0f) + x * lit(0.3f)).as("embedding"))
+      .cache()
+    clustered.count()
+    val ctruth = Similarity.bruteForceTopK(clustered, "vec_id", "embedding",
+      _ < 5, K).select(col("qid"), col("vec_id")).cache()
+    ctruth.count()
+    def crecall(approx: DataFrame): Double = {
+      val hits = ctruth.join(approx.select(col("qid"), col("vec_id")),
+        Seq("qid", "vec_id"), "left_semi").count()
+      hits.toDouble / ctruth.count()
+    }
+    for ((m, kk) <- Seq((4, 16), (8, 256), (16, 64), (16, 256))) {
+      val cs = crecall(Similarity.ivfPqTopK(clustered, "vec_id", "embedding",
+        _ < 5, K, nCentroids = 16, nprobe = 2, subspaces = m, codebookK = kk))
+      val ct = crecall(Similarity.ivfPqTopKTrained(clustered, "vec_id",
+        "embedding", _ < 5, K, nCentroids = 16, nprobe = 2, subspaces = m,
+        codebookK = kk, iters = 2))
+      val cr = crecall(Similarity.ivfPqResidualTopK(clustered, "vec_id",
+        "embedding", _ < 5, K, nCentroids = 16, nprobe = 2, subspaces = m,
+        codebookK = kk, iters = 2))
+      println(f"  M=$m%2d K=$kk%3d  seeded=$cs%.3f  lloyd2=$ct%.3f  residual=$cr%.3f")
+    }
 
     def rep(df: DataFrame, n: Int): DataFrame =
       (0 until n).map(k =>

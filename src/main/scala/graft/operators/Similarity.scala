@@ -937,6 +937,77 @@ object Similarity {
       .select(col("qid"), col("rn"), col("id").as("vec_id"), col("adc"))
   }
 
+  /** Residual IVF-PQ (Jégou et al. 2011 §IV.A, the ASYMMETRIC variant
+    * production indexes actually ship): vectors encode their RESIDUAL
+    * r = x − c(x) against the owning coarse centroid instead of the raw
+    * vector. Residuals concentrate near the origin with most coarse
+    * structure removed, so the same (M, K) codebook budget spends its
+    * codewords on the fine detail that actually separates neighbors —
+    * the recall lever that makes IVF-PQ competitive at production M/K.
+    * The codebook Lloyd-trains on the residual cloud ([[pqCodebookTrained]],
+    * `iters` rounds); per query the ADC table is computed PER PROBED
+    * CENTROID from q − c (the asymmetric distance — nprobe·M·K rows per
+    * query, still broadcast-sized), keyed (qid, pcid, m, code) so each
+    * candidate scores against the table of the list it lives in.
+    *
+    * Exactness: residuals are BIGINT subtractions of fixed-point
+    * values, so the whole chain (training, encoding, ADC) stays in the
+    * exact-integer domain with the family's (d2, code) / (adc, id)
+    * tie-breaks, and the oracle replays it via [[trainedCbCtes]]'
+    * `src` parameter pointed at the residual CTE.
+    *
+    * Scale = [[ivfPqTopK]]'s: one assign pass, one residual projection
+    * (zip_with, map-side), iters training passes, one encode pass;
+    * the search join touches only probed-list candidates and the
+    * query-side table grows nprobe-fold — still tiny. */
+  def ivfPqResidualTopK(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int, nCentroids: Int = 16,
+      nprobe: Int = 2, subspaces: Int = 4, codebookK: Int = 16,
+      dims: Int = 64, iters: Int = 2): DataFrame = {
+    require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
+    val sub = dims / subspaces
+    val c = if (nCentroids > 0) nCentroids else autoCentroids(df.count())
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    val cents = seedCentroids(fx, c)
+    val ranked = rankByCentroids(fx, cents)
+      .filter(col("crn") <= math.max(1, nprobe)).cache()
+    val cfx = cents.select(col("cid").as("pcid"), col("cfx"))
+    // corpus residuals vs the OWNING centroid — renamed to (id, fx) so
+    // the shared training/encode machinery applies unchanged
+    val resid = ranked.filter(col("crn") === 1)
+      .select(col("id"), col("cid").as("pcid"), col("fx"))
+      .join(broadcast(cfx), Seq("pcid"))
+      .select(col("id"), col("pcid").as("ocid"),
+        zip_with(col("fx"), col("cfx"), (x, y) => x - y).as("fx"))
+      .localCheckpoint(eager = false)
+    val cb = pqCodebookTrained(resid.select("id", "fx"), subspaces,
+      codebookK, sub, iters).localCheckpoint(eager = false)
+    val codes = pqCodes(resid.select("id", "fx"), cb, sub)
+      .select(col("id"), col("m"), col("cid").as("code"))
+    // query residuals vs EVERY probed centroid, one ADC table per pair
+    val qresid = ranked.filter(isQuery(col("id")))
+      .select(col("id").as("qid"), col("cid").as("pcid"), col("fx"))
+      .join(broadcast(cfx), Seq("pcid"))
+      .select(col("qid"), col("pcid"),
+        zip_with(col("fx"), col("cfx"), (x, y) => x - y).as("qfx"))
+    val qd = qresid.crossJoin(broadcast(cb))
+      .select(col("qid"), col("pcid"), col("m"), col("cid").as("code"),
+        pqSubD2(expr(s"slice(qfx, m * $sub + 1, $sub)")).as("qd2"))
+    val lists = ranked.filter(col("crn") === 1)
+      .select(col("cid").as("pcid"), col("id"))
+    val probes = ranked.filter(isQuery(col("id")))
+      .select(col("id").as("qid"), col("cid").as("pcid"))
+    val cand = broadcast(probes).join(lists, Seq("pcid"))
+      .filter(col("qid") =!= col("id")).select("qid", "pcid", "id")
+    val adc = cand.join(codes, Seq("id"))
+      .join(broadcast(qd), Seq("qid", "pcid", "m", "code"))
+      .groupBy("qid", "id").agg(sum(col("qd2")).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("id"))
+    adc.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("id").as("vec_id"), col("adc"))
+  }
+
   /** PQ codebook: the `codebookK` lowest (seedHash, id) vectors'
     * subvectors, one row per (m, cid) — broadcast-sized. private[graft]:
     * the streaming encode twin fits it batch-side as its model artifact. */
@@ -1249,16 +1320,16 @@ object Similarity {
     * `cbt<iters>(m, cid, cvec)`; empty codewords drop out via the inner
     * GROUP BY, matching the engine's empty-list convention. */
   def trainedCbCtes(subspaces: Int, codebookK: Int, sub: Int,
-      iters: Int, prefix: String = ""): String = {
+      iters: Int, prefix: String = "", src: String = "n"): String = {
     def d2(a: String, b: String) =
       s"CAST(list_sum(list_transform(generate_series(1,$sub), " +
         s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
     val P = prefix
     val parts = scala.collection.mutable.ArrayBuffer(
       s"${P}ms AS (SELECT unnest(generate_series(0, ${subspaces - 1})) AS m)",
-      s"${P}sv AS (SELECT id, m, fx[m*$sub+1 : m*$sub+$sub] AS svec FROM n, ${P}ms)",
+      s"${P}sv AS (SELECT id, m, fx[m*$sub+1 : m*$sub+$sub] AS svec FROM $src, ${P}ms)",
       s"""${P}cbt0 AS (SELECT m, cid, cfx[m*$sub+1 : m*$sub+$sub] AS cvec
-         |  FROM (SELECT id AS cid, fx AS cfx FROM n
+         |  FROM (SELECT id AS cid, fx AS cfx FROM $src
          |    ORDER BY ${seedHashSql("id")}, id LIMIT $codebookK), ${P}ms)""".stripMargin)
     for (t <- 1 to iters) {
       parts += s"""${P}a$t AS (SELECT id, m, cid FROM (SELECT sv.id, sv.m, cb.cid,

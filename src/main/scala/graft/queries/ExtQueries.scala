@@ -1603,6 +1603,15 @@ object ExtQueries {
         id => id < 5, k = 3, nCentroids = 16, nprobe = 2)
         .orderBy("qid", "rn")),
 
+    "sim_ivfpq_residual" -> ((s, dir) =>
+      // asymmetric residual IVF-PQ (the production Jégou variant):
+      // vectors encode x − c(x) against a residual-trained codebook;
+      // per query one ADC table per probed centroid (q − c), keyed so
+      // each candidate scores against its own list's table
+      Similarity.ivfPqResidualTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", id => id < 5, k = 3, nCentroids = 16, nprobe = 2,
+        iters = PQ_ITERS).orderBy("qid", "rn")),
+
     "sim_pq_topk" -> ((s, dir) =>
       // product-quantization ANN (ADC): vectors compress to 4 subspace
       // codes against a hash-seeded codebook; query distance = sum of
@@ -3359,6 +3368,50 @@ object ExtQueries {
          |  SELECT 'pq', qid, hits,
          |    CAST(hits AS DOUBLE) / CAST($RECALL_K AS DOUBLE) AS recall FROM gpq)
          |ORDER BY variant, qid""".stripMargin,
+    // residual IVF-PQ mirror: seeded coarse CTEs, residual frame vs the
+    // owning centroid, Lloyd chain trained ON the residuals (src=rsd),
+    // per-probed-centroid query ADC tables keyed (qid, pcid, m, code)
+    "sim_ivfpq_residual" ->
+      s"""WITH $fxCte,
+         |c AS (SELECT id AS ccid, fx AS ccfx, nrm AS ccnrm FROM n
+         |  ORDER BY ${Similarity.seedHashSql("id")}, id LIMIT 16),
+         |sc AS (SELECT n.id, c.ccid,
+         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c.ccfx[i])) AS BIGINT) + c.ccnrm AS d2
+         |  FROM n, c),
+         |rk AS (SELECT id, ccid, row_number() OVER (PARTITION BY id ORDER BY d2, ccid) AS crn FROM sc),
+         |il AS (SELECT ccid, id FROM rk WHERE crn = 1),
+         |pr AS (SELECT id AS qid, ccid FROM rk WHERE id < 5 AND crn <= 2),
+         |rsd AS (SELECT rk.id,
+         |    list_transform(generate_series(1,64), i -> n.fx[i] - c.ccfx[i]) AS fx
+         |  FROM rk JOIN n USING(id) JOIN c USING(ccid) WHERE rk.crn = 1),
+         |${Similarity.trainedCbCtes(4, 16, 16, PQ_ITERS, "r", "rsd")},
+         |enc0 AS (SELECT sv.id, cb.m, cb.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (sv.svec[i] - cb.cvec[i]) * (sv.svec[i] - cb.cvec[i]))) AS BIGINT) AS d2
+         |  FROM rsv sv JOIN rcbt$PQ_ITERS cb USING (m)),
+         |codes AS (SELECT id, m, cid FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
+         |  FROM enc0) WHERE rn = 1),
+         |qrs AS (SELECT rk.id AS qid, rk.ccid AS pcid,
+         |    list_transform(generate_series(1,64), i -> n.fx[i] - c.ccfx[i]) AS qfx
+         |  FROM rk JOIN n USING(id) JOIN c USING(ccid)
+         |  WHERE rk.id < 5 AND rk.crn <= 2),
+         |qd AS (SELECT qid, pcid, cb.m, cb.cid AS code,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (qfx[cb.m*16+i] - cb.cvec[i]) * (qfx[cb.m*16+i] - cb.cvec[i]))) AS BIGINT) AS qd2
+         |  FROM qrs, rcbt$PQ_ITERS cb),
+         |cand AS (SELECT pr.qid, pr.ccid AS pcid, il.id FROM pr JOIN il USING(ccid)
+         |  WHERE il.id <> pr.qid),
+         |adc AS (SELECT cand.qid, cand.id AS vid, CAST(sum(qd.qd2) AS BIGINT) AS adc
+         |  FROM cand JOIN codes ON codes.id = cand.id
+         |  JOIN qd ON qd.qid = cand.qid AND qd.pcid = cand.pcid
+         |    AND qd.m = codes.m AND qd.code = codes.cid
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, vid, adc,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS BIGINT) AS rn
+         |  FROM adc)
+         |SELECT qid, rn, vid AS vec_id, adc FROM r WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
     // trained-PQ mirror: the trainedCbCtes Lloyd chain (cbt$PQ_ITERS =
     // final codebook) feeding the sim_pq_topk encode/ADC tail verbatim
     "sim_pq_trained" ->

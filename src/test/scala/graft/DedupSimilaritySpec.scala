@@ -815,6 +815,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pruned.groupBy(_.getLong(0)).forall(_._2.length == 3))
   }
 
+  test("ivfPqResidualTopK: every vector its own centroid makes ADC exact") {
+    import spark.implicits._
+    // 16 one-hot-scaled vectors with C=16: every vector seeds a
+    // centroid, so every residual is the ZERO vector, the trained book
+    // collapses to zero codewords, and adc(q, v) = Σ_m ||(q−c_v)_m||²
+    // = exact L2²(q, v) — with every list probed, the residual index
+    // must reproduce the brute L2 ranking (same fixture + expectation
+    // as the pqTopK degeneracy test)
+    val v = (0 until 16).map { i =>
+      val a = Array.fill(64)(0.0f); a(i) = (i + 1).toFloat; (i.toLong, a)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.ivfPqResidualTopK(v, "vec_id", "embedding",
+      id => id < 2, k = 3, nCentroids = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L),
+      (1L, 1L, 0L), (1L, 2L, 2L), (1L, 3L, 3L)), got.toSeq.toString)
+  }
+
+  test("ivfPqResidualTopK on the fixture: shape, candidates from probed lists only") {
+    val res = Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding",
+      id => id < 3, k = 3, nCentroids = 16, nprobe = 2).collect()
+    assert(res.groupBy(_.getLong(0)).forall(_._2.length == 3))
+    res.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRn = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(byRn.zip(byRn.tail).forall { case (a, b) => a <= b })
+    }
+    assert(res.forall(r => r.getLong(0) != r.getLong(2)), "no self-matches")
+  }
+
   test("ivfTopKTrained at iters=1 degenerates to ivfTopKRefined") {
     // refined = assign to the seeded draw, move to integer means,
     // re-assign and probe — exactly one Lloyd round. The shared-engine
