@@ -349,6 +349,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("residual IVF-PQ: broadcast query tables, no cartesian, probe-bounded candidates") {
+    val p = fmt(graft.SparkEntry.queries("sim_ivfpq_residual")(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    // the probe set, residual codebook, and per-centroid ADC tables all
+    // reach the candidate join as broadcasts — the corpus side never
+    // replicates
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(4000))
+  }
+
   test("cube: ONE Expand into partial+final aggregate, one hash shuffle") {
     val p = plan("rel_cube")
     // formatted mode names each node twice (tree + detail header) — count
