@@ -84,7 +84,7 @@ object ExplainDump {
     // round 15 (cont.): Lloyd-trained quantizer family + k-means
     "sim_pq_trained", "sim_recall_trained", "sim_ivf_trained",
     "sim_kmeans", "sim_kmeans_protos", "stream_kmeans",
-    "sim_kmeans_elbow", "sim_ivfpq_residual")
+    "sim_kmeans_elbow", "sim_ivfpq_residual", "dedup_semantic_trained")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

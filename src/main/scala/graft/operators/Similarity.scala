@@ -285,14 +285,38 @@ object Similarity {
   private def semSurvivors(df: DataFrame, idCol: String, vecCol: String,
       tau: Double, nCentroids: Int): DataFrame = {
     val c = if (nCentroids > 0) nCentroids else autoCentroids(df.count())
+    semPrune(ivfAssign(df, idCol, vecCol, c).filter(col("crn") === 1), tau)
+  }
+
+  /** [[semDedup]] with Lloyd-TRAINED clusters ([[kMeansAssign]]'s
+    * quantizer instead of the seeded draw): trained centroids sit on
+    * the data's mass, so cluster boundaries track real semantic
+    * neighborhoods and fewer near-dup pairs straddle a boundary where
+    * the within-cluster prune cannot see them — the cluster-quality →
+    * dedup-recall coupling the SemDeDup paper gets from its k-means
+    * step. Same prune, same scale shape (+iters training passes). */
+  def semDedupTrained(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, nCentroids: Int = 0, iters: Int = 2): DataFrame = {
+    val c = if (nCentroids > 0) nCentroids else autoCentroids(df.count())
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    semPrune(rankByCentroids(fx, trainedCentroids(fx, c, 64, iters))
+        .filter(col("crn") === 1), tau)
+      .select(col("id"), col("cid"))
+  }
+
+  /** The SemDeDup within-cluster prune over an owning-list membership
+    * frame (id, cid, d2, fx, nrm): drop every member ≥ tau
+    * cosine-similar to a higher-keep-priority cluster-mate (priority =
+    * centroid distance DESC, id). Shared by the seeded and trained
+    * cluster variants. */
+  private def semPrune(membership: DataFrame, tau: Double): DataFrame = {
     // localCheckpoint (lazy), NOT cache: the ranked membership feeds
     // THREE consumers (both prune sides + the survivor anti-join), and
     // checkpoint blocks are reclaimed by the ContextCleaner when m goes
     // out of scope — cache() entries accumulate in the CacheManager
     // until an explicit unpersist that no caller here is positioned to
     // issue (same discipline and trade-offs as ivfAssign's fx).
-    val m = ivfAssign(df, idCol, vecCol, c)
-      .filter(col("crn") === 1)
+    val m = membership
       .withColumn("r", row_number().over(
         Window.partitionBy(col("cid")).orderBy(col("d2").desc, col("id"))))
       .localCheckpoint(eager = false)

@@ -868,6 +868,14 @@ object ExtQueries {
       Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
           COS_TAU)
         .orderBy("id")),
+    "dedup_semantic_trained" -> ((s, dir) =>
+      // SemDeDup over Lloyd-TRAINED clusters (the paper's own k-means
+      // step): boundaries track real neighborhoods, so fewer near-dup
+      // pairs straddle a cluster edge invisible to the prune; C pinned
+      // 16 here for the oracle — the operator default derives C = √n
+      Similarity.semDedupTrained(t(s, dir, "embeddings"), "vec_id",
+          "embedding", COS_TAU, nCentroids = 16, iters = PQ_ITERS)
+        .orderBy("id")),
     "dedup_d4" -> ((s, dir) =>
       // D4 (Tirumala et al. 2023): SemDeDup + prototype prune — each
       // cluster additionally drops its ⌈frac·|c|⌉ centroid-closest
@@ -2904,6 +2912,28 @@ object ExtQueries {
          |    count(*) OVER (PARTITION BY cid) AS csz FROM surv)
          |SELECT id, cid, CAST(pr AS BIGINT) AS proto_rank FROM pp
          |WHERE pr > ceil($D4_FRAC * csz) ORDER BY id""".stripMargin,
+
+    // trained-cluster SemDeDup mirror: the shared Lloyd chain (one
+    // whole-vector subspace, C=16) feeding the same membership → prune
+    // CTEs as the seeded dedup_semantic
+    "dedup_semantic_trained" ->
+      s"""WITH $fxCte,
+         |${Similarity.trainedCbCtes(1, 16, 64, PQ_ITERS)},
+         |cc AS (SELECT cid AS ccid, cvec AS ccfx,
+         |    CAST(list_sum(list_transform(cvec, x -> x*x)) AS BIGINT) AS ccnrm
+         |  FROM cbt$PQ_ITERS),
+         |sc AS (SELECT n.id, cc.ccid AS cid,
+         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*cc.ccfx[i])) AS BIGINT) + cc.ccnrm AS d2
+         |  FROM n, cc),
+         |rk AS (SELECT id, cid, d2, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS crn FROM sc),
+         |m AS (SELECT id, cid, d2 FROM rk WHERE crn = 1),
+         |pr AS (SELECT id, cid, row_number() OVER (PARTITION BY cid ORDER BY d2 DESC, id) AS rr FROM m),
+         |dr AS (SELECT DISTINCT b.id
+         |  FROM pr a JOIN pr b ON a.cid = b.cid AND a.rr < b.rr
+         |  JOIN n na ON na.id = a.id JOIN n nb ON nb.id = b.id
+         |  WHERE ${Similarity.cosineSql("na.fx", "nb.fx", "na.nrm", "nb.nrm")} >= $COS_TAU)
+         |SELECT id, cid FROM m WHERE id NOT IN (SELECT id FROM dr)
+         |ORDER BY id""".stripMargin,
 
     // sampling mirrors: the same Scala code (rowHashSql / threshold)
     // generates both engines' arithmetic, so membership is bit-identical

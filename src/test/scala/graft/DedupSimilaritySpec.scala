@@ -815,6 +815,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pruned.groupBy(_.getLong(0)).forall(_._2.length == 3))
   }
 
+  test("semDedupTrained: survivors never contain a same-cluster pair over tau") {
+    // the core SemDeDup guarantee, independent of which quantizer made
+    // the clusters: any surviving pair (x, y) sharing a trained cluster
+    // with cos >= tau would have put the lower-priority one in the drop
+    // set — verify exhaustively on the fixture
+    val tau = 0.45
+    val surv = Similarity.semDedupTrained(emb, "vec_id", "embedding",
+      tau, nCentroids = 16, iters = 2)
+    val fx = Similarity.fixedPoint(emb, "vec_id", "embedding")
+    val s2 = surv.join(fx, Seq("id"))
+    val aSide = s2.select(col("cid"), col("id").as("ia"),
+      col("fx").as("fa"), col("nrm").as("na"))
+    val bSide = s2.select(col("cid"), col("id").as("ib"),
+      col("fx").as("fb"), col("nrm").as("nb"))
+    val bad = aSide.join(bSide, Seq("cid"))
+      .filter(col("ia") < col("ib"))
+      .filter(
+        (graft.functions.HashExpressions.fixed_dot(col("fa"), col("fb")) /
+          sqrt(col("na").cast("double") * col("nb").cast("double"))) >= tau)
+      .count()
+    assert(bad == 0, s"$bad surviving same-cluster pairs over tau")
+    assert(surv.count() > 0 && surv.count() <= emb.count())
+  }
+
   test("ivfPqResidualTopK: every vector its own centroid makes ADC exact") {
     import spark.implicits._
     // 16 one-hot-scaled vectors with C=16: every vector seeds a
