@@ -546,6 +546,101 @@ object Similarity {
     probeLists(ranked, isQuery, k, nprobe)
   }
 
+  /** TWO-LEVEL IVF — the 100 TB form of the inverted-file index
+    * (Babenko & Lempitsky 2012's inverted multi-index makes the same
+    * move: split one flat quantizer so no single codebook scales with
+    * the corpus). Single-level IVF with FIXED-SIZE lists needs
+    * C = n∕L centroids, and [[rankByCentroids]] broadcasts all C of
+    * them into a corpus-wide crossJoin — an n∕128-row broadcast table
+    * at L = 128 that outgrows executor memory long before 100 TB.
+    * Here the quantizer splits: `nCoarse` (√n-scaled, see
+    * [[autoCentroids]]) coarse centroids are the ONLY broadcast table;
+    * each coarse list then splits into `nSub` second-level sub-lists
+    * whose sub-centroids are picked PER LIST (the [[seedHash]]-lowest
+    * `nSub` members — the within-list form of [[seedCentroids]]'
+    * draw), and second-level assignment is an EQUI-join on the coarse
+    * id — shuffle-partitionable, never broadcast, never a crossJoin —
+    * so total list count reaches nCoarse·nSub = n∕L while no broadcast
+    * exceeds √n rows. A query ranks the broadcast coarse table, takes
+    * `nprobe1` coarse lists, ranks ONLY those lists' sub-centroids
+    * (equi-join on the coarse id again), and probes `nprobe2`
+    * sub-lists per coarse list: candidates ≈ nprobe1·nprobe2·L,
+    * fixed-list-bounded exactly like single-level fixed-C sizing but
+    * with the broadcast √n-bounded.
+    *
+    * Determinism: both levels rank by exact fixed-point L2 with
+    * (d2, cid) ties, final scoring is exact cosine — every quantity
+    * BIGINT, so the DuckDB oracle mirrors the whole chain. With
+    * `nSub = 1, nprobe2 = 1` each coarse list has exactly one
+    * sub-centroid (all members assign to it, every probe picks it), so
+    * the operator degenerates to [[ivfTopK]] row-for-row — the
+    * differential spec. A coarse list always owns ≥ 1 sub-centroid
+    * (its members seed them), so no vector is orphaned; duplicate-seed
+    * ties follow the disclosed [[ivfAssign]] convention at both
+    * levels. */
+  def ivfTopK2(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int, nCoarse: Int = 0,
+      nSub: Int = 4, nprobe1: Int = 2, nprobe2: Int = 2): DataFrame = {
+    require(nSub >= 1, s"nSub must be positive: $nSub")
+    val c1 = if (nCoarse > 0) nCoarse else autoCentroids(df.count())
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    // level 1: the ONLY corpus-wide broadcast (c1 ≈ √n rows); keep just
+    // the crn ≤ nprobe1 slice (owners included), lazily checkpointed —
+    // it feeds three consumers (owners → level-2 build, owners → lists,
+    // queries → probes) and ContextCleaner reclaims the blocks
+    val r1 = rankByCentroids(fx, seedCentroids(fx, c1))
+      .filter(col("crn") <= math.max(1, nprobe1))
+      .localCheckpoint(eager = false)
+    val own1 = r1.filter(col("crn") === 1)
+      .select(col("id"), col("cid").as("cid1"), col("fx"), col("nrm"))
+    // level-2 sub-centroids: per coarse list, the nSub seedHash-lowest
+    // members — a per-list window (each partition is one ~L-sized list)
+    val wSeed = Window.partitionBy(col("cid1"))
+      .orderBy(seedHash(col("id")), col("id"))
+    val cents2 = own1.withColumn("__srn", row_number().over(wSeed))
+      .filter(col("__srn") <= nSub)
+      .select(col("cid1"), col("id").as("cid2"),
+        col("fx").as("cfx"), col("nrm").as("cnrm"))
+    // level-2 assignment: EQUI-join on cid1 (the scale point — the
+    // nCoarse·nSub-row table shuffles, it is never broadcast); the
+    // scored frame carries only (id, cid1, cid2, d2) through the
+    // arg-min window — rankByCentroids' skinny-shuffle discipline
+    val sc2 = own1.join(cents2, Seq("cid1"))
+      .select(col("id"), col("cid1"), col("cid2"),
+        (col("nrm") - lit(2L) * graft.functions.HashExpressions
+          .fixed_dot(col("fx"), col("cfx")) + col("cnrm")).as("d2"))
+    val w2 = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid2"))
+    val own2 = sc2.withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("cid1"), col("cid2"))
+    val lists = own2.join(fx, Seq("id"))
+      .select(col("cid1"), col("cid2"), col("id"), col("fx"), col("nrm"))
+    // query side: nprobe1 coarse lists from the level-1 ranking, then
+    // nprobe2 sub-lists per probed coarse list (equi-join on cid1 —
+    // each query row meets only its probed lists' ≤ nSub sub-centroids)
+    val p1 = r1.filter(isQuery(col("id")))
+      .select(col("id").as("qid"), col("cid").as("cid1"),
+        col("fx").as("fq"), col("nrm").as("nq"))
+    val wq = Window.partitionBy(col("qid"), col("cid1"))
+      .orderBy(col("d2"), col("cid2"))
+    val p2 = p1.join(cents2, Seq("cid1"))
+      .withColumn("d2", col("nq") - lit(2L) * graft.functions.HashExpressions
+        .fixed_dot(col("fq"), col("cfx")) + col("cnrm"))
+      .withColumn("__srn", row_number().over(wq))
+      .filter(col("__srn") <= nprobe2)
+      .select(col("qid"), col("cid1"), col("cid2"), col("fq"), col("nq"))
+    // sub-lists are disjoint (each vector owns exactly one (cid1, cid2)),
+    // so probing distinct sub-lists can't duplicate a (qid, id) pair
+    val joined = broadcast(p2).join(lists, Seq("cid1", "cid2"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("cos", cosine(col("fq"), col("fx"), col("nq"), col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    joined
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("id").as("vec_id"), col("cos"))
+  }
+
   /** Symmetric int8 quantization (the standard embedding-compression
     * step before indexing): qᵈ = round(xᵈ·127 ∕ max|x|), per vector, in
     * PURE integer arithmetic over the fixed-point values — nearest with

@@ -1571,6 +1571,15 @@ object ExtQueries {
       Similarity.ivfTopKRefined(t(s, dir, "embeddings"), "vec_id", "embedding",
         id => id < 5, k = 3, nCentroids = 16, nprobe = 2).orderBy("qid", "rn")),
 
+    "sim_ivf2_topk" -> ((s, dir) =>
+      // TWO-LEVEL IVF (the 100 TB architecture): √n-bounded broadcast
+      // coarse table, per-list seeded sub-centroids, level-2 assignment
+      // as an equi-join on the coarse id — nCoarse·nSub total lists with
+      // no broadcast beyond nCoarse rows; candidates ≈ nprobe1·nprobe2·L
+      Similarity.ivfTopK2(t(s, dir, "embeddings"), "vec_id", "embedding",
+        id => id < 5, k = 3, nCoarse = 16, nSub = 4,
+        nprobe1 = 2, nprobe2 = 2).orderBy("qid", "rn")),
+
     "sim_ivf_trained" -> ((s, dir) =>
       // multi-round Lloyd-trained coarse quantizer (iters=1 == the
       // sim_ivf_refined single round, by spec): coarse and product
@@ -4015,6 +4024,48 @@ object ExtQueries {
          |  CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens
          |FROM r JOIN documents d ON d.doc_id = r.vid
          |WHERE r.rn <= 3 ORDER BY qid, rn""".stripMargin,
+    // two-level IVF mirror: coarse level = the sim_ivf_topk CTE chain
+    // (16 seeded centroids, crn ranking); level 2 = per-coarse-list
+    // seedHash-lowest-4 sub-centroids, assignment re-ranked within the
+    // owning coarse list only (the equi-join the operator makes on
+    // cid1); probe tail picks 2 coarse lists then 2 sub-lists each
+    "sim_ivf2_topk" ->
+      s"""WITH $fxCte,
+         |c1 AS (SELECT id AS cid, fx AS cfx, nrm AS cnrm FROM n
+         |  ORDER BY ${Similarity.seedHashSql("id")}, id LIMIT 16),
+         |sc1 AS (SELECT n.id, c1.cid,
+         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c1.cfx[i])) AS BIGINT) + c1.cnrm AS d2
+         |  FROM n, c1),
+         |rk1 AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS crn FROM sc1),
+         |own1 AS (SELECT rk1.id, rk1.cid AS cid1, n.fx, n.nrm
+         |  FROM rk1 JOIN n USING(id) WHERE crn = 1),
+         |c2 AS (SELECT cid1, id AS cid2, fx AS cfx, nrm AS cnrm
+         |  FROM (SELECT own1.*, row_number() OVER (PARTITION BY cid1
+         |      ORDER BY ${Similarity.seedHashSql("id")}, id) AS srn FROM own1)
+         |  WHERE srn <= 4),
+         |sc2 AS (SELECT o.id, o.cid1, c2.cid2,
+         |  o.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> o.fx[i]*c2.cfx[i])) AS BIGINT) + c2.cnrm AS d2
+         |  FROM own1 o JOIN c2 USING (cid1)),
+         |own2 AS (SELECT id, cid1, cid2 FROM (SELECT id, cid1, cid2,
+         |    row_number() OVER (PARTITION BY id ORDER BY d2, cid2) AS rn
+         |  FROM sc2) WHERE rn = 1),
+         |lists AS (SELECT own2.cid1, own2.cid2, own2.id, n.fx, n.nrm
+         |  FROM own2 JOIN n USING(id)),
+         |p1 AS (SELECT rk1.id AS qid, rk1.cid AS cid1, n.fx AS fq, n.nrm AS nq
+         |  FROM rk1 JOIN n USING(id) WHERE rk1.id < 5 AND crn <= 2),
+         |p2 AS (SELECT qid, cid1, cid2, fq, nq FROM (SELECT p1.qid, p1.cid1,
+         |    c2.cid2, p1.fq, p1.nq,
+         |    row_number() OVER (PARTITION BY p1.qid, p1.cid1
+         |      ORDER BY p1.nq - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> p1.fq[i]*c2.cfx[i])) AS BIGINT) + c2.cnrm, c2.cid2) AS srn
+         |  FROM p1 JOIN c2 USING (cid1)) WHERE srn <= 2),
+         |j AS (SELECT p2.qid, l.id AS vid,
+         |    ${Similarity.cosineSql("p2.fq", "l.fx", "p2.nq", "l.nrm")} AS cos
+         |  FROM p2 JOIN lists l ON p2.cid1 = l.cid1 AND p2.cid2 = l.cid2
+         |    AND l.id <> p2.qid),
+         |r AS (SELECT qid, vid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rn
+         |  FROM j)
+         |SELECT qid, rn, vid AS vec_id, cos FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     // Lloyd-refined IVF: seed assignment as sim_ivf_topk, element-wise
     // HUGEINT-safe integer-mean centroids (s // cnt truncates toward zero
     // exactly like Spark's div), re-assignment, then the shared probe tail

@@ -884,6 +884,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(one == refined, s"$one vs $refined")
   }
 
+  test("ivfTopK2 at nSub=1, nprobe2=1 degenerates to single-level ivfTopK") {
+    // one sub-centroid per coarse list: every member assigns to it and
+    // every probe picks it, so the probed candidate set IS the coarse
+    // list — the two-level index must reproduce ivfTopK row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val two = rows(Similarity.ivfTopK2(emb, "vec_id", "embedding",
+      _ < 5, k = 3, nCoarse = 16, nSub = 1, nprobe1 = 2, nprobe2 = 1))
+    val one = rows(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      _ < 5, k = 3, nCentroids = 16, nprobe = 2))
+    assert(two == one, s"$two vs $one")
+  }
+
+  test("ivfTopK2: k rows per query, no self-matches, cos non-increasing") {
+    val res = Similarity.ivfTopK2(emb, "vec_id", "embedding",
+      _ < 5, k = 3, nCoarse = 16, nSub = 4, nprobe1 = 2, nprobe2 = 2)
+      .collect()
+    assert(res.groupBy(_.getLong(0)).forall(_._2.length == 3))
+    res.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRn = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRn.zip(byRn.tail).forall { case (a, b) => a >= b },
+        "cos must be non-increasing in rank")
+    }
+    assert(res.forall(r => r.getLong(0) != r.getLong(2)), "no self-matches")
+    // an ANN hit can't score HIGHER than the exhaustive scorer's best —
+    // sanity that the probed candidates are real corpus vectors scored
+    // by the same exact cosine
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      _ < 5, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    res.filter(_.getLong(1) == 1L).foreach { r =>
+      assert(r.getDouble(3) <= brute(r.getLong(0)),
+        s"query ${r.getLong(0)}: ANN rank-1 cos beats the exact best")
+    }
+  }
+
   test("kMeansAssign: total assignment, valid labels, exact distances") {
     val n = emb.count()
     val a = Similarity.kMeansAssign(emb, "vec_id", "embedding",
@@ -929,14 +966,19 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("kMeansWcss: elbow decreases in k on the fixture") {
-    // not a theorem under independent per-k training, but the seeded
-    // draws nest (k=2 seeds ⊂ k=4 seeds: same (seedHash, id) order), so
-    // on the frozen fixture the curve must read like an elbow
+    // strict per-step monotonicity is NOT a theorem under independent
+    // per-k training (r15 ADVICE: a fixture regeneration could flake
+    // it without any code bug), so assert the DIRECTIONAL invariant —
+    // wcss(kmax) < wcss(kmin) — and allow at most one adjacent
+    // inversion; bit-exactness stays with the sim_kmeans_elbow oracle
     val r = Similarity.kMeansWcss(emb, "vec_id", "embedding",
       Seq(2, 4, 8), iters = 2)
       .orderBy("k").collect().map(x => (x.getLong(0), x.getLong(2)))
     assert(r.map(_._1).toSeq == Seq(2L, 4L, 8L))
-    assert(r.sliding(2).forall(p => p(1)._2 <= p(0)._2), r.mkString(", "))
+    assert(r.last._2 < r.head._2,
+      s"more clusters must cut WCSS overall: ${r.mkString(", ")}")
+    val inversions = r.sliding(2).count(p => p(1)._2 > p(0)._2)
+    assert(inversions <= 1, s"elbow shape lost: ${r.mkString(", ")}")
   }
 
   test("pqCodebookTrained: singleton clusters are a Lloyd fixed point") {

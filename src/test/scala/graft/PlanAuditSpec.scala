@@ -334,11 +334,30 @@ class PlanAuditSpec extends SparkSpec {
     // SortAggregate; struct min-buffers aren't hash-aggregable, but the
     // partial phase keeps the map-side combine so the shuffle carries
     // one row per (id, m) group) + mean aggregate (partial+final
-    // HashAggregate): 2 rounds x 2 phases each — and NO rank window,
-    // which would shuffle all n·M·K scored rows
-    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size === 4, p.take(4000))
-    assert("""\(\d+\) SortAggregate""".r.findAllIn(p).size === 4, p.take(4000))
+    // HashAggregate): >= 2 phases per round each — lower bounds, not
+    // exact counts (r15 ADVICE: a planner change that keeps the
+    // combiner discipline must not fail the suite) — and NO rank
+    // window, which would shuffle all n·M·K scored rows
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size >= 4, p.take(4000))
+    assert("""\(\d+\) SortAggregate""".r.findAllIn(p).size >= 4, p.take(4000))
     assert(!p.contains("Window"), p.take(4000))
+  }
+
+  test("two-level IVF: level 2 + probe tail is equi-join-only — no nested-loop broadcast beyond level 1") {
+    // the level-1 ranking sits behind its lazy localCheckpoint, so this
+    // plan IS the level-2 + search tail in isolation — exactly the part
+    // the architecture claims never nested-loop-broadcasts: sub-centroid
+    // assignment and probe ranking are EQUI-joins on cid1 (shuffle-
+    // partitionable at 100 TB; the only crossJoin-shaped broadcast in
+    // the whole operator is the √n-bounded coarse table inside level 1,
+    // pinned by the ivfAssign-family tests)
+    val p = fmt(graft.SparkEntry.queries("sim_ivf2_topk")(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(6000))
+    // the candidate join keys on BOTH list levels (cid1, cid2)
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(p).size >= 3, p.take(6000))
+    assert(p.contains("cid2"), p.take(6000))
   }
 
   test("k-means prototypes: rank filter below the per-cluster window (WindowGroupLimit)") {
