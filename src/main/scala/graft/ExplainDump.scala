@@ -84,7 +84,12 @@ object ExplainDump {
     // round 15 (cont.): Lloyd-trained quantizer family + k-means
     "sim_pq_trained", "sim_recall_trained", "sim_ivf_trained",
     "sim_kmeans", "sim_kmeans_protos", "stream_kmeans",
-    "sim_kmeans_elbow", "sim_ivfpq_residual", "dedup_semantic_trained")
+    "sim_kmeans_elbow", "sim_ivfpq_residual", "dedup_semantic_trained",
+    // round 16: two-level IVF, auto-k salting, the three stateful file
+    // twins, and the trained streaming-PQ encoder
+    "sim_ivf2_topk", "pipe_skew_salted_auto", "stream_attribution_file",
+    "stream_transitions_file", "stream_sessionize_dyn_file",
+    "stream_pq_trained")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

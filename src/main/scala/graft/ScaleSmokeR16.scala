@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-16 scale measurements behind SCALING.md's r16 note:
+  *
+  *  1. trained-family cost curve to 64× (r15 verdict item 5): the r15
+  *     1×/4×/16× training walls were JVM-overhead-dominated and
+  *     non-monotone; the 64× point (ScaleSmokeSelect's
+  *     SPARK_GRAFT_SMOKE_MULTS protocol, default 1,16,64) makes the
+  *     linear slope visible for `pqCodebookTrained` (train + encode
+  *     pass) and `kMeansAssign`.
+  *
+  *  2. two-level IVF broadcast bound (r15 verdict item 1's ScaleSmoke
+  *     row): single-level IVF with FIXED-SIZE (~128-row) lists needs a
+  *     C = n∕128-row broadcast centroid table — growing linearly with
+  *     the corpus — while `ivfTopK2` holds the broadcast at the √n
+  *     coarse table and reaches the same n∕128 total list count via
+  *     per-list sub-centroids (equi-joined, shuffled, never broadcast).
+  *     Per-query candidates (measured as the full pre-top-k candidate
+  *     row count via k = MaxValue, the external-instrumentation trick)
+  *     must stay list-bounded (~nprobe1·nprobe2·L) on both paths; the
+  *     broadcast row count is the column that diverges.
+  */
+object ScaleSmokeR16 {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mults = sys.env.getOrElse("SPARK_GRAFT_SMOKE_MULTS", "1,16,64")
+      .split(',').map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Similarity
+
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+
+    def rep(df: DataFrame, n: Int): DataFrame =
+      (0 until n).map(k =>
+        df.withColumn("vec_id", col("vec_id") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+
+    // JVM/codegen warm pass so the x1 row isn't first-touch cost
+    Similarity.pqCodebookTrained(
+      Similarity.fixedPoint(emb, "vec_id", "embedding"), 4, 16, 16, 1).count()
+
+    println("trained-family cost to 64x (walls; expect ~linear slope in n)")
+    println("  mult       n  pq_train_s  pq_encode_s  kmeans_s")
+    for (m <- mults) {
+      val corpus = rep(emb, m).repartition(cpus.toInt).cache()
+      val n = corpus.count()
+      val fx = Similarity.fixedPoint(corpus, "vec_id", "embedding")
+        .localCheckpoint(eager = false)
+      val t0 = System.nanoTime()
+      val cb = Similarity.pqCodebookTrained(fx, 4, 16, 16, 2)
+        .localCheckpoint(eager = false)
+      cb.count()
+      val tTrain = (System.nanoTime() - t0) / 1e9
+      // encode pass: every corpus vector to its per-subspace arg-min
+      // codeword — the index-build cost that rides on top of training
+      val t1 = System.nanoTime()
+      val sv = fx.crossJoin(spark.range(4).select(col("id").cast("int").as("m")))
+        .select(col("id"), col("m"), expr("slice(fx, m * 16 + 1, 16)").as("svec"))
+      val codes = sv.join(broadcast(cb), Seq("m"))
+        .select(col("id"), col("m"),
+          aggregate(zip_with(col("svec"), col("cvec"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v).as("d2"),
+          col("cid"))
+        .groupBy(col("id"), col("m"))
+        .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("cid"))
+      codes.write.format("noop").mode("overwrite").save()
+      val tEnc = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      Similarity.kMeansAssign(corpus, "vec_id", "embedding", k = 8, iters = 2)
+        .write.format("noop").mode("overwrite").save()
+      val tKm = (System.nanoTime() - t2) / 1e9
+      println(f"  x$m%3d  $n%8d  $tTrain%9.2f  $tEnc%10.2f  $tKm%8.2f")
+      corpus.unpersist()
+    }
+
+    println("two-level IVF vs single-level fixed-128 lists " +
+      "(broadcast rows vs per-query candidates)")
+    println("  mult       n  bcast_1lvl  bcast_2lvl  cand_1lvl  cand_2lvl  w1_s  w2_s")
+    for (m <- mults) {
+      val corpus = rep(emb, m).repartition(cpus.toInt).cache()
+      val n = corpus.count()
+      val nQ = 5L
+      // single-level fixed-list sizing: C = n/128 centroids ALL broadcast
+      val cFixed = math.max(4, (n / 128L).toInt)
+      val t0 = System.nanoTime()
+      val cand1 = Similarity.ivfTopK(corpus, "vec_id", "embedding", _ < 5,
+        k = Int.MaxValue, nCentroids = cFixed, nprobe = 2).count()
+      val w1 = (System.nanoTime() - t0) / 1e9
+      // two-level: √n coarse broadcast (auto), nSub sized so total lists
+      // ≈ n/128 — the broadcast stays √n while list count matches
+      val cCoarse = Similarity.autoCentroids(n)
+      val nSub = math.max(1, math.ceil(n.toDouble / 128.0 / cCoarse).toInt)
+      val t1 = System.nanoTime()
+      val cand2 = Similarity.ivfTopK2(corpus, "vec_id", "embedding", _ < 5,
+        k = Int.MaxValue, nCoarse = cCoarse, nSub = nSub,
+        nprobe1 = 2, nprobe2 = 2).count()
+      val w2 = (System.nanoTime() - t1) / 1e9
+      println(f"  x$m%3d  $n%8d  $cFixed%10d  $cCoarse%10d" +
+        f"  ${cand1 / nQ}%9d  ${cand2 / nQ}%9d  $w1%4.1f  $w2%4.1f")
+      corpus.unpersist()
+    }
+    spark.stop()
+  }
+}

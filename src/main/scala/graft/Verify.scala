@@ -41,7 +41,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           .linesIterator.take(3).mkString(" / ")
-      } finally spark.catalog.clearCache() // see Bench: drop per-query caches
+      } finally { // see Bench: drop per-query caches + tracked registry
+        graft.core.Caches.release()
+        spark.catalog.clearCache()
+      }
     }
     def q(s: String): String = queries.Tables.jsonEscape(s)
     val json = SparkEntry.oracleSql

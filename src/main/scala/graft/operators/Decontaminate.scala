@@ -96,12 +96,16 @@ object Decontaminate {
   def contaminatedBloom(df: DataFrame, idCol: String, textCol: String,
       evalPred: Column => Column, n: Int = 8, fpp: Double = 0.01): DataFrame = {
     val grams = explodedGrams(df, idCol, textCol, n)
-    // persisted: the eval gram set is consumed THREE times (count sizes
-    // the filter, bloomFilter aggregates it, the verify join probes it)
-    // and this method exists for the big-benchmark case where re-running
-    // the eval scan+distinct per use is exactly the waste to avoid
+    // materialized (lazy localCheckpoint): the eval gram set is consumed
+    // THREE times (count sizes the filter, bloomFilter aggregates it,
+    // the verify join probes it) and this method exists for the
+    // big-benchmark case where re-running the eval scan+distinct per use
+    // is exactly the waste to avoid; the verify join's strategy is the
+    // explicit shuffle_hash hint below (no AQE decision reads this
+    // frame's stats), and checkpoint blocks are ContextCleaner-reclaimed
+    // instead of accumulating in the CacheManager (see graft.core.Caches)
     val ev = grams.filter(evalPred(col("id")))
-      .select(col("g")).distinct().persist()
+      .select(col("g")).distinct().localCheckpoint(eager = false)
     // Two driver actions on the SMALL side only — the corpus side stays
     // lazy.
     val nEval = math.max(ev.count(), 1L)

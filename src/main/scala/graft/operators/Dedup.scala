@@ -151,7 +151,7 @@ object Dedup {
     // sf0.1, 7.5s of the 4.1s-total budget); the InMemoryRelation keeps
     // measured sizes, so the per-doc array frame broadcasts and the
     // arrays never move (measured 7.1s -> ~2s warm at sf0.1)
-    val docs = shingleDocs(df, idCol, textCol).cache()
+    val docs = graft.core.Caches.cached(shingleDocs(df, idCol, textCol))
     val pref = prefixPostings(docs, tauNum, tauDen)
     // All-Pairs length filter (also exact): J >= t forces t·na <= nb and
     // t·nb <= na (c <= min and c >= t·max), so mismatched-size pairs drop
@@ -219,10 +219,9 @@ object Dedup {
     * sizes for the join strategy (see SCALING.md round 13). */
   def jaccardWeightedPairs(df: DataFrame, idCol: String, textCol: String,
       tau: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
+    val grams = graft.core.Caches.cached(df.select(col(idCol).as("id"),
         explode(shingle_hashes(word_hashes(col(textCol)))).as("h"))
-      .groupBy("id", "h").agg(count(lit(1)).as("c"))
-      .cache()
+      .groupBy("id", "h").agg(count(lit(1)).as("c")))
     val totals = grams.groupBy("id").agg(sum(col("c")).as("n"))
     val inv = maxShingleFreq.fold(grams: DataFrame) { cap =>
       val hot = grams.groupBy("h").agg(count(lit(1)).as("df"))
@@ -344,13 +343,16 @@ object Dedup {
     * reference's shingle→minhash→band→bucket-join path. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       tau: Double): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
+    // cached (tracked, see graft.core.Caches): the verify joins pull the
+    // per-doc shingle arrays back by id with no explicit hint — AQE needs
+    // the InMemoryRelation's measured size to broadcast them instead of
+    // sort-merge-shuffling every candidate pair's two gram arrays
+    val docs = graft.core.Caches.cached(df.select(col(idCol).as("id"),
         array_distinct(shingle_hashes(word_hashes(col(textCol)))).as("ds"))
       .withColumn("nd", size(col("ds")).cast("long"))
       .withColumn("sig", minhash_sig(col("ds")))
       .withColumn("bands", bands(col("sig")))
-      .drop("sig")
-      .cache()
+      .drop("sig"))
     val exploded = docs.select(col("id"), posexplode(col("bands")).as(Seq("bi", "bv")))
     val cand = exploded.as("x").join(exploded.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv")
@@ -376,8 +378,10 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHd: Int, nb: Int = 5): DataFrame = {
     require(maxHd < nb, s"hd ≤ $maxHd needs > $maxHd bands for exact recall")
-    val docs = simhashDocs(df, idCol, textCol)
-      .withColumn("bands", simhashBands(col("sh"), nb)).cache()
+    // cached (tracked): the band self-join's small-side choice reads the
+    // InMemoryRelation's measured stats (see graft.core.Caches)
+    val docs = graft.core.Caches.cached(simhashDocs(df, idCol, textCol)
+      .withColumn("bands", simhashBands(col("sh"), nb)))
     val ex = docs.select(col("id"), col("sh"), posexplode(col("bands")).as(Seq("bi", "bv")))
     ex.as("x").join(ex.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv")
@@ -413,9 +417,11 @@ object Dedup {
       tau: Double, tables: Int = 0, planesPerBand: Int = 8,
       dims: Int = 64): DataFrame = {
     val t = if (tables > 0) tables else autoTables(df.count())
-    val docs = Similarity.fixedPoint(df, idCol, vecCol)
-      .withColumn("sig", hyperplane_sig(col("fx"), t, planesPerBand, dims))
-      .cache()
+    // cached (tracked): the verify joins pull fx vectors back by id with
+    // no explicit hint — measured stats steer AQE to broadcast (see
+    // graft.core.Caches for the discipline split)
+    val docs = graft.core.Caches.cached(Similarity.fixedPoint(df, idCol, vecCol)
+      .withColumn("sig", hyperplane_sig(col("fx"), t, planesPerBand, dims)))
     val ex = docs.select(col("id"), posexplode(col("sig")).as(Seq("bi", "bv")))
     val cand = ex.as("x").join(ex.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv")
@@ -1042,7 +1048,12 @@ object Dedup {
       fpp: Double = 0.01): DataFrame = {
     val ref = incPrep(reference, idCol, textCol)
     val inc = incPrep(incoming, idCol, textCol)
-    val refH = ref.select(col("h")).persist() // 3 consumers: count/bloom/verify
+    // 3 consumers (count / bloom fold / verify semi-join); lazy
+    // localCheckpoint, not persist — the semi-join's strategy doesn't
+    // hang on this frame's stats (the reference side is the BIG side by
+    // design), and checkpoint blocks are ContextCleaner-reclaimed, so an
+    // increment loop doesn't accumulate CacheManager entries per call
+    val refH = ref.select(col("h")).localCheckpoint(eager = false)
     val nRef = math.max(refH.count(), 1L)
     val bloom = refH.stat.bloomFilter("h", nRef, fpp)
     val bc = reference.sparkSession.sparkContext.broadcast(bloom)

@@ -50,9 +50,12 @@ object Ranking {
     val stats = df.select(size(ws).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     // unpivot to sparse postings: stack(k, 'term0', tf0, 'term1', tf1, ...);
-    // cached because two consumers (dfreq + scoring) would otherwise
-    // re-run the whole tokenize+filter pipeline — postings are the SPARSE
-    // output (rows ∝ docs containing a term), safe to materialize at scale
+    // materialized (lazy localCheckpoint — ContextCleaner-reclaimed, see
+    // graft.core.Caches) because two consumers (dfreq + scoring) would
+    // otherwise re-run the whole tokenize+filter pipeline — postings are
+    // the SPARSE output (rows ∝ docs containing a term), safe to
+    // materialize at scale; both downstream joins carry explicit
+    // broadcast hints, so no AQE decision reads this frame's stats
     val stackArgs = terms.zipWithIndex
       .map { case (t, i) => s"'${t.replace("'", "''")}', __tf$i" }
       .mkString(", ")
@@ -60,7 +63,7 @@ object Ranking {
       .select(col("id"), col("dl"),
         expr(s"stack(${terms.size}, $stackArgs) AS (term, tf)"))
       .filter(col("tf") > 0)
-      .cache()
+      .localCheckpoint(eager = false)
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = postings
       .join(broadcast(dfreq), "term")

@@ -159,7 +159,11 @@ object Similarity {
     * exact cosine. Equi-join on bucket — the scale path. */
   def bucketedTopK(df: DataFrame, idCol: String, vecCol: String,
       isQuery: Column => Column, k: Int): DataFrame = {
-    val b = hyperplaneBuckets(df, idCol, vecCol).cache()
+    // lazy localCheckpoint, not cache: two consumers (query slice + big
+    // join side), the broadcast decision is the explicit hint below, and
+    // ContextCleaner reclaims the blocks when b goes out of scope — a
+    // cache() entry would sit in the CacheManager for the session's life
+    val b = hyperplaneBuckets(df, idCol, vecCol).localCheckpoint(eager = false)
     val q = b.filter(isQuery(col("id")))
       .select(col("id").as("qid"), col("fx").as("fq"), col("nrm").as("nq"), col("bucket"))
     val joined = broadcast(q).join(b, Seq("bucket")).filter(col("qid") =!= col("id"))
@@ -414,9 +418,10 @@ object Similarity {
     val cents1 = sums.select(col("cid"), meanArr.as("cfx"))
       .withColumn("cnrm",
         graft.functions.HashExpressions.fixed_dot(col("cfx"), col("cfx")))
-    // same crn ≤ nprobe cache slice as ivfTopK — never n×C fat rows
+    // same crn ≤ nprobe slice as ivfTopK — never n×C fat rows
     val ranked = rankByCentroids(fx, cents1)
-      .filter(col("crn") <= math.max(1, nprobe)).cache()
+      .filter(col("crn") <= math.max(1, nprobe))
+      .localCheckpoint(eager = false)
     probeLists(ranked, isQuery, k, nprobe)
   }
 
@@ -436,7 +441,8 @@ object Similarity {
     val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
     val cents = trainedCentroids(fx, c, dims, iters)
     val ranked = rankByCentroids(fx, cents)
-      .filter(col("crn") <= math.max(1, nprobe)).cache()
+      .filter(col("crn") <= math.max(1, nprobe))
+      .localCheckpoint(eager = false)
     probeLists(ranked, isQuery, k, nprobe)
   }
 
@@ -537,12 +543,18 @@ object Similarity {
       nCentroids: Int = 0, nprobe: Int = 2): DataFrame = {
     // nCentroids = 0 → C = max(4, ⌈√n⌉) (see ivfAssign): probed work per
     // query stays ≈ nprobe·√n instead of nprobe·n∕16 at 100 TB.
-    // Cache only the crn ≤ nprobe slice (owners crn=1 included) — both
-    // probeLists consumers filter inside it, and caching the full n×C
-    // ranking materializes C fat rows per vector for nothing (measured:
-    // 6.5s → 1.5s at 8k vecs × 90 centroids)
+    // Materialize only the crn ≤ nprobe slice (owners crn=1 included) —
+    // both probeLists consumers filter inside it, and materializing the
+    // full n×C ranking stores C fat rows per vector for nothing
+    // (measured: 6.5s → 1.5s at 8k vecs × 90 centroids). Lazy
+    // localCheckpoint, not cache: probeLists' broadcast is an explicit
+    // hint (no AQE decision reads this frame's stats), and checkpoint
+    // blocks are ContextCleaner-reclaimed when `ranked` goes out of
+    // scope — cache() entries would accumulate in the CacheManager
+    // across calls in a long-lived session (see graft.core.Caches)
     val ranked = ivfAssign(df, idCol, vecCol, nCentroids)
-      .filter(col("crn") <= math.max(1, nprobe)).cache()
+      .filter(col("crn") <= math.max(1, nprobe))
+      .localCheckpoint(eager = false)
     probeLists(ranked, isQuery, k, nprobe)
   }
 
@@ -1031,7 +1043,8 @@ object Similarity {
     require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
     val sub = dims / subspaces
     val ranked = ivfAssign(df, idCol, vecCol, nCentroids)
-      .filter(col("crn") <= math.max(1, nprobe)).cache()
+      .filter(col("crn") <= math.max(1, nprobe))
+      .localCheckpoint(eager = false)
     val lists = ranked.filter(col("crn") === 1).select(col("cid"), col("id"))
     val probes = ranked.filter(isQuery(col("id")))
       .select(col("id").as("qid"), col("cid"))
@@ -1089,7 +1102,8 @@ object Similarity {
     val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
     val cents = seedCentroids(fx, c)
     val ranked = rankByCentroids(fx, cents)
-      .filter(col("crn") <= math.max(1, nprobe)).cache()
+      .filter(col("crn") <= math.max(1, nprobe))
+      .localCheckpoint(eager = false)
     val cfx = cents.select(col("cid").as("pcid"), col("cfx"))
     // corpus residuals vs the OWNING centroid — renamed to (id, fx) so
     // the shared training/encode machinery applies unchanged

@@ -163,6 +163,19 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Audit-driven salted join with AUTO-sized k (k = 0): the salt
+    // factor comes from the audit's own counts — k ≈ heaviest hot key ∕
+    // mean partition load (SaltedJoin.autoK) — instead of a caller
+    // guess; one bounded ≤ topK-row driver action, result still the
+    // plain equi-join
+    "pipe_skew_salted_auto" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy(col("user_id")).agg(dsum(col("value")).as("user_total"))
+      graft.operators.SaltedJoin.joinByAudit(ev, dim, "user_id")
+        .select(col("event_id"), col("user_total"))
+        .orderBy("event_id")
+    }),
+
     // Pivot: long→wide per-user event-type sums (groupBy().pivot() with
     // an explicit value list — one shuffle, map-side partials per cell)
     "rel_pivot" -> ((s, dir) => {
@@ -1609,6 +1622,14 @@ object RelationalQueries {
          |  FROM events GROUP BY 1 HAVING user_id % 3 <> 0)
          |SELECT e.event_id, d.user_total
          |FROM events e LEFT JOIN dim d USING (user_id)
+         |ORDER BY e.event_id""".stripMargin,
+    // auto-k variant: identical oracle — the derived k is a shuffle
+    // parameter, invisible in the rows by construction
+    "pipe_skew_salted_auto" ->
+      s"""WITH dim AS (SELECT user_id, ${dsumSql("value")} AS user_total
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_id, d.user_total
+         |FROM events e JOIN dim d USING (user_id)
          |ORDER BY e.event_id""".stripMargin,
     "rel_pivot" -> {
       def cell(t: String) =

@@ -277,6 +277,14 @@ object StreamQueries {
       StreamOps.sessionizeDynamicOnce(s, dir)
         .orderBy("user_id", "start_us")),
 
+    // FILE-SOURCE dynamic-gap sessionization twin: time-range waves +
+    // two sentinel WAVES (built from the bounds aggregate, no collect)
+    // drain the watermark; five genuine microbatches, oracle shared
+    // with the batch sessionize_dynamic
+    "stream_sessionize_dyn_file" -> ((s, dir) =>
+      StreamOps.sessionizeDynamicOnceFile(s, dir)
+        .orderBy("user_id", "start_us")),
+
     // multimodal: frame sampling — n equal-stride byte slices per blob
     // (video-frame-extraction stand-in); frames cast back to text so the
     // oracle can mirror the slicing with plain substring arithmetic
@@ -317,6 +325,12 @@ object StreamQueries {
     // carry); append mode — emissions are final; shares rel_attribution
     "stream_attribution" -> ((s, dir) =>
       StreamOps.attributionOnce(s, dir).orderBy("user_id", "touch_id")),
+
+    // FILE-SOURCE attribution twin: pending-touch ListState across
+    // time-range-wave microbatches, no row visits the driver; shares
+    // rel_attribution's oracle verbatim
+    "stream_attribution_file" -> ((s, dir) =>
+      StreamOps.attributionOnceFile(s, dir).orderBy("user_id", "touch_id")),
 
     // STREAMING SCD2: per-key open-version ValueState closes/opens
     // versions as attribute changes arrive; the bounded replay
@@ -422,6 +436,12 @@ object StreamQueries {
     "stream_transitions" -> ((s, dir) =>
       StreamOps.transitionsOnce(s, dir).orderBy("from_type", "to_type")),
 
+    // FILE-SOURCE transitions twin: last-event ValueState across
+    // time-range-wave microbatches on the no-collect ingest path;
+    // shares rel_transitions' oracle verbatim
+    "stream_transitions_file" -> ((s, dir) =>
+      StreamOps.transitionsOnceFile(s, dir).orderBy("from_type", "to_type")),
+
     // ONLINE MERGE/CDC apply: per-key ValueState row value maintained
     // from a change feed (materialized-view maintenance) — snapshot
     // streams as seq-0 upserts, then the change batch, across three
@@ -452,6 +472,13 @@ object StreamQueries {
     // PQ codes, so the oracle is the codes CTE chain verbatim
     "stream_pq_encode" -> ((s, dir) =>
       StreamOps.pqEncodeOnce(s, dir).orderBy("id", "m")),
+
+    // ONLINE PQ maintenance with the TRAINED book: the streaming index
+    // serves pqCodebookTrained's Lloyd-fitted artifact — one codebook
+    // shared by the batch search path and the ingest encoder, so the
+    // two can never drift; oracle = the trainedCbCtes chain's codes
+    "stream_pq_trained" -> ((s, dir) =>
+      StreamOps.pqEncodeTrainedOnce(s, dir).orderBy("id", "m")),
 
     // ONLINE k-means labeling: the batch Lloyd-fitted centroids ship as
     // plan literals and every arriving vector labels itself with its
@@ -706,6 +733,7 @@ object StreamQueries {
     // the previous row's: an early long-gap event may cover a later
     // short-gap one); session end = max member end
     "stream_sessionize_dynamic" -> dynSessionSql,
+    "stream_sessionize_dyn_file" -> dynSessionSql,
     "sessionize_dynamic" -> dynSessionSql,
     // identical to sessionize_native: the streaming engine must produce
     // exactly the batch session_window result once all sessions close
@@ -773,10 +801,12 @@ object StreamQueries {
     "stream_scd2" -> RelationalQueries.oracleSql("rel_scd2"),
     "stream_scd2_file" -> RelationalQueries.oracleSql("rel_scd2"),
     "stream_attribution" -> RelationalQueries.oracleSql("rel_attribution"),
+    "stream_attribution_file" -> RelationalQueries.oracleSql("rel_attribution"),
     "stream_funnel" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_funnel_tws" -> RelationalQueries.oracleSql("rel_funnel"),
     "stream_cohort" -> RelationalQueries.oracleSql("rel_cohort"),
     "stream_transitions" -> RelationalQueries.oracleSql("rel_transitions"),
+    "stream_transitions_file" -> RelationalQueries.oracleSql("rel_transitions"),
     "stream_merge" ->
       s"""WITH ${RelationalQueries.mergeCtes}
          |SELECT k, CASE WHEN op = 'upsert' THEN sv ELSE tv END AS v
@@ -827,6 +857,20 @@ object StreamQueries {
          |    CAST(list_sum(list_transform(generate_series(1, 16),
          |      i -> (f.fx[cb.m*16+i] - cb.cvec[i]) * (f.fx[cb.m*16+i] - cb.cvec[i]))) AS BIGINT) AS d2
          |  FROM f, cb),
+         |codes AS (SELECT id, m, cid FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
+         |  FROM enc0) WHERE rn = 1)
+         |SELECT id, CAST(m AS BIGINT) AS m, cid FROM codes
+         |ORDER BY id, m""".stripMargin,
+    "stream_pq_trained" ->
+      s"""WITH f AS (SELECT vec_id AS id,
+         |    ${graft.operators.Similarity.fixedPointSql("embedding")} AS fx
+         |  FROM embeddings),
+         |${graft.operators.Similarity.trainedCbCtes(4, 16, 16, 2, src = "f")},
+         |enc0 AS (SELECT sv.id, cb.m, cb.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (sv.svec[i] - cb.cvec[i]) * (sv.svec[i] - cb.cvec[i]))) AS BIGINT) AS d2
+         |  FROM sv JOIN cbt2 cb USING (m)),
          |codes AS (SELECT id, m, cid FROM (SELECT *,
          |    row_number() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
          |  FROM enc0) WHERE rn = 1)

@@ -202,9 +202,13 @@ object StreamOps {
         .withColumn("bands", bands(minhash_sig(col("ds"))))
     val tmp = linkedDir(dir, "documents")
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val hist = shingled(spark.read.parquet(s"$dir/documents.parquet")
-        .filter(col("doc_id") % histMod =!= 0))
-      .cache()
+    // cached (tracked, see graft.core.Caches): the static side of a
+    // stream-static join is re-planned EVERY microbatch — the cache both
+    // avoids re-shingling the history per batch and keeps measured stats
+    // for the per-batch join strategy
+    val hist = graft.core.Caches.cached(
+      shingled(spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % histMod =!= 0)))
     val histIdx = hist.select(col("id").as("match_id"),
       col("ds").as("dsh"), col("nd").as("nh"),
       posexplode(col("bands")).as(Seq("bi", "bv")))
@@ -491,9 +495,50 @@ object StreamOps {
       .pqCodebook(graft.operators.Similarity.fixedPoint(
         batch, "vec_id", "embedding"), subspaces, codebookK, sub)
       .collect() // M·K rows — the bounded model artifact, like the DSIR table
+    pqEncodeStream(spark, dir, cbRows, subspaces, sub, sinkName)
+  }
+
+  /** TRAINED-codebook twin of [[pqEncodeOnce]] (r15 verdict item 7):
+    * the streaming index and the batch index share ONE codebook — the
+    * Lloyd-trained artifact
+    * [[graft.operators.Similarity.pqCodebookTrained]] fits batch-side
+    * (the same `iters`-round book [[graft.operators.Similarity
+    * .pqTopKTrained]] searches with) and ships as plan literals into
+    * the identical stateless encode projection. Without this, a
+    * retrained batch book and a seeded streaming book would drift: the
+    * same vector could encode differently depending on which path
+    * ingested it. Rows == the trained batch codes; oracle = the
+    * trainedCbCtes Lloyd chain, encode tail verbatim. */
+  def pqEncodeTrainedOnce(spark: SparkSession, dir: String,
+      subspaces: Int = 4, codebookK: Int = 16, dims: Int = 64,
+      iters: Int = 2,
+      sinkName: String = "stream_pq_trained_sink"): DataFrame = {
+    require(dims % subspaces == 0,
+      s"dims ($dims) must divide evenly into subspaces ($subspaces)")
+    val sub = dims / subspaces
+    val batch = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cbRows = graft.operators.Similarity
+      .pqCodebookTrained(graft.operators.Similarity.fixedPoint(
+        batch, "vec_id", "embedding"), subspaces, codebookK, sub, iters)
+      .collect() // ≤ M·K rows — the same bounded-artifact convention
+    pqEncodeStream(spark, dir, cbRows, subspaces, sub, sinkName)
+  }
+
+  /** Shared encode tail of the PQ maintenance twins: `cbRows` (m, cid,
+    * cvec) — seeded or trained — ships as plan literals; every arriving
+    * vector encodes to its per-subspace arg-min codeword (exact-BIGINT
+    * d2, lower-cid ties via the (d2, cid) struct array_min) in one
+    * stateless append-mode projection. */
+  private def pqEncodeStream(spark: SparkSession, dir: String,
+      cbRows: Array[org.apache.spark.sql.Row], subspaces: Int, sub: Int,
+      sinkName: String): DataFrame = {
     val byM = cbRows.groupBy(_.getInt(0))
+    require((0 until subspaces).forall(byM.contains),
+      "codebook is missing a subspace's codewords (empty embeddings " +
+      "input?) — the plan-literal encoder needs >= 1 codeword per m")
+    val batchSchema = spark.read.parquet(s"$dir/embeddings.parquet").schema
     val tmp = linkedDir(dir, "embeddings")
-    val src = spark.readStream.schema(batch.schema).parquet(tmp)
+    val src = spark.readStream.schema(batchSchema).parquet(tmp)
     val fx = graft.operators.Similarity.fixedPoint(src, "vec_id", "embedding")
     val codeStructs = (0 until subspaces).map { m =>
       val cands = byM(m).sortBy(_.getLong(1)).map { row =>
@@ -530,15 +575,29 @@ object StreamOps {
     * its nearest trained centroid in ONE stateless projection
     * (exact-BIGINT distances via an array_min over (d2, cid) structs,
     * lower-cid ties) — append mode, zero state, zero shuffle. Rows ==
-    * the batch labeling, so the `sim_kmeans` oracle applies verbatim. */
+    * the batch labeling, so the `sim_kmeans` oracle applies verbatim.
+    *
+    * Practical k bound (r15 ADVICE): each centroid inlines one
+    * zip_with/aggregate-over-`dims` expression as plan literals, so the
+    * projection grows k·dims terms — fine through k ≈ 64; past that,
+    * codegen/analysis limits approach and the right shape is a
+    * broadcast equi-join against the centroid FRAME (the batch
+    * [[graft.operators.Similarity.kMeansAssign]] path) instead of plan
+    * literals. Enforced as a hard require, like the empty-book case. */
   def kMeansAssignOnce(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 2, dims: Int = 64,
       sinkName: String = "stream_kmeans_sink"): DataFrame = {
+    require(k >= 1 && k <= 64,
+      s"k must be in [1, 64] for the plan-literal encoder (got $k); " +
+      "beyond 64 use the batch kMeansAssign's broadcast-join shape")
     val batch = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = graft.operators.Similarity
       .pqCodebookTrained(graft.operators.Similarity.fixedPoint(
         batch, "vec_id", "embedding"), 1, k, dims, iters)
       .collect() // <= k rows — the bounded model artifact
+    require(cents.nonEmpty,
+      "trained centroid book is empty (empty embeddings input?) — " +
+      "an array() of zero candidate structs would fail at plan time")
     val tmp = linkedDir(dir, "embeddings")
     val src = spark.readStream.schema(batch.schema).parquet(tmp)
     val fx = graft.operators.Similarity.fixedPoint(src, "vec_id", "embedding")
@@ -925,6 +984,56 @@ object StreamOps {
         (col("n").cast("double") / col("n_from").cast("double")).as("p"))
   }
 
+  /** FILE-SOURCE twin of [[transitionsOnce]] — the last-event
+    * ValueState machine on the production no-collect ingest path
+    * ([[scd2OnceFile]]'s contract): three time-range waves from one
+    * min/max broadcast, mtime-pinned files, `maxFilesPerTrigger=1`
+    * microbatches. Ts-range waves keep each key's global (ts, id)
+    * order across the batch boundaries, so the emitted step multiset
+    * equals the batch lead() window's; sink aggregate and oracle are
+    * [[transitionsOnce]]'s verbatim. */
+  def transitionsOnceFile(spark: SparkSession, dir: String,
+      sinkName: String = "stream_transitions_file_sink"): DataFrame = {
+    import spark.implicits._
+    val feed0 = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+    val bounds = feed0.agg(min(col("ts_us")).as("__t0"),
+      (max(col("ts_us")) + 1L).as("__t1"))
+    val feed = feed0.crossJoin(broadcast(bounds))
+      .withColumn("__wave", expr("(ts_us - __t0) * 3 div (__t1 - __t0)"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"), col("__wave"))
+    val tmp = stageWaveFiles(feed, "__wave", 0L to 2L, "stream_trans_src")
+    val schema = feed0.schema
+    val out = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString)
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TransitionsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF("from_type", "to_type")
+    withRocksDbProvider(spark) {
+      withHarnessConf(spark, "8") { ckpt =>
+        val q = out.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+    }
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    spark.table(sinkName)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(wf))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+  }
+
   /** Per-key MERGE/CDC state: the current row value, or no state when
     * the key is deleted — the ONLINE form of the batch
     * [[graft.operators.Warehouse.mergeUpsert]] (materialized-view
@@ -1226,6 +1335,57 @@ object StreamOps {
           ms.addData(chunk.toIndexedSeq)
           q.processAllAvailable()
         }
+        q.stop()
+      }
+    }
+    spark.table(sinkName)
+  }
+
+  /** FILE-SOURCE twin of [[attributionOnce]] — the pending-touch
+    * ListState machine on the production no-collect ingest path
+    * ([[scd2OnceFile]]'s contract): THREE time-range waves from one
+    * min/max aggregate broadcast back (no driver collect of rows), one
+    * mtime-pinned parquet file per wave, `maxFilesPerTrigger=1`
+    * microbatches in time order. Ts-range waves preserve each user's
+    * global (ts, event_id) order across batch boundaries (same-ts rows
+    * share a wave by construction), and the processor's in-batch sort
+    * orders within them — so the credited touch lists equal the
+    * MemoryStream replay's and the batch reverse-carry's exactly;
+    * oracle = rel_attribution's verbatim. */
+  def attributionOnceFile(spark: SparkSession, dir: String,
+      sinkName: String = "stream_attr_file_sink"): DataFrame = {
+    import spark.implicits._
+    val feed0 = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(20, 6))
+          * lit(1000000L)).cast("long").as("vm"))
+    val bounds = feed0.agg(min(col("ts_us")).as("__t0"),
+      (max(col("ts_us")) + 1L).as("__t1"))
+    val feed = feed0.crossJoin(broadcast(bounds))
+      .withColumn("__wave", expr("(ts_us - __t0) * 3 div (__t1 - __t0)"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"), col("vm"), col("__wave"))
+    val tmp = stageWaveFiles(feed, "__wave", 0L to 2L, "stream_attr_src")
+    // declared 5-column read schema prunes __wave at the parquet scan
+    val schema = feed0.schema
+    val out = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString)
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new AttributionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF("user_id", "touch_id", "conv_id", "n_touches",
+        "linear_micro", "last_touch_micro")
+    withRocksDbProvider(spark) {
+      withHarnessConf(spark, "8") { ckpt =>
+        val q = out.writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .start()
+        q.processAllAvailable()
         q.stop()
       }
     }
@@ -1882,6 +2042,65 @@ object StreamOps {
         .start()
       q.processAllAvailable()
       ms.addData(Seq((-1L, maxUs + 2L * 365L * 86400L * 1000000L, "view", 1L)))
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(sinkName).filter(col("user_id") >= 0)
+  }
+
+  /** FILE-SOURCE twin of [[sessionizeDynamicOnce]] — native dynamic-gap
+    * `session_window` fed by the production no-collect ingest path:
+    * three TIME-RANGE data waves (watermark-safe by construction — a
+    * later wave never carries an earlier timestamp, so the 0-second
+    * watermark drops nothing, and a live session extends across the
+    * boundary because eviction needs watermark ≥ last event + gap,
+    * which a ts-adjacent next wave can't have reached yet) plus the
+    * two-sentinel drain expressed as waves 3 and 4: both sentinels are
+    * BUILT FROM the same min/max bounds aggregate (union of two 1-row
+    * projections — no driver collect anywhere), so wave 3 commits a
+    * year-ahead watermark and wave 4's batch evicts every real session
+    * under it ([[sessionizeDynamicOnce]]'s eviction-lags-one-batch
+    * rule). Five mtime-pinned files, five genuine microbatches, oracle
+    * = the batch `sessionize_dynamic`'s verbatim. */
+  def sessionizeDynamicOnceFile(spark: SparkSession, dir: String,
+      sinkName: String = "stream_sess_dyn_file_sink"): DataFrame = {
+    val yearUs = 365L * 86400L * 1000000L
+    val feed0 = graft.queries.Tables.t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("event_id"))
+    val bounds = feed0.agg(min(col("ts_us")).as("__t0"),
+      (max(col("ts_us")) + 1L).as("__t1"))
+    val data = feed0.crossJoin(broadcast(bounds))
+      .withColumn("__wave", expr("(ts_us - __t0) * 3 div (__t1 - __t0)"))
+      .select(col("user_id"), col("ts_us"), col("event_type"),
+        col("event_id"), col("__wave"))
+    def sentinel(years: Long, wave: Long) = bounds.select(
+      lit(-1L).as("user_id"),
+      (col("__t1") - 1L + lit(years * yearUs)).as("ts_us"),
+      lit("view").as("event_type"), lit(wave - 3L).as("event_id"),
+      lit(wave).as("__wave"))
+    val feed = data.unionByName(sentinel(1L, 3L)).unionByName(sentinel(2L, 4L))
+    val tmp = stageWaveFiles(feed, "__wave", 0L to 4L, "stream_sessdyn_src")
+    val schema = feed0.schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val out = src
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"),
+        when(col("event_type") === "purchase", "5 minutes")
+          .otherwise("30 minutes")))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+    withHarnessConf(spark, "8") { ckpt =>
+      val q = out.writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
       q.processAllAvailable()
       q.stop()
     }

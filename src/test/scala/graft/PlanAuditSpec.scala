@@ -263,6 +263,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(err.getMessage.contains("swap the sides"))
   }
 
+  test("autoK applies the scaladoc sizing rule with the [2, 64] clamp") {
+    import graft.operators.SaltedJoin.autoK
+    // heaviest key 80k rows, 1M total over 32 partitions → target
+    // 31 250 rows/reducer → k = ceil(80000/31250) = 3
+    assert(autoK(80000L, 1000000L, 32) === 3)
+    // uniform key (max ≈ target) never salts below the k=2 floor
+    assert(autoK(31250L, 1000000L, 32) === 2)
+    // a monster key clamps at 64: beyond that, replication cost passes
+    // what more reducer spread buys (AQE splits inside a partition)
+    // (one key = the whole table over 1000 partitions → raw k = 1000)
+    assert(autoK(1000000L, 1000000L, 1000) === 64)
+    // degenerate inputs stay sane
+    assert(autoK(1L, 1L, 1) === 2)
+  }
+
+  test("audit-driven salted join with AUTO k == plain join; derived k replicates only hot keys") {
+    // same pathological shape as the explicit-k test: half the rows on
+    // key 7 — the audit must flag it and autoK must pick a k ≥ 2
+    val ev = Tables.t(spark, sf001, "events")
+      .withColumn("user_id",
+        when(col("event_id") % 2 === 0, lit(7L)).otherwise(col("user_id") + 1000L))
+    val dim = ev.groupBy(col("user_id"))
+      .agg(sum(col("value")).as("user_total"))
+    val plain = ev.join(dim, "user_id")
+      .select(col("event_id"), col("user_total"))
+      .orderBy("event_id").collect()
+    val auto = graft.operators.SaltedJoin
+      .joinByAudit(ev, dim, "user_id") // k defaults to 0 = auto
+      .select(col("event_id"), col("user_total"))
+      .orderBy("event_id")
+    assert(auto.collect().sameElements(plain))
+    val p = fmt(auto)
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    // cold keys still replicate ONCE: the conditional 1-or-k array
+    // explode survives the auto path
+    assert(p.contains("Generate"), p.take(4000))
+    assert(p.contains("CASE WHEN"), p.take(4000))
+    // the collected hot set inlines as a LOCAL relation broadcast to
+    // both sides — the in-plan audit subtree is gone (one corpus count
+    // on the driver action instead of one per tagging join)
+    assert(p.contains("LocalTableScan"), p.take(4000))
+    assert(!p.contains("skew_micro"), p.take(4000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(4000))
+  }
+
   test("groupby sort=False: first_pos rides the user aggregate's exchange") {
     // min(index) must be ONE more partial aggregate on the SAME shuffle
     // as the user's aggs — exactly one hash exchange (plus the output
