@@ -132,6 +132,20 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    // Overall wall budget (r16 verdict item 1): the driver runs the
+    // bench under an external timeout; when THIS process sees the
+    // budget spent, it stops starting new work (remaining first-pass
+    // queries are recorded as skipped, remaining retimes dropped) and
+    // the final artifact carries partial:true + the skipped list — a
+    // complete parseable record of everything that DID run, instead of
+    // rc=124 with parsed:null. 0 disables the budget.
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+    def overBudget: Boolean = budgetSec > 0 && elapsedSec > budgetSec
+    val rec = new BenchRecorder
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val sfDir0 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -145,6 +159,7 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     val cgCounter = installFallbackCounter()
     val cgFallbacks: () => Long = cgCounter.getOrElse(() => 0L)
+    rec.cgWiringOk = cgCounter.nonEmpty
 
     // The driver-generated parquet has ONE row group per table (checked
     // r9: lineitem sf0.1 = 1×600k rows), and parquet tasks cannot split
@@ -175,7 +190,8 @@ object Bench {
     // respool wall time is a pure host-IO probe (fixed byte volume):
     // 20s on a healthy run vs 126s measured on a degraded one — landing
     // it in the artifact lets a slow run self-identify as host decay
-    val respoolSec = (System.nanoTime() - respoolT0) / 1e9
+    rec.respoolSec = (System.nanoTime() - respoolT0) / 1e9
+    rec.sf = sfDir
 
     // Testdata-drift preflight: a regeneration that changed any column
     // ENCODING (schema diff) or any table's CONTENT (row-count +
@@ -239,26 +255,70 @@ object Bench {
     // 63s first-query wall vs 1.7s second pass on a slow host with
     // majflt=0 and a stall dump full of CodeFormatter frames). Timed
     // results below therefore reflect data-scale work at sf.
+    //
+    // r16 verdict item 2: the sequential warm pass had grown to 1050 s —
+    // 2/3 of the close-of-round wall. Warm cost is dominated by
+    // per-query driver latency (planning, Janino, tiny-job scheduling),
+    // not data, so the pass now runs the queries CONCURRENTLY from a
+    // small thread pool (Spark sessions are thread-safe for independent
+    // actions; each query runs exactly once, and sink temp dirs are
+    // keyed per (query-prefix, input-dir), so no two warm tasks share
+    // state). Batch barriers keep sweep() out of running queries'
+    // lineage — a sweep mid-flight could unpersist a checkpoint block a
+    // running warm query still needs. The pass is also BUDGET-aware: an
+    // unwarmed query is not a correctness risk, only a first-pass wall
+    // inflation the retime discipline (floor 1.0 s) already corrects,
+    // so when the warm budget runs out the rest is skipped and counted
+    // in the artifact (warm_n / warm_skipped_n).
     val warmupT0 = System.nanoTime()
     val warmAll = sys.env.getOrElse("SPARK_GRAFT_WARM_ALL", "1") != "0"
+    val warmThreads =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_WARM_THREADS", "8").toInt)
+    val warmBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_WARM_BUDGET_SEC", "420").toDouble
     if (warmAll) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        // NonFatal only: an OOM/StackOverflow here is a real crash, not a
-        // warm-up hiccup, and must not be swallowed; non-fatal failures
-        // are logged so "plan never codegen-compiled before its timer"
-        // can't happen invisibly (it skews that query's first timing)
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] warm pass failed for $name: " +
-            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      val warmDeadline = System.nanoTime() + (warmBudgetSec * 1e9).toLong
+      def warmOver: Boolean =
+        (warmBudgetSec > 0 && System.nanoTime() > warmDeadline) || overBudget
+      val warmed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val warmSkipped = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(warmThreads)
+      SparkEntry.queries.toSeq.sortBy(_._1).grouped(6 * warmThreads)
+        .foreach { batch =>
+          val tasks: java.util.List[java.util.concurrent.Callable[Unit]] =
+            java.util.Arrays.asList(batch.map { case (name, fn) =>
+              new java.util.concurrent.Callable[Unit] {
+                def call(): Unit =
+                  if (warmOver) { warmSkipped.incrementAndGet(); () }
+                  else {
+                    // NonFatal only: an OOM/StackOverflow here is a real
+                    // crash, not a warm-up hiccup, and must not be
+                    // swallowed; non-fatal failures are logged so "plan
+                    // never codegen-compiled before its timer" can't
+                    // happen invisibly (it skews that query's first timing)
+                    try {
+                      fn(spark, warmDir).write.format("noop")
+                        .mode("overwrite").save()
+                      warmed.incrementAndGet(); ()
+                    } catch { case scala.util.control.NonFatal(e) =>
+                      System.err.println(s"[bench] warm pass failed for " +
+                        s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+                    }
+                  }
+              }
+            }: _*)
+          pool.invokeAll(tasks) // barrier: nothing in flight during sweep
+          sweep() // so the first timed query doesn't absorb a
+                  // warm-pass-wide ContextCleaner backlog
         }
-        finally sweep() // so the first timed query doesn't absorb a
-                        // warm-pass-wide ContextCleaner backlog
-      }
-      System.err.println(f"[bench] full codegen warm pass (sf0.001, all queries) " +
-        f"in ${(System.nanoTime() - warmupT0) / 1e9}%.1fs")
+      pool.shutdown()
+      rec.warmN = warmed.get()
+      rec.warmSkippedN = warmSkipped.get()
+      System.err.println(f"[bench] codegen warm pass (sf0.001, " +
+        f"${rec.warmN} warmed / ${rec.warmSkippedN} budget-skipped, " +
+        f"$warmThreads threads) in ${(System.nanoTime() - warmupT0) / 1e9}%.1fs")
     }
-    val warmupSec = (System.nanoTime() - warmupT0) / 1e9
+    rec.warmupSec = (System.nanoTime() - warmupT0) / 1e9
 
     // JVM-pause attribution (r8's bench showed nondeterministic 30-150s
     // per-query stalls): per query we record the GC-time delta (public
@@ -289,7 +349,10 @@ object Bench {
       try {
         val bean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
           .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-        () => bean.getProcessCpuTime / 1000000L
+        // read the raw nanos FIRST: an unsupported bean returns -1 ns,
+        // and -1 / 1000000 truncates to 0, which would defeat the
+        // "cpuMs < 0 never produces starved" guard in classifyEpisode
+        () => { val t = bean.getProcessCpuTime; if (t < 0) -1L else t / 1000000L }
       } catch { case _: Throwable => () => -1L }
     }
     val safepointMs: () => Long = {
@@ -352,18 +415,18 @@ object Bench {
     // query records -1, NOT its elapsed time: a crash must never read as
     // a fast success in the bench JSON.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
-    val gcByQuery = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
-    val mfByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val cgByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val cpuByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val episodeByQuery = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // Failed queries record their error's first line in the artifact:
-    // a -1 with the message only in a truncated stderr tail once cost a
-    // full round of diagnosis (the ts-encoding drift).
-    val errByQuery = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val declared = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // initial snapshot BEFORE the first timed query: a kill during query
+    // one must not leave a stale artifact from a previous run on disk
+    rec.writeSnapshot(outPath)
+    declared.foreach { case (name, fn) =>
+      if (overBudget) {
+        // budget spent: name the query as skipped instead of silently
+        // truncating coverage — the artifact stays complete-so-far with
+        // partial:true (the r16 rc=124 failure mode, closed)
+        rec.skipped += name
+      } else {
       val (gc0, sp0, mf0, cg0) = (gcMs(), safepointMs(), majFlt(), cgFallbacks())
       val cpu0 = cpuMs()
       val t0 = System.nanoTime()
@@ -373,13 +436,16 @@ object Bench {
         val wall = (System.nanoTime() - t0) / 1e9
         if (wall > 5.0 || gcMs() - gc0 > 2000)
           System.err.println(f"[bench] $name wall=$wall%.1fs gc=${gcMs() - gc0}ms safepoint=${safepointMs() - sp0}ms")
-        name -> wall
+        rec.firstPass(name) = wall
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          errByQuery(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          // Failed queries record their error's first line in the
+          // artifact: a -1 with the message only in a truncated stderr
+          // tail once cost a full round of diagnosis (ts-encoding drift).
+          rec.errByQuery(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString
-          name -> -1.0
+          rec.firstPass(name) = -1.0
       } finally {
         // in the finally so a FAILED query still gets its pause
         // attribution — a crash after a GC storm is exactly the case the
@@ -387,23 +453,29 @@ object Bench {
         val (gcD, spD) = (gcMs() - gc0, safepointMs() - sp0)
         val mfD = majFlt() - mf0
         val cpuD = if (cpu0 < 0) -1L else cpuMs() - cpu0
-        gcByQuery(name) = (gcD, spD)
-        mfByQuery(name) = mfD
-        cgByQuery(name) = cgFallbacks() - cg0
-        cpuByQuery(name) = cpuD
+        rec.gcByQuery(name) = (gcD, spD)
+        rec.mfByQuery(name) = mfD
+        rec.cgByQuery(name) = cgFallbacks() - cg0
+        rec.cpuByQuery(name) = cpuD
         val wallSoFar = (System.nanoTime() - t0) / 1e9
         classifyEpisode(wallSoFar, cpuD, gcD, spD, mfD).foreach { kind =>
-          episodeByQuery(name) = kind
+          rec.episodeByQuery(name) = kind
           System.err.println(f"[bench] EPISODE $name kind=$kind " +
             f"wall=$wallSoFar%.1fs cpu=${cpuD}ms gc=${gcD}ms sp=${spD}ms majflt=$mfD")
         }
         inFlight.set(null)
         sweep()
+        // incremental artifact (r16 verdict item 1): EVERY completed
+        // query lands in a complete, atomically-replaced bench_out.json
+        // before the next one starts — a timeout/kill at any point
+        // leaves a parseable record of everything that ran
+        rec.writeSnapshot(outPath)
+      }
       }
     }
-    val failed = results.count(_._2 < 0)
-    val gcTotal = gcByQuery.values.map(_._1).sum
-    val spTotal = gcByQuery.values.map(_._2).sum
+    if (rec.skipped.nonEmpty)
+      System.err.println(s"[bench] BUDGET ($budgetSec s) exhausted after " +
+        s"${rec.firstPass.size} queries — ${rec.skipped.size} skipped")
 
     // Second-pass retimes: on a healthy host pass 2 ≈ pass 1 (same plan,
     // warm JIT); on a decayed host the first-pass tail collapses (r10:
@@ -422,89 +494,50 @@ object Bench {
     val retimeN = sys.env.getOrElse("SPARK_GRAFT_RETIME_N", "16").toInt
     val retimeFloor =
       sys.env.getOrElse("SPARK_GRAFT_RETIME_FLOOR", "1.0").toDouble
-    val byWall = results.filter(_._2 >= 0).sortBy(-_._2)
+    val byWall = rec.firstPass.toSeq.filter(_._2 >= 0).sortBy(-_._2)
     val retimeTargets =
       byWall.take(retimeN) ++
         byWall.drop(retimeN).takeWhile(_._2 > retimeFloor)
-    val secondPass = retimeTargets
-      .map { case (name, _) =>
+    retimeTargets.foreach { case (name, _) =>
+      // retimes honor the budget too, but never displace first-pass
+      // coverage: they run only after every (budget-permitted) query has
+      // a first wall, so a late budget hit costs refinement, not data
+      if (overBudget) rec.retimesSkippedN += 1
+      else {
         val t0 = System.nanoTime()
         inFlight.set((name + "_p2", t0))
         try {
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => name -> -1.0 }
-        finally { inFlight.set(null); sweep() }
+          rec.secondPass(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => rec.secondPass(name) = -1.0 }
+        finally {
+          inFlight.set(null); sweep()
+          // Best-of-passes headline (r12 verdict item 3): the headline
+          // total and per-query map use min(first, retime) where a
+          // retime exists (first-pass tails on a decayed host are host
+          // noise, not plan cost); the retimed queries' first-pass
+          // walls stay in "first_pass" as the cold-start side channel.
+          // Snapshot after every retime — same timeout-proofing as the
+          // first pass.
+          rec.writeSnapshot(outPath)
+        }
       }
-    // Best-of-passes headline (r12 verdict item 3): two same-code closing
-    // benches disagreed by 33% total while second_pass sat at warm plan
-    // cost — the slow tail's first-pass walls are host noise (cold IO,
-    // ContextCleaner backlog), not plan cost. The headline total and
-    // per-query map use min(first, retime) where a retime exists; the
-    // retimed queries' first-pass walls stay in "first_pass" as the
-    // cold-start side channel, so both passes remain in the artifact.
-    val p2ByName = secondPass.toMap
-    val bestOf = results.map { case (n, v) =>
-      n -> p2ByName.get(n).filter(_ >= 0).map(math.min(v, _)).getOrElse(v)
     }
-    val firstPassTotal = results.filter(_._2 >= 0).map(_._2).sum
-    def toJson(rs: Seq[(String, Double)], extra: String = ""): String = {
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-        .mkString("{", ",", "}")
-      val total = bestOf.filter(_._2 >= 0).map(_._2).sum
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"gc_ms":$gcTotal,"safepoint_ms":$spTotal,"sf":"$sfDir"$extra}"""
-    }
-    // per-query JVM-pause attribution lands in the file line only (humans
-    // + post-hoc stall analysis; the driver's scraped tail stays compact)
-    val gcMap = gcByQuery.map { case (k, (g, sp)) => s""""$k":[$g,$sp]""" }
-      .mkString("{", ",", "}")
-    val mfMap = mfByQuery.map { case (k, v) => s""""$k":$v""" }
-      .mkString("{", ",", "}")
-    val cpuMap = cpuByQuery.map { case (k, v) => s""""$k":$v""" }
-      .mkString("{", ",", "}")
-    // healthy state is an empty map; each entry names a query whose wall
-    // should be read as host/JVM state, not plan cost (the retime pass
-    // usually already replaced it in the headline)
-    val epMap = episodeByQuery.map { case (k, v) => s""""$k":"$v"""" }
-      .mkString("{", ",", "}")
-    // nonzero entries only (healthy state is all-zero); a wiring failure
-    // emits total -1 — observably distinct from a healthy all-zero run
-    val cgTotal = if (cgCounter.isEmpty) -1L
-                  else cgByQuery.values.filter(_ > 0).sum
-    val cgMap = cgByQuery.filter(_._2 != 0).map { case (k, v) => s""""$k":$v""" }
-      .mkString("{", ",", "}")
-    val p2Map = secondPass.map { case (k, v) => f""""$k":$v%.4f""" }
-      .mkString("{", ",", "}")
-    val fpMap = retimeTargets.map { case (k, v) => f""""$k":$v%.4f""" }
-      .mkString("{", ",", "}")
-    def jq(s: String): String = queries.Tables.jsonEscape(s)
-    val errMap = errByQuery.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
-      .mkString("{", ",", "}")
-    val full = toJson(bestOf,
-      f""","respool_sec":$respoolSec%.1f,"warmup_sec":$warmupSec%.1f,"first_pass_total":$firstPassTotal%.4f,"first_pass":$fpMap,"gc_by_query":$gcMap,"majflt_by_query":$mfMap,"cpu_ms_by_query":$cpuMap,"episodes":$epMap,"episodes_n":${episodeByQuery.size},"codegen_fallbacks":$cgTotal,"codegen_fallbacks_by_query":$cgMap,"second_pass":$p2Map,"errors":$errMap""")
+    if (rec.retimesSkippedN > 0)
+      System.err.println(s"[bench] BUDGET: ${rec.retimesSkippedN} of " +
+        s"${retimeTargets.size} retimes skipped")
     // The driver captures only a ~2KB stdout TAIL: with 100+ queries the
-    // full line (~2.7KB) gets its head cut and fails to parse (r4–r6 all
-    // recorded parsed:null). Print the full line first for humans, then a
-    // compact line — slowest queries only, sized to fit the capture window
-    // whole — LAST, so the scrape always ends with one complete JSON
-    // object. The complete per-query map also lands in bench_out.json.
-    println(full)
-    val budget = 1400 // bytes for the compact queries map
-    val slowest = bestOf.sortBy(-_._2)
-    val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    var used = 0
-    slowest.foreach { case (k, v) =>
-      val w = k.length + 12
-      if (used + w <= budget) { keep += ((k, v)); used += w }
-    }
-    println(toJson(keep.sortBy(_._1).toSeq,
-      s""","queries_shown":${keep.size},"episodes_n":${episodeByQuery.size},"full":"bench_out.json""""))
-    // belt and braces for the stdout scrape: also land the JSON in a file
-    // (driver or human can read bench_out.json when the tail truncates)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
+    // full line gets its head cut and fails to parse (r4–r6 all recorded
+    // parsed:null). Print the full line first for humans, then a compact
+    // line — slowest queries only, sized to fit the capture window whole,
+    // with respool_sec + episodes_n so an inflated run self-identifies
+    // as host decay in the tail itself — LAST, so the scrape always ends
+    // with one complete JSON object. The complete per-query map also
+    // lands in bench_out.json (final atomic snapshot).
+    println(rec.renderFull())
+    println(rec.renderCompact())
+    rec.writeSnapshot(outPath)
     spark.stop()
   }
 }

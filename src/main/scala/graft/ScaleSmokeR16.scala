@@ -103,9 +103,20 @@ object ScaleSmokeR16 {
       }.min
     }
 
+    // End-of-cell cleanup: each cell's corpus/fx/cb localCheckpoint
+    // frames are dead once the cell prints, but best2's keep-set
+    // re-snapshot would carry them forever — at x64 the x1 and x16
+    // corpora would still be resident, memory pressure skewing the very
+    // slope this harness measures. Unpersist every RDD the cell created.
+    def dropCellFrames(before: Set[Int]): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before(id)) rdd.unpersist(blocking = false)
+      }
+
     println("trained-family cost to 64x (best-of-2 walls; expect ~linear slope in n)")
     println("  mult       n  pq_train_s  pq_encode_s  kmeans_s")
     for (m <- mults) {
+      val cellRdds0 = spark.sparkContext.getPersistentRDDs.keySet.toSet
       val corpus = rep(emb, m).repartition(cpus.toInt)
         .localCheckpoint(eager = false)
       val n = corpus.count()
@@ -135,12 +146,14 @@ object ScaleSmokeR16 {
         Similarity.kMeansAssign(corpus, "vec_id", "embedding", k = 8, iters = 2)
           .write.format("noop").mode("overwrite").save())
       println(f"  x$m%3d  $n%8d  $tTrain%9.2f  $tEnc%10.2f  $tKm%8.2f")
+      dropCellFrames(cellRdds0)
     }
 
     println("two-level IVF vs single-level fixed-128 lists " +
       "(broadcast rows vs per-query candidates; best-of-2 walls)")
     println("  mult       n  bcast_1lvl  bcast_2lvl  cand_1lvl  cand_2lvl  w1_s  w2_s")
     for (m <- mults) {
+      val cellRdds0 = spark.sparkContext.getPersistentRDDs.keySet.toSet
       val corpus = rep(emb, m).repartition(cpus.toInt)
         .localCheckpoint(eager = false)
       val n = corpus.count()
@@ -161,6 +174,7 @@ object ScaleSmokeR16 {
         nSub = nSub, nprobe1 = 2, nprobe2 = 2).count())
       println(f"  x$m%3d  $n%8d  $cFixed%10d  $cCoarse%10d" +
         f"  ${cand1 / nQ}%9d  ${cand2 / nQ}%9d  $w1%4.1f  $w2%4.1f")
+      dropCellFrames(cellRdds0)
     }
     spark.stop()
   }

@@ -149,7 +149,12 @@ object SaltedJoin {
         skewed.schema(keyCol),
         org.apache.spark.sql.types.StructField("__hot",
           org.apache.spark.sql.types.IntegerType, nullable = false)))
-      val keyIdx = Warehouse.skewAudit(skewed, keyCol, 1).schema.fieldIndex(keyCol)
+      // the collected rows carry the audit schema already — no need to
+      // build a second skewAudit plan just to ask for the field index
+      // (empty audit → the map below never runs, so 0 is never read)
+      val keyIdx =
+        if (auditRows.isEmpty) 0
+        else auditRows.head.schema.fieldIndex(keyCol)
       val rows: java.util.List[org.apache.spark.sql.Row] =
         java.util.Arrays.asList(auditRows.map(r =>
           org.apache.spark.sql.Row(r.get(keyIdx), 1)): _*)

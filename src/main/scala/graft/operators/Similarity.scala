@@ -596,11 +596,101 @@ object Similarity {
     require(nSub >= 1, s"nSub must be positive: $nSub")
     val c1 = if (nCoarse > 0) nCoarse else autoCentroids(df.count())
     val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    val (lists, p2) =
+      ivf2Candidates(fx, seedCentroids(fx, c1), isQuery, nSub, nprobe1, nprobe2)
+    ivf2ExactTail(lists, p2, k)
+  }
+
+  /** [[ivfTopK2]] with a Lloyd-TRAINED coarse level (r16 verdict item 4):
+    * the √n coarse book trains with `iters` exact-integer Lloyd rounds
+    * ([[trainedCentroids]] — the same shared engine as
+    * [[ivfTopKTrained]] and the PQ family, so the oracle mirrors it via
+    * the one [[trainedCbCtes]] chain); level-2 seeding, assignment, and
+    * the probe tail are unchanged. Trained coarse centroids sit on the
+    * data's mass, so coarse lists tighten and a probe needs fewer
+    * coarse lists for the same recall — the same lever SCALING.md
+    * measured for the PQ codebook (+0.13–0.20 recall at equal probe
+    * budget), now on the level that bounds the 100 TB broadcast.
+    * Degenerates to [[ivfTopKTrained]] at `nSub = 1, nprobe2 = 1`
+    * (the differential spec). */
+  def ivfTopK2Trained(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int, nCoarse: Int = 0,
+      nSub: Int = 4, nprobe1: Int = 2, nprobe2: Int = 2,
+      iters: Int = 2, dims: Int = 64): DataFrame = {
+    require(nSub >= 1, s"nSub must be positive: $nSub")
+    val c1 = if (nCoarse > 0) nCoarse else autoCentroids(df.count())
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    val (lists, p2) = ivf2Candidates(fx, trainedCentroids(fx, c1, dims, iters),
+      isQuery, nSub, nprobe1, nprobe2)
+    ivf2ExactTail(lists, p2, k)
+  }
+
+  /** IVF2-PQ (r16 verdict item 5) — the full 100 TB index shape:
+    * [[ivfTopK2]]'s two-level probed lists bound WHICH vectors a query
+    * touches (≈ nprobe1·nprobe2·L candidates, √n-bounded broadcast),
+    * and [[pqTopKTrained]]'s Lloyd-trained ADC codes bound WHAT is read
+    * per touched vector — M small table lookups instead of a dims-wide
+    * exact dot. The coarse levels stay the seeded draw ON PURPOSE
+    * (the [[ivfPqTopKTrained]] ablation discipline: any recall delta vs
+    * [[ivfTopK2]] is attributable to quantization, and any cost delta
+    * to the ADC swap). Every building block keeps the family's
+    * exact-BIGINT determinism ((d2, cid) assignment ties, (adc, id)
+    * ranking ties), so the DuckDB oracle replays the whole composition.
+    * Degenerates to [[ivfPqTopKTrained]] at `nSub = 1, nprobe2 = 1`
+    * with `nprobe1 = nprobe` (the differential spec): one sub-centroid
+    * per coarse list makes the two-level lists the coarse lists.
+    *
+    * Scale: the two-level index is built in two corpus passes (√n
+    * broadcast + cid1 equi-join), codes in one more (broadcast M·K
+    * book); per query the ADC join touches only probed-sub-list
+    * candidates and the (qid, m, code) table is broadcast-sized —
+    * raw vectors are never revisited after indexing. */
+  def ivf2PqTopK(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int, nCoarse: Int = 0,
+      nSub: Int = 4, nprobe1: Int = 2, nprobe2: Int = 2,
+      subspaces: Int = 4, codebookK: Int = 16, dims: Int = 64,
+      iters: Int = 2): DataFrame = {
+    require(nSub >= 1, s"nSub must be positive: $nSub")
+    require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
+    val sub = dims / subspaces
+    val c1 = if (nCoarse > 0) nCoarse else autoCentroids(df.count())
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    val (lists, p2) =
+      ivf2Candidates(fx, seedCentroids(fx, c1), isQuery, nSub, nprobe1, nprobe2)
+    // trained book feeds two consumers (codes + query ADC tables) — the
+    // pqTopKTrained checkpoint discipline
+    val cb = pqCodebookTrained(fx, subspaces, codebookK, sub, iters)
+      .localCheckpoint(eager = false)
+    val codes = pqCodes(fx, cb, sub)
+      .select(col("id"), col("m"), col("cid").as("code"))
+    val qd = pqAdcTable(fx, isQuery, cb, sub)
+      .select(col("qid"), col("m"), col("cid").as("code"), col("qd2"))
+    val cand = broadcast(p2.select("qid", "cid1", "cid2"))
+      .join(lists.select("cid1", "cid2", "id"), Seq("cid1", "cid2"))
+      .filter(col("qid") =!= col("id")).select("qid", "id")
+    val adc = cand.join(codes, Seq("id"))
+      .join(broadcast(qd), Seq("qid", "m", "code"))
+      .groupBy("qid", "id").agg(sum(col("qd2")).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("id"))
+    adc.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("id").as("vec_id"), col("adc"))
+  }
+
+  /** Two-level index build + probe shared by the seeded
+    * ([[ivfTopK2]], [[ivf2PqTopK]]) and trained ([[ivfTopK2Trained]])
+    * variants: `cents1` is the √n coarse book in [[rankByCentroids]]'
+    * (cid, cfx, cnrm) shape. Returns (lists, p2): the sub-list
+    * membership (cid1, cid2, id, fx, nrm) and each query's probed
+    * sub-lists (qid, cid1, cid2, fq, nq). */
+  private def ivf2Candidates(fx: DataFrame, cents1: DataFrame,
+      isQuery: Column => Column, nSub: Int, nprobe1: Int,
+      nprobe2: Int): (DataFrame, DataFrame) = {
     // level 1: the ONLY corpus-wide broadcast (c1 ≈ √n rows); keep just
     // the crn ≤ nprobe1 slice (owners included), lazily checkpointed —
     // it feeds three consumers (owners → level-2 build, owners → lists,
     // queries → probes) and ContextCleaner reclaims the blocks
-    val r1 = rankByCentroids(fx, seedCentroids(fx, c1))
+    val r1 = rankByCentroids(fx, cents1)
       .filter(col("crn") <= math.max(1, nprobe1))
       .localCheckpoint(eager = false)
     val own1 = r1.filter(col("crn") === 1)
@@ -641,8 +731,15 @@ object Similarity {
       .withColumn("__srn", row_number().over(wq))
       .filter(col("__srn") <= nprobe2)
       .select(col("qid"), col("cid1"), col("cid2"), col("fq"), col("nq"))
-    // sub-lists are disjoint (each vector owns exactly one (cid1, cid2)),
-    // so probing distinct sub-lists can't duplicate a (qid, id) pair
+    (lists, p2)
+  }
+
+  /** Exact-cosine scoring tail over [[ivf2Candidates]]' probed
+    * sub-lists. Sub-lists are disjoint (each vector owns exactly one
+    * (cid1, cid2)), so probing distinct sub-lists can't duplicate a
+    * (qid, id) pair. */
+  private def ivf2ExactTail(lists: DataFrame, p2: DataFrame,
+      k: Int): DataFrame = {
     val joined = broadcast(p2).join(lists, Seq("cid1", "cid2"))
       .filter(col("qid") =!= col("id"))
       .withColumn("cos", cosine(col("fq"), col("fx"), col("nq"), col("nrm")))
@@ -710,6 +807,68 @@ object Similarity {
     val sb = ranked.filter(col("rb") <= k)
       .groupBy("bid").agg(sum(col("c")).as("sb"), count(lit(1)).as("kb"))
     ranked.filter(col("ra") === 1)
+      .join(sa, "aid").join(sb, "bid")
+      .withColumn("margin",
+        (col("c") * 2L * col("ka") * col("kb")).cast("double")
+          / (col("sa") * col("kb") + col("sb") * col("ka")).cast("double"))
+      .filter(col("margin") >= tau)
+      .select(col("aid").as("qid"), col("bid").as("vec_id"),
+        col("c").as("cos_micro"), col("margin"))
+  }
+
+  /** [[marginMining]] with the IVF candidate generator the brute form's
+    * scaladoc promised (r16 verdict item 6) — the corpus-scale wiring:
+    * both sides rank the shared √n-bounded seeded coarse quantizer
+    * ([[ivfAssign]]'s book), each vector probes its `nprobe` nearest
+    * lists, and a cross-side pair is a candidate iff the two probe
+    * sets intersect — one EQUI-join on the centroid id (candidates
+    * ∝ per-list |A-probes|·|B-probes|, never |A|·|B|), deduplicated
+    * per pair. Neighborhood averages then come from the CANDIDATE
+    * lists (the published CCMatrix approximation: Artetxe & Schwenk
+    * 2019 compute avgₖ over the ANN-retrieved neighborhoods, not the
+    * full cross product); the margin algebra — micro-integer cosines,
+    * exact BIGINT neighborhood sums with actual sizes k_a/k_b, one
+    * double division — is byte-identical to [[marginMining]], so the
+    * DuckDB oracle replays candidates AND margins bit-for-bit.
+    * MarginIvfRecallSpec measures pair recall vs the brute form. */
+  def marginMiningIvf(df: DataFrame, idCol: String, vecCol: String,
+      isLeft: Column => Column, k: Int, tau: Double,
+      nCentroids: Int = 0, nprobe: Int = 2): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    val c = if (nCentroids > 0) nCentroids else autoCentroids(df.count())
+    // crn ≤ nprobe memberships, checkpointed once for both sides
+    val ranked = rankByCentroids(fx, seedCentroids(fx, c))
+      .filter(col("crn") <= math.max(1, nprobe))
+      .localCheckpoint(eager = false)
+    val pa = ranked.filter(isLeft(col("id")))
+      .select(col("id").as("aid"), col("cid"))
+    val pb = ranked.filter(!isLeft(col("id")))
+      .select(col("id").as("bid"), col("cid"))
+    // probe-set intersection as one equi-join; distinct() dedups pairs
+    // that co-probe several lists (each pair scores once, as in brute)
+    val candPairs = pa.join(pb, Seq("cid")).select("aid", "bid").distinct()
+    val a = fx.filter(isLeft(col("id")))
+      .select(col("id").as("aid"), col("fx").as("fa"), col("nrm").as("na"))
+    val b = fx.filter(!isLeft(col("id")))
+      .select(col("id").as("bid"), col("fx").as("fb"), col("nrm").as("nb"))
+    val pairs = candPairs.join(a, Seq("aid")).join(b, Seq("bid"))
+      .select(col("aid"), col("bid"),
+        round(lit(1e6) * cosine(col("fa"), col("fb"), col("na"), col("nb")))
+          .cast("long").as("c"))
+    // identical tail to marginMining: ranked pair frame feeds three
+    // consumers (two neighborhood sums + the best-match pick)
+    val wa = Window.partitionBy(col("aid")).orderBy(col("c").desc, col("bid"))
+    val wb = Window.partitionBy(col("bid")).orderBy(col("c").desc, col("aid"))
+    val rankedPairs = pairs
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .localCheckpoint(eager = false)
+    val sa = rankedPairs.filter(col("ra") <= k)
+      .groupBy("aid").agg(sum(col("c")).as("sa"), count(lit(1)).as("ka"))
+    val sb = rankedPairs.filter(col("rb") <= k)
+      .groupBy("bid").agg(sum(col("c")).as("sb"), count(lit(1)).as("kb"))
+    rankedPairs.filter(col("ra") === 1)
       .join(sa, "aid").join(sb, "bid")
       .withColumn("margin",
         (col("c") * 2L * col("ka") * col("kb")).cast("double")

@@ -1580,6 +1580,39 @@ object ExtQueries {
         id => id < 5, k = 3, nCoarse = 16, nSub = 4,
         nprobe1 = 2, nprobe2 = 2).orderBy("qid", "rn")),
 
+    "sim_ivf2_trained" -> ((s, dir) =>
+      // trained coarse level for the two-level index: the √n broadcast
+      // book Lloyd-trains (shared exact-integer engine), level-2
+      // seeding/assignment and the probe tail unchanged — the recall
+      // lever on the level that bounds the 100 TB broadcast
+      Similarity.ivfTopK2Trained(t(s, dir, "embeddings"), "vec_id",
+        "embedding", id => id < 5, k = 3, nCoarse = 16, nSub = 4,
+        nprobe1 = 2, nprobe2 = 2, iters = PQ_ITERS).orderBy("qid", "rn")),
+
+    "sim_ivf2_pq" -> ((s, dir) =>
+      // the full 100 TB index composition: two-level probed lists bound
+      // WHICH vectors a query touches (√n broadcast, equi-joined level
+      // 2), trained PQ-ADC codes bound WHAT is read per touched vector
+      // (M table lookups, never the raw 64-dim vector)
+      Similarity.ivf2PqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        id => id < 5, k = 3, nCoarse = 16, nSub = 4, nprobe1 = 2,
+        nprobe2 = 2, iters = PQ_ITERS).orderBy("qid", "rn")),
+
+    "sim_margin_ivf" -> ((s, dir) =>
+      // CCMatrix margin mining with the PRODUCTION candidate generator
+      // the brute form's scaladoc promised: candidates from probe-set
+      // intersections on the seeded coarse book (one equi-join on the
+      // centroid id), neighborhoods from candidate lists, margin
+      // algebra unchanged
+      // nprobe = 6 of 16 lists: measured pair recall vs brute 0.99 on
+      // the fixture (0.53 at nprobe = 2 — the 64-dim synthetic vectors
+      // are near-isotropic, so probe sets must overlap generously;
+      // curve in SCALING.md r17)
+      Similarity.marginMiningIvf(t(s, dir, "embeddings"), "vec_id",
+          "embedding", id => id % 2 === 0, MARGIN_K, MARGIN_TAU,
+          nCentroids = 16, nprobe = 6)
+        .orderBy("qid")),
+
     "sim_ivf_trained" -> ((s, dir) =>
       // multi-round Lloyd-trained coarse quantizer (iters=1 == the
       // sim_ivf_refined single round, by spec): coarse and product
@@ -3554,6 +3587,36 @@ object ExtQueries {
          |  FROM r JOIN sa ON sa.aid = r.aid JOIN sb ON sb.bid = r.bid WHERE r.ra = 1)
          |SELECT aid AS qid, bid AS vec_id, c AS cos_micro, margin
          |FROM m WHERE margin >= $MARGIN_TAU ORDER BY qid""".stripMargin,
+    // IVF-candidate margin mining mirror: the sim_ivf_topk coarse CTE
+    // chain yields crn <= nprobe probe memberships per side; a pair is
+    // a candidate iff the probe sets intersect (DISTINCT equi-join on
+    // the centroid id); the margin tail is sim_margin_mining verbatim
+    "sim_margin_ivf" ->
+      s"""WITH $fxCte,
+         |cc AS (SELECT id AS cid, fx AS cfx, nrm AS cnrm FROM n
+         |  ORDER BY ${Similarity.seedHashSql("id")}, id LIMIT 16),
+         |scc AS (SELECT n.id, cc.cid,
+         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*cc.cfx[i])) AS BIGINT) + cc.cnrm AS d2
+         |  FROM n, cc),
+         |rkc AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS crn FROM scc),
+         |pm AS (SELECT id, cid FROM rkc WHERE crn <= 6),
+         |cand AS (SELECT DISTINCT a.id AS aid, b.id AS bid
+         |  FROM pm a JOIN pm b ON a.cid = b.cid
+         |  WHERE a.id % 2 = 0 AND b.id % 2 <> 0),
+         |p AS (SELECT cand.aid, cand.bid, CAST(round(1000000.0 *
+         |    ${Similarity.cosineSql("aa.fx", "bb.fx", "aa.nrm", "bb.nrm")}) AS BIGINT) AS c
+         |  FROM cand JOIN n aa ON aa.id = cand.aid JOIN n bb ON bb.id = cand.bid),
+         |r AS (SELECT aid, bid, c,
+         |  row_number() OVER (PARTITION BY aid ORDER BY c DESC, bid) AS ra,
+         |  row_number() OVER (PARTITION BY bid ORDER BY c DESC, aid) AS rb FROM p),
+         |sa AS (SELECT aid, sum(c) AS sa, count(*) AS ka FROM r WHERE ra <= $MARGIN_K GROUP BY aid),
+         |sb AS (SELECT bid, sum(c) AS sb, count(*) AS kb FROM r WHERE rb <= $MARGIN_K GROUP BY bid),
+         |m AS (SELECT r.aid, r.bid, r.c,
+         |    CAST(r.c * 2 * sa.ka * sb.kb AS DOUBLE)
+         |      / CAST(sa.sa * sb.kb + sb.sb * sa.ka AS DOUBLE) AS margin
+         |  FROM r JOIN sa ON sa.aid = r.aid JOIN sb ON sb.bid = r.bid WHERE r.ra = 1)
+         |SELECT aid AS qid, bid AS vec_id, c AS cos_micro, margin
+         |FROM m WHERE margin >= $MARGIN_TAU ORDER BY qid""".stripMargin,
     "dedup_emb_incremental" ->
       s"""WITH $fxCte,
          |$embSigCtes,
@@ -4066,6 +4129,102 @@ object ExtQueries {
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rn
          |  FROM j)
          |SELECT qid, rn, vid AS vec_id, cos FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    // trained-coarse two-level IVF: the shared Lloyd chain (ONE
+    // whole-vector subspace) produces the coarse book, then the
+    // sim_ivf2_topk chain verbatim from sc1 down
+    "sim_ivf2_trained" ->
+      s"""WITH $fxCte,
+         |${Similarity.trainedCbCtes(1, 16, 64, PQ_ITERS)},
+         |c1 AS (SELECT cid, cvec AS cfx,
+         |    CAST(list_sum(list_transform(cvec, x -> x*x)) AS BIGINT) AS cnrm
+         |  FROM cbt$PQ_ITERS),
+         |sc1 AS (SELECT n.id, c1.cid,
+         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c1.cfx[i])) AS BIGINT) + c1.cnrm AS d2
+         |  FROM n, c1),
+         |rk1 AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS crn FROM sc1),
+         |own1 AS (SELECT rk1.id, rk1.cid AS cid1, n.fx, n.nrm
+         |  FROM rk1 JOIN n USING(id) WHERE crn = 1),
+         |c2 AS (SELECT cid1, id AS cid2, fx AS cfx, nrm AS cnrm
+         |  FROM (SELECT own1.*, row_number() OVER (PARTITION BY cid1
+         |      ORDER BY ${Similarity.seedHashSql("id")}, id) AS srn FROM own1)
+         |  WHERE srn <= 4),
+         |sc2 AS (SELECT o.id, o.cid1, c2.cid2,
+         |  o.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> o.fx[i]*c2.cfx[i])) AS BIGINT) + c2.cnrm AS d2
+         |  FROM own1 o JOIN c2 USING (cid1)),
+         |own2 AS (SELECT id, cid1, cid2 FROM (SELECT id, cid1, cid2,
+         |    row_number() OVER (PARTITION BY id ORDER BY d2, cid2) AS rn
+         |  FROM sc2) WHERE rn = 1),
+         |lists AS (SELECT own2.cid1, own2.cid2, own2.id, n.fx, n.nrm
+         |  FROM own2 JOIN n USING(id)),
+         |p1 AS (SELECT rk1.id AS qid, rk1.cid AS cid1, n.fx AS fq, n.nrm AS nq
+         |  FROM rk1 JOIN n USING(id) WHERE rk1.id < 5 AND crn <= 2),
+         |p2 AS (SELECT qid, cid1, cid2, fq, nq FROM (SELECT p1.qid, p1.cid1,
+         |    c2.cid2, p1.fq, p1.nq,
+         |    row_number() OVER (PARTITION BY p1.qid, p1.cid1
+         |      ORDER BY p1.nq - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> p1.fq[i]*c2.cfx[i])) AS BIGINT) + c2.cnrm, c2.cid2) AS srn
+         |  FROM p1 JOIN c2 USING (cid1)) WHERE srn <= 2),
+         |j AS (SELECT p2.qid, l.id AS vid,
+         |    ${Similarity.cosineSql("p2.fq", "l.fx", "p2.nq", "l.nrm")} AS cos
+         |  FROM p2 JOIN lists l ON p2.cid1 = l.cid1 AND p2.cid2 = l.cid2
+         |    AND l.id <> p2.qid),
+         |r AS (SELECT qid, vid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rn
+         |  FROM j)
+         |SELECT qid, rn, vid AS vec_id, cos FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    // IVF2-PQ mirror: the sim_ivf2_topk list/probe chain (keys only) ×
+    // the sim_pq_trained codebook/encode/ADC chain, joined on
+    // (qid, m, cid) exactly as the engine's broadcast table lookup
+    "sim_ivf2_pq" ->
+      s"""WITH $fxCte,
+         |${Similarity.trainedCbCtes(4, 16, 16, PQ_ITERS)},
+         |enc0 AS (SELECT sv.id, cb.m, cb.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (sv.svec[i] - cb.cvec[i]) * (sv.svec[i] - cb.cvec[i]))) AS BIGINT) AS d2
+         |  FROM sv JOIN cbt$PQ_ITERS cb USING (m)),
+         |codes AS (SELECT id, m, cid FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
+         |  FROM enc0) WHERE rn = 1),
+         |qd AS (SELECT sv.id AS qid, cb.m, cb.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (sv.svec[i] - cb.cvec[i]) * (sv.svec[i] - cb.cvec[i]))) AS BIGINT) AS qd2
+         |  FROM sv JOIN cbt$PQ_ITERS cb USING (m) WHERE sv.id < 5),
+         |c1 AS (SELECT id AS cid, fx AS cfx, nrm AS cnrm FROM n
+         |  ORDER BY ${Similarity.seedHashSql("id")}, id LIMIT 16),
+         |sc1 AS (SELECT n.id, c1.cid,
+         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c1.cfx[i])) AS BIGINT) + c1.cnrm AS d2
+         |  FROM n, c1),
+         |rk1 AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS crn FROM sc1),
+         |own1 AS (SELECT rk1.id, rk1.cid AS cid1, n.fx, n.nrm
+         |  FROM rk1 JOIN n USING(id) WHERE crn = 1),
+         |c2 AS (SELECT cid1, id AS cid2, fx AS cfx, nrm AS cnrm
+         |  FROM (SELECT own1.*, row_number() OVER (PARTITION BY cid1
+         |      ORDER BY ${Similarity.seedHashSql("id")}, id) AS srn FROM own1)
+         |  WHERE srn <= 4),
+         |sc2 AS (SELECT o.id, o.cid1, c2.cid2,
+         |  o.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> o.fx[i]*c2.cfx[i])) AS BIGINT) + c2.cnrm AS d2
+         |  FROM own1 o JOIN c2 USING (cid1)),
+         |own2 AS (SELECT id, cid1, cid2 FROM (SELECT id, cid1, cid2,
+         |    row_number() OVER (PARTITION BY id ORDER BY d2, cid2) AS rn
+         |  FROM sc2) WHERE rn = 1),
+         |p1 AS (SELECT rk1.id AS qid, rk1.cid AS cid1, n.fx AS fq, n.nrm AS nq
+         |  FROM rk1 JOIN n USING(id) WHERE rk1.id < 5 AND crn <= 2),
+         |p2 AS (SELECT qid, cid1, cid2 FROM (SELECT p1.qid, p1.cid1,
+         |    c2.cid2,
+         |    row_number() OVER (PARTITION BY p1.qid, p1.cid1
+         |      ORDER BY p1.nq - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> p1.fq[i]*c2.cfx[i])) AS BIGINT) + c2.cnrm, c2.cid2) AS srn
+         |  FROM p1 JOIN c2 USING (cid1)) WHERE srn <= 2),
+         |cand AS (SELECT p2.qid, own2.id FROM p2
+         |  JOIN own2 ON p2.cid1 = own2.cid1 AND p2.cid2 = own2.cid2
+         |  WHERE own2.id <> p2.qid),
+         |adc AS (SELECT cand.qid, cand.id AS vid, CAST(sum(qd.qd2) AS BIGINT) AS adc
+         |  FROM cand JOIN codes ON codes.id = cand.id
+         |  JOIN qd ON qd.qid = cand.qid AND qd.m = codes.m AND qd.cid = codes.cid
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, vid, adc,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS BIGINT) AS rn
+         |  FROM adc)
+         |SELECT qid, rn, vid AS vec_id, adc FROM r WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
     // Lloyd-refined IVF: seed assignment as sim_ivf_topk, element-wise
     // HUGEINT-safe integer-mean centroids (s // cnt truncates toward zero
     // exactly like Spark's div), re-assignment, then the shared probe tail

@@ -1490,7 +1490,10 @@ object RelationalQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
 
   private def bucketedTables(s: SparkSession, dir: String): (String, String) =
-    bucketedTabs.getOrElseUpdate((s, dir), {
+    // synchronized: TrieMap.getOrElseUpdate may evaluate the builder
+    // twice under concurrent callers (the bench's parallel warm pass);
+    // a double saveAsTable on the same table name is a hard error
+    bucketedTabs.synchronized { bucketedTabs.getOrElseUpdate((s, dir), {
       val tag = math.abs(dir.hashCode).toString
       val basePath = java.nio.file.Files.createTempDirectory("graft_bkt")
       Tables.deleteOnExit(basePath)
@@ -1506,7 +1509,7 @@ object RelationalQueries {
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$base/lineitem").saveAsTable(lTab)
       (oTab, lTab)
-    })
+    }) }
 
   def oracleSql: Map[String, String] = Map(
     "rel_q1_pricing" ->

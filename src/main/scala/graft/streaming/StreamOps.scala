@@ -1954,7 +1954,11 @@ object StreamOps {
     .empty[(SparkSession, String, Long), (DataFrame, DataFrame)]
 
   private def sessionizeSharedRun(spark: SparkSession, dir: String,
-      gapMinutes: Long): (DataFrame, DataFrame) =
+      gapMinutes: Long): (DataFrame, DataFrame) = sessionRuns.synchronized {
+    // synchronized: TrieMap.getOrElseUpdate may evaluate the builder
+    // concurrently from two callers (the bench's parallel warm pass runs
+    // the twin queries together), and a double evaluation here STARTS a
+    // second streaming query under the same sink name — a hard error
     sessionRuns.getOrElseUpdate((spark, dir, gapMinutes), {
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -2002,6 +2006,7 @@ object StreamOps {
       (spark.table(etSink).filter(col("user_id") >= 0),
         spark.table(natSink).filter(col("user_id") >= 0))
     })
+  }
 
   /** DYNAMIC-gap native sessionization under streaming — the
     * variable-timeout `session_window` (gap an expression of the event:
@@ -2148,7 +2153,9 @@ object StreamOps {
 
   private def intervalJoinSharedRun(spark: SparkSession, dir: String,
       leftType: String, rightType: String,
-      windowMinutes: Long): (DataFrame, DataFrame) =
+      windowMinutes: Long): (DataFrame, DataFrame) = intervalRuns.synchronized {
+    // synchronized: see sessionizeSharedRun — a concurrent double
+    // evaluation would start a second query under the same sink name
     intervalRuns.getOrElseUpdate((spark, dir, leftType, rightType, windowMinutes), {
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -2202,6 +2209,7 @@ object StreamOps {
       (spark.table(innerSink).filter(col("user_id") >= 0),
         spark.table(leftSink).filter(col("user_id") >= 0))
     })
+  }
 
   /** Streaming PARQUET (file) sink roundtrip: the tumbling-window
     * resample aggregation written with `writeStream.format("parquet")` in

@@ -28,7 +28,10 @@ class CacheHygieneSpec extends SparkSpec {
     val offenders = for {
       p <- mainSources
       (line, i) <- Files.readAllLines(p).asScala.zipWithIndex
-      trimmed = line.takeWhile(_ != '/') // ignore trailing // comments
+      // strip only true '//' comments — takeWhile(_ != '/') truncated at
+      // ANY slash (division, a path inside a string, '*/'), letting a
+      // bare .cache() after one silently escape the gate
+      trimmed = { val idx = line.indexOf("//"); if (idx >= 0) line.take(idx) else line }
       if trimmed.contains(".cache()") || trimmed.contains(".persist(")
       // Caches.cached(...) call sites never spell .cache() themselves,
       // so any textual hit outside Caches.scala is a leak
@@ -69,6 +72,34 @@ class CacheHygieneSpec extends SparkSpec {
       "release() should unpersist the tracked frame")
     // the frame stays correct after release — lineage recomputes
     assert(df.count() === 100)
+  }
+
+  test("two load-bearing operators drain on release(); a re-run re-establishes " +
+      "the stats and still plans the broadcast") {
+    // the two stat-load-bearing cache sites exercised in ONE session —
+    // the long-lived curation-session shape the registry exists for
+    graft.core.Caches.release(blocking = true)
+    val docs = graft.queries.Tables.t(spark, sf001, "documents").limit(200)
+    graft.operators.Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 5).count()
+    val emb = graft.queries.Tables.t(spark, sf001, "embeddings").limit(200)
+    graft.operators.Dedup.embeddingPairs(emb, "vec_id", "embedding",
+      tau = 0.9, tables = 4).count()
+    assert(graft.core.Caches.trackedCount >= 2,
+      s"both operators should register, saw ${graft.core.Caches.trackedCount}")
+    graft.core.Caches.release(blocking = true)
+    assert(graft.core.Caches.trackedCount === 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "CacheManager should be empty after Caches.release()")
+    // re-run after release: the operator re-caches, AQE sees measured
+    // InMemoryRelation stats again, and the verify join still lands as a
+    // broadcast — release() costs nothing but the re-materialization
+    val rerun = graft.operators.Dedup.jaccardPairsPrefix(
+      docs, "doc_id", "text", 3, 5)
+    rerun.collect()
+    val finalPlan = rerun.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan.take(4000))
+    assert(graft.core.Caches.trackedCount >= 1)
+    graft.core.Caches.release(blocking = true)
   }
 
   test("a released operator cache frees the CacheManager entry end-to-end") {

@@ -405,6 +405,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cid2"), p.take(6000))
   }
 
+  test("trained two-level IVF: level 2 + probe tail equi-join-only, like the seeded form") {
+    // training happens inside the level-1 ranking's checkpointed lineage;
+    // the visible plan is the level-2 build + search tail and must keep
+    // the seeded form's discipline: equi-joins on (cid1)/(cid1, cid2),
+    // never a nested-loop broadcast of anything corpus-shaped
+    val p = fmt(graft.SparkEntry.queries("sim_ivf2_trained")(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(6000))
+    assert(p.contains("cid2"), p.take(6000))
+  }
+
+  test("IVF2-PQ: no cartesian; candidates, codes and ADC tables all join by key") {
+    // the only crossJoin-shaped passes are the disclosed broadcast-book
+    // scans (M·K-row codebook vs corpus — the pqCodebookTrained
+    // disclosure); the search side must be keyed joins: (cid1, cid2)
+    // candidates, id-keyed codes, (qid, m, code) ADC lookups
+    val p = fmt(graft.SparkEntry.queries("sim_ivf2_pq")(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(6000))
+    assert(p.contains("cid2"), p.take(6000))
+  }
+
+  test("margin IVF: candidate generation is a centroid equi-join — no cross-side product") {
+    // the brute form's crossJoin is exactly what this variant removes:
+    // probe memberships sit behind the checkpointed ranking, candidates
+    // come from one cid equi-join, and the margin tail joins by key
+    val p = fmt(graft.SparkEntry.queries("sim_margin_ivf")(spark, sf001))
+    assert(p.contains("ExistingRDD"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(6000))
+  }
+
   test("k-means prototypes: rank filter below the per-cluster window (WindowGroupLimit)") {
     val p = fmt(graft.SparkEntry.queries("sim_kmeans_protos")(spark, sf001))
     // top-3-per-cluster must prune under the window sort, never rank
