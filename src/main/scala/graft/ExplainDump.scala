@@ -89,7 +89,10 @@ object ExplainDump {
     // twins, and the trained streaming-PQ encoder
     "sim_ivf2_topk", "pipe_skew_salted_auto", "stream_attribution_file",
     "stream_transitions_file", "stream_sessionize_dyn_file",
-    "stream_pq_trained")
+    "stream_pq_trained",
+    // round 17: trained-coarse two-level IVF, the IVF2+PQ composition,
+    // and IVF-candidate margin mining
+    "sim_ivf2_trained", "sim_ivf2_pq", "sim_margin_ivf")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
