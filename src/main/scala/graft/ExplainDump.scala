@@ -92,7 +92,9 @@ object ExplainDump {
     "stream_pq_trained",
     // round 17: trained-coarse two-level IVF, the IVF2+PQ composition,
     // and IVF-candidate margin mining
-    "sim_ivf2_trained", "sim_ivf2_pq", "sim_margin_ivf")
+    "sim_ivf2_trained", "sim_ivf2_pq", "sim_margin_ivf",
+    // all-trained IVF2-PQ: both quantizers Lloyd-trained
+    "sim_ivf2_pq_trained")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

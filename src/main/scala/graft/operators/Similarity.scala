@@ -657,6 +657,47 @@ object Similarity {
     val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
     val (lists, p2) =
       ivf2Candidates(fx, seedCentroids(fx, c1), isQuery, nSub, nprobe1, nprobe2)
+    ivf2PqAdcTail(fx, lists, p2, isQuery, k, subspaces, codebookK, sub, iters)
+  }
+
+  /** [[ivf2PqTopK]] with the coarse book Lloyd-TRAINED as well — BOTH
+    * quantizers of the 100 TB index on the data's mass: the √n coarse
+    * book trains with `coarseIters` exact-integer rounds
+    * ([[trainedCentroids]], the [[ivfTopK2Trained]] move — tighter
+    * coarse lists, fewer probes for equal recall on the level that
+    * bounds the broadcast) and the PQ book trains with `iters` rounds
+    * ([[pqCodebookTrained]] — smaller per-subspace quantization error,
+    * SCALING.md's recall lever). Lists/probes and the ADC tail are the
+    * shared [[ivf2Candidates]]/[[ivf2PqAdcTail]] cores, so by
+    * construction: candidate sets equal [[ivfTopK2Trained]]'s at the
+    * same probe budget, and ADC values for any (qid, id) pair equal
+    * [[pqTopKTrained]]'s (the two differential specs). Exact-BIGINT
+    * end-to-end; the oracle replays both Lloyd chains (coarse chain
+    * CTE-prefixed to coexist with the PQ chain). */
+  def ivf2PqTopKTrained(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column => Column, k: Int, nCoarse: Int = 0,
+      nSub: Int = 4, nprobe1: Int = 2, nprobe2: Int = 2,
+      subspaces: Int = 4, codebookK: Int = 16, dims: Int = 64,
+      iters: Int = 2, coarseIters: Int = 2): DataFrame = {
+    require(nSub >= 1, s"nSub must be positive: $nSub")
+    require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
+    val sub = dims / subspaces
+    val c1 = if (nCoarse > 0) nCoarse else autoCentroids(df.count())
+    val fx = fixedPoint(df, idCol, vecCol).localCheckpoint(eager = false)
+    val (lists, p2) = ivf2Candidates(fx,
+      trainedCentroids(fx, c1, dims, coarseIters), isQuery, nSub, nprobe1,
+      nprobe2)
+    ivf2PqAdcTail(fx, lists, p2, isQuery, k, subspaces, codebookK, sub, iters)
+  }
+
+  /** Trained-PQ ADC scoring over [[ivf2Candidates]]' probed sub-lists —
+    * the tail shared by [[ivf2PqTopK]] (seeded coarse) and
+    * [[ivf2PqTopKTrained]] (trained coarse): candidates from the
+    * (cid1, cid2) list join, per-candidate cost M (qid, m, code) table
+    * lookups, raw vectors never revisited. */
+  private def ivf2PqAdcTail(fx: DataFrame, lists: DataFrame, p2: DataFrame,
+      isQuery: Column => Column, k: Int, subspaces: Int, codebookK: Int,
+      sub: Int, iters: Int): DataFrame = {
     // trained book feeds two consumers (codes + query ADC tables) — the
     // pqTopKTrained checkpoint discipline
     val cb = pqCodebookTrained(fx, subspaces, codebookK, sub, iters)

@@ -1598,6 +1598,18 @@ object ExtQueries {
         id => id < 5, k = 3, nCoarse = 16, nSub = 4, nprobe1 = 2,
         nprobe2 = 2, iters = PQ_ITERS).orderBy("qid", "rn")),
 
+    "sim_ivf2_pq_trained" -> ((s, dir) =>
+      // BOTH quantizers of the 100 TB index trained: the √n coarse book
+      // Lloyd-trains (tighter lists on the level that bounds the
+      // broadcast) AND the PQ book Lloyd-trains (smaller quantization
+      // error per subspace) — lists/probes and the ADC tail are the
+      // cores shared with sim_ivf2_trained / sim_ivf2_pq, so the delta
+      // vs each ablation is attributable to exactly one trained book
+      Similarity.ivf2PqTopKTrained(t(s, dir, "embeddings"), "vec_id",
+        "embedding", id => id < 5, k = 3, nCoarse = 16, nSub = 4,
+        nprobe1 = 2, nprobe2 = 2, iters = PQ_ITERS,
+        coarseIters = PQ_ITERS).orderBy("qid", "rn")),
+
     "sim_margin_ivf" -> ((s, dir) =>
       // CCMatrix margin mining with the PRODUCTION candidate generator
       // the brute form's scaladoc promised: candidates from probe-set
@@ -4190,6 +4202,63 @@ object ExtQueries {
          |  FROM sv JOIN cbt$PQ_ITERS cb USING (m) WHERE sv.id < 5),
          |c1 AS (SELECT id AS cid, fx AS cfx, nrm AS cnrm FROM n
          |  ORDER BY ${Similarity.seedHashSql("id")}, id LIMIT 16),
+         |sc1 AS (SELECT n.id, c1.cid,
+         |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c1.cfx[i])) AS BIGINT) + c1.cnrm AS d2
+         |  FROM n, c1),
+         |rk1 AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS crn FROM sc1),
+         |own1 AS (SELECT rk1.id, rk1.cid AS cid1, n.fx, n.nrm
+         |  FROM rk1 JOIN n USING(id) WHERE crn = 1),
+         |c2 AS (SELECT cid1, id AS cid2, fx AS cfx, nrm AS cnrm
+         |  FROM (SELECT own1.*, row_number() OVER (PARTITION BY cid1
+         |      ORDER BY ${Similarity.seedHashSql("id")}, id) AS srn FROM own1)
+         |  WHERE srn <= 4),
+         |sc2 AS (SELECT o.id, o.cid1, c2.cid2,
+         |  o.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> o.fx[i]*c2.cfx[i])) AS BIGINT) + c2.cnrm AS d2
+         |  FROM own1 o JOIN c2 USING (cid1)),
+         |own2 AS (SELECT id, cid1, cid2 FROM (SELECT id, cid1, cid2,
+         |    row_number() OVER (PARTITION BY id ORDER BY d2, cid2) AS rn
+         |  FROM sc2) WHERE rn = 1),
+         |p1 AS (SELECT rk1.id AS qid, rk1.cid AS cid1, n.fx AS fq, n.nrm AS nq
+         |  FROM rk1 JOIN n USING(id) WHERE rk1.id < 5 AND crn <= 2),
+         |p2 AS (SELECT qid, cid1, cid2 FROM (SELECT p1.qid, p1.cid1,
+         |    c2.cid2,
+         |    row_number() OVER (PARTITION BY p1.qid, p1.cid1
+         |      ORDER BY p1.nq - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> p1.fq[i]*c2.cfx[i])) AS BIGINT) + c2.cnrm, c2.cid2) AS srn
+         |  FROM p1 JOIN c2 USING (cid1)) WHERE srn <= 2),
+         |cand AS (SELECT p2.qid, own2.id FROM p2
+         |  JOIN own2 ON p2.cid1 = own2.cid1 AND p2.cid2 = own2.cid2
+         |  WHERE own2.id <> p2.qid),
+         |adc AS (SELECT cand.qid, cand.id AS vid, CAST(sum(qd.qd2) AS BIGINT) AS adc
+         |  FROM cand JOIN codes ON codes.id = cand.id
+         |  JOIN qd ON qd.qid = cand.qid AND qd.m = codes.m AND qd.cid = codes.cid
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, vid, adc,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS BIGINT) AS rn
+         |  FROM adc)
+         |SELECT qid, rn, vid AS vec_id, adc FROM r WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
+    // all-trained IVF2-PQ mirror: TWO Lloyd chains coexist — the PQ
+    // chain (unprefixed: sv/cbtN) and the whole-vector coarse chain
+    // (prefix cv: cvsv/cvcbtN); c1 reads the trained coarse book, the
+    // rest is the sim_ivf2_pq chain verbatim from sc1 down
+    "sim_ivf2_pq_trained" ->
+      s"""WITH $fxCte,
+         |${Similarity.trainedCbCtes(4, 16, 16, PQ_ITERS)},
+         |${Similarity.trainedCbCtes(1, 16, 64, PQ_ITERS, "cv")},
+         |enc0 AS (SELECT sv.id, cb.m, cb.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (sv.svec[i] - cb.cvec[i]) * (sv.svec[i] - cb.cvec[i]))) AS BIGINT) AS d2
+         |  FROM sv JOIN cbt$PQ_ITERS cb USING (m)),
+         |codes AS (SELECT id, m, cid FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
+         |  FROM enc0) WHERE rn = 1),
+         |qd AS (SELECT sv.id AS qid, cb.m, cb.cid,
+         |    CAST(list_sum(list_transform(generate_series(1, 16),
+         |      i -> (sv.svec[i] - cb.cvec[i]) * (sv.svec[i] - cb.cvec[i]))) AS BIGINT) AS qd2
+         |  FROM sv JOIN cbt$PQ_ITERS cb USING (m) WHERE sv.id < 5),
+         |c1 AS (SELECT cid, cvec AS cfx,
+         |    CAST(list_sum(list_transform(cvec, x -> x*x)) AS BIGINT) AS cnrm
+         |  FROM cvcbt$PQ_ITERS),
          |sc1 AS (SELECT n.id, c1.cid,
          |  n.nrm - 2*CAST(list_sum(list_transform(generate_series(1,64), i -> n.fx[i]*c1.cfx[i])) AS BIGINT) + c1.cnrm AS d2
          |  FROM n, c1),

@@ -1118,4 +1118,31 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = hits.size.toDouble / brute.size
     assert(recall >= 0.9, s"pair recall $recall (${hits.size}/${brute.size})")
   }
+
+  test("ivf2PqTopKTrained: candidates = ivfTopK2Trained's, ADC = pqTopKTrained's") {
+    // the all-trained composition adds no new machinery — trained-coarse
+    // ivf2Candidates × the trained-ADC tail — so two cross-checks pin it
+    // completely: (a) at k = ∞ its (qid, vec_id) candidate set equals
+    // the trained two-level EXACT form's (identical lists and probes);
+    // (b) every returned pair's ADC equals the flat trained-PQ form's
+    // (identical Lloyd codebook chain, identical code/query tables)
+    val pq = Similarity.ivf2PqTopKTrained(emb, "vec_id", "embedding",
+      _ < 5, k = 100000, nCoarse = 16, nSub = 4, nprobe1 = 2,
+      nprobe2 = 2, iters = 2, coarseIters = 2).collect()
+    assert(pq.nonEmpty)
+    val exact = Similarity.ivfTopK2Trained(emb, "vec_id", "embedding",
+      _ < 5, k = 100000, nCoarse = 16, nSub = 4, nprobe1 = 2,
+      nprobe2 = 2, iters = 2).collect()
+    val pqPairs = pq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exPairs = exact.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pqPairs == exPairs,
+      s"candidate sets diverge: ${pqPairs.size} vs ${exPairs.size}")
+    val flat = Similarity.pqTopKTrained(emb, "vec_id", "embedding",
+      _ < 5, k = 100000, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(flat(key) == r.getLong(3), s"ADC diverged on $key")
+    }
+  }
 }

@@ -427,6 +427,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cid2"), p.take(6000))
   }
 
+  test("all-trained IVF2-PQ: keyed joins only, like the seeded composition") {
+    // both Lloyd chains live behind checkpointed lineage; the visible
+    // plan is the same list/probe/ADC shape as sim_ivf2_pq and must keep
+    // its discipline: no cartesian, broadcast ADC/candidate tables,
+    // (cid1, cid2)-keyed candidates
+    val p = fmt(graft.SparkEntry.queries("sim_ivf2_pq_trained")(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(6000))
+    assert(p.contains("cid2"), p.take(6000))
+  }
+
   test("margin IVF: candidate generation is a centroid equi-join — no cross-side product") {
     // the brute form's crossJoin is exactly what this variant removes:
     // probe memberships sit behind the checkpointed ranking, candidates
