@@ -58,7 +58,7 @@ object CoreQueries {
           x => x * x,
           vectorized = Some(col("l_quantity") * col("l_quantity")))
         .select(col("l_orderkey"), col("l_linenumber"), col("sq"))
-        .orderBy("l_orderkey", "l_linenumber")
+        
     }),
 
     // O1 — branchy (non-vectorized candidate): UDF / local route via K3
@@ -68,7 +68,7 @@ object CoreQueries {
         .applyScalar[Double, Double]("l_quantity", "y")(
           x => if (x < 12) x * x else math.sqrt(x))
         .select(col("l_orderkey"), col("l_linenumber"), col("y"))
-        .orderBy("l_orderkey", "l_linenumber")
+        
     }),
 
     // K2 — AUTOMATIC vectorization: the branchy function is written once
@@ -81,7 +81,7 @@ object CoreQueries {
       Swift(li)
         .applyExpr("y")(iff(q < num(12), q * q, sqrt_(q)))
         .select(col("l_orderkey"), col("l_linenumber"), col("y"))
-        .orderBy("l_orderkey", "l_linenumber")
+        
     }),
 
     // O2 raw=True — ndarray-row fast path over selected numeric columns
@@ -91,7 +91,7 @@ object CoreQueries {
         .applyRawNumeric(Seq("l_quantity", "l_tax"), "wsum")(
           xs => xs(0) * 2 + xs(1) * 3)
         .select(col("l_orderkey"), col("l_linenumber"), col("wsum"))
-        .orderBy("l_orderkey", "l_linenumber")
+        
     }),
 
     // O2 — row-wise apply (axis=1) with a validated vectorized candidate
@@ -102,7 +102,7 @@ object CoreQueries {
           r => r.getAs[Double]("l_extendedprice") * (1.0 - r.getAs[Double]("l_discount")),
           vectorized = Some(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .select(col("l_orderkey"), col("l_linenumber"), col("revenue"))
-        .orderBy("l_orderkey", "l_linenumber")
+        
     }),
 
     // O2 — result_type="expand": list result → one column per element
@@ -114,7 +114,7 @@ object CoreQueries {
                    r.getAs[Double]("l_quantity") - r.getAs[Double]("l_tax")),
           resultType = ResultType.Expand(Seq("s_val", "d_val")))
         .select(col("l_orderkey"), col("l_linenumber"), col("s_val"), col("d_val"))
-        .orderBy("l_orderkey", "l_linenumber")
+        
     }),
 
     // O2 — result_type='broadcast': the row function's list result is
@@ -161,7 +161,7 @@ object CoreQueries {
         .applymap[Double, Double](x => x * 2.0 + 1.0,
           vectorized = Some(c => c * 2.0 + 1.0),
           columns = Seq("l_quantity", "l_tax"))
-        .orderBy("l_orderkey", "l_linenumber")
+        
     }),
 
     // O4 — groupBy.apply with an arbitrary per-group numeric function
@@ -190,7 +190,7 @@ object CoreQueries {
           val varD = (sd2.toDouble - sd.toDouble * sd.toDouble / n) / (n - 1)
           Iterator.single(Row(key.getAs[Long](0), meanQ, varD, n))
         }
-        .orderBy("l_suppkey")
+        
     }),
 
     // O4 — groupBy.apply with a per-group text function (mirrors
@@ -206,7 +206,7 @@ object CoreQueries {
           val types = rows.map(_.getAs[String]("event_type")).toSeq.sorted
           Iterator.single(Row(key.getAs[Long](0), types.mkString("_"), types.size.toLong))
         }
-        .orderBy("user_id")
+        
     }),
 
     // O4 — scalar-result specialization: stays native Catalyst aggregate
@@ -217,7 +217,7 @@ object CoreQueries {
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"),
         count(lit(1)).as("n"))
-        .orderBy("l_returnflag")
+        
     }),
 
     // O4 — pandas groupby(dropna=True) parity (the reference forwards
@@ -232,7 +232,7 @@ object CoreQueries {
         col("n_chars"))
       Swift(d).groupBy("k").dropna().agg(
         count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy("k")
+        
     }),
 
     // O4 — grouping BY THE INDEX (reference swifter/swifter.py:579, tests
@@ -251,7 +251,7 @@ object CoreQueries {
         var n = 0L; var sm = 0L
         it.foreach { r => n += 1; sm += r.getLong(1) }
         Iterator(Row(k.getLong(0), n, sm.toDouble / 1e6))
-      }.orderBy("idx")
+      }
     }),
 
     // O4 — pandas groupby(sort=False) parity (the reference forwards the
@@ -273,7 +273,7 @@ object CoreQueries {
       Swift(ev).rolling(5, orderBy = Seq("ts", "event_id"), partitionBy = Seq("user_id"))
         .agg(sum(col("value").cast(DecimalType(20, 6))), "roll_sum", _.cast("double"))
         .select(col("event_id"), col("roll_sum"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — rolling time-offset window ("1 hour") per user
@@ -282,7 +282,7 @@ object CoreQueries {
       Swift(ev).rollingTime("1 hour", "ts", partitionBy = Seq("user_id"))
         .agg(sum(col("value").cast(DecimalType(20, 6))), "roll_sum", _.cast("double"))
         .select(col("event_id"), col("roll_sum"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — time window with closed='left': [t-1h, t), current row's own
@@ -293,7 +293,7 @@ object CoreQueries {
           closed = "left")
         .agg(sum(col("value").cast(DecimalType(20, 6))), "roll_sum", _.cast("double"))
         .select(col("event_id"), col("roll_sum"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas on= kwarg: the count window walks a named data column
@@ -303,7 +303,7 @@ object CoreQueries {
       Swift(ev).rollingOn(3, "event_id", partitionBy = Seq("user_id"))
         .agg(sum(col("value").cast(DecimalType(20, 6))), "roll_sum", _.cast("double"))
         .select(col("event_id"), col("roll_sum"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas win_type='triang': weighted rolling mean. Integer weight
@@ -316,7 +316,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"))
         .mean("value", "wmean")
         .select(col("event_id"), col("wmean"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas win_type='gaussian', std=2 (first irrational-weight
@@ -329,7 +329,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"), std = 2.0)
         .mean("value", "wmean")
         .select(col("event_id"), col("wmean"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas win_type='bartlett' (triangle with ZERO endpoints):
@@ -341,7 +341,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"))
         .mean("value", "wmean")
         .select(col("event_id"), col("wmean"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas win_type='hamming' (scipy cosine-sum window), same
@@ -352,7 +352,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"))
         .mean("value", "wmean")
         .select(col("event_id"), col("wmean"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas win_type='parzen' (scipy grid: x = |2k−(n−1)|/n, inner
@@ -364,7 +364,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"))
         .mean("value", "wmean")
         .select(col("event_id"), col("wmean"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas win_type='kaiser' (scipy I₀-ratio window, beta=8 via
@@ -375,7 +375,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"), std = 8.0)
         .mean("value", "wmean")
         .select(col("event_id"), col("wmean"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas win_type='blackmanharris' (4-term minimum-sidelobe
@@ -386,7 +386,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"))
         .mean("value", "wmean")
         .select(col("event_id"), col("wmean"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas win_type='nuttall' (4-term, continuous 1st derivative)
@@ -396,7 +396,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"))
         .mean("value", "wmean")
         .select(col("event_id"), col("wmean"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas win_type='exponential' (symmetric, tau=2 via the std
@@ -407,7 +407,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"), std = 2.0)
         .mean("value", "wmean")
         .select(col("event_id"), col("wmean"))
-        .orderBy("event_id")
+        
     }),
 
     // pandas groupby().head(n): first n rows per group in time order —
@@ -419,7 +419,7 @@ object CoreQueries {
       ev.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= 3).drop("__rn")
         .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("ts_us"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas expanding(): cumulative (unbounded-preceding) decimal
@@ -429,7 +429,7 @@ object CoreQueries {
       Swift(ev).expanding(orderBy = Seq("ts", "event_id"), partitionBy = Seq("user_id"))
         .agg(sum(col("value").cast(DecimalType(20, 6))), "cum_sum", _.cast("double"))
         .select(col("event_id"), col("cum_sum"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas rolling(5).skew(): adjusted Fisher–Pearson G₁ from
@@ -440,7 +440,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"))
         .skew("value", "skew")
         .select(col("event_id"), col("skew"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas ewm(alpha=0.5).mean() (adjust=True): micro-quantized
@@ -451,7 +451,7 @@ object CoreQueries {
       Swift(ev).ewm(0.5, orderBy = Seq("ts", "event_id"), partitionBy = Seq("user_id"))
         .mean("value", "ewm")
         .select(col("event_id"), col("ewm"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas ewm(alpha=0.5).var(bias=False)/.std(): the debiased
@@ -463,7 +463,7 @@ object CoreQueries {
         .variance("value", "evar")
         .withColumn("estd", sqrt(col("evar")))
         .select(col("event_id"), col("evar"), col("estd"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas rolling(3).cov(other): SAMPLE covariance in exact
@@ -480,7 +480,7 @@ object CoreQueries {
         .cov("l_quantity", "l_extendedprice", "qp_cov")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
           col("qp_cov"))
-        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+        
     }),
 
     // O5 — pandas rolling(7).kurt(): adjusted excess kurtosis G₂ from
@@ -492,7 +492,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"))
         .kurt("value", "kurt")
         .select(col("event_id"), col("kurt"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas rolling(5).sem(): std error of the mean from the same
@@ -503,7 +503,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"))
         .sem("value", "sem")
         .select(col("event_id"), col("sem"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas rolling(5).median(): exact sorted-frame midpoint in
@@ -514,7 +514,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"))
         .median("value", "med")
         .select(col("event_id"), col("med"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — rolling MAD (robust dispersion): deviations against 2×median
@@ -525,7 +525,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"))
         .mad("value", "mad")
         .select(col("event_id"), col("mad"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas rolling(5).quantile(0.25): type-7 linear interpolation
@@ -536,7 +536,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"))
         .quantile("value", 1, 4, "q25")
         .select(col("event_id"), col("q25"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas rolling(7).rank(method='average'): average rank of the
@@ -547,7 +547,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"))
         .rank("value", "rnk")
         .select(col("event_id"), col("rnk"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas rolling(3).corr(other): Pearson correlation from exact
@@ -563,7 +563,7 @@ object CoreQueries {
         .corr("l_quantity", "l_extendedprice", "qp_corr", scale = 100L)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
           col("qp_corr"))
-        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+        
     }),
 
     // O5 — pandas rolling(5).var(ddof=1)/.std(): exact-integer A term,
@@ -574,7 +574,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"))
         .varStd("value", "rvar", "rstd")
         .select(col("event_id"), col("rvar"), col("rstd"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — pandas rolling(5).min()/.max(): native window min/max (exact
@@ -588,7 +588,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"))
         .agg(max(col("value")), "rmax")
         .select(col("event_id"), col("rmin"), col("rmax"))
-        .orderBy("event_id")
+        
     }),
 
     // O4 — pandas groupby(...).transform(...): the group aggregate
@@ -599,7 +599,7 @@ object CoreQueries {
         .transform(sum(col("value").cast(DecimalType(20, 6))), "user_total",
           _.cast("double"))
         .select(col("event_id"), col("user_id"), col("user_total"))
-        .orderBy("event_id")
+        
     }),
 
     // O5 — centered rolling window with min_periods (pandas center=True)
@@ -609,7 +609,7 @@ object CoreQueries {
           partitionBy = Seq("user_id"), center = true).withMin(3)
         .agg(sum(col("value").cast(DecimalType(20, 6))), "roll_sum", _.cast("double"))
         .select(col("event_id"), col("roll_sum"))
-        .orderBy("event_id")
+        
     }),
 
     // O1 — pandas shift / diff / pct_change: lag-based projections over
@@ -621,7 +621,7 @@ object CoreQueries {
       val s2 = Swift(s1).diff("value", 1, ord, part, "diffed")
       val s3 = Swift(s2).pctChange("value", 1, ord, part, "pct")
       s3.select(col("event_id"), col("shifted"), col("diffed"), col("pct"))
-        .orderBy("event_id")
+        
     }),
 
     // pandas groupby().nunique(): per-group distinct counts — Spark's
@@ -630,7 +630,7 @@ object CoreQueries {
       t(s, dir, "events").groupBy(col("user_id"))
         .agg(countDistinct(col("event_type")).as("n_types"),
           countDistinct(col("props")).as("n_props"))
-        .orderBy("user_id")),
+        ),
 
     // pandas rank(method='average'): tied values share the MEAN of their
     // rank positions = rank() + (tie_count − 1)/2 — two window passes over
@@ -645,7 +645,7 @@ object CoreQueries {
           (rank().over(w).cast("double")
             + (count(lit(1)).over(wt).cast("double") - lit(1.0)) / lit(2.0))
             .as("avg_rank"))
-        .orderBy("event_id")
+        
     }),
 
     // O6 — pandas resample('1D').ohlc(): open/high/low/close per bucket.
@@ -660,7 +660,7 @@ object CoreQueries {
           min(col("value")).as("low"), max_by(col("value"), ord).as("close"))
         .select(epochUs(col("w.start")).as("bucket_us"),
           col("open"), col("high"), col("low"), col("close"))
-        .orderBy("bucket_us")
+        
     }),
 
     // pandas cummax/cummin/cumcount: running extremes and ordinal per
@@ -675,7 +675,7 @@ object CoreQueries {
           max(col("value")).over(w).as("cummax"),
           min(col("value")).over(w).as("cummin"),
           (count(lit(1)).over(w) - 1).as("cumcount"))
-        .orderBy("event_id")
+        
     }),
 
     // pandas Series.map(dict): a small literal mapping — a CASE chain
@@ -687,7 +687,7 @@ object CoreQueries {
       }
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), chain.as("flag_name"))
-        .orderBy("l_orderkey", "l_linenumber")
+        
     }),
 
     // pandas .str accessor: lower / len / contains / slice in one
@@ -698,7 +698,7 @@ object CoreQueries {
           length(col("text")).cast("long").as("n_chars_str"),
           col("text").contains("data").cast("long").as("has_data"),
           substring(col("text"), 5, 8).as("slice_5_8"))
-        .orderBy("doc_id")),
+        ),
 
     // pandas groupby().filter(lambda g: len(g) > k): groups keep ALL
     // their rows iff the group passes — a window count + filter, no join
@@ -708,7 +708,7 @@ object CoreQueries {
       ev.withColumn("__n", count(lit(1)).over(w))
         .filter(col("__n") >= 60).drop("__n")
         .select(col("event_id"), col("user_id"))
-        .orderBy("event_id")
+        
     }),
 
     // pandas groupby().idxmax(): the row ID holding each group's maximum
@@ -717,7 +717,7 @@ object CoreQueries {
       t(s, dir, "events").groupBy(col("user_id"))
         .agg(max_by(col("event_id"), struct(col("value"), col("event_id"))).as("idx_max"),
           max(col("value")).as("max_value"))
-        .orderBy("user_id")),
+        ),
 
     // pandas Series.value_counts(): one hash aggregate, descending count
     // with the value as tie-break (the pandas sort convention)
@@ -734,7 +734,7 @@ object CoreQueries {
       val filled = Swift(withNulls).fillna("tax0", 0.04, "tax_f")
       Swift(filled).clip("tax_f", 0.02, 0.07, "tax_c")
         .select(col("l_orderkey"), col("l_linenumber"), col("tax_c"))
-        .orderBy("l_orderkey", "l_linenumber")
+        
     }),
 
     // O6 — pandas resample('1h').sum().interpolate(): gap buckets get the
@@ -746,7 +746,7 @@ object CoreQueries {
         .aggInterpolate(sum(col("value").cast(DecimalType(20, 6))), "hr_sum",
           _.cast("double"))
         .select(epochUs(col("bucket")).as("bucket_us"), col("hr_sum"), col("n"))
-        .orderBy("bucket_us")
+        
     }),
 
     // O6 — pandas resample('1h').sum().ffill(): sparse series (error
@@ -757,7 +757,7 @@ object CoreQueries {
       Swift(ev).resample("1 hour", "ts")
         .aggFfill(sum(col("value").cast(DecimalType(20, 6))), "hr_sum", _.cast("double"))
         .select(epochUs(col("bucket")).as("bucket_us"), col("hr_sum"), col("n"))
-        .orderBy("bucket_us")
+        
     }),
 
     // O6 — resample().bfill(): gap buckets take the NEXT populated
@@ -767,7 +767,7 @@ object CoreQueries {
       Swift(ev).resample("1 hour", "ts")
         .aggBfill(sum(col("value").cast(DecimalType(20, 6))), "hr_sum", _.cast("double"))
         .select(epochUs(col("bucket")).as("bucket_us"), col("hr_sum"), col("n"))
-        .orderBy("bucket_us")
+        
     }),
 
     // O6 — resample with label='right' (bucket labeled by bin end)
@@ -776,7 +776,7 @@ object CoreQueries {
       Swift(ev).resample("1 hour", "ts").withLabel("right")
         .agg(dsum(col("value")).as("hr_sum"), count(lit(1)).as("n"))
         .select(epochUs(col("bucket")).as("bucket_us"), col("hr_sum"), col("n"))
-        .orderBy("bucket_us")
+        
     }),
 
     // O6 — resample("1 day"): tumbling time buckets, native aggregates
@@ -785,7 +785,7 @@ object CoreQueries {
       Swift(ev).resample("1 day", "ts")
         .agg(dsum(col("value")).as("day_sum"), count(lit(1)).as("n"))
         .select(epochUs(col("bucket")).as("bucket_us"), col("day_sum"), col("n"))
-        .orderBy("bucket_us")
+        
     }),
 
     // O6 — grouped resample (pandas groupby(user).resample('1 day')):
@@ -796,7 +796,7 @@ object CoreQueries {
         .agg(dsum(col("value")).as("day_sum"), count(lit(1)).as("n"))
         .select(col("user_id"), epochUs(col("bucket")).as("bucket_us"),
           col("day_sum"), col("n"))
-        .orderBy("user_id", "bucket_us")
+        
     }),
 
     // O6 — pandas resample('1D', closed='right'): bins (S, S+1d] — a
@@ -808,7 +808,7 @@ object CoreQueries {
       Swift(ev).resample("1 day", "ts").withClosed("right")
         .agg(dsum(col("value")).as("day_sum"), count(lit(1)).as("n"))
         .select(epochUs(col("bucket")).as("bucket_us"), col("day_sum"), col("n"))
-        .orderBy("bucket_us")
+        
     }),
 
     // O6 — resample with a boundary offset (pandas origin/offset kwarg):
@@ -818,7 +818,7 @@ object CoreQueries {
       Swift(ev).resample("1 day", "ts").withOffset("6 hours")
         .agg(dsum(col("value")).as("day_sum"), count(lit(1)).as("n"))
         .select(epochUs(col("bucket")).as("bucket_us"), col("day_sum"), col("n"))
-        .orderBy("bucket_us")
+        
     }),
 
     // O5 — rolling.apply with an arbitrary function (frame median) via
@@ -831,7 +831,7 @@ object CoreQueries {
         .withMin(1)
         .apply("value", "med")(CoreQueries.interpMedianD)
         .select(col("event_id"), col("med"))
-        .orderBy("event_id")
+        
     }),
 
     // O6 — resample.apply with an arbitrary per-bucket function (median)
@@ -840,7 +840,7 @@ object CoreQueries {
       Swift(ev).resample("1 day", "ts")
         .apply("value", "med", DoubleType)(CoreQueries.interpMedian)
         .select(epochUs(col("bucket")).as("bucket_us"), col("med"))
-        .orderBy("bucket_us")
+        
     }),
 
     // O4/K6 — applyAuto: per-group function with sample-inferred schema
@@ -857,7 +857,7 @@ object CoreQueries {
           }
           Iterator.single(Row(key.getAs[String](0), n, sq.toDouble))
         }
-        .orderBy("rf")
+        
     }),
 
     // O1 — string→date parsing apply (the pd.to_datetime parity case,
@@ -869,7 +869,7 @@ object CoreQueries {
         r => java.time.LocalDate.parse(r.getAs[String]("day_str")).toEpochDay - 19723L,
         vectorized = Some(datediff(to_date(col("day_str")), lit("2024-01-01")).cast("long")))
         .select(col("event_id"), col("day_off"))
-        .orderBy("event_id")
+        
     }),
 
     // K3 — tiny input routes to the driver-local LocalRelation plan
@@ -877,7 +877,7 @@ object CoreQueries {
       val r = t(s, dir, "region")
       Swift(r).applyScalar[String, String]("r_name", "upper_name")(_.toUpperCase)
         .select(col("r_regionkey"), col("upper_name"))
-        .orderBy("r_regionkey")
+        
     }),
 
     // K9 — force_parallel bypasses the selector (swifter/swifter.py:131-138)
@@ -886,7 +886,7 @@ object CoreQueries {
       Swift(n).forceParallel()
         .applyScalar[Int, Int]("n_nationkey", "nk2")(x => x * 2)
         .select(col("n_nationkey"), col("nk2"))
-        .orderBy("n_nationkey")
+        
     })
   )
 

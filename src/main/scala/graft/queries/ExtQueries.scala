@@ -430,13 +430,13 @@ object ExtQueries {
 
     // ---- text analysis ----
     "text_token_count" -> ((s, dir) =>
-      TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
     "text_quality" -> ((s, dir) =>
-      TextAnalysis.quality(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
+      TextAnalysis.quality(t(s, dir, "documents"), "doc_id", "text")),
     "text_lang_id" -> ((s, dir) =>
-      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
+      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")),
     "text_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
     "text_heavy_hitters" -> ((s, dir) =>
       // exact heavy hitters in two passes: bounded Misra-Gries candidate
       // generation (no distinct-token shuffle), then exact counts of the
@@ -444,13 +444,13 @@ object ExtQueries {
       // invariant even though the intermediate summaries are not
       TextAnalysis.heavyHitters(t(s, dir, "documents"), "text",
           HH_COUNTERS, HH_SHARE)
-        .orderBy(col("c").desc, col("token"))),
+        ),
     "text_winnowing" -> ((s, dir) =>
       // MOSS winnowed fingerprints: codegen'd O(grams) monotonic-deque
       // sliding-minimum selection pipelined inside the scan projection —
       // zero shuffle, ~2/(w+1) of grams survive per document
       TextAnalysis.winnow(t(s, dir, "documents"), "doc_id", "text", WINNOW_W)
-        .orderBy("id", "pos")),
+        ),
     "dedup_winnow_incremental" -> ((s, dir) => {
       // daily-batch winnow overlap: arrivals (id % INC_MOD == 0) probe
       // the historical fingerprint index cross-side only — the
@@ -460,7 +460,7 @@ object ExtQueries {
         docs.filter(col("doc_id") % INC_MOD =!= 0),
         docs.filter(col("doc_id") % INC_MOD === 0),
         "doc_id", "text", WINNOW_W, WINNOW_MIN_SHARED)
-        .orderBy("id")
+        
     }),
     "dedup_winnow_pairs" -> ((s, dir) =>
       // substring-overlap pairs from winnowed fingerprints: equi-join on
@@ -468,15 +468,15 @@ object ExtQueries {
       // run guaranteed to surface
       Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text", WINNOW_W,
           WINNOW_MIN_SHARED)
-        .orderBy("da", "db")),
+        ),
     "doc_chunks" -> ((s, dir) =>
       // context-window chunking with overlap — shuffle-free posexplode
       Chunking.chunk(t(s, dir, "documents"), "doc_id", "text", CHUNK_W, CHUNK_OV)
-        .orderBy("id", "chunk_idx")),
+        ),
     "text_bm25" -> ((s, dir) =>
       // BM25-rational relevance top-k (log-free idf: bit-exact cross-engine)
       Ranking.bm25TopK(t(s, dir, "documents"), "doc_id", "text", BM25_TERMS, BM25_K)
-        .orderBy("term", "rank")),
+        ),
     "pipe_rag_retrieval" -> ((s, dir) => {
       // RAG index+retrieve capstone in ONE declarative plan: chunk the
       // corpus into context windows (zero-shuffle posexplode pipelined
@@ -500,7 +500,7 @@ object ExtQueries {
         .select((col("id") * 64 + col("chunk_idx") + guard).as("chunk_id"),
           col("chunk_text"))
       Ranking.bm25TopK(chunks, "chunk_id", "chunk_text", BM25_TERMS, BM25_K)
-        .orderBy("term", "rank")
+        
     }),
     "feat_cut_bins" -> ((s, dir) =>
       // pandas cut + value_counts: fixed-edge binning, one hash aggregate
@@ -519,7 +519,7 @@ object ExtQueries {
         .withColumn("bin", ntile(10).over(w).cast("long"))
         .groupBy("bin").agg(count(lit(1)).as("n"),
           min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
-        .orderBy("bin")
+        
     }),
     "layout_zorder" -> ((s, dir) => {
       // Z-order layout audit over (price in micro-units, partkey): the
@@ -531,7 +531,7 @@ object ExtQueries {
         (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(20, 6))
           * lit(1000000L)).cast("long").as("price_micro"),
         col("l_partkey").cast("long").as("pk"))
-      Layout.zorderStats(li, "price_micro", "pk", 8).orderBy("bucket")
+      Layout.zorderStats(li, "price_micro", "pk", 8)
     }),
     "layout_compaction" -> ((s, dir) => {
       // small-file compaction manifest: a synthetic file inventory
@@ -544,7 +544,7 @@ object ExtQueries {
         ((col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(20, 6))
           * 100).cast("long") % 100000L + 1024L).as("bytes"))
       Layout.compactionPlan(inv, "part", "file_id", "bytes", 1L << 20)
-        .orderBy("part", "grp")
+        
     }),
     "text_vocab" -> ((s, dir) =>
       // tokenizer/BPE step 1: corpus top-k vocabulary — explode pipelined
@@ -555,7 +555,7 @@ object ExtQueries {
       // the corpus top-k vocabulary — broadcast vocab join, one source-
       // keyed aggregate, exact counts + one mirrored division
       TextAnalysis.oovRate(t(s, dir, "documents"), "source", "text", VOCAB_K)
-        .orderBy("source")),
+        ),
     "text_ngrams" -> ((s, dir) =>
       // top-k word bigrams — the array zipped with its own tail, one pass
       TextAnalysis.bigrams(t(s, dir, "documents"), "text", VOCAB_K)),
@@ -568,13 +568,13 @@ object ExtQueries {
       // Gopher repetition filters: top-word share + duplicate-bigram
       // fraction, pure per-row folds, zero shuffle
       TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("id")),
+        ),
     "text_repetition_full" -> ((s, dir) =>
       // the whole Gopher Table-A1 repetition suite in one codegen'd
       // pass per doc: top 2/3/4-gram char fractions + duplicated
       // 5/6/7/8-gram coverage fractions
       TextAnalysis.repetitionFull(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("id")),
+        ),
     "text_clean_lines" -> ((s, dir) =>
       // C4 §2.2 line-level cleaning over a deterministic 12-word line
       // segmentation of the flat-word corpus: min-words floor, badword
@@ -584,7 +584,7 @@ object ExtQueries {
         TextAnalysis.segmentLines(t(s, dir, "documents"), "doc_id", "text",
           CLEAN_WPL),
         "id", "text", minWordsPerLine = CLEAN_MIN_WORDS,
-        minLines = CLEAN_MIN_LINES, badWords = CLEAN_BAD).orderBy("id")),
+        minLines = CLEAN_MIN_LINES, badWords = CLEAN_BAD)),
     "dedup_paragraphs" -> ((s, dir) =>
       // C4 corpus-wide span dedup: keep the globally FIRST occurrence of
       // each distinct line, reassemble docs — min(struct) per line (full
@@ -592,40 +592,40 @@ object ExtQueries {
       // no join, no global sort
       Dedup.paragraphs(
         TextAnalysis.segmentLines(t(s, dir, "documents"), "doc_id", "text", 12),
-        "id", "text").orderBy("id")),
+        "id", "text")),
     "text_decontam" -> ((s, dir) =>
       // benchmark decontamination: training docs sharing an 8-gram with
       // the held-out set — eval grams broadcast, corpus scanned once
       Decontaminate.contaminated(t(s, dir, "documents"), "doc_id", "text",
-        id => id % DECON_MOD === 0, DECON_N).orderBy("id")),
+        id => id % DECON_MOD === 0, DECON_N)),
     "text_decontam_bloom" -> ((s, dir) =>
       // same result via the Bloom-prefilter scale path (bitset to every
       // task, exact verify join on the survivors) — shares the oracle
       Decontaminate.contaminatedBloom(t(s, dir, "documents"), "doc_id", "text",
-        id => id % DECON_MOD === 0, DECON_N).orderBy("id")),
+        id => id % DECON_MOD === 0, DECON_N)),
     "pipe_quality_gate" -> ((s, dir) =>
       // the composite pretraining gate: language + length + both Gopher
       // repetition signals in ONE projection pass, verdict per doc
       TextAnalysis.qualityGate(t(s, dir, "documents"), "doc_id", "text",
         "en", GATE_MIN_WORDS, GATE_MAX_TOP_SHARE, GATE_MAX_DUP_BIGRAM)
-        .orderBy("id")),
+        ),
     "pipe_pack_sequences" -> ((s, dir) =>
       // sequence packing: docs → fixed-budget training sequences inside
       // deterministic hash buckets (bucket-partitioned window, no global
       // sort; assignment a pure function of the id set)
       Packing.packTokens(t(s, dir, "documents"), "doc_id", "text",
-        PACK_BUDGET, PACK_BUCKETS).orderBy("id")),
+        PACK_BUDGET, PACK_BUCKETS)),
     "pack_by_length" -> ((s, dir) =>
       // sorted batching: pack among similar-length neighbors so the
       // underfull tail is bounded by the band's spread — one
       // band-partitioned window, assignment a pure function of the ids
       Packing.packTokensByLength(t(s, dir, "documents"), "doc_id", "text",
-        PACK_BUDGET, PACK_LEN_WIDTH, PACK_LEN_MAXB).orderBy("id")),
+        PACK_BUDGET, PACK_LEN_WIDTH, PACK_LEN_MAXB)),
     "pipe_pack_texts" -> ((s, dir) =>
       // the materialized packed sequences a training job reads: text
       // concatenated in packing order, one hash aggregate on seq_id
       Packing.packTexts(t(s, dir, "documents"), "doc_id", "text",
-        PACK_BUDGET, PACK_BUCKETS).orderBy("seq_id")),
+        PACK_BUDGET, PACK_BUCKETS)),
     "pipe_e2e_curation" -> ((s, dir) => {
       // the CAPSTONE pipeline, one declarative plan end to end:
       // quality-gate (pure filter, no join) → drop the held-out eval
@@ -644,7 +644,7 @@ object ExtQueries {
       val clean = deduped.join(broadcast(hits),
         deduped("doc_id") === hits("id"), "left_anti")
       Packing.packTokens(clean, "doc_id", "text", PACK_BUDGET, PACK_BUCKETS)
-        .orderBy("id")
+        
     }),
     "pipe_curation" -> ((s, dir) => {
       // end-to-end curation: tag language + length in ONE projection pass
@@ -658,17 +658,17 @@ object ExtQueries {
       Sampling.split(Dedup.dropDuplicatesKeepMin(docs, "doc_id", Seq("text")),
           "doc_id", SPLIT_WEIGHTS, SPLIT_LABELS)
         .select(col("doc_id"), col("pred_lang"), col("n_words"), col("split"))
-        .orderBy("doc_id")
+        
     }),
     "text_redact" -> ((s, dir) =>
       // PII-style scrubbing: digit runs masked, per-doc hit count for
       // audit — pure projection, portable regex core
       TextAnalysis.redact(t(s, dir, "documents"), "doc_id", "text",
-        "[0-9]+", "#").orderBy("id")),
+        "[0-9]+", "#")),
     "dedup_keep_last" -> ((s, dir) =>
       // pandas drop_duplicates(keep='last'): max doc_id survives
       Dedup.dropDuplicatesKeepMax(t(s, dir, "documents"), "doc_id", Seq("text"))
-        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
+        .select(col("doc_id"), col("n_chars"))),
     "pipe_mm_dedup" -> ((s, dir) => {
       // CROSS-MODAL dedup capstone: a document is a duplicate if its
       // TEXT is a near-dup (jaccard inverted index) OR its IMAGE is a
@@ -691,7 +691,7 @@ object ExtQueries {
         .withColumn("cluster", coalesce(col("l"), col("doc_id")))
         .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
         .select(col("cluster").as("doc_id"), col("n_members"))
-        .orderBy("doc_id")
+        
     }),
 
     "pipe_text_dedup" -> ((s, dir) => {
@@ -710,7 +710,7 @@ object ExtQueries {
         .orderBy(col("n_chars").desc, col("doc_id"))
       labeled.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .select(col("doc_id"), col("cl").as("cluster"), col("n_chars"))
-        .orderBy("doc_id")
+        
     }),
     "emb_rand_proj" -> ((s, dir) =>
       // JL random projection: 8 integer coordinates from the PlaneHash
@@ -718,26 +718,26 @@ object ExtQueries {
       // codegen'd projection pass, zero shuffle
       Similarity.randomProjection(t(s, dir, "embeddings"), "vec_id",
           "embedding", RP_K)
-        .orderBy("id")),
+        ),
     "emb_quantize" -> ((s, dir) =>
       // symmetric int8 embedding quantization, exploded to scalar rows
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
-        .orderBy("id", "d")),
+        ),
     "emb_normalize" -> ((s, dir) =>
       // L2 unit-normalization, exploded to scalar rows
       Similarity.normalizeL2(t(s, dir, "embeddings"), "vec_id", "embedding")
-        .orderBy("id", "d")),
+        ),
     "feat_zscore" -> ((s, dir) =>
       // sklearn StandardScaler: one exact stats pass broadcast back
       Binning.zscore(t(s, dir, "lineitem"), "l_quantity", "z")
         .select(col("l_orderkey"), col("l_linenumber"), col("z"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        ),
     "feat_robust_scale" -> ((s, dir) =>
       // sklearn RobustScaler: exact sort-based quartiles broadcast back,
       // (x - median)/IQR per row
       Binning.robustScale(t(s, dir, "lineitem"), "l_quantity", "r")
         .select(col("l_orderkey"), col("l_linenumber"), col("r"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        ),
     "feat_target_encode" -> ((s, dir) =>
       // leave-one-out target encoding: per-category exact micro sums
       // (one map-side-combined agg, broadcast back), loo = (S-x)/(n-1)
@@ -746,30 +746,30 @@ object ExtQueries {
             col("o_orderpriority").as("cat"), col("o_totalprice")),
           "cat", "o_totalprice", "loo")
         .select(col("o_orderkey"), col("cat"), col("loo"))
-        .orderBy("o_orderkey")),
+        ),
     "feat_drift_hist" -> ((s, dir) =>
       // distribution drift monitor: doc-length histogram of the even-id
       // half vs the odd-id half, integer micro proportions and gaps —
       // the L-infinity drift table, engine-exact (no PSI logarithm)
       Binning.driftHist(t(s, dir, "documents"),
           col("doc_id") % 2 === 0, expr("n_chars div 100"))
-        .orderBy("bin")),
+        ),
 
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
-      Dedup.exact(t(s, dir, "documents"), "doc_id", "text").orderBy("h")),
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_keep_rows" -> ((s, dir) =>
       Dedup.dropDuplicatesKeepMin(t(s, dir, "documents"), "doc_id", Seq("text"))
-        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
+        .select(col("doc_id"), col("n_chars"))),
     "dedup_jaccard" -> ((s, dir) =>
-      jaccardShared(s, dir).orderBy("da", "db")),
+      jaccardShared(s, dir)),
     // multiset Jaccard: Σmin/Σmax over gram MULTIPLICITIES — the form
     // that distinguishes "contains the template once" from "is 50
     // copies of the template"; exact BIGINT counts, one final division
     "dedup_jaccard_weighted" -> ((s, dir) =>
       Dedup.jaccardWeightedPairs(t(s, dir, "documents"), "doc_id", "text",
           WJACCARD_TAU)
-        .orderBy("da", "db")),
+        ),
     // PPJoin prefix filtering: same pairs as dedup_jaccard, but the
     // inverted index posts only each doc's rarity-ordered prefix —
     // exact recall by the pigeonhole principle (rational ⌈t·n⌉, never
@@ -777,27 +777,27 @@ object ExtQueries {
     // excluded from candidate generation instead of lossily capped
     "dedup_jaccard_prefix" -> ((s, dir) =>
       Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
-        3, 5).orderBy("da", "db")),
+        3, 5)),
     "dedup_minhash_sig" -> ((s, dir) =>
-      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", JACCARD_TAU)
-        .orderBy("da", "db")),
+        ),
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashDocs(t(s, dir, "documents"), "doc_id", "text").orderBy("id")),
+      Dedup.simhashDocs(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_containment" -> ((s, dir) =>
       // Broder containment (|A∩B|/|A|): the asymmetric quote/extension
       // relation — same inverted-index candidates as dedup_jaccard,
       // directional rows where the contained side clears tau
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
           CONTAIN_TAU)
-        .orderBy("contained", "container")),
+        ),
     "graph_pagerank" -> ((s, dir) =>
       // near-dup-graph hub ranking: integer PageRank (milli-units,
       // floored divisions) over the shared jaccard pair frame — one
       // edge->rank equi-join + target-keyed sum per round
       Dedup.pageRank(jaccardShared(s, dir), "da", "db", PR_ITERS)
-        .orderBy("id")),
+        ),
     "pipe_graph_audit" -> ((s, dir) => {
       // the dedup-graph governance report, one row per matched doc:
       // centrality (integer PageRank), density (triangles + clustering
@@ -809,65 +809,65 @@ object ExtQueries {
       Dedup.pageRank(pairs, "da", "db", PR_ITERS)
         .join(Dedup.triangles(pairs, "da", "db"), "id")
         .join(Dedup.labelPropagation(pairs, "da", "db", LP_ITERS), "id")
-        .orderBy("id")
+        
     }),
     "graph_communities" -> ((s, dir) =>
       // LPA community detection over the shared jaccard pair frame:
       // fixed synchronous rounds, (count desc, label) tie-break —
       // dense template cliques separate from weakly-linked bridges
       Dedup.labelPropagation(jaccardShared(s, dir), "da", "db", LP_ITERS)
-        .orderBy("id")),
+        ),
     "graph_triangles" -> ((s, dir) =>
       // near-dup graph density audit: per-node triangles + clustering
       // coefficient over the shared jaccard pair frame — forward-edge
       // join, never all-pairs
-      Dedup.triangles(jaccardShared(s, dir), "da", "db").orderBy("id")),
+      Dedup.triangles(jaccardShared(s, dir), "da", "db")),
     "graph_kcore" -> ((s, dir) =>
       // dense-skeleton audit: 2-core peeling strips chain-like bridges,
       // leaving template cliques/rings — per round one degree agg + two
       // alive-set semi-joins over the shared jaccard pair frame
       Dedup.kCore(jaccardShared(s, dir), "da", "db", KCORE_K, KCORE_ITERS)
-        .orderBy("id")),
+        ),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", SIMHASH_HD)
-        .orderBy("da", "db")),
+        ),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(jaccardShared(s, dir), "da", "db")
         .select(col("n").as("id"), col("l").as("cluster"))
-        .orderBy("id")),
+        ),
     "dedup_clusters_conv" -> ((s, dir) =>
       // the PRODUCTION finisher (large-star/small-star contraction, runs
       // to convergence) — oracle = recursive min-propagation to fixed
       // point, which converges to the same component minima
       Dedup.clustersConverged(jaccardShared(s, dir), "da", "db")
         .select(col("n").as("id"), col("l").as("cluster"))
-        .orderBy("id")),
+        ),
     "dedup_embedding" -> ((s, dir) =>
       // T pinned (not auto-sized): the DuckDB mirror is static SQL
-      embeddingShared(s, dir).orderBy("va", "vb")),
+      embeddingShared(s, dir)),
     "dedup_embedding_exact" -> ((s, dir) =>
       Dedup.embeddingPairsExact(t(s, dir, "embeddings"), "vec_id", "embedding", COS_TAU)
-        .orderBy("va", "vb")),
+        ),
     "dedup_normalized" -> ((s, dir) =>
       // RefinedWeb-style normalization-then-exact dedup: case/punct/
       // whitespace variants collapse onto one canonical key; same
       // one-shuffle plan as dedup_exact
       Dedup.exactNormalized(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("id")),
+        ),
     "dedup_span" -> ((s, dir) =>
       // Lee et al. 2021 exact-substring dedup over hashed 8-grams:
       // per-doc duplicated-token coverage + text with every duplicated
       // span removed; gram counts aggregate with map-side combine, the
       // mark-back is an equi-join on the gram hash
       Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text", DECON_N)
-        .orderBy("id")),
+        ),
     "dedup_semantic" -> ((s, dir) =>
       // SemDeDup (Abbas et al. 2023): IVF-cluster the embeddings, prune
       // within-cluster cosine near-dups keeping the least-centroid-like
       // exemplar — the only quadratic term is within-cluster
       Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
           COS_TAU)
-        .orderBy("id")),
+        ),
     "dedup_semantic_trained" -> ((s, dir) =>
       // SemDeDup over Lloyd-TRAINED clusters (the paper's own k-means
       // step): boundaries track real neighborhoods, so fewer near-dup
@@ -875,14 +875,14 @@ object ExtQueries {
       // 16 here for the oracle — the operator default derives C = √n
       Similarity.semDedupTrained(t(s, dir, "embeddings"), "vec_id",
           "embedding", COS_TAU, nCentroids = 16, iters = PQ_ITERS)
-        .orderBy("id")),
+        ),
     "dedup_d4" -> ((s, dir) =>
       // D4 (Tirumala et al. 2023): SemDeDup + prototype prune — each
       // cluster additionally drops its ⌈frac·|c|⌉ centroid-closest
       // members; one extra window pair over ~√n-sized cluster lists
       Similarity.d4Prune(t(s, dir, "embeddings"), "vec_id", "embedding",
           COS_TAU, D4_FRAC)
-        .orderBy("id")),
+        ),
     "pipe_embed_dedup" -> ((s, dir) => {
       // embedding dedup endgame: LSH candidate pairs → exact verify →
       // fixed-round clustering → keep ONE representative (the min id)
@@ -896,7 +896,7 @@ object ExtQueries {
       emb.join(labels.filter(col("l") =!= col("n")).select(col("n")),
           col("vec_id") === col("n"), "left_anti")
         .select(col("vec_id"))
-        .orderBy("vec_id")
+        
     }),
 
     // ---- deterministic sampling / splits (Sampling.scala: membership is
@@ -905,18 +905,18 @@ object ExtQueries {
     // df.sample; SamplingSpec proves the invariance) ----
     "sample_det" -> ((s, dir) =>
       Sampling.deterministic(t(s, dir, "documents"), "doc_id", SAMPLE_FRAC)
-        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
+        .select(col("doc_id"), col("n_chars"))),
     "sample_split" -> ((s, dir) =>
       Sampling.split(t(s, dir, "documents"), "doc_id", SPLIT_WEIGHTS, SPLIT_LABELS)
-        .select(col("doc_id"), col("split")).orderBy("doc_id")),
+        .select(col("doc_id"), col("split"))),
     "sample_strat" -> ((s, dir) =>
       Sampling.stratified(t(s, dir, "documents"), "doc_id", "source",
           STRAT_FRACTIONS, STRAT_DEFAULT)
-        .select(col("doc_id"), col("source")).orderBy("doc_id")),
+        .select(col("doc_id"), col("source"))),
     "sample_topk" -> ((s, dir) =>
       // exact-k draw: TakeOrderedAndProject on the id hash, no full sort
       Sampling.deterministicK(t(s, dir, "documents"), "doc_id", SAMPLE_K)
-        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")),
+        .select(col("doc_id"), col("n_chars"))),
 
     "sample_shuffle" -> ((s, dir) =>
       // deterministic global shuffle (the pre-training permutation):
@@ -939,7 +939,7 @@ object ExtQueries {
         .withColumn("cl", coalesce(col("l"), col("doc_id")))
       Sampling.split(labeled, "cl", SPLIT_WEIGHTS, SPLIT_LABELS)
         .select(col("doc_id"), col("cl").as("cluster"), col("split"))
-        .orderBy("doc_id")
+        
     }),
 
     // ---- training-mixture composition (Mixture.scala) ----
@@ -949,7 +949,7 @@ object ExtQueries {
       Mixture.resample(t(s, dir, "documents"), "doc_id", "source",
           MIX_RATES, MIX_DEFAULT)
         .select(col("doc_id"), col("source"), col("copy_idx"))
-        .orderBy("doc_id", "copy_idx")),
+        ),
     "mix_token_budget" -> ((s, dir) => {
       // quality-ordered per-source budget cap: one window on the source
       // partition (running BIGINT sum), best distinct-word-ratio docs
@@ -960,7 +960,7 @@ object ExtQueries {
           t(s, dir, "documents").withColumn("__q", score),
           "doc_id", "source", "n_chars", "__q", MIX_BUDGET)
         .select(col("doc_id"), col("source"), col("cum_tokens"))
-        .orderBy("doc_id")
+        
     }),
 
     "pipe_mix_pack" -> ((s, dir) => {
@@ -975,7 +975,7 @@ object ExtQueries {
           MIX_RATES, MIX_DEFAULT)
         .withColumn("rep_id", col("doc_id") * 8 + col("copy_idx"))
       Packing.packTokens(rs, "rep_id", "text", PACK_BUDGET, PACK_BUCKETS)
-        .orderBy("id")
+        
     }),
 
     "text_bpe_merges" -> ((s, dir) =>
@@ -984,7 +984,7 @@ object ExtQueries {
       // distinct pair set), one 1-row TakeOrdered, one projection
       // rewriting the corpus
       Bpe.learnMerges(t(s, dir, "documents"), "text", BPE_ROUNDS)
-        .orderBy("rank")),
+        ),
 
     "text_perplexity" -> ((s, dir) => {
       // CCNet perplexity filtering: fit the corpus unigram LM (one
@@ -1022,7 +1022,7 @@ object ExtQueries {
       val t2 = Mixture.bigramLmTable(docs, "text", DSIR_B)
         .orderBy("bucket").collect().map(_.getLong(1)).toSeq
       Mixture.doremiPlan(docs, "source", "text", t1, t2, DSIR_B)
-        .orderBy("source")
+        
     }),
     "text_ccnet_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail release buckets: per-LANGUAGE perplexity
@@ -1031,7 +1031,7 @@ object ExtQueries {
       val tbl = Mixture.unigramLmTable(docs, "text", DSIR_B)
         .orderBy("bucket").collect().map(_.getLong(1)).toSeq
       Mixture.ccnetBuckets(docs, "doc_id", "text", "lang", tbl, DSIR_B)
-        .orderBy("id")
+        
     }),
     "sample_strat_k" -> ((s, dir) =>
       // balanced eval-set draw: k docs per source by smallest (hash, id)
@@ -1040,14 +1040,14 @@ object ExtQueries {
         t(s, dir, "documents").select(col("doc_id"), col("source"),
           col("n_chars")),
         "doc_id", "source", STRATK_K)
-        .orderBy("doc_id")),
+        ),
     "text_bpe_batched" -> ((s, dir) =>
       // the 100 TB BPE path: each corpus pass learns a BATCH of
       // symbol-disjoint merges (selection rule non-recursive so both
       // engines express it) — M merges in ~M/N passes
       Bpe.learnMergesBatched(t(s, dir, "documents"), "text",
           BPE_BATCH_ROUNDS, BPE_BATCH_PER)
-        .orderBy("round", "rank")),
+        ),
 
     "text_bpe_apply" -> ((s, dir) => {
       // tokenizer encode (merge phase): the learned table unfolds into
@@ -1057,7 +1057,7 @@ object ExtQueries {
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Bpe.applyMerges(t(s, dir, "documents"), "doc_id", "text", ms)
-        .orderBy("id")
+        
     }),
 
     "mix_dsir_select" -> ((s, dir) => {
@@ -1088,7 +1088,7 @@ object ExtQueries {
         .orderBy("bucket").collect().map(_.getLong(1)).toSeq
       Mixture.ccnetBuckets(tagged, "doc_id", "text", "pl", tbl, DSIR_B)
         .filter(col("bucket") =!= "tail")
-        .orderBy("id")
+        
     }),
     "pipe_temperature_mix" -> ((s, dir) => {
       // the multilingual mixture loop CLOSED end-to-end: temperature
@@ -1101,7 +1101,7 @@ object ExtQueries {
         .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
       Mixture.resample(docs, "doc_id", "source", rates, 0.0)
         .select("doc_id", "source", "copy_idx")
-        .orderBy("doc_id", "copy_idx")
+        
     }),
     "mix_temperature" -> ((s, dir) =>
       // XLM/mT5 temperature mixture planning at α=1/2 (sqrt is IEEE-
@@ -1110,7 +1110,7 @@ object ExtQueries {
       // 1-row max broadcast back
       Mixture.temperaturePlan(t(s, dir, "documents"), "source", "text",
           MIX_MAX_EPOCHS)
-        .orderBy("source")),
+        ),
     "dedup_incremental" -> ((s, dir) => {
       // CC-dump workflow: dedup the incoming slice (doc_id % 3 == 0,
       // the streaming twin's split) against the already-curated rest —
@@ -1120,7 +1120,7 @@ object ExtQueries {
         docs.filter(col("doc_id") % INC_MOD =!= 0),
         docs.filter(col("doc_id") % INC_MOD === 0),
         "doc_id", "text", JACCARD_TAU)
-        .orderBy("id")
+        
     }),
     "dedup_incr_bloom" -> ((s, dir) => {
       // the too-big-to-broadcast-reference form: exact arm behind a
@@ -1132,41 +1132,41 @@ object ExtQueries {
         docs.filter(col("doc_id") % INC_MOD =!= 0),
         docs.filter(col("doc_id") % INC_MOD === 0),
         "doc_id", "text", JACCARD_TAU)
-        .orderBy("id")
+        
     }),
     "text_source_overlap" -> ((s, dir) =>
       // WIMBD cross-source overlap map: distinct shared 8-gram count
       // per source pair — gram-keyed equi-join, |sources|^2/2-row output
       TextAnalysis.sourceOverlap(t(s, dir, "documents"), "source", "text",
           DECON_N)
-        .orderBy("source_a", "source_b")),
+        ),
     "mix_unimax" -> ((s, dir) =>
       // UniMax (Chung et al. 2023): budget spread as uniformly as the
       // per-source epoch cap allows — integer water-filling on the
       // |sources|-row frame, one corpus pass for token counts
       Mixture.unimaxPlan(t(s, dir, "documents"), "source", "text",
           UNIMAX_BUDGET, UNIMAX_EPOCHS)
-        .orderBy("source")),
+        ),
     "dedup_soft_weights" -> ((s, dir) =>
       // SoftDedup (He et al. 2024): reweight instead of remove — weight
       // = n_grams / sum of corpus frequencies of the doc's 8-grams;
       // same gram-agg + equi-join skeleton as dedup_span
       Dedup.softDedupWeights(t(s, dir, "documents"), "doc_id", "text",
           DECON_N)
-        .orderBy("id")),
+        ),
     "text_top_terms" -> ((s, dir) =>
       // datasheet "what is each source about": per-source top-15 terms —
       // map-side-combined counts, one window over the bounded agg frame
       TextAnalysis.topTermsBySource(t(s, dir, "documents"), "source",
           "text", 15)
-        .orderBy("source", "rk")),
+        ),
     "text_novelty" -> ((s, dir) =>
       // corpus novelty audit: fraction of each doc's distinct 8-grams
       // first seen (min doc id) in that doc — the marginal-value-of-a-
       // new-dump statistic; one min(id) gram aggregate + one equi-join
       TextAnalysis.novelty(t(s, dir, "documents"), "doc_id", "text",
           DECON_N)
-        .orderBy("id")),
+        ),
     "mix_nb_classify" -> ((s, dir) => {
       // fastText-style domain classifier as multinomial Naive Bayes over
       // hashed unigrams: fit = ONE corpus pass (|classes|·B-bounded
@@ -1175,7 +1175,7 @@ object ExtQueries {
       // shuffle, the corpus is read once for fit and once for predict
       val docs = t(s, dir, "documents")
       Mixture.nbPredict(docs, "doc_id", "text", "source", nbModel(docs), NB_B)
-        .orderBy("id")
+        
     }),
 
     "pack_fill_stats" -> ((s, dir) =>
@@ -1185,7 +1185,7 @@ object ExtQueries {
         Packing.packTexts(t(s, dir, "documents"), "doc_id", "text",
           PACK_BUDGET, PACK_BUCKETS).drop("seq_text"),
         PACK_BUDGET)
-        .orderBy("fill_decile")),
+        ),
     "text_lang_mix" -> ((s, dir) =>
       // per-source language distribution — the datasheet's language
       // line: one projection (langIdCol) + one map-side-combined agg
@@ -1193,7 +1193,7 @@ object ExtQueries {
         .select(col("source"),
           TextAnalysis.langIdCol(col("text")).as("pred_lang"))
         .groupBy("source", "pred_lang").agg(count(lit(1)).as("n_docs"))
-        .orderBy("source", "pred_lang")),
+        ),
     "pipe_confidence_gate" -> ((s, dir) => {
       // FineWeb-Edu-shaped confidence gate capstone: score every doc
       // with the NB domain classifier's margin (ONE ClassScoreArray
@@ -1204,7 +1204,7 @@ object ExtQueries {
       val scored = Mixture.nbPredictScored(docs, "doc_id", "text", "source",
         nbModel(docs), NB_B)
       Mixture.thresholdByKeepRate(scored, "id", col("margin"), KEEP_RATE)
-        .orderBy("id")
+        
     }),
 
     "mix_nb_calibration" -> ((s, dir) => {
@@ -1216,7 +1216,7 @@ object ExtQueries {
       val docs = t(s, dir, "documents")
       val scored = Mixture.nbPredictScored(docs, "doc_id", "text", "source",
         nbModel(docs), NB_B)
-      Mixture.nbCalibration(scored, NB_CAL_W, NB_CAL_MAXBIN).orderBy("bin")
+      Mixture.nbCalibration(scored, NB_CAL_W, NB_CAL_MAXBIN)
     }),
     "pipe_dense_retrieval" -> ((s, dir) => {
       // dense-RAG retrieve+fetch capstone: ANN top-k per query vector
@@ -1230,7 +1230,7 @@ object ExtQueries {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       hits.join(docs, hits("vec_id") === docs("doc_id"))
         .select(col("qid"), col("rn"), col("vec_id"), col("cos"), col("n_tokens"))
-        .orderBy("qid", "rn")
+        
     }),
 
     "text_boilerplate" -> ((s, dir) => {
@@ -1240,7 +1240,7 @@ object ExtQueries {
       val seg = TextAnalysis.segmentLines(t(s, dir, "documents"), "doc_id",
         "text", CLEAN_WPL, keep = Seq("source"))
       TextAnalysis.boilerplate(seg, "id", "source", "text", BP_MIN_DF)
-        .orderBy("id")
+        
     }),
     "text_contam_rate" -> ((s, dir) =>
       // per-eval-doc contamination fraction (WIMBD §5): eval grams
@@ -1248,7 +1248,7 @@ object ExtQueries {
       // grams — only hits survive to the per-eval-doc count
       Decontaminate.contaminationRate(t(s, dir, "documents"), "doc_id",
           "text", id => id % DECON_MOD === 0, DECON_N)
-        .orderBy("id")),
+        ),
     "mix_keep_rate" -> ((s, dir) => {
       // FineWeb-Edu-style gate tuning: exact score threshold for a 40%
       // keep rate via a bounded score HISTOGRAM (≤1e6+1 bins) — no
@@ -1258,7 +1258,7 @@ object ExtQueries {
         (size(array_distinct(ws)).cast("long") / size(ws).cast("long")))
         .cast("long")
       Mixture.thresholdByKeepRate(t(s, dir, "documents"), "doc_id", score,
-        KEEP_RATE).orderBy("id")
+        KEEP_RATE)
     }),
     "doc_cdc_chunks" -> ((s, dir) =>
       // content-defined chunking (Rabin/FastCDC lineage): boundaries
@@ -1266,33 +1266,33 @@ object ExtQueries {
       // zero shuffle, pipelines inside the scan
       Chunking.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
           CDC_N, CDC_K)
-        .orderBy("id", "chunk_idx")),
+        ),
     "dedup_cdc_stats" -> ((s, dir) =>
       // chunk-level dedup audit: global chunk-hash counts (map-side
       // combine) marked back by equi-join → per-doc dup-chunk fraction
       Chunking.cdcDedupStats(
         Chunking.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
           CDC_N, CDC_K))
-        .orderBy("id")),
+        ),
     "text_distinct_kmv" -> ((s, dir) =>
       // per-source distinct-gram KMV sketch: threshold prefilter drops
       // 63/64 of gram occurrences map-side, bottom-k on the sliver
       TextAnalysis.distinctKmv(t(s, dir, "documents"), "source", "text",
           KMV_N, KMV_K, KMV_INV)
-        .orderBy("source")),
+        ),
     "dedup_cluster_stats" -> ((s, dir) =>
       // cluster-size histogram audit over the shared jaccard clustering
       // (two tiny aggs past the memoized pair pipeline)
       Dedup.clusterStats(
         Dedup.clusters(jaccardShared(s, dir), "da", "db"), "l")
-        .orderBy("cluster_size")),
+        ),
     "sim_kcenter" -> ((s, dir) =>
       // greedy farthest-point diversity selection (Gonzalez 2-approx):
       // k bounded 1-row-collect rounds, exact BIGINT distances, the
       // per-round coverage-gap curve as output
       Similarity.kCenter(t(s, dir, "embeddings"), "vec_id", "embedding",
           KCENTER_K)
-        .orderBy("round")),
+        ),
     "sim_margin_mining" -> ((s, dir) =>
       // CCMatrix margin-criterion mining across the vec_id-parity split:
       // integer-exact neighborhood sums, margin = one double division;
@@ -1300,7 +1300,7 @@ object ExtQueries {
       // in IVF candidate lists
       Similarity.marginMining(t(s, dir, "embeddings"), "vec_id",
           "embedding", id => id % 2 === 0, MARGIN_K, MARGIN_TAU)
-        .orderBy("qid")),
+        ),
 
     "dedup_emb_incremental" -> ((s, dir) => {
       // daily-embedding-ingest workflow: flag incoming vectors (id%3==0)
@@ -1312,7 +1312,7 @@ object ExtQueries {
         emb.filter(col("vec_id") % INC_MOD =!= 0),
         emb.filter(col("vec_id") % INC_MOD === 0),
         "vec_id", "embedding", COS_TAU, tables = LSH_TABLES)
-        .orderBy("id")
+        
     }),
     "pipe_datasheet" -> ((s, dir) => {
       // "datasheet for a dataset" capstone (Gebru et al. 2021): the
@@ -1356,21 +1356,21 @@ object ExtQueries {
           coalesce(col("pii_hits"), lit(0L)).as("pii_hits"),
           coalesce(col("boiler_lines"), lit(0L)).as("boiler_lines"),
           coalesce(col("contam_docs"), lit(0L)).as("contam_docs"))
-        .orderBy("source")
+        
     }),
     "text_tfidf_keywords" -> ((s, dir) =>
       // per-doc top-k TF-IDF tags: integer-rational idf (no libm), tf
       // and df aggs both map-side combined, window partitions by doc
       Ranking.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text",
           TFIDF_K)
-        .orderBy("id", "rank")),
+        ),
     "text_phrase_search" -> ((s, dir) =>
       // positional-inverted-index phrase lookup (WIMBD search): one
       // corpus pass builds the phrase-vocab posting sliver, a k-word
       // phrase is k-1 equi-joins on (doc, position) — never a string scan
       Ranking.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
           PHRASES)
-        .orderBy("phrase", "id")),
+        ),
     "mix_curriculum" -> ((s, dir) => {
       // curriculum staging: fit the corpus unigram LM once (B-bounded
       // agg), score every doc in a projection fold, bin into equi-width
@@ -1380,14 +1380,14 @@ object ExtQueries {
         .orderBy("bucket").collect().map(_.getLong(1)).toSeq
       Mixture.curriculumStages(docs, "doc_id", "text", tbl, DSIR_B,
           CURR_STAGES)
-        .orderBy("id")
+        
     }),
     "text_phrase_ctx" -> ((s, dir) =>
       // KWIC contexts for every phrase hit: same posting-intersection
       // match positions, one sparse-to-corpus equi-join for the slice
       Ranking.phraseContexts(t(s, dir, "documents"), "doc_id", "text",
           PHRASES, PHRASE_CTX)
-        .orderBy("phrase", "id", "pos")),
+        ),
     "pipe_curriculum_pack" -> ((s, dir) => {
       // curriculum phase-1 corpus construction: stage the corpus by LM
       // nll (text carried — no join-back), keep the easy half, pack it
@@ -1400,7 +1400,7 @@ object ExtQueries {
           DSIR_B, CURR_STAGES, carry = Seq("text"))
         .filter(col("stage") <= CURR_EASY_MAX)
       Packing.packTokens(easy, "id", "text", PACK_BUDGET, PACK_BUCKETS)
-        .orderBy("id")
+        
     }),
     "sample_weighted" -> ((s, dir) => {
       // deterministic weighted Bernoulli retention: keep probability =
@@ -1412,7 +1412,7 @@ object ExtQueries {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), w.as("keep_w"))
       Sampling.weighted(docs, "doc_id", col("keep_w"))
-        .orderBy("doc_id")
+        
     }),
     "text_k_anon" -> ((s, dir) =>
       // k-anonymity census over (lang, source, length bucket): one
@@ -1421,7 +1421,7 @@ object ExtQueries {
         t(s, dir, "documents").select(col("lang"), col("source"),
           floor(col("n_chars") / K_ANON_LEN).cast("long").as("len_bucket")),
         Seq("lang", "source", "len_bucket"), K_ANON)
-        .orderBy("lang", "source", "len_bucket")),
+        ),
     "priv_l_diversity" -> ((s, dir) =>
       // l-diversity companion to text_k_anon: same QI classes, plus the
       // distinct-sensitive-value census (a k-anonymous class whose
@@ -1432,7 +1432,7 @@ object ExtQueries {
           floor(col("n_chars") / K_ANON_LEN).cast("long").as("len_bucket"),
           (col("n_chars") % 10L).as("sensitive")),
         Seq("lang", "source", "len_bucket"), "sensitive", L_DIV)
-        .orderBy("lang", "source", "len_bucket")),
+        ),
     "text_collocations" -> ((s, dir) =>
       // PMI-ranked collocations: lift = c_ab*N/(c_a*c_b) orders like
       // PMI without the cross-engine log; exact BIGINT pieces, one
@@ -1461,7 +1461,7 @@ object ExtQueries {
       val canon = graft.operators.Urls.canonicalize(url)
       d.select(col("doc_id"), canon.as("url_canon"),
           graft.operators.Urls.registrableDomain(canon).as("domain"))
-        .orderBy("doc_id")
+        
     }),
     "pipe_domain_curation" -> ((s, dir) => {
       // domain balancing capstone: canonical URL → registrable domain →
@@ -1480,7 +1480,7 @@ object ExtQueries {
       Sampling.capPerKey(tagged, "domain",
           Seq(col("n_chars").desc, col("doc_id")), DOMAIN_CAP)
         .select(col("doc_id"), col("domain"), col("key_rank"))
-        .orderBy("doc_id")
+        
     }),
     "dedup_temporal" -> ((s, dir) =>
       // temporally-windowed near-dup (news/crawl-snapshot dedup: only
@@ -1492,7 +1492,7 @@ object ExtQueries {
       jaccardShared(s, dir)
         .filter(abs(col("da") % 1000 - col("db") % 1000) <= TEMPORAL_W)
         .withColumn("dt", abs(col("da") % 1000 - col("db") % 1000).cast("long"))
-        .orderBy("da", "db")),
+        ),
     "mix_quantile_align" -> ((s, dir) =>
       // quantile-matched cross-source selection: raw lengths/scores are
       // not comparable across sources, per-source rank quantiles are —
@@ -1503,13 +1503,13 @@ object ExtQueries {
           "doc_id", "source", "n_chars")
         .filter(col("q") >= QUANTILE_CUT)
         .select(col("doc_id"), col("source"), col("q"))
-        .orderBy("doc_id")),
+        ),
     "text_pii_stats" -> ((s, dir) =>
       // per-source PII exposure report: one projection evaluates every
       // detector, stacked rows aggregate map-side — zero joins
       TextAnalysis.piiStats(t(s, dir, "documents"), "source", "text",
           PII_PATTERNS)
-        .orderBy("source", "pattern")),
+        ),
     "text_bpe_compression" -> ((s, dir) => {
       // tokenizer-table DOMAIN-FIT audit: apply the learned merge table
       // and report each source's compression (tokens-after / words) —
@@ -1528,7 +1528,7 @@ object ExtQueries {
           sum(col("n_words")).as("n_words"),
           sum(col("n_tokens")).as("n_tokens"))
         .withColumn("compression", col("n_tokens") / col("n_words"))
-        .orderBy("source")
+        
     }),
     "sim_hard_negatives" -> ((s, dir) =>
       // DPR-style hard-negative mining: per query, top-k most-similar
@@ -1536,40 +1536,40 @@ object ExtQueries {
       // generator (IVF candidates at scale), label filter in the probe
       Similarity.hardNegatives(t(s, dir, "embeddings"), "vec_id",
           "embedding", "label", id => id < 5, HARDNEG_K)
-        .orderBy("qid", "rn")),
+        ),
     "emb_label_noise" -> ((s, dir) =>
       // embedding-space mislabel audit over EVERY row: LSH-bucket
       // equi-join candidates (never n²), ≤k nearest bucket-mates vote;
       // singleton-bucket vectors report n_nb = 0 instead of vanishing
       Similarity.labelNoise(t(s, dir, "embeddings"), "vec_id",
           "embedding", "label", NOISE_K)
-        .orderBy("id")),
+        ),
 
     // ---- similarity search ----
     "sim_topk_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        id => id < 5, k = 10).orderBy("qid", "rn")),
+        id => id < 5, k = 10)),
     "sim_ann_buckets" -> ((s, dir) =>
       Similarity.hyperplaneBuckets(t(s, dir, "embeddings"), "vec_id", "embedding")
-        .select(col("id"), col("bucket")).orderBy("id")),
+        .select(col("id"), col("bucket"))),
     "sim_ann_topk" -> ((s, dir) =>
       Similarity.bucketedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        id => id < 5, k = 3).orderBy("qid", "rn")),
+        id => id < 5, k = 3)),
     "sim_proj_rerank" -> ((s, dir) =>
       // two-stage ANN: corpus scanned with the 8-int JL sketch only,
       // top-60 sketch-L2 candidates per query reranked by EXACT cosine
       // — deterministic integer decisions end-to-end, so oracle-exact
       Similarity.projectedRerank(t(s, dir, "embeddings"), "vec_id",
           "embedding", _ < 5, candidates = 60, k = 10)
-        .orderBy("qid", "rn")),
+        ),
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        id => id < 5, k = 3, nCentroids = 16, nprobe = 2).orderBy("qid", "rn")),
+        id => id < 5, k = 3, nCentroids = 16, nprobe = 2)),
     "sim_ivf_refined" -> ((s, dir) =>
       // one Lloyd round on the coarse quantizer (integer-mean centroids,
       // exact trunc division — mirrored bit-for-bit by the oracle)
       Similarity.ivfTopKRefined(t(s, dir, "embeddings"), "vec_id", "embedding",
-        id => id < 5, k = 3, nCentroids = 16, nprobe = 2).orderBy("qid", "rn")),
+        id => id < 5, k = 3, nCentroids = 16, nprobe = 2)),
 
     "sim_ivf2_topk" -> ((s, dir) =>
       // TWO-LEVEL IVF (the 100 TB architecture): √n-bounded broadcast
@@ -1578,7 +1578,7 @@ object ExtQueries {
       // no broadcast beyond nCoarse rows; candidates ≈ nprobe1·nprobe2·L
       Similarity.ivfTopK2(t(s, dir, "embeddings"), "vec_id", "embedding",
         id => id < 5, k = 3, nCoarse = 16, nSub = 4,
-        nprobe1 = 2, nprobe2 = 2).orderBy("qid", "rn")),
+        nprobe1 = 2, nprobe2 = 2)),
 
     "sim_ivf2_trained" -> ((s, dir) =>
       // trained coarse level for the two-level index: the √n broadcast
@@ -1587,7 +1587,7 @@ object ExtQueries {
       // lever on the level that bounds the 100 TB broadcast
       Similarity.ivfTopK2Trained(t(s, dir, "embeddings"), "vec_id",
         "embedding", id => id < 5, k = 3, nCoarse = 16, nSub = 4,
-        nprobe1 = 2, nprobe2 = 2, iters = PQ_ITERS).orderBy("qid", "rn")),
+        nprobe1 = 2, nprobe2 = 2, iters = PQ_ITERS)),
 
     "sim_ivf2_pq" -> ((s, dir) =>
       // the full 100 TB index composition: two-level probed lists bound
@@ -1596,7 +1596,7 @@ object ExtQueries {
       // (M table lookups, never the raw 64-dim vector)
       Similarity.ivf2PqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         id => id < 5, k = 3, nCoarse = 16, nSub = 4, nprobe1 = 2,
-        nprobe2 = 2, iters = PQ_ITERS).orderBy("qid", "rn")),
+        nprobe2 = 2, iters = PQ_ITERS)),
 
     "sim_ivf2_pq_trained" -> ((s, dir) =>
       // BOTH quantizers of the 100 TB index trained: the √n coarse book
@@ -1608,7 +1608,7 @@ object ExtQueries {
       Similarity.ivf2PqTopKTrained(t(s, dir, "embeddings"), "vec_id",
         "embedding", id => id < 5, k = 3, nCoarse = 16, nSub = 4,
         nprobe1 = 2, nprobe2 = 2, iters = PQ_ITERS,
-        coarseIters = PQ_ITERS).orderBy("qid", "rn")),
+        coarseIters = PQ_ITERS)),
 
     "sim_margin_ivf" -> ((s, dir) =>
       // CCMatrix margin mining with the PRODUCTION candidate generator
@@ -1623,7 +1623,7 @@ object ExtQueries {
       Similarity.marginMiningIvf(t(s, dir, "embeddings"), "vec_id",
           "embedding", id => id % 2 === 0, MARGIN_K, MARGIN_TAU,
           nCentroids = 16, nprobe = 6)
-        .orderBy("qid")),
+        ),
 
     "sim_ivf_trained" -> ((s, dir) =>
       // multi-round Lloyd-trained coarse quantizer (iters=1 == the
@@ -1631,21 +1631,21 @@ object ExtQueries {
       // quantizers now share one exact-integer Lloyd engine
       Similarity.ivfTopKTrained(t(s, dir, "embeddings"), "vec_id",
         "embedding", id => id < 5, k = 3, nCentroids = 16, nprobe = 2,
-        iters = PQ_ITERS).orderBy("qid", "rn")),
+        iters = PQ_ITERS)),
 
     "sim_kmeans" -> ((s, dir) =>
       // first-class distributed k-means (SemDeDup-style cluster step,
       // topic balancing, per-cluster quotas): every vector labeled with
       // its owning trained centroid + exact BIGINT squared distance
       Similarity.kMeansAssign(t(s, dir, "embeddings"), "vec_id",
-        "embedding", k = 8, iters = PQ_ITERS).orderBy("id")),
+        "embedding", k = 8, iters = PQ_ITERS)),
 
     "sim_kmeans_elbow" -> ((s, dir) =>
       // k-selection diagnostic: the WCSS elbow over candidate k (one
       // training + one assignment pass per k, shared fixed-point frame)
       Similarity.kMeansWcss(t(s, dir, "embeddings"), "vec_id",
         "embedding", ks = Seq(2, 4, 8, 16), iters = PQ_ITERS)
-        .orderBy("k")),
+        ),
 
     "sim_kmeans_protos" -> ((s, dir) =>
       // per-cluster prototype selection (SemDeDup's keep-one-exemplar /
@@ -1654,7 +1654,7 @@ object ExtQueries {
       // per-cluster sort (WindowGroupLimit)
       Similarity.kMeansPrototypes(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, perCluster = 3, iters = PQ_ITERS)
-        .orderBy("cid", "rn")),
+        ),
 
     "sim_ivfpq_topk" -> ((s, dir) =>
       // IVF-PQ, the production corpus-scale ANN: probe lists bound WHICH
@@ -1663,7 +1663,7 @@ object ExtQueries {
       // composition exact-BIGINT deterministic
       Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         id => id < 5, k = 3, nCentroids = 16, nprobe = 2)
-        .orderBy("qid", "rn")),
+        ),
 
     "sim_ivfpq_residual" -> ((s, dir) =>
       // asymmetric residual IVF-PQ (the production Jégou variant):
@@ -1672,7 +1672,7 @@ object ExtQueries {
       // each candidate scores against its own list's table
       Similarity.ivfPqResidualTopK(t(s, dir, "embeddings"), "vec_id",
         "embedding", id => id < 5, k = 3, nCentroids = 16, nprobe = 2,
-        iters = PQ_ITERS).orderBy("qid", "rn")),
+        iters = PQ_ITERS)),
 
     "sim_pq_topk" -> ((s, dir) =>
       // product-quantization ANN (ADC): vectors compress to 4 subspace
@@ -1680,7 +1680,7 @@ object ExtQueries {
       // exact per-subspace BIGINT distances to the assigned codewords —
       // one encode pass, broadcast codebook/ADC table, skinny shuffles
       Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        id => id < 5, k = 3).orderBy("qid", "rn")),
+        id => id < 5, k = 3)),
 
     "sim_mmr" -> ((s, dir) =>
       // diversity-aware retrieval (Maximal Marginal Relevance): greedy
@@ -1688,7 +1688,7 @@ object ExtQueries {
       // micro-integer scores, k bounded 1-row driver rounds (the
       // kCenter contract)
       Similarity.mmrSelect(t(s, dir, "embeddings"), "vec_id", "embedding",
-        MMR_QID, MMR_POOL, MMR_K, MMR_LAMBDA).orderBy("round")),
+        MMR_QID, MMR_POOL, MMR_K, MMR_LAMBDA)),
 
     "sim_mmr_ivf" -> ((s, dir) =>
       // MMR at corpus scale: the pool comes from the IVF probe lists
@@ -1697,14 +1697,14 @@ object ExtQueries {
       // micro-integer rounds then run over that pool
       Similarity.mmrSelectIvf(t(s, dir, "embeddings"), "vec_id", "embedding",
         MMR_QID, MMR_POOL, MMR_K, MMR_LAMBDA, nCentroids = 16, nprobe = 2)
-        .orderBy("round")),
+        ),
 
     "sim_rrf_fusion" -> ((s, dir) =>
       // hybrid-retrieval rank fusion (RRF): exact-cosine and exact-L2
       // rankings of the same query set fused by Σ 1e6 div (60+rank) —
       // integer scores, full-outer list merge, fused top-k per query
       Similarity.rrfFuseTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        id => id < 5, RRF_DEPTH, RRF_TOPK).orderBy("qid", "rn")),
+        id => id < 5, RRF_DEPTH, RRF_TOPK)),
 
     "sim_recall_at_k" -> ((s, dir) => {
       // ANN quality evaluation: recall@k of the IVF index against the
@@ -1723,7 +1723,7 @@ object ExtQueries {
         .select(col("qid"), col("hits"),
           (col("hits").cast("double") / lit(RECALL_K).cast("double"))
             .as("recall"))
-        .orderBy("qid")
+        
     }),
 
     "sim_recall_pq" -> ((s, dir) => {
@@ -1747,7 +1747,7 @@ object ExtQueries {
           id => id < 5, k = RECALL_K, nCentroids = 16, nprobe = 2))
         .unionByName(grade("pq", Similarity.pqTopK(emb, "vec_id",
           "embedding", id => id < 5, k = RECALL_K)))
-        .orderBy("variant", "qid")
+        
     }),
 
     "sim_pq_trained" -> ((s, dir) =>
@@ -1758,7 +1758,7 @@ object ExtQueries {
       // error reduction instead of the seeded draw
       Similarity.pqTopKTrained(t(s, dir, "embeddings"), "vec_id",
         "embedding", id => id < 5, k = 3, iters = PQ_ITERS)
-        .orderBy("qid", "rn")),
+        ),
 
     "sim_recall_trained" -> ((s, dir) => {
       // the training payoff, measured: recall@k of Lloyd-trained flat
@@ -1782,7 +1782,7 @@ object ExtQueries {
           nprobe = 2, iters = PQ_ITERS))
         .unionByName(grade("pq_t", Similarity.pqTopKTrained(emb, "vec_id",
           "embedding", id => id < 5, k = RECALL_K, iters = PQ_ITERS)))
-        .orderBy("variant", "qid")
+        
     })
   )
 

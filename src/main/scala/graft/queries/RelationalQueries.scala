@@ -65,7 +65,7 @@ object RelationalQueries {
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
           (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag", "l_linestatus")
+        
     }),
 
     // Broadcast dimension join: revenue per market segment
@@ -74,7 +74,7 @@ object RelationalQueries {
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
-        .orderBy("c_mktsegment")
+        
     }),
 
     // 5-way join: revenue per region (TPC-H Q5 shape); dims broadcast
@@ -89,7 +89,7 @@ object RelationalQueries {
         .groupBy(col("r_name"))
         .agg(dsum(li("l_extendedprice") * (lit(1.0) - li("l_discount"))).as("revenue"),
           count(lit(1)).as("n"))
-        .orderBy("r_name")
+        
     }),
 
     // Semi join: orders with at least one very-high-quantity line
@@ -104,7 +104,7 @@ object RelationalQueries {
     "rel_join_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
       c.join(o.select(col("o_custkey")), c("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey")).orderBy("c_custkey")
+        .select(col("c_custkey"))
     }),
 
     // Window rank: top-3 orders per priority by total price
@@ -115,7 +115,7 @@ object RelationalQueries {
       o.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
-        .orderBy("o_orderpriority", "rn")
+        
     }),
 
     // Window lag: per-user delta of consecutive event values
@@ -123,7 +123,7 @@ object RelationalQueries {
       val ev = t(s, dir, "events")
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       ev.withColumn("delta", col("value") - lag(col("value"), 1).over(w))
-        .select(col("event_id"), col("delta")).orderBy("event_id")
+        .select(col("event_id"), col("delta"))
     }),
 
     // Salted join: the manual skew weapon — deterministic salt spreads a
@@ -133,7 +133,7 @@ object RelationalQueries {
       val dim = ev.groupBy(col("user_id")).agg(dsum(col("value")).as("user_total"))
       graft.operators.SaltedJoin.join(ev, dim, Seq("user_id"), k = 8)
         .select(col("event_id"), col("user_total"))
-        .orderBy("event_id")
+        
     }),
 
     // Audit-DRIVEN salted join: skewAudit names the user_ids above the
@@ -145,7 +145,7 @@ object RelationalQueries {
       val dim = ev.groupBy(col("user_id")).agg(dsum(col("value")).as("user_total"))
       graft.operators.SaltedJoin.joinByAudit(ev, dim, "user_id", k = 8)
         .select(col("event_id"), col("user_total"))
-        .orderBy("event_id")
+        
     }),
 
     // Audit-driven salted LEFT join: the routine warehouse fact-dim
@@ -160,7 +160,7 @@ object RelationalQueries {
       graft.operators.SaltedJoin.joinByAudit(ev, dim, "user_id", k = 8,
           joinType = "left")
         .select(col("event_id"), col("user_total"))
-        .orderBy("event_id")
+        
     }),
 
     // Audit-driven salted join with AUTO-sized k (k = 0): the salt
@@ -173,7 +173,7 @@ object RelationalQueries {
       val dim = ev.groupBy(col("user_id")).agg(dsum(col("value")).as("user_total"))
       graft.operators.SaltedJoin.joinByAudit(ev, dim, "user_id")
         .select(col("event_id"), col("user_total"))
-        .orderBy("event_id")
+        
     }),
 
     // Pivot: long→wide per-user event-type sums (groupBy().pivot() with
@@ -183,7 +183,7 @@ object RelationalQueries {
       ev.groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(dsum(col("value")))
-        .orderBy("user_id")
+        
     }),
 
     // pandas melt (wide → long): Spark's native unpivot — an Expand
@@ -192,14 +192,14 @@ object RelationalQueries {
       graft.operators.Reshape.melt(t(s, dir, "lineitem"),
           ids = Seq("l_orderkey", "l_linenumber"),
           values = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-        .orderBy("l_orderkey", "l_linenumber", "variable")),
+        ),
 
     // pandas crosstab(priority, status): ONE hash aggregate with
     // conditional count partials — the shuffle carries 5 rows, not pairs
     "rel_crosstab" -> ((s, dir) =>
       graft.operators.Reshape.crosstab(t(s, dir, "orders"),
           "o_orderpriority", "o_orderstatus", Seq("F", "O", "P"))
-        .orderBy("o_orderpriority")),
+        ),
 
     // pandas get_dummies: one 0/1 column per category, pure projection
     // (explicit category list keeps the plan collect-free — see Reshape)
@@ -208,7 +208,7 @@ object RelationalQueries {
           Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), "pri")
         .select(col("o_orderkey"), col("pri_1_urgent"), col("pri_2_high"),
           col("pri_3_medium"), col("pri_4_not_specified"), col("pri_5_low"))
-        .orderBy("o_orderkey")),
+        ),
 
     // Numeric RANGE frame (vs the ROWS frames everywhere else and the
     // time-range frames in o5_rolling_time): peers within a VALUE
@@ -220,7 +220,7 @@ object RelationalQueries {
         .partitionBy(col("user_id")).orderBy(col("value"))
         .rangeBetween(-5L, 0L)
       ev.select(col("event_id"), count(lit(1)).over(w).as("n_near"))
-        .orderBy("event_id")
+        
     }),
 
     // Distribution window functions: ntile / percent_rank / cume_dist
@@ -231,7 +231,7 @@ object RelationalQueries {
           ntile(4).over(w).cast("long").as("quartile"),
           percent_rank().over(w).as("pr"),
           cume_dist().over(w).as("cd"))
-        .orderBy("event_id")
+        
     }),
 
     // TPC-H Q3-style composite: selective dim filter → fact join →
@@ -257,7 +257,7 @@ object RelationalQueries {
       val b = d.select((col("doc_id") - 1).as("id"), col("p").as("pb"))
       a.join(b, "id")
         .select(col("id"), levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
-        .orderBy("id")
+        
     }),
 
     // Top-k: TakeOrderedAndProject, no global sort
@@ -273,7 +273,7 @@ object RelationalQueries {
       val ev = t(s, dir, "events")
       ev.filter(col("event_type") === "click").select(col("user_id"))
         .except(ev.filter(col("event_type") === "error").select(col("user_id")))
-        .orderBy("user_id")
+        
     }),
 
     // Set ops: INTERSECT and UNION (DISTINCT) composed
@@ -282,7 +282,7 @@ object RelationalQueries {
       def users(t0: String) = ev.filter(col("event_type") === t0).select("user_id")
       users("click").intersect(users("purchase"))
         .union(users("signup")).distinct()
-        .orderBy("user_id")
+        
     }),
 
     // Rollup: hierarchical aggregates (grouping-set NULLs → 'ALL')
@@ -293,7 +293,7 @@ object RelationalQueries {
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("sum_qty"), col("n"))
-        .orderBy("rf", "ls")
+        
     }),
 
     // Exact distinct aggregate
@@ -302,7 +302,7 @@ object RelationalQueries {
       li.groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("nd_parts"),
           countDistinct(col("l_suppkey")).as("nd_supps"))
-        .orderBy("l_returnflag")
+        
     }),
 
     // Scalar function catalog: string/date/math built-ins
@@ -316,7 +316,7 @@ object RelationalQueries {
         year(col("o_orderdate")).cast("long").as("yr"),
         month(col("o_orderdate")).cast("long").as("mo"),
         abs(col("o_totalprice") - lit(1000.0)).as("adiff"))
-        .orderBy("o_orderkey")
+        
     }),
 
     // Cube: all grouping-set combinations
@@ -327,7 +327,7 @@ object RelationalQueries {
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("sum_qty"), col("n"))
-        .orderBy("rf", "ls")
+        
     }),
 
     // JSON extraction from the events props column
@@ -335,7 +335,7 @@ object RelationalQueries {
       val ev = t(s, dir, "events")
       ev.select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_val"))
-        .orderBy("event_id")
+        
     }),
 
     // As-of join (backward): latest prior error per click, per user —
@@ -355,7 +355,7 @@ object RelationalQueries {
           allowExactMatches = false)
         .select(col("event_id"), epochUs(col("err_ts")).as("err_ts_us"),
           col("err_value"))
-        .orderBy("event_id")
+        
     }),
 
     "asof_join" -> ((s, dir) => {
@@ -368,7 +368,7 @@ object RelationalQueries {
           Seq("user_id"), "ts", "ts", Seq("value"), prefix = "err_")
         .select(col("event_id"), epochUs(col("err_ts")).as("err_ts_us"),
           col("err_value"))
-        .orderBy("event_id")
+        
     }),
 
     // forward as-of (merge_asof direction='forward'): earliest error ≥ click
@@ -382,7 +382,7 @@ object RelationalQueries {
           Seq("user_id"), "ts", "ts", Seq("value"), prefix = "err_")
         .select(col("event_id"), epochUs(col("err_ts")).as("err_ts_us"),
           col("err_value"))
-        .orderBy("event_id")
+        
     }),
 
     // as-of with tolerance (merge_asof tolerance=2min): distant matches null
@@ -397,7 +397,7 @@ object RelationalQueries {
           toleranceUs = Some(120000000L))
         .select(col("event_id"), epochUs(col("err_ts")).as("err_ts_us"),
           col("err_value"))
-        .orderBy("event_id")
+        
     }),
 
     // nearest as-of (merge_asof direction='nearest'; ties → backward)
@@ -411,7 +411,7 @@ object RelationalQueries {
           Seq("user_id"), "ts", "ts", Seq("value"), prefix = "err_")
         .select(col("event_id"), epochUs(col("err_ts")).as("err_ts_us"),
           col("err_value"))
-        .orderBy("event_id")
+        
     }),
 
     // Bounded range self-join via bucket replication (no BNL join)
@@ -420,7 +420,7 @@ object RelationalQueries {
       graft.operators.RangeJoin.pairsWithin(ev, Seq("user_id"), "ts",
           "event_id", rangeUs = 120000000L)
         .select(col("ea"), col("eb"), col("gap_us"))
-        .orderBy("ea", "eb")
+        
     }),
 
     // Interval×interval overlap join: per-user event intervals (1-7h,
@@ -436,7 +436,7 @@ object RelationalQueries {
           ev.filter(col("event_id") % 2 =!= 0),
           Seq("user_id"), "event_id", "s", "e", "event_id", "s", "e",
           bucketW = 7200000000L)
-        .orderBy("user_id", "ida", "idb")
+        
     }),
 
     // Array/map scalar functions over the documents table
@@ -450,7 +450,7 @@ object RelationalQueries {
         concat_ws("|", slice(ws, 1, 3)).as("first3"),
         element_at(ws, -1).as("last_w"),
         size(array_distinct(ws)).cast("long").as("nd"))
-        .orderBy("doc_id")
+        
     }),
 
     // Source/sink surface under the oracle: parquet → CSV sink → CSV
@@ -461,7 +461,7 @@ object RelationalQueries {
       val out = cachedTempDir("graft_csv", dir)
       n.write.mode("overwrite").option("header", "true").csv(out)
       s.read.schema(n.schema).option("header", "true").csv(out)
-        .orderBy("n_nationkey")
+        
     }),
 
     // Hive-partitioned parquet sink → pruned read: the layout a 100 TB
@@ -474,7 +474,7 @@ object RelationalQueries {
       d.write.mode("overwrite").partitionBy("source").parquet(out)
       s.read.parquet(out).filter(col("source").isin("src0", "src1"))
         .select(col("doc_id"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
+        
     }),
 
     // SCHEMA EVOLUTION roundtrip: two parquet batches with different
@@ -490,7 +490,7 @@ object RelationalQueries {
         .write.mode("overwrite").parquet(s"$out/b2")
       s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
         .select(col("doc_id"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
+        
     }),
 
     // WRITE-side schema evolution: append a batch with a DIFFERENT
@@ -509,7 +509,7 @@ object RelationalQueries {
         .write.mode("append").parquet(out)
       s.read.option("mergeSchema", "true").parquet(out)
         .select(col("doc_id"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
+        
     }),
 
     // Dynamic partition overwrite: rewrite ONE ingest partition in place
@@ -533,7 +533,7 @@ object RelationalQueries {
       }
       s.read.parquet(out)
         .select(col("doc_id"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
+        
     }),
 
     // parquet → JSON-lines sink → JSON source, same exactness contract
@@ -542,7 +542,7 @@ object RelationalQueries {
       val out = cachedTempDir("graft_json", dir)
       r.write.mode("overwrite").json(out)
       s.read.schema(r.schema).json(out)
-        .orderBy("r_regionkey")
+        
     }),
 
     // parquet → ORC sink → ORC source: the third columnar container
@@ -556,7 +556,7 @@ object RelationalQueries {
       val out = cachedTempDir("graft_orc", dir)
       su.write.mode("overwrite").orc(out)
       s.read.schema(su.schema).orc(out)
-        .orderBy("s_suppkey")
+        
     }),
 
     // Generator / UDTF surface: posexplode = LATERAL VIEW with ordinal —
@@ -567,7 +567,7 @@ object RelationalQueries {
       d.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("word"))
-        .orderBy("doc_id", "pos")
+        
     }),
 
     // Plain-SQL frontend: the engine's surface is also reachable via
@@ -626,7 +626,7 @@ object RelationalQueries {
       li.filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
           && col("l_quantity") < 10)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy("l_orderkey", "l_linenumber")
+        
     }),
 
     // Typed-Aggregator UDAF as a first-class oracled query: exact
@@ -640,7 +640,7 @@ object RelationalQueries {
       ev.select(col("user_id"), vm.as("__vm"))
         .groupBy(col("user_id"))
         .agg(microMean(col("__vm")).as("vmean"), count(lit(1)).as("n"))
-        .orderBy("user_id")
+        
     }),
 
     // TPC-H Q5-style 6-table local-supplier revenue: the canonical
@@ -661,7 +661,7 @@ object RelationalQueries {
         .groupBy(col("n_name"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n"))
-        .orderBy("n_name")
+        
     }),
 
     // Time-weighted average (TWAP) per user: each observation holds
@@ -688,7 +688,7 @@ object RelationalQueries {
           (col("wsum").cast("double") / col("total_us").cast("double")
             / lit(1000.0)).as("twap"),
           col("total_us"))
-        .orderBy("user_id")
+        
     }),
 
     // Funnel analysis (view → click → purchase): the product-analytics
@@ -716,7 +716,7 @@ object RelationalQueries {
         .select(col("user_id"), col("t1_us"),
           coalesce(col("t2_us"), lit(-1L)).as("t2_us"),
           coalesce(col("t3_us"), lit(-1L)).as("t3_us"))
-        .orderBy("user_id")
+        
     }),
 
     // Cohort retention: users grouped by their first-event week, the
@@ -742,7 +742,7 @@ object RelationalQueries {
         .distinct()
         .groupBy(col("cohort_week"), col("week_offset"))
         .agg(count(lit(1)).as("n_active"))
-        .orderBy("cohort_week", "week_offset")
+        
     }),
 
     // Join-key skew audit: top-10 heaviest user_ids with share and
@@ -750,7 +750,7 @@ object RelationalQueries {
     // justifies (or rules out) salting before the shuffle
     "rel_skew_audit" -> ((s, dir) =>
       graft.operators.Warehouse.skewAudit(t(s, dir, "events"), "user_id", 10)
-        .orderBy("rank")),
+        ),
 
     // Data-quality constraint suite (the Deequ/Great-Expectations shape
     // as ONE aggregate): completeness, key uniqueness, domain
@@ -781,7 +781,7 @@ object RelationalQueries {
           struct(lit(name).as("check"), metric.as("metric"),
             passed.cast("int").as("passed"))
         }: _*)).as("c"))
-        .select(col("c.*")).orderBy("check")
+        .select(col("c.*"))
     }),
 
     // Holt double exponential smoothing (level + one-step forecast) as
@@ -791,7 +791,7 @@ object RelationalQueries {
       graft.operators.TimeSeries.holt(t(s, dir, "events"),
           "user_id", "ts", "event_id", "value", HOLT_ALPHA, HOLT_BETA)
         .select(col("event_id"), col("level"), col("forecast"))
-        .orderBy("event_id")),
+        ),
 
     // SCD Type-2 dimension build (Kimball ch.5): per-user change log →
     // versioned rows with effective_from/to and is_current. One shuffle
@@ -805,7 +805,7 @@ object RelationalQueries {
           epochUs(col("eff_from")).as("from_us"),
           coalesce(epochUs(col("eff_to")), lit(-1L)).as("to_us"),
           col("is_current"))
-        .orderBy("user_id", "from_us", "attr")),
+        ),
 
     // Multi-touch attribution: click/view touches credited to the NEXT
     // purchase of the same user — last-touch and linear models in one
@@ -815,7 +815,7 @@ object RelationalQueries {
       graft.operators.Warehouse.attribution(t(s, dir, "events"),
           "user_id", "event_type", "ts", "event_id", "value",
           Seq("click", "view"), "purchase")
-        .orderBy("user_id", "touch_id")),
+        ),
 
     // MERGE INTO / CDC-batch apply (Delta-MERGE relational core): a
     // change batch (upserts, deletes, a churn key with two events, new
@@ -843,7 +843,7 @@ object RelationalQueries {
       graft.operators.Warehouse.mergeUpsert(target,
           upd.unionAll(redel).unionAll(ins).unionAll(ghost),
           "k", "v", "seq", "op")
-        .orderBy("k")
+        
     }),
 
     // Pairwise Pearson correlation matrix over three lineitem measures:
@@ -851,7 +851,7 @@ object RelationalQueries {
     "rel_corr_matrix" -> ((s, dir) =>
       graft.operators.Binning.corrMatrix(t(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount"))
-        .orderBy("col_a", "col_b")),
+        ),
 
     // LOCF imputation: planted nulls (event_id % 7) take the user's
     // most recent non-null value in (ts, event_id) order; leading
@@ -864,7 +864,7 @@ object RelationalQueries {
       graft.operators.Binning.imputeLocf(ev, "user_id", "ts", "event_id",
           "v", "v_filled")
         .select(col("event_id"), col("v"), col("v_filled"))
-        .orderBy("event_id")
+        
     }),
 
     // Incremental aggregate maintenance (materialized-view refresh):
@@ -878,7 +878,7 @@ object RelationalQueries {
         ord.filter(col("o_orderkey") % 3 =!= 0), "o_orderpriority", "o_totalprice")
       graft.operators.Warehouse.incrementalAgg(state,
           ord.filter(col("o_orderkey") % 3 === 0), "o_orderpriority", "o_totalprice")
-        .orderBy("o_orderpriority")
+        
     }),
 
     // Event-transition matrix (first-order Markov path report): one
@@ -887,7 +887,7 @@ object RelationalQueries {
     "rel_transitions" -> ((s, dir) =>
       graft.operators.Warehouse.transitions(t(s, dir, "events"),
           "user_id", "event_type", "ts", "event_id")
-        .orderBy("from_type", "to_type")),
+        ),
 
     // Snapshot diff (Delta-CDF/changelog core): the row-level diff of
     // the merge fixture's before/after states in ONE declarative plan —
@@ -914,7 +914,7 @@ object RelationalQueries {
         upd.unionAll(redel).unionAll(ins).unionAll(ghost),
         "k", "v", "seq", "op")
       graft.operators.Warehouse.snapshotDiff(target, after, "k", "v")
-        .orderBy("k")
+        
     }),
 
     // Fellegi-Sunter probabilistic record linkage: blocked candidate
@@ -926,7 +926,7 @@ object RelationalQueries {
           Seq("brand" -> col("p_brand"), "type" -> col("p_type"),
             "price_band" -> floor(col("p_retailprice") / 10.0).cast("long")),
           m = 0.9)
-        .orderBy("ka", "kb")),
+        ),
 
     // Entity resolution: dirty-string lookup against the part catalog —
     // a tiny probe list (typo'd names) broadcasts, BLOCKING on (first
@@ -954,7 +954,7 @@ object RelationalQueries {
       cand.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("probe"), col("p_partkey"), col("p_name"), col("dist"))
-        .orderBy("probe")
+        
     }),
 
     // TPC-H Q7-style "volume shipping": revenue between a nation PAIR by
@@ -979,7 +979,7 @@ object RelationalQueries {
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        
     }),
 
     // TPC-H Q14-style "promotion effect": the percentage of revenue from
@@ -1015,7 +1015,7 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           epochUs(col("o_orderdate").cast("timestamp")).as("odate_us"),
           col("o_totalprice"), col("sum_qty"))
-        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        
     }),
 
     // pandas concat with mismatched columns (NaN fill): unionByName with
@@ -1025,7 +1025,7 @@ object RelationalQueries {
       val b = t(s, dir, "region").select(col("r_regionkey").as("id"),
         col("r_name").as("name"), lit("region").as("kind"))
       a.unionByName(b, allowMissingColumns = true)
-        .orderBy(col("id"), col("kind").asc_nulls_first)
+        
     }),
 
     // TPC-H Q10-style returned-item report: who returned the most
@@ -1073,8 +1073,7 @@ object RelationalQueries {
         .filter(col("cost") === col("__min"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("cost"))
-        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
-          col("p_partkey"))
+        
     }),
 
     // TPC-H Q4-style order-priority check: EXISTS becomes a LEFT SEMI
@@ -1089,7 +1088,7 @@ object RelationalQueries {
           && col("l_shipdate") > col("o_orderdate"), "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
-        .orderBy("o_orderpriority")
+        
     }),
 
     // TPC-H Q6 forecasting-revenue change: the pure-scan aggregate —
@@ -1137,7 +1136,7 @@ object RelationalQueries {
         .select(col("o_year"),
           (col("nation_rev") / col("total_rev")).as("mkt_share"),
           col("nation_rev"), col("total_rev"))
-        .orderBy("o_year")
+        
     }),
 
     // TPC-H Q9-style product-type profit: profit = revenue − cost with
@@ -1163,7 +1162,7 @@ object RelationalQueries {
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(dsum(amount).as("sum_profit"), count(lit(1)).as("n"))
-        .orderBy(col("nation"), col("o_year").desc)
+        
     }),
 
     // TPC-H Q11-style important stock: per-part value restricted to one
@@ -1186,7 +1185,7 @@ object RelationalQueries {
       perPart.crossJoin(broadcast(total))
         .filter(col("value") > col("__total") * lit(0.001))
         .select(col("l_partkey"), col("value"))
-        .orderBy(col("value").desc, col("l_partkey"))
+        
     }),
 
     // TPC-H Q12-style shipping-priority check: lineitems shipped >90
@@ -1205,7 +1204,7 @@ object RelationalQueries {
             .otherwise(0L)).as("high_line_count"),
           sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
             .otherwise(1L)).as("low_line_count"))
-        .orderBy("l_returnflag")
+        
     }),
 
     // TPC-H Q13 customer order-count distribution: LEFT OUTER join so
@@ -1221,7 +1220,7 @@ object RelationalQueries {
         .agg(count(col("o_orderkey")).as("c_count"))
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc)
+        
     }),
 
     // TPC-H Q15 top supplier: quarterly revenue per supplier, keep the
@@ -1239,7 +1238,7 @@ object RelationalQueries {
         .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_rev"))
-        .orderBy("s_suppkey")
+        
     }),
 
     // TPC-H Q16-style supplier diversity: distinct suppliers per
@@ -1260,8 +1259,7 @@ object RelationalQueries {
         .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
         .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
-          col("p_size"))
+        
     }),
 
     // TPC-H Q17 small-quantity-order revenue: lineitems below 20% of
@@ -1324,7 +1322,7 @@ object RelationalQueries {
           col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(movers), col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_suppkey"), col("s_name"))
-        .orderBy("s_suppkey")
+        
     }),
 
     // TPC-H Q21-style waiting-orders: in finished multi-supplier orders,
@@ -1356,7 +1354,7 @@ object RelationalQueries {
         .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_suppkey"), col("s_name"))
         .agg(count(lit(1)).as("numwait"))
-        .orderBy(col("numwait").desc, col("s_suppkey"))
+        
     }),
 
     // TPC-H Q22-style dormant high-balance customers: customers with no
@@ -1377,7 +1375,7 @@ object RelationalQueries {
         .filter(col("c_acctbal") > col("__avg"))
         .groupBy((col("c_nationkey") % 5).as("cntrycode"))
         .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
-        .orderBy("cntrycode")
+        
     }),
 
     // pandas describe(): per-column profile — count, exact mean, sample
@@ -1423,7 +1421,7 @@ object RelationalQueries {
           (sx.cast("double") / (nn * lit(1e6))).as("mean"),
           (sqrt(((sxx * n - sx * sx).cast("double")) / (nn * (nn - lit(1.0)))) / lit(1e6)).as("std"),
           min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
-        .orderBy("source")
+        
     }),
 
     // FULL OUTER join with nulls flowing both directions: segment
@@ -1438,7 +1436,7 @@ object RelationalQueries {
       c.join(rev, col("c_custkey") === col("o_custkey"), "full_outer")
         .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
           col("c_mktsegment"), col("rev"))
-        .orderBy("custkey")
+        
     }),
 
     // Exact grouped percentiles (continuous interpolation, the engine's
@@ -1457,7 +1455,7 @@ object RelationalQueries {
           element_at(col("__p"), 3).as("p75"),
           element_at(col("__p"), 4).as("p90"),
           col("n"))
-        .orderBy("l_returnflag")
+        
     }),
 
     // CO-LOCATED BUCKETED JOIN — the 100 TB fact-fact join shape: both
@@ -1475,7 +1473,7 @@ object RelationalQueries {
         .join(s.table(ordersTab), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(dsum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
-        .orderBy("o_orderpriority")
+        
     })
   )
 

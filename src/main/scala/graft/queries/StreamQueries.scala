@@ -113,7 +113,7 @@ object StreamQueries {
     // multimodal: binary payload → batch decode via mapPartitions
     "mm_decode_stub" -> ((s, dir) => {
       val docs = Multimodal.withBlob(t(s, dir, "documents"), "text")
-      Multimodal.decodeStub(docs, "doc_id", "blob").orderBy("id")
+      Multimodal.decodeStub(docs, "doc_id", "blob")
     }),
 
     // multimodal: REAL decode — javax.imageio parses deterministic PNGs;
@@ -127,7 +127,7 @@ object StreamQueries {
       val ids = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
       val docs = Multimodal.withPngBlob(ids, "doc_id")
-      Multimodal.decodeImages(docs, "doc_id", "img").orderBy("id")
+      Multimodal.decodeImages(docs, "doc_id", "img")
     }),
 
     // multimodal: real decode + nearest-neighbor resize to 16x8; oracle
@@ -136,7 +136,7 @@ object StreamQueries {
       val ids = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
       val docs = Multimodal.withPngBlob(ids, "doc_id")
-      Multimodal.resizeImages(docs, "doc_id", "img", tw = 16, th = 8).orderBy("id")
+      Multimodal.resizeImages(docs, "doc_id", "img", tw = 16, th = 8)
     }),
 
     // multimodal: difference-hash (gradient perceptual hash) — same
@@ -145,7 +145,7 @@ object StreamQueries {
       val ids = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
       val docs = Multimodal.withPngBlob(ids, "doc_id")
-      Multimodal.differenceHash(docs, "doc_id", "img").orderBy("id")
+      Multimodal.differenceHash(docs, "doc_id", "img")
     }),
 
     // multimodal: batch featurizer (fixed-size vector), exact milli units
@@ -156,7 +156,7 @@ object StreamQueries {
       val ids = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
       val docs = Multimodal.withPngBlob(ids, "doc_id")
-      Multimodal.averageHash(docs, "doc_id", "img").orderBy("id")
+      Multimodal.averageHash(docs, "doc_id", "img")
     }),
 
     // multimodal: DCT perceptual hash — frequency-domain fingerprint,
@@ -165,7 +165,7 @@ object StreamQueries {
       val ids = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
       val docs = Multimodal.withPngBlob(ids, "doc_id")
-      Multimodal.perceptualHash(docs, "doc_id", "img").orderBy("id")
+      Multimodal.perceptualHash(docs, "doc_id", "img")
     }),
 
     // multimodal: the full visual fingerprint family (aHash + dHash +
@@ -175,7 +175,7 @@ object StreamQueries {
       val ids = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
       val docs = Multimodal.withPngBlob(ids, "doc_id")
-      Multimodal.fingerprints(docs, "doc_id", "img").orderBy("id")
+      Multimodal.fingerprints(docs, "doc_id", "img")
     }),
 
     "mm_phash_pairs" -> ((s, dir) => {
@@ -185,7 +185,7 @@ object StreamQueries {
         .repartition(s.sparkContext.defaultParallelism)
       val docs = Multimodal.withPngBlob(ids, "doc_id")
       Multimodal.nearDupPairsPhash(docs, "doc_id", "img", maxHd = 3)
-        .orderBy("da", "db")
+        
     }),
 
     "mm_neardup_pairs" -> ((s, dir) => {
@@ -195,7 +195,7 @@ object StreamQueries {
         .repartition(s.sparkContext.defaultParallelism)
       val docs = Multimodal.withPngBlob(ids, "doc_id")
       Multimodal.nearDupPairs(docs, "doc_id", "img", maxHd = 3)
-        .orderBy("da", "db")
+        
     }),
 
     "mm_featurize" -> ((s, dir) => {
@@ -204,7 +204,7 @@ object StreamQueries {
         .select(col("id"), posexplode(col("feat")).as(Seq("k", "v")))
         .select(col("id"), col("k").cast("long").as("k"),
           round(col("v") * 1000).cast("long").as("v_milli"))
-        .orderBy("id", "k")
+        
     }),
 
     // structured streaming: tumbling-window resample; MemoryStream source
@@ -213,7 +213,7 @@ object StreamQueries {
     "stream_resample" -> ((s, dir) => {
       StreamOps.resampleOnceMem(s, dir, "1 day")
         .select(epochUs(col("bucket")).as("bucket_us"), col("day_sum"), col("n"))
-        .orderBy("bucket_us")
+        
     }),
 
     // structured streaming: SLIDING windows (1 day wide, 6 h slide) —
@@ -222,20 +222,20 @@ object StreamQueries {
       StreamOps.resampleOnceMem(s, dir, "1 day", "stream_sliding_sink",
           slide = Some("6 hours"))
         .select(epochUs(col("bucket")).as("bucket_us"), col("day_sum"), col("n"))
-        .orderBy("bucket_us")
+        
     }),
 
     // streaming PARQUET sink roundtrip: append-mode windowed agg →
     // exactly-once file sink → batch read-back; oracle = batch resample
     "stream_parquet_sink" -> ((s, dir) =>
-      StreamOps.resampleToParquetOnce(s, dir, "1 day").orderBy("bucket_us")),
+      StreamOps.resampleToParquetOnce(s, dir, "1 day")),
 
     // streaming near-dup against an indexed historical corpus: static
     // MinHash band index + stream-static equi-join + exact Jaccard
     // verify; the only state is the verified-pair dedup
     "stream_neardup" -> ((s, dir) =>
       StreamOps.nearDupOnce(s, dir, ND_MOD, ND_TAU, "stream_neardup_q_sink")
-        .orderBy("id", "match_id")),
+        ),
 
     // streaming exact dedup: dropDuplicates under the streaming engine;
     // output projected to content-derived columns (which doc_id survives
@@ -243,14 +243,14 @@ object StreamQueries {
     "stream_dedup" -> ((s, dir) => {
       StreamOps.dedupOnce(s, dir, Seq("text"), "stream_dedup_q_sink")
         .select(md5(col("text").cast("binary")).as("h"), col("n_chars"))
-        .orderBy("h")
+        
     }),
 
     // stateful streaming sessionize (flatMapGroupsWithState): emits the
     // CLOSED sessions; each user's tail session remains in state
     "stream_sessionize" -> ((s, dir) => {
       StreamOps.sessionizeOnceMem(s, dir, gapMinutes = 30)
-        .orderBy("user_id", "session_idx")
+        
     }),
 
     // stateful streaming sessionize with EVENT-TIME state expiry: tails
@@ -258,7 +258,7 @@ object StreamQueries {
     // sessionization — proving stream==batch AND that state is freed
     "stream_sessionize_et" -> ((s, dir) => {
       StreamOps.sessionizeOnceEventTime(s, dir, gapMinutes = 30)
-        .orderBy("user_id", "session_idx")
+        
     }),
 
     // NATIVE streaming sessionization: Spark's built-in session_window
@@ -267,7 +267,7 @@ object StreamQueries {
     // so the oracle is the full batch session_window result
     "stream_sessionize_native" -> ((s, dir) => {
       StreamOps.sessionizeOnceNative(s, dir, gapMinutes = 30)
-        .orderBy("user_id", "start_us")
+        
     }),
 
     // DYNAMIC-gap streaming sessionization: the per-event-timeout
@@ -275,7 +275,7 @@ object StreamQueries {
     // half-open intervals in state; shares the batch dynamic oracle
     "stream_sessionize_dynamic" -> ((s, dir) =>
       StreamOps.sessionizeDynamicOnce(s, dir)
-        .orderBy("user_id", "start_us")),
+        ),
 
     // FILE-SOURCE dynamic-gap sessionization twin: time-range waves +
     // two sentinel WAVES (built from the bounds aggregate, no collect)
@@ -283,7 +283,7 @@ object StreamQueries {
     // with the batch sessionize_dynamic
     "stream_sessionize_dyn_file" -> ((s, dir) =>
       StreamOps.sessionizeDynamicOnceFile(s, dir)
-        .orderBy("user_id", "start_us")),
+        ),
 
     // multimodal: frame sampling — n equal-stride byte slices per blob
     // (video-frame-extraction stand-in); frames cast back to text so the
@@ -294,19 +294,19 @@ object StreamQueries {
         .select(col("doc_id").as("id"), posexplode(col("frames")).as(Seq("k", "frame")))
         .select(col("id"), col("k").cast("long").as("k"),
           col("frame").cast("string").as("ftxt"))
-        .orderBy("id", "k")
+        
     }),
 
     // STREAM-STATIC broadcast enrichment join (dimension lookup per
     // micro-batch, zero streaming join state)
     "stream_static_join" -> ((s, dir) =>
-      StreamOps.staticJoinOnce(s, dir).orderBy("event_id")),
+      StreamOps.staticJoinOnce(s, dir)),
 
     // UPDATE-mode running aggregation: per-batch deltas (changed keys
     // only); final state reconstructed from each key's highest count,
     // oracled == the batch groupBy
     "stream_update" -> ((s, dir) =>
-      StreamOps.updateCountsOnce(s, dir).orderBy("user_id")),
+      StreamOps.updateCountsOnce(s, dir)),
 
     // COMPLETE output mode: running corpus vocabulary over a parquet
     // stream — state bounded by the distinct-token set, final table ==
@@ -318,38 +318,38 @@ object StreamQueries {
     // stateless append-mode projection over the ingest — shares the
     // batch text_winnowing oracle
     "stream_winnow" -> ((s, dir) =>
-      StreamOps.winnowOnce(s, dir, ExtQueries.WINNOW_W).orderBy("id", "pos")),
+      StreamOps.winnowOnce(s, dir, ExtQueries.WINNOW_W)),
 
     // STREAMING attribution: pending-touch ListState credits the whole
     // list at conversion arrival (the online form of the batch reverse
     // carry); append mode — emissions are final; shares rel_attribution
     "stream_attribution" -> ((s, dir) =>
-      StreamOps.attributionOnce(s, dir).orderBy("user_id", "touch_id")),
+      StreamOps.attributionOnce(s, dir)),
 
     // FILE-SOURCE attribution twin: pending-touch ListState across
     // time-range-wave microbatches, no row visits the driver; shares
     // rel_attribution's oracle verbatim
     "stream_attribution_file" -> ((s, dir) =>
-      StreamOps.attributionOnceFile(s, dir).orderBy("user_id", "touch_id")),
+      StreamOps.attributionOnceFile(s, dir)),
 
     // STREAMING SCD2: per-key open-version ValueState closes/opens
     // versions as attribute changes arrive; the bounded replay
     // reconstructs the batch version table and shares its oracle
     "stream_scd2" -> ((s, dir) =>
-      StreamOps.scd2Once(s, dir).orderBy("user_id", "from_us", "attr")),
+      StreamOps.scd2Once(s, dir)),
 
     // FILE-SOURCE SCD2 twin: the same state machine fed by the
     // production no-collect path — time-range waves as parquet files,
     // one genuine microbatch per wave, RocksDB state across them
     "stream_scd2_file" -> ((s, dir) =>
-      StreamOps.scd2OnceFile(s, dir).orderBy("user_id", "from_us", "attr")),
+      StreamOps.scd2OnceFile(s, dir)),
 
     // STREAMING Holt smoothing: the exact unbounded fixed-point integer
     // recursion online (constant state per key), multi-batch replay;
     // oracle replays the identical floor-div arithmetic as a recursive
     // CTE — all-BIGINT, no tolerance anywhere
     "stream_holt" -> ((s, dir) =>
-      StreamOps.holtOnce(s, dir).orderBy("event_id")),
+      StreamOps.holtOnce(s, dir)),
 
     // STREAMING heavy hitters: shard-keyed bounded Misra-Gries state
     // (transformWithState, RocksDB) tracks candidates online; one batch
@@ -358,7 +358,7 @@ object StreamQueries {
     "stream_heavy_hitters" -> ((s, dir) =>
       StreamOps.heavyHittersOnce(s, dir, ExtQueries.HH_COUNTERS,
           ExtQueries.HH_SHARE, shards = 8)
-        .orderBy(col("c").desc, col("token"))),
+        ),
 
     // FILE-SOURCE twin of stream_heavy_hitters: doc_id-range waves →
     // one parquet file each → maxFilesPerTrigger=1 microbatches; MG
@@ -367,13 +367,13 @@ object StreamQueries {
     "stream_hh_file" -> ((s, dir) =>
       StreamOps.heavyHittersOnceFile(s, dir, ExtQueries.HH_COUNTERS,
           ExtQueries.HH_SHARE, shards = 8)
-        .orderBy(col("c").desc, col("token"))),
+        ),
 
     // the batch OHLC aggregate unchanged under streaming state —
     // min_by/max_by are declarative aggs, so the engine maintains them
     // incrementally; oracle == batch OHLC
     "stream_ohlc" -> ((s, dir) =>
-      StreamOps.ohlcOnce(s, dir).orderBy("bucket_us")),
+      StreamOps.ohlcOnce(s, dir)),
 
     // ONLINE decontamination: streaming docs probe the static benchmark
     // gram set (stream-static broadcast join, zero join state); COMPLETE
@@ -381,27 +381,27 @@ object StreamQueries {
     // batch text_decontam SQL verbatim
     "stream_decontam" -> ((s, dir) =>
       StreamOps.decontamOnce(s, dir, evalMod = ExtQueries.DECON_MOD,
-        n = ExtQueries.DECON_N).orderBy("id")),
+        n = ExtQueries.DECON_N)),
 
     // ONLINE contamination-rate audit: eval examples stream against the
     // static corpus gram inventory (stream-static left join), one
     // complete-mode agg — shares the batch text_contam_rate oracle
     "stream_contam_rate" -> ((s, dir) =>
       StreamOps.contamRateOnce(s, dir, evalMod = ExtQueries.DECON_MOD,
-        n = ExtQueries.DECON_N).orderBy("id")),
+        n = ExtQueries.DECON_N)),
 
     // ONLINE PII dashboard: stateless detector projection + one
     // complete-mode (source, pattern) agg — shares the batch oracle
     "stream_pii_stats" -> ((s, dir) =>
       StreamOps.piiStatsOnce(s, dir, ExtQueries.PII_PATTERNS)
-        .orderBy("source", "pattern")),
+        ),
 
     // ONLINE CDC chunk indexing: content-local boundaries make the op
     // stateless under streaming (append mode, projection+Generate
     // unchanged) — shares the batch doc_cdc_chunks oracle
     "stream_cdc_chunks" -> ((s, dir) =>
       StreamOps.cdcChunksOnce(s, dir, ExtQueries.CDC_N, ExtQueries.CDC_K)
-        .orderBy("id", "chunk_idx")),
+        ),
 
     // ONLINE C4 line cleaning: pure per-row projection over the file
     // stream (append mode, zero state/shuffle) — the batch code path and
@@ -409,45 +409,45 @@ object StreamQueries {
     "stream_clean_lines" -> ((s, dir) =>
       StreamOps.cleanLinesOnce(s, dir, ExtQueries.CLEAN_WPL,
         ExtQueries.CLEAN_MIN_WORDS, ExtQueries.CLEAN_MIN_LINES,
-        ExtQueries.CLEAN_BAD).orderBy("id")),
+        ExtQueries.CLEAN_BAD)),
 
     // STATEFUL streaming funnel: per-user (t1, t2, t3) funnel front
     // advanced by a mapGroupsWithState machine — three longs of state
     // per user, Update mode; on the bounded replay the final rows
     // equal batch rel_funnel, whose oracle it shares
     "stream_funnel" -> ((s, dir) =>
-      StreamOps.funnelOnce(s, dir).orderBy("user_id")),
+      StreamOps.funnelOnce(s, dir)),
 
     // the SAME funnel on Spark 4's transformWithState arbitrary-state
     // API (named typed ValueState, RocksDB provider) — modern-API twin,
     // same oracle
     "stream_funnel_tws" -> ((s, dir) =>
-      StreamOps.funnelOnceTws(s, dir).orderBy("user_id")),
+      StreamOps.funnelOnceTws(s, dir)),
 
     // streaming cohort matrix: per-user first-week ValueState (one long)
     // emits activity cells; bounded replay == batch rel_cohort
     "stream_cohort" -> ((s, dir) =>
-      StreamOps.cohortOnceTws(s, dir).orderBy("cohort_week", "week_offset")),
+      StreamOps.cohortOnceTws(s, dir)),
 
     // ONLINE transition matrix: per-key last-event ValueState emits
     // (prev → cur) steps as events arrive; append-mode emissions are
     // final and the sink aggregate equals the batch lead-window path
     // report, whose oracle it shares
     "stream_transitions" -> ((s, dir) =>
-      StreamOps.transitionsOnce(s, dir).orderBy("from_type", "to_type")),
+      StreamOps.transitionsOnce(s, dir)),
 
     // FILE-SOURCE transitions twin: last-event ValueState across
     // time-range-wave microbatches on the no-collect ingest path;
     // shares rel_transitions' oracle verbatim
     "stream_transitions_file" -> ((s, dir) =>
-      StreamOps.transitionsOnceFile(s, dir).orderBy("from_type", "to_type")),
+      StreamOps.transitionsOnceFile(s, dir)),
 
     // ONLINE MERGE/CDC apply: per-key ValueState row value maintained
     // from a change feed (materialized-view maintenance) — snapshot
     // streams as seq-0 upserts, then the change batch, across three
     // replay batches; final alive state == the batch mergeUpsert
     "stream_merge" -> ((s, dir) =>
-      StreamOps.mergeOnceTws(s, dir).orderBy("k")),
+      StreamOps.mergeOnceTws(s, dir)),
 
     // the SAME MERGE/CDC apply over the production NO-COLLECT ingest
     // path: each seq wave is its own parquet file, readStream +
@@ -456,14 +456,14 @@ object StreamQueries {
     // proves the file-source end of the stateful pipeline the
     // MemoryStream harness twins only approximate (r12 verdict item 7)
     "stream_merge_file" -> ((s, dir) =>
-      StreamOps.mergeOnceFile(s, dir).orderBy("k")),
+      StreamOps.mergeOnceFile(s, dir)),
 
     // ONLINE tokenizer-coverage tagging: the batch-fit top-k vocabulary
     // ships as a plan literal; each arriving doc is tagged with token /
     // OOV counts in one stateless projection — the live feed of the
     // batch text_oov_rate (its per-source aggregate reproduces it)
     "stream_oov_tag" -> ((s, dir) =>
-      StreamOps.oovTagOnce(s, dir, 50).orderBy("id")),
+      StreamOps.oovTagOnce(s, dir, 50)),
 
     // ONLINE PQ index maintenance: the batch-fit codebook ships as plan
     // literals and every arriving vector encodes to its M nearest
@@ -471,14 +471,14 @@ object StreamQueries {
     // lower-cid ties) — append mode, zero state; rows == the batch
     // PQ codes, so the oracle is the codes CTE chain verbatim
     "stream_pq_encode" -> ((s, dir) =>
-      StreamOps.pqEncodeOnce(s, dir).orderBy("id", "m")),
+      StreamOps.pqEncodeOnce(s, dir)),
 
     // ONLINE PQ maintenance with the TRAINED book: the streaming index
     // serves pqCodebookTrained's Lloyd-fitted artifact — one codebook
     // shared by the batch search path and the ingest encoder, so the
     // two can never drift; oracle = the trainedCbCtes chain's codes
     "stream_pq_trained" -> ((s, dir) =>
-      StreamOps.pqEncodeTrainedOnce(s, dir).orderBy("id", "m")),
+      StreamOps.pqEncodeTrainedOnce(s, dir)),
 
     // ONLINE k-means labeling: the batch Lloyd-fitted centroids ship as
     // plan literals and every arriving vector labels itself with its
@@ -486,14 +486,14 @@ object StreamQueries {
     // distances, (d2, cid) ties) — append mode, zero state; rows == the
     // batch sim_kmeans labeling, so its Lloyd-chain oracle is shared
     "stream_kmeans" -> ((s, dir) =>
-      StreamOps.kMeansAssignOnce(s, dir).orderBy("id")),
+      StreamOps.kMeansAssignOnce(s, dir)),
 
     // ONLINE domain quota: per-domain ValueState kept-count, first-come
     // admission in doc_id order across TWO replay batches — the crawl
     // frontier's "stop a template-heavy domain the moment its quota
     // fills" rule; equals the batch first-cap-by-id window
     "stream_domain_cap" -> ((s, dir) =>
-      StreamOps.domainCapOnceTws(s, dir, cap = 5).orderBy("doc_id")),
+      StreamOps.domainCapOnceTws(s, dir, cap = 5)),
 
     // ONLINE phrase watchlist: per-doc occurrence counts from one
     // stateless projection (per-doc-local start-position filter) —
@@ -501,14 +501,14 @@ object StreamQueries {
     // twin shares text_phrase_search's oracle verbatim
     "stream_phrase_hits" -> ((s, dir) =>
       StreamOps.phraseHitsOnce(s, dir, graft.queries.ExtQueries.PHRASES)
-        .orderBy("phrase", "id")),
+        ),
 
     // ONLINE weighted admission control: hash(id) < w·M with the quality
     // weight computed inline — stateless codegen'd filter, append mode;
     // membership is a pure function of (id, w) so it shares the batch
     // sample_weighted oracle verbatim
     "stream_weighted" -> ((s, dir) =>
-      StreamOps.weightedSampleOnce(s, dir).orderBy("doc_id")),
+      StreamOps.weightedSampleOnce(s, dir)),
 
     // ONLINE importance/quality scoring: the DSIR table is fitted batch-
     // side (a model artifact), then every streaming doc is scored in a
@@ -520,7 +520,7 @@ object StreamQueries {
           org.apache.spark.sql.functions.col("doc_id") % ExtQueries.DSIR_MOD === 0,
           ExtQueries.DSIR_B)
         .orderBy("bucket").collect().map(_.getLong(1)).toSeq
-      StreamOps.importanceScoreOnce(s, dir, tbl, ExtQueries.DSIR_B).orderBy("id")
+      StreamOps.importanceScoreOnce(s, dir, tbl, ExtQueries.DSIR_B)
     }),
 
     // stream-stream INTERVAL JOIN (view → click attribution within 4 h):
@@ -529,7 +529,7 @@ object StreamQueries {
     // identical batch interval join
     "stream_interval_join" -> ((s, dir) =>
       StreamOps.intervalJoinOnce(s, dir, "view", "click", windowMinutes = 240)
-        .orderBy("ea", "eb")),
+        ),
 
     // LEFT-OUTER stream-stream interval join: unmatched views emit with
     // null click columns once the watermark proves no click can arrive —
@@ -537,13 +537,13 @@ object StreamQueries {
     "stream_interval_join_left" -> ((s, dir) =>
       StreamOps.intervalJoinOnce(s, dir, "view", "click", windowMinutes = 240,
           joinType = "left_outer", sinkName = "stream_interval_join_left_sink")
-        .orderBy("ea", "eb")),
+        ),
 
     // gap-based sessionization, skew-safe two-pass plan ((user, day)
     // pre-split + boundary merge; differential spec proves == single-pass)
     "sessionize" -> ((s, dir) =>
       Sessionize.sessionsSkewSafe(t(s, dir, "events"), gapMinutes = 30)
-        .orderBy("user_id", "session_idx")),
+        ),
 
     // DYNAMIC-gap sessionization — session_window with a per-event gap
     // expression (Spark's variable-timeout native form: a purchase
@@ -561,7 +561,7 @@ object StreamQueries {
           epochUs(col("session_window.start")).as("start_us"),
           epochUs(col("session_window.end")).as("end_us"),
           col("n_events"))
-        .orderBy("user_id", "start_us")
+        
     }),
 
     // native session_window sessionization — Spark's built-in session
@@ -574,7 +574,7 @@ object StreamQueries {
           epochUs(col("session_window.start")).as("start_us"),
           epochUs(col("session_window.end")).as("end_us"),
           col("n_events"), col("sess_sum"))
-        .orderBy("user_id", "start_us")
+        
     })
   )
 

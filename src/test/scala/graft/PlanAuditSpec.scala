@@ -544,13 +544,12 @@ class PlanAuditSpec extends SparkSpec {
   private def exchangeNodes(p: String): Int =
     """\(\d+\) Exchange""".r.findAllIn(p).size
 
-  test("winnowing: selection pipelines in the scan, zero shuffle before the sort") {
+  test("winnowing: selection pipelines in the scan, zero shuffle") {
     val p = fmt(graft.queries.ExtQueries.queries("text_winnowing")(spark, sf001))
-    // codegen'd winnow + explode run inside the scan stage; the single
-    // exchange is the output ORDER BY
+    // codegen'd winnow + explode run inside the scan stage; r17 removed
+    // the presentation ORDER BY, so the plan is now exchange-free
     assert(p.contains("Generate"), p)
-    assert(exchangeNodes(p) == 1, p)
-    assert(p.contains("rangepartitioning"), p)
+    assert(exchangeNodes(p) == 0, p)
     assert(!p.contains("hashpartitioning"), p)
   }
 
@@ -571,10 +570,10 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
-  test("JL projection: pure projection pass, zero shuffle before the sort") {
+  test("JL projection: pure projection pass, zero shuffle") {
     val p = fmt(graft.queries.ExtQueries.queries("emb_rand_proj")(spark, sf001))
-    assert(exchangeNodes(p) == 1, p)
-    assert(p.contains("rangepartitioning"), p)
+    // r17: presentation sort removed — a projection pass plans no exchange
+    assert(exchangeNodes(p) == 0, p)
     assert(!p.contains("hashpartitioning"), p)
   }
 
@@ -640,12 +639,11 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
-  test("melt: Expand generator, no shuffle before the output sort") {
+  test("melt: Expand generator, zero shuffle") {
     val p = plan("rel_melt")
     assert(p.contains("Expand"), p)
-    // the only exchange is the output ORDER BY range partitioning
-    assert(exchangeNodes(p) == 1, p)
-    assert(p.contains("rangepartitioning"), p)
+    // r17: presentation ORDER BY removed — melt plans no exchange at all
+    assert(exchangeNodes(p) == 0, p)
   }
 
   test("Q18: fact table shuffles for its aggregate, detail joins broadcast") {
@@ -673,24 +671,26 @@ class PlanAuditSpec extends SparkSpec {
 
   test("curation pipeline: tagging is one projection, dedup window the only wide op") {
     val p = fmt(graft.queries.ExtQueries.queries("pipe_curation")(spark, sf001))
-    // one hashpartitioning exchange (dedup window) + the output sort
-    assert(exchangeNodes(p) == 2, p)
+    // one hashpartitioning exchange (dedup window); the presentation
+    // sort's range exchange is gone (r17)
+    assert(exchangeNodes(p) == 1, p)
     assert("hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Join"), p) // column-composed: no self-joins
   }
 
-  test("mixture resample: replica generator adds NO shuffle before the output sort") {
+  test("mixture resample: replica generator adds NO shuffle") {
     val p = fmt(graft.queries.ExtQueries.queries("mix_resample")(spark, sf001))
     assert(p.contains("Generate"), p)           // explode(sequence)
-    assert(exchangeNodes(p) == 1, p)            // the oracle ORDER BY only
+    assert(exchangeNodes(p) == 0, p)            // r17: no presentation sort
     assert(!p.contains("hashpartitioning"), p)  // rows replicate in place
   }
 
   test("paragraph dedup: two hash shuffles (line agg, doc regroup), partial agg, no join") {
     val p = fmt(graft.queries.ExtQueries.queries("dedup_paragraphs")(spark, sf001))
-    // line-key agg + doc_id regroup; +1 range exchange for the output sort
+    // line-key agg + doc_id regroup; the presentation sort's range
+    // exchange is gone (r17)
     assert("hashpartitioning".r.findAllIn(p).size == 2, p)
-    assert(exchangeNodes(p) == 3, p)
+    assert(exchangeNodes(p) == 2, p)
     // the skew-killer: min(struct) combines map-side BEFORE the shuffle
     assert(p.contains("partial_min") || p.contains("Functions [partial"), p)
     assert(!p.contains("Join"), p)              // the agg output IS the kept set
@@ -698,7 +698,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("C4 line cleaning: pure per-doc projection, zero wide ops") {
     val p = fmt(graft.queries.ExtQueries.queries("text_clean_lines")(spark, sf001))
-    assert(exchangeNodes(p) == 1, p)            // output ORDER BY only
+    assert(exchangeNodes(p) == 0, p)            // r17: no presentation sort
     assert(!p.contains("hashpartitioning"), p)
     assert(!p.contains("Join"), p)
   }
