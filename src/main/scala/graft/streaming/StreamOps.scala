@@ -1148,11 +1148,25 @@ object StreamOps {
       waves: Seq[Long], prefix: String): java.nio.file.Path = {
     val tmp = java.nio.file.Files.createTempDirectory(prefix)
     graft.queries.Tables.deleteOnExit(tmp)
+    // ONE pass over the feed (r17): the per-wave loop used to recompute
+    // the whole feed subtree once per wave (filter + coalesce(1) write =
+    // N full evaluations). A partitioned write keyed by a DUPLICATED dir
+    // column stages every wave in a single job; repartition(N, wavedir)
+    // lands all rows of a wave in one task, so each wave dir holds
+    // exactly one part file. The original wave column stays in the file
+    // data (only the __wavedir copy becomes the directory key). The
+    // stateful consumers sort rows inside handleInputRows, so the
+    // shuffle's intra-file row order is semantics-free (oracle-checked).
+    val stage = tmp.resolve("__stage")
+    feed.withColumn("__wavedir", col(waveCol))
+      .repartition(waves.size, col("__wavedir"))
+      .write.mode("overwrite").partitionBy("__wavedir")
+      .parquet(stage.toString)
     waves.foreach { wave =>
-      val stage = tmp.resolve(s"__stage$wave")
-      feed.filter(col(waveCol) === wave).coalesce(1)
-        .write.mode("overwrite").parquet(stage.toString)
-      val listing = java.nio.file.Files.list(stage)
+      val waveDir = stage.resolve(s"__wavedir=$wave")
+      require(java.nio.file.Files.isDirectory(waveDir),
+        s"wave $wave produced no rows (dir $waveDir missing)")
+      val listing = java.nio.file.Files.list(waveDir)
       val src = try {
         scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator())
           .asScala
@@ -1163,15 +1177,15 @@ object StreamOps {
       java.nio.file.Files.move(src.head, dst)
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1000000L + wave * 60000L))
-      // drop the staging dir (SUCCESS markers etc.) so the glob sees
-      // only waveNN.parquet files
-      val walk = java.nio.file.Files.walk(stage)
-      try {
-        val files = scala.jdk.CollectionConverters
-          .IteratorHasAsScala(walk.iterator()).asScala.toSeq
-        files.reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
-      } finally walk.close()
     }
+    // drop the staging tree (SUCCESS markers etc.) so the glob sees
+    // only waveNN.parquet files
+    val walk = java.nio.file.Files.walk(stage)
+    try {
+      val files = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(walk.iterator()).asScala.toSeq
+      files.reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+    } finally walk.close()
     tmp
   }
 
