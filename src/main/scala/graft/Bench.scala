@@ -155,6 +155,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The generated-class cache defaults to 100 entries (static conf);
+      // this suite cycles ~375 distinct plans per pass, so at the default
+      // size every timed query re-pays Janino for code the warm pass
+      // already compiled (measured: o5_rolling_corr 2.76 s inside the
+      // full suite vs 1.2 s isolated, same plan). A long-lived production
+      // session running a query library hits the identical thrash; the
+      // cache holds weak-ref'd compiled classes, so 4096 entries is
+      // bounded metaspace, not corpus-scale state.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val cgCounter = installFallbackCounter()
