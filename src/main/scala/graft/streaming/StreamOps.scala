@@ -1144,7 +1144,7 @@ object StreamOps {
     * ([[mergeOnceFile]], [[scd2OnceFile]]). The wave column stays in
     * the file iff the caller's schema includes it (filter is on
     * `waveCol`; no columns are dropped here). */
-  private def stageWaveFiles(feed: DataFrame, waveCol: String,
+  private[graft] def stageWaveFiles(feed: DataFrame, waveCol: String,
       waves: Seq[Long], prefix: String): java.nio.file.Path = {
     val tmp = java.nio.file.Files.createTempDirectory(prefix)
     graft.queries.Tables.deleteOnExit(tmp)
