@@ -424,8 +424,13 @@ object Bench {
     // query records -1, NOT its elapsed time: a crash must never read as
     // a fast success in the bench JSON.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
-    val declared = SparkEntry.queries.toSeq.sortBy(_._1)
+    // diagnostic knob: reverse the timed-pass order to separate
+    // query-identity cost from session-age cost (a query that is slow in
+    // BOTH orders is slow; one that is slow only late is aging)
+    val reverseOrder = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "") == "reverse"
+    val declared0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    val declared = if (reverseOrder) declared0.reverse else declared0
     // initial snapshot BEFORE the first timed query: a kill during query
     // one must not leave a stale artifact from a previous run on disk
     rec.writeSnapshot(outPath)
