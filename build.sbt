@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver certifies performance by JSON-parsing the LAST line of a
+// small stdout tail scrape of `sbt "runMain graft.Bench"`. sbt's default
+// LoggedOutput wraps the forked JVM's stdout as "[info] ..." and appends
+// a "[success] Total time: ..." trailer, so the scrape's final line was
+// never a JSON object (BENCH_r13..r17 all parsed:null despite healthy
+// runs). StdoutOutput passes the fork's stdout through verbatim and
+// showSuccess drops the trailer, so the bench's compact JSON is the
+// literal last stdout line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -148,22 +148,17 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val sfDir0 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // codegen-cache sizing and any future engine-level conf come from
+    // the shared SessionDefaults helper (r17 verdict item 2: the conf
+    // must be an engine property consumed by every entry point, not a
+    // bench-only tweak)
+    val spark = graft.core.SessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // The generated-class cache defaults to 100 entries (static conf);
-      // this suite cycles ~375 distinct plans per pass, so at the default
-      // size every timed query re-pays Janino for code the warm pass
-      // already compiled (measured: o5_rolling_corr 2.76 s inside the
-      // full suite vs 1.2 s isolated, same plan). A long-lived production
-      // session running a query library hits the identical thrash; the
-      // cache holds weak-ref'd compiled classes, so 4096 entries is
-      // bounded metaspace, not corpus-scale state.
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val cgCounter = installFallbackCounter()

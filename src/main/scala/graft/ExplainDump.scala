@@ -97,19 +97,34 @@ object ExplainDump {
     "sim_ivf2_pq_trained")
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = graft.core.SessionDefaults(SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
     val sb = new StringBuilder
     sb.append("# EXPLAINS — formatted physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.ExplainDump`; the properties these plans\n")
-    sb.append("exhibit are frozen as assertions in `PlanAuditSpec`.\n")
+    sb.append("exhibit are frozen as assertions in `PlanAuditSpec`.\n\n")
+    sb.append("Remaining root `Exchange rangepartitioning` nodes (r17 removed\n")
+    sb.append("every presentation-only final sort; r18 removed the SQL-string\n")
+    sb.append("ORDER BYs in rel_sql_api / rel_correlated / rel_not_exists /\n")
+    sb.append("rel_grouping_sets): the sorts still present are OPERATOR\n")
+    sb.append("semantics, each over a post-aggregation or bounded frame —\n")
+    sb.append("- `o1_value_counts`, `feat_cut_bins`: pandas `value_counts()`\n")
+    sb.append("  returns descending-count (value tie-break) order; the sort is\n")
+    sb.append("  the operator's contract and runs AFTER the aggregate, over\n")
+    sb.append("  #distinct-values rows — never corpus-scale.\n")
+    sb.append("- `o4_groupby_nosort`: pandas `groupby(sort=False)` group order\n")
+    sb.append("  = first appearance, materialized as `first_pos` AND as result\n")
+    sb.append("  order (WindowGroupSpec pins it); sorts #groups rows post-agg.\n")
+    sb.append("- `sample_shuffle`: the range-partitioned sort on\n")
+    sb.append("  (hash(id), id) IS the declared deterministic permutation —\n")
+    sb.append("  removing it removes the operator.\n")
     flagships.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n```\n")

@@ -4,13 +4,13 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
-/** r17 optimization-round plan snapshots: writes
-  * plans/r17/<query>_<suffix>.txt — `.explain("formatted")` for every
+/** r18 optimization-round plan snapshots: writes
+  * plans/r18/<query>_<suffix>.txt — `.explain("formatted")` for every
   * declared query (sf0.001, local[4], same shape as ExplainDump) so the
   * judge can diff before/after for each touched query.
-  * Usage: runMain graft.PlanDumpR17 <suffix> [query...]
+  * Usage: runMain graft.PlanDumpR18 <suffix> [query...]
   */
-object PlanDumpR17 {
+object PlanDumpR18 {
   def main(args: Array[String]): Unit = {
     val suffix = args.headOption.getOrElse("before")
     val only = args.drop(1).toSet
@@ -23,7 +23,7 @@ object PlanDumpR17 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    val out = Paths.get("/root/repo/plans/r17")
+    val out = Paths.get("/root/repo/plans/r18")
     Files.createDirectories(out)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only.contains(n))

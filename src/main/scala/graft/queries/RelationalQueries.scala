@@ -580,7 +580,7 @@ object RelationalQueries {
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS rev,
           |  count(*) AS n
           |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
-          |GROUP BY 1 ORDER BY 1""".stripMargin)
+          |GROUP BY 1""".stripMargin)
     }),
 
     // Correlated scalar subquery through the SQL frontend — Catalyst
@@ -593,8 +593,7 @@ object RelationalQueries {
         """SELECT l_orderkey, l_linenumber FROM lineitem_corr_v l1
           |WHERE l_extendedprice >
           |  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / count(*)
-          |   FROM lineitem_corr_v l2 WHERE l2.l_orderkey = l1.l_orderkey)
-          |ORDER BY 1, 2""".stripMargin)
+          |   FROM lineitem_corr_v l2 WHERE l2.l_orderkey = l1.l_orderkey)""".stripMargin)
     }),
 
     // NOT EXISTS through the SQL frontend — Catalyst rewrites the
@@ -604,8 +603,7 @@ object RelationalQueries {
       t(s, dir, "orders").createOrReplaceTempView("orders_ne_v")
       s.sql(
         """SELECT c_custkey, c_mktsegment FROM customer_ne_v c
-          |WHERE NOT EXISTS (SELECT 1 FROM orders_ne_v o WHERE o.o_custkey = c.c_custkey)
-          |ORDER BY c_custkey""".stripMargin)
+          |WHERE NOT EXISTS (SELECT 1 FROM orders_ne_v o WHERE o.o_custkey = c.c_custkey)""".stripMargin)
     }),
 
     // GROUPING SETS beyond rollup/cube: hand-picked aggregation levels
@@ -616,8 +614,7 @@ object RelationalQueries {
           |  CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS qty,
           |  count(*) AS n
           |FROM lineitem_gs_v
-          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-          |ORDER BY 1, 2""".stripMargin)
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
     }),
 
     // Predicate + projection pushdown to the parquet scan
