@@ -517,8 +517,11 @@ object StreamOps {
       s"dims ($dims) must divide evenly into subspaces ($subspaces)")
     val sub = dims / subspaces
     val batch = spark.read.parquet(s"$dir/embeddings.parquet")
+    // Shared trained-book memo (Similarity.pqCodebookTrainedShared): the
+    // streaming encoder loads the SAME collected artifact the batch
+    // searchers train — one Lloyd run per (source, params) per session
     val cbRows = graft.operators.Similarity
-      .pqCodebookTrained(graft.operators.Similarity.fixedPoint(
+      .pqCodebookTrainedShared(graft.operators.Similarity.fixedPoint(
         batch, "vec_id", "embedding"), subspaces, codebookK, sub, iters)
       .collect() // ≤ M·K rows — the same bounded-artifact convention
     pqEncodeStream(spark, dir, cbRows, subspaces, sub, sinkName)
@@ -592,9 +595,10 @@ object StreamOps {
       "beyond 64 use the batch kMeansAssign's broadcast-join shape")
     val batch = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = graft.operators.Similarity
-      .pqCodebookTrained(graft.operators.Similarity.fixedPoint(
+      .pqCodebookTrainedShared(graft.operators.Similarity.fixedPoint(
         batch, "vec_id", "embedding"), 1, k, dims, iters)
-      .collect() // <= k rows — the bounded model artifact
+      .collect() // <= k rows — the bounded model artifact, memo-shared
+                 // with the batch kMeansAssign family's k=8 book
     require(cents.nonEmpty,
       "trained centroid book is empty (empty embeddings input?) — " +
       "an array() of zero candidate structs would fail at plan time")
